@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only — the
+library itself is pure Scala/Spark).
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Runs each oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
+fixture parquet tables, loads the Spark result parquet, sorts columns by
+name, and compares values both order-sensitively and order-insensitively.
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: v.decode() if isinstance(v, bytes) else v)
+    return df
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    no_oracle = []
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        if name not in oracle:
+            no_oracle.append(name)
+            continue
+        try:
+            got = norm(pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))], ignore_index=True))
+            want = norm(con.sql(oracle[name]).df())
+            status, detail = compare(got, want)
+        except Exception as e:
+            status, detail = "ERROR", str(e)[:300]
+        if status == "OK":
+            n_pass += 1
+            print(f"  OK    {name} ({detail})")
+        else:
+            n_fail += 1
+            print(f"  {status}  {name}: {detail}")
+    print(f"\n{n_pass} pass, {n_fail} fail; rows-only (no oracle): {no_oracle}")
+    return 1 if n_fail else 0
+
+def compare(got, want):
+    if list(got.columns) != list(want.columns):
+        return "FAIL", f"columns differ: spark={list(got.columns)} oracle={list(want.columns)}"
+    if len(got) != len(want):
+        return "FAIL", f"row count differs: spark={len(got)} oracle={len(want)}"
+    # dtype-tolerant value compare
+    g = got.astype(str).reset_index(drop=True)
+    w = want.astype(str).reset_index(drop=True)
+    ordered = g.equals(w)
+    gs = g.sort_values(by=list(g.columns)).reset_index(drop=True)
+    ws = w.sort_values(by=list(w.columns)).reset_index(drop=True)
+    unordered = gs.equals(ws)
+    if ordered:
+        return "OK", f"{len(got)} rows, ordered"
+    if unordered:
+        return "WARN-ORDER", f"{len(got)} rows match only after row sort"
+    diff = (gs != ws).any(axis=1)
+    i = diff.idxmax()
+    return "FAIL", f"values differ at sorted-row {i}: spark={gs.loc[i].to_dict()} oracle={ws.loc[i].to_dict()}"
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
