@@ -1,165 +1,35 @@
 package graft
 
 import graft.operators.IndexerOps
+import graft.registry._
 import graft.sources.Tables
-import graft.sources.Tables._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Each entry in `queries` is one operator from SURVEY.md §2 (reference
-  * citations in the operator implementations), wired to the driver's
-  * parquet fixtures; `oracleSql` holds the DuckDB-equivalent SQL on the
-  * same tables. Determinism rules (FIXTURES.md): every result fully
-  * ordered with unique tiebreakers, no raw timestamp columns in output
-  * (formatted strings instead), exact types (BIGINT counts, decimal sums)
-  * rather than floats wherever an oracle compares.
+  * Queries are organized in packs (one per SURVEY.md §2 area); each pack
+  * entry is one operator wired to the driver's parquet fixtures, with
+  * DuckDB-equivalent oracle SQL where the operator is SQL-expressible.
+  * Determinism rules (FIXTURES.md): results fully ordered with unique
+  * non-null tiebreakers, no raw timestamp/double outputs (formatted
+  * strings / exact decimals instead).
   */
 object SparkEntry {
+
+  private val packs: Seq[QueryPack] =
+    Seq(CorePack, AnalyticsPack, RelationalPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1∘O1 — the reference's planning query (flows/main_flow.py:153-169). */
   def entry(spark: SparkSession): DataFrame =
     IndexerOps.indexOrder(Tables.envelope(spark, "/root/testdata/sf0.001"))
 
-  private def env(s: SparkSession, dir: String): DataFrame =
-    Tables.envelope(s, dir)
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    packs.map(_.queries).reduce(_ ++ _)
 
-  private val LiveIdx = Seq("click", "view", "purchase", "signup")
-  private val AllIdx = Seq("click", "view", "purchase", "signup", "error")
-  private val Cutoff = "2024-01-15 00:00:00"
-  private val EarlyCutoff = "2024-01-03 00:00:00"
-
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- scans & filters --------------------------------------------------
-    "s1_full_sync_scan" -> ((s, dir) =>
-      IndexerOps.fullSyncScan(env(s, dir), LiveIdx).orderBy(Idx, Id)),
-    "s2_incremental_scan" -> ((s, dir) =>
-      IndexerOps.incrementalScan(env(s, dir), AllIdx, Cutoff)
-        .withColumn(UpdatedAt, date_format(col(UpdatedAt), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        .orderBy(Idx, Id)),
-    "a4_index_list" -> ((s, dir) => IndexerOps.indexList(env(s, dir)).orderBy(Idx)),
-    "p8_json_path" -> ((s, dir) =>
-      IndexerOps.jsonPath(env(s, dir), "$.k", "k").orderBy(Id)),
-
-    // --- aggregates & ordering -------------------------------------------
-    "a1_index_order" -> ((s, dir) => IndexerOps.indexOrder(env(s, dir))),
-    "a2_live_count" -> ((s, dir) => IndexerOps.liveCount(env(s, dir), "click")),
-    "a3_incremental_count" -> ((s, dir) =>
-      IndexerOps.incrementalCount(env(s, dir), "purchase", Some(Cutoff))),
-    "o4_largest_indexes" -> ((s, dir) => IndexerOps.largestIndexes(env(s, dir), 2)),
-
-    // --- joins ------------------------------------------------------------
-    "j1_schema_drift" -> ((s, dir) => {
-      val e = env(s, dir)
-      IndexerOps.schemaDrift(
-        e.where(col(UpdatedAt) < lit(EarlyCutoff).cast("timestamp")),
-        e.where(col(UpdatedAt) >= lit(EarlyCutoff).cast("timestamp")),
-        "$.k")
-    }),
-    "j2_count_reconcile" -> ((s, dir) => {
-      val e = env(s, dir)
-      IndexerOps.countReconciliation(
-        e.where(col(UpdatedAt) < lit(Cutoff).cast("timestamp") && !col(IsDeleted)),
-        e)
-    }),
-    "j3_orphan_indexes" -> ((s, dir) => {
-      val e = env(s, dir)
-      IndexerOps.orphanIndexes(IndexerOps.physicalCatalog(e), IndexerOps.aliasCatalog(e))
-        .orderBy("idx_name")
-    }),
-    "j4_duplicate_alias" -> ((s, dir) => {
-      val e = env(s, dir)
-      val phys = IndexerOps.physicalCatalog(e)
-      val hist = IndexerOps.aliasHistogram(phys, IndexerOps.aliasCatalog(e))
-      IndexerOps.duplicateAliasIndexes(phys, hist).orderBy("idx_name")
-    }),
-
-    // --- action routing ---------------------------------------------------
-    "p10_actions" -> ((s, dir) =>
-      IndexerOps.actionRouting(env(s, dir), "20240201")
-        .orderBy("target_index", "doc_id")),
-  )
-
-  private val E = Tables.EnvelopeSql
-
-  def oracleSql: Map[String, String] = Map(
-    "s1_full_sync_scan" ->
-      s"""$E SELECT idx, id, document, is_deleted FROM env
-         |WHERE idx IN ('click','view','purchase','signup') AND NOT is_deleted
-         |ORDER BY idx, id""".stripMargin,
-    "s2_incremental_scan" ->
-      s"""$E SELECT idx, id, document, is_deleted,
-         |  strftime(updated_at, '%Y-%m-%d %H:%M:%S.%f') AS updated_at
-         |FROM env
-         |WHERE idx IN ('click','view','purchase','signup','error')
-         |  AND updated_at >= TIMESTAMP '$Cutoff'
-         |ORDER BY idx, id""".stripMargin,
-    "a4_index_list" ->
-      s"$E SELECT DISTINCT idx FROM env WHERE idx IS NOT NULL ORDER BY idx",
-    "p8_json_path" ->
-      s"""$E SELECT id, json_extract_string(document, '$$.k') AS k
-         |FROM env ORDER BY id""".stripMargin,
-    "a1_index_order" ->
-      s"""$E SELECT idx, count(id) AS doc_count FROM env
-         |WHERE idx IS NOT NULL GROUP BY idx ORDER BY doc_count, idx""".stripMargin,
-    "a2_live_count" ->
-      s"""$E SELECT count(id) AS doc_count FROM env
-         |WHERE idx = 'click' AND NOT is_deleted""".stripMargin,
-    "a3_incremental_count" ->
-      s"""$E SELECT count(id) AS doc_count FROM env
-         |WHERE idx = 'purchase' AND updated_at >= TIMESTAMP '$Cutoff'""".stripMargin,
-    "o4_largest_indexes" ->
-      s"""$E SELECT idx, count(id) AS doc_count FROM env
-         |GROUP BY idx ORDER BY doc_count DESC, idx LIMIT 2""".stripMargin,
-    "j1_schema_drift" ->
-      s"""$E, stored AS (
-         |  SELECT idx, arg_min(json_extract_string(document, '$$.k'), id) AS stored_name
-         |  FROM env WHERE updated_at < TIMESTAMP '$EarlyCutoff' GROUP BY idx
-         |), src AS (
-         |  SELECT idx, arg_min(json_extract_string(document, '$$.k'), id) AS source_name
-         |  FROM env WHERE updated_at >= TIMESTAMP '$EarlyCutoff' GROUP BY idx
-         |)
-         |SELECT COALESCE(stored.idx, src.idx) AS idx, stored_name, source_name
-         |FROM stored FULL JOIN src ON stored.idx = src.idx
-         |WHERE stored_name IS DISTINCT FROM source_name
-         |ORDER BY idx""".stripMargin,
-    "j2_count_reconcile" ->
-      s"""$E, stored AS (
-         |  SELECT idx, count(id) AS stored_count FROM env
-         |  WHERE updated_at < TIMESTAMP '$Cutoff' AND NOT is_deleted GROUP BY idx
-         |), src AS (
-         |  SELECT idx, count(id) AS source_count FROM env
-         |  WHERE NOT is_deleted GROUP BY idx
-         |)
-         |SELECT COALESCE(stored.idx, src.idx) AS idx, stored_count, source_count
-         |FROM stored FULL JOIN src ON stored.idx = src.idx
-         |WHERE stored_count IS DISTINCT FROM source_count
-         |ORDER BY idx""".stripMargin,
-    "j3_orphan_indexes" ->
-      s"""$E, phys AS (
-         |  SELECT DISTINCT idx || '_' || strftime(updated_at, '%Y-%m-%d') AS idx_name FROM env
-         |), al AS (SELECT DISTINCT idx AS alias FROM env WHERE NOT is_deleted)
-         |SELECT idx_name FROM phys
-         |WHERE NOT EXISTS (SELECT 1 FROM al WHERE contains(idx_name, alias))
-         |ORDER BY idx_name""".stripMargin,
-    "j4_duplicate_alias" ->
-      s"""$E, phys AS (
-         |  SELECT DISTINCT idx || '_' || strftime(updated_at, '%Y-%m-%d') AS idx_name FROM env
-         |), al AS (SELECT DISTINCT idx AS alias FROM env WHERE NOT is_deleted),
-         |hist AS (
-         |  SELECT alias, count(idx_name) AS n_indexes
-         |  FROM phys JOIN al ON contains(idx_name, alias) GROUP BY alias
-         |)
-         |SELECT idx_name FROM phys
-         |WHERE EXISTS (
-         |  SELECT 1 FROM hist WHERE n_indexes > 1 AND contains(idx_name, alias))
-         |ORDER BY idx_name""".stripMargin,
-    "p10_actions" ->
-      s"""$E SELECT idx || '_20240201' AS target_index, id AS doc_id,
-         |  CASE WHEN is_deleted THEN 'delete' ELSE 'index' END AS op_type,
-         |  CASE WHEN is_deleted THEN NULL ELSE document END AS source
-         |FROM env ORDER BY target_index, doc_id""".stripMargin,
-  )
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted keys → rows-only check. */
+  def oracleSql: Map[String, String] =
+    packs.map(_.oracle).reduce(_ ++ _)
 }

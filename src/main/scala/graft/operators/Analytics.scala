@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic-surface operators (SURVEY.md §2.5-§2.7, §2.11): window
+  * functions, grouping sets, set operations, distinct estimation, time
+  * bucketing. The reference contains none of these (its only analytics are
+  * count-group-by + sort), but "same capabilities" is a floor — these are
+  * the Spark builtins the engine exposes, wired to fixtures and oracles.
+  *
+  * Scale notes: window functions shuffle once on the partition key;
+  * rollup/cube expand via `Expand` (no extra shuffle rounds); set ops are
+  * hash-partitioned distinct unions. All stay in whole-stage codegen.
+  */
+object Analytics {
+
+  /** Money-safe decimal cast: fixture doubles carry 2-decimal values;
+    * decimal arithmetic makes sums exact and order-independent — the only
+    * way a distributed sum can hash-match a single-threaded oracle.
+    * Final outputs are cast back to double (`asDouble`) because decimal
+    * columns surface with path-dependent representations downstream
+    * (pyarrow Decimal vs DuckDB float) while an exact value → double
+    * conversion is identical everywhere. */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact-decimal aggregate → stable double output. */
+  def asDouble(c: Column): Column = c.cast("double")
+
+  /** Ranking + running aggregate over an ordered per-key frame
+    * (row_number / rank / running sum). One shuffle on `partCol`.
+    * `ordCols` must be a unique key within each partition, or the running
+    * sum is non-deterministic across runs/engines. */
+  def rankedRunning(df: DataFrame, partCol: String, ordCols: Seq[String], valCol: String): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(ordCols.map(col): _*)
+    df.select(
+      (col(partCol) +: ordCols.map(col)) ++ Seq(
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rnk"),
+      asDouble(sum(dec(col(valCol)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .as("running_val")): _*)
+  }
+
+  /** Lag/lead deltas along event time per key — CDC-adjacent analytics. */
+  def deltas(df: DataFrame, partCol: String, ordCol: String, valCol: String): DataFrame = {
+    val w = Window.partitionBy(partCol).orderBy(ordCol)
+    df.select(
+      col(partCol), col(ordCol),
+      col(valCol).as("val"),
+      asDouble(dec(col(valCol)) - lag(dec(col(valCol)), 1).over(w)).as("delta"),
+      lead(col(ordCol), 1).over(w).as("next_ord"))
+  }
+
+  /** ROLLUP aggregate with sentinel-coalesced grouping columns (so the
+    * oracle can ORDER BY them NULL-free). */
+  def rollupCounts(df: DataFrame, g1: String, g2: String, valCol: String): DataFrame =
+    df.rollup(g1, g2)
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col(valCol)))).as("sum_val"))
+      .select(
+        coalesce(col(g1), lit("ALL")).as(g1),
+        coalesce(col(g2), lit("ALL")).as(g2),
+        col("n"), col("sum_val"))
+
+  /** CUBE variant of the same. */
+  def cubeCounts(df: DataFrame, g1: String, g2: String): DataFrame =
+    df.cube(g1, g2)
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col(g1), lit("ALL")).as(g1),
+        coalesce(col(g2), lit("ALL")).as(g2),
+        col("n"))
+
+  /** Tumbling time-bucket aggregate (batch form of the streaming windowed
+    * count): truncate to the bucket, hash-aggregate. At scale this is the
+    * partition-friendly form — bucket key is derivable from the partition
+    * column, so with date-partitioned input no extra shuffle is needed. */
+  def tumblingCounts(df: DataFrame, tsCol: String, unit: String, keyCol: String): DataFrame =
+    df.groupBy(
+        date_format(date_trunc(unit, col(tsCol)), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Exact + approximate (HLL) distinct cardinality per key. The approx
+    * path is the 100 TB one: constant memory per key vs a full shuffle of
+    * distinct values. */
+  def distinctCardinality(df: DataFrame, keyCol: String, distinctCol: String): DataFrame =
+    df.groupBy(keyCol).agg(
+      countDistinct(col(distinctCol)).as("exact_distinct"),
+      approx_count_distinct(col(distinctCol)).as("approx_distinct"))
+}

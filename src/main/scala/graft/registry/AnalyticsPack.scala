@@ -1,0 +1,128 @@
+package graft.registry
+
+import graft.operators.Analytics
+import graft.sources.Tables
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytic builtin surface (SURVEY.md §2.5-§2.7, §2.11): window
+  * functions, rollup/cube, tumbling buckets, distinct cardinality, set
+  * operations. */
+object AnalyticsPack extends QueryPack {
+
+  private def env(s: SparkSession, dir: String): DataFrame =
+    Tables.envelope(s, dir)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture;
+    // (…, l_partkey, l_suppkey) is — required for a deterministic frame.
+    "w1_ranked_running" -> ((s, dir) =>
+      Analytics.rankedRunning(Tables.lineitem(s, dir),
+        "l_orderkey", Seq("l_linenumber", "l_partkey", "l_suppkey"), "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")),
+    "w2_deltas" -> ((s, dir) =>
+      Analytics.deltas(Tables.events(s, dir), "event_type", "event_id", "value")
+        .orderBy("event_type", "event_id")),
+    "g1_rollup" -> ((s, dir) =>
+      Analytics.rollupCounts(Tables.lineitem(s, dir),
+        "l_returnflag", "l_linestatus", "l_quantity")
+        .orderBy("l_returnflag", "l_linestatus")),
+    "g2_cube" -> ((s, dir) =>
+      Analytics.cubeCounts(
+        env(s, dir).select(col(Idx),
+          date_format(col(UpdatedAt), "yyyy-MM-dd").as("day")),
+        Idx, "day")
+        .orderBy(Idx, "day")),
+    "tw1_tumbling_counts" -> ((s, dir) =>
+      Analytics.tumblingCounts(Tables.events(s, dir), "ts", "hour", "event_type")
+        .orderBy("bucket", "event_type")),
+    "a7_distinct_users" -> ((s, dir) =>
+      Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id")
+        .select(col("event_type"), col("exact_distinct"))
+        .orderBy("event_type")),
+    // HLL estimate differs from any exact oracle by design → rows-only check
+    "a8_approx_distinct" -> ((s, dir) =>
+      Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy("event_type")),
+    "set1_intersect" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.where(col("user_id") % 2 === 0).select("event_type").distinct()
+        .intersect(e.where(col("user_id") % 2 === 1).select("event_type").distinct())
+        .orderBy("event_type")
+    }),
+    "set2_except" -> ((s, dir) => {
+      val e = env(s, dir)
+      e.where(col(Idx) === "click")
+        .select(get_json_object(col(Document), "$.k").as("k")).distinct()
+        .except(e.where(col(Idx) === "error")
+          .select(get_json_object(col(Document), "$.k").as("k")).distinct())
+        .orderBy("k")
+    }),
+    "set3_union" -> ((s, dir) =>
+      Tables.events(s, dir).select(col("event_type").as("tag"))
+        .union(Tables.documents(s, dir).select(col("lang").as("tag")))
+        .distinct()
+        .orderBy("tag")),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "w1_ranked_running" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |  row_number() OVER w AS rn,
+        |  rank() OVER w AS rnk,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+        |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_val
+        |FROM lineitem
+        |WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey)
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey""".stripMargin,
+    "w2_deltas" ->
+      """SELECT event_type, event_id,
+        |  value AS val,
+        |  CAST(CAST(value AS DECIMAL(18,2)) - lag(CAST(value AS DECIMAL(18,2)), 1)
+        |    OVER w AS DOUBLE) AS delta,
+        |  lead(event_id, 1) OVER w AS next_ord
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
+    "g1_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "g2_cube" ->
+      """WITH env AS (
+        |  SELECT event_type AS idx, strftime(ts, '%Y-%m-%d') AS day FROM events
+        |)
+        |SELECT COALESCE(idx, 'ALL') AS idx, COALESCE(day, 'ALL') AS day,
+        |  count(*) AS n
+        |FROM env GROUP BY CUBE(idx, day)
+        |ORDER BY idx, day""".stripMargin,
+    "tw1_tumbling_counts" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "a7_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "set1_intersect" ->
+      """SELECT event_type FROM events WHERE user_id % 2 = 0
+        |INTERSECT
+        |SELECT event_type FROM events WHERE user_id % 2 = 1
+        |ORDER BY event_type""".stripMargin,
+    "set2_except" ->
+      """SELECT json_extract_string(props, '$.k') AS k FROM events
+        |WHERE event_type = 'click'
+        |EXCEPT
+        |SELECT json_extract_string(props, '$.k') AS k FROM events
+        |WHERE event_type = 'error'
+        |ORDER BY k""".stripMargin,
+    "set3_union" ->
+      """SELECT event_type AS tag FROM events
+        |UNION
+        |SELECT lang AS tag FROM documents
+        |ORDER BY tag""".stripMargin,
+  )
+}
