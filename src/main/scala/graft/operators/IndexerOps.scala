@@ -153,6 +153,23 @@ object IndexerOps {
       when(col(IsDeleted), lit("delete")).otherwise(lit("index")).as("op_type"),
       when(col(IsDeleted), lit(null).cast("string")).otherwise(col(Document)).as("source"))
 
+  /** T1/T3 — set-oriented CDC merge: collapse the batch to the latest
+    * action per id (max updated_at), then tombstones delete and the rest
+    * upsert over current state. Equivalent to replaying the reference's
+    * per-row `_op_type index|delete` bulk stream (flows/main_flow.py:
+    * 366-395,378-388) but as one anti-join + one union keyed on `id` —
+    * a shuffle on `id` only, broadcastable when the batch is small. */
+  def cdcMerge(current: DataFrame, batch: DataFrame): DataFrame = {
+    val latest = batch
+      .groupBy(Id).agg(
+        max_by(struct(col(Idx), col(Document), col(IsDeleted)), col(UpdatedAt)).as("s"))
+      .select(col("s.idx"), col(Id), col("s.document"), col("s.is_deleted"))
+    current.select(Idx, Id, Document, IsDeleted)
+      .join(latest.select(Id), Seq(Id), "left_anti")
+      .select(Idx, Id, Document, IsDeleted)
+      .unionByName(latest.where(!col(IsDeleted)).select(Idx, Id, Document, IsDeleted))
+  }
+
   // --- Generic catalog builders (feed J3/J4 from the envelope) -----------
 
   /** Physical "timestamped index" catalog derived from data: one name per

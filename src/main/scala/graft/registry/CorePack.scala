@@ -80,6 +80,16 @@ object CorePack extends QueryPack {
         (col(Id).cast("long") % 10).as("id_mod"),
         round(get_json_object(col(Document), "$.k").cast("double") / 10).as("k_decile"))
         .orderBy(Id)),
+    // T1/T3 — relational CDC merge: pre-cutoff live state + post-cutoff
+    // batch (upserts & tombstone deletes) → new state
+    "t1_cdc_merge" -> ((s, dir) => {
+      val e = env(s, dir)
+      IndexerOps.cdcMerge(
+        e.where(col(UpdatedAt) < lit(Cutoff).cast("timestamp") && !col(IsDeleted)),
+        e.where(col(UpdatedAt) >= lit(Cutoff).cast("timestamp")))
+        .select(Idx, Id, Document)
+        .orderBy(Idx, Id)
+    }),
     // F4 — ",".join per index (ordered for determinism)
     "f4_csv_per_index" -> ((s, dir) =>
       env(s, dir).groupBy(Idx)
@@ -175,6 +185,19 @@ object CorePack extends QueryPack {
          |  CAST(id AS BIGINT) % 10 AS id_mod,
          |  round(CAST(json_extract_string(document, '$$.k') AS DOUBLE) / 10) AS k_decile
          |FROM env ORDER BY id""".stripMargin,
+    "t1_cdc_merge" ->
+      s"""$E, cur AS (
+         |  SELECT idx, id, document FROM env
+         |  WHERE updated_at < TIMESTAMP '$Cutoff' AND NOT is_deleted
+         |), batch AS (
+         |  SELECT idx, id, document, is_deleted FROM env
+         |  WHERE updated_at >= TIMESTAMP '$Cutoff'
+         |)
+         |SELECT idx, id, document FROM cur
+         |WHERE id NOT IN (SELECT id FROM batch)
+         |UNION ALL
+         |SELECT idx, id, document FROM batch WHERE NOT is_deleted
+         |ORDER BY idx, id""".stripMargin,
     "f4_csv_per_index" ->
       s"""$E SELECT idx, string_agg(id, ',' ORDER BY id) AS ids_csv
          |FROM env GROUP BY idx ORDER BY idx""".stripMargin,

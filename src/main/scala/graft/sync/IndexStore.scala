@@ -1,0 +1,111 @@
+package graft.sync
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Local-parquet analog of the reference's Elasticsearch cluster: one
+  * physical index = one parquet directory under `root`; the alias map =
+  * an atomically-replaced manifest file. Mirrors the reference's catalog
+  * surface (SURVEY.md S6/K2-K5; reference flows/main_flow.py:51,173-214,
+  * 265-267,488-557).
+  *
+  * The commit protocol is the point: writers stage a *new* physical index
+  * (`{alias}_{ts}`), and publishing is a manifest swap — atomic rename of
+  * a small file — never an in-place mutation of data. At cluster scale
+  * the same protocol is "write a new table location + CREATE OR REPLACE
+  * VIEW": the data move is O(rows) but the commit is O(1), and a failed
+  * run leaves only unreferenced staging dirs that `cleanupOrphans`
+  * reclaims (K4).
+  */
+class IndexStore(val spark: SparkSession, val root: String) {
+  private val rootPath: Path = Paths.get(root)
+  private val manifestPath: Path = rootPath.resolve("_aliases.json")
+  Files.createDirectories(rootPath)
+
+  // --- catalog reads (S6) -------------------------------------------------
+
+  /** All physical index names (ES `indices.get("*")`). */
+  def physicalIndexes(): Seq[String] =
+    Files.list(rootPath).iterator().asScala
+      .filter(p => Files.isDirectory(p))
+      .map(_.getFileName.toString)
+      .filterNot(_.startsWith("_"))
+      .toSeq.sorted
+
+  /** alias → physical index (ES `get_alias(name="*")`). */
+  def aliases(): Map[String, String] =
+    if (!Files.exists(manifestPath)) Map.empty
+    else Files.readAllLines(manifestPath).asScala.mkString("\n")
+      .split("\n").filter(_.contains("=")).map { line =>
+        val Array(a, p) = line.split("=", 2)
+        a -> p
+      }.toMap
+
+  def aliasExists(alias: String): Boolean = aliases().contains(alias)
+  def indexExists(name: String): Boolean =
+    Files.isDirectory(rootPath.resolve(name))
+
+  /** Read the live data behind an alias (empty relation if unbound). */
+  def read(alias: String): Option[DataFrame] =
+    aliases().get(alias).filter(indexExists)
+      .map(p => spark.read.parquet(rootPath.resolve(p).toString))
+
+  def readPhysical(name: String): DataFrame =
+    spark.read.parquet(rootPath.resolve(name).toString)
+
+  /** Doc count of the live index behind an alias (ES `es.count`). Uses
+    * parquet row-group metadata — no data scan. */
+  def count(alias: String): Long = read(alias).map(_.count()).getOrElse(0L)
+
+  // --- writes (K1/K2) -----------------------------------------------------
+
+  /** K2 — create/overwrite a physical index from a DataFrame. The
+    * reference's load-mode settings (refresh off, replicas 0 during bulk;
+    * flows/main_flow.py:186-188) map to "write staged, don't publish":
+    * nothing reads this dir until `swapAlias` binds it. */
+  def writePhysical(name: String, df: DataFrame): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(rootPath.resolve(name).toString)
+
+  // --- commit protocol (K5/K3/K4) ----------------------------------------
+
+  /** K5 — atomic alias swap: bind `alias` to `physical`, dropping any
+    * previously-bound physical index (reference flows/main_flow.py:524-557
+    * restores settings, put_alias, deletes old). The manifest replace is
+    * atomic (write temp + ATOMIC_MOVE), so readers see either the old or
+    * the new binding, never a partial state. */
+  def swapAlias(alias: String, physical: String): Unit = synchronized {
+    require(indexExists(physical), s"cannot bind $alias to missing $physical")
+    val old = aliases().get(alias)
+    writeManifest(aliases() + (alias -> physical))
+    old.filter(_ != physical).foreach(deletePhysical)
+  }
+
+  /** K3 — rollback hook: delete a staged physical index after a failed
+    * build (reference delete_indexes on_failure, flows/main_flow.py:195-214). */
+  def deletePhysical(name: String): Unit = {
+    val dir = rootPath.resolve(name)
+    if (Files.exists(dir)) {
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+  }
+
+  /** K4 — orphan cleanup: drop every physical index not bound by any
+    * alias (reference cleanup_indexes, flows/main_flow.py:488-520 keeps
+    * indexes whose name contains a live alias; binding-based is the
+    * strictly-safer form of the same reconciliation). Returns dropped. */
+  def cleanupOrphans(): Seq[String] = synchronized {
+    val live = aliases().values.toSet
+    val orphans = physicalIndexes().filterNot(live)
+    orphans.foreach(deletePhysical)
+    orphans
+  }
+
+  private def writeManifest(m: Map[String, String]): Unit = {
+    val tmp = rootPath.resolve(s"_aliases.json.tmp")
+    Files.writeString(tmp, m.toSeq.sorted.map { case (a, p) => s"$a=$p" }.mkString("\n"))
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
