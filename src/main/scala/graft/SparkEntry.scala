@@ -17,7 +17,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private val packs: Seq[QueryPack] =
-    Seq(CorePack, AnalyticsPack, RelationalPack)
+    Seq(CorePack, AnalyticsPack, RelationalPack, PipelinePack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A1∘O1 — the reference's planning query (flows/main_flow.py:153-169). */

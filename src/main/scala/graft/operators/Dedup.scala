@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline (builder brief
+  * "Deduplication"; SURVEY.md §2.11): exact content-hash dedup and
+  * MinHash-LSH banded near-duplicate detection with exact n-gram Jaccard
+  * confirmation on the candidate pairs.
+  *
+  * The 100 TB shape, end to end:
+  *  - signatures are PER-ROW array expressions (map-only, no shuffle);
+  *  - candidate generation is a band-bucket equi-join — pairs are only
+  *    formed WITHIN a bucket (never all-pairs: O(Σ bucket²), which LSH
+  *    keeps near-linear), and the join shuffles on (band, bucket-key)
+  *    so it scales out horizontally;
+  *  - exact Jaccard runs only on the candidate set (|candidates| ≪ n²).
+  *
+  * Constants are shared with the generated DuckDB oracle SQL so the two
+  * sides cannot drift (same scheme as [[TextOps]]).
+  */
+object Dedup {
+  import TextOps.{hash32, hash32Sql, normText, normTextSql, shingles, shinglesSql}
+
+  // --- exact dedup (x1) --------------------------------------------------
+
+  /** Exact dedup on the md5 of whitespace/case-normalized text: keep the
+    * lowest doc_id per content key. One hash-aggregate (min_by) — a
+    * single shuffle on the content key, with map-side partial combine.
+    * This is the canonical "exact dedup at scale" plan: no window, no
+    * join, no second pass. */
+  def exactDedup(docs: DataFrame): DataFrame =
+    docs.select(md5(normText(col("text"))).as("content_key"),
+        struct(col("doc_id"), col("lang"), col("source"), col("n_chars")).as("row"))
+      .groupBy("content_key")
+      .agg(min_by(col("row"), col("row.doc_id")).as("row"))
+      .select(col("row.doc_id"), col("content_key"),
+        col("row.lang"), col("row.source"), col("row.n_chars"))
+
+  val exactDedupSql: String =
+    s"""SELECT doc_id, md5(${normTextSql("text")}) AS content_key, lang, source, n_chars
+       |FROM documents
+       |QUALIFY row_number() OVER (PARTITION BY content_key ORDER BY doc_id) = 1""".stripMargin
+
+  // --- MinHash-LSH (x2) --------------------------------------------------
+
+  /** Mersenne prime 2^31−1: keeps a·h+b within signed-64 range while the
+    * universal-hash family stays well distributed. */
+  val P = 2147483647L
+  val NumHashes = 16
+  val Bands = 4
+  val RowsPerBand: Int = NumHashes / Bands
+
+  /** Deterministic universal-hash parameters (a_i, b_i) — Knuth
+    * multiplicative constants, same values embedded in the oracle SQL. */
+  val perms: Seq[(Long, Long)] = (1 to NumHashes).map { i =>
+    ((i * 2654435761L) % (P - 1) + 1, (i * 40503L + 17) % P)
+  }
+
+  /** MinHash signature columns s0..s15 from a shingle-array column:
+    * sig_i = min over shingles of (a_i·(h mod P)+b_i) mod P. Pure per-row
+    * expressions — the signature of 100 TB of documents is a map-only
+    * scan. */
+  private def sigCols(sh: Column): Seq[Column] = {
+    val hs = transform(sh, s => hash32(s) % P)
+    perms.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(hs, h => (h * a + b) % P)).as(s"s$i")
+    }
+  }
+
+  /** doc_id + s0..s15 signature frame. */
+  def minHashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: sigCols(shingles(col("text"))): _*)
+
+  /** Banded LSH candidate pairs with exact shingle-Jaccard confirmation:
+    * docs sharing ANY band's full signature slice become a candidate;
+    * candidates then get exact |A∩B|/|A∪B| over their shingle sets.
+    * Returns (doc_a, doc_b, jaccard), doc_a < doc_b.
+    *
+    * minJaccard filters the CONFIRMED similarity (the LSH banding is the
+    * recall knob: 4 bands × 4 rows ⇒ ~50% capture at J≈0.55, ~100% at
+    * J≥0.85). */
+  def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.0): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
+    val sigs = withSh.select(col("doc_id") +: col("sh") +: sigCols(col("sh")): _*)
+    val bandKeys = (0 until Bands).map { j =>
+      concat_ws("-", (0 until RowsPerBand).map(r => col(s"s${j * RowsPerBand + r}")): _*)
+    }
+    val bands = sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand.join(shA, "doc_a").join(shB, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Shared CTE chain for the DuckDB oracle (signatures → bands → pairs →
+    * jaccard), generated from the same constants as the Spark side. */
+  private def nearDupCtes: String = {
+    val hs = s"list_transform(sh, s -> ${hash32Sql("s")} % $P)"
+    val sigSelects = perms.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS s$i"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { j =>
+      val key = (0 until RowsPerBand).map(r => s"s${j * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band, concat_ws('-', $key) AS bkey FROM sigs"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH shs AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents
+       |), hsh AS (
+       |  SELECT doc_id, sh, $hs AS hs FROM shs
+       |), sigs AS (
+       |  SELECT doc_id, sh,
+       |    $sigSelects
+       |  FROM hsh
+       |), bands AS (
+       |    $bandSelects
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
+       |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+       |  FROM cand JOIN shs x ON x.doc_id = doc_a JOIN shs y ON y.doc_id = doc_b
+       |)""".stripMargin
+  }
+
+  def nearDupPairsSql(minJaccard: Double): String =
+    s"""$nearDupCtes
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |WHERE jaccard >= $minJaccard""".stripMargin
+
+  // --- near-dup dedup (x3) -----------------------------------------------
+
+  /** Near-duplicate dedup: drop the higher doc_id of every confirmed
+    * near-dup pair (union-by-min collapse of the similarity graph's
+    * pairwise edges). Anti-join against the (small) drop list — at scale
+    * the drop set broadcasts. */
+  def nearDupDedup(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val drops = nearDupPairs(docs, minJaccard).select(col("doc_b").as("doc_id")).distinct()
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
+  def nearDupDedupSql(minJaccard: Double): String =
+    s"""$nearDupCtes
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= $minJaccard)""".stripMargin
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A decoded "frame" of a media asset (what a real image/video decoder
+  * would emit per sampled frame). */
+case class MediaFrame(asset_id: Long, frame_no: Int, offset: Long, byte_len: Int, checksum: String)
+
+/** Multimodal column handling (builder brief "Multimodal columns"):
+  * image/audio/video as opaque `binary` columns with a typed metadata
+  * struct, plus decode / feature-extract / frame-sample stages.
+  *
+  * The container ships no image/audio codecs, so the DECODE step is a
+  * clearly-marked deterministic fake (`fakeDecode` — real systems swap in
+  * a JNI/FFI decoder or an Arrow-batch Python worker); everything
+  * Spark-side is real and tested: the asset schema, the binary column,
+  * per-partition batched iteration (the JVM analog of `mapInPandas`
+  * batch shape), and the frame-sampling explode.
+  *
+  * Scale notes: assets process row-independently (map-only — no shuffle
+  * anywhere in this file); binary payloads never pass through a Spark
+  * shuffle, and frame sampling multiplies rows AFTER the filter/project
+  * stage, not before.
+  */
+object MultimodalOps {
+
+  /** Derive a deterministic asset table from the `documents` fixture:
+    * `media` = utf-8 bytes of the text (the opaque binary payload), with
+    * a typed metadata struct a real ingest would carry alongside. */
+  def assets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("asset_id"),
+      col("text").cast("binary").as("media"),
+      struct(
+        (col("n_chars") % 640).cast("int").as("width"),
+        ((col("doc_id") * 7) % 480).cast("int").as("height"),
+        col("source").as("container")).as("meta"))
+
+  /** Metadata/feature extraction over the binary column — pure column
+    * expressions (octet length, content checksum, sampled-frame count at
+    * `frameBytes` bytes per frame). This is the "cheap probe" pass a
+    * pipeline runs before committing to full decode. */
+  def mediaMeta(assetsDf: DataFrame, frameBytes: Int = 256): DataFrame =
+    assetsDf.select(
+      col("asset_id"),
+      octet_length(col("media")).as("byte_len"),
+      md5(col("media")).as("checksum"),
+      (floor((octet_length(col("media")) - 1) / frameBytes) + 1).cast("long").as("n_frames"),
+      col("meta.width"), col("meta.height"), col("meta.container"))
+
+  def mediaMetaSql(frameBytes: Int = 256): String =
+    s"""SELECT doc_id AS asset_id,
+       |  octet_length(encode(text)) AS byte_len,
+       |  md5(text) AS checksum,
+       |  CAST(floor((octet_length(encode(text)) - 1) / $frameBytes) + 1 AS BIGINT) AS n_frames,
+       |  CAST(n_chars % 640 AS INT) AS width,
+       |  CAST((doc_id * 7) % 480 AS INT) AS height,
+       |  source AS container
+       |FROM documents""".stripMargin
+
+  /** Frame sampling: explode each asset into fixed-size frame windows
+    * (every `stride`-th frame kept). Row-expansion happens per row —
+    * map-only; the output is the input of a per-frame featurizer. */
+  def sampleFrames(assetsDf: DataFrame, frameBytes: Int = 256, stride: Int = 2): DataFrame = {
+    val nFrames = (floor((octet_length(col("media")) - 1) / frameBytes) + 1).cast("int")
+    assetsDf
+      .select(col("asset_id"), col("media"),
+        explode(sequence(lit(0), nFrames - 1)).as("frame_no"))
+      .where(col("frame_no") % stride === 0)
+      .select(col("asset_id"), col("frame_no"),
+        (col("frame_no").cast("long") * frameBytes).as("offset"),
+        col("media").substr(col("frame_no") * frameBytes + 1, lit(frameBytes)).as("frame_bytes"))
+  }
+
+  /** DECODE STUB — deterministic fake standing in for a real codec
+    * (none is installed in this container). Real deployments replace the
+    * body with the actual decoder call; the batched per-partition
+    * iteration around it (the `mapInPandas`-shaped plumbing) is real. */
+  def fakeDecode(bytes: Array[Byte]): MediaFrame =
+    MediaFrame(-1, -1, -1, bytes.length,
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString)
+
+  /** Per-partition batched decode: iterates frames in partition order,
+    * invoking the (stubbed) decoder once per frame without materializing
+    * the partition — the JVM shape of an Arrow-batch UDF. */
+  def decodeFrames(spark: SparkSession, frames: DataFrame): Dataset[MediaFrame] = {
+    import spark.implicits._
+    frames.select("asset_id", "frame_no", "offset", "frame_bytes")
+      .as[(Long, Int, Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, no, off, bytes) =>
+          fakeDecode(bytes).copy(asset_id = id, frame_no = no, offset = off)
+        }
+      }
+  }
+}

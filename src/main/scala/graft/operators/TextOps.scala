@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (builder brief "text analysis"; SURVEY.md §2.11): tokenization, term
+  * frequencies, language-ID scoring, quality heuristics, SimHash and
+  * rolling-hash document fingerprints, over the `documents` fixture.
+  *
+  * Design rule: every per-document computation is a pure column
+  * expression over the token array — `transform`/`filter`/`aggregate`
+  * higher-order functions, no UDF, no explode unless the OUTPUT is
+  * per-token. Per-row expressions are embarrassingly parallel (zero
+  * shuffle) and stay inside whole-stage codegen, so a 100 TB corpus
+  * scans at I/O speed; the only shuffles in this file are the
+  * aggregations whose result is genuinely cross-document (term
+  * frequencies).
+  *
+  * Every operator has a twin `...Sql` generator producing the DuckDB
+  * oracle from the SAME Scala constants, so Spark and oracle can never
+  * drift apart.
+  */
+object TextOps {
+
+  /** Deterministic 32-bit hash both engines can compute identically:
+    * unsigned value of the first 8 hex digits of md5. (Spark's builtin
+    * `hash`/`xxhash64` have no DuckDB equivalent; md5 is bit-identical
+    * everywhere.) */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def hash32Sql(e: String): String =
+    s"('0x' || substr(md5($e), 1, 8))::BIGINT"
+
+  /** Whitespace tokenization of lowercased text. */
+  def tokens(c: Column): Column = split(lower(c), " ")
+  def tokensSql(e: String): String = s"string_split(lower($e), ' ')"
+
+  /** Whitespace-collapsed, trimmed, lowercased normal form (the exact
+    * -dedup key; regexp semantics identical in Spark and DuckDB). */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+  def normTextSql(e: String): String =
+    s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+
+  /** Word k-shingles (distinct), as an array column. k=3 default. */
+  def shingles(c: Column, k: Int = 3): Column = {
+    val toks = tokens(c)
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k)))))
+  }
+  def shinglesSql(e: String, k: Int = 3): String = {
+    val t = tokensSql(e)
+    s"list_distinct(list_transform(range(1, greatest(len($t)-${k - 1}, 1)+1), " +
+      s"i -> array_to_string(($t)[i:i+${k - 1}], ' ')))"
+  }
+
+  // --- term frequencies (x4) ---------------------------------------------
+
+  /** Term frequency per (lang, token): the one genuinely cross-document
+    * aggregation — explode then hash-aggregate with map-side combine.
+    * At 100 TB the output cardinality is |langs|×|vocab|, tiny relative
+    * to input, so the shuffle moves partial counts only. */
+  def termFrequencies(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy("lang", "token").agg(count(lit(1)).as("n"))
+
+  val termFrequenciesSql: String =
+    s"""WITH tok AS (SELECT lang, unnest(${tokensSql("text")}) AS token FROM documents)
+       |SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token""".stripMargin
+
+  // --- language ID (x5) --------------------------------------------------
+
+  /** Marker-token profiles per language. On real corpora these are the
+    * top-n-gram profiles of each language; the fixture vocabulary is 31
+    * shared tech words, so the profiles are fixed word sets — the scoring
+    * MECHANISM (count profile hits per language, argmax with fixed
+    * tiebreak) is the operator under test. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow", "window", "row"),
+    "de" -> Seq("data", "key", "scan", "batch", "small"),
+    "es" -> Seq("column", "line", "part", "hash", "customer"),
+    "fr" -> Seq("order", "sort", "query", "group", "value"),
+    "zh" -> Seq("merge", "vector", "join", "stream", "agg"))
+
+  /** Language-ID: per-row profile scores + argmax (first language in
+    * profile order wins ties). Pure array expressions — no shuffle. */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scores = langProfiles.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isInCollection(words)))
+    }
+    val best = greatest(scores.map(_._2): _*)
+    // earlier profiles take precedence on ties (fixed argmax order)
+    val predFirst = scores.foldRight(lit(null).cast("string")) {
+      case ((lang, s), acc) => when(s === best, lit(lang)).otherwise(acc)
+    }
+    docs.select(
+      (col("doc_id") +: col("lang").as("lang_actual") +:
+        scores.map { case (l, s) => s.as(s"score_$l") }) :+
+        predFirst.as("lang_pred"): _*)
+  }
+
+  val languageIdSql: String = {
+    def scoreSql(words: Seq[String]): String =
+      s"len(list_filter(${tokensSql("text")}, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val scoreCols = langProfiles
+      .map { case (l, ws) => s"${scoreSql(ws)} AS score_$l" }.mkString(",\n  ")
+    val best = s"greatest(${langProfiles.map { case (l, _) => s"score_$l" }.mkString(",")})"
+    val pred = langProfiles.map { case (l, _) =>
+      s"WHEN score_$l = $best THEN '$l'"
+    }.mkString("CASE ", " ", " END")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS lang_actual,
+       |  $scoreCols
+       |  FROM documents)
+       |SELECT doc_id, lang_actual,
+       |  ${langProfiles.map { case (l, _) => s"score_$l" }.mkString(", ")},
+       |  $pred AS lang_pred
+       |FROM scored""".stripMargin
+  }
+
+  // --- quality scoring (x6) ----------------------------------------------
+
+  /** Stopword list for the quality ratio (fixture's closest analog of
+    * function words). */
+  val stopwords: Seq[String] = Seq("the", "a", "fast", "slow", "big", "small")
+
+  /** Per-document quality heuristics: token count, distinct-token ratio,
+    * stopword ratio, mean token length. All integer-derived divisions →
+    * bit-identical doubles in any engine. Zero shuffle. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nUniq = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords))).cast("double")
+    // single-space-joined tokens: mean token length derivable exactly
+    val meanLen = (length(col("text")) - (size(toks) - 1)).cast("double") / nTok
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      (nUniq / nTok).as("uniq_ratio"),
+      (nStop / nTok).as("stopword_ratio"),
+      meanLen.as("mean_token_len"))
+  }
+
+  val qualityScoreSql: String = {
+    val t = tokensSql("text")
+    val stop = stopwords.map(w => s"'$w'").mkString(",")
+    s"""SELECT doc_id,
+       |  len($t) AS n_tokens,
+       |  CAST(len(list_distinct($t)) AS DOUBLE) / len($t) AS uniq_ratio,
+       |  CAST(len(list_filter($t, x -> x IN ($stop))) AS DOUBLE) / len($t) AS stopword_ratio,
+       |  CAST(length(text) - (len($t) - 1) AS DOUBLE) / len($t) AS mean_token_len
+       |FROM documents""".stripMargin
+  }
+
+  // --- token counting (x7) -----------------------------------------------
+
+  /** BPE-ish token regex: letter runs, digit runs, single other symbols —
+    * the pre-tokenizer split rule of byte-pair encoders. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** Whitespace token count + BPE-ish subword-unit count per document. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpePattern), lit(0)))
+        .as("bpe_tokens"))
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+       |  len(${tokensSql("text")}) AS ws_tokens,
+       |  len(regexp_extract_all(lower(text), '$BpePattern')) AS bpe_tokens
+       |FROM documents""".stripMargin
+
+  // --- SimHash (x8) ------------------------------------------------------
+
+  val SimHashBits = 32
+
+  /** 32-bit SimHash per document: each token votes ±1 on every bit of its
+    * hash; the fingerprint sets bits with positive tally. Near-duplicate
+    * docs differ in few bits (Charikar'02 — see PAPERS.md). Entirely
+    * per-row array expressions: at scale this is a map-only pass. */
+  def simHash(docs: DataFrame): DataFrame = {
+    val hs = transform(tokens(col("text")), t => hash32(t))
+    val n = size(hs)
+    val value = (0 until SimHashBits).map { b =>
+      val cnt = size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
+      when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col("doc_id"), value.as("simhash"))
+  }
+
+  val simHashSql: String = {
+    val hs = s"list_transform(${tokensSql("text")}, t -> ${hash32Sql("t")})"
+    val terms = (0 until SimHashBits).map { b =>
+      s"(CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id, $hs AS hs FROM documents)
+       |SELECT doc_id, $terms AS simhash FROM h""".stripMargin
+  }
+
+  // --- rolling-hash fingerprint (x9) --------------------------------------
+
+  val GramLen = 8
+
+  /** Document fingerprint: minimum hash over all character 8-grams of the
+    * normalized text (the "min" selection step of winnowing, doc-global
+    * window). Content-defined, so it survives token reordering at the
+    * edges. Per-row expression — map-only at scale. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = normText(col("text"))
+    val fp = array_min(transform(
+      sequence(lit(1), greatest(length(norm) - (GramLen - 1), lit(1))),
+      i => hash32(norm.substr(i, lit(GramLen)))))
+    docs.select(col("doc_id"), fp.as("fingerprint"))
+  }
+
+  val fingerprintSql: String = {
+    val n = normTextSql("text")
+    s"""WITH nrm AS (SELECT doc_id, $n AS nt FROM documents)
+       |SELECT doc_id,
+       |  list_min(list_transform(range(1, greatest(length(nt)-${GramLen - 1}, 1)+1),
+       |    i -> ${hash32Sql(s"substr(nt, i, $GramLen)")})) AS fingerprint
+       |FROM nrm""".stripMargin
+  }
+}

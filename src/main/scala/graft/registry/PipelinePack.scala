@@ -1,0 +1,85 @@
+package graft.registry
+
+import graft.operators.{Dedup, MultimodalOps, TextOps, VectorOps}
+import graft.sources.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM training-data pipeline operators (builder brief: dedup, similarity
+  * search, text analysis, multimodal) over the `documents` / `embeddings`
+  * fixtures. Every SQL-expressible operator carries a DuckDB oracle
+  * GENERATED from the same constants as the Spark plan (see the `...Sql`
+  * builders in the operator objects) — the two sides cannot drift. */
+object PipelinePack extends QueryPack {
+
+  /** Confirmed-similarity floor for reporting near-dup pairs. */
+  val PairJaccard = 0.5
+  /** Collapse threshold for near-dup dedup. */
+  val DedupJaccard = 0.8
+  /** Fixed ANN/top-k probe queries. */
+  val QueryVecs = Seq(0L, 1L, 2L)
+
+  val MinCosine = 0.2
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- dedup -----------------------------------------------------------
+    "x1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+    "x2_minhash_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard)
+        .orderBy("doc_a", "doc_b")),
+    "x3_neardup_dedup" -> ((s, dir) =>
+      Dedup.nearDupDedup(Tables.documents(s, dir), DedupJaccard).orderBy("doc_id")),
+
+    // --- text analysis ---------------------------------------------------
+    "x4_term_freq" -> ((s, dir) =>
+      TextOps.termFrequencies(Tables.documents(s, dir)).orderBy("lang", "token")),
+    "x5_lang_id" -> ((s, dir) =>
+      TextOps.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "x6_quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    "x7_token_counts" -> ((s, dir) =>
+      TextOps.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+    "x8_simhash" -> ((s, dir) =>
+      TextOps.simHash(Tables.documents(s, dir)).orderBy("doc_id")),
+    "x9_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // --- similarity search ----------------------------------------------
+    "x10_cosine_topk" -> ((s, dir) =>
+      VectorOps.cosineTopK(Tables.embeddings(s, dir), QueryVecs, 10)
+        .orderBy("query_id", "rn")),
+    "x11_ann_topk" -> ((s, dir) =>
+      VectorOps.annTopK(Tables.embeddings(s, dir), QueryVecs, 5)
+        .orderBy("query_id", "rn")),
+    "x12_embedding_neardup" -> ((s, dir) =>
+      VectorOps.embeddingNearDups(Tables.embeddings(s, dir), MinCosine)
+        .orderBy("vec_a", "vec_b")),
+
+    // --- multimodal ------------------------------------------------------
+    "m1_media_meta" -> ((s, dir) =>
+      MultimodalOps.mediaMeta(MultimodalOps.assets(Tables.documents(s, dir)))
+        .orderBy("asset_id")),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "x1_exact_dedup" -> (Dedup.exactDedupSql + "\nORDER BY doc_id"),
+    "x2_minhash_pairs" ->
+      (Dedup.nearDupPairsSql(PairJaccard) + "\nORDER BY doc_a, doc_b"),
+    "x3_neardup_dedup" ->
+      (Dedup.nearDupDedupSql(DedupJaccard) + "\nORDER BY doc_id"),
+    "x4_term_freq" -> (TextOps.termFrequenciesSql + "\nORDER BY lang, token"),
+    "x5_lang_id" -> (TextOps.languageIdSql + "\nORDER BY doc_id"),
+    "x6_quality_score" -> (TextOps.qualityScoreSql + "\nORDER BY doc_id"),
+    "x7_token_counts" -> (TextOps.tokenCountsSql + "\nORDER BY doc_id"),
+    "x8_simhash" -> (TextOps.simHashSql + "\nORDER BY doc_id"),
+    "x9_fingerprint" -> (TextOps.fingerprintSql + "\nORDER BY doc_id"),
+    "x10_cosine_topk" ->
+      (VectorOps.cosineTopKSql(QueryVecs, 10) + "\nORDER BY query_id, rn"),
+    "x11_ann_topk" ->
+      (VectorOps.annTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
+    "x12_embedding_neardup" ->
+      (VectorOps.embeddingNearDupsSql(MinCosine) + "\nORDER BY vec_a, vec_b"),
+    "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),
+  )
+}
