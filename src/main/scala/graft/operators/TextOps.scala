@@ -180,12 +180,15 @@ object TextOps {
 
   val SimHashBits = 32
 
-  /** 32-bit SimHash per document: each token votes ±1 on every bit of its
-    * hash; the fingerprint sets bits with positive tally. Near-duplicate
-    * docs differ in few bits (Charikar'02 — see PAPERS.md). Entirely
-    * per-row array expressions: at scale this is a map-only pass. */
+  /** 32-bit SimHash per document: each word 3-shingle votes ±1 on every
+    * bit of its hash; the fingerprint sets bits with positive tally.
+    * Near-duplicate docs differ in few bits (Charikar'02 — see
+    * PAPERS.md). Shingles, not unigrams: a small shared vocabulary makes
+    * unigram votes identical across documents, while shingle sets are
+    * discriminative. Entirely per-row array expressions: at scale this
+    * is a map-only pass. */
   def simHash(docs: DataFrame): DataFrame = {
-    val hs = transform(tokens(col("text")), t => hash32(t))
+    val hs = transform(shingles(col("text")), t => hash32(t))
     val n = size(hs)
     val value = (0 until SimHashBits).map { b =>
       val cnt = size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
@@ -195,7 +198,7 @@ object TextOps {
   }
 
   val simHashSql: String = {
-    val hs = s"list_transform(${tokensSql("text")}, t -> ${hash32Sql("t")})"
+    val hs = s"list_transform(${shinglesSql("text")}, t -> ${hash32Sql("t")})"
     val terms = (0 until SimHashBits).map { b =>
       s"(CASE WHEN 2*len(list_filter(hs, h -> (h >> $b) & 1 = 1)) > len(hs) THEN ${1L << b} ELSE 0 END)"
     }.mkString(" + ")

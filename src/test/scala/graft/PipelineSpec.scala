@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{Dedup, MultimodalOps, TextOps, VectorOps}
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the LLM-pipeline operators (dedup / similarity /
+  * text analysis / multimodal) on the sf0.001 fixtures. The DuckDB
+  * oracle covers value-exactness; these specs cover the semantic
+  * properties an oracle can't express (LSH recall, idempotence,
+  * normalization invariance). */
+class PipelineSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("minhash-LSH captures every high-jaccard pair (recall @ J>=0.9)") {
+    val sh = docs.select(col("doc_id"), TextOps.shingles(col("text")).as("sh"))
+    val a = sh.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = sh.select(col("doc_id").as("db"), col("sh").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val brute = a.join(b, col("da") < col("db"))
+      .select(col("da"), col("db"),
+        (inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter)).as("j"))
+      .where(col("j") >= 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain planted near-duplicates")
+    val lsh = Dedup.nearDupPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(lsh),
+      s"LSH missed high-similarity pairs: ${brute diff lsh}")
+  }
+
+  test("exact dedup is idempotent and content keys are unique") {
+    val once = Dedup.exactDedup(docs).cache()
+    assert(once.select("content_key").distinct().count() === once.count())
+    val again = Dedup.exactDedup(
+      once.join(docs.select("doc_id", "text"), "doc_id"))
+    assert(again.count() === once.count())
+  }
+
+  test("near-dup dedup leaves no detectable pair above the threshold") {
+    val survivors = Dedup.nearDupDedup(docs, 0.8)
+      .join(docs.select("doc_id", "text"), "doc_id")
+    assert(Dedup.nearDupPairs(survivors, 0.8).count() === 0)
+    // and it actually dropped something (fixture has planted dups)
+    assert(survivors.count() < docs.count())
+  }
+
+  test("simhash separates near-dups from random pairs (hamming distance)") {
+    val dupPairs = Dedup.nearDupPairs(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dupPairs.nonEmpty)
+    val (na, nb) = dupPairs.head
+    val h = TextOps.simHash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(x: Long, y: Long): Int = java.lang.Long.bitCount(x ^ y)
+    val nearDist = dist(h(na), h(nb))
+    // distances of non-near-dup pairs (exclude every detected dup pair —
+    // the fixture plants many)
+    val ids = h.keys.toSeq.sorted.take(30)
+    val randDists = for {
+      i <- ids; j <- ids
+      if i < j && !dupPairs.contains((i, j))
+    } yield dist(h(i), h(j))
+    assert(nearDist <= 2, s"near-dup pair should be simhash-close, got $nearDist")
+    assert(nearDist < randDists.min,
+      s"near-dup hamming $nearDist should undercut random pairs (min ${randDists.min})")
+  }
+
+  test("fingerprint is invariant under whitespace/case noise") {
+    val noisy = docs.withColumn("text",
+      upper(regexp_replace(col("text"), lit(" "), lit("   "))))
+    val clean = TextOps.fingerprint(docs).withColumnRenamed("fingerprint", "fp_clean")
+    val dirty = TextOps.fingerprint(noisy).withColumnRenamed("fingerprint", "fp_noisy")
+    val diff = clean.join(dirty, "doc_id")
+      .where(col("fp_clean") =!= col("fp_noisy")).count()
+    assert(diff === 0)
+  }
+
+  test("ANN candidates come from the query's bucket; top-1 of bucket matches brute force within it") {
+    val ann = VectorOps.annTopK(emb, Seq(0L, 1L, 2L), 5).cache()
+    val buckets = emb.select(col("vec_id"),
+      VectorOps.bucketOf(transform(col("embedding"), _.cast("double"))).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ann.collect().foreach { r =>
+      val (qid, vid, bucket) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(bucket === buckets(qid), "candidate outside query bucket")
+      assert(bucket === buckets(vid))
+    }
+    // per query at most k rows, ranked contiguously from 1
+    val byQ = ann.collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val rns = rows.map(_.getInt(4)).sorted
+      assert(rns === (1 to rows.length).toArray)
+    }
+  }
+
+  test("language-ID picks the max-scoring profile with fixed tiebreak") {
+    val rows = TextOps.languageId(docs).collect()
+    val langs = TextOps.langProfiles.map(_._1)
+    rows.foreach { r =>
+      val scores = langs.zipWithIndex.map { case (l, i) => l -> r.getInt(2 + i) }
+      val best = scores.map(_._2).max
+      val expected = scores.collectFirst { case (l, s) if s == best => l }.get
+      assert(r.getAs[String]("lang_pred") === expected)
+    }
+  }
+
+  test("frame sampling + batched decode: offsets, sizes, checksums line up") {
+    val assets = MultimodalOps.assets(docs.where(col("doc_id") < 10))
+    val frames = MultimodalOps.sampleFrames(assets, frameBytes = 256, stride = 2)
+    val decoded = MultimodalOps.decodeFrames(spark, frames).collect()
+    assert(decoded.nonEmpty)
+    decoded.foreach { f =>
+      assert(f.offset === f.frame_no.toLong * 256)
+      assert(f.frame_no % 2 === 0)
+      assert(f.byte_len > 0 && f.byte_len <= 256)
+      assert(f.checksum.length === 32)
+    }
+    // frame 0 checksum == md5 of the first 256 bytes of the raw text
+    val texts = docs.where(col("doc_id") < 10)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    decoded.filter(_.frame_no == 0).foreach { f =>
+      val bytes = texts(f.asset_id).getBytes("UTF-8").take(256)
+      assert(f.checksum === MultimodalOps.fakeDecode(bytes).checksum)
+    }
+  }
+}
