@@ -35,7 +35,7 @@ object Tables {
     * microseconds (integer `div` — epoch nanos exceed 2^53, double math
     * would corrupt). Matches DuckDB's nanos→micros truncation, so oracle
     * comparisons stay exact. */
-  private def normalizeTs(df: DataFrame): DataFrame =
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
       .map(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
       .getOrElse(df)

@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import graft.operators.Analytics
+import graft.sources.Tables
+import graft.sources.Tables._
+import graft.streaming.{StreamingAgg, StreamingCdc}
+import graft.sync.{IndexStore, SyncPipeline, WatermarkStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming CDC: the streaming path must converge to the
+  * same store state as the batch incremental sync over the same data,
+  * and the watermarked windowed agg must equal its batch twin. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def tmp(prefix: String): Path =
+    Files.createTempDirectory(prefix)
+
+  /** Split the events fixture into `n` time-ordered parquet files in one
+    * source dir — the file-stream analog of a CDC feed arriving over
+    * time. */
+  private def writeTimeSlicedSource(dir: Path, n: Int): Unit = {
+    val ev = Tables.events(spark, sf).orderBy("ts").cache()
+    val total = ev.count()
+    val per = (total + n - 1) / n
+    val ids = ev.select("event_id").collect().map(_.getLong(0))
+    (0 until n).foreach { i =>
+      val slice = ids.slice((i * per).toInt, math.min(((i + 1) * per).toInt, ids.length))
+      val stage = tmp(s"slice$i")
+      ev.where(col("event_id").isin(slice: _*))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator()
+      var moved = false
+      while (part.hasNext && !moved) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) {
+          Files.copy(p, dir.resolve(f"slice_$i%03d.parquet"))
+          moved = true
+        }
+      }
+      assert(moved, s"no parquet part written for slice $i")
+    }
+    ev.unpersist()
+  }
+
+  test("streaming CDC (AvailableNow, multi-batch) ends in the same state as batch incremental sync") {
+    val source = tmp("stream-src")
+    writeTimeSlicedSource(source, 3)
+
+    val indexes = Seq("click", "view", "purchase", "signup", "error")
+
+    // streaming path
+    val sRoot = tmp("stream-store").toString
+    val sStore = new IndexStore(spark, sRoot)
+    val sCdc = new StreamingCdc(sStore, new WatermarkStore(sRoot))
+    val batches = sCdc.syncAvailable(spark, source.toString, indexes, "t1")
+    assert(batches >= 3, s"expected >=3 micro-batches (one per file), got $batches")
+
+    // batch path over the same data
+    val bRoot = tmp("batch-store").toString
+    val bStore = new IndexStore(spark, bRoot)
+    val pipeline = new SyncPipeline(bStore, new WatermarkStore(bRoot))
+    val env = Tables.envelope(Tables.normalizeTs(spark.read.parquet(source.toString)))
+    pipeline.incrementalSync(env, Some(indexes), "t1")
+
+    indexes.foreach { idx =>
+      val s = sStore.read(idx).map(_.select(Idx, Id, Document, IsDeleted)
+        .orderBy(Id).collect().toSeq).getOrElse(Seq.empty)
+      val b = bStore.read(idx).map(_.select(Idx, Id, Document, IsDeleted)
+        .orderBy(Id).collect().toSeq).getOrElse(Seq.empty)
+      assert(s === b, s"state mismatch for index $idx")
+    }
+  }
+
+  test("streaming resume: a second AvailableNow run over the same checkpoint reprocesses nothing") {
+    val source = tmp("stream-src2")
+    writeTimeSlicedSource(source, 2)
+    val root = tmp("stream-store2").toString
+    val store = new IndexStore(spark, root)
+    val cdc = new StreamingCdc(store, new WatermarkStore(root))
+    val first = cdc.syncAvailable(spark, source.toString, Seq("click"), "t1")
+    assert(first >= 2)
+    val countAfterFirst = store.count("click")
+    // same checkpoint dir → offsets already committed → no new batches
+    val second = cdc.syncAvailable(spark, source.toString, Seq("click"), "t1")
+    assert(second === 0L, "checkpointed offsets must prevent reprocessing")
+    assert(store.count("click") === countAfterFirst)
+  }
+
+  test("watermarked streaming windowed count equals the batch tumbling aggregate") {
+    val source = tmp("stream-src3")
+    writeTimeSlicedSource(source, 2)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(source.toString).schema
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema).parquet(source.toString))
+    val agg = StreamingAgg.windowedCounts(stream, "ts", "event_type", "1 hour", "1 hour")
+    val q = agg.writeStream
+      .format("memory").queryName("win_counts").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("win_counts").orderBy("bucket", "event_type").collect().toSeq
+    val want = Analytics.tumblingCounts(
+      Tables.normalizeTs(spark.read.parquet(source.toString)), "ts", "hour", "event_type")
+      .orderBy("bucket", "event_type").collect().toSeq
+    assert(got === want)
+  }
+}
