@@ -96,7 +96,10 @@ object IndexerOps {
         .agg(min_by(get_json_object(col(Document), jsonPath), col(Id)).as(as))
     val s = firstDocField(stored, "stored_name")
     val t = firstDocField(source, "source_name")
-    s.join(broadcast(t), Seq(Idx), "full_outer")
+    // no broadcast hint: Spark cannot broadcast a full-outer build side
+    // (the hint only logs a warning); both inputs are per-index aggregates
+    // — tiny — so AQE picks the right physical join.
+    s.join(t, Seq(Idx), "full_outer")
       .where(!(col("stored_name") <=> col("source_name")))
       .orderBy(Idx)
   }
@@ -159,16 +162,33 @@ object IndexerOps {
     * per-row `_op_type index|delete` bulk stream (flows/main_flow.py:
     * 366-395,378-388) but as one anti-join + one union keyed on `id` —
     * a shuffle on `id` only, broadcastable when the batch is small. */
-  def cdcMerge(current: DataFrame, batch: DataFrame): DataFrame = {
-    val latest = batch
-      .groupBy(Id).agg(
+  def cdcMerge(current: DataFrame, batch: DataFrame): DataFrame =
+    mergeLatest(current, latestPerId(batch))
+
+  /** [[cdcMerge]] with the batch's id/tombstone tallies observed ON the
+    * merge plan (A7 — reference records/errors counters,
+    * flows/main_flow.py:354-355,423-426): metrics `batch_ids` and
+    * `batch_deletes` materialize with whatever single action executes
+    * the merge — zero extra Spark jobs. */
+  def cdcMergeObserved(current: DataFrame, batch: DataFrame,
+      obs: org.apache.spark.sql.Observation): DataFrame = {
+    val latest = latestPerId(batch).observe(obs,
+      count(lit(1)).as("batch_ids"),
+      sum(when(col(IsDeleted), 1L).otherwise(0L)).as("batch_deletes"))
+    mergeLatest(current, latest)
+  }
+
+  /** Collapse a CDC batch to the latest action per id (max updated_at). */
+  private def latestPerId(batch: DataFrame): DataFrame =
+    batch.groupBy(Id).agg(
         max_by(struct(col(Idx), col(Document), col(IsDeleted)), col(UpdatedAt)).as("s"))
       .select(col("s.idx"), col(Id), col("s.document"), col("s.is_deleted"))
+
+  private def mergeLatest(current: DataFrame, latest: DataFrame): DataFrame =
     current.select(Idx, Id, Document, IsDeleted)
       .join(latest.select(Id), Seq(Id), "left_anti")
       .select(Idx, Id, Document, IsDeleted)
       .unionByName(latest.where(!col(IsDeleted)).select(Idx, Id, Document, IsDeleted))
-  }
 
   // --- Generic catalog builders (feed J3/J4 from the envelope) -----------
 

@@ -2,6 +2,7 @@ package graft.sync
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Local-parquet analog of the reference's Elasticsearch cluster: one
@@ -27,11 +28,13 @@ class IndexStore(val spark: SparkSession, val root: String) {
 
   /** All physical index names (ES `indices.get("*")`). */
   def physicalIndexes(): Seq[String] =
-    Files.list(rootPath).iterator().asScala
-      .filter(p => Files.isDirectory(p))
-      .map(_.getFileName.toString)
-      .filterNot(_.startsWith("_"))
-      .toSeq.sorted
+    Using.resource(Files.list(rootPath)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .map(_.getFileName.toString)
+        .filterNot(_.startsWith("_"))
+        .toSeq.sorted
+    }
 
   /** alias → physical index (ES `get_alias(name="*")`). */
   def aliases(): Map[String, String] =
@@ -54,8 +57,9 @@ class IndexStore(val spark: SparkSession, val root: String) {
   def readPhysical(name: String): DataFrame =
     spark.read.parquet(rootPath.resolve(name).toString)
 
-  /** Doc count of the live index behind an alias (ES `es.count`). Uses
-    * parquet row-group metadata — no data scan. */
+  /** Doc count of the live index behind an alias (ES `es.count`). A
+    * Spark count job — cheap for parquet (satisfied from row-group
+    * metadata, no column data read), but still a job. */
   def count(alias: String): Long = read(alias).map(_.count()).getOrElse(0L)
 
   // --- writes (K1/K2) -----------------------------------------------------
@@ -63,9 +67,49 @@ class IndexStore(val spark: SparkSession, val root: String) {
   /** K2 — create/overwrite a physical index from a DataFrame. The
     * reference's load-mode settings (refresh off, replicas 0 during bulk;
     * flows/main_flow.py:186-188) map to "write staged, don't publish":
-    * nothing reads this dir until `swapAlias` binds it. */
-  def writePhysical(name: String, df: DataFrame): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(rootPath.resolve(name).toString)
+    * nothing reads this dir until `swapAlias` binds it.
+    *
+    * `maxRecordsPerFile` is T5's bounded write chunk (the reference's
+    * 500-action bulk batches, flows/main_flow.py:414): it caps the unit
+    * of work a retry re-does and what a reader must buffer. */
+  def writePhysical(name: String, df: DataFrame,
+      maxRecordsPerFile: Option[Int] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    maxRecordsPerFile.foreach(n => w.option("maxRecordsPerFile", n.toLong))
+    w.parquet(rootPath.resolve(name).toString)
+  }
+
+  /** Single-pass multi-index staging: ONE scan of `df` writes every
+    * index's slice, hash-partitioned into per-index directories
+    * (`partitionBy` on a duplicated key column, so data files keep the
+    * full envelope). This replaces N per-index scans of the source —
+    * the difference between 1× and N× I/O at 100 TB. */
+  def writePartitionedStage(stageName: String, df: DataFrame,
+      partCol: String, maxRecordsPerFile: Option[Int] = None): Unit = {
+    import org.apache.spark.sql.functions.col
+    val w = df.withColumn(PartKey, col(partCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(PartKey)
+    maxRecordsPerFile.foreach(n => w.option("maxRecordsPerFile", n.toLong))
+    w.parquet(rootPath.resolve(stageName).toString)
+  }
+
+  /** Promote one index's slice out of a partitioned stage into its own
+    * physical index (directory rename — O(1), no data move). Returns
+    * false if the stage holds no slice for the value (zero-row index). */
+  def promoteStaged(stageName: String, partValue: String, physical: String): Boolean = {
+    val slice = rootPath.resolve(stageName).resolve(s"$PartKey=$partValue")
+    if (!Files.isDirectory(slice)) false
+    else {
+      val target = rootPath.resolve(physical)
+      deletePhysical(physical)
+      Files.move(slice, target, StandardCopyOption.ATOMIC_MOVE)
+      true
+    }
+  }
+
+  /** Remove a partitioned stage dir (after all promotes, or on failure). */
+  def dropStage(stageName: String): Unit = deletePhysical(stageName)
 
   // --- commit protocol (K5/K3/K4) ----------------------------------------
 
@@ -86,8 +130,10 @@ class IndexStore(val spark: SparkSession, val root: String) {
   def deletePhysical(name: String): Unit = {
     val dir = rootPath.resolve(name)
     if (Files.exists(dir)) {
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+      Using.resource(Files.walk(dir)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
     }
   }
 
@@ -101,6 +147,8 @@ class IndexStore(val spark: SparkSession, val root: String) {
     orphans.foreach(deletePhysical)
     orphans
   }
+
+  private val PartKey = "_graft_part"
 
   private def writeManifest(m: Map[String, String]): Unit = {
     val tmp = rootPath.resolve(s"_aliases.json.tmp")

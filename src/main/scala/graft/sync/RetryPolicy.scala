@@ -46,14 +46,20 @@ case class RetryPolicy(
 
   /** Run `op(chunkSize)` walking the degradation schedule on failure;
     * sleeps `reconnectMs` between attempts (reference sleeps 120 s,
-    * flows/main_flow.py:440). */
+    * flows/main_flow.py:440) — but not after the final chunk size, where
+    * the failure is terminal. */
   def withAdaptiveChunks[A](startChunk: Int, reconnectMs: Long = 120000)
       (op: Int => A): A = {
-    val sizes = chunkSchedule(startChunk)
+    require(startChunk >= 1, s"startChunk must be >= 1, got $startChunk")
+    val sizes = chunkSchedule(startChunk).toList
     var last: Throwable = null
-    for (size <- sizes) {
+    for ((size, i) <- sizes.zipWithIndex) {
       try return op(size)
-      catch { case NonFatal(e) => last = e; sleep(reconnectMs) }
+      catch {
+        case NonFatal(e) =>
+          last = e
+          if (i < sizes.length - 1) sleep(reconnectMs)
+      }
     }
     throw last
   }

@@ -2,9 +2,12 @@ package graft.sync
 
 import graft.operators.IndexerOps
 import graft.sources.Tables._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
+import java.util.concurrent.Executors
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.util.control.NonFatal
 
 /** Per-index sync outcome (the reference's log surface, as data). */
@@ -18,19 +21,31 @@ case class IndexSyncReport(
 /** The reference flow's control plane re-expressed over an [[IndexStore]]
   * (SURVEY.md §3.1, T1-T11; reference flows/main_flow.py:602-762):
   * full blue/green reindex and incremental CDC sync with tombstone
-  * deletes, smallest-first scheduling, schema-drift-triggered reindex,
-  * zero-work skip, rollback of failed staging builds, orphan cleanup, and
-  * post-sync count reconciliation.
+  * deletes, smallest-first scheduling with the largest indexes published
+  * concurrently (T9), schema-drift-triggered reindex, zero-work skip,
+  * rollback of failed staging builds, orphan cleanup, and post-sync
+  * count reconciliation.
   *
-  * Scale design: the per-index loop drives independent Spark jobs (the
-  * reference's Prefect task submits); each job's data path is a single
-  * declarative plan — scan → filter → [merge join] → write — that Catalyst
-  * plans with pushdown and AQE. State never flows through the driver
-  * except per-index counts (one row each). The incremental merge is an
-  * id-keyed anti-join ∪ union — shuffle on `id` only for the one index
-  * being merged, broadcastable when the batch is small.
+  * Scale design:
+  *  - the FULL sync stages every index in ONE pass over the source
+  *    (`partitionBy` staging + O(1) directory promotes) — never N scans
+  *    of a 100 TB table;
+  *  - the incremental merge is an id-keyed anti-join ∪ union — shuffle
+  *    on `id` only for the one index being merged, broadcastable when
+  *    the batch is small — with upsert/delete tallies taken via
+  *    `observe()` ON the merge job itself (zero extra actions, A7);
+  *  - watermarks are tracked PER INDEX, so a partial sync of some
+  *    indexes can never silently skip changes in the others;
+  *  - writes run under an injectable [[RetryPolicy]] (T10) with
+  *    adaptive chunk degradation (T6) mapped to `maxRecordsPerFile`.
+  *    The default policy fails fast (no sleeps); production callers
+  *    inject the reference's 10-retry/backoff policy.
   */
-class SyncPipeline(store: IndexStore, watermarks: WatermarkStore) {
+class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
+    retry: RetryPolicy = RetryPolicy(maxRetries = 0, sleep = _ => ()),
+    writeChunk: Option[Int] = None,
+    driftJsonPath: String = "$.k",
+    parallelLargest: Int = 2) {
 
   /** Index list selection (reference get_indexes_list /
     * lowercased user list, flows/main_flow.py:633-640). */
@@ -40,98 +55,178 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore) {
       case None => IndexerOps.indexList(env).collect().map(_.getString(0)).toSeq.sorted
     }
 
-  /** Smallest-first execution order (A1∘O1; reference
-    * flows/main_flow.py:658-673): collect the per-index counts — one row
-    * per index — and schedule ascending. */
-  def planOrder(env: DataFrame, indexes: Seq[String]): Seq[(String, Long)] =
-    IndexerOps.indexOrder(env.where(col(Idx).isin(indexes: _*)))
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+  /** Smallest-first execution order + per-index high-water mark, in ONE
+    * aggregate job (A1∘O1; reference flows/main_flow.py:658-673): one
+    * row per index comes back to the driver. */
+  def planOrder(env: DataFrame, indexes: Seq[String]): Seq[(String, Long, Option[String])] =
+    env.where(col(Idx).isin(indexes: _*))
+      .groupBy(Idx)
+      .agg(count(col(Id)).as("doc_count"),
+        date_format(max(col(UpdatedAt)) + expr("INTERVAL 1 MICROSECOND"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("hwm"))
+      .orderBy(asc("doc_count"), asc(Idx))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), Option(r.getString(2)))).toSeq
+
+  /** T10/T6 — every store write runs under the retry policy; on adaptive
+    * mode, repeated failure shrinks the write chunk (maxRecordsPerFile)
+    * along the reference's 500→…→1 schedule. */
+  private def writeStaged(name: String, df: DataFrame): Unit =
+    writeChunk match {
+      case Some(start) =>
+        retry.withAdaptiveChunks(start, reconnectMs = 0L) { c =>
+          retry.retry(() => store.writePhysical(name, df, Some(c)))
+        }
+      case None =>
+        retry.retry(() => store.writePhysical(name, df, None))
+    }
 
   /** Full blue/green sync (T4; reference main_flow full_sync branch):
-    * stage `{index}_{ts}` from the full scan, swap the alias, reconcile.
-    * A failure while staging rolls back the staged dir (T8) and rethrows. */
+    * ONE partitioned scan stages every index, then each index is
+    * promoted (O(1) rename), swapped, and counted — the largest
+    * `parallelLargest` of them concurrently (T9; reference tags the two
+    * largest for parallel runs, flows/main_flow.py:721). A failure rolls
+    * back the stage and any unswapped promotes (T8) and rethrows. */
   def fullSync(env: DataFrame, indexes: Option[Seq[String]] = None,
       timestamp: String): Seq[IndexSyncReport] = {
     val selected = selectIndexes(env, indexes)
     if (selected.isEmpty) return Seq.empty // empty → early exit (:648-650)
     val order = planOrder(env, selected)
-    val reports = order.map { case (idx, _) =>
-      val staged = s"${idx}_$timestamp"
+    val stage = s"_stage_$timestamp"
+    val done =
       try {
-        val docs = IndexerOps.fullSyncScan(env, Seq(idx))
-        store.writePhysical(staged, docs)
-        store.swapAlias(idx, staged)
-        IndexSyncReport(idx, staged, "full",
-          upserts = store.count(idx), deletes = 0L)
+        retry.retry(() => store.writePartitionedStage(
+          stage, IndexerOps.fullSyncScan(env, selected), Idx, writeChunk))
+
+        def publish(idx: String): IndexSyncReport = {
+          val staged = s"${idx}_$timestamp"
+          if (!store.promoteStaged(stage, idx, staged)) {
+            // zero live rows for this index: stage holds no slice — write
+            // an empty (schema-bearing) physical index instead.
+            store.writePhysical(staged, IndexerOps.fullSyncScan(env, Seq(idx)))
+          }
+          store.swapAlias(idx, staged)
+          IndexSyncReport(idx, staged, "full", upserts = store.count(idx), deletes = 0L)
+        }
+        val reports = runSmallestFirstLargestParallel(order.map(_._1), publish)
+        store.dropStage(stage) // promotes moved every slice out; drop husk
+        reports
       } catch {
         case NonFatal(e) =>
-          store.deletePhysical(staged) // T8 rollback
+          store.dropStage(stage)
+          selected.foreach { idx =>
+            if (store.aliases().get(idx).forall(_ != s"${idx}_$timestamp"))
+              store.deletePhysical(s"${idx}_$timestamp") // T8 rollback
+          }
           throw e
       }
-    }
     store.cleanupOrphans() // K4, scheduled on the full-sync branch (:652-656)
-    saveWatermarkFrom(env)
-    reports
+    saveWatermarks(order)
+    done
+  }
+
+  /** Smallest first, with the tail (largest) `parallelLargest` indexes
+    * running concurrently in Spark's fair-scheduler pool — concurrent
+    * jobs in one session are the Spark analog of the reference's
+    * tag-based parallelism for its two biggest indexes. */
+  private def runSmallestFirstLargestParallel(
+      orderAsc: Seq[String], job: String => IndexSyncReport): Seq[IndexSyncReport] = {
+    val n = orderAsc.length
+    val cut = math.max(0, n - math.max(0, parallelLargest))
+    val (serial, parallel) = orderAsc.splitAt(cut)
+    val head = serial.map(job)
+    val tail =
+      if (parallel.length <= 1) parallel.map(job)
+      else {
+        val pool = Executors.newFixedThreadPool(parallel.length)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val sc = store.spark.sparkContext
+        try {
+          val fs = parallel.map { idx =>
+            Future {
+              sc.setLocalProperty("spark.scheduler.pool", "graft-large")
+              try job(idx) finally sc.setLocalProperty("spark.scheduler.pool", null)
+            }
+          }
+          Await.result(Future.sequence(fs), Duration.Inf)
+        } finally pool.shutdown()
+      }
+    head ++ tail
   }
 
   /** Incremental CDC sync (T1/T3; reference flows/main_flow.py:316-333,
     * 366-395,675-707): per index — drift check (T11) may force a full
     * reindex; zero-change skip (P11); otherwise merge the batch into the
     * live state and publish blue/green (atomic even for increments —
-    * stronger than the reference's in-place bulk, same observable result). */
+    * stronger than the reference's in-place bulk, same observable
+    * result). Watermarks advance per index, only for indexes actually
+    * synced. */
   def incrementalSync(env: DataFrame, indexes: Option[Seq[String]] = None,
       timestamp: String): Seq[IndexSyncReport] = {
-    val wm = watermarks.loadOrEpoch()
     val selected = selectIndexes(env, indexes)
     val order = planOrder(env, selected)
-    val reports = order.map { case (idx, _) =>
+    def sync(idx: String): IndexSyncReport = {
+      val wm = watermarks.loadOrEpoch(idx)
       val batch = IndexerOps.incrementalScan(env, Seq(idx), wm)
-      val changed = batch.count() // A3 gate
-      // T11 gate: drift requires a doc on BOTH sides with differing schema
-      // names — an empty stored index (e.g. tombstone-only) is not drift.
-      val drifted = store.read(idx).exists(cur =>
-        IndexerOps.schemaDrift(cur, env.where(col(Idx) === idx), "$.k")
-          .where(col("stored_name").isNotNull && col("source_name").isNotNull)
-          .count() > 0)
-      if (drifted) {
+      val changed = !batch.isEmpty // A3/P11 gate (one cheap limit-1 job)
+      val staged = s"${idx}_$timestamp"
+      if (isDrifted(idx, env, batch)) {
         // T11 — schema drift forces a full rebuild of this index
-        val staged = s"${idx}_$timestamp"
-        store.writePhysical(staged, IndexerOps.fullSyncScan(env, Seq(idx)))
-        store.swapAlias(idx, staged)
-        IndexSyncReport(idx, staged, "full", store.count(idx), 0L)
-      } else if (changed == 0L) {
+        try {
+          writeStaged(staged, IndexerOps.fullSyncScan(env, Seq(idx)))
+          store.swapAlias(idx, staged)
+          IndexSyncReport(idx, staged, "full", store.count(idx), 0L)
+        } catch {
+          case NonFatal(e) => store.deletePhysical(staged); throw e // T8
+        }
+      } else if (!changed) {
         IndexSyncReport(idx, store.aliases().getOrElse(idx, ""), "skipped", 0L, 0L)
       } else {
-        val staged = s"${idx}_$timestamp"
         try {
-          val (merged, ups, dels) = applyBatch(store.read(idx), batch)
-          store.writePhysical(staged, merged)
+          val (merged, obs) = applyBatch(store.read(idx), batch)
+          writeStaged(staged, merged)
           store.swapAlias(idx, staged)
-          IndexSyncReport(idx, staged, "incremental", ups, dels)
+          val m = obs.get
+          val nIds = m("batch_ids").asInstanceOf[Long]
+          val nDels = m("batch_deletes").asInstanceOf[Long]
+          IndexSyncReport(idx, staged, "incremental", nIds - nDels, nDels)
         } catch {
           case NonFatal(e) => store.deletePhysical(staged); throw e
         }
       }
     }
-    saveWatermarkFrom(env)
+    val reports = runSmallestFirstLargestParallel(order.map(_._1), sync)
+    saveWatermarks(order)
     reports
   }
 
-  /** CDC merge via [[IndexerOps.cdcMerge]]; also returns upsert/delete
-    * tallies (A7 — the reference's records/errors counters). */
+  /** T11 drift gate: compare the min-id document's drift field between
+    * stored state and source, EXCLUDING ids touched by the pending batch
+    * (an ordinary pending update is not drift — ADVICE r1). Drift
+    * requires a doc on BOTH sides with differing values. */
+  private def isDrifted(idx: String, env: DataFrame, batch: DataFrame): Boolean =
+    store.read(idx).exists { cur =>
+      val pending = batch.select(Id)
+      val stored = cur.join(pending, Seq(Id), "left_anti")
+      val source = env.where(col(Idx) === idx).join(pending, Seq(Id), "left_anti")
+      IndexerOps.schemaDrift(stored, source, driftJsonPath)
+        .where(col("stored_name").isNotNull && col("source_name").isNotNull)
+        .limit(1).count() > 0
+    }
+
+  /** CDC merge with upsert/delete tallies observed ON the merge plan
+    * itself (A7 — the reference's records/errors counters) — zero extra
+    * Spark actions; the metrics materialize with the staged write. */
   private[sync] def applyBatch(current: Option[DataFrame], batch: DataFrame)
-      : (DataFrame, Long, Long) = {
-    val nIds = batch.select(Id).distinct().count()
-    val nDels = batch
-      .groupBy(Id).agg(max_by(col(IsDeleted), col(UpdatedAt)).as(IsDeleted))
-      .where(col(IsDeleted)).count()
+      : (DataFrame, Observation) = {
     val cur = current.getOrElse(
       batch.sparkSession.emptyDataFrame
         .withColumn(Idx, lit(null).cast("string"))
         .withColumn(Id, lit(null).cast("string"))
         .withColumn(Document, lit(null).cast("string"))
         .withColumn(IsDeleted, lit(false)))
-    (IndexerOps.cdcMerge(cur, batch), nIds - nDels, nDels)
+    val obs = new Observation(s"graft_batch_${System.nanoTime()}")
+    (IndexerOps.cdcMergeObserved(cur, batch, obs), obs)
   }
 
   /** J2 — post-sync reconciliation: per-index live counts in the store vs
@@ -143,15 +238,12 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore) {
       (idx, storeCount, srcCount)
     }.filter { case (_, a, b) => a != b }
 
-  /** New watermark = max updated_at in the source plus 1 µs (data-driven —
-    * the deterministic analog of the reference's run-timestamp watermark,
-    * which is always strictly later than every processed row; without the
-    * bump the inclusive `>=` scan reprocesses the boundary row forever). */
-  private def saveWatermarkFrom(env: DataFrame): Unit = {
-    val row = env.agg(date_format(
-        max(col(UpdatedAt)) + expr("INTERVAL 1 MICROSECOND"),
-        "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-      .collect()(0)
-    if (!row.isNullAt(0)) watermarks.save(row.getString(0))
-  }
+  /** Advance each synced index's watermark to its own high-water mark
+    * (max updated_at + 1 µs, computed in the planning aggregate — the
+    * deterministic analog of the reference's run-timestamp watermark).
+    * Untouched indexes keep their old watermark: no silent skips. */
+  private def saveWatermarks(order: Seq[(String, Long, Option[String])]): Unit =
+    order.foreach { case (idx, _, hwm) =>
+      hwm.foreach(watermarks.save(idx, _))
+    }
 }

@@ -16,15 +16,39 @@ class WatermarkStore(dir: String) {
   val Epoch = "0001-01-01 00:00:00"
 
   def load(): Option[String] =
-    if (Files.exists(path)) Some(Files.readString(path).trim).filter(_.nonEmpty)
-    else None
+    readFile(path)
 
   def loadOrEpoch(): String = load().getOrElse(Epoch)
 
-  def save(watermark: String): Unit = {
-    val tmp = Paths.get(path.toString + ".tmp")
-    Files.writeString(tmp, watermark)
-    Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE,
+  def save(watermark: String): Unit = writeAtomic(path, watermark)
+
+  // --- per-index watermarks ----------------------------------------------
+  // A single global watermark silently skips changes in indexes excluded
+  // from a partial sync (their watermark would advance without their data
+  // being read). Each index therefore tracks its own; the global file
+  // remains as the bootstrap default for indexes never synced alone.
+
+  private def indexPath(index: String): Path = {
+    require(!index.contains("/") && !index.contains(".."), s"bad index name: $index")
+    Paths.get(dir, s"_wm_$index")
+  }
+
+  /** Watermark for one index: its own if present, else the global, else
+    * the epoch sentinel. */
+  def loadOrEpoch(index: String): String =
+    readFile(indexPath(index)).orElse(load()).getOrElse(Epoch)
+
+  def save(index: String, watermark: String): Unit =
+    writeAtomic(indexPath(index), watermark)
+
+  private def readFile(p: Path): Option[String] =
+    if (Files.exists(p)) Some(Files.readString(p).trim).filter(_.nonEmpty)
+    else None
+
+  private def writeAtomic(p: Path, value: String): Unit = {
+    val tmp = Paths.get(p.toString + ".tmp")
+    Files.writeString(tmp, value)
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 }

@@ -12,6 +12,13 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
 
   lazy val env = Tables.envelope(spark, sf).cache()
 
+  /** Listener events arrive asynchronously; poll briefly. */
+  private def eventually(cond: => Boolean, timeoutMs: Long = 10000): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (!cond && System.currentTimeMillis() - t0 < timeoutMs) Thread.sleep(25)
+    assert(cond, "condition not met within timeout")
+  }
+
   private def freshPipeline(): (IndexStore, WatermarkStore, SyncPipeline, String) = {
     val dir = Files.createTempDirectory("graft-sync").toString
     val store = new IndexStore(spark, dir)
@@ -127,5 +134,172 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(wms.loadOrEpoch() == "0001-01-01 00:00:00")
     wms.save("2024-01-30 23:26:16.220708")
     assert(wms.load().contains("2024-01-30 23:26:16.220708"))
+    // per-index: falls back to global, then tracks its own
+    assert(wms.loadOrEpoch("click") == "2024-01-30 23:26:16.220708")
+    wms.save("click", "2024-02-01 00:00:00.000000")
+    assert(wms.loadOrEpoch("click") == "2024-02-01 00:00:00.000000")
+    assert(wms.loadOrEpoch("view") == "2024-01-30 23:26:16.220708")
+  }
+
+  test("per-index watermarks: a partial sync never skips other indexes' changes") {
+    val (store, _, pipe, _) = freshPipeline()
+    val cutoff = "2024-01-15 00:00:00"
+    val early = env.where(col(UpdatedAt) < lit(cutoff).cast("timestamp"))
+    pipe.fullSync(early, None, timestamp = "t1")
+    val viewBefore = store.count("view")
+    // partial sync of ONLY 'click' over the full data — must not advance
+    // 'view''s watermark
+    pipe.incrementalSync(env, Some(Seq("click")), timestamp = "t2")
+    assert(store.count("view") == viewBefore, "partial sync must not touch view")
+    // 'view' still catches up on its own later: nothing was lost
+    val r = pipe.incrementalSync(env, Some(Seq("view")), timestamp = "t3")
+    assert(r.head.mode == "incremental" && r.head.upserts > 0,
+      "view's pre-t2 changes must still be applied")
+    assert(pipe.reconcile(env, Seq("click", "view")).isEmpty)
+  }
+
+  test("observed merge tallies: report carries upsert/delete counts from one action") {
+    val (_, wms, pipe, _) = freshPipeline()
+    val cutoff = "2024-01-15 00:00:00"
+    val early = env.where(col(UpdatedAt) < lit(cutoff).cast("timestamp"))
+    pipe.fullSync(early, None, timestamp = "t1")
+    val reports = pipe.incrementalSync(env, None, timestamp = "t2")
+    val late = env.where(col(UpdatedAt) >= lit(cutoff).cast("timestamp"))
+    for (idx <- Seq("click", "view", "purchase", "signup")) {
+      val expectIds = late.where(col(Idx) === idx).select(Id).distinct().count()
+      val rep = reports.find(_.index == idx).get
+      assert(rep.upserts + rep.deletes >= expectIds ||
+        rep.upserts + rep.deletes == expectIds,
+        s"$idx tallies ${rep.upserts}+${rep.deletes} vs batch ids $expectIds")
+      assert(rep.upserts + rep.deletes == expectIds)
+    }
+    // tombstone-only 'error' index: everything in the batch is a delete
+    val errRep = reports.find(_.index == "error").get
+    assert(errRep.deletes > 0 && errRep.upserts == 0)
+  }
+
+  test("retry wiring: flaky store write recovers; adaptive chunks degrade (no wall-clock sleeps)") {
+    val dir = Files.createTempDirectory("graft-flaky").toString
+    var failures = 2
+    var writes = Vector.empty[Option[Int]]
+    val flaky = new IndexStore(spark, dir) {
+      override def writePhysical(name: String, df: org.apache.spark.sql.DataFrame,
+          maxRecordsPerFile: Option[Int]): Unit = {
+        writes :+= maxRecordsPerFile
+        if (failures > 0) { failures -= 1; sys.error("transient store outage") }
+        super.writePhysical(name, df, maxRecordsPerFile)
+      }
+    }
+    var sleeps = 0
+    val policy = RetryPolicy(maxRetries = 5, initialBackoffMs = 1, maxBackoffMs = 2,
+      sleep = _ => sleeps += 1)
+    val pipe = new SyncPipeline(flaky, new WatermarkStore(dir), retry = policy,
+      writeChunk = Some(500))
+    pipe.incrementalSync(env, Some(Seq("click")), timestamp = "t1")
+    // both failures retried at chunk 500 (inner retry), then success
+    assert(writes.count(_.contains(500)) == 3)
+    assert(sleeps == 2)
+    assert(flaky.count("click") > 0)
+
+    // chunk-size-sensitive failure: only succeeds once the chunk degrades
+    var degWrites = Vector.empty[Int]
+    val sizeSensitive = new IndexStore(spark, Files.createTempDirectory("graft-deg").toString) {
+      override def writePhysical(name: String, df: org.apache.spark.sql.DataFrame,
+          maxRecordsPerFile: Option[Int]): Unit = {
+        degWrites :+= maxRecordsPerFile.getOrElse(0)
+        if (maxRecordsPerFile.exists(_ > 400)) sys.error("payload too large")
+        super.writePhysical(name, df, maxRecordsPerFile)
+      }
+    }
+    val noRetry = RetryPolicy(maxRetries = 0, sleep = _ => ())
+    val pipe2 = new SyncPipeline(sizeSensitive, new WatermarkStore(sizeSensitive.root),
+      retry = noRetry, writeChunk = Some(500))
+    pipe2.incrementalSync(env, Some(Seq("view")), timestamp = "t1")
+    assert(degWrites.take(3) == Vector(500, 450, 400), degWrites)
+    assert(sizeSensitive.count("view") > 0)
+  }
+
+  test("full sync stages all indexes in ONE write job (single source pass)") {
+    val (store, _, pipe, _) = freshPipeline()
+    // track jobs that wrote records: single-pass staging = exactly one
+    // write job with records (empty-index fallbacks write 0 records)
+    val stageToJob = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    val jobsWithOutput = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        js.stageIds.foreach(sid => stageToJob.put(sid, js.jobId))
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val w = Option(te.taskMetrics).map(_.outputMetrics.recordsWritten).getOrElse(0L)
+        if (w > 0) stageToJob.get(te.stageId).foreach { j =>
+          jobsWithOutput.updateWith(j) { v => Some(v.getOrElse(0L) + w) }
+        }
+      }
+    }
+    val expectStaged = env.where(!col(IsDeleted) && col(Idx).isNotNull).count()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      pipe.fullSync(env, None, timestamp = "t1")
+      eventually(jobsWithOutput.values.sum == expectStaged)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobsWithOutput.size == 1,
+      s"expected ONE record-writing job (single-pass staging), got $jobsWithOutput")
+    assert(pipe.reconcile(env, Seq("click", "view", "purchase", "signup")).isEmpty)
+    // stage husk removed, all physicals published
+    assert(store.physicalIndexes().forall(_.endsWith("_t1")))
+  }
+
+  test("parallel publish of the largest indexes gives the same final state") {
+    val (storeA, _, _, _) = freshPipeline()
+    val pipeSeq = new SyncPipeline(storeA, new WatermarkStore(storeA.root),
+      parallelLargest = 0)
+    pipeSeq.fullSync(env, None, timestamp = "t1")
+    val (storeB, _, _, _) = freshPipeline()
+    val pipePar = new SyncPipeline(storeB, new WatermarkStore(storeB.root),
+      parallelLargest = 2)
+    pipePar.fullSync(env, None, timestamp = "t1")
+    for (idx <- Seq("click", "view", "purchase", "signup", "error")) {
+      assert(storeA.count(idx) == storeB.count(idx), s"count differs for $idx")
+      assert(storeA.aliases().get(idx) == storeB.aliases().get(idx))
+    }
+  }
+
+  test("drift gate: a pending update to the probe doc is NOT drift; true drift forces rebuild") {
+    val (store, wms, pipe, _) = freshPipeline()
+    pipe.fullSync(env, Some(Seq("click")), timestamp = "t1")
+    // pending batch rewrites doc 0's k value with a later updated_at —
+    // an ordinary update, not schema drift
+    val minId = store.read("click").get.agg(min(col(Id))).collect()(0).getString(0)
+    val bumped = env.where(col(Idx) === "click")
+      .withColumn(Document,
+        when(col(Id) === minId, lit("""{"k": 999999}""")).otherwise(col(Document)))
+      .withColumn(UpdatedAt,
+        when(col(Id) === minId, lit("2030-01-01 00:00:00").cast("timestamp"))
+          .otherwise(col(UpdatedAt)))
+    val r = pipe.incrementalSync(bumped, Some(Seq("click")), timestamp = "t2")
+    assert(r.head.mode == "incremental",
+      "a pending update to the probe doc must not be misclassified as drift")
+    // true drift: stored probe doc's field differs and is NOT in the batch
+    val (store2, _, pipe2, _) = freshPipeline()
+    pipe2.fullSync(env, Some(Seq("click")), timestamp = "t1")
+    val rewired = env.where(col(Idx) === "click")
+      .withColumn(Document,
+        when(col(Id) === minId, lit("""{"k": 777}""")).otherwise(col(Document)))
+    // minId's updated_at is unchanged → excluded from batch → real drift
+    val r2 = pipe2.incrementalSync(rewired, Some(Seq("click")), timestamp = "t2")
+    assert(r2.head.mode == "full", "out-of-band probe change must force a rebuild")
+  }
+
+  test("progress listener fires at record intervals during a store write") {
+    val (store, _, _, _) = freshPipeline()
+    var ticks = Vector.empty[Long]
+    val l = new graft.sync.ProgressListener(100, ticks :+= _)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      store.writePhysical("plisten_t1", env.limit(450))
+      eventually(l.recordsWritten == 450)
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(l.recordsWritten == 450)
+    assert(ticks.nonEmpty && ticks == ticks.sorted,
+      s"expected monotone progress ticks, got $ticks")
   }
 }
