@@ -82,6 +82,30 @@ object Analytics {
         col(keyCol))
       .agg(count(lit(1)).as("n"))
 
+  /** Sliding time windows (`window(ts, len, slide)`): each event lands in
+    * len/slide overlapping buckets. The expansion happens per-row inside
+    * the scan stage (Expand), then one hash aggregate — same shuffle
+    * budget as a tumbling window, ×(len/slide) rows into the agg. */
+  def slidingCounts(df: DataFrame, tsCol: String, len: String, slide: String,
+      keyCol: String): DataFrame =
+    df.groupBy(window(col(tsCol), len, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bucket"),
+        col(keyCol), col("n"))
+
+  /** Session windows (`session_window(ts, gap)`): per-key activity
+    * sessions closed after `gap` of silence; end = last event + gap.
+    * Spark's session agg merges adjacent windows in one pass — the
+    * shuffle is on the session key only, never a global sort. */
+  def sessionCounts(df: DataFrame, tsCol: String, gap: String, keyCol: String): DataFrame =
+    df.groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+        col("n"))
+
   /** Exact + approximate (HLL) distinct cardinality per key. The approx
     * path is the 100 TB one: constant memory per key vs a full shuffle of
     * distinct values. */

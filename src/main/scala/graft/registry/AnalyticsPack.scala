@@ -37,12 +37,19 @@ object AnalyticsPack extends QueryPack {
     "tw1_tumbling_counts" -> ((s, dir) =>
       Analytics.tumblingCounts(Tables.events(s, dir), "ts", "hour", "event_type")
         .orderBy("bucket", "event_type")),
-    "a7_distinct_users" -> ((s, dir) =>
+    "tw2_sliding_counts" -> ((s, dir) =>
+      Analytics.slidingCounts(Tables.events(s, dir), "ts", "1 hour", "30 minutes", "event_type")
+        .orderBy("bucket", "event_type")),
+    "tw3_session_counts" -> ((s, dir) =>
+      Analytics.sessionCounts(Tables.events(s, dir), "ts", "8 hours", "user_id")
+        .orderBy("user_id", "session_start")),
+    // renamed from a7 (collided with SURVEY A7 sync tallies)
+    "u1_distinct_users" -> ((s, dir) =>
       Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id")
         .select(col("event_type"), col("exact_distinct"))
         .orderBy("event_type")),
     // HLL estimate differs from any exact oracle by design → rows-only check
-    "a8_approx_distinct" -> ((s, dir) =>
+    "u2_approx_distinct" -> ((s, dir) =>
       Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id")
         .orderBy("event_type")),
     "set1_intersect" -> ((s, dir) => {
@@ -104,7 +111,35 @@ object AnalyticsPack extends QueryPack {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
-    "a7_distinct_users" ->
+    "tw2_sliding_counts" ->
+      """WITH expanded AS (
+        |  SELECT event_type,
+        |    time_bucket(INTERVAL '30 minutes', ts) - k.off * INTERVAL '30 minutes' AS bucket_ts
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS k(off)
+        |)
+        |SELECT strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket, event_type,
+        |  count(*) AS n
+        |FROM expanded GROUP BY bucket_ts, event_type
+        |ORDER BY bucket, event_type""".stripMargin,
+    "tw3_session_counts" ->
+      """WITH m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL '8 hours' THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(max(ts) + INTERVAL '8 hours', '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  count(*) AS n
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "u1_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "set1_intersect" ->
