@@ -57,20 +57,26 @@ object Dedup {
     ((i * 2654435761L) % (P - 1) + 1, (i * 40503L + 17) % P)
   }
 
-  /** MinHash signature columns s0..s15 from a shingle-array column:
-    * sig_i = min over shingles of (a_i·(h mod P)+b_i) mod P. Pure per-row
-    * expressions — the signature of 100 TB of documents is a map-only
-    * scan. */
-  private def sigCols(sh: Column): Seq[Column] = {
-    val hs = transform(sh, s => hash32(s) % P)
-    perms.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(hs, h => (h * a + b) % P)).as(s"s$i")
+  /** MinHash signatures s0..s15: sig_i = min over shingles of
+    * (a_i·(h mod P)+b_i) mod P. Shingles are exploded, each hashed ONCE,
+    * then 16 min-aggregates fold them back per doc. The md5 (the
+    * expensive part) runs once per shingle — a per-row expression would
+    * re-evaluate it per permutation, since Catalyst does not eliminate
+    * common subexpressions inside higher-order-function lambdas. The
+    * min-agg combines map-side, so the shuffle carries one row per doc
+    * per partition — scan-dominated at any scale. */
+  private def sigTable(withSh: DataFrame): DataFrame = {
+    val hashed = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), (hash32(col("s")) % P).as("h"))
+    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"s$i")
     }
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** doc_id + s0..s15 signature frame. */
   def minHashSignatures(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id") +: sigCols(shingles(col("text"))): _*)
+    sigTable(docs.select(col("doc_id"), shingles(col("text")).as("sh")))
 
   /** Banded LSH candidate pairs with exact shingle-Jaccard confirmation:
     * docs sharing ANY band's full signature slice become a candidate;
@@ -82,7 +88,7 @@ object Dedup {
     * J≥0.85). */
   def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.0): DataFrame = {
     val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sigs = withSh.select(col("doc_id") +: col("sh") +: sigCols(col("sh")): _*)
+    val sigs = sigTable(withSh)
     val bandKeys = (0 until Bands).map { j =>
       concat_ws("-", (0 until RowsPerBand).map(r => col(s"s${j * RowsPerBand + r}")): _*)
     }
