@@ -150,5 +150,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    ext.injectOptimizerRule(_ => graft.plans.NanoWatermarkPushdown)
   }
 }

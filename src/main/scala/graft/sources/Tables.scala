@@ -49,6 +49,8 @@ object Tables {
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // recover watermark pushdown through the nanos→micros derivation
+    graft.plans.NanoWatermarkPushdown.install(spark)
     normalizeTs(load(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

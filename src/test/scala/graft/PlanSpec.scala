@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{Dedup, IndexerOps, Relational, VectorOps}
+import graft.sources.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the properties that decide whether a query
+  * survives a 100× scale-up — filter pushdown into the parquet scan,
+  * column pruning, broadcast choices, codegen'd native expressions.
+  * Correctness specs can't see these; a regression here is a silent
+  * 100 TB performance bug. */
+class PlanSpec extends AnyFunSuite with SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Scan-shape tests read sf0.01: other suites `cache()` the sf0.001
+    * relations, and a cache hit replaces the parquet scan (and its
+    * PushedFilters) with an InMemoryTableScan. */
+  private val psf = "/root/testdata/sf0.01"
+
+  test("S1 full-sync scan pushes IN-list + tombstone filters into the parquet scan") {
+    val plan = formatted(IndexerOps.fullSyncScan(
+      Tables.envelope(spark, psf), Seq("click", "view")))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("In(event_type"), s"IN-list not pushed:\n$plan")
+    // tombstone predicate (event_type = 'error' derived) also reaches the scan
+    assert(plan.contains("IsNotNull(event_type)"), plan)
+  }
+
+  test("S2 incremental scan pushes the watermark range predicate") {
+    val plan = formatted(IndexerOps.incrementalScan(
+      Tables.envelope(spark, psf), Seq("click"), "2024-01-15 00:00:00"))
+    assert(plan.contains("GreaterThanOrEqual(ts"), s"watermark not pushed:\n$plan")
+  }
+
+  test("column pruning: a two-column projection reads only those columns") {
+    val df = Tables.lineitem(spark, psf).select("l_orderkey", "l_quantity")
+    val plan = formatted(df)
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity"), plan)
+    assert(!readSchema.contains("l_extendedprice"),
+      s"unprojected column read:\n$readSchema")
+  }
+
+  test("h5 region revenue: dimension chain broadcasts, fact join shuffles once") {
+    val plan = formatted(Relational.regionRevenue(
+      Tables.region(spark, sf), Tables.nation(spark, sf), Tables.customer(spark, sf),
+      Tables.orders(spark, sf), Tables.lineitem(spark, sf), "ASIA"))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected region/nation/customer broadcasts, got $broadcasts:\n$plan")
+  }
+
+  test("MinHash LSH candidate join is an equi-join, never a nested loop") {
+    val plan = formatted(Dedup.nearDupPairs(Tables.documents(spark, sf), 0.5))
+    assert(!plan.contains("NestedLoop"), s"all-pairs nested loop in LSH plan:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("cosine top-k broadcasts the query side and uses the native expression") {
+    val df = VectorOps.cosineTopK(Tables.embeddings(spark, sf), Seq(0L, 1L), 5)
+    val plan = formatted(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+    assert(plan.contains("graft_cosine"), s"native expression not in plan:\n$plan")
+  }
+
+  test("action routing is a single map-only codegen stage (no exchange)") {
+    val plan = formatted(IndexerOps.actionRouting(Tables.envelope(spark, sf), "t"))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in a projection:\n$plan")
+    assert(plan.contains("codegen id"), s"projection not codegen'd:\n$plan")
+  }
+
+  test("text per-row analyses are map-only (no exchange)") {
+    import graft.operators.TextOps
+    for (q <- Seq(
+        TextOps.qualityScore(Tables.documents(spark, sf)),
+        TextOps.simHash(Tables.documents(spark, sf)),
+        TextOps.fingerprint(Tables.documents(spark, sf)),
+        TextOps.languageId(Tables.documents(spark, sf)))) {
+      val plan = formatted(q)
+      assert(!plan.contains("Exchange"), s"per-row analysis shuffles:\n$plan")
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.{Dedup, IndexerOps}
+import graft.sources.Tables._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+/** ScalaCheck properties of the sync algebra (SURVEY.md §5c): the
+  * invariants the streaming/batch equivalence and the dedup pipeline
+  * rest on, over GENERATED envelopes (adversarial id collisions and
+  * tombstone patterns the fixtures don't contain). */
+object SyncAlgebraProps extends Properties("SyncAlgebra") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8) // each check runs real Spark jobs
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  /** Envelope rows: few indexes, colliding ids, strictly increasing
+    * updated_at (latest-per-id must be well-defined). */
+  private val genRows: Gen[List[(String, String, String, Boolean, Timestamp)]] =
+    for {
+      n <- Gen.choose(1, 40)
+      rows <- Gen.listOfN(n, for {
+        idx <- Gen.oneOf("alpha", "beta")
+        id <- Gen.choose(0, 12).map(_.toString)
+        doc <- Gen.choose(0, 99).map(k => s"""{"k": $k}""")
+        del <- Gen.prob(0.25)
+      } yield (idx, id, doc, del))
+    } yield rows.zipWithIndex.map { case ((idx, id, doc, del), i) =>
+      (idx, id, doc, del, new Timestamp(1700000000000L + i * 1000L))
+    }
+
+  private def df(rows: List[(String, String, String, Boolean, Timestamp)]): DataFrame =
+    rows.toDF(Idx, Id, Document, IsDeleted, UpdatedAt)
+
+  private def state(d: DataFrame): Set[(String, String, String)] =
+    d.select(Idx, Id, Document).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+
+  private val empty: DataFrame =
+    Seq.empty[(String, String, String, Boolean, Timestamp)]
+      .toDF(Idx, Id, Document, IsDeleted, UpdatedAt)
+      .select(Idx, Id, Document, IsDeleted)
+
+  property("splitting a batch into time-ordered sub-batches merges to the same state") =
+    Prop.forAll(genRows, Gen.choose(1, 39)) { (rows, cutRaw) =>
+      val cut = math.min(cutRaw, math.max(rows.length - 1, 0))
+      val (first, second) = rows.splitAt(cut)
+      val oneShot = IndexerOps.cdcMerge(empty, df(rows))
+      val sequential = IndexerOps.cdcMerge(
+        IndexerOps.cdcMerge(empty, df(first))
+          .withColumn(UpdatedAt, lit(null).cast("timestamp")) // state carries no ts
+          .select(Idx, Id, Document, IsDeleted),
+        df(second))
+      state(oneShot) == state(sequential)
+    }
+
+  property("re-applying the same batch is a no-op (idempotence)") =
+    Prop.forAll(genRows) { rows =>
+      rows.isEmpty || {
+        val once = IndexerOps.cdcMerge(empty, df(rows))
+        val twice = IndexerOps.cdcMerge(once.select(Idx, Id, Document, IsDeleted), df(rows))
+        state(once) == state(twice)
+      }
+    }
+
+  property("merged state never contains a tombstoned-latest id") =
+    Prop.forAll(genRows) { rows =>
+      val deadIds = rows.groupBy(_._2).collect {
+        case (id, rs) if rs.maxBy(_._5.getTime)._4 => id
+      }.toSet
+      val got = IndexerOps.cdcMerge(empty, df(rows))
+        .select(Id).collect().map(_.getString(0)).toSet
+      got.intersect(deadIds).isEmpty
+    }
+
+  property("action routing partitions every row into exactly one op") =
+    Prop.forAll(genRows) { rows =>
+      rows.isEmpty || {
+        val acts = IndexerOps.actionRouting(df(rows), "ts1")
+        val n = acts.count()
+        val dels = acts.where(col("op_type") === "delete").count()
+        val ups = acts.where(col("op_type") === "index").count()
+        n == rows.length && dels + ups == n &&
+          dels == rows.count(_._4)
+      }
+    }
+
+  property("exact dedup keeps one survivor per content key, the min doc_id") =
+    Prop.forAll(Gen.listOfN(30, for {
+      id <- Gen.choose(0L, 200L)
+      text <- Gen.oneOf("aa bb cc", "dd ee ff", "aa  bb   cc", "gg hh")
+    } yield (id, text))) { raw =>
+      val rows = raw.distinctBy(_._1)
+      rows.isEmpty || {
+        val docs = rows.map { case (id, t) => (id, t, "xx", "src", t.length.toLong) }
+          .toDF("doc_id", "text", "lang", "source", "n_chars")
+        val out = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+        // survivors = min doc_id per normalized text
+        val want = rows.groupBy(r => r._2.toLowerCase.replaceAll("\\s+", " ").trim)
+          .values.map(_.map(_._1).min).toSet
+        out == want
+      }
+    }
+}
