@@ -28,6 +28,12 @@ object CorePack extends QueryPack {
         .withColumn(UpdatedAt, date_format(col(UpdatedAt), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
         .orderBy(Idx, Id)),
     "a4_index_list" -> ((s, dir) => IndexerOps.indexList(env(s, dir)).orderBy(Idx)),
+    // S5/P9/O2 — the ES probe read: one doc's nested field, limit 1
+    // (reference flows/main_flow.py:56-63: size=1, _source projection)
+    "s5_probe_read" -> ((s, dir) =>
+      env(s, dir)
+        .select(col(Id), get_json_object(col(Document), "$.k").as("k"))
+        .orderBy(col(Id).cast("long")).limit(1)),
     "p8_json_path" -> ((s, dir) =>
       IndexerOps.jsonPath(env(s, dir), "$.k", "k").orderBy(Id)),
 
@@ -113,6 +119,9 @@ object CorePack extends QueryPack {
          |ORDER BY idx, id""".stripMargin,
     "a4_index_list" ->
       s"$E SELECT DISTINCT idx FROM env WHERE idx IS NOT NULL ORDER BY idx",
+    "s5_probe_read" ->
+      s"""$E SELECT id, json_extract_string(document, '$$.k') AS k
+         |FROM env ORDER BY CAST(id AS BIGINT) LIMIT 1""".stripMargin,
     "p8_json_path" ->
       s"""$E SELECT id, json_extract_string(document, '$$.k') AS k
          |FROM env ORDER BY id""".stripMargin,
