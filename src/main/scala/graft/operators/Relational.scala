@@ -67,6 +67,29 @@ object Relational {
       .orderBy(desc("revenue"), asc("n_name"))
   }
 
+  /** [[regionRevenue]] with the dimension join SALTED instead of
+    * broadcast ([[Skew.saltedJoin]]) — the plan for when the build side
+    * outgrows the broadcast threshold AND the fact side's customer keys
+    * skew: hot keys scatter over `buckets` reducers. Result-identical to
+    * the broadcast form (same oracle). */
+  def regionRevenueSalted(region: DataFrame, nation: DataFrame, customer: DataFrame,
+      orders: DataFrame, lineitem: DataFrame, regionName: String,
+      buckets: Int): DataFrame = {
+    val dims = customer
+      .join(nation, col("c_nationkey") === col("n_nationkey"))
+      .join(region.where(col("r_name") === regionName),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"), col("n_name"))
+    val fact = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("c_custkey", col("o_custkey"))
+    Skew.saltedJoin(fact, dims, "c_custkey", buckets)
+      .groupBy("n_name")
+      .agg(asDouble(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
   /** Semi/anti-join surface on real keys: orders that have at least one /
     * no high-quantity lineitem. `left_semi` = EXISTS (no row explosion);
     * `left_anti` = NOT EXISTS. */

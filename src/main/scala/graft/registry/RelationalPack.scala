@@ -20,6 +20,10 @@ object RelationalPack extends QueryPack {
       Relational.regionRevenue(
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir), "ASIA")),
+    "h9_salted_region_revenue" -> ((s, dir) =>
+      Relational.regionRevenueSalted(
+        Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir), "ASIA", buckets = 8)),
     "h7_orders_semi" -> ((s, dir) =>
       Relational.ordersWithBigLines(
         Tables.orders(s, dir), Tables.lineitem(s, dir), 49.0, anti = false)
@@ -54,6 +58,18 @@ object RelationalPack extends QueryPack {
         |GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
     "h5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "h9_salted_region_revenue" ->
       """SELECT n_name,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
         |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
