@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/IO warmup outside the timed loop: one trivial action
+    // plus one real scan, so the first measured query doesn't absorb
+    // session start-up cost.
+    try {
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      SparkEntry.queries.get("a1_index_order").foreach(f => f(spark, sfDir).count())
+    } catch { case _: Throwable => () }
     // (name, seconds, error): failures keep their timing but are reported
     // explicitly — a broken query must never masquerade as a fast one.
     val results = SparkEntry.queries.toSeq.map { case (name, fn) =>

@@ -55,6 +55,9 @@ object PipelinePack extends QueryPack {
     "x12_embedding_neardup" -> ((s, dir) =>
       VectorOps.embeddingNearDups(Tables.embeddings(s, dir), MinCosine)
         .orderBy("vec_a", "vec_b")),
+    "x13_ivf_topk" -> ((s, dir) =>
+      VectorOps.ivfTopK(Tables.embeddings(s, dir), QueryVecs, 5, nprobe = 2)
+        .orderBy("query_id", "rn")),
 
     // --- multimodal ------------------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
@@ -80,6 +83,8 @@ object PipelinePack extends QueryPack {
       (VectorOps.annTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x12_embedding_neardup" ->
       (VectorOps.embeddingNearDupsSql(MinCosine) + "\nORDER BY vec_a, vec_b"),
+    "x13_ivf_topk" ->
+      (VectorOps.ivfTopKSql(QueryVecs, 5, nprobe = 2) + "\nORDER BY query_id, rn"),
     "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),
   )
 }

@@ -95,8 +95,11 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     val stage = s"_stage_$timestamp"
     val done =
       try {
+        // sortWithinPartitions: id-ordered rows per file → parquet min/max
+        // stats prune id-keyed merge reads; in-task sort, no extra job
         retry.retry(() => store.writePartitionedStage(
-          stage, IndexerOps.fullSyncScan(env, selected), Idx, writeChunk))
+          stage, IndexerOps.fullSyncScan(env, selected).sortWithinPartitions(Idx, Id),
+          Idx, writeChunk))
 
         def publish(idx: String): IndexSyncReport = {
           val staged = s"${idx}_$timestamp"
@@ -184,7 +187,7 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
       } else {
         try {
           val (merged, obs) = applyBatch(store.read(idx), batch)
-          writeStaged(staged, merged)
+          writeStaged(staged, merged.sortWithinPartitions(Id))
           store.swapAlias(idx, staged)
           val m = obs.get
           val nIds = m("batch_ids").asInstanceOf[Long]
