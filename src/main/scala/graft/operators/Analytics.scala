@@ -63,6 +63,19 @@ object Analytics {
         coalesce(col(g2), lit("ALL")).as(g2),
         col("n"), col("sum_val"))
 
+  /** Explicit GROUPING SETS — the general form rollup/cube specialize:
+    * caller picks exactly which grouping combinations materialize (one
+    * `Expand` + one shuffle for all sets, same as rollup). */
+  def groupingSetCounts(df: DataFrame, g1: String, g2: String): DataFrame =
+    df.groupingSets(
+        Seq(Seq(col(g1), col(g2)), Seq(col(g1)), Seq.empty),
+        col(g1), col(g2))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col(g1), lit("ALL")).as(g1),
+        coalesce(col(g2), lit("ALL")).as(g2),
+        col("n"))
+
   /** CUBE variant of the same. */
   def cubeCounts(df: DataFrame, g1: String, g2: String): DataFrame =
     df.cube(g1, g2)

@@ -37,6 +37,10 @@ object AnalyticsPack extends QueryPack {
     "tw1_tumbling_counts" -> ((s, dir) =>
       Analytics.tumblingCounts(Tables.events(s, dir), "ts", "hour", "event_type")
         .orderBy("bucket", "event_type")),
+    "g3_grouping_sets" -> ((s, dir) =>
+      Analytics.groupingSetCounts(Tables.lineitem(s, dir),
+        "l_returnflag", "l_linestatus")
+        .orderBy("l_returnflag", "l_linestatus")),
     "tw2_sliding_counts" -> ((s, dir) =>
       Analytics.slidingCounts(Tables.events(s, dir), "ts", "1 hour", "30 minutes", "event_type")
         .orderBy("bucket", "event_type")),
@@ -111,6 +115,13 @@ object AnalyticsPack extends QueryPack {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+    "g3_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "tw2_sliding_counts" ->
       """WITH expanded AS (
         |  SELECT event_type,

@@ -58,6 +58,9 @@ object PipelinePack extends QueryPack {
     "x13_ivf_topk" -> ((s, dir) =>
       VectorOps.ivfTopK(Tables.embeddings(s, dir), QueryVecs, 5, nprobe = 2)
         .orderBy("query_id", "rn")),
+    "x14_top_tokens" -> ((s, dir) =>
+      graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
+        .orderBy("lang", "rank")),
 
     // --- multimodal ------------------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
@@ -85,6 +88,16 @@ object PipelinePack extends QueryPack {
       (VectorOps.embeddingNearDupsSql(MinCosine) + "\nORDER BY vec_a, vec_b"),
     "x13_ivf_topk" ->
       (VectorOps.ivfTopKSql(QueryVecs, 5, nprobe = 2) + "\nORDER BY query_id, rn"),
+    "x14_top_tokens" ->
+      s"""WITH tok AS (SELECT lang, unnest(${TextOps.tokensSql("text")}) AS token FROM documents),
+         |tf AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),
+         |ranked AS (
+         |  SELECT lang, token, n,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rank
+         |  FROM tf QUALIFY rank <= 5
+         |)
+         |SELECT lang, rank, token, n FROM ranked
+         |ORDER BY lang, rank""".stripMargin,
     "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),
   )
 }

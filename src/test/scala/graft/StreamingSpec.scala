@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
 import graft.operators.Analytics
 import graft.sources.Tables
 import graft.sources.Tables._
@@ -88,6 +89,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val second = cdc.syncAvailable(spark, source.toString, Seq("click"), "t1")
     assert(second === 0L, "checkpointed offsets must prevent reprocessing")
     assert(store.count("click") === countAfterFirst)
+  }
+
+  test("streaming dedup: dropDuplicatesWithinWatermark collapses cross-batch replays") {
+    val source = tmp("stream-src4")
+    writeTimeSlicedSource(source, 2)
+    // replay the same two slices again — a CDC feed redelivering
+    Files.list(source).iterator().asScala.toList.foreach { p =>
+      Files.copy(p, source.resolve("replay_" + p.getFileName.toString))
+    }
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(source.toString).schema
+    val stream = Tables.normalizeTs(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(source.toString))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.groupBy().count()
+      .writeStream.format("memory").queryName("dedup_counts")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("dedup_counts").collect()(0).getLong(0)
+    val want = spark.read.parquet(source.toString)
+      .select("event_id").distinct().count()
+    assert(got === want, "replayed rows must dedup within the watermark")
   }
 
   test("watermarked streaming windowed count equals the batch tumbling aggregate") {
