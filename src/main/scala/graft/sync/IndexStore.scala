@@ -62,6 +62,21 @@ class IndexStore(val spark: SparkSession, val root: String) {
     * metadata, no column data read), but still a job. */
   def count(alias: String): Long = read(alias).map(_.count()).getOrElse(0L)
 
+  /** Publish every alias as a session view (`graft_<alias>`), so synced
+    * indexes are queryable from SQL text. At cluster scale this is the
+    * `CREATE OR REPLACE VIEW` half of the K5 commit protocol: re-running
+    * after a swap atomically repoints readers at the new physical index.
+    * Returns the registered view names. */
+  def registerViews(prefix: String = "graft_"): Seq[String] =
+    aliases().toSeq.sorted.flatMap { case (alias, physical) =>
+      if (!indexExists(physical)) None
+      else {
+        val view = prefix + alias.replaceAll("[^A-Za-z0-9_]", "_")
+        readPhysical(physical).createOrReplaceTempView(view)
+        Some(view)
+      }
+    }
+
   // --- writes (K1/K2) -----------------------------------------------------
 
   /** K2 — create/overwrite a physical index from a DataFrame. The

@@ -289,6 +289,21 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r2.head.mode == "full", "out-of-band probe change must force a rebuild")
   }
 
+  test("registered views expose synced indexes to SQL; swap repoints them") {
+    val (store, _, pipe, _) = freshPipeline()
+    pipe.fullSync(env, Some(Seq("click", "view")), timestamp = "t1")
+    val views = store.registerViews()
+    assert(views.toSet == Set("graft_click", "graft_view"))
+    val viaSql = spark.sql("SELECT count(*) AS n FROM graft_click").collect()(0).getLong(0)
+    assert(viaSql == store.count("click") && viaSql > 0)
+    // swap to a new physical index, re-register → reader sees new data
+    store.writePhysical("click_t2", env.where(col(Idx) === "click").limit(3)
+      .select(Idx, Id, Document, IsDeleted))
+    store.swapAlias("click", "click_t2")
+    store.registerViews()
+    assert(spark.sql("SELECT count(*) FROM graft_click").collect()(0).getLong(0) == 3)
+  }
+
   test("progress listener fires at record intervals during a store write") {
     val (store, _, _, _) = freshPipeline()
     var ticks = Vector.empty[Long]
