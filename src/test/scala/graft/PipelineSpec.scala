@@ -107,6 +107,25 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("space-saving top-tokens sketch: exact at full capacity, overestimates below it") {
+    import graft.functions.TopTokens
+    val exact = TopTokens.langTopTokens(docs, 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // capacity >= vocabulary (31 words) → no evictions → identical
+    val full = TopTokens.langTopTokensSketch(docs, 5, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(full.sorted === exact.sorted)
+    // tight capacity: counts may only OVERestimate (Space-Saving bound)
+    val truth = TopTokens.langTopTokens(docs, 31)
+      .collect().map(r => ((r.getString(0), r.getString(2)), r.getLong(3))).toMap
+    val sketched = TopTokens.langTopTokensSketch(docs, 5, capacity = 8).collect()
+    sketched.foreach { r =>
+      val key = (r.getString(0), r.getString(2))
+      truth.get(key).foreach(n => assert(r.getLong(3) >= n,
+        s"sketch undercounted $key: ${r.getLong(3)} < $n"))
+    }
+  }
+
   test("frame sampling + batched decode: offsets, sizes, checksums line up") {
     val assets = MultimodalOps.assets(docs.where(col("doc_id") < 10))
     val frames = MultimodalOps.sampleFrames(assets, frameBytes = 256, stride = 2)

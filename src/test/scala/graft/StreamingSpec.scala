@@ -91,6 +91,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(store.count("click") === countAfterFirst)
   }
 
+  test("streaming failure recovery: a failed micro-batch replays from the checkpoint, idempotently") {
+    val source = tmp("stream-src5")
+    writeTimeSlicedSource(source, 3)
+    val root = tmp("stream-store5").toString
+    // store that fails once, mid-run, while writing the SECOND batch
+    var failuresLeft = 1
+    var writes = 0
+    val flaky = new IndexStore(spark, root) {
+      override def writePhysical(name: String, df: DataFrame,
+          maxRecordsPerFile: Option[Int]): Unit = {
+        writes += 1
+        if (writes > 1 && failuresLeft > 0) { failuresLeft -= 1; sys.error("sink outage") }
+        super.writePhysical(name, df, maxRecordsPerFile)
+      }
+    }
+    val cdc = new StreamingCdc(flaky, new WatermarkStore(root))
+    intercept[Exception] {
+      cdc.syncAvailable(spark, source.toString, Seq("click"), "t1")
+    }
+    // resume: same checkpoint → only unfinished batches replay; the
+    // id-keyed merge makes the partial batch idempotent
+    cdc.syncAvailable(spark, source.toString, Seq("click"), "t1")
+    val want = Tables.envelope(Tables.normalizeTs(spark.read.parquet(source.toString)))
+      .where(col(Idx) === "click" && !col(IsDeleted))
+      .select(Id).distinct().count()
+    assert(flaky.count("click") === want, "post-recovery state must equal a clean run")
+  }
+
   test("streaming dedup: dropDuplicatesWithinWatermark collapses cross-batch replays") {
     val source = tmp("stream-src4")
     writeTimeSlicedSource(source, 2)
