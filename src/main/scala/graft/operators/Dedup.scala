@@ -94,6 +94,13 @@ object Dedup {
     }
     val bands = sigs.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    // no join hints here, deliberately (measured): at fixture scale the
+    // planner broadcasts the band/shingle sides, which re-derives the
+    // signature subtree but skips a shuffle — faster. At corpus scale
+    // those sides exceed the broadcast threshold, and size-based
+    // planning flips to shuffled joins whose identical band exchanges
+    // then dedupe via ReusedExchange. Hard-pinning either shape lost
+    // ~70% wall time at sf0.1.
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
