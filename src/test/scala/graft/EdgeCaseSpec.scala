@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Dedup, IndexerOps, TextOps, VectorOps}
+import graft.sources.Tables._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-input robustness: empty relations, single-token and
+  * empty-string documents, zero vectors — every operator must return a
+  * well-formed (possibly empty) result, never throw. */
+class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
+  import spark.implicits._
+
+  private val weirdDocs = Seq(
+    (1L, "", "en", "s", 0L),
+    (2L, "one", "de", "s", 3L),
+    (3L, "a a a a a a a a", "fr", "s", 15L),
+    (4L, "ünïcode tökens ünïcode tökens here", "es", "s", 34L),
+    (5L, "x y", "zh", "s", 3L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val emptyDocs = weirdDocs.limit(0)
+
+  test("text operators survive empty/one-token/unicode documents") {
+    assert(TextOps.qualityScore(weirdDocs).count() === 5)
+    assert(TextOps.simHash(weirdDocs).count() === 5)
+    assert(TextOps.fingerprint(weirdDocs).count() === 5)
+    assert(TextOps.languageId(weirdDocs).count() === 5)
+    assert(TextOps.tokenCounts(weirdDocs).count() === 5)
+    // quality ratios stay finite (no division by zero)
+    TextOps.qualityScore(weirdDocs).collect().foreach { r =>
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+    }
+  }
+
+  test("dedup operators on empty and tiny inputs") {
+    assert(Dedup.exactDedup(emptyDocs).count() === 0)
+    assert(Dedup.nearDupPairs(emptyDocs).count() === 0)
+    assert(Dedup.nearDupDedup(emptyDocs, 0.8).count() === 0)
+    // single-token docs shingle to themselves; no self-pairs
+    val pairs = Dedup.nearDupPairs(weirdDocs).collect()
+    pairs.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    // identical-content docs dedup to the min id
+    val dup = weirdDocs.union(weirdDocs.withColumn("doc_id", col("doc_id") + 100))
+    val kept = Dedup.exactDedup(dup).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("vector operators on empty input and zero vectors") {
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(VectorOps.cosineTopK(empty, Seq(0L), 5).count() === 0)
+    assert(VectorOps.annTopK(empty, Seq(0L), 5).count() === 0)
+    // a zero vector yields NaN cosine — surfaced, not crashed, and a
+    // NaN never outranks real similarities in the NULLS/NaN-last sort
+    val withZero = Seq(
+      (0L, Array.fill(64)(0.0f), 0),
+      (1L, Array.tabulate(64)(i => (i + 1).toFloat / 64), 0),
+      (2L, Array.tabulate(64)(i => (64 - i).toFloat / 64), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val top = VectorOps.cosineTopK(withZero, Seq(1L), 2).collect()
+    assert(top.head.getLong(1) === 2L, "real vector must outrank the zero vector")
+  }
+
+  test("CDC merge with empty batch or empty current state") {
+    val env = Tables_envelope
+    val emptyBatch = env.limit(0)
+    val cur = env.where(!col(IsDeleted)).select(Idx, Id, Document, IsDeleted)
+    assert(IndexerOps.cdcMerge(cur, emptyBatch).count() === cur.count())
+    val emptyCur = cur.limit(0)
+    val merged = IndexerOps.cdcMerge(emptyCur, env)
+    assert(merged.count() === env.where(!col(IsDeleted)).select(Id).distinct().count())
+  }
+
+  private def Tables_envelope = graft.sources.Tables.envelope(spark, sf)
+}

@@ -96,6 +96,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multi-probe ANN: recall vs brute force never below single-probe, candidates within probe set") {
+    val qs = Seq(0L, 1L, 2L, 3L, 4L)
+    val k = 10
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = resultSet(VectorOps.cosineTopK(emb, qs, k))
+    val single = resultSet(VectorOps.annTopK(emb, qs, k))
+    val multi = resultSet(VectorOps.annTopKMultiProbe(emb, qs, k))
+    def recall(ann: Set[(Long, Long)]) =
+      if (brute.isEmpty) 1.0 else ann.intersect(brute).size.toDouble / brute.size
+    assert(recall(multi) >= recall(single),
+      s"multi-probe recall ${recall(multi)} < single-probe ${recall(single)}")
+    // probed buckets differ from the query's own by at most one plane bit
+    val buckets = emb.select(col("vec_id"),
+      VectorOps.bucketOf(transform(col("embedding"), _.cast("double"))).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    VectorOps.annTopKMultiProbe(emb, qs, k).collect().foreach { r =>
+      val d = java.lang.Long.bitCount(buckets(r.getLong(0)) ^ buckets(r.getLong(1)))
+      assert(d <= 1, s"candidate ${r.getLong(1)} is $d plane-bits from query")
+    }
+  }
+
   test("language-ID picks the max-scoring profile with fixed tiebreak") {
     val rows = TextOps.languageId(docs).collect()
     val langs = TextOps.langProfiles.map(_._1)
