@@ -156,6 +156,48 @@ object TextOps {
        |FROM documents""".stripMargin
   }
 
+  /** Gopher-style quality filter flags (Rae et al.'21 §A1.1 rules, the
+    * ones derivable from the fixture's text): word-count bounds, mean
+    * word length bounds, max single-token repetition fraction, and the
+    * aggregate keep/drop decision. Integer-exact arithmetic throughout;
+    * per-row expressions — a map-only pass over the corpus. */
+  def qualityFilter(docs: DataFrame,
+      minWords: Int = 5, maxWords: Int = 10000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+      maxTopTokenFrac: Double = 0.25): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val meanLen = (length(col("text")) - (n - 1)).cast("double") / n.cast("double")
+    // most frequent token's share: max over distinct tokens of its count
+    val topCount = array_max(transform(array_distinct(toks),
+      t => size(filter(toks, x => x === t))))
+    val topFrac = topCount.cast("double") / n.cast("double")
+    val keep = n.between(minWords, maxWords) &&
+      meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+      topFrac <= maxTopTokenFrac
+    docs.select(col("doc_id"), n.as("n_words"),
+      meanLen.as("mean_word_len"), topFrac.as("top_token_frac"),
+      keep.as("keep"))
+  }
+
+  def qualityFilterSql(minWords: Int = 5, maxWords: Int = 10000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+      maxTopTokenFrac: Double = 0.25): String = {
+    val t = tokensSql("text")
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    len($t) AS n_words,
+       |    CAST(length(text) - (len($t) - 1) AS DOUBLE) / len($t) AS mean_word_len,
+       |    CAST(list_max(list_transform(list_distinct($t),
+       |      t -> len(list_filter($t, x -> x = t)))) AS DOUBLE) / len($t) AS top_token_frac
+       |  FROM documents)
+       |SELECT doc_id, n_words, mean_word_len, top_token_frac,
+       |  (n_words BETWEEN $minWords AND $maxWords
+       |    AND mean_word_len >= $minMeanLen AND mean_word_len <= $maxMeanLen
+       |    AND top_token_frac <= $maxTopTokenFrac) AS keep
+       |FROM q""".stripMargin
+  }
+
   // --- token counting (x7) -----------------------------------------------
 
   /** BPE-ish token regex: letter runs, digit runs, single other symbols —

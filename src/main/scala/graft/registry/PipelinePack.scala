@@ -61,6 +61,8 @@ object PipelinePack extends QueryPack {
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
         .orderBy("lang", "rank")),
+    "x15_quality_filter" -> ((s, dir) =>
+      TextOps.qualityFilter(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // --- multimodal ------------------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
@@ -98,6 +100,7 @@ object PipelinePack extends QueryPack {
          |)
          |SELECT lang, rank, token, n FROM ranked
          |ORDER BY lang, rank""".stripMargin,
+    "x15_quality_filter" -> (TextOps.qualityFilterSql() + "\nORDER BY doc_id"),
     "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),
   )
 }

@@ -32,6 +32,17 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"LSH missed high-similarity pairs: ${brute diff lsh}")
   }
 
+  test("minhash signatures: 16 columns, stable across evaluations") {
+    val a = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
+    val b = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
+    assert(a.head.length === 17) // doc_id + s0..s15
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    // signature values live in [0, P)
+    a.foreach(r => (1 to 16).foreach { i =>
+      val s = r.getLong(i); assert(s >= 0 && s < Dedup.P)
+    })
+  }
+
   test("exact dedup is idempotent and content keys are unique") {
     val once = Dedup.exactDedup(docs).cache()
     assert(once.select("content_key").distinct().count() === once.count())
