@@ -49,9 +49,20 @@ class IndexStore(val spark: SparkSession, val root: String) {
   def indexExists(name: String): Boolean =
     Files.isDirectory(rootPath.resolve(name))
 
-  /** Read the live data behind an alias (empty relation if unbound). */
+  /** True if the physical index holds at least one data file (an index
+    * whose every bucket was tombstoned away has a dir but no files —
+    * parquet cannot infer a schema from that). */
+  def hasData(name: String): Boolean = {
+    val dir = rootPath.resolve(name)
+    Files.isDirectory(dir) && Using.resource(Files.walk(dir)) { s =>
+      s.iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    }
+  }
+
+  /** Read the live data behind an alias (None if unbound or physically
+    * empty). */
   def read(alias: String): Option[DataFrame] =
-    aliases().get(alias).filter(indexExists)
+    aliases().get(alias).filter(indexExists).filter(hasData)
       .map(p => spark.read.parquet(rootPath.resolve(p).toString))
 
   def readPhysical(name: String): DataFrame =
@@ -93,6 +104,52 @@ class IndexStore(val spark: SparkSession, val root: String) {
     maxRecordsPerFile.foreach(n => w.option("maxRecordsPerFile", n.toLong))
     w.parquet(rootPath.resolve(name).toString)
   }
+
+  // --- bucketed layout (in-place incremental merges) ----------------------
+
+  /** Deterministic id-hash bucket column for the bucketed layout. */
+  def bucketExpr(idCol: String, buckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    pmod(xxhash64(col(idCol)), lit(buckets.toLong))
+  }
+
+  /** Write a physical index partitioned by id-hash bucket. The bucketed
+    * layout is what makes in-place incremental merges proportional to
+    * the DELTA (×N/buckets) instead of the index: only partitions whose
+    * ids changed get rewritten. */
+  def writePhysicalBucketed(name: String, df: DataFrame, idCol: String,
+      buckets: Int): Unit =
+    df.withColumn(BucketKey, bucketExpr(idCol, buckets))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketKey)
+      .parquet(rootPath.resolve(name).toString)
+
+  /** Replace ONLY the listed bucket partitions with `df`'s content
+    * (`df` must carry [[BucketKey]]); all other partitions' files are
+    * untouched — the reference's in-place bulk upsert, at partition
+    * granularity. The new content is staged in ONE write job, then each
+    * affected partition dir is swapped by rename (per-bucket atomic;
+    * a bucket emptied by tombstones simply has no staged dir and its
+    * old partition is dropped). A crash mid-swap leaves per-bucket
+    * old/new mix with NO loss; re-running the same merge converges —
+    * the id-keyed merge is idempotent. */
+  def replaceBuckets(name: String, df: DataFrame, affected: Seq[Long]): Unit = {
+    val stage = s"_merge_${name.replace('/', '_')}_${System.nanoTime()}"
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(BucketKey)
+      .parquet(rootPath.resolve(stage).toString)
+    try {
+      affected.foreach { b =>
+        val src = rootPath.resolve(stage).resolve(s"$BucketKey=$b")
+        val target = rootPath.resolve(name).resolve(s"$BucketKey=$b")
+        deletePhysical(s"$name/$BucketKey=$b")
+        if (Files.isDirectory(src))
+          Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    } finally dropStage(stage)
+  }
+
+  val BucketKey = "_id_bucket"
 
   /** Single-pass multi-index staging: ONE scan of `df` writes every
     * index's slice, hash-partitioned into per-index directories

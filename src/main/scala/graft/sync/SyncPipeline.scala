@@ -232,6 +232,74 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     (IndexerOps.cdcMergeObserved(cur, batch, obs), obs)
   }
 
+  /** In-place bucketed incremental sync — the scale path for increments.
+    * The blue/green [[incrementalSync]] rewrites the WHOLE index per
+    * batch (atomic, but a full copy for a 0.1% delta); this variant
+    * mirrors the reference's actual in-place bulk upsert
+    * (flows/main_flow.py:366-422) at partition granularity: physical
+    * indexes are partitioned by id-hash bucket, the batch's ids select
+    * the affected buckets (partition pruning on the read), and ONLY
+    * those bucket partitions are rewritten (dynamic partition
+    * overwrite). Incremental cost ∝ |delta| × (index/buckets), not
+    * |index|. Requires a bucketed bootstrap via [[fullSyncBucketed]]. */
+  def incrementalSyncInPlace(env: DataFrame, indexes: Option[Seq[String]] = None,
+      buckets: Int = 64): Seq[IndexSyncReport] = {
+    import store.BucketKey
+    val selected = selectIndexes(env, indexes)
+    val order = planOrder(env, selected)
+    def sync(idx: String): IndexSyncReport = {
+      val wm = watermarks.loadOrEpoch(idx)
+      val batch = IndexerOps.incrementalScan(env, Seq(idx), wm)
+      if (batch.isEmpty)
+        return IndexSyncReport(idx, store.aliases().getOrElse(idx, ""), "skipped", 0L, 0L)
+      val physical = store.aliases().getOrElse(idx,
+        sys.error(s"in-place sync needs a bootstrapped bucketed index for $idx"))
+      val withBucket = batch.withColumn(BucketKey, store.bucketExpr(Id, buckets))
+      val affected = withBucket.select(BucketKey).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val cur =
+        if (!store.hasData(physical)) None // every bucket emptied earlier
+        else Some(store.readPhysical(physical)
+          .where(col(BucketKey).isin(affected: _*)) // partition pruning
+          .select(Idx, Id, Document, IsDeleted))
+      val (merged, obs) = applyBatch(cur, batch)
+      store.replaceBuckets(physical,
+        merged.withColumn(BucketKey, store.bucketExpr(Id, buckets))
+          .sortWithinPartitions(Id),
+        affected)
+      val m = obs.get
+      val nIds = m("batch_ids").asInstanceOf[Long]
+      val nDels = m("batch_deletes").asInstanceOf[Long]
+      IndexSyncReport(idx, physical, "incremental", nIds - nDels, nDels)
+    }
+    val reports = runSmallestFirstLargestParallel(order.map(_._1), sync)
+    saveWatermarks(order)
+    reports
+  }
+
+  /** Bucketed bootstrap for the in-place incremental path: per-index
+    * full scan written in the id-hash-bucket layout. */
+  def fullSyncBucketed(env: DataFrame, indexes: Option[Seq[String]] = None,
+      timestamp: String, buckets: Int = 64): Seq[IndexSyncReport] = {
+    val selected = selectIndexes(env, indexes)
+    if (selected.isEmpty) return Seq.empty
+    val order = planOrder(env, selected)
+    def publish(idx: String): IndexSyncReport = {
+      val staged = s"${idx}_$timestamp"
+      try {
+        store.writePhysicalBucketed(staged,
+          IndexerOps.fullSyncScan(env, Seq(idx)), Id, buckets)
+        store.swapAlias(idx, staged)
+        IndexSyncReport(idx, staged, "full", store.count(idx), 0L)
+      } catch {
+        case NonFatal(e) => store.deletePhysical(staged); throw e // T8
+      }
+    }
+    val reports = runSmallestFirstLargestParallel(order.map(_._1), publish)
+    saveWatermarks(order)
+    reports
+  }
+
   /** J2 — post-sync reconciliation: per-index live counts in the store vs
     * live docs in the source; empty result = consistent. */
   def reconcile(env: DataFrame, indexes: Seq[String]): Seq[(String, Long, Long)] =

@@ -304,6 +304,89 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graft_click").collect()(0).getLong(0) == 3)
   }
 
+  test("in-place bucketed incremental: same end state, untouched buckets byte-stable, emptied buckets dropped") {
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    // late cutoff → small delta → only SOME of the 16 buckets affected
+    val cutoff = "2024-01-29 00:00:00"
+    val early = env.where(col(UpdatedAt) < lit(cutoff).cast("timestamp"))
+    // blue/green path as the truth
+    val (storeA, _, pipeA, _) = freshPipeline()
+    pipeA.fullSync(early, Some(Seq("click")), timestamp = "t1")
+    pipeA.incrementalSync(env, Some(Seq("click")), timestamp = "t2")
+    // in-place bucketed path
+    val (storeB, _, pipeB, _) = freshPipeline()
+    pipeB.fullSyncBucketed(early, Some(Seq("click")), timestamp = "t1", buckets = 16)
+    val phys = storeB.aliases()("click")
+    // snapshot per-bucket file states before the merge
+    def bucketFiles(b: Long): Seq[(String, Long)] = {
+      val dir = Paths.get(storeB.root, phys, s"${storeB.BucketKey}=$b")
+      if (!JFiles.isDirectory(dir)) Seq.empty
+      else {
+        val s = JFiles.list(dir)
+        try s.iterator().asScala.map(p =>
+          (p.getFileName.toString, JFiles.getLastModifiedTime(p).toMillis)).toSeq.sorted
+        finally s.close()
+      }
+    }
+    val before = (0L until 16L).map(b => b -> bucketFiles(b)).toMap
+    val affected = IndexerOps.incrementalScan(env, Seq("click"),
+        new WatermarkStore(storeB.root).loadOrEpoch("click"))
+      .select(storeB.bucketExpr(Id, 16).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(affected.nonEmpty && affected.size < 16,
+      s"need a partial-bucket delta for a meaningful test, got ${affected.size}/16")
+    val rep = pipeB.incrementalSyncInPlace(env, Some(Seq("click")), buckets = 16)
+    assert(rep.head.mode == "incremental")
+    // end state identical to blue/green
+    val a = storeA.read("click").get.select(Id, Document).orderBy(Id).collect()
+    val b = storeB.read("click").get.select(Id, Document).orderBy(Id).collect()
+    assert(a.sameElements(b), "in-place end state diverges from blue/green")
+    // untouched buckets: identical files, untouched mtimes
+    (0L until 16L).filterNot(affected).foreach { bkt =>
+      assert(bucketFiles(bkt) === before(bkt), s"unaffected bucket $bkt was rewritten")
+    }
+    // affected buckets changed
+    assert(affected.exists(bkt => bucketFiles(bkt) != before(bkt)))
+    // second run: nothing to do
+    assert(pipeB.incrementalSyncInPlace(env, Some(Seq("click")), buckets = 16)
+      .forall(_.mode == "skipped"))
+  }
+
+  test("in-place merge drops a bucket emptied by tombstones") {
+    val (store, wms, pipe, _) = freshPipeline()
+    // state with exactly one live doc in its own bucket
+    val one = env.where(!col(IsDeleted)).limit(1)
+      .select(col(Idx), col(Id), col(Document), col(IsDeleted), col(UpdatedAt))
+    pipe.fullSyncBucketed(one.select(Idx, Id, Document, IsDeleted, UpdatedAt),
+      Some(Seq(one.collect()(0).getString(0))), timestamp = "t1", buckets = 4)
+    val idx = one.collect()(0).getString(0)
+    val id = one.collect()(0).getString(1)
+    assert(store.count(idx) === 1)
+    // tombstone it later
+    wms.save(idx, "2024-06-01 00:00:00.000000")
+    val tomb = one
+      .withColumn(IsDeleted, lit(true))
+      .withColumn(UpdatedAt, lit("2024-07-01 00:00:00").cast("timestamp"))
+    val rep = pipe.incrementalSyncInPlace(tomb, Some(Seq(idx)), buckets = 4)
+    assert(rep.head.deletes === 1L)
+    assert(store.count(idx) === 0, s"tombstoned doc $id must vanish from $idx")
+  }
+
+  test("in-place merge read prunes to affected bucket partitions") {
+    val (store, _, pipe, _) = freshPipeline()
+    pipe.fullSyncBucketed(env, Some(Seq("view")), timestamp = "t1", buckets = 16)
+    val phys = store.aliases()("view")
+    val pruned = store.readPhysical(phys)
+      .where(col(store.BucketKey).isin(0L, 1L))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("_id_bucket#") || plan.contains("_id_bucket IN")),
+      s"bucket filter must prune partitions:\n${plan.take(1500)}")
+    val full = store.readPhysical(phys).count()
+    assert(pruned.count() < full)
+  }
+
   test("progress listener fires at record intervals during a store write") {
     val (store, _, _, _) = freshPipeline()
     var ticks = Vector.empty[Long]
