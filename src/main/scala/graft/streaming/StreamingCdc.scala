@@ -26,7 +26,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * small); state never accumulates in the stream itself — the store IS
   * the state, so executor memory is flat regardless of run length.
   */
-class StreamingCdc(store: IndexStore, watermarks: WatermarkStore) {
+/** @param bucketed when Some(n): micro-batches merge IN PLACE into
+  *   id-hash-bucketed physical indexes (delta-proportional cost — see
+  *   [[graft.sync.InPlaceMerge]]); indexes must be bootstrapped via
+  *   `SyncPipeline.fullSyncBucketed`. When None (default): each batch
+  *   publishes blue/green (atomic, whole-index rewrite). */
+class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
+    bucketed: Option[Int] = None) {
 
   /** The envelope relation as a stream (file source standing in for a
     * CDC feed; schema pinned from a batch probe of the same source). */
@@ -81,10 +87,18 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore) {
       val present = batch.select(Idx).distinct().collect().map(_.getString(0)).toSet
       indexes.filter(present).foreach { idx =>
         val b = batch.where(col(Idx) === idx)
-        val cur = store.read(idx).getOrElse(emptyEnvelope(batch.sparkSession))
-        val staged = s"${idx}_$stagingSuffix"
-        store.writePhysical(staged, IndexerOps.cdcMerge(cur, b))
-        store.swapAlias(idx, staged)
+        bucketed match {
+          case Some(n) =>
+            val physical = store.aliases().getOrElse(idx,
+              sys.error(s"bucketed streaming needs a bootstrapped index for $idx"))
+            // unobserved: Observation metrics never fire inside foreachBatch
+            graft.sync.InPlaceMerge.applyUnobserved(store, physical, b, n)
+          case None =>
+            val cur = store.read(idx).getOrElse(emptyEnvelope(batch.sparkSession))
+            val staged = s"${idx}_$stagingSuffix"
+            store.writePhysical(staged, IndexerOps.cdcMerge(cur, b))
+            store.swapAlias(idx, staged)
+        }
       }
     } finally batch.unpersist()
   }

@@ -1,0 +1,64 @@
+package graft.sync
+
+import graft.operators.IndexerOps
+import graft.sources.Tables._
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions.col
+
+/** Shared delta-proportional merge step: apply a CDC batch to a BUCKETED
+  * physical index, rewriting only the id-hash bucket partitions the
+  * batch touches (see IndexStore.replaceBuckets for the swap protocol).
+  * Used by both the batch pipeline (SyncPipeline.incrementalSyncInPlace)
+  * and the streaming path (StreamingCdc in bucketed mode). Returns
+  * (upserts, deletes) observed on the merge action itself. */
+object InPlaceMerge {
+
+  /** Batch-context merge with (upserts, deletes) tallies observed on
+    * the merge action. NOT for streaming: `Observation` metrics never
+    * materialize for actions run inside a `foreachBatch`, so `obs.get`
+    * would block forever — use [[applyUnobserved]] there. */
+  def apply(store: IndexStore, physical: String, batch: DataFrame,
+      buckets: Int): (Long, Long) = {
+    val obs = new Observation(s"graft_inplace_${System.nanoTime()}")
+    run(store, physical, batch, buckets, Some(obs))
+    val m = obs.get
+    val nIds = m("batch_ids").asInstanceOf[Long]
+    val nDels = m("batch_deletes").asInstanceOf[Long]
+    (nIds - nDels, nDels)
+  }
+
+  /** Streaming-context merge: same plan, no observation. */
+  def applyUnobserved(store: IndexStore, physical: String, batch: DataFrame,
+      buckets: Int): Unit =
+    run(store, physical, batch, buckets, None)
+
+  private def run(store: IndexStore, physical: String, batch: DataFrame,
+      buckets: Int, obs: Option[Observation]): Unit = {
+    val withBucket = batch.withColumn(store.BucketKey, store.bucketExpr(Id, buckets))
+    val affected = withBucket.select(store.BucketKey).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cur =
+      if (!store.hasData(physical)) None
+      else Some(store.readPhysical(physical)
+        .where(col(store.BucketKey).isin(affected: _*)) // partition pruning
+        .select(Idx, Id, Document, IsDeleted))
+    val current = cur.getOrElse(emptyEnvelope(batch))
+    val merged = obs match {
+      case Some(o) => IndexerOps.cdcMergeObserved(current, batch, o)
+      case None => IndexerOps.cdcMerge(current, batch)
+    }
+    store.replaceBuckets(physical,
+      merged.withColumn(store.BucketKey, store.bucketExpr(Id, buckets))
+        .sortWithinPartitions(Id),
+      affected)
+  }
+
+  private[sync] def emptyEnvelope(like: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    like.sparkSession.emptyDataFrame
+      .withColumn(Idx, lit(null).cast("string"))
+      .withColumn(Id, lit(null).cast("string"))
+      .withColumn(Document, lit(null).cast("string"))
+      .withColumn(IsDeleted, lit(false))
+  }
+}

@@ -244,7 +244,6 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     * |index|. Requires a bucketed bootstrap via [[fullSyncBucketed]]. */
   def incrementalSyncInPlace(env: DataFrame, indexes: Option[Seq[String]] = None,
       buckets: Int = 64): Seq[IndexSyncReport] = {
-    import store.BucketKey
     val selected = selectIndexes(env, indexes)
     val order = planOrder(env, selected)
     def sync(idx: String): IndexSyncReport = {
@@ -254,23 +253,8 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
         return IndexSyncReport(idx, store.aliases().getOrElse(idx, ""), "skipped", 0L, 0L)
       val physical = store.aliases().getOrElse(idx,
         sys.error(s"in-place sync needs a bootstrapped bucketed index for $idx"))
-      val withBucket = batch.withColumn(BucketKey, store.bucketExpr(Id, buckets))
-      val affected = withBucket.select(BucketKey).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      val cur =
-        if (!store.hasData(physical)) None // every bucket emptied earlier
-        else Some(store.readPhysical(physical)
-          .where(col(BucketKey).isin(affected: _*)) // partition pruning
-          .select(Idx, Id, Document, IsDeleted))
-      val (merged, obs) = applyBatch(cur, batch)
-      store.replaceBuckets(physical,
-        merged.withColumn(BucketKey, store.bucketExpr(Id, buckets))
-          .sortWithinPartitions(Id),
-        affected)
-      val m = obs.get
-      val nIds = m("batch_ids").asInstanceOf[Long]
-      val nDels = m("batch_deletes").asInstanceOf[Long]
-      IndexSyncReport(idx, physical, "incremental", nIds - nDels, nDels)
+      val (ups, dels) = InPlaceMerge(store, physical, batch, buckets)
+      IndexSyncReport(idx, physical, "incremental", ups, dels)
     }
     val reports = runSmallestFirstLargestParallel(order.map(_._1), sync)
     saveWatermarks(order)

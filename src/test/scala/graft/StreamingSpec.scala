@@ -91,6 +91,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(store.count("click") === countAfterFirst)
   }
 
+  test("bucketed streaming CDC merges in place and matches the blue/green end state") {
+    val source = tmp("stream-src6")
+    writeTimeSlicedSource(source, 3)
+    val indexes = Seq("click", "view")
+    val env = Tables.envelope(Tables.normalizeTs(spark.read.parquet(source.toString)))
+    val bootstrap = env.where(col(UpdatedAt) < lit("2024-01-10 00:00:00").cast("timestamp"))
+
+    // bucketed in-place streaming
+    val rootB = tmp("stream-bstore").toString
+    val storeB = new IndexStore(spark, rootB)
+    val wmsB = new WatermarkStore(rootB)
+    new SyncPipeline(storeB, wmsB)
+      .fullSyncBucketed(bootstrap, Some(indexes), timestamp = "t0", buckets = 8)
+    val physBefore = indexes.map(i => i -> storeB.aliases()(i)).toMap
+    val cdc = new StreamingCdc(storeB, wmsB, bucketed = Some(8))
+    assert(cdc.syncAvailable(spark, source.toString, indexes, "t1") >= 3)
+    // in place: the physical index name never changed (no blue/green swap)
+    indexes.foreach(i => assert(storeB.aliases()(i) === physBefore(i)))
+
+    // blue/green reference result over the same data
+    val rootA = tmp("stream-astore").toString
+    val storeA = new IndexStore(spark, rootA)
+    val wmsA = new WatermarkStore(rootA)
+    val pipeA = new SyncPipeline(storeA, wmsA)
+    pipeA.fullSync(bootstrap, Some(indexes), timestamp = "t0")
+    pipeA.incrementalSync(env, Some(indexes), timestamp = "t1")
+
+    indexes.foreach { idx =>
+      val a = storeA.read(idx).get.select(Id, Document).orderBy(Id).collect()
+      val b = storeB.read(idx).get.select(Id, Document).orderBy(Id).collect()
+      assert(a.sameElements(b), s"bucketed streaming state differs for $idx")
+    }
+  }
+
   test("streaming failure recovery: a failed micro-batch replays from the checkpoint, idempotently") {
     val source = tmp("stream-src5")
     writeTimeSlicedSource(source, 3)
