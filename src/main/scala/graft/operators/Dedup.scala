@@ -170,4 +170,43 @@ object Dedup {
     s"""$nearDupCtes
        |SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= $minJaccard)""".stripMargin
+
+  // --- full curation pipeline (x16) ---------------------------------------
+
+  /** The end-to-end corpus-curation pipeline as ONE composed plan —
+    * what these operators exist for: MinHash-LSH near-dup collapse
+    * (which subsumes exact dedup: identical texts have Jaccard 1.0) →
+    * quality filter → per-language survivor stats. Each stage consumes
+    * the previous one's survivors; Catalyst plans the whole chain
+    * together (shared scans, pushed filters). */
+  def curationPipeline(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val afterNear = nearDupDedup(docs, minJaccard)
+      .join(docs.select("doc_id", "text"), "doc_id")
+    val quality = TextOps.qualityFilter(afterNear).select("doc_id", "keep")
+    afterNear
+      .join(quality, Seq("doc_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("after_dedup"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("after_quality"))
+  }
+
+  def curationPipelineSql(minJaccard: Double): String = {
+    // quality-filter subexpressions inlined over the near-dup survivors
+    val t = TextOps.tokensSql("d.text")
+    s"""$nearDupCtes, survivors AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM documents d
+       |  WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= $minJaccard)
+       |), q AS (
+       |  SELECT d.doc_id, d.lang,
+       |    (len($t) BETWEEN 5 AND 10000
+       |      AND CAST(length(d.text) - (len($t) - 1) AS DOUBLE) / len($t) BETWEEN 2.0 AND 12.0
+       |      AND CAST(list_max(list_transform(list_distinct($t),
+       |            x -> len(list_filter($t, y -> y = x)))) AS DOUBLE) / len($t) <= 0.25
+       |    ) AS keep
+       |  FROM survivors d
+       |)
+       |SELECT lang, count(*) AS after_dedup,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS after_quality
+       |FROM q GROUP BY lang""".stripMargin
+  }
 }

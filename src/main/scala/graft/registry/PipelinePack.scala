@@ -63,6 +63,9 @@ object PipelinePack extends QueryPack {
         .orderBy("lang", "rank")),
     "x15_quality_filter" -> ((s, dir) =>
       TextOps.qualityFilter(Tables.documents(s, dir)).orderBy("doc_id")),
+    "x16_curation_pipeline" -> ((s, dir) =>
+      Dedup.curationPipeline(Tables.documents(s, dir), DedupJaccard)
+        .orderBy("lang")),
 
     // --- multimodal ------------------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
@@ -101,6 +104,8 @@ object PipelinePack extends QueryPack {
          |SELECT lang, rank, token, n FROM ranked
          |ORDER BY lang, rank""".stripMargin,
     "x15_quality_filter" -> (TextOps.qualityFilterSql() + "\nORDER BY doc_id"),
+    "x16_curation_pipeline" ->
+      (Dedup.curationPipelineSql(DedupJaccard) + "\nORDER BY lang"),
     "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),
   )
 }
