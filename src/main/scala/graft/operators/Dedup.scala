@@ -74,9 +74,18 @@ object Dedup {
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
-  /** doc_id + s0..s15 signature frame. */
+  /** doc_id + s0..s15 signature frame (a portable dedup artifact: two
+    * corpora's signatures can be banded/joined without re-reading
+    * either corpus's text). */
   def minHashSignatures(docs: DataFrame): DataFrame =
     sigTable(docs.select(col("doc_id"), shingles(col("text")).as("sh")))
+
+  /** Oracle for the signature frame (same CTE chain as the pairs). */
+  val minHashSignaturesSql: String = {
+    val cols = (0 until NumHashes).map(i => s"s$i").mkString(", ")
+    s"""$nearDupCtes
+       |SELECT doc_id, $cols FROM sigs""".stripMargin
+  }
 
   /** Banded LSH candidate pairs with exact shingle-Jaccard confirmation:
     * docs sharing ANY band's full signature slice become a candidate;

@@ -73,6 +73,30 @@ object MultimodalOps {
         col("media").substr(col("frame_no") * frameBytes + 1, lit(frameBytes)).as("frame_bytes"))
   }
 
+  /** Frame-sample summary (oracle-checkable face of [[sampleFrames]]):
+    * per sampled frame, its offset, byte length, and content checksum —
+    * no raw binary in the output. */
+  def frameSummary(assetsDf: DataFrame, frameBytes: Int = 256, stride: Int = 2): DataFrame =
+    sampleFrames(assetsDf, frameBytes, stride)
+      .select(col("asset_id"), col("frame_no"), col("offset"),
+        octet_length(col("frame_bytes")).as("byte_len"),
+        md5(col("frame_bytes")).as("checksum"))
+
+  /** DuckDB oracle for [[frameSummary]] over assets derived from
+    * `documents` (ascii text ⇒ char offsets = byte offsets). */
+  def frameSummarySql(frameBytes: Int = 256, stride: Int = 2): String =
+    s"""WITH f AS (
+       |  SELECT doc_id AS asset_id,
+       |    unnest(range(0, CAST(floor((octet_length(encode(text)) - 1) / $frameBytes) + 1 AS BIGINT))) AS frame_no,
+       |    text
+       |  FROM documents
+       |)
+       |SELECT asset_id, CAST(frame_no AS INT) AS frame_no,
+       |  frame_no * $frameBytes AS offset,
+       |  octet_length(encode(substr(text, CAST(frame_no * $frameBytes + 1 AS INT), $frameBytes))) AS byte_len,
+       |  md5(substr(text, CAST(frame_no * $frameBytes + 1 AS INT), $frameBytes)) AS checksum
+       |FROM f WHERE frame_no % $stride = 0""".stripMargin
+
   /** DECODE STUB — deterministic fake standing in for a real codec
     * (none is installed in this container). Real deployments replace the
     * body with the actual decoder call; the batched per-partition

@@ -67,10 +67,16 @@ object PipelinePack extends QueryPack {
       Dedup.curationPipeline(Tables.documents(s, dir), DedupJaccard)
         .orderBy("lang")),
 
+    "x17_minhash_signatures" -> ((s, dir) =>
+      Dedup.minHashSignatures(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // --- multimodal ------------------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
       MultimodalOps.mediaMeta(MultimodalOps.assets(Tables.documents(s, dir)))
         .orderBy("asset_id")),
+    "m2_frame_sample" -> ((s, dir) =>
+      MultimodalOps.frameSummary(MultimodalOps.assets(Tables.documents(s, dir)))
+        .orderBy("asset_id", "frame_no")),
   )
 
   def oracle: Map[String, String] = Map(
@@ -107,5 +113,9 @@ object PipelinePack extends QueryPack {
     "x16_curation_pipeline" ->
       (Dedup.curationPipelineSql(DedupJaccard) + "\nORDER BY lang"),
     "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),
+    "m2_frame_sample" ->
+      (MultimodalOps.frameSummarySql() + "\nORDER BY asset_id, frame_no"),
+    "x17_minhash_signatures" ->
+      (Dedup.minHashSignaturesSql + "\nORDER BY doc_id"),
   )
 }
