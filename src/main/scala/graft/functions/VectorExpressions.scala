@@ -122,7 +122,7 @@ object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
-  private val registry: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+  private[functions] val entries: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
@@ -133,7 +133,7 @@ object VectorFunctions {
   /** Idempotent in-session registration — makes `graft_dot`/`graft_cosine`
     * callable from SQL text without rebuilding the session. */
   def register(spark: SparkSession): Unit =
-    registry.foreach { case (name, info, builder) =>
+    entries.foreach { case (name, _, builder) =>
       spark.sessionState.functionRegistry
         .createOrReplaceTempFunction(name, builder, "scala_udf")
     }
@@ -144,12 +144,11 @@ object VectorFunctions {
   * native functions into every session built with the extension. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (es: Seq[Expression]) => DotProduct(es(0), es(1))))
-    ext.injectFunction((FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+    // single source of truth: the same registry the in-session
+    // VectorFunctions.register path uses
+    VectorFunctions.entries.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
     ext.injectOptimizerRule(_ => graft.plans.NanoWatermarkPushdown)
   }
 }

@@ -190,6 +190,15 @@ object IndexerOps {
       .select(Idx, Id, Document, IsDeleted)
       .unionByName(latest.where(!col(IsDeleted)).select(Idx, Id, Document, IsDeleted))
 
+  /** Empty envelope-shaped relation (the "no current state" input of a
+    * first CDC merge) — single definition for every call site. */
+  def emptyEnvelope(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.emptyDataFrame
+      .withColumn(Idx, lit(null).cast("string"))
+      .withColumn(Id, lit(null).cast("string"))
+      .withColumn(Document, lit(null).cast("string"))
+      .withColumn(IsDeleted, lit(false))
+
   // --- Generic catalog builders (feed J3/J4 from the envelope) -----------
 
   /** Physical "timestamped index" catalog derived from data: one name per

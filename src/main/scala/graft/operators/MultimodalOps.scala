@@ -65,6 +65,9 @@ object MultimodalOps {
   def sampleFrames(assetsDf: DataFrame, frameBytes: Int = 256, stride: Int = 2): DataFrame = {
     val nFrames = (floor((octet_length(col("media")) - 1) / frameBytes) + 1).cast("int")
     assetsDf
+      // zero-byte media has no frames; without this guard
+      // sequence(0, -1) yields the DESCENDING [0, -1] — a phantom frame
+      .where(octet_length(col("media")) > 0)
       .select(col("asset_id"), col("media"),
         explode(sequence(lit(0), nFrames - 1)).as("frame_no"))
       .where(col("frame_no") % stride === 0)
@@ -90,6 +93,7 @@ object MultimodalOps {
        |    unnest(range(0, CAST(floor((octet_length(encode(text)) - 1) / $frameBytes) + 1 AS BIGINT))) AS frame_no,
        |    text
        |  FROM documents
+       |  WHERE octet_length(encode(text)) > 0
        |)
        |SELECT asset_id, CAST(frame_no AS INT) AS frame_no,
        |  frame_no * $frameBytes AS offset,

@@ -33,7 +33,8 @@ object NanoWatermarkPushdown extends Rule[LogicalPlan] {
 
   /** micros → nanos lower bound, None on overflow. */
   private def nanosLowerBound(micros: Long): Option[Long] =
-    if (micros > (Long.MaxValue - 999L) / 1000L || micros < Long.MinValue / 1000L) None
+    // <=: micros == MinValue/1000 still underflows after the −999
+    if (micros > (Long.MaxValue - 999L) / 1000L || micros <= Long.MinValue / 1000L) None
     else Some(micros * 1000L - 999L)
 
   /** Matches `timestamp_micros(attr div 1000)` over a long column. */

@@ -55,10 +55,15 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
   def syncAvailable(spark: SparkSession, sourceDir: String,
       indexes: Seq[String], timestamp: String,
       maxFilesPerTrigger: Int = 1, lateness: String = "1 hour"): Long = {
-    val wm = watermarks.loadOrEpoch()
+    // watermarks are PER INDEX (a single global mark would let a partial
+    // sync silently skip other indexes' changes — ADVICE r1); the stream
+    // pre-filters at the MINIMUM selected watermark (safe for all), and
+    // each index applies its own exact mark per micro-batch.
+    val wms = indexes.map(i => i -> watermarks.loadOrEpoch(i)).toMap
+    val wmMin = wms.values.min
     val env = envelopeStream(spark, sourceDir, maxFilesPerTrigger)
       .where(col(Idx).isin(indexes: _*) &&
-        col(UpdatedAt) >= lit(wm).cast("timestamp"))
+        col(UpdatedAt) >= lit(wmMin).cast("timestamp"))
       .withWatermark(UpdatedAt, lateness)
 
     var batches = 0L
@@ -67,13 +72,13 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
         s"${store.root}/_checkpoints/cdc_$timestamp")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyMicroBatch(batch, indexes, s"${timestamp}_b$batchId")
+        applyMicroBatch(batch, indexes, wms, s"${timestamp}_b$batchId")
         batches += 1
         ()
       }
       .start()
     query.awaitTermination()
-    saveWatermark(spark, sourceDir)
+    saveWatermarks(spark, sourceDir, indexes)
     batches
   }
 
@@ -81,12 +86,13 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
     * merge over current state, staged + atomically published (same
     * semantics as SyncPipeline's incremental branch). */
   private[streaming] def applyMicroBatch(batch: DataFrame, indexes: Seq[String],
-      stagingSuffix: String): Unit = {
+      wms: Map[String, String], stagingSuffix: String): Unit = {
     batch.persist()
     try {
       val present = batch.select(Idx).distinct().collect().map(_.getString(0)).toSet
       indexes.filter(present).foreach { idx =>
-        val b = batch.where(col(Idx) === idx)
+        val b = batch.where(col(Idx) === idx &&
+          col(UpdatedAt) >= lit(wms(idx)).cast("timestamp"))
         bucketed match {
           case Some(n) =>
             val physical = store.aliases().getOrElse(idx,
@@ -94,7 +100,8 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
             // unobserved: Observation metrics never fire inside foreachBatch
             graft.sync.InPlaceMerge.applyUnobserved(store, physical, b, n)
           case None =>
-            val cur = store.read(idx).getOrElse(emptyEnvelope(batch.sparkSession))
+            val cur = store.read(idx).getOrElse(
+              IndexerOps.emptyEnvelope(batch.sparkSession))
             val staged = s"${idx}_$stagingSuffix"
             store.writePhysical(staged, IndexerOps.cdcMerge(cur, b))
             store.swapAlias(idx, staged)
@@ -103,20 +110,19 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
     } finally batch.unpersist()
   }
 
-  private def emptyEnvelope(spark: SparkSession): DataFrame =
-    spark.emptyDataFrame
-      .withColumn(Idx, lit(null).cast("string"))
-      .withColumn(Id, lit(null).cast("string"))
-      .withColumn(Document, lit(null).cast("string"))
-      .withColumn(IsDeleted, lit(false))
-
-  /** Persist the post-run watermark from the source's max event time
-    * (+1 µs so the inclusive `>=` rescan skips the boundary row). */
-  private def saveWatermark(spark: SparkSession, sourceDir: String): Unit = {
-    val row = Tables.envelope(Tables.normalizeTs(spark.read.parquet(sourceDir)))
+  /** Persist post-run watermarks PER SYNCED INDEX from each index's own
+    * max event time (+1 µs so the inclusive `>=` rescan skips the
+    * boundary row). Unselected indexes keep their marks — no silent
+    * skips. */
+  private def saveWatermarks(spark: SparkSession, sourceDir: String,
+      indexes: Seq[String]): Unit = {
+    Tables.envelope(Tables.normalizeTs(spark.read.parquet(sourceDir)))
+      .where(col(Idx).isin(indexes: _*))
+      .groupBy(Idx)
       .agg(date_format(max(col(UpdatedAt)) + expr("INTERVAL 1 MICROSECOND"),
-        "yyyy-MM-dd HH:mm:ss.SSSSSS")).collect()(0)
-    if (!row.isNullAt(0)) watermarks.save(row.getString(0))
+        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("hwm"))
+      .collect()
+      .foreach(r => if (!r.isNullAt(1)) watermarks.save(r.getString(0), r.getString(1)))
   }
 }
 

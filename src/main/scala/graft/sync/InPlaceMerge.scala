@@ -42,7 +42,7 @@ object InPlaceMerge {
       else Some(store.readPhysical(physical)
         .where(col(store.BucketKey).isin(affected: _*)) // partition pruning
         .select(Idx, Id, Document, IsDeleted))
-    val current = cur.getOrElse(emptyEnvelope(batch))
+    val current = cur.getOrElse(IndexerOps.emptyEnvelope(batch.sparkSession))
     val merged = obs match {
       case Some(o) => IndexerOps.cdcMergeObserved(current, batch, o)
       case None => IndexerOps.cdcMerge(current, batch)
@@ -53,12 +53,4 @@ object InPlaceMerge {
       affected)
   }
 
-  private[sync] def emptyEnvelope(like: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    like.sparkSession.emptyDataFrame
-      .withColumn(Idx, lit(null).cast("string"))
-      .withColumn(Id, lit(null).cast("string"))
-      .withColumn(Document, lit(null).cast("string"))
-      .withColumn(IsDeleted, lit(false))
-  }
 }

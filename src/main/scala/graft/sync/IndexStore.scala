@@ -127,14 +127,17 @@ class IndexStore(val spark: SparkSession, val root: String) {
   /** Replace ONLY the listed bucket partitions with `df`'s content
     * (`df` must carry [[BucketKey]]); all other partitions' files are
     * untouched — the reference's in-place bulk upsert, at partition
-    * granularity. The new content is staged in ONE write job, then each
-    * affected partition dir is swapped by rename (per-bucket atomic;
-    * a bucket emptied by tombstones simply has no staged dir and its
-    * old partition is dropped). A crash mid-swap leaves per-bucket
-    * old/new mix with NO loss; re-running the same merge converges —
-    * the id-keyed merge is idempotent. */
+    * granularity. Swap protocol, per bucket: old partition dir is moved
+    * ASIDE (never deleted first), the staged replacement is moved in,
+    * then the backup is dropped — the bucket's data exists in either
+    * the live dir or its `_bak_` dir at every instant, so a crash
+    * anywhere loses nothing; [[recoverBuckets]] restores any stranded
+    * backup whose swap never completed. A bucket emptied by tombstones
+    * has no staged dir and its old partition is (intentionally)
+    * dropped after the others swap. */
   def replaceBuckets(name: String, df: DataFrame, affected: Seq[Long]): Unit = {
-    val stage = s"_merge_${name.replace('/', '_')}_${System.nanoTime()}"
+    val tag = System.nanoTime()
+    val stage = s"_merge_${name.replace('/', '_')}_$tag"
     df.write.mode(SaveMode.Overwrite)
       .partitionBy(BucketKey)
       .parquet(rootPath.resolve(stage).toString)
@@ -142,11 +145,44 @@ class IndexStore(val spark: SparkSession, val root: String) {
       affected.foreach { b =>
         val src = rootPath.resolve(stage).resolve(s"$BucketKey=$b")
         val target = rootPath.resolve(name).resolve(s"$BucketKey=$b")
-        deletePhysical(s"$name/$BucketKey=$b")
-        if (Files.isDirectory(src))
+        val backup = rootPath.resolve(s"_bak_${tag}_${name.replace('/', '_')}_$b")
+        if (Files.isDirectory(src)) {
+          if (Files.isDirectory(target))
+            Files.move(target, backup, StandardCopyOption.ATOMIC_MOVE)
           Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+          deletePhysical(backup.getFileName.toString)
+        } else {
+          // bucket emptied by tombstones: drop its old partition
+          deletePhysical(s"$name/$BucketKey=$b")
+        }
       }
     } finally dropStage(stage)
+  }
+
+  /** Restore bucket backups stranded by a crash mid-[[replaceBuckets]]:
+    * a `_bak_<tag>_<index>_<bucket>` dir whose live partition is missing
+    * is moved back; one whose live partition exists means the swap
+    * completed and the backup is droppable. Call at startup. */
+  def recoverBuckets(): Seq[String] = synchronized {
+    val Bak = "^_bak_\\d+_(.+)_(\\d+)$".r
+    Using.resource(Files.list(rootPath)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .flatMap { p =>
+          p.getFileName.toString match {
+            case n @ Bak(idx, bucket) =>
+              val target = rootPath.resolve(idx).resolve(s"$BucketKey=$bucket")
+              if (!Files.isDirectory(target) && Files.isDirectory(rootPath.resolve(idx))) {
+                Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+                Some(s"restored $n")
+              } else {
+                deletePhysical(n)
+                Some(s"dropped $n")
+              }
+            case _ => None
+          }
+        }.toList
+    }
   }
 
   val BucketKey = "_id_bucket"

@@ -105,8 +105,9 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
           val staged = s"${idx}_$timestamp"
           if (!store.promoteStaged(stage, idx, staged)) {
             // zero live rows for this index: stage holds no slice — write
-            // an empty (schema-bearing) physical index instead.
-            store.writePhysical(staged, IndexerOps.fullSyncScan(env, Seq(idx)))
+            // an empty (schema-bearing) physical index instead (under the
+            // same retry policy as every other store write).
+            writeStaged(staged, IndexerOps.fullSyncScan(env, Seq(idx)))
           }
           store.swapAlias(idx, staged)
           IndexSyncReport(idx, staged, "full", upserts = store.count(idx), deletes = 0L)
@@ -151,7 +152,14 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
               try job(idx) finally sc.setLocalProperty("spark.scheduler.pool", null)
             }
           }
-          Await.result(Future.sequence(fs), Duration.Inf)
+          // settle ALL siblings before surfacing any failure: a caller's
+          // rollback must never delete dirs out from under a still-
+          // running publish (lifted futures never fail Future.sequence)
+          val settled = Await.result(
+            Future.sequence(fs.map(_.transform(scala.util.Success(_)))),
+            Duration.Inf)
+          settled.collectFirst { case scala.util.Failure(e) => throw e }
+          settled.map(_.get)
         } finally pool.shutdown()
       }
     head ++ tail
@@ -222,12 +230,7 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     * Spark actions; the metrics materialize with the staged write. */
   private[sync] def applyBatch(current: Option[DataFrame], batch: DataFrame)
       : (DataFrame, Observation) = {
-    val cur = current.getOrElse(
-      batch.sparkSession.emptyDataFrame
-        .withColumn(Idx, lit(null).cast("string"))
-        .withColumn(Id, lit(null).cast("string"))
-        .withColumn(Document, lit(null).cast("string"))
-        .withColumn(IsDeleted, lit(false)))
+    val cur = current.getOrElse(IndexerOps.emptyEnvelope(batch.sparkSession))
     val obs = new Observation(s"graft_batch_${System.nanoTime()}")
     (IndexerOps.cdcMergeObserved(cur, batch, obs), obs)
   }

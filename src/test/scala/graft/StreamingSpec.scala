@@ -91,6 +91,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(store.count("click") === countAfterFirst)
   }
 
+  test("streaming partial sync never advances other indexes' watermarks (no silent skips)") {
+    val source = tmp("stream-src7")
+    writeTimeSlicedSource(source, 2)
+    val root = tmp("stream-store7").toString
+    val store = new IndexStore(spark, root)
+    val wms = new WatermarkStore(root)
+    val cdc = new StreamingCdc(store, wms)
+    // stream ONLY 'click'; 'view' rows exist in the same source
+    cdc.syncAvailable(spark, source.toString, Seq("click"), "t1")
+    assert(wms.loadOrEpoch("view") === wms.Epoch,
+      "a partial streaming sync must not advance view's watermark")
+    // 'view' can still catch up completely afterwards
+    cdc.syncAvailable(spark, source.toString, Seq("view"), "t2")
+    val env = Tables.envelope(Tables.normalizeTs(spark.read.parquet(source.toString)))
+    val expect = env.where(col(Idx) === "view" && !col(IsDeleted))
+      .select(Id).distinct().count()
+    assert(store.count("view") === expect, "view's earlier changes were skipped")
+  }
+
   test("bucketed streaming CDC merges in place and matches the blue/green end state") {
     val source = tmp("stream-src6")
     writeTimeSlicedSource(source, 3)

@@ -373,6 +373,26 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(store.count(idx) === 0, s"tombstoned doc $id must vanish from $idx")
   }
 
+  test("recoverBuckets restores a backup stranded mid-swap; data never lost") {
+    val (store, _, pipe, _) = freshPipeline()
+    pipe.fullSyncBucketed(env, Some(Seq("click")), timestamp = "t1", buckets = 4)
+    val phys = store.aliases()("click")
+    val before = store.count("click")
+    // simulate a crash between backup-aside and move-in: bucket 0's live
+    // dir was moved to a _bak_ dir and the staged copy never arrived
+    val live = java.nio.file.Paths.get(store.root, phys, s"${store.BucketKey}=0")
+    val bak = java.nio.file.Paths.get(store.root, s"_bak_123_${phys}_0")
+    java.nio.file.Files.move(live, bak)
+    assert(store.count("click") < before, "precondition: bucket missing")
+    val actions = store.recoverBuckets()
+    assert(actions.exists(_.startsWith("restored")), actions.toString)
+    assert(store.count("click") === before, "recovery must restore the bucket")
+    // a backup whose swap COMPLETED (live dir present) is dropped
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(store.root, s"_bak_456_${phys}_1"))
+    assert(store.recoverBuckets().exists(_.startsWith("dropped")))
+  }
+
   test("in-place merge read prunes to affected bucket partitions") {
     val (store, _, pipe, _) = freshPipeline()
     pipe.fullSyncBucketed(env, Some(Seq("view")), timestamp = "t1", buckets = 16)
