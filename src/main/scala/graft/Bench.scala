@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session setup the extensions class provides in production
+    graft.plans.NanoWatermarkPushdown.install(spark)
+    graft.functions.VectorFunctions.register(spark)
     // JVM/codegen/IO warmup outside the timed loop: one trivial action
     // plus one real scan, so the first measured query doesn't absorb
     // session start-up cost.

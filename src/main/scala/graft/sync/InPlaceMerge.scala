@@ -22,9 +22,24 @@ object InPlaceMerge {
     val obs = new Observation(s"graft_inplace_${System.nanoTime()}")
     run(store, physical, batch, buckets, Some(obs))
     val m = obs.get
-    val nIds = m("batch_ids").asInstanceOf[Long]
-    val nDels = m("batch_deletes").asInstanceOf[Long]
-    (nIds - nDels, nDels)
+    if (m.contains("batch_ids")) {
+      val nIds = m("batch_ids").asInstanceOf[Long]
+      val nDels = m("batch_deletes").asInstanceOf[Long]
+      (nIds - nDels, nDels)
+    } else {
+      // AQE empty-relation propagation can prune the observed subtree
+      // when the merged output is empty (e.g. every doc tombstoned) —
+      // fall back to one explicit tally aggregate over the batch
+      import org.apache.spark.sql.functions.{count, lit, max_by, struct, sum, when}
+      val r = batch.groupBy(Id)
+        .agg(max_by(struct(col(IsDeleted)), col(UpdatedAt)).as("s"))
+        .agg(count(lit(1)).as("ids"),
+          sum(when(col("s.is_deleted"), 1L).otherwise(0L)).as("dels"))
+        .collect()(0)
+      val nIds = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val nDels = if (r.isNullAt(1)) 0L else r.getLong(1)
+      (nIds - nDels, nDels)
+    }
   }
 
   /** Streaming-context merge: same plan, no observation. */
@@ -47,8 +62,14 @@ object InPlaceMerge {
       case Some(o) => IndexerOps.cdcMergeObserved(current, batch, o)
       case None => IndexerOps.cdcMerge(current, batch)
     }
+    // repartition by bucket: ONE file per rewritten bucket partition
+    // (otherwise every shuffle task holding rows of a bucket writes its
+    // own small file — ~32 files per bucket per merge); the extra
+    // shuffle moves only the merged delta, and id-sorted rows keep
+    // parquet min/max stats tight.
     store.replaceBuckets(physical,
       merged.withColumn(store.BucketKey, store.bucketExpr(Id, buckets))
+        .repartition(col(store.BucketKey))
         .sortWithinPartitions(Id),
       affected)
   }
