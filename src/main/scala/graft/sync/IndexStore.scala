@@ -23,6 +23,7 @@ class IndexStore(val spark: SparkSession, val root: String) {
   private val rootPath: Path = Paths.get(root)
   private val manifestPath: Path = rootPath.resolve("_aliases.json")
   Files.createDirectories(rootPath)
+  recoverBuckets() // restore any bucket swap a previous run crashed in
 
   // --- catalog reads (S6) -------------------------------------------------
 
