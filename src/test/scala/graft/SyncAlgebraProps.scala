@@ -90,6 +90,26 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
       }
     }
 
+  property("in-place bucketed merge over any batch split equals one-shot merge") =
+    Prop.forAll(genRows, Gen.choose(1, 39), Gen.oneOf(2, 4, 8)) { (rows, cutRaw, buckets) =>
+      rows.isEmpty || {
+        import graft.sync.{IndexStore, InPlaceMerge}
+        val cut = math.min(cutRaw, math.max(rows.length - 1, 0))
+        val (first, second) = rows.splitAt(cut)
+        val root = java.nio.file.Files.createTempDirectory("prop-inplace").toString
+        val store = new IndexStore(spark, root)
+        // bootstrap empty bucketed index, then apply both slices in place
+        store.writePhysicalBucketed("idx_p", df(rows).limit(0)
+          .select(Idx, Id, Document, IsDeleted), Id, buckets)
+        Seq(first, second).filter(_.nonEmpty).foreach { slice =>
+          InPlaceMerge(store, "idx_p", df(slice), buckets)
+        }
+        val got = state(store.readPhysical("idx_p").select(Idx, Id, Document))
+        val want = state(IndexerOps.cdcMerge(empty, df(rows)))
+        got == want
+      }
+    }
+
   property("exact dedup keeps one survivor per content key, the min doc_id") =
     Prop.forAll(Gen.listOfN(30, for {
       id <- Gen.choose(0L, 200L)
