@@ -49,9 +49,18 @@ object NanoWatermarkPushdown extends Rule[LogicalPlan] {
     }
   }
 
+  /** Top-level conjuncts only: recurse through And, never into Or /
+    * CaseWhen / Not — a watermark comparison inside a disjunct does NOT
+    * imply the bound for the whole filter (`p OR ts >= W` admits rows
+    * that satisfy only `p`), so harvesting it would silently drop rows. */
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val implied = cond.collect {
+      val implied = conjuncts(cond).collect {
         case GreaterThanOrEqual(DerivedMicros(attr), Literal(w: Long, TimestampType)) =>
           nanosLowerBound(w).map(lb => GreaterThanOrEqual(attr, Literal(lb, LongType)))
         case LessThanOrEqual(Literal(w: Long, TimestampType), DerivedMicros(attr)) =>

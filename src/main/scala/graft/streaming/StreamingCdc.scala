@@ -67,29 +67,61 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
       .withWatermark(UpdatedAt, lateness)
 
     var batches = 0L
+    val hwms = scala.collection.concurrent.TrieMap.empty[String, String]
     val query: StreamingQuery = env.writeStream
       .option("checkpointLocation",
         s"${store.root}/_checkpoints/cdc_$timestamp")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyMicroBatch(batch, indexes, wms, s"${timestamp}_b$batchId")
+        applyMicroBatch(batch, indexes, wms, s"${timestamp}_b$batchId", hwms)
         batches += 1
-        ()
+        onBatchProcessed(batchId)
       }
       .start()
     query.awaitTermination()
-    saveWatermarks(spark, sourceDir, indexes)
+    // Persist per-index marks accumulated from PROCESSED micro-batches
+    // only. Re-reading the source dir here instead would also see files
+    // that landed AFTER the stream's offset snapshot — advancing the
+    // watermark past data never merged, and the next run's `>=` filter
+    // would skip it forever (ADVICE r2). Marks only move forward; indexes
+    // absent from every batch keep theirs.
+    hwms.foreach { case (idx, hwm) =>
+      if (hwm > wms.getOrElse(idx, "")) watermarks.save(idx, hwm)
+    }
     batches
   }
+
+  /** Test seam: invoked after each committed micro-batch (lets specs
+    * simulate files landing while the stream is mid-run). */
+  protected def onBatchProcessed(batchId: Long): Unit = ()
 
   /** One micro-batch: per index present in the batch, latest-per-id CDC
     * merge over current state, staged + atomically published (same
     * semantics as SyncPipeline's incremental branch). */
   private[streaming] def applyMicroBatch(batch: DataFrame, indexes: Seq[String],
-      wms: Map[String, String], stagingSuffix: String): Unit = {
+      wms: Map[String, String], stagingSuffix: String,
+      hwms: scala.collection.concurrent.TrieMap[String, String] =
+        scala.collection.concurrent.TrieMap.empty): Unit = {
     batch.persist()
     try {
-      val present = batch.select(Idx).distinct().collect().map(_.getString(0)).toSet
+      // one job yields both the present-index set and each index's max
+      // processed event time (+1 µs: the inclusive `>=` rescan skips the
+      // boundary row). The fixed-width format makes string max == time max.
+      val stats = batch.groupBy(Idx)
+        .agg(date_format(max(col(UpdatedAt)) + expr("INTERVAL 1 MICROSECOND"),
+          "yyyy-MM-dd HH:mm:ss.SSSSSS").as("hwm"))
+        .collect()
+      stats.foreach { r =>
+        if (!r.isNullAt(1)) {
+          val idx = r.getString(0)
+          val hwm = r.getString(1)
+          hwms.updateWith(idx) {
+            case Some(prev) if prev >= hwm => Some(prev)
+            case _ => Some(hwm)
+          }
+        }
+      }
+      val present = stats.map(_.getString(0)).toSet
       indexes.filter(present).foreach { idx =>
         val b = batch.where(col(Idx) === idx &&
           col(UpdatedAt) >= lit(wms(idx)).cast("timestamp"))
@@ -110,20 +142,6 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
     } finally batch.unpersist()
   }
 
-  /** Persist post-run watermarks PER SYNCED INDEX from each index's own
-    * max event time (+1 µs so the inclusive `>=` rescan skips the
-    * boundary row). Unselected indexes keep their marks — no silent
-    * skips. */
-  private def saveWatermarks(spark: SparkSession, sourceDir: String,
-      indexes: Seq[String]): Unit = {
-    Tables.envelope(Tables.normalizeTs(spark.read.parquet(sourceDir)))
-      .where(col(Idx).isin(indexes: _*))
-      .groupBy(Idx)
-      .agg(date_format(max(col(UpdatedAt)) + expr("INTERVAL 1 MICROSECOND"),
-        "yyyy-MM-dd HH:mm:ss.SSSSSS").as("hwm"))
-      .collect()
-      .foreach(r => if (!r.isNullAt(1)) watermarks.save(r.getString(0), r.getString(1)))
-  }
 }
 
 /** Streaming analytics: watermarked windowed aggregation (the

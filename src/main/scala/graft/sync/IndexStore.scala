@@ -24,6 +24,7 @@ class IndexStore(val spark: SparkSession, val root: String) {
   private val manifestPath: Path = rootPath.resolve("_aliases.json")
   Files.createDirectories(rootPath)
   recoverBuckets() // restore any bucket swap a previous run crashed in
+  cleanupStaleStages() // reclaim stage dirs stranded by a hard crash
 
   // --- catalog reads (S6) -------------------------------------------------
 
@@ -157,6 +158,16 @@ class IndexStore(val spark: SparkSession, val root: String) {
           deletePhysical(s"$name/$BucketKey=$b")
         }
       }
+    } catch {
+      case e: Throwable =>
+        // a non-crash failure mid-loop must not leave a sidelined bucket
+        // in its _bak_ dir until some future bootstrap: restore it NOW,
+        // or this process keeps serving the index missing a bucket.
+        // recoverBuckets is idempotent + synchronized. (replaceBuckets
+        // itself is never invoked concurrently on one store — merges are
+        // sequential per stream/pipeline.)
+        try recoverBuckets() catch { case r: Throwable => e.addSuppressed(r) }
+        throw e
     } finally dropStage(stage)
   }
 
@@ -184,6 +195,23 @@ class IndexStore(val spark: SparkSession, val root: String) {
           }
         }.toList
     }
+  }
+
+  /** Reclaim `_merge_*` / `_stage_*` dirs stranded by a hard crash. At
+    * store bootstrap no writer of this root is in flight, so any such dir
+    * is garbage by construction: swaps/promotes move data OUT of a stage,
+    * never reference it afterwards. `_checkpoints` (streaming offsets) and
+    * `_bak_*` (recoverBuckets' jurisdiction) are kept. Returns dropped. */
+  def cleanupStaleStages(): Seq[String] = synchronized {
+    val stale = Using.resource(Files.list(rootPath)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("_merge_") || n.startsWith("_stage_"))
+        .toList
+    }
+    stale.foreach(deletePhysical)
+    stale.sorted
   }
 
   val BucketKey = "_id_bucket"

@@ -36,6 +36,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("GreaterThanOrEqual(ts"), s"watermark not pushed:\n$plan")
   }
 
+  test("watermark pushdown never harvests a bound from inside an OR disjunct") {
+    import org.apache.spark.sql.functions._
+    val w = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val env = Tables.envelope(spark, psf)
+    val orFiltered = env.filter(
+      col(Tables.Idx) === "click" || col(Tables.UpdatedAt) >= lit(w))
+    // the implied raw-ts bound must NOT reach the scan: `click OR ts>=W`
+    // admits clicks from before W
+    val plan = formatted(orFiltered)
+    assert(!plan.contains("GreaterThanOrEqual(ts"),
+      s"OR-branch watermark wrongly pushed:\n$plan")
+    // correctness oracle: disjunction == clicks + non-click rows after W
+    val clicks = env.filter(col(Tables.Idx) === "click").count()
+    val clicksBeforeW =
+      env.filter(col(Tables.Idx) === "click" && col(Tables.UpdatedAt) < lit(w)).count()
+    assert(clicksBeforeW > 0, "fixture has no pre-watermark clicks; test is vacuous")
+    val otherAfterW =
+      env.filter(col(Tables.Idx) =!= "click" && col(Tables.UpdatedAt) >= lit(w)).count()
+    assert(orFiltered.count() === clicks + otherAfterW)
+  }
+
   test("column pruning: a two-column projection reads only those columns") {
     val df = Tables.lineitem(spark, psf).select("l_orderkey", "l_quantity")
     val plan = formatted(df)

@@ -110,6 +110,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(store.count("view") === expect, "view's earlier changes were skipped")
   }
 
+  test("a file landing mid-run never advances the watermark past unprocessed data") {
+    val source = tmp("stream-src8")
+    writeTimeSlicedSource(source, 3)
+    // sideline the NEWEST slice; it will "land" while the stream runs
+    val late = tmp("stream-late").resolve("slice_002.parquet")
+    Files.move(source.resolve("slice_002.parquet"), late)
+
+    val root = tmp("stream-store8").toString
+    val store = new IndexStore(spark, root)
+    val wms = new WatermarkStore(root)
+    @volatile var injected = false
+    val cdc = new StreamingCdc(store, wms) {
+      override protected def onBatchProcessed(batchId: Long): Unit =
+        if (!injected) {
+          // AvailableNow latched its end offset at start: this file is
+          // visible in the dir but NOT processed by the running query
+          Files.copy(late, source.resolve("slice_002.parquet"))
+          injected = true
+        }
+    }
+    cdc.syncAvailable(spark, source.toString, Seq("click"), "t1")
+    assert(injected, "late file was never injected; test is vacuous")
+
+    // the watermark must reflect only PROCESSED slices (0,1), never the
+    // late file's newer events
+    val lateMin = Tables.envelope(Tables.normalizeTs(spark.read.parquet(late.toString)))
+      .where(col(Idx) === "click")
+      .agg(date_format(min(col(UpdatedAt)), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .collect()(0).getString(0)
+    assert(lateMin != null, "late slice has no click rows; test is vacuous")
+    assert(wms.loadOrEpoch("click") <= lateMin,
+      s"watermark ${wms.loadOrEpoch("click")} advanced past unprocessed data at $lateMin")
+
+    // a catch-up run must merge the late file completely — no silent loss
+    cdc.syncAvailable(spark, source.toString, Seq("click"), "t2")
+    val want = Tables.envelope(Tables.normalizeTs(spark.read.parquet(source.toString)))
+      .where(col(Idx) === "click" && !col(IsDeleted))
+      .select(Id).distinct().count()
+    assert(store.count("click") === want, "late-landing rows were skipped")
+  }
+
   test("bucketed streaming CDC merges in place and matches the blue/green end state") {
     val source = tmp("stream-src6")
     writeTimeSlicedSource(source, 3)

@@ -7,6 +7,7 @@ import graft.sync.{IndexStore, RetryPolicy, SyncPipeline, WatermarkStore}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
 
@@ -391,6 +392,56 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get(store.root, s"_bak_456_${phys}_1"))
     assert(store.recoverBuckets().exists(_.startsWith("dropped")))
+  }
+
+  test("replaceBuckets recovers sidelined buckets in-process when a swap step fails") {
+    val dir = Files.createTempDirectory("graft-sync").toString
+    // store whose FIRST backup-drop throws: the failure lands after a
+    // bucket swap completed, with its _bak_ dir still on disk
+    var poisoned = true
+    val store = new IndexStore(spark, dir) {
+      override def deletePhysical(name: String): Unit = {
+        if (poisoned && name.startsWith("_bak_")) {
+          poisoned = false; sys.error("fs outage dropping backup")
+        }
+        super.deletePhysical(name)
+      }
+    }
+    val wms = new WatermarkStore(dir)
+    val pipe = new SyncPipeline(store, wms)
+    val cutoff = "2024-01-15 00:00:00"
+    pipe.fullSyncBucketed(env.where(col(UpdatedAt) < lit(cutoff).cast("timestamp")),
+      Some(Seq("click")), timestamp = "t1", buckets = 4)
+    intercept[Exception] {
+      pipe.incrementalSyncInPlace(env, Some(Seq("click")), buckets = 4)
+    }
+    // the catch-path recoverBuckets ran: no sidelined bucket remains, so
+    // THIS process serves a complete (if mid-merge) index immediately
+    assert(!store.physicalIndexes().exists(_.startsWith("_bak_")))
+    val bakDirs = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("_bak_")).toList
+    assert(bakDirs.isEmpty, s"stranded backups after in-process recovery: $bakDirs")
+    // a retry converges to the exact expected end state (idempotent merge)
+    pipe.incrementalSyncInPlace(env, Some(Seq("click")), buckets = 4)
+    val want = env.where(col(Idx) === "click" && !col(IsDeleted))
+      .select(Id).distinct().count()
+    assert(store.count("click") === want)
+  }
+
+  test("store bootstrap reclaims stranded _merge_/_stage_ dirs, keeps checkpoints") {
+    val dir = Files.createTempDirectory("graft-sync").toString
+    for (stale <- Seq("_merge_click_123", "_stage_t9", "_checkpoints")) {
+      Files.createDirectories(java.nio.file.Paths.get(dir, stale))
+      Files.writeString(java.nio.file.Paths.get(dir, stale, "junk"), "x")
+    }
+    val store = new IndexStore(spark, dir)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_merge_click_123")),
+      "stale merge stage must be reclaimed at bootstrap")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_stage_t9")),
+      "stale full-sync stage must be reclaimed at bootstrap")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_checkpoints", "junk")),
+      "streaming checkpoints must survive bootstrap cleanup")
+    assert(store.cleanupStaleStages().isEmpty)
   }
 
   test("in-place merge read prunes to affected bucket partitions") {
