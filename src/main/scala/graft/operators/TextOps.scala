@@ -168,9 +168,21 @@ object TextOps {
     val toks = tokens(col("text"))
     val n = size(toks)
     val meanLen = (length(col("text")) - (n - 1)).cast("double") / n.cast("double")
-    // most frequent token's share: max over distinct tokens of its count
-    val topCount = array_max(transform(array_distinct(toks),
-      t => size(filter(toks, x => x === t))))
+    // most frequent token's count = longest equal run of the SORTED token
+    // array: one sort + one left fold, O(n log n) per row, vs. the naive
+    // max-over-distinct-of-count form which is O(distinct × n) — ~10⁸
+    // comparisons for a 10k-word doc. Still a pure per-row expression:
+    // the filter stays a map-only scan at any corpus size.
+    val topCount = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + lit(1))
+          .otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val topFrac = topCount.cast("double") / n.cast("double")
     val keep = n.between(minWords, maxWords) &&
       meanLen >= minMeanLen && meanLen <= maxMeanLen &&

@@ -105,4 +105,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(!plan.contains("Exchange"), s"per-row analysis shuffles:\n$plan")
     }
   }
+
+  test("quality filter is map-only: no shuffle, no window, for any doc size") {
+    import graft.operators.TextOps
+    val plan = formatted(TextOps.qualityFilter(Tables.documents(spark, sf)))
+    assert(!plan.contains("Exchange"), s"quality filter shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"quality filter uses a window:\n$plan")
+  }
+
+  test("IVF cell assignment never windows or shuffles the corpus") {
+    val plan = formatted(VectorOps.ivfCells(Tables.embeddings(spark, sf)))
+    assert(!plan.contains("Window"), s"argmax via window shuffles the corpus:\n$plan")
+    // the only exchanges allowed are the centroid collapse (single
+    // partition over ≤NumCentroids rows) and its broadcast — never a
+    // hash repartition of the corpus side
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles == 0, s"corpus-side hash shuffle in IVF assignment:\n$plan")
+  }
 }
