@@ -13,12 +13,19 @@ object Bench {
     // session setup the extensions class provides in production
     graft.plans.NanoWatermarkPushdown.install(spark)
     graft.functions.VectorFunctions.register(spark)
-    // JVM/codegen/IO warmup outside the timed loop: one trivial action
-    // plus one real scan, so the first measured query doesn't absorb
-    // session start-up cost.
+    // JVM/codegen/IO warmup outside the timed loop: one full untimed pass
+    // over EVERY query. A single warmup query is not enough — whole-stage
+    // codegen compiles per plan shape and C2 compiles the interpreter hot
+    // paths over seconds of wall time, so whichever timed query first
+    // touched a path (timestamp aggs, JSON parse, window) absorbed that
+    // compilation in both its back-to-back runs (measured: tw1 2.7 s
+    // cold-path vs 0.22 s steady-state at sf0.1). Steady-state latency is
+    // the quantity min-of-N is meant to report.
     try {
       spark.range(1 << 20).selectExpr("sum(id)").collect()
-      SparkEntry.queries.get("a1_index_order").foreach(f => f(spark, sfDir).count())
+      SparkEntry.queries.foreach { case (_, f) =>
+        try f(spark, sfDir).count() catch { case _: Throwable => () }
+      }
     } catch { case _: Throwable => () }
     // (name, seconds, error): best of `Runs` timings (first run pays
     // codegen compilation; min is the steady-state latency). Failures

