@@ -1,0 +1,100 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Fused MinHash signature kernel: one pass over a document's shingle
+  * array computing all `a.length` permutation minima —
+  * `sig_j = min over shingles s of (a_j·(md5_32(s) mod p) + b_j) mod p`,
+  * where `md5_32` is the first-8-hex-digits md5 prefix (bit-identical to
+  * the `conv(substring(md5(s),1,8),16,10)` builtin chain and the DuckDB
+  * oracle; see [[graft.operators.TextOps.hash32]]).
+  *
+  * Why a native expression: the composable forms are interpreted, not
+  * codegen'd. Higher-order functions (`transform`/`aggregate`) are
+  * CodegenFallback — per-element lambda dispatch — and the
+  * explode→16-min-aggs form pays interpreted row assembly per exploded
+  * shingle plus a full shuffle of the hash table (measured 2.1 s at
+  * sf0.1 vs 0.1 s for the same md5 arithmetic in a fused loop). This
+  * kernel runs one tight JVM loop per document — one MessageDigest
+  * instance amortized over the row, zero intermediate arrays — and turns
+  * signature computation into a pure map-only projection: no explode
+  * (52× row inflation), no aggregation shuffle. At corpus scale the
+  * dominant dedup stage becomes scan-bound instead of shuffle-bound.
+  *
+  * Null semantics mirror the aggregate form it replaces: null array →
+  * null; null/absent shingles contribute nothing; an array with no
+  * non-null element → null (`min` over an empty/all-null group is null).
+  */
+case class MinHashSignaturesExpr(child: Expression, a: Seq[Long], b: Seq[Long], p: Long)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(a.length == b.length && a.nonEmpty, "permutation parameter arity mismatch")
+
+  // return type inferred: Seq[ArrayType] <: Seq[AbstractDataType]
+  // (the parent type is private[sql] and cannot be named here)
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val aArr: Array[Long] = a.toArray
+  @transient private lazy val bArr: Array[Long] = b.toArray
+
+  /** One row's signatures; shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val k = aArr.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val md = MessageDigest.getInstance("MD5")
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val s = arr.getUTF8String(i)
+        md.reset()
+        val d = md.digest(s.getBytes)
+        // first 8 hex chars of md5 = first 4 bytes, big-endian unsigned
+        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+        var j = 0
+        while (j < k) {
+          val v = (h * aArr(j) + bArr(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) null else new GenericArrayData(mins)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashSignaturesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_minhash"
+}
+
+/** Column-API surface of the MinHash kernel. */
+object MinHash {
+  def signatures(sh: Column, a: Seq[Long], b: Seq[Long], p: Long): Column =
+    Bridge.column(MinHashSignaturesExpr(Bridge.expression(sh), a, b, p))
+}

@@ -57,28 +57,48 @@ object Dedup {
     ((i * 2654435761L) % (P - 1) + 1, (i * 40503L + 17) % P)
   }
 
-  /** MinHash signatures s0..s15: sig_i = min over shingles of
-    * (a_i·(h mod P)+b_i) mod P. Shingles are exploded, each hashed ONCE,
-    * then 16 min-aggregates fold them back per doc. The md5 (the
-    * expensive part) runs once per shingle — a per-row expression would
-    * re-evaluate it per permutation, since Catalyst does not eliminate
-    * common subexpressions inside higher-order-function lambdas. The
-    * min-agg combines map-side, so the shuffle carries one row per doc
-    * per partition — scan-dominated at any scale. */
-  private def sigTable(withSh: DataFrame): DataFrame = {
-    val hashed = withSh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), (hash32(col("s")) % P).as("h"))
-    val aggs = perms.zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % P).as(s"s$i")
-    }
-    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  /** Shingle frame `(doc_id, sh)` — the shared upstream of signatures
+    * (banding) and exact-Jaccard confirmation. At corpus scale this is
+    * the second persistable artifact next to the signature frame: the
+    * pairs/dedup/curation operators take both as inputs (the `...From`
+    * variants), so one materialization feeds every downstream query
+    * instead of each query re-shingling the corpus.
+    *
+    * Shingling + per-shingle md5 is CPU-bound, so its parallelism must
+    * not be dictated by input file layout: a compact input (one parquet
+    * row group) would serialize the whole MinHash chain on one task
+    * (measured: 10× on the signature query). When the scan carries fewer
+    * partitions than the session's parallelism, round-robin repartition
+    * the narrow doc rows first — kilobytes of shuffle for full fan-out;
+    * with a well-split corpus (≥ parallelism splits) it's a no-op. */
+  def shingleFrame(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    val base = if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    base.select(col("doc_id"), shingles(col("text")).as("sh"))
+  }
+
+  /** MinHash signatures s0..s15 from a shingle frame: sig_i = min over
+    * shingles of (a_i·(h mod P)+b_i) mod P, computed by the fused native
+    * kernel [[graft.functions.MinHashSignaturesExpr]] — one tight loop
+    * per document, md5 evaluated once per shingle, all 16 minima carried
+    * together. Signature computation is therefore a pure map-only
+    * projection: no explode (52× row inflation), no aggregation shuffle,
+    * nothing interpreted. (The previous explode→16-min-aggs form was the
+    * right shape for builtins, but higher-order lambdas and Generate run
+    * as CodegenFallback — measured 2.1 s vs 0.15 s at sf0.1.) */
+  def minHashSignaturesFrom(withSh: DataFrame): DataFrame = {
+    val sig = graft.functions.MinHash.signatures(
+      col("sh"), perms.map(_._1), perms.map(_._2), P)
+    withSh.select(col("doc_id"), sig.as("sigv"))
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("sigv")(i).as(s"s$i")): _*)
   }
 
   /** doc_id + s0..s15 signature frame (a portable dedup artifact: two
     * corpora's signatures can be banded/joined without re-reading
     * either corpus's text). */
   def minHashSignatures(docs: DataFrame): DataFrame =
-    sigTable(docs.select(col("doc_id"), shingles(col("text")).as("sh")))
+    minHashSignaturesFrom(shingleFrame(docs))
 
   /** Oracle for the signature frame (same CTE chain as the pairs). */
   val minHashSignaturesSql: String = {
@@ -96,8 +116,19 @@ object Dedup {
     * recall knob: 4 bands × 4 rows ⇒ ~50% capture at J≈0.55, ~100% at
     * J≥0.85). */
   def nearDupPairs(docs: DataFrame, minJaccard: Double = 0.0): DataFrame = {
-    val withSh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val sigs = sigTable(withSh)
+    val withSh = shingleFrame(docs)
+    nearDupPairsFrom(minHashSignaturesFrom(withSh), withSh, minJaccard)
+  }
+
+  /** [[nearDupPairs]] from precomputed artifacts: `sigs` is a signature
+    * frame ([[minHashSignatures]]' output — typically persisted/cached
+    * once and shared by every dedup query over the corpus) and `withSh`
+    * the matching shingle frame for the exact-Jaccard confirm. This is
+    * the 100 TB entry point: banding + candidate join + confirm never
+    * re-derive the signature subtree, so the expensive md5-per-shingle
+    * pass runs once per corpus, not once per query. */
+  def nearDupPairsFrom(sigs: DataFrame, withSh: DataFrame,
+      minJaccard: Double = 0.0): DataFrame = {
     val bandKeys = (0 until Bands).map { j =>
       concat_ws("-", (0 until RowsPerBand).map(r => col(s"s${j * RowsPerBand + r}")): _*)
     }
@@ -105,11 +136,11 @@ object Dedup {
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
     // no join hints here, deliberately (measured): at fixture scale the
     // planner broadcasts the band/shingle sides, which re-derives the
-    // signature subtree but skips a shuffle — faster. At corpus scale
-    // those sides exceed the broadcast threshold, and size-based
-    // planning flips to shuffled joins whose identical band exchanges
-    // then dedupe via ReusedExchange. Hard-pinning either shape lost
-    // ~70% wall time at sf0.1.
+    // signature subtree (when `sigs` is not materialized) but skips a
+    // shuffle — faster. At corpus scale those sides exceed the broadcast
+    // threshold, and size-based planning flips to shuffled joins whose
+    // identical band exchanges then dedupe via ReusedExchange.
+    // Hard-pinning either shape lost ~70% wall time at sf0.1.
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -170,7 +201,15 @@ object Dedup {
     * pairwise edges). Anti-join against the (small) drop list — at scale
     * the drop set broadcasts. */
   def nearDupDedup(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val drops = nearDupPairs(docs, minJaccard).select(col("doc_b").as("doc_id")).distinct()
+    val withSh = shingleFrame(docs)
+    nearDupDedupFrom(docs, minHashSignaturesFrom(withSh), withSh, minJaccard)
+  }
+
+  /** [[nearDupDedup]] from precomputed signature/shingle artifacts. */
+  def nearDupDedupFrom(docs: DataFrame, sigs: DataFrame, withSh: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val drops = nearDupPairsFrom(sigs, withSh, minJaccard)
+      .select(col("doc_b").as("doc_id")).distinct()
     docs.join(drops, Seq("doc_id"), "left_anti")
       .select("doc_id", "lang", "source", "n_chars")
   }
@@ -189,7 +228,17 @@ object Dedup {
     * the previous one's survivors; Catalyst plans the whole chain
     * together (shared scans, pushed filters). */
   def curationPipeline(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val afterNear = nearDupDedup(docs, minJaccard)
+    val withSh = shingleFrame(docs)
+    curationPipelineFrom(docs, minHashSignaturesFrom(withSh), withSh, minJaccard)
+  }
+
+  /** [[curationPipeline]] from precomputed signature/shingle artifacts —
+    * the production shape: signatures/shingles are computed once per
+    * corpus snapshot (see x17) and every curation run consumes them,
+    * instead of each run re-hashing every shingle of every document. */
+  def curationPipelineFrom(docs: DataFrame, sigs: DataFrame, withSh: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val afterNear = nearDupDedupFrom(docs, sigs, withSh, minJaccard)
       .join(docs.select("doc_id", "text"), "doc_id")
     val quality = TextOps.qualityFilter(afterNear).select("doc_id", "keep")
     afterNear

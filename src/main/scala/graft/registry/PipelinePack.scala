@@ -70,6 +70,24 @@ object PipelinePack extends QueryPack {
     "x17_minhash_signatures" -> ((s, dir) =>
       Dedup.minHashSignatures(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // artifact-reuse twin of x16: signatures + shingles materialized once
+    // (cache() stands in for the persisted parquet artifact a production
+    // corpus snapshot would carry, i.e. x17's output) and every dedup
+    // stage consumes them — the bench delta vs x16 is the measured cost
+    // of recomputing the MinHash chain per query
+    "x18_curation_from_sigs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // the no-op filter keeps this query's cached artifact plan-distinct
+      // from the other MinHash queries: Spark's cache manager substitutes
+      // cached subtrees into ANY matching plan, which would silently turn
+      // x2/x3/x16/x17's recompute paths into cache reads and falsify the
+      // x16-vs-x18 bench comparison
+      val base = docs.where(lit(true))
+      val sh = Dedup.shingleFrame(base).cache()
+      val sigs = Dedup.minHashSignaturesFrom(sh).cache()
+      Dedup.curationPipelineFrom(docs, sigs, sh, DedupJaccard).orderBy("lang")
+    }),
+
     // --- multimodal ------------------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
       MultimodalOps.mediaMeta(MultimodalOps.assets(Tables.documents(s, dir)))
@@ -111,6 +129,10 @@ object PipelinePack extends QueryPack {
          |ORDER BY lang, rank""".stripMargin,
     "x15_quality_filter" -> (TextOps.qualityFilterSql() + "\nORDER BY doc_id"),
     "x16_curation_pipeline" ->
+      (Dedup.curationPipelineSql(DedupJaccard) + "\nORDER BY lang"),
+    // artifact reuse changes the physical plan, never the result: the
+    // oracle is x16's, verbatim
+    "x18_curation_from_sigs" ->
       (Dedup.curationPipelineSql(DedupJaccard) + "\nORDER BY lang"),
     "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),
     "m2_frame_sample" ->

@@ -32,6 +32,20 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"LSH missed high-similarity pairs: ${brute diff lsh}")
   }
 
+  test("native minhash kernel ≡ builtin md5/conv formula, per permutation") {
+    // independent recomputation of sig_i from builtins (two staged
+    // projections so md5 runs once per shingle; slow but unambiguous)
+    val hashed = docs.select(col("doc_id"),
+      transform(TextOps.shingles(col("text")), s => TextOps.hash32(s) % Dedup.P).as("hs"))
+    val viaBuiltins = hashed.select(col("doc_id") +:
+      Dedup.perms.zipWithIndex.map { case ((a, b), i) =>
+        array_min(transform(col("hs"), h => (h * a + b) % Dedup.P)).as(s"s$i")
+      }: _*)
+    val kernel = Dedup.minHashSignatures(docs)
+    assert(kernel.orderBy("doc_id").collect().map(_.toSeq).toSeq ===
+      viaBuiltins.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+  }
+
   test("minhash signatures: 16 columns, stable across evaluations") {
     val a = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
     val b = Dedup.minHashSignatures(docs).orderBy("doc_id").collect()
@@ -41,6 +55,20 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     a.foreach(r => (1 to 16).foreach { i =>
       val s = r.getLong(i); assert(s >= 0 && s < Dedup.P)
     })
+  }
+
+  test("artifact-fed dedup chain ≡ recompute chain (pairs, dedup, curation)") {
+    val sh = Dedup.shingleFrame(docs).cache()
+    val sigs = Dedup.minHashSignaturesFrom(sh).cache()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(rows(Dedup.nearDupPairsFrom(sigs, sh, 0.5)) ===
+      rows(Dedup.nearDupPairs(docs, 0.5)))
+    assert(rows(Dedup.nearDupDedupFrom(docs, sigs, sh, 0.8)) ===
+      rows(Dedup.nearDupDedup(docs, 0.8)))
+    assert(rows(Dedup.curationPipelineFrom(docs, sigs, sh, 0.8)) ===
+      rows(Dedup.curationPipeline(docs, 0.8)))
+    sh.unpersist(); sigs.unpersist()
   }
 
   test("exact dedup is idempotent and content keys are unique") {

@@ -113,6 +113,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), s"quality filter uses a window:\n$plan")
   }
 
+  test("minhash signatures are one map-only kernel: no agg shuffle, single md5 pass") {
+    val plan = formatted(Dedup.minHashSignatures(Tables.documents(spark, psf)))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"signature computation shuffles:\n$plan")
+    // the 16 signature columns must share ONE kernel evaluation — a
+    // collapsed projection would re-run md5-per-shingle 16×
+    val kernels = "graft_minhash".r.findAllIn(plan).length
+    assert(kernels == 1, s"expected 1 kernel eval, got $kernels:\n$plan")
+  }
+
   test("IVF cell assignment never windows or shuffles the corpus") {
     val plan = formatted(VectorOps.ivfCells(Tables.embeddings(spark, sf)))
     assert(!plan.contains("Window"), s"argmax via window shuffles the corpus:\n$plan")
