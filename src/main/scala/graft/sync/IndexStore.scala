@@ -220,13 +220,16 @@ class IndexStore(val spark: SparkSession, val root: String) {
     * index's slice, hash-partitioned into per-index directories
     * (`partitionBy` on a duplicated key column, so data files keep the
     * full envelope). This replaces N per-index scans of the source —
-    * the difference between 1× and N× I/O at 100 TB. */
+    * the difference between 1× and N× I/O at 100 TB. An optional
+    * `splitCol` (e.g. the tolerant sink's validity flag) adds a second
+    * partition level under each index — still one scan. */
   def writePartitionedStage(stageName: String, df: DataFrame,
-      partCol: String, maxRecordsPerFile: Option[Int] = None): Unit = {
+      partCol: String, maxRecordsPerFile: Option[Int] = None,
+      splitCol: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.col
     val w = df.withColumn(PartKey, col(partCol))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy(PartKey)
+      .partitionBy(PartKey +: splitCol.toSeq: _*)
     maxRecordsPerFile.foreach(n => w.option("maxRecordsPerFile", n.toLong))
     w.parquet(rootPath.resolve(stageName).toString)
   }
@@ -234,8 +237,13 @@ class IndexStore(val spark: SparkSession, val root: String) {
   /** Promote one index's slice out of a partitioned stage into its own
     * physical index (directory rename — O(1), no data move). Returns
     * false if the stage holds no slice for the value (zero-row index). */
-  def promoteStaged(stageName: String, partValue: String, physical: String): Boolean = {
-    val slice = rootPath.resolve(stageName).resolve(s"$PartKey=$partValue")
+  def promoteStaged(stageName: String, partValue: String, physical: String): Boolean =
+    promoteSlice(stageName, s"$PartKey=$partValue", physical)
+
+  /** Move one named partition dir out of a stage (O(1) rename); false if
+    * the stage holds no such dir. */
+  def promoteSlice(stageName: String, dirName: String, physical: String): Boolean = {
+    val slice = rootPath.resolve(stageName).resolve(dirName)
     if (!Files.isDirectory(slice)) false
     else {
       val target = rootPath.resolve(physical)
@@ -244,6 +252,29 @@ class IndexStore(val spark: SparkSession, val root: String) {
       true
     }
   }
+
+  /** Split a frame into one partition dir per value of `splitCol` (the
+    * column itself is dropped from the data files — unlike
+    * [[writePartitionedStage]], which deliberately keeps the envelope) —
+    * the valid/reject fork of the error-tolerant sink. One scan writes
+    * both sides. */
+  def writeSplitStage(stageName: String, df: DataFrame, splitCol: String,
+      maxRecordsPerFile: Option[Int] = None): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).partitionBy(splitCol)
+    maxRecordsPerFile.foreach(n => w.option("maxRecordsPerFile", n.toLong))
+    w.parquet(rootPath.resolve(stageName).toString)
+  }
+
+  /** Quarantined rows of a physical index's last tolerant write (None if
+    * it had none). Quarantine dirs are underscore-prefixed — invisible
+    * to [[physicalIndexes]]/[[cleanupOrphans]] — and persist until
+    * explicitly dropped: they exist to be inspected. */
+  def rejected(physical: String): Option[DataFrame] = {
+    val name = s"$RejectPrefix$physical"
+    if (indexExists(name) && hasData(name)) Some(readPhysical(name)) else None
+  }
+
+  val RejectPrefix = "_rejects_"
 
   /** Remove a partitioned stage dir (after all promotes, or on failure). */
   def dropStage(stageName: String): Unit = deletePhysical(stageName)
@@ -259,7 +290,10 @@ class IndexStore(val spark: SparkSession, val root: String) {
     require(indexExists(physical), s"cannot bind $alias to missing $physical")
     val old = aliases().get(alias)
     writeManifest(aliases() + (alias -> physical))
-    old.filter(_ != physical).foreach(deletePhysical)
+    old.filter(_ != physical).foreach { o =>
+      deletePhysical(o)
+      deletePhysical(s"$RejectPrefix$o") // a dropped index's quarantine goes too
+    }
   }
 
   /** K3 — rollback hook: delete a staged physical index after a failed
@@ -285,7 +319,7 @@ class IndexStore(val spark: SparkSession, val root: String) {
     orphans
   }
 
-  private val PartKey = "_graft_part"
+  val PartKey = "_graft_part"
 
   private def writeManifest(m: Map[String, String]): Unit = {
     val tmp = rootPath.resolve(s"_aliases.json.tmp")

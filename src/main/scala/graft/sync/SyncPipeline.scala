@@ -10,13 +10,17 @@ import scala.concurrent.duration.Duration
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.util.control.NonFatal
 
-/** Per-index sync outcome (the reference's log surface, as data). */
+/** Per-index sync outcome (the reference's log surface, as data).
+  * `rejects` counts rows quarantined by the error-tolerant sink (the
+  * reference's per-item failure tally under `raise_on_error=False`,
+  * flows/main_flow.py:413-426); 0 when no validity predicate is set. */
 case class IndexSyncReport(
     index: String,
     physical: String,
     mode: String, // "full" | "incremental" | "skipped"
     upserts: Long,
-    deletes: Long)
+    deletes: Long,
+    rejects: Long = 0L)
 
 /** The reference flow's control plane re-expressed over an [[IndexStore]]
   * (SURVEY.md §3.1, T1-T11; reference flows/main_flow.py:602-762):
@@ -45,7 +49,8 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     retry: RetryPolicy = RetryPolicy(maxRetries = 0, sleep = _ => ()),
     writeChunk: Option[Int] = None,
     driftJsonPath: String = "$.k",
-    parallelLargest: Int = 2) {
+    parallelLargest: Int = 2,
+    validity: Option[org.apache.spark.sql.Column] = None) {
 
   /** Index list selection (reference get_indexes_list /
     * lowercased user list, flows/main_flow.py:633-640). */
@@ -70,16 +75,63 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
 
   /** T10/T6 — every store write runs under the retry policy; on adaptive
     * mode, repeated failure shrinks the write chunk (maxRecordsPerFile)
-    * along the reference's 500→…→1 schedule. */
-  private def writeStaged(name: String, df: DataFrame): Unit =
-    writeChunk match {
-      case Some(start) =>
-        retry.withAdaptiveChunks(start, reconnectMs = 0L) { c =>
-          retry.retry(() => store.writePhysical(name, df, Some(c)))
-        }
+    * along the reference's 500→…→1 schedule. With a `validity` predicate
+    * configured, the write is per-record error-tolerant (K1's real
+    * semantics — the reference's `streaming_bulk(raise_on_error=False)`
+    * + per-item tally, flows/main_flow.py:413-426): poison rows are
+    * split off to a quarantine dir in the SAME single scan, the good
+    * rows land, and a poison row never fails the write — so it never
+    * burns a retry cycle. Returns the number of quarantined rows. */
+  private def writeStaged(name: String, df: DataFrame): Long =
+    validity match {
+      case Some(valid) => writeStagedTolerant(name, df, valid)
       case None =>
-        retry.retry(() => store.writePhysical(name, df, None))
+        writeChunk match {
+          case Some(start) =>
+            retry.withAdaptiveChunks(start, reconnectMs = 0L) { c =>
+              retry.retry(() => store.writePhysical(name, df, Some(c)))
+            }
+          case None =>
+            retry.retry(() => store.writePhysical(name, df, None))
+        }
+        0L
     }
+
+  private val ValidKey = "_graft_valid"
+
+  /** One scan splits `df` on the validity predicate into the staged
+    * index (valid side) and `_rejects_<name>` (poison side), with the
+    * reject tally observed ON the split write — zero extra jobs (A7's
+    * metric discipline). Slice promotion is an O(1) rename. */
+  private def writeStagedTolerant(name: String, df: DataFrame,
+      valid: org.apache.spark.sql.Column): Long = {
+    val stage = s"_stage_tol_${System.nanoTime()}"
+    try {
+      var rejects = 0L
+      def attempt(chunk: Option[Int]): Unit = {
+        val obs = new Observation(s"graft_valid_${System.nanoTime()}")
+        val tagged = df
+          .observe(obs, coalesce(sum(when(valid, 0L).otherwise(1L)), lit(0L)).as("rejects"))
+          .withColumn(ValidKey, valid)
+        store.writeSplitStage(stage, tagged, ValidKey, chunk)
+        rejects = obs.get("rejects").asInstanceOf[Long]
+      }
+      writeChunk match {
+        case Some(start) =>
+          retry.withAdaptiveChunks(start, reconnectMs = 0L) { c =>
+            retry.retry(() => attempt(Some(c)))
+          }
+        case None => retry.retry(() => attempt(None))
+      }
+      if (!store.promoteSlice(stage, s"$ValidKey=true", name))
+        // every row was poison (or the batch was empty): the index still
+        // needs a schema-bearing physical dir
+        retry.retry(() => store.writePhysical(name, df.where(valid), None))
+      if (rejects > 0)
+        store.promoteSlice(stage, s"$ValidKey=false", s"${store.RejectPrefix}$name")
+      rejects
+    } finally store.dropStage(stage)
+  }
 
   /** Full blue/green sync (T4; reference main_flow full_sync branch):
     * ONE partitioned scan stages every index, then each index is
@@ -96,21 +148,41 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     val done =
       try {
         // sortWithinPartitions: id-ordered rows per file → parquet min/max
-        // stats prune id-keyed merge reads; in-task sort, no extra job
-        retry.retry(() => store.writePartitionedStage(
-          stage, IndexerOps.fullSyncScan(env, selected).sortWithinPartitions(Idx, Id),
-          Idx, writeChunk))
+        // stats prune id-keyed merge reads; in-task sort, no extra job.
+        // With a validity predicate, the same single scan also splits
+        // each index's slice into valid/poison sub-dirs (tolerant K1).
+        val scan = IndexerOps.fullSyncScan(env, selected).sortWithinPartitions(Idx, Id)
+        validity match {
+          case Some(valid) =>
+            retry.retry(() => store.writePartitionedStage(
+              stage, scan.withColumn(ValidKey, valid), Idx, writeChunk, Some(ValidKey)))
+          case None =>
+            retry.retry(() => store.writePartitionedStage(stage, scan, Idx, writeChunk))
+        }
 
         def publish(idx: String): IndexSyncReport = {
           val staged = s"${idx}_$timestamp"
-          if (!store.promoteStaged(stage, idx, staged)) {
-            // zero live rows for this index: stage holds no slice — write
+          val promoted = validity match {
+            case Some(_) =>
+              val got = store.promoteSlice(
+                stage, s"${store.PartKey}=$idx/$ValidKey=true", staged)
+              store.promoteSlice(stage, s"${store.PartKey}=$idx/$ValidKey=false",
+                s"${store.RejectPrefix}$staged")
+              got
+            case None => store.promoteStaged(stage, idx, staged)
+          }
+          var rejects =
+            if (validity.isDefined) store.rejected(staged).map(_.count()).getOrElse(0L)
+            else 0L
+          if (!promoted) {
+            // zero valid rows for this index: stage holds no slice — write
             // an empty (schema-bearing) physical index instead (under the
             // same retry policy as every other store write).
-            writeStaged(staged, IndexerOps.fullSyncScan(env, Seq(idx)))
+            rejects = writeStaged(staged, IndexerOps.fullSyncScan(env, Seq(idx)))
           }
           store.swapAlias(idx, staged)
-          IndexSyncReport(idx, staged, "full", upserts = store.count(idx), deletes = 0L)
+          IndexSyncReport(idx, staged, "full",
+            upserts = store.count(idx), deletes = 0L, rejects = rejects)
         }
         val reports = runSmallestFirstLargestParallel(order.map(_._1), publish)
         store.dropStage(stage) // promotes moved every slice out; drop husk
@@ -119,8 +191,10 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
         case NonFatal(e) =>
           store.dropStage(stage)
           selected.foreach { idx =>
-            if (store.aliases().get(idx).forall(_ != s"${idx}_$timestamp"))
+            if (store.aliases().get(idx).forall(_ != s"${idx}_$timestamp")) {
               store.deletePhysical(s"${idx}_$timestamp") // T8 rollback
+              store.deletePhysical(s"${store.RejectPrefix}${idx}_$timestamp")
+            }
           }
           throw e
       }
@@ -184,9 +258,9 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
       if (isDrifted(idx, env, batch)) {
         // T11 — schema drift forces a full rebuild of this index
         try {
-          writeStaged(staged, IndexerOps.fullSyncScan(env, Seq(idx)))
+          val rejects = writeStaged(staged, IndexerOps.fullSyncScan(env, Seq(idx)))
           store.swapAlias(idx, staged)
-          IndexSyncReport(idx, staged, "full", store.count(idx), 0L)
+          IndexSyncReport(idx, staged, "full", store.count(idx), 0L, rejects)
         } catch {
           case NonFatal(e) => store.deletePhysical(staged); throw e // T8
         }
@@ -195,12 +269,12 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
       } else {
         try {
           val (merged, obs) = applyBatch(store.read(idx), batch)
-          writeStaged(staged, merged.sortWithinPartitions(Id))
+          val rejects = writeStaged(staged, merged.sortWithinPartitions(Id))
           store.swapAlias(idx, staged)
           val m = obs.get
           val nIds = m("batch_ids").asInstanceOf[Long]
           val nDels = m("batch_deletes").asInstanceOf[Long]
-          IndexSyncReport(idx, staged, "incremental", nIds - nDels, nDels)
+          IndexSyncReport(idx, staged, "incremental", nIds - nDels, nDels, rejects)
         } catch {
           case NonFatal(e) => store.deletePhysical(staged); throw e
         }
@@ -287,14 +361,24 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     reports
   }
 
-  /** J2 — post-sync reconciliation: per-index live counts in the store vs
-    * live docs in the source; empty result = consistent. */
-  def reconcile(env: DataFrame, indexes: Seq[String]): Seq[(String, Long, Long)] =
-    indexes.map { idx =>
-      val storeCount = store.count(idx)
-      val srcCount = env.where(col(Idx) === idx && !col(IsDeleted)).count()
-      (idx, storeCount, srcCount)
-    }.filter { case (_, a, b) => a != b }
+  /** J2 — post-sync reconciliation in ONE Spark job: the stored side is
+    * the union of every index's live read (each a pruned parquet scan),
+    * the source one filtered aggregate, compared by
+    * [[IndexerOps.countReconciliation]]'s full-outer count join — so
+    * reconciling N indexes costs one action, not 2N count jobs. Missing
+    * or empty indexes surface through the full-outer side as count 0.
+    * Empty result = consistent. */
+  def reconcile(env: DataFrame, indexes: Seq[String]): Seq[(String, Long, Long)] = {
+    val stored = indexes.flatMap(idx => store.read(idx).map(_.select(Idx, Id)))
+      .reduceOption(_.unionByName(_))
+      .getOrElse(IndexerOps.emptyEnvelope(store.spark).select(Idx, Id))
+    val source = env.where(col(Idx).isin(indexes: _*))
+    IndexerOps.countReconciliation(stored, source)
+      .collect()
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))).toSeq
+  }
 
   /** Advance each synced index's watermark to its own high-water mark
     * (max updated_at + 1 µs, computed in the planning aggregate — the

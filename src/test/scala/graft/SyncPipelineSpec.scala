@@ -88,6 +88,78 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(store.read("click").get.where(col(Id) === "42").count() == 0)
   }
 
+  test("error-tolerant sink: poison rows quarantine, good rows land, write never fails") {
+    val dir = Files.createTempDirectory("graft-sync").toString
+    val store = new IndexStore(spark, dir)
+    val wms = new WatermarkStore(dir)
+    val valid = length(trim(col(Id))) > 0
+    // default fail-fast retry policy: a poison row reaching the writer as
+    // a FAILURE would abort the sync — the success below proves rejects
+    // never trigger the retry path at all
+    val pipe = new SyncPipeline(store, wms, validity = Some(valid))
+    def poisonRow(ts: String) = env.limit(1).select(
+      lit("click").as(Idx), lit("").as(Id), lit("""{"k":"x"}""").as(Document),
+      lit(false).as(IsDeleted), lit(ts).cast("timestamp").as(UpdatedAt))
+    val feed = env.where(col(Idx) === "click")
+      .unionByName(poisonRow("2024-01-02 00:00:00"))
+    val reports = pipe.fullSync(feed, Some(Seq("click")), timestamp = "t1")
+    assert(reports.head.rejects === 1L)
+    // all good rows landed, none of the poison did
+    val live = store.read("click").get
+    assert(live.where(length(trim(col(Id))) === 0).count() === 0)
+    assert(pipe.reconcile(feed.where(valid), Seq("click")).isEmpty)
+    // quarantine holds exactly the poison row, invisible to the catalog
+    val q = store.rejected(store.aliases()("click")).get
+    assert(q.count() === 1L && q.select(Id).head().getString(0) === "")
+    assert(store.physicalIndexes().forall(!_.startsWith("_")))
+
+    // incremental merge path quarantines too
+    val feed2 = feed
+      .unionByName(poisonRow("2024-03-01 00:00:00"))
+      .unionByName(env.where(col(Idx) === "click").limit(1).select(
+        col(Idx), lit("990001").as(Id), col(Document), lit(false).as(IsDeleted),
+        lit("2024-03-01 00:00:00").cast("timestamp").as(UpdatedAt)))
+    val inc = pipe.incrementalSync(feed2, Some(Seq("click")), timestamp = "t2")
+    assert(inc.head.mode === "incremental" && inc.head.rejects >= 1L)
+    assert(store.read("click").get.where(col(Id) === "990001").count() === 1)
+    assert(store.read("click").get.where(length(trim(col(Id))) === 0).count() === 0)
+  }
+
+  test("error-tolerant sink: an all-poison index lands empty with every row quarantined") {
+    val dir = Files.createTempDirectory("graft-sync").toString
+    val store = new IndexStore(spark, dir)
+    val pipe = new SyncPipeline(store, new WatermarkStore(dir),
+      validity = Some(length(trim(col(Id))) > 0))
+    val allPoison = env.where(col(Idx) === "view").limit(5)
+      .select(col(Idx), lit(" ").as(Id), col(Document), col(IsDeleted), col(UpdatedAt))
+    val reports = pipe.fullSync(allPoison, Some(Seq("view")), timestamp = "t1")
+    assert(reports.head.rejects === 5L)
+    assert(reports.head.upserts === 0L)
+    assert(store.aliasExists("view") && store.count("view") === 0L)
+    assert(store.rejected(store.aliases()("view")).get.count() === 5L)
+  }
+
+  test("reconcile is a single action for N indexes") {
+    val (_, _, pipe, _) = freshPipeline()
+    pipe.fullSync(env, None, timestamp = "t1")
+    @volatile var actions = 0
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        actions += 1
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    try {
+      assert(pipe.reconcile(env,
+        Seq("click", "view", "purchase", "signup", "error")).isEmpty)
+      eventually(actions >= 1)
+      Thread.sleep(200) // allow any extra (unexpected) events to surface
+      assert(actions === 1, s"reconcile of 5 indexes ran $actions actions")
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("failed staging build rolls back (no staged dir, alias unchanged)") {
     val (store, _, pipe, _) = freshPipeline()
     pipe.fullSync(env, Some(Seq("click")), timestamp = "t1")
