@@ -38,14 +38,10 @@ class IndexStore(val spark: SparkSession, val root: String) {
         .toSeq.sorted
     }
 
-  /** alias → physical index (ES `get_alias(name="*")`). */
+  /** alias → physical index (ES `get_alias(name="*")`). One parse shared
+    * with the SQL catalog ([[graft.sources.GraftCatalog]]). */
   def aliases(): Map[String, String] =
-    if (!Files.exists(manifestPath)) Map.empty
-    else Files.readAllLines(manifestPath).asScala.mkString("\n")
-      .split("\n").filter(_.contains("=")).map { line =>
-        val Array(a, p) = line.split("=", 2)
-        a -> p
-      }.toMap
+    graft.sources.GraftCatalog.readAliases(root)
 
   def aliasExists(alias: String): Boolean = aliases().contains(alias)
   def indexExists(name: String): Boolean =
@@ -89,6 +85,18 @@ class IndexStore(val spark: SparkSession, val root: String) {
         Some(view)
       }
     }
+
+  /** Bind this store as a DSv2 SQL catalog: `SELECT … FROM <name>.<alias>`
+    * resolves through [[graft.sources.GraftCatalog]] to the alias's
+    * CURRENT physical parquet — pushdown intact, swaps repoint the next
+    * query automatically (no view re-registration). NOTE: Spark caches a
+    * catalog instance per name after first use, so one catalog name
+    * binds to one store root for the session's lifetime. */
+  def registerCatalog(name: String = "graft"): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+  }
 
   // --- writes (K1/K2) -----------------------------------------------------
 

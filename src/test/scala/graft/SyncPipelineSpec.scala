@@ -139,6 +139,33 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(store.rejected(store.aliases()("view")).get.count() === 5L)
   }
 
+  test("DSv2 catalog: SQL over aliases with pushdown; swap repoints the same name") {
+    val (store, _, pipe, _) = freshPipeline()
+    pipe.fullSync(env, Some(Seq("click", "view")), timestamp = "t1")
+    store.registerCatalog("graftsql")
+    val before = spark.sql("SELECT count(*) FROM graftsql.click").head().getLong(0)
+    assert(before === store.count("click"))
+    assert(spark.sql("SHOW TABLES IN graftsql").collect()
+      .map(_.getString(1)).toSet === Set("click", "view"))
+    // pushdown reaches the parquet scan through the catalog relation
+    val plan = spark.sql("SELECT id FROM graftsql.click WHERE id = '42'")
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("EqualTo(id"), s"filter not pushed through catalog:\n$plan")
+    // blue/green swap repoints the NEXT query at the new physical index —
+    // same table name, no re-registration
+    pipe.fullSync(
+      env.where(col(UpdatedAt) < lit("2024-01-15 00:00:00").cast("timestamp")),
+      Some(Seq("click")), timestamp = "t2")
+    val after = spark.sql("SELECT count(*) FROM graftsql.click").head().getLong(0)
+    assert(after === store.count("click") && after < before)
+    // read-only: DDL through SQL is rejected (mutations use the store's
+    // commit protocol)
+    intercept[Exception](spark.sql("DROP TABLE graftsql.click"))
+    assert(store.aliasExists("click"))
+  }
+
   test("reconcile is a single action for N indexes") {
     val (_, _, pipe, _) = freshPipeline()
     pipe.fullSync(env, None, timestamp = "t1")
