@@ -49,7 +49,11 @@ object InPlaceMerge {
 
   private def run(store: IndexStore, physical: String, batch: DataFrame,
       buckets: Int, obs: Option[Observation]): Unit = {
-    val withBucket = batch.withColumn(store.BucketKey, store.bucketExpr(Id, buckets))
+    // the index's own metadata wins over the caller's count: after a
+    // bucket re-scale a stale caller value would place rows in buckets
+    // the layout doesn't have and un-prune every merge read
+    val n = store.bucketCountOf(physical).getOrElse(buckets)
+    val withBucket = batch.withColumn(store.BucketKey, store.bucketExpr(Id, n))
     val affected = withBucket.select(store.BucketKey).distinct()
       .collect().map(_.getLong(0)).toSeq
     val cur =
@@ -68,7 +72,7 @@ object InPlaceMerge {
     // shuffle moves only the merged delta, and id-sorted rows keep
     // parquet min/max stats tight.
     store.replaceBuckets(physical,
-      merged.withColumn(store.BucketKey, store.bucketExpr(Id, buckets))
+      merged.withColumn(store.BucketKey, store.bucketExpr(Id, n))
         .repartition(col(store.BucketKey))
         .sortWithinPartitions(Id),
       affected)

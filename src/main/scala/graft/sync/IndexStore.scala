@@ -126,13 +126,28 @@ class IndexStore(val spark: SparkSession, val root: String) {
   /** Write a physical index partitioned by id-hash bucket. The bucketed
     * layout is what makes in-place incremental merges proportional to
     * the DELTA (×N/buckets) instead of the index: only partitions whose
-    * ids changed get rewritten. */
+    * ids changed get rewritten. The bucket count is persisted as index
+    * metadata (an underscore file parquet readers ignore), so merges
+    * after a [[graft.sync.SyncPipeline.rescaleBuckets]] can never use a
+    * stale count. */
   def writePhysicalBucketed(name: String, df: DataFrame, idCol: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
     df.withColumn(BucketKey, bucketExpr(idCol, buckets))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(BucketKey)
       .parquet(rootPath.resolve(name).toString)
+    Files.writeString(rootPath.resolve(name).resolve(BucketMetaFile), buckets.toString)
+  }
+
+  /** The bucket count a bucketed physical index was written with (None
+    * for pre-metadata or non-bucketed indexes). */
+  def bucketCountOf(name: String): Option[Int] = {
+    val meta = rootPath.resolve(name).resolve(BucketMetaFile)
+    if (Files.exists(meta)) scala.util.Try(Files.readString(meta).trim.toInt).toOption
+    else None
+  }
+
+  private val BucketMetaFile = "_graft_buckets"
 
   /** Replace ONLY the listed bucket partitions with `df`'s content
     * (`df` must carry [[BucketKey]]); all other partitions' files are

@@ -361,6 +361,41 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     reports
   }
 
+  /** Re-bucket a bucketed index to a new bucket count — the growth path
+    * of the in-place layout: bucket count is fixed at bootstrap, so at
+    * k× data growth per-bucket size (and with it the cost of every
+    * delta merge, ∝ index/buckets) grows k× unless the index re-scales.
+    *
+    * Protocol: blue/green, not per-bucket surgery. A split rewrites
+    * every bucket anyway (under `pmod(hash, to)` with `to = m·from`,
+    * old bucket b's rows spread across {b, b+from, …} — the same-hash
+    * family, so nothing outside b ever lands there), and swapping
+    * buckets pairwise in place would open loss/duplication windows
+    * between moving a row's old home and its new home. Staging the
+    * re-bucketed copy and swapping the alias costs the same single
+    * read+write, is atomic at the index level, and reuses the T8
+    * rollback path. The new count is persisted in the index metadata,
+    * so subsequent merges pick it up automatically (a stale caller
+    * count cannot unprune reads). Doubling (`to = 2·from`) is the
+    * canonical step; any multiple works. Returns the new physical name. */
+  def rescaleBuckets(alias: String, to: Int, timestamp: String): String = {
+    val physical = store.aliases().getOrElse(alias,
+      sys.error(s"cannot re-scale unbound alias $alias"))
+    val from = store.bucketCountOf(physical).getOrElse(
+      sys.error(s"$physical is not a bucketed index"))
+    require(to > from && to % from == 0,
+      s"bucket re-scale must split evenly: $from -> $to")
+    val staged = s"${alias}_$timestamp"
+    try {
+      retry.retry(() => store.writePhysicalBucketed(
+        staged, store.readPhysical(physical).drop(store.BucketKey), Id, to))
+      store.swapAlias(alias, staged)
+      staged
+    } catch {
+      case NonFatal(e) => store.deletePhysical(staged); throw e // T8
+    }
+  }
+
   /** J2 — post-sync reconciliation in ONE Spark job: the stored side is
     * the union of every index's live read (each a pruned parquet scan),
     * the source one filtered aggregate, compared by

@@ -139,6 +139,45 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(store.rejected(store.aliases()("view")).get.count() === 5L)
   }
 
+  test("bucket re-scale 8→16: content preserved, placement correct, merges auto-use the new count") {
+    val (store, _, pipe, _) = freshPipeline()
+    val cutoff = "2024-01-15 00:00:00"
+    val early = env.where(col(UpdatedAt) < lit(cutoff).cast("timestamp"))
+    pipe.fullSyncBucketed(early, Some(Seq("click")), timestamp = "t1", buckets = 8)
+    val physBefore = store.aliases()("click")
+    assert(store.bucketCountOf(physBefore) === Some(8))
+    val before = store.readPhysical(physBefore).drop(store.BucketKey)
+      .orderBy(Id).collect()
+
+    val physAfter = pipe.rescaleBuckets("click", to = 16, timestamp = "t2")
+    assert(store.aliases()("click") === physAfter)
+    assert(store.bucketCountOf(physAfter) === Some(16))
+    assert(!store.indexExists(physBefore), "old physical must be dropped by the swap")
+    val after = store.readPhysical(physAfter)
+    // every row sits in the dir its 16-bucket hash says
+    assert(after.where(col(store.BucketKey).cast("long") =!=
+      pmod(xxhash64(col(Id)), lit(16L))).count() === 0)
+    // content identical to pre-rescale
+    assert(after.drop(store.BucketKey).orderBy(Id).collect().sameElements(before))
+    // the split actually produced upper-half buckets
+    assert(after.select(store.BucketKey).distinct().collect()
+      .map(_.getAs[Number](0).longValue()).exists(_ >= 8))
+
+    // post-rescale merge with a STALE caller count: the index metadata
+    // wins, placement stays correct, and the end state equals a fresh
+    // 16-bucket pipeline over the same data
+    val r = pipe.incrementalSyncInPlace(env, Some(Seq("click")), buckets = 8)
+    assert(r.head.mode === "incremental")
+    assert(store.readPhysical(physAfter).where(col(store.BucketKey).cast("long") =!=
+      pmod(xxhash64(col(Id)), lit(16L))).count() === 0)
+    val (storeB, _, pipeB, _) = freshPipeline()
+    pipeB.fullSyncBucketed(early, Some(Seq("click")), timestamp = "t1", buckets = 16)
+    pipeB.incrementalSyncInPlace(env, Some(Seq("click")), buckets = 16)
+    val a = store.read("click").get.select(Id, Document).orderBy(Id).collect()
+    val b = storeB.read("click").get.select(Id, Document).orderBy(Id).collect()
+    assert(a.sameElements(b))
+  }
+
   test("DSv2 catalog: SQL over aliases with pushdown; swap repoints the same name") {
     val (store, _, pipe, _) = freshPipeline()
     pipe.fullSync(env, Some(Seq("click", "view")), timestamp = "t1")
