@@ -48,6 +48,28 @@ object Relational {
       .orderBy(desc("revenue"), asc("o_orderkey"))
       .limit(k)
 
+  /** Event-stream enrichment (§2.11 streaming-join floor, batch twin):
+    * the event fact joined to the customer→nation dimension chain,
+    * aggregated per (nation, event type). Both dimensions broadcast, so
+    * the fact side never shuffles for the join — one agg shuffle total.
+    *
+    * Deliberately stream-agnostic: pass a STREAMING events frame and the
+    * same code is a stateless stream-static enrichment (the static side
+    * re-broadcasts per micro-batch, no state store); with
+    * `outputMode("complete")` its end state equals this batch form —
+    * the property StreamingSpec pins. */
+  def eventEnrichment(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame =
+    events
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        asDouble(sum(dec(col("value")))).as("sum_value"))
+      .orderBy("n_name", "event_type")
+
   /** Q5-shaped per-nation revenue within one region: the whole dimension
     * chain region→nation→customer broadcasts (catalog-sized at any SF);
     * only orders⋈lineitem shuffles. */

@@ -24,6 +24,11 @@ object RelationalPack extends QueryPack {
       Relational.regionRevenueSalted(
         Tables.region(s, dir), Tables.nation(s, dir), Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir), "ASIA", buckets = 8)),
+    // batch twin of the stream-static enrichment join (StreamingSpec
+    // proves the streaming end state equals this exact plan)
+    "h10_event_enrichment" -> ((s, dir) =>
+      Relational.eventEnrichment(
+        Tables.events(s, dir), Tables.customer(s, dir), Tables.nation(s, dir))),
     "h7_orders_semi" -> ((s, dir) =>
       Relational.ordersWithBigLines(
         Tables.orders(s, dir), Tables.lineitem(s, dir), 49.0, anti = false)
@@ -81,6 +86,14 @@ object RelationalPack extends QueryPack {
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "h10_event_enrichment" ->
+      """SELECT n_name, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, event_type
+        |ORDER BY n_name, event_type""".stripMargin,
     "h7_orders_semi" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice
         |FROM orders

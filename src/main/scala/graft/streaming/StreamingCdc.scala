@@ -144,6 +144,26 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
 
 }
 
+/** Stream-static enrichment (§2.11 streaming-join floor): an unbounded
+  * stream equi-joined to bounded dimension tables. Stateless in
+  * Structured Streaming — the static side is broadcast per micro-batch,
+  * the stream side never shuffles for the join and no state store is
+  * created, so executor memory stays flat at any stream length. The
+  * enrichment plan itself is [[graft.operators.Relational.eventEnrichment]],
+  * shared verbatim with the batch path (its `h10` oracle twin): with
+  * `outputMode("complete")` the streaming end state equals the batch
+  * result, which StreamingSpec pins. */
+object StreamingEnrich {
+
+  /** Watermarked event stream enriched with the customer→nation chain,
+    * aggregated per (nation, event type). `lateness` bounds how far
+    * out-of-order an event may arrive and still count. */
+  def enrichedCounts(stream: DataFrame, customer: DataFrame, nation: DataFrame,
+      lateness: String = "1 hour"): DataFrame =
+    graft.operators.Relational.eventEnrichment(
+      stream.withWatermark("ts", lateness), customer, nation)
+}
+
 /** Streaming analytics: watermarked windowed aggregation (the
   * Structured Streaming twin of Analytics.tumblingCounts). */
 object StreamingAgg {

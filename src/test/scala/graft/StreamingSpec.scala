@@ -76,6 +76,27 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("stream-static enrichment end state equals the batch join (h10 twin)") {
+    val source = tmp("enrich-src")
+    writeTimeSlicedSource(source, 3)
+    val schema = spark.read.parquet(source.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(source.toString)
+    val customer = Tables.customer(spark, sf)
+    val nation = Tables.nation(spark, sf)
+    val q = graft.streaming.StreamingEnrich.enrichedCounts(stream, customer, nation)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("enrich_end").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("enrich_end").orderBy("n_name", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val want = graft.operators.Relational.eventEnrichment(
+        spark.read.parquet(source.toString), customer, nation)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty, "enrichment produced no rows")
+    assert(got === want, "streaming end state diverges from the batch join")
+  }
+
   test("streaming resume: a second AvailableNow run over the same checkpoint reprocesses nothing") {
     val source = tmp("stream-src2")
     writeTimeSlicedSource(source, 2)
