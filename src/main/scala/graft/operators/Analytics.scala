@@ -119,6 +119,29 @@ object Analytics {
         date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
         col("n"))
 
+  /** Interval (time-bounded) join: each left event matched to the right
+    * events of the same key occurring within `within` AFTER it —
+    * funnel/attribution analytics (click→purchase). An equi-join on the
+    * key with a range predicate: hash join + filter, no theta join, so
+    * it scales like any keyed join. Output carries ids + the lag in
+    * microseconds (never raw timestamps — oracle determinism rule).
+    *
+    * Stream-agnostic: pass two WATERMARKED streams and this is Spark's
+    * stream-stream interval join — the event-time range condition is
+    * exactly the shape the state-cleanup analysis needs, matches emit
+    * eagerly (inner join), and state is bounded by `within` + lateness.
+    * [[graft.streaming.StreamingEnrich.intervalJoin]] wraps that. */
+  def intervalJoin(left: DataFrame, right: DataFrame, within: String): DataFrame =
+    left.select(col("user_id"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+      .join(
+        right.select(col("user_id").as("r_user"), col("event_id").as("r_id"),
+          col("ts").as("r_ts")),
+        col("user_id") === col("r_user") &&
+          col("r_ts") >= col("l_ts") &&
+          col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_micros"))
+
   /** Exact + approximate (HLL) distinct cardinality per key. The approx
     * path is the 100 TB one: constant memory per key vs a full shuffle of
     * distinct values. */

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for dataset mixing (builder brief
+  * "large-scale training-data pipeline"; SURVEY.md §2.11). Training-data
+  * curation needs samples that are REPRODUCIBLE — re-running the
+  * pipeline over the same corpus must select the same rows, and two
+  * engines must agree — so both operators derive their randomness from
+  * a content hash ([[TextOps.hash32]], bit-identical in Spark and the
+  * DuckDB oracle), never from `rand()`.
+  *
+  * Scale shapes: the Bernoulli sample is a pure per-row predicate (a
+  * map-only scan that pushes nothing but compute); the stratified quota
+  * is one shuffle on the stratum key with a bounded per-stratum window
+  * — the standard "cap each language/source at N documents" mixing
+  * step.
+  */
+object Sampling {
+  import TextOps.{hash32, hash32Sql}
+
+  /** Hash-space denominator: fractions resolve to an integer threshold
+    * so both engines compare the same integers (no float rounding). */
+  val Denom = 1000000L
+
+  /** Deterministic Bernoulli sample: keep a row iff
+    * `hash32(key) mod Denom < fraction·Denom`. Sampling by content hash
+    * (not `rand()`) makes the sample stable across runs, partitionings
+    * and engines — the property dataset mixing needs. Map-only. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    df.where(hash32(col(keyCol).cast("string")) % Denom <
+      lit((fraction * Denom).toLong))
+  }
+
+  def hashSampleWhereSql(keyExpr: String, fraction: Double): String =
+    s"${hash32Sql(s"CAST($keyExpr AS VARCHAR)")} % $Denom < ${(fraction * Denom).toLong}"
+
+  /** Per-stratum quota: the `quota` rows of each stratum with the
+    * smallest content hash (hash order = a reproducible shuffle;
+    * unique key string as tiebreak). One shuffle on the stratum key;
+    * each stratum ranks independently — the "at most N documents per
+    * language/source" step of corpus mixing. */
+  def stratifiedQuota(df: DataFrame, strataCol: String, keyCol: String,
+      quota: Int): DataFrame = {
+    val key = col(keyCol).cast("string")
+    val w = Window.partitionBy(strataCol).orderBy(hash32(key), key)
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= quota)
+      .drop("_rk")
+  }
+
+  def stratifiedQuotaQualifySql(strataCol: String, keyExpr: String, quota: Int): String =
+    s"QUALIFY row_number() OVER (PARTITION BY $strataCol ORDER BY " +
+      s"${hash32Sql(s"CAST($keyExpr AS VARCHAR)")}, CAST($keyExpr AS VARCHAR)) <= $quota"
+}

@@ -47,6 +47,15 @@ object AnalyticsPack extends QueryPack {
     "tw3_session_counts" -> ((s, dir) =>
       Analytics.sessionCounts(Tables.events(s, dir), "ts", "8 hours", "user_id")
         .orderBy("user_id", "session_start")),
+    // batch twin of the stream-stream interval join (StreamingSpec pins
+    // the streaming append end state equal to this plan)
+    "tw4_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Analytics.intervalJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"), "1 HOUR")
+        .orderBy("l_id", "r_id")
+    }),
     // renamed from a7 (collided with SURVEY A7 sync tallies)
     "u1_distinct_users" -> ((s, dir) =>
       Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id")
@@ -150,6 +159,16 @@ object AnalyticsPack extends QueryPack {
         |  count(*) AS n
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // epoch_us integer math so the µs-truncation semantics match Spark's
+    // micros timestamps exactly at the interval bounds
+    "tw4_interval_join" ->
+      """SELECT c.user_id, c.event_id AS l_id, p.event_id AS r_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_micros
+        |FROM events c JOIN events p ON p.user_id = c.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(c.ts AS TIMESTAMP))
+        |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 3600000000
+        |ORDER BY l_id, r_id""".stripMargin,
     "u1_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

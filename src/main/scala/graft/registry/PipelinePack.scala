@@ -88,6 +88,22 @@ object PipelinePack extends QueryPack {
       Dedup.curationPipelineFrom(docs, sigs, sh, DedupJaccard).orderBy("lang")
     }),
 
+    // --- ANN: multi-probe (x19) ------------------------------------------
+    "x19_ann_multiprobe" -> ((s, dir) =>
+      VectorOps.annTopKMultiProbe(Tables.embeddings(s, dir), QueryVecs, 5)
+        .orderBy("query_id", "rn")),
+
+    // --- deterministic sampling (dataset mixing) --------------------------
+    "x20_hash_sample" -> ((s, dir) =>
+      graft.operators.Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.25)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+    "x21_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling
+        .stratifiedQuota(Tables.documents(s, dir), "lang", "doc_id", 50)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
     // --- multimodal ------------------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
       MultimodalOps.mediaMeta(MultimodalOps.assets(Tables.documents(s, dir)))
@@ -134,6 +150,16 @@ object PipelinePack extends QueryPack {
     // oracle is x16's, verbatim
     "x18_curation_from_sigs" ->
       (Dedup.curationPipelineSql(DedupJaccard) + "\nORDER BY lang"),
+    "x19_ann_multiprobe" ->
+      (VectorOps.annTopKMultiProbeSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
+    "x20_hash_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${graft.operators.Sampling.hashSampleWhereSql("doc_id", 0.25)}
+         |ORDER BY doc_id""".stripMargin,
+    "x21_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |${graft.operators.Sampling.stratifiedQuotaQualifySql("lang", "doc_id", 50)}
+         |ORDER BY doc_id""".stripMargin,
     "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),
     "m2_frame_sample" ->
       (MultimodalOps.frameSummarySql() + "\nORDER BY asset_id, frame_no"),

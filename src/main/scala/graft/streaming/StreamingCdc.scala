@@ -162,6 +162,18 @@ object StreamingEnrich {
       lateness: String = "1 hour"): DataFrame =
     graft.operators.Relational.eventEnrichment(
       stream.withWatermark("ts", lateness), customer, nation)
+
+  /** Watermarked stream-stream interval join (§2.11): two event streams
+    * joined on key within a time bound — Spark's stateful stream-stream
+    * join, state bounded by `within` + `lateness` on both sides and
+    * swept by the watermark; inner matches emit eagerly, so the append
+    * end state equals [[graft.operators.Analytics.intervalJoin]]'s batch
+    * result over the same data (StreamingSpec pins it). */
+  def intervalJoin(left: DataFrame, right: DataFrame, within: String,
+      lateness: String = "1 hour"): DataFrame =
+    graft.operators.Analytics.intervalJoin(
+      left.withWatermark("ts", lateness),
+      right.withWatermark("ts", lateness), within)
 }
 
 /** Streaming analytics: watermarked windowed aggregation (the

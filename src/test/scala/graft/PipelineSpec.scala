@@ -187,6 +187,31 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("deterministic sampling: stable across runs, fraction honored, quota capped, samples nest") {
+    import graft.operators.Sampling
+    val s25 = Sampling.hashSample(docs, "doc_id", 0.25)
+    val ids25 = s25.select("doc_id").collect().map(_.getLong(0)).toSet
+    // reproducible: same rows on re-evaluation
+    assert(ids25 === Sampling.hashSample(docs, "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet)
+    // fraction approximately honored (hash uniformity, generous bound)
+    val frac = ids25.size.toDouble / docs.count()
+    assert(frac > 0.15 && frac < 0.35, s"25% sample selected ${frac * 100}%")
+    // monotone: a smaller fraction's sample nests inside a larger one's
+    val ids10 = Sampling.hashSample(docs, "doc_id", 0.10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids10.subsetOf(ids25), "hash samples must nest by fraction")
+    // stratified quota: at most N per stratum, deterministic
+    val q = Sampling.stratifiedQuota(docs, "lang", "doc_id", 7)
+    val perLang = q.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perLang.values.forall(_ <= 7), s"quota exceeded: $perLang")
+    assert(perLang.values.exists(_ == 7), "no stratum filled its quota; fixture too small?")
+    val again = Sampling.stratifiedQuota(docs, "lang", "doc_id", 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q.select("doc_id").collect().map(_.getLong(0)).toSet === again)
+  }
+
   test("frame sampling + batched decode: offsets, sizes, checksums line up") {
     val assets = MultimodalOps.assets(docs.where(col("doc_id") < 10))
     val frames = MultimodalOps.sampleFrames(assets, frameBytes = 256, stride = 2)

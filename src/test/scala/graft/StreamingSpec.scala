@@ -97,6 +97,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got === want, "streaming end state diverges from the batch join")
   }
 
+  test("stream-stream interval join end state equals the batch interval join (tw4 twin)") {
+    val source = tmp("sjoin-src")
+    writeTimeSlicedSource(source, 3)
+    val schema = spark.read.parquet(source.toString).schema
+    def stream(tpe: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(source.toString)
+      .where(col("event_type") === tpe)
+    val joined = graft.streaming.StreamingEnrich.intervalJoin(
+      stream("click"), stream("purchase"), "1 HOUR")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("sjoin_end").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("sjoin_end").orderBy("l_id", "r_id")
+      .collect().map(_.toSeq).toSeq
+    val ev = spark.read.parquet(source.toString)
+    val want = Analytics.intervalJoin(
+        ev.where(col("event_type") === "click"),
+        ev.where(col("event_type") === "purchase"), "1 HOUR")
+      .orderBy("l_id", "r_id").collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "fixture has no click→purchase pairs; test is vacuous")
+    assert(got === want, "stream-stream join end state diverges from batch")
+  }
+
   test("streaming resume: a second AvailableNow run over the same checkpoint reprocesses nothing") {
     val source = tmp("stream-src2")
     writeTimeSlicedSource(source, 2)
