@@ -14,26 +14,30 @@ case class TokenCount(token: String, n: Long)
   * Compared to the two-aggregation form (term counts → window rank →
   * filter), this runs ONE shuffle: partial token→count maps combine
   * map-side, and only vocabulary-sized buffers cross the wire — the
-  * heavy-hitters shape. Buffers are vocabulary-bounded (exact counts);
-  * swap in a space-saving sketch for open vocabularies at extreme
-  * scale. */
+  * heavy-hitters shape. Buffers are MUTABLE maps updated in place —
+  * `Aggregator` explicitly permits mutating and returning the buffer,
+  * and an immutable `updated` per token would allocate a fresh map per
+  * input row. Vocabulary-bounded (exact counts); swap in the
+  * space-saving sketch below for open vocabularies at extreme scale. */
 class TopTokensAgg(k: Int)
-    extends Aggregator[String, Map[String, Long], Seq[TokenCount]] {
+    extends Aggregator[String, scala.collection.mutable.HashMap[String, Long], Seq[TokenCount]] {
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: Buf = scala.collection.mutable.HashMap.empty
 
-  override def reduce(b: Map[String, Long], token: String): Map[String, Long] =
-    b.updated(token, b.getOrElse(token, 0L) + 1L)
+  override def reduce(b: Buf, token: String): Buf = {
+    b.update(token, b.getOrElse(token, 0L) + 1L); b
+  }
 
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
-    b.foldLeft(a) { case (acc, (t, n)) => acc.updated(t, acc.getOrElse(t, 0L) + n) }
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (t, n) => a.update(t, a.getOrElse(t, 0L) + n) }; a
+  }
 
-  override def finish(b: Map[String, Long]): Seq[TokenCount] =
+  override def finish(b: Buf): Seq[TokenCount] =
     b.toSeq.map { case (t, n) => TokenCount(t, n) }
       .sortBy(tc => (-tc.n, tc.token)).take(k)
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+  override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
   override def outputEncoder: Encoder[Seq[TokenCount]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TokenCount]]()
 }
@@ -46,34 +50,36 @@ class TopTokensAgg(k: Int)
   * minimum evicted counter. Merge adds counters pairwise then re-prunes
   * to capacity — the standard mergeable-summaries construction. */
 class SpaceSavingTopTokensAgg(k: Int, capacity: Int)
-    extends Aggregator[String, Map[String, Long], Seq[TokenCount]] {
+    extends Aggregator[String, scala.collection.mutable.HashMap[String, Long], Seq[TokenCount]] {
   require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
+  private type Buf = scala.collection.mutable.HashMap[String, Long]
 
-  override def zero: Map[String, Long] = Map.empty
+  override def zero: Buf = scala.collection.mutable.HashMap.empty
 
-  override def reduce(b: Map[String, Long], token: String): Map[String, Long] =
+  override def reduce(b: Buf, token: String): Buf = {
     if (b.contains(token) || b.size < capacity)
-      b.updated(token, b.getOrElse(token, 0L) + 1L)
+      b.update(token, b.getOrElse(token, 0L) + 1L)
     else {
       // evict the minimum counter, inherit its count + 1 (Space-Saving)
       val (evict, minN) = b.minBy { case (t, n) => (n, t) }
-      (b - evict).updated(token, minN + 1L)
+      b.remove(evict)
+      b.update(token, minN + 1L)
     }
-
-  override def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] = {
-    val merged = b.foldLeft(a) { case (acc, (t, n)) =>
-      acc.updated(t, acc.getOrElse(t, 0L) + n)
-    }
-    if (merged.size <= capacity) merged
-    else merged.toSeq.sortBy { case (t, n) => (-n, t) }.take(capacity).toMap
+    b
   }
 
-  override def finish(b: Map[String, Long]): Seq[TokenCount] =
+  override def merge(a: Buf, b: Buf): Buf = {
+    b.foreach { case (t, n) => a.update(t, a.getOrElse(t, 0L) + n) }
+    if (a.size <= capacity) a
+    else scala.collection.mutable.HashMap.from(
+      a.toSeq.sortBy { case (t, n) => (-n, t) }.take(capacity))
+  }
+
+  override def finish(b: Buf): Seq[TokenCount] =
     b.toSeq.map { case (t, n) => TokenCount(t, n) }
       .sortBy(tc => (-tc.n, tc.token)).take(k)
 
-  override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+  override def bufferEncoder: Encoder[Buf] = Encoders.kryo[Buf]
   override def outputEncoder: Encoder[Seq[TokenCount]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TokenCount]]()
 }
@@ -89,7 +95,8 @@ object TopTokens {
     flatten(aggTokens(docs, new SpaceSavingTopTokensAgg(k, capacity)))
 
   private def aggTokens(docs: DataFrame,
-      agg: Aggregator[String, Map[String, Long], Seq[TokenCount]]): DataFrame = {
+      agg: Aggregator[String, scala.collection.mutable.HashMap[String, Long],
+        Seq[TokenCount]]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("lang"),

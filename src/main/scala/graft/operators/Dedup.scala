@@ -127,13 +127,31 @@ object Dedup {
     * the 100 TB entry point: banding + candidate join + confirm never
     * re-derive the signature subtree, so the expensive md5-per-shingle
     * pass runs once per corpus, not once per query. */
-  def nearDupPairsFrom(sigs: DataFrame, withSh: DataFrame,
-      minJaccard: Double = 0.0): DataFrame = {
+  /** Signature frame → exploded (doc_id, band, bkey) band-bucket rows. */
+  private def bandFrame(sigs: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map { j =>
       concat_ws("-", (0 until RowsPerBand).map(r => col(s"s${j * RowsPerBand + r}")): _*)
     }
-    val bands = sigs.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+  }
+
+  /** Candidate pairs → exact shingle-Jaccard confirmation (shared tail
+    * of the within- and cross-corpus pair operators). */
+  private def confirmJaccard(cand: DataFrame, shA: DataFrame, shB: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val a = shA.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = shB.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (inter.cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  def nearDupPairsFrom(sigs: DataFrame, withSh: DataFrame,
+      minJaccard: Double = 0.0): DataFrame = {
+    val bands = bandFrame(sigs)
     // no join hints here, deliberately (measured): at fixture scale the
     // planner broadcasts the band/shingle sides, which re-derives the
     // signature subtree (when `sigs` is not materialized) but skips a
@@ -146,27 +164,35 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val shA = withSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val shB = withSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
-    cand.join(shA, "doc_a").join(shB, "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (inter.cast("double") /
-          (size(col("sh_a")) + size(col("sh_b")) - inter)).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    confirmJaccard(cand, withSh, withSh, minJaccard)
   }
 
-  /** Shared CTE chain for the DuckDB oracle (signatures → bands → pairs →
-    * jaccard), generated from the same constants as the Spark side. */
-  private def nearDupCtes: String = {
+  /** Cross-corpus near-duplicate pairs: corpus B documents that
+    * near-duplicate a corpus A document — the "dedup the new crawl
+    * against the existing corpus" step of incremental curation. Same
+    * banded shape as [[nearDupPairsFrom]] but ACROSS two signature
+    * frames (typically: A's persisted from a previous snapshot, B's
+    * freshly computed): candidates come only from A-band ⋈ B-band
+    * bucket matches — never A×B — and each is confirmed by exact
+    * Jaccard over the two shingle frames. The portable-artifact payoff:
+    * corpus A's text is never re-read, only its signature/shingle
+    * artifacts are joined. Returns (doc_a ∈ A, doc_b ∈ B, jaccard). */
+  def crossCorpusPairs(sigsA: DataFrame, shA: DataFrame,
+      sigsB: DataFrame, shB: DataFrame, minJaccard: Double): DataFrame = {
+    val cand = bandFrame(sigsA).as("a").join(bandFrame(sigsB).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    confirmJaccard(cand, shA, shB, minJaccard)
+  }
+
+  /** WITH-chain prefix: shingles → shingle hashes → signatures,
+    * generated from the same constants as the Spark side. */
+  private def sigCtesSql: String = {
     val hs = s"list_transform(sh, s -> ${hash32Sql("s")} % $P)"
     val sigSelects = perms.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, h -> (h * $a + $b) % $P)) AS s$i"
     }.mkString(",\n    ")
-    val bandSelects = (0 until Bands).map { j =>
-      val key = (0 until RowsPerBand).map(r => s"s${j * RowsPerBand + r}").mkString(", ")
-      s"SELECT doc_id, $j AS band, concat_ws('-', $key) AS bkey FROM sigs"
-    }.mkString("\n    UNION ALL ")
     s"""WITH shs AS (
        |  SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents
        |), hsh AS (
@@ -175,19 +201,52 @@ object Dedup {
        |  SELECT doc_id, sh,
        |    $sigSelects
        |  FROM hsh
-       |), bands AS (
-       |    $bandSelects
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |), pairs AS (
+       |)""".stripMargin
+  }
+
+  /** Band-exploded rows of `sigs` under an optional corpus predicate. */
+  private def bandSelectsSql(pred: String = "TRUE"): String =
+    (0 until Bands).map { j =>
+      val key = (0 until RowsPerBand).map(r => s"s${j * RowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $j AS band, concat_ws('-', $key) AS bkey FROM sigs WHERE $pred"
+    }.mkString("\n    UNION ALL ")
+
+  /** Exact-Jaccard confirmation over the `cand` CTE. (A `def`, not a
+    * `val`: `minHashSignaturesSql` is a val that builds the chain at
+    * object init, before later vals would be assigned.) */
+  private def pairsCteSql: String =
+    s"""pairs AS (
        |  SELECT doc_a, doc_b,
        |    CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) /
        |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
        |  FROM cand JOIN shs x ON x.doc_id = doc_a JOIN shs y ON y.doc_id = doc_b
        |)""".stripMargin
-  }
+
+  /** Shared CTE chain for the DuckDB oracle (signatures → bands → pairs →
+    * jaccard), generated from the same constants as the Spark side. */
+  private def nearDupCtes: String =
+    s"""$sigCtesSql, bands AS (
+       |    ${bandSelectsSql()}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |), $pairsCteSql""".stripMargin
+
+  /** [[crossCorpusPairs]] oracle: the same chain with the band sides
+    * split by corpus predicates over doc_id. */
+  def crossCorpusPairsSql(predA: String, predB: String, minJaccard: Double): String =
+    s"""$sigCtesSql, bands_a AS (
+       |    ${bandSelectsSql(predA)}
+       |), bands_b AS (
+       |    ${bandSelectsSql(predB)}
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands_a a JOIN bands_b b
+       |    ON a.band = b.band AND a.bkey = b.bkey
+       |), $pairsCteSql
+       |SELECT doc_a, doc_b, jaccard FROM pairs
+       |WHERE jaccard >= $minJaccard""".stripMargin
 
   def nearDupPairsSql(minJaccard: Double): String =
     s"""$nearDupCtes

@@ -88,6 +88,19 @@ object PipelinePack extends QueryPack {
       Dedup.curationPipelineFrom(docs, sigs, sh, DedupJaccard).orderBy("lang")
     }),
 
+    // cross-corpus dedup: corpus B (odd doc_ids, the "new crawl") checked
+    // against corpus A (even doc_ids, the "existing snapshot") purely via
+    // their signature/shingle artifacts
+    "x22_cross_corpus_pairs" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val shA = Dedup.shingleFrame(docs.where(col("doc_id") % 2 === 0))
+      val shB = Dedup.shingleFrame(docs.where(col("doc_id") % 2 === 1))
+      Dedup.crossCorpusPairs(
+        Dedup.minHashSignaturesFrom(shA), shA,
+        Dedup.minHashSignaturesFrom(shB), shB, PairJaccard)
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // --- ANN: multi-probe (x19) ------------------------------------------
     "x19_ann_multiprobe" -> ((s, dir) =>
       VectorOps.annTopKMultiProbe(Tables.embeddings(s, dir), QueryVecs, 5)
@@ -150,6 +163,9 @@ object PipelinePack extends QueryPack {
     // oracle is x16's, verbatim
     "x18_curation_from_sigs" ->
       (Dedup.curationPipelineSql(DedupJaccard) + "\nORDER BY lang"),
+    "x22_cross_corpus_pairs" ->
+      (Dedup.crossCorpusPairsSql("doc_id % 2 = 0", "doc_id % 2 = 1", PairJaccard) +
+        "\nORDER BY doc_a, doc_b"),
     "x19_ann_multiprobe" ->
       (VectorOps.annTopKMultiProbeSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x20_hash_sample" ->

@@ -71,6 +71,21 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     sh.unpersist(); sigs.unpersist()
   }
 
+  test("cross-corpus pairs ≡ whole-corpus pairs restricted to cross pairs") {
+    val shA = Dedup.shingleFrame(docs.where(col("doc_id") % 2 === 0))
+    val shB = Dedup.shingleFrame(docs.where(col("doc_id") % 2 === 1))
+    val cross = Dedup.crossCorpusPairs(
+        Dedup.minHashSignaturesFrom(shA), shA,
+        Dedup.minHashSignaturesFrom(shB), shB, 0.5)
+      .collect()
+      .map(r => ((r.getLong(0) min r.getLong(1), r.getLong(0) max r.getLong(1)),
+        r.getDouble(2))).toSet
+    val whole = Dedup.nearDupPairs(docs, 0.5).collect()
+      .filter(r => r.getLong(0) % 2 != r.getLong(1) % 2)
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    assert(cross === whole)
+  }
+
   test("exact dedup is idempotent and content keys are unique") {
     val once = Dedup.exactDedup(docs).cache()
     assert(once.select("content_key").distinct().count() === once.count())
