@@ -253,6 +253,46 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |WHERE jaccard >= $minJaccard""".stripMargin
 
+  /** Benchmark decontamination check (the n-gram-overlap eval-set test
+    * every serious training corpus runs; cf. the 13-gram overlap
+    * methodology in the GPT-3 paper — PAPERS.md): for each candidate
+    * document, the fraction of its shingles present in the benchmark
+    * set's shingle vocabulary, and a contamination flag above
+    * `maxOverlap`.
+    *
+    * Shape: the benchmark vocabulary (eval sets are small by nature)
+    * collapses to ONE broadcast row; candidates are scanned once,
+    * map-only — no shuffle, no join of the corpus. For a vocabulary too
+    * large to hash per-row, the explode → broadcast-join → count form
+    * trades this for one shuffle; at eval-set sizes this form wins. */
+  def contamination(candidates: DataFrame, benchmark: DataFrame,
+      maxOverlap: Double): DataFrame = {
+    val vocab = shingleFrame(benchmark)
+      .agg(array_distinct(flatten(collect_list(col("sh")))).as("bsh"))
+    val nOverlap = size(array_intersect(col("sh"), col("bsh")))
+    shingleFrame(candidates).crossJoin(broadcast(vocab))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        nOverlap.as("n_overlap"),
+        (nOverlap.cast("double") / size(col("sh"))).as("overlap_frac"))
+      .withColumn("contaminated", col("overlap_frac") > maxOverlap)
+  }
+
+  /** [[contamination]] oracle over `documents` split by doc_id predicates. */
+  def contaminationSql(benchPred: String, candPred: String, maxOverlap: Double): String =
+    s"""WITH shs AS (
+       |  SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents
+       |), bench AS (
+       |  SELECT list_distinct(flatten(list(sh))) AS bsh FROM shs WHERE $benchPred
+       |), scored AS (
+       |  SELECT doc_id, len(sh) AS n_shingles,
+       |    len(list_intersect(sh, bench.bsh)) AS n_overlap
+       |  FROM shs CROSS JOIN bench WHERE $candPred
+       |)
+       |SELECT doc_id, n_shingles, n_overlap,
+       |  CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_frac,
+       |  (CAST(n_overlap AS DOUBLE) / n_shingles) > $maxOverlap AS contaminated
+       |FROM scored""".stripMargin
+
   // --- near-dup dedup (x3) -----------------------------------------------
 
   /** Near-duplicate dedup: drop the higher doc_id of every confirmed

@@ -101,6 +101,15 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_a", "doc_b")
     }),
 
+    // benchmark decontamination: docs >= 5 checked for shingle overlap
+    // against the "eval set" (docs 0-4)
+    "x23_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contamination(
+        docs.where(col("doc_id") >= 5), docs.where(col("doc_id") < 5), 0.25)
+        .orderBy("doc_id")
+    }),
+
     // --- ANN: multi-probe (x19) ------------------------------------------
     "x19_ann_multiprobe" -> ((s, dir) =>
       VectorOps.annTopKMultiProbe(Tables.embeddings(s, dir), QueryVecs, 5)
@@ -166,6 +175,9 @@ object PipelinePack extends QueryPack {
     "x22_cross_corpus_pairs" ->
       (Dedup.crossCorpusPairsSql("doc_id % 2 = 0", "doc_id % 2 = 1", PairJaccard) +
         "\nORDER BY doc_a, doc_b"),
+    "x23_contamination" ->
+      (Dedup.contaminationSql("doc_id < 5", "doc_id >= 5", 0.25) +
+        "\nORDER BY doc_id"),
     "x19_ann_multiprobe" ->
       (VectorOps.annTopKMultiProbeSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x20_hash_sample" ->

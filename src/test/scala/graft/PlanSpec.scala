@@ -123,6 +123,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(kernels == 1, s"expected 1 kernel eval, got $kernels:\n$plan")
   }
 
+  test("interval join plans as an equi-join with range filter, never a nested loop") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, psf)
+    val plan = formatted(Analytics.intervalJoin(
+      ev.where(col("event_type") === "click"),
+      ev.where(col("event_type") === "purchase"), "1 HOUR"))
+    assert(!plan.contains("NestedLoop"), s"interval join fell back to nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("contamination check never hash-shuffles or windows the candidate corpus") {
+    val docs = Tables.documents(spark, psf)
+    import org.apache.spark.sql.functions.col
+    val plan = formatted(Dedup.contamination(
+      docs.where(col("doc_id") >= 5), docs.where(col("doc_id") < 5), 0.25))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"contamination shuffles the corpus:\n$plan")
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("IVF cell assignment never windows or shuffles the corpus") {
     val plan = formatted(VectorOps.ivfCells(Tables.embeddings(spark, sf)))
     assert(!plan.contains("Window"), s"argmax via window shuffles the corpus:\n$plan")
