@@ -142,6 +142,25 @@ object Analytics {
       .select(col("user_id"), col("l_id"), col("r_id"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_micros"))
 
+  /** Per-key exact percentiles (median + p90) of a value column. Exact
+    * `percentile` sorts each group's values — the right tool when group
+    * cardinality is bounded (per-key metrics); for unbounded groups at
+    * extreme scale `approx_percentile` (KLL-style sketch, constant
+    * memory) is the drop-in. Outputs rounded to 6 dp so the linear-
+    * interpolation doubles compare stably across engines. */
+  def valueQuantiles(df: DataFrame, keyCol: String, valCol: String): DataFrame =
+    df.groupBy(keyCol).agg(
+      round(expr(s"percentile($valCol, 0.5)"), 6).as("p50"),
+      round(expr(s"percentile($valCol, 0.9)"), 6).as("p90"))
+
+  /** Fixed-width value histogram per key: bucket = floor(value/width)
+    * (arithmetic both engines share bit-for-bit — no `width_bucket`
+    * dependency), one hash aggregate with map-side combine. */
+  def valueHistogram(df: DataFrame, keyCol: String, valCol: String,
+      width: Double): DataFrame =
+    df.groupBy(col(keyCol), floor(col(valCol) / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Exact + approximate (HLL) distinct cardinality per key. The approx
     * path is the 100 TB one: constant memory per key vs a full shuffle of
     * distinct values. */

@@ -65,6 +65,12 @@ object AnalyticsPack extends QueryPack {
     "u2_approx_distinct" -> ((s, dir) =>
       Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id")
         .orderBy("event_type")),
+    "u3_value_quantiles" -> ((s, dir) =>
+      Analytics.valueQuantiles(Tables.events(s, dir), "event_type", "value")
+        .orderBy("event_type")),
+    "u4_value_histogram" -> ((s, dir) =>
+      Analytics.valueHistogram(Tables.events(s, dir), "event_type", "value", 50.0)
+        .orderBy("event_type", "bucket")),
     "set1_intersect" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       e.where(col("user_id") % 2 === 0).select("event_type").distinct()
@@ -172,6 +178,16 @@ object AnalyticsPack extends QueryPack {
     "u1_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "u3_value_quantiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "u4_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
     "set1_intersect" ->
       """SELECT event_type FROM events WHERE user_id % 2 = 0
         |INTERSECT

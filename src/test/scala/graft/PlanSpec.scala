@@ -123,6 +123,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(kernels == 1, s"expected 1 kernel eval, got $kernels:\n$plan")
   }
 
+  test("no registered query plans a non-broadcast cartesian product") {
+    // suite-wide guard: a CartesianProduct node means a join lost its
+    // keys (or a broadcast fell through to a shuffled cross) — the
+    // classic silent 100 TB killer. BroadcastNestedLoopJoin is allowed:
+    // the vector/catalog operators deliberately cross-join tiny
+    // broadcast sides.
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = formatted(fn(spark, sf))
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
   test("interval join plans as an equi-join with range filter, never a nested loop") {
     import graft.operators.Analytics
     import org.apache.spark.sql.functions.col

@@ -97,6 +97,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got === want, "streaming end state diverges from the batch join")
   }
 
+  test("map-only curation ops run unchanged on a documents stream (quality filter ≡ batch)") {
+    import graft.operators.TextOps
+    val src = tmp("docs-src")
+    Tables.documents(spark, sf).coalesce(1).write.mode("overwrite").parquet(src.toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    // per-row expressions need no watermark/state: append mode, verbatim op
+    val q = TextOps.qualityFilter(stream).writeStream
+      .outputMode("append").format("memory").queryName("qf_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("qf_stream").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val want = TextOps.qualityFilter(spark.read.parquet(src.toString))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
   test("stream-stream interval join end state equals the batch interval join (tw4 twin)") {
     val source = tmp("sjoin-src")
     writeTimeSlicedSource(source, 3)
