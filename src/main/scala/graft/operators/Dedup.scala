@@ -73,7 +73,15 @@ object Dedup {
     * with a well-split corpus (≥ parallelism splits) it's a no-op. */
   def shingleFrame(docs: DataFrame): DataFrame = {
     val target = docs.sparkSession.sparkContext.defaultParallelism
-    val base = if (docs.rdd.getNumPartitions < target) docs.repartition(target) else docs
+    // `.rdd` plans the query once on the driver to learn the scan's
+    // split count — worth it for a batch corpus (it decides whether the
+    // whole CPU-bound chain runs on one task), impossible for a stream
+    // (no partitioning before execution; micro-batches fan out on their
+    // own file splits)
+    val base =
+      if (!docs.isStreaming && docs.rdd.getNumPartitions < target)
+        docs.repartition(target)
+      else docs
     base.select(col("doc_id"), shingles(col("text")).as("sh"))
   }
 

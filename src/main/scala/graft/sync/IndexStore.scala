@@ -19,7 +19,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * run leaves only unreferenced staging dirs that `cleanupOrphans`
   * reclaims (K4).
   */
-class IndexStore(val spark: SparkSession, val root: String) {
+class IndexStore(val spark: SparkSession, val root: String,
+    staleStageGraceMs: Long = IndexStore.DefaultStaleStageGraceMs) {
   private val rootPath: Path = Paths.get(root)
   private val manifestPath: Path = rootPath.resolve("_aliases.json")
   Files.createDirectories(rootPath)
@@ -220,21 +221,44 @@ class IndexStore(val spark: SparkSession, val root: String) {
     }
   }
 
-  /** Reclaim `_merge_*` / `_stage_*` dirs stranded by a hard crash. At
-    * store bootstrap no writer of this root is in flight, so any such dir
-    * is garbage by construction: swaps/promotes move data OUT of a stage,
-    * never reference it afterwards. `_checkpoints` (streaming offsets) and
-    * `_bak_*` (recoverBuckets' jurisdiction) are kept. Returns dropped. */
+  /** Reclaim `_merge_*` / `_stage_*` dirs stranded by a hard crash,
+    * skipping any younger than the grace period: "no writer in flight at
+    * bootstrap" holds for THIS process, but another process (a read-only
+    * monitor, a second pipeline handle on the same root) may construct a
+    * store while a sync is mid-publish — deleting its live stage would
+    * silently degrade every promote to a per-index rebuild. A crashed
+    * run's stage ages past the grace and is reclaimed at a later boot.
+    * `_checkpoints` (streaming offsets) and `_bak_*` (recoverBuckets'
+    * jurisdiction) are kept. Returns dropped names. */
   def cleanupStaleStages(): Seq[String] = synchronized {
+    val cutoff = System.currentTimeMillis() - staleStageGraceMs
     val stale = Using.resource(Files.list(rootPath)) { s =>
       s.iterator().asScala
         .filter(p => Files.isDirectory(p))
+        .filter(p => {
+          val n = p.getFileName.toString
+          n.startsWith("_merge_") || n.startsWith("_stage_")
+        })
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .map(_.getFileName.toString)
-        .filter(n => n.startsWith("_merge_") || n.startsWith("_stage_"))
         .toList
     }
     stale.foreach(deletePhysical)
     stale.sorted
+  }
+
+  /** Per-index poison-row counts of a validity-split stage, in ONE job
+    * reading only partition columns (directory structure — no data
+    * pages). Empty when the stage is missing, empty, or not split. */
+  def stageRejectCounts(stageName: String, splitCol: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions.col
+    if (!indexExists(stageName) || !hasData(stageName)) Map.empty
+    else {
+      val df = readPhysical(stageName)
+      if (!df.columns.contains(splitCol) || !df.columns.contains(PartKey)) Map.empty
+      else df.where(!col(splitCol)).groupBy(col(PartKey)).count()
+        .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+    }
   }
 
   val BucketKey = "_id_bucket"
@@ -350,4 +374,11 @@ class IndexStore(val spark: SparkSession, val root: String) {
     Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+}
+
+object IndexStore {
+  /** Stage dirs younger than this survive bootstrap cleanup — long
+    * enough to protect another process's in-flight publish, short
+    * enough that a crashed run's stage reclaims on the next boot. */
+  val DefaultStaleStageGraceMs: Long = 60L * 60L * 1000L
 }

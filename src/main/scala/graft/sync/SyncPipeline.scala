@@ -84,7 +84,7 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     * burns a retry cycle. Returns the number of quarantined rows. */
   private def writeStaged(name: String, df: DataFrame): Long =
     validity match {
-      case Some(valid) => writeStagedTolerant(name, df, valid)
+      case Some(_) => writeStagedTolerant(name, df)
       case None =>
         writeChunk match {
           case Some(start) =>
@@ -99,13 +99,19 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
 
   private val ValidKey = "_graft_valid"
 
+  /** NULL-safe validity: a row whose predicate evaluates to NULL (e.g.
+    * `length(id) > 0` over a NULL id — the archetypal poison row) must
+    * be POISON, not a third silently-dropped partition value. */
+  private def validCol: org.apache.spark.sql.Column =
+    coalesce(validity.get, lit(false))
+
   /** One scan splits `df` on the validity predicate into the staged
     * index (valid side) and `_rejects_<name>` (poison side), with the
     * reject tally observed ON the split write — zero extra jobs (A7's
     * metric discipline). Slice promotion is an O(1) rename. */
-  private def writeStagedTolerant(name: String, df: DataFrame,
-      valid: org.apache.spark.sql.Column): Long = {
+  private def writeStagedTolerant(name: String, df: DataFrame): Long = {
     val stage = s"_stage_tol_${System.nanoTime()}"
+    val valid = validCol
     try {
       var rejects = 0L
       def attempt(chunk: Option[Int]): Unit = {
@@ -114,7 +120,10 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
           .observe(obs, coalesce(sum(when(valid, 0L).otherwise(1L)), lit(0L)).as("rejects"))
           .withColumn(ValidKey, valid)
         store.writeSplitStage(stage, tagged, ValidKey, chunk)
-        rejects = obs.get("rejects").asInstanceOf[Long]
+        // AQE empty-relation propagation can prune the observed subtree
+        // when `df` collapses to empty at runtime (e.g. a merge whose
+        // every upstream stage is empty) — no rows means no rejects.
+        rejects = obs.get.get("rejects").map(_.asInstanceOf[Long]).getOrElse(0L)
       }
       writeChunk match {
         case Some(start) =>
@@ -132,6 +141,23 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
       rejects
     } finally store.dropStage(stage)
   }
+
+  /** Validity split for the bucketed (in-place) paths, which write
+    * through their own bucketed layout rather than [[writeStagedTolerant]]:
+    * quarantine the poison side under `_rejects_<name>`, return the good
+    * side + reject count. The extra count action runs only with a
+    * validity predicate configured, over the (small) pruned batch. */
+  private def quarantineSplit(df: DataFrame, name: String): (DataFrame, Long) =
+    validity match {
+      case None => (df, 0L)
+      case Some(_) =>
+        val valid = validCol
+        val bad = df.where(!valid)
+        val n = bad.count()
+        if (n > 0)
+          retry.retry(() => store.writePhysical(s"${store.RejectPrefix}$name", bad, None))
+        (df.where(valid), n)
+    }
 
   /** Full blue/green sync (T4; reference main_flow full_sync branch):
     * ONE partitioned scan stages every index, then each index is
@@ -153,12 +179,17 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
         // each index's slice into valid/poison sub-dirs (tolerant K1).
         val scan = IndexerOps.fullSyncScan(env, selected).sortWithinPartitions(Idx, Id)
         validity match {
-          case Some(valid) =>
+          case Some(_) =>
             retry.retry(() => store.writePartitionedStage(
-              stage, scan.withColumn(ValidKey, valid), Idx, writeChunk, Some(ValidKey)))
+              stage, scan.withColumn(ValidKey, validCol), Idx, writeChunk, Some(ValidKey)))
           case None =>
             retry.retry(() => store.writePartitionedStage(stage, scan, Idx, writeChunk))
         }
+        // per-index reject tallies in ONE partition-column-only job over
+        // the staged split (never a per-index count; empty when no
+        // validity predicate is set)
+        val rejectCounts =
+          if (validity.isDefined) store.stageRejectCounts(stage, ValidKey) else Map.empty[String, Long]
 
         def publish(idx: String): IndexSyncReport = {
           val staged = s"${idx}_$timestamp"
@@ -171,9 +202,7 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
               got
             case None => store.promoteStaged(stage, idx, staged)
           }
-          var rejects =
-            if (validity.isDefined) store.rejected(staged).map(_.count()).getOrElse(0L)
-            else 0L
+          var rejects = rejectCounts.getOrElse(idx, 0L)
           if (!promoted) {
             // zero valid rows for this index: stage holds no slice — write
             // an empty (schema-bearing) physical index instead (under the
@@ -255,15 +284,21 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
       val batch = IndexerOps.incrementalScan(env, Seq(idx), wm)
       val changed = !batch.isEmpty // A3/P11 gate (one cheap limit-1 job)
       val staged = s"${idx}_$timestamp"
+      // T8 rollback: a staged build that fails must take its promoted
+      // quarantine with it — the alias never binds, so nothing else
+      // would ever reclaim `_rejects_<staged>`
+      def rollback(e: Throwable): Nothing = {
+        store.deletePhysical(staged)
+        store.deletePhysical(s"${store.RejectPrefix}$staged")
+        throw e
+      }
       if (isDrifted(idx, env, batch)) {
         // T11 — schema drift forces a full rebuild of this index
         try {
           val rejects = writeStaged(staged, IndexerOps.fullSyncScan(env, Seq(idx)))
           store.swapAlias(idx, staged)
           IndexSyncReport(idx, staged, "full", store.count(idx), 0L, rejects)
-        } catch {
-          case NonFatal(e) => store.deletePhysical(staged); throw e // T8
-        }
+        } catch { case NonFatal(e) => rollback(e) }
       } else if (!changed) {
         IndexSyncReport(idx, store.aliases().getOrElse(idx, ""), "skipped", 0L, 0L)
       } else {
@@ -275,9 +310,7 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
           val nIds = m("batch_ids").asInstanceOf[Long]
           val nDels = m("batch_deletes").asInstanceOf[Long]
           IndexSyncReport(idx, staged, "incremental", nIds - nDels, nDels, rejects)
-        } catch {
-          case NonFatal(e) => store.deletePhysical(staged); throw e
-        }
+        } catch { case NonFatal(e) => rollback(e) }
       }
     }
     val reports = runSmallestFirstLargestParallel(order.map(_._1), sync)
@@ -330,8 +363,13 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
         return IndexSyncReport(idx, store.aliases().getOrElse(idx, ""), "skipped", 0L, 0L)
       val physical = store.aliases().getOrElse(idx,
         sys.error(s"in-place sync needs a bootstrapped bucketed index for $idx"))
-      val (ups, dels) = InPlaceMerge(store, physical, batch, buckets)
-      IndexSyncReport(idx, physical, "incremental", ups, dels)
+      // per-record tolerance applies to the in-place path too: poison
+      // rows quarantine instead of merging into the live index
+      val (good, rejects) = quarantineSplit(batch, physical)
+      if (rejects > 0 && good.isEmpty)
+        return IndexSyncReport(idx, physical, "incremental", 0L, 0L, rejects)
+      val (ups, dels) = InPlaceMerge(store, physical, good, buckets)
+      IndexSyncReport(idx, physical, "incremental", ups, dels, rejects)
     }
     val reports = runSmallestFirstLargestParallel(order.map(_._1), sync)
     saveWatermarks(order)
@@ -348,12 +386,16 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     def publish(idx: String): IndexSyncReport = {
       val staged = s"${idx}_$timestamp"
       try {
-        store.writePhysicalBucketed(staged,
-          IndexerOps.fullSyncScan(env, Seq(idx)), Id, buckets)
+        val (good, rejects) =
+          quarantineSplit(IndexerOps.fullSyncScan(env, Seq(idx)), staged)
+        store.writePhysicalBucketed(staged, good, Id, buckets)
         store.swapAlias(idx, staged)
-        IndexSyncReport(idx, staged, "full", store.count(idx), 0L)
+        IndexSyncReport(idx, staged, "full", store.count(idx), 0L, rejects)
       } catch {
-        case NonFatal(e) => store.deletePhysical(staged); throw e // T8
+        case NonFatal(e) =>
+          store.deletePhysical(staged) // T8
+          store.deletePhysical(s"${store.RejectPrefix}$staged")
+          throw e
       }
     }
     val reports = runSmallestFirstLargestParallel(order.map(_._1), publish)

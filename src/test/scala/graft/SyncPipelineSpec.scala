@@ -100,17 +100,26 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     def poisonRow(ts: String) = env.limit(1).select(
       lit("click").as(Idx), lit("").as(Id), lit("""{"k":"x"}""").as(Document),
       lit(false).as(IsDeleted), lit(ts).cast("timestamp").as(UpdatedAt))
+    // NULL id: the validity predicate evaluates to NULL, which must count
+    // as poison (a third silently-dropped partition would destroy the row)
+    def nullRow(ts: String) = env.limit(1).select(
+      lit("click").as(Idx), lit(null).cast("string").as(Id),
+      lit("""{"k":"y"}""").as(Document),
+      lit(false).as(IsDeleted), lit(ts).cast("timestamp").as(UpdatedAt))
     val feed = env.where(col(Idx) === "click")
       .unionByName(poisonRow("2024-01-02 00:00:00"))
+      .unionByName(nullRow("2024-01-02 00:00:00"))
     val reports = pipe.fullSync(feed, Some(Seq("click")), timestamp = "t1")
-    assert(reports.head.rejects === 1L)
+    assert(reports.head.rejects === 2L)
     // all good rows landed, none of the poison did
     val live = store.read("click").get
-    assert(live.where(length(trim(col(Id))) === 0).count() === 0)
-    assert(pipe.reconcile(feed.where(valid), Seq("click")).isEmpty)
-    // quarantine holds exactly the poison row, invisible to the catalog
+    assert(live.where(col(Id).isNull || length(trim(col(Id))) === 0).count() === 0)
+    assert(pipe.reconcile(feed.where(coalesce(valid, lit(false))), Seq("click")).isEmpty)
+    // quarantine holds exactly the poison rows (incl. the NULL id),
+    // invisible to the catalog
     val q = store.rejected(store.aliases()("click")).get
-    assert(q.count() === 1L && q.select(Id).head().getString(0) === "")
+    assert(q.count() === 2L)
+    assert(q.where(col(Id).isNull).count() === 1L)
     assert(store.physicalIndexes().forall(!_.startsWith("_")))
 
     // incremental merge path quarantines too
@@ -123,6 +132,35 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(inc.head.mode === "incremental" && inc.head.rejects >= 1L)
     assert(store.read("click").get.where(col(Id) === "990001").count() === 1)
     assert(store.read("click").get.where(length(trim(col(Id))) === 0).count() === 0)
+  }
+
+  test("error-tolerant sink covers the bucketed in-place path") {
+    val dir = Files.createTempDirectory("graft-sync").toString
+    val store = new IndexStore(spark, dir)
+    val valid = length(trim(col(Id))) > 0
+    val pipe = new SyncPipeline(store, new WatermarkStore(dir), validity = Some(valid))
+    val cutoff = "2024-01-15 00:00:00"
+    def poison(ts: String) = env.limit(1).select(
+      lit("click").as(Idx), lit(" ").as(Id), lit("""{"k":"p"}""").as(Document),
+      lit(false).as(IsDeleted), lit(ts).cast("timestamp").as(UpdatedAt))
+    val early = env.where(col(Idx) === "click" &&
+      col(UpdatedAt) < lit(cutoff).cast("timestamp"))
+    // bootstrap: poison row must not enter the bucketed layout
+    val boot = pipe.fullSyncBucketed(
+      early.unionByName(poison("2024-01-02 00:00:00")),
+      Some(Seq("click")), timestamp = "t1", buckets = 4)
+    assert(boot.head.rejects === 1L)
+    assert(store.read("click").get.where(length(trim(col(Id))) === 0).count() === 0)
+    // in-place merge: late poison quarantines, late good row merges
+    val lateGood = env.where(col(Idx) === "click").limit(1).select(
+      col(Idx), lit("880001").as(Id), col(Document), lit(false).as(IsDeleted),
+      lit("2024-03-01 00:00:00").cast("timestamp").as(UpdatedAt))
+    val feed = early.unionByName(poison("2024-03-01 00:00:00")).unionByName(lateGood)
+    val inc = pipe.incrementalSyncInPlace(feed, Some(Seq("click")), buckets = 4)
+    assert(inc.head.rejects === 1L)
+    assert(store.read("click").get.where(col(Id) === "880001").count() === 1L)
+    assert(store.read("click").get.where(length(trim(col(Id))) === 0).count() === 0)
+    assert(store.rejected(store.aliases()("click")).get.count() === 1L)
   }
 
   test("error-tolerant sink: an all-poison index lands empty with every row quarantined") {
@@ -566,12 +604,18 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(store.count("click") === want)
   }
 
-  test("store bootstrap reclaims stranded _merge_/_stage_ dirs, keeps checkpoints") {
+  test("store bootstrap reclaims stranded _merge_/_stage_ dirs past the grace, keeps checkpoints and fresh stages") {
     val dir = Files.createTempDirectory("graft-sync").toString
-    for (stale <- Seq("_merge_click_123", "_stage_t9", "_checkpoints")) {
+    for (stale <- Seq("_merge_click_123", "_stage_t9", "_checkpoints", "_stage_live")) {
       Files.createDirectories(java.nio.file.Paths.get(dir, stale))
       Files.writeString(java.nio.file.Paths.get(dir, stale, "junk"), "x")
     }
+    // age two dirs past the grace; "_stage_live" stays fresh (another
+    // process's in-flight publish must survive a concurrent bootstrap)
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    for (aged <- Seq("_merge_click_123", "_stage_t9"))
+      Files.setLastModifiedTime(java.nio.file.Paths.get(dir, aged), old)
     val store = new IndexStore(spark, dir)
     assert(!Files.exists(java.nio.file.Paths.get(dir, "_merge_click_123")),
       "stale merge stage must be reclaimed at bootstrap")
@@ -579,7 +623,12 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
       "stale full-sync stage must be reclaimed at bootstrap")
     assert(Files.exists(java.nio.file.Paths.get(dir, "_checkpoints", "junk")),
       "streaming checkpoints must survive bootstrap cleanup")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "_stage_live", "junk")),
+      "a fresh stage (possibly another writer's) must survive bootstrap cleanup")
     assert(store.cleanupStaleStages().isEmpty)
+    // zero-grace store reclaims the fresh one too
+    new IndexStore(spark, dir, staleStageGraceMs = 0L)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "_stage_live")))
   }
 
   test("in-place merge read prunes to affected bucket partitions") {
