@@ -55,4 +55,26 @@ object Sampling {
   def stratifiedQuotaQualifySql(strataCol: String, keyExpr: String, quota: Int): String =
     s"QUALIFY row_number() OVER (PARTITION BY $strataCol ORDER BY " +
       s"${hash32Sql(s"CAST($keyExpr AS VARCHAR)")}, CAST($keyExpr AS VARCHAR)) <= $quota"
+
+  /** Sequence packing (training-batch construction): assign each
+    * document to a fixed token-budget pack, first-fit-in-key-order
+    * WITHIN its stratum — a document joins the pack its exclusive
+    * cumulative token count falls in, so every pack except a stratum's
+    * last holds ≥ `budget` tokens' worth of starts. Packing per stratum
+    * (language/source) is the scale shape: one window per stratum
+    * parallelizes across strata, where a single global sequential pack
+    * would serialize the corpus on one partition. */
+  def packByBudget(df: DataFrame, strataCol: String, keyCol: String,
+      tokensCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val w = Window.partitionBy(strataCol).orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumExclusive = sum(col(tokensCol)).over(w) - col(tokensCol)
+    df.withColumn("pack_id", floor(cumExclusive / lit(budget.toDouble)).cast("long"))
+  }
+
+  def packByBudgetSelectSql(strataCol: String, keyCol: String,
+      tokensExpr: String, budget: Long): String =
+    s"CAST(floor((sum($tokensExpr) OVER (PARTITION BY $strataCol ORDER BY $keyCol " +
+      s"ROWS UNBOUNDED PRECEDING) - $tokensExpr) / $budget.0) AS BIGINT) AS pack_id"
 }

@@ -135,6 +135,13 @@ object PipelinePack extends QueryPack {
         .stratifiedQuota(Tables.documents(s, dir), "lang", "doc_id", 50)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    "x24_sequence_packing" -> ((s, dir) => {
+      val withTokens = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      graft.operators.Sampling
+        .packByBudget(withTokens, "lang", "doc_id", "n_tokens", 512L)
+        .orderBy("doc_id")
+    }),
 
     // --- multimodal ------------------------------------------------------
     "m1_media_meta" -> ((s, dir) =>
@@ -198,6 +205,12 @@ object PipelinePack extends QueryPack {
       s"""SELECT doc_id, lang, source FROM documents
          |${graft.operators.Sampling.stratifiedQuotaQualifySql("lang", "doc_id", 50)}
          |ORDER BY doc_id""".stripMargin,
+    "x24_sequence_packing" -> {
+      val t = s"len(${TextOps.tokensSql("text")})"
+      s"""SELECT doc_id, lang, $t AS n_tokens,
+         |  ${graft.operators.Sampling.packByBudgetSelectSql("lang", "doc_id", t, 512L)}
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),
     "m2_frame_sample" ->
       (MultimodalOps.frameSummarySql() + "\nORDER BY asset_id, frame_no"),

@@ -30,9 +30,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   id-hash-bucketed physical indexes (delta-proportional cost — see
   *   [[graft.sync.InPlaceMerge]]); indexes must be bootstrapped via
   *   `SyncPipeline.fullSyncBucketed`. When None (default): each batch
-  *   publishes blue/green (atomic, whole-index rewrite). */
+  *   publishes blue/green (atomic, whole-index rewrite).
+  * @param validity when set: per-record error tolerance, the same K1
+  *   semantics as the batch pipeline — each micro-batch's poison rows
+  *   (predicate false OR NULL) append to the alias's quarantine dir
+  *   (`_rejects_<alias>`, read via `store.rejected(alias)`) instead of
+  *   merging, and never fail the batch. */
 class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
-    bucketed: Option[Int] = None) {
+    bucketed: Option[Int] = None,
+    validity: Option[org.apache.spark.sql.Column] = None) {
 
   /** The envelope relation as a stream (file source standing in for a
     * CDC feed; schema pinned from a batch probe of the same source). */
@@ -123,8 +129,23 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
       }
       val present = stats.map(_.getString(0)).toSet
       indexes.filter(present).foreach { idx =>
-        val b = batch.where(col(Idx) === idx &&
+        val scoped = batch.where(col(Idx) === idx &&
           col(UpdatedAt) >= lit(wms(idx)).cast("timestamp"))
+        // per-record tolerance (K1): poison rows land in the alias's
+        // quarantine and never fail or enter the merge. One subdir per
+        // micro-batch (partition-style, so reads see all batches) with
+        // overwrite semantics — a REPLAYED batch after failure rewrites
+        // its own slice instead of appending duplicates.
+        val b = validity match {
+          case None => scoped
+          case Some(v) =>
+            val valid = coalesce(v, lit(false))
+            val bad = scoped.where(!valid)
+            if (!bad.isEmpty)
+              bad.write.mode("overwrite").parquet(
+                s"${store.root}/${store.RejectPrefix}$idx/gbatch=$stagingSuffix")
+            scoped.where(valid)
+        }
         bucketed match {
           case Some(n) =>
             val physical = store.aliases().getOrElse(idx,

@@ -97,6 +97,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got === want, "streaming end state diverges from the batch join")
   }
 
+  test("streaming CDC with validity: poison rows quarantine per batch, live state stays clean") {
+    val source = tmp("stream-tol-src")
+    writeTimeSlicedSource(source, 2)
+    // a slice containing a NULL-id event (the envelope's poison row)
+    val ev = Tables.events(spark, sf).orderBy(desc("ts")).limit(1)
+      .select(lit(null).cast("long").as("event_id"), col("ts"), col("user_id"),
+        lit("click").as("event_type"), col("value"), col("props"))
+    val stage = tmp("poison-slice")
+    ev.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, source.resolve("slice_zzz_poison.parquet"))
+
+    val root = tmp("stream-tol-store").toString
+    val store = new IndexStore(spark, root)
+    val cdc = new StreamingCdc(store, new WatermarkStore(root),
+      validity = Some(length(trim(col(Id))) > 0))
+    cdc.syncAvailable(spark, source.toString, Seq("click"), "t1")
+    // live state has every valid click id and no null/blank ids
+    val live = store.read("click").get
+    assert(live.where(col(Id).isNull || length(trim(col(Id))) === 0).count() === 0)
+    val expect = Tables.envelope(Tables.normalizeTs(spark.read.parquet(source.toString)))
+      .where(col(Idx) === "click" && col(Id).isNotNull && !col(IsDeleted))
+      .select(Id).distinct().count()
+    assert(store.count("click") === expect)
+    // the poison row sits in the quarantine, tagged by micro-batch
+    val q = store.rejected("click").get
+    assert(q.count() === 1L && q.where(col(Id).isNull).count() === 1L)
+  }
+
   test("map-only curation ops run unchanged on a documents stream (quality filter ≡ batch)") {
     import graft.operators.TextOps
     val src = tmp("docs-src")
