@@ -355,6 +355,55 @@ object Dedup {
         sum(when(col("keep"), 1L).otherwise(0L)).as("after_quality"))
   }
 
+  /** The full corpus-build report as ONE composed plan — what shipping a
+    * training snapshot actually runs: near-dup collapse → quality filter
+    * → deterministic subsample → per-language survivor counts and token
+    * budget. Catalyst plans the chain together (shared scans, pushed
+    * filters); every stage's policy is a pure column predicate so the
+    * report adds no pass over the corpus beyond the dedup chain's own. */
+  def corpusBuild(docs: DataFrame, minJaccard: Double,
+      sampleFraction: Double): DataFrame = {
+    val afterNear = nearDupDedup(docs, minJaccard)
+      .join(docs.select("doc_id", "text"), "doc_id")
+    val quality = TextOps.qualityFilter(afterNear)
+      .select(col("doc_id"), col("keep"), col("n_words"))
+    val sampled = col("keep") &&
+      (hash32(col("doc_id").cast("string")) % Sampling.Denom <
+        lit((sampleFraction * Sampling.Denom).toLong))
+    afterNear.join(quality, Seq("doc_id"))
+      .withColumn("sampled", sampled)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("after_dedup"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("after_quality"),
+        sum(when(col("sampled"), 1L).otherwise(0L)).as("after_sample"),
+        sum(when(col("sampled"), col("n_words").cast("long")).otherwise(0L))
+          .as("sampled_tokens"))
+  }
+
+  def corpusBuildSql(minJaccard: Double, sampleFraction: Double): String = {
+    val t = TextOps.tokensSql("d.text")
+    s"""$nearDupCtes, survivors AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM documents d
+       |  WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= $minJaccard)
+       |), q AS (
+       |  SELECT d.doc_id, d.lang, len($t) AS n_words,
+       |    (len($t) BETWEEN 5 AND 10000
+       |      AND CAST(length(d.text) - (len($t) - 1) AS DOUBLE) / len($t) BETWEEN 2.0 AND 12.0
+       |      AND CAST(list_max(list_transform(list_distinct($t),
+       |            x -> len(list_filter($t, y -> y = x)))) AS DOUBLE) / len($t) <= 0.25
+       |    ) AS keep
+       |  FROM survivors d
+       |), s AS (
+       |  SELECT *, keep AND (${Sampling.hashSampleWhereSql("doc_id", sampleFraction)}) AS sampled
+       |  FROM q
+       |)
+       |SELECT lang, count(*) AS after_dedup,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS after_quality,
+       |  CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS after_sample,
+       |  CAST(sum(CASE WHEN sampled THEN n_words ELSE 0 END) AS BIGINT) AS sampled_tokens
+       |FROM s GROUP BY lang""".stripMargin
+  }
+
   def curationPipelineSql(minJaccard: Double): String = {
     // quality-filter subexpressions inlined over the near-dup survivors
     val t = TextOps.tokensSql("d.text")

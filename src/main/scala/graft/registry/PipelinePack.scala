@@ -135,6 +135,11 @@ object PipelinePack extends QueryPack {
         .stratifiedQuota(Tables.documents(s, dir), "lang", "doc_id", 50)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // the whole corpus-build report in one plan: dedup → quality →
+    // deterministic 50% subsample → per-language counts + token budget
+    "x25_corpus_build" -> ((s, dir) =>
+      Dedup.corpusBuild(Tables.documents(s, dir), DedupJaccard, 0.5)
+        .orderBy("lang")),
     "x24_sequence_packing" -> ((s, dir) => {
       val withTokens = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         size(TextOps.tokens(col("text"))).as("n_tokens"))
@@ -205,6 +210,8 @@ object PipelinePack extends QueryPack {
       s"""SELECT doc_id, lang, source FROM documents
          |${graft.operators.Sampling.stratifiedQuotaQualifySql("lang", "doc_id", 50)}
          |ORDER BY doc_id""".stripMargin,
+    "x25_corpus_build" ->
+      (Dedup.corpusBuildSql(DedupJaccard, 0.5) + "\nORDER BY lang"),
     "x24_sequence_packing" -> {
       val t = s"len(${TextOps.tokensSql("text")})"
       s"""SELECT doc_id, lang, $t AS n_tokens,
