@@ -368,8 +368,7 @@ object Dedup {
     val quality = TextOps.qualityFilter(afterNear)
       .select(col("doc_id"), col("keep"), col("n_words"))
     val sampled = col("keep") &&
-      (hash32(col("doc_id").cast("string")) % Sampling.Denom <
-        lit((sampleFraction * Sampling.Denom).toLong))
+      Sampling.hashSamplePredicate("doc_id", sampleFraction)
     afterNear.join(quality, Seq("doc_id"))
       .withColumn("sampled", sampled)
       .groupBy("lang")
@@ -387,11 +386,7 @@ object Dedup {
        |  WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= $minJaccard)
        |), q AS (
        |  SELECT d.doc_id, d.lang, len($t) AS n_words,
-       |    (len($t) BETWEEN 5 AND 10000
-       |      AND CAST(length(d.text) - (len($t) - 1) AS DOUBLE) / len($t) BETWEEN 2.0 AND 12.0
-       |      AND CAST(list_max(list_transform(list_distinct($t),
-       |            x -> len(list_filter($t, y -> y = x)))) AS DOUBLE) / len($t) <= 0.25
-       |    ) AS keep
+       |    ${TextOps.qualityKeepSql("d.text")} AS keep
        |  FROM survivors d
        |), s AS (
        |  SELECT *, keep AND (${Sampling.hashSampleWhereSql("doc_id", sampleFraction)}) AS sampled
@@ -405,18 +400,13 @@ object Dedup {
   }
 
   def curationPipelineSql(minJaccard: Double): String = {
-    // quality-filter subexpressions inlined over the near-dup survivors
-    val t = TextOps.tokensSql("d.text")
+    // quality-filter keep-predicate shared with x15/x25 via qualityKeepSql
     s"""$nearDupCtes, survivors AS (
        |  SELECT d.doc_id, d.lang, d.text FROM documents d
        |  WHERE d.doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= $minJaccard)
        |), q AS (
        |  SELECT d.doc_id, d.lang,
-       |    (len($t) BETWEEN 5 AND 10000
-       |      AND CAST(length(d.text) - (len($t) - 1) AS DOUBLE) / len($t) BETWEEN 2.0 AND 12.0
-       |      AND CAST(list_max(list_transform(list_distinct($t),
-       |            x -> len(list_filter($t, y -> y = x)))) AS DOUBLE) / len($t) <= 0.25
-       |    ) AS keep
+       |    ${TextOps.qualityKeepSql("d.text")} AS keep
        |  FROM survivors d
        |)
        |SELECT lang, count(*) AS after_dedup,

@@ -29,11 +29,15 @@ object Sampling {
     * `hash32(key) mod Denom < fraction·Denom`. Sampling by content hash
     * (not `rand()`) makes the sample stable across runs, partitionings
     * and engines — the property dataset mixing needs. Map-only. */
-  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+  /** The Bernoulli-sample predicate as a reusable Column — the single
+    * source for [[hashSample]] and composed pipelines (x25). */
+  def hashSamplePredicate(keyCol: String, fraction: Double): org.apache.spark.sql.Column = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
-    df.where(hash32(col(keyCol).cast("string")) % Denom <
-      lit((fraction * Denom).toLong))
+    hash32(col(keyCol).cast("string")) % Denom < lit((fraction * Denom).toLong)
   }
+
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.where(hashSamplePredicate(keyCol, fraction))
 
   def hashSampleWhereSql(keyExpr: String, fraction: Double): String =
     s"${hash32Sql(s"CAST($keyExpr AS VARCHAR)")} % $Denom < ${(fraction * Denom).toLong}"

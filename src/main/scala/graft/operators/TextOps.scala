@@ -192,6 +192,21 @@ object TextOps {
       keep.as("keep"))
   }
 
+  /** [[qualityFilter]]'s keep-predicate as oracle SQL over a text
+    * expression — the single source for every oracle that embeds the
+    * Gopher thresholds (x15's component form, x16/x25's inline form):
+    * one place to change a threshold, no chance of the oracles
+    * desynchronizing. */
+  def qualityKeepSql(textExpr: String, minWords: Int = 5, maxWords: Int = 10000,
+      minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+      maxTopTokenFrac: Double = 0.25): String = {
+    val t = tokensSql(textExpr)
+    s"""(len($t) BETWEEN $minWords AND $maxWords
+       |      AND CAST(length($textExpr) - (len($t) - 1) AS DOUBLE) / len($t) BETWEEN $minMeanLen AND $maxMeanLen
+       |      AND CAST(list_max(list_transform(list_distinct($t),
+       |            x -> len(list_filter($t, y -> y = x)))) AS DOUBLE) / len($t) <= $maxTopTokenFrac)""".stripMargin
+  }
+
   def qualityFilterSql(minWords: Int = 5, maxWords: Int = 10000,
       minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
       maxTopTokenFrac: Double = 0.25): String = {

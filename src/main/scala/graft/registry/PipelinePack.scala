@@ -83,16 +83,36 @@ object PipelinePack extends QueryPack {
       // fragment Spark's cache manager substitutes into ANY matching
       // query — parquet reads cannot silently turn x2/x3/x16/x17's
       // recompute paths into artifact reads and falsify the x16-vs-x18
-      // comparison. Built once per fixture dir, reused across runs.
+      // comparison. Built once per (fixture dir, fixture mtime, minhash
+      // constants) — a regenerated fixture or changed kernel constants
+      // key a fresh build — and validated by _SUCCESS + atomic rename,
+      // so a crashed or concurrent build can never be half-reused.
+      // NOTE: building the artifact happens at frame-construction time
+      // (a deliberate exception to the registry's lazy-build norm —
+      // documented here so plan-only consumers know the first x18 build
+      // pays two corpus scans; subsequent builds just read).
+      val fixtureMtime = new java.io.File(s"$dir/documents.parquet").lastModified()
+      val key = Integer.toHexString(
+        (dir, fixtureMtime, Dedup.minHashSignaturesSql).hashCode())
       val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_artifacts_${Integer.toHexString(dir.hashCode)}")
-      val shPath = new java.io.File(base, "shingles.parquet").toString
-      val sigPath = new java.io.File(base, "signatures.parquet").toString
-      if (!new java.io.File(shPath).exists())
-        Dedup.shingleFrame(docs).write.mode("overwrite").parquet(shPath)
-      if (!new java.io.File(sigPath).exists())
-        Dedup.minHashSignaturesFrom(s.read.parquet(shPath))
-          .write.mode("overwrite").parquet(sigPath)
+        s"graft_artifacts_$key")
+      def build(name: String, f: String => Unit): String = {
+        val target = new java.io.File(base, name)
+        if (!new java.io.File(target, "_SUCCESS").exists()) {
+          val tmp = new java.io.File(base, s"$name.tmp.${System.nanoTime()}")
+          f(tmp.toString)
+          if (!target.getParentFile.exists()) target.getParentFile.mkdirs()
+          if (!tmp.renameTo(target)) { // lost a concurrent race: theirs won
+            val fs = new scala.reflect.io.Directory(tmp); fs.deleteRecursively()
+          }
+        }
+        target.toString
+      }
+      val shPath = build("shingles.parquet",
+        p => Dedup.shingleFrame(docs).write.mode("overwrite").parquet(p))
+      val sigPath = build("signatures.parquet",
+        p => Dedup.minHashSignaturesFrom(s.read.parquet(shPath))
+          .write.mode("overwrite").parquet(p))
       Dedup.curationPipelineFrom(docs,
         s.read.parquet(sigPath), s.read.parquet(shPath), DedupJaccard)
         .orderBy("lang")

@@ -33,9 +33,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   publishes blue/green (atomic, whole-index rewrite).
   * @param validity when set: per-record error tolerance, the same K1
   *   semantics as the batch pipeline — each micro-batch's poison rows
-  *   (predicate false OR NULL) append to the alias's quarantine dir
+  *   (predicate false OR NULL) land in the alias's quarantine dir
   *   (`_rejects_<alias>`, read via `store.rejected(alias)`) instead of
-  *   merging, and never fail the batch. */
+  *   merging, and never fail the batch. Scope: rows with a NULL event
+  *   time are outside the CDC domain entirely — the watermark predicate
+  *   `updated_at >= W` excludes them exactly as the reference's
+  *   incremental SQL does (flows/main_flow.py:317-333) — so they
+  *   surface only in FULL syncs, where the validity predicate can
+  *   quarantine them. Quarantine slices are per checkpoint lineage: a
+  *   rerun under a NEW timestamp reprocesses the source from offset
+  *   zero (merges stay idempotent by id) and re-quarantines its own
+  *   poison slices alongside the previous lineage's. */
 class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
     bucketed: Option[Int] = None,
     validity: Option[org.apache.spark.sql.Column] = None) {

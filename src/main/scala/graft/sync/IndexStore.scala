@@ -232,6 +232,16 @@ class IndexStore(val spark: SparkSession, val root: String,
     * jurisdiction) are kept. Returns dropped names. */
   def cleanupStaleStages(): Seq[String] = synchronized {
     val cutoff = System.currentTimeMillis() - staleStageGraceMs
+    // a LIVE stage write keeps creating files, but only under nested
+    // task-attempt dirs — the top dir's mtime is its creation time. Age
+    // by the NEWEST mtime in the tree, so a multi-hour staging write
+    // stays protected for as long as it keeps making progress, while a
+    // crashed write's tree stops aging and is reclaimed after the grace.
+    def newestMtime(p: Path): Long =
+      Using.resource(Files.walk(p)) { s =>
+        s.iterator().asScala.map(Files.getLastModifiedTime(_).toMillis)
+          .foldLeft(0L)(math.max)
+      }
     val stale = Using.resource(Files.list(rootPath)) { s =>
       s.iterator().asScala
         .filter(p => Files.isDirectory(p))
@@ -239,7 +249,7 @@ class IndexStore(val spark: SparkSession, val root: String,
           val n = p.getFileName.toString
           n.startsWith("_merge_") || n.startsWith("_stage_")
         })
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+        .filter(p => newestMtime(p) <= cutoff)
         .map(_.getFileName.toString)
         .toList
     }
@@ -249,7 +259,9 @@ class IndexStore(val spark: SparkSession, val root: String,
 
   /** Per-index poison-row counts of a validity-split stage, in ONE job
     * reading only partition columns (directory structure — no data
-    * pages). Empty when the stage is missing, empty, or not split. */
+    * pages). Keys are the original index names ([[PartTag]] stripped —
+    * the tag guarantees inference kept them strings). Empty when the
+    * stage is missing, empty, or not split. */
   def stageRejectCounts(stageName: String, splitCol: String): Map[String, Long] = {
     import org.apache.spark.sql.functions.col
     if (!indexExists(stageName) || !hasData(stageName)) Map.empty
@@ -257,9 +269,13 @@ class IndexStore(val spark: SparkSession, val root: String,
       val df = readPhysical(stageName)
       if (!df.columns.contains(splitCol) || !df.columns.contains(PartKey)) Map.empty
       else df.where(!col(splitCol)).groupBy(col(PartKey)).count()
-        .collect().map(r => String.valueOf(r.get(0)) -> r.getLong(1)).toMap
+        .collect()
+        .map(r => String.valueOf(r.get(0)).stripPrefix(PartTag) -> r.getLong(1))
+        .toMap
     }
   }
+
+  private val PartTag = "i_"
 
   val BucketKey = "_id_bucket"
 
@@ -273,19 +289,25 @@ class IndexStore(val spark: SparkSession, val root: String,
   def writePartitionedStage(stageName: String, df: DataFrame,
       partCol: String, maxRecordsPerFile: Option[Int] = None,
       splitCol: Option[String] = None): Unit = {
-    import org.apache.spark.sql.functions.col
-    val w = df.withColumn(PartKey, col(partCol))
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    // the tag prefix keeps every partition value non-numeric, so reading
+    // the stage back can never mangle a numeric-looking index name
+    // through partition-type inference ("0123" → 123)
+    val w = df.withColumn(PartKey, concat(lit(PartTag), col(partCol)))
       .write.mode(SaveMode.Overwrite)
       .partitionBy(PartKey +: splitCol.toSeq: _*)
     maxRecordsPerFile.foreach(n => w.option("maxRecordsPerFile", n.toLong))
     w.parquet(rootPath.resolve(stageName).toString)
   }
 
+  /** Directory name of one index's slice inside a partitioned stage. */
+  def partSliceDir(partValue: String): String = s"$PartKey=$PartTag$partValue"
+
   /** Promote one index's slice out of a partitioned stage into its own
     * physical index (directory rename — O(1), no data move). Returns
     * false if the stage holds no slice for the value (zero-row index). */
   def promoteStaged(stageName: String, partValue: String, physical: String): Boolean =
-    promoteSlice(stageName, s"$PartKey=$partValue", physical)
+    promoteSlice(stageName, partSliceDir(partValue), physical)
 
   /** Move one named partition dir out of a stage (O(1) rename); false if
     * the stage holds no such dir. */

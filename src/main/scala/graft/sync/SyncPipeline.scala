@@ -43,7 +43,14 @@ case class IndexSyncReport(
   *  - writes run under an injectable [[RetryPolicy]] (T10) with
   *    adaptive chunk degradation (T6) mapped to `maxRecordsPerFile`.
   *    The default policy fails fast (no sleeps); production callers
-  *    inject the reference's 10-retry/backoff policy.
+  *    inject the reference's 10-retry/backoff policy;
+  *  - `validity` (when set) makes every write per-record error-tolerant
+  *    (K1's real semantics): poison rows — predicate false OR NULL —
+  *    quarantine under `_rejects_*` instead of failing the write.
+  *    Scope: rows with NULL `updated_at` are outside the INCREMENTAL
+  *    domain by CDC definition (the watermark `>=` excludes them, as
+  *    the reference's SQL does, flows/main_flow.py:317-333); they
+  *    surface in full syncs, where validity applies to them normally.
   */
 class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     retry: RetryPolicy = RetryPolicy(maxRetries = 0, sleep = _ => ()),
@@ -145,8 +152,12 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
   /** Validity split for the bucketed (in-place) paths, which write
     * through their own bucketed layout rather than [[writeStagedTolerant]]:
     * quarantine the poison side under `_rejects_<name>`, return the good
-    * side + reject count. The extra count action runs only with a
-    * validity predicate configured, over the (small) pruned batch. */
+    * side + reject count. Each call writes its OWN partition-style
+    * subdir (overwrite-idempotent under retry, tag fixed per call), so
+    * successive syncs against the same physical name ACCUMULATE
+    * quarantined rows instead of destroying earlier ones — they exist to
+    * be inspected. The extra count action runs only with a validity
+    * predicate configured, over the (small) pruned batch. */
   private def quarantineSplit(df: DataFrame, name: String): (DataFrame, Long) =
     validity match {
       case None => (df, 0L)
@@ -154,8 +165,10 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
         val valid = validCol
         val bad = df.where(!valid)
         val n = bad.count()
-        if (n > 0)
-          retry.retry(() => store.writePhysical(s"${store.RejectPrefix}$name", bad, None))
+        if (n > 0) {
+          val slice = s"${store.RejectPrefix}$name/gbatch=sync_${System.nanoTime()}"
+          retry.retry(() => store.writePhysical(slice, bad, None))
+        }
         (df.where(valid), n)
     }
 
@@ -196,8 +209,8 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
           val promoted = validity match {
             case Some(_) =>
               val got = store.promoteSlice(
-                stage, s"${store.PartKey}=$idx/$ValidKey=true", staged)
-              store.promoteSlice(stage, s"${store.PartKey}=$idx/$ValidKey=false",
+                stage, s"${store.partSliceDir(idx)}/$ValidKey=true", staged)
+              store.promoteSlice(stage, s"${store.partSliceDir(idx)}/$ValidKey=false",
                 s"${store.RejectPrefix}$staged")
               got
             case None => store.promoteStaged(stage, idx, staged)

@@ -160,7 +160,10 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(inc.head.rejects === 1L)
     assert(store.read("click").get.where(col(Id) === "880001").count() === 1L)
     assert(store.read("click").get.where(length(trim(col(Id))) === 0).count() === 0)
-    assert(store.rejected(store.aliases()("click")).get.count() === 1L)
+    // the quarantine ACCUMULATES across syncs against the same physical
+    // name (bootstrap's poison + the increment's) — earlier quarantined
+    // rows are never destroyed before inspection
+    assert(store.rejected(store.aliases()("click")).get.count() === 2L)
   }
 
   test("error-tolerant sink: an all-poison index lands empty with every row quarantined") {
@@ -614,8 +617,12 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     // process's in-flight publish must survive a concurrent bootstrap)
     val old = java.nio.file.attribute.FileTime.fromMillis(
       System.currentTimeMillis() - 2L * 60 * 60 * 1000)
-    for (aged <- Seq("_merge_click_123", "_stage_t9"))
+    for (aged <- Seq("_merge_click_123", "_stage_t9")) {
+      // the staleness check ages by the NEWEST mtime in the tree, so the
+      // whole tree must be old, not just the top dir
+      Files.setLastModifiedTime(java.nio.file.Paths.get(dir, aged, "junk"), old)
       Files.setLastModifiedTime(java.nio.file.Paths.get(dir, aged), old)
+    }
     val store = new IndexStore(spark, dir)
     assert(!Files.exists(java.nio.file.Paths.get(dir, "_merge_click_123")),
       "stale merge stage must be reclaimed at bootstrap")
