@@ -62,6 +62,43 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
     assert(top.head.getLong(1) === 2L, "real vector must outrank the zero vector")
   }
 
+  test("sampling and packing on degenerate inputs and extreme parameters") {
+    import graft.operators.Sampling
+    // fraction bounds: 0 keeps nothing, 1 keeps everything
+    assert(Sampling.hashSample(weirdDocs, "doc_id", 0.0).count() === 0)
+    assert(Sampling.hashSample(weirdDocs, "doc_id", 1.0).count() === 5)
+    assert(Sampling.hashSample(emptyDocs, "doc_id", 0.5).count() === 0)
+    // quota larger than any stratum keeps everything; quota on empty is empty
+    assert(Sampling.stratifiedQuota(weirdDocs, "lang", "doc_id", 100).count() === 5)
+    assert(Sampling.stratifiedQuota(emptyDocs, "lang", "doc_id", 3).count() === 0)
+    // budget 1: every doc starts its own pack; pack ids are dense from 0
+    val tokens = weirdDocs.select(col("doc_id"), col("lang"),
+      size(TextOps.tokens(col("text"))).as("n"))
+    val packed = Sampling.packByBudget(tokens, "lang", "doc_id", "n", 1L)
+    assert(packed.count() === 5)
+    packed.collect().foreach(r => assert(r.getAs[Long]("pack_id") >= 0))
+    assert(Sampling.packByBudget(tokens.limit(0), "lang", "doc_id", "n", 512L).count() === 0)
+  }
+
+  test("contamination and cross-corpus pairs on empty/degenerate corpora") {
+    // empty benchmark: nothing can overlap, nothing is contaminated
+    val c = Dedup.contamination(weirdDocs, emptyDocs, 0.25).collect()
+    assert(c.length === 5)
+    c.foreach(r => assert(r.getAs[Int]("n_overlap") === 0 &&
+      !r.getAs[Boolean]("contaminated")))
+    // empty candidates: empty report
+    assert(Dedup.contamination(emptyDocs, weirdDocs, 0.25).count() === 0)
+    // self-benchmark: every doc fully overlaps itself
+    val self = Dedup.contamination(weirdDocs, weirdDocs, 0.25).collect()
+    self.foreach(r => assert(r.getAs[Int]("n_overlap") === r.getAs[Int]("n_shingles")))
+    // cross-corpus with an empty side yields no pairs
+    val sh = Dedup.shingleFrame(weirdDocs)
+    val shEmpty = Dedup.shingleFrame(emptyDocs)
+    assert(Dedup.crossCorpusPairs(
+      Dedup.minHashSignaturesFrom(sh), sh,
+      Dedup.minHashSignaturesFrom(shEmpty), shEmpty, 0.0).count() === 0)
+  }
+
   test("CDC merge with empty batch or empty current state") {
     val env = Tables_envelope
     val emptyBatch = env.limit(0)

@@ -110,6 +110,36 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
       }
     }
 
+  property("tolerant full sync conserves rows: live ⊎ quarantine == scan, for any poison set") =
+    Prop.forAll(genRows, Gen.listOf(Gen.choose(0, 12).map(_.toString))) { (rows, poisonRaw) =>
+      rows.isEmpty || {
+        import graft.sync.{IndexStore, SyncPipeline, WatermarkStore}
+        val poison = poisonRaw.distinct
+        val root = java.nio.file.Files.createTempDirectory("prop-tol").toString
+        val store = new IndexStore(spark, root)
+        val valid =
+          if (poison.isEmpty) lit(true) else !col(Id).isin(poison: _*)
+        val pipe = new SyncPipeline(store, new WatermarkStore(root),
+          validity = Some(valid))
+        val env = df(rows)
+        val reports = pipe.fullSync(env, None, timestamp = "p1")
+        def multiset(d: DataFrame): Seq[(String, String, String)] =
+          d.select(Idx, Id, Document).collect()
+            .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+            .toSeq.sorted
+        val scan = IndexerOps.fullSyncScan(env, reports.map(_.index))
+        val wantLive = multiset(scan.where(valid))
+        val wantQuar = multiset(scan.where(!valid))
+        val gotLive = reports.flatMap(r => store.read(r.index).map(multiset))
+          .flatten.sorted
+        val gotQuar = reports
+          .flatMap(r => store.rejected(store.aliases()(r.index)).map(multiset))
+          .flatten.sorted
+        gotLive == wantLive && gotQuar == wantQuar &&
+          reports.map(_.rejects).sum == wantQuar.size
+      }
+    }
+
   property("exact dedup keeps one survivor per content key, the min doc_id") =
     Prop.forAll(Gen.listOfN(30, for {
       id <- Gen.choose(0L, 200L)
