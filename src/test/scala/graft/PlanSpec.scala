@@ -121,6 +121,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // collapsed projection would re-run md5-per-shingle 16×
     val kernels = "graft_minhash".r.findAllIn(plan).length
     assert(kernels == 1, s"expected 1 kernel eval, got $kernels:\n$plan")
+    // and no Generate: the kernel replaced the 52×-row-inflating explode
+    assert(!plan.contains("Generate"), s"explode crept back into the kernel path:\n$plan")
+  }
+
+  test("event enrichment broadcasts both dimensions; the fact side never shuffles for the join") {
+    import graft.operators.Relational
+    val plan = formatted(Relational.eventEnrichment(
+      Tables.events(spark, psf), Tables.customer(spark, psf), Tables.nation(spark, psf)))
+    // formatted explain mentions each node in the tree AND detail section
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected 2 broadcast joins, got $broadcasts:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact side shuffled for a dim join:\n$plan")
   }
 
   test("no registered query plans a non-broadcast cartesian product") {
