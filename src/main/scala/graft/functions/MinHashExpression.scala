@@ -42,6 +42,11 @@ case class MinHashSignaturesExpr(child: Expression, a: Seq[Long], b: Seq[Long], 
   override def inputTypes = Seq(ArrayType(StringType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
+  // compute() returns null for a NON-null input (empty/all-null array),
+  // so the result is nullable regardless of child nullability; without
+  // this override a non-nullable child would make nullSafeCodeGen emit
+  // `false = ...` for the ev.isNull assignment — uncompilable codegen.
+  override def nullable: Boolean = true
 
   @transient private lazy val aArr: Array[Long] = a.toArray
   @transient private lazy val bArr: Array[Long] = b.toArray

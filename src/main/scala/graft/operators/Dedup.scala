@@ -135,12 +135,20 @@ object Dedup {
     * the 100 TB entry point: banding + candidate join + confirm never
     * re-derive the signature subtree, so the expensive md5-per-shingle
     * pass runs once per corpus, not once per query. */
-  /** Signature frame → exploded (doc_id, band, bkey) band-bucket rows. */
+  /** Signature frame → exploded (doc_id, band, bkey) band-bucket rows.
+    * Docs with a null signature (no shingles: null/empty/whitespace text)
+    * are dropped BEFORE banding — `concat_ws` skips NULLs, so they would
+    * otherwise all share one empty-string band key and form O(m²)
+    * candidate rows that only die at the Jaccard confirm (0/0 → NULL). A
+    * raw crawl is full of such docs; the kernel nulls all 16 sigs
+    * together, so `s0 IS NULL` identifies them. Oracle side mirrors this
+    * in [[bandSelectsSql]]. */
   private def bandFrame(sigs: DataFrame): DataFrame = {
     val bandKeys = (0 until Bands).map { j =>
       concat_ws("-", (0 until RowsPerBand).map(r => col(s"s${j * RowsPerBand + r}")): _*)
     }
-    sigs.select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    sigs.where(col("s0").isNotNull)
+      .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
 
   /** Candidate pairs → exact shingle-Jaccard confirmation (shared tail
@@ -212,11 +220,12 @@ object Dedup {
        |)""".stripMargin
   }
 
-  /** Band-exploded rows of `sigs` under an optional corpus predicate. */
+  /** Band-exploded rows of `sigs` under an optional corpus predicate.
+    * `s0 IS NOT NULL` mirrors [[bandFrame]]'s null-signature filter. */
   private def bandSelectsSql(pred: String = "TRUE"): String =
     (0 until Bands).map { j =>
       val key = (0 until RowsPerBand).map(r => s"s${j * RowsPerBand + r}").mkString(", ")
-      s"SELECT doc_id, $j AS band, concat_ws('-', $key) AS bkey FROM sigs WHERE $pred"
+      s"SELECT doc_id, $j AS band, concat_ws('-', $key) AS bkey FROM sigs WHERE ($pred) AND s0 IS NOT NULL"
     }.mkString("\n    UNION ALL ")
 
   /** Exact-Jaccard confirmation over the `cand` CTE. (A `def`, not a

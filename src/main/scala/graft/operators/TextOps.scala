@@ -43,17 +43,30 @@ object TextOps {
   def normTextSql(e: String): String =
     s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
 
-  /** Word k-shingles (distinct), as an array column. k=3 default. */
+  /** Word k-shingles (distinct), as an array column. k=3 default.
+    * NULL for blank text (null/empty/whitespace-only): `split` of an
+    * empty string yields `[""]`, so without the guard every blank doc in
+    * a raw crawl would share the single shingle `""` — identical MinHash
+    * signatures, identical band keys, and m²/2 confirmed J=1.0 "pairs"
+    * among m blank docs. A doc with no content carries no n-gram
+    * information to near-match on; blank-vs-blank dedup is exact dedup's
+    * job ([[graft.operators.Dedup.exactDedup]] keys on `normText`, which
+    * maps all blanks to one key). The NULL flows through the MinHash
+    * kernel (null in → null sig) and banding drops null signatures. */
   def shingles(c: Column, k: Int = 3): Column = {
     val toks = tokens(c)
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(k)))))
+    // normText, not trim: `trim` strips only spaces, and "blank" must
+    // include tab/newline-only docs — the same \s+ class exact dedup keys on
+    when(c.isNull || length(normText(c)) === 0, lit(null))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(k))))))
   }
   def shinglesSql(e: String, k: Int = 3): String = {
     val t = tokensSql(e)
-    s"list_distinct(list_transform(range(1, greatest(len($t)-${k - 1}, 1)+1), " +
-      s"i -> array_to_string(($t)[i:i+${k - 1}], ' ')))"
+    s"CASE WHEN $e IS NULL OR len(${normTextSql(e)}) = 0 THEN NULL ELSE " +
+      s"list_distinct(list_transform(range(1, greatest(len($t)-${k - 1}, 1)+1), " +
+      s"i -> array_to_string(($t)[i:i+${k - 1}], ' '))) END"
   }
 
   // --- term frequencies (x4) ---------------------------------------------

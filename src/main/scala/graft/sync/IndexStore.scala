@@ -237,11 +237,21 @@ class IndexStore(val spark: SparkSession, val root: String,
     // by the NEWEST mtime in the tree, so a multi-hour staging write
     // stays protected for as long as it keeps making progress, while a
     // crashed write's tree stops aging and is reclaimed after the grace.
+    // The grace period exists precisely because another process may be
+    // mid-publish; if it promotes a slice or drops its stage while this
+    // walk iterates, the walk (or a per-entry mtime read) throws
+    // NoSuchFileException. A vanished/unreadable entry means a LIVE
+    // writer — treat it as maximally fresh so a concurrent publish can
+    // never crash bootstrap or get its stage reclaimed.
     def newestMtime(p: Path): Long =
-      Using.resource(Files.walk(p)) { s =>
-        s.iterator().asScala.map(Files.getLastModifiedTime(_).toMillis)
-          .foldLeft(0L)(math.max)
-      }
+      scala.util.Try {
+        Using.resource(Files.walk(p)) { s =>
+          s.iterator().asScala
+            .map(q => scala.util.Try(Files.getLastModifiedTime(q).toMillis)
+              .getOrElse(Long.MaxValue))
+            .foldLeft(0L)(math.max)
+        }
+      }.getOrElse(Long.MaxValue)
     val stale = Using.resource(Files.list(rootPath)) { s =>
       s.iterator().asScala
         .filter(p => Files.isDirectory(p))
@@ -337,11 +347,32 @@ class IndexStore(val spark: SparkSession, val root: String,
   /** Quarantined rows of a physical index's last tolerant write (None if
     * it had none). Quarantine dirs are underscore-prefixed — invisible
     * to [[physicalIndexes]]/[[cleanupOrphans]] — and persist until
-    * explicitly dropped: they exist to be inspected. */
+    * explicitly dropped ([[dropRejected]]): they exist to be inspected.
+    * A successful later sync does NOT reclaim an earlier sync's
+    * quarantine (blue/green quarantines are keyed by the timestamped
+    * physical name, so they never collide); rollback of a FAILED sync
+    * does delete that sync's own quarantine, since its rows were never
+    * reported. */
   def rejected(physical: String): Option[DataFrame] = {
     val name = s"$RejectPrefix$physical"
     if (indexExists(name) && hasData(name)) Some(readPhysical(name)) else None
   }
+
+  /** All retained quarantine dirs (physical-index key, [[RejectPrefix]]
+    * stripped) — the inspection/reclamation inventory. */
+  def rejectedIndexes(): Seq[String] =
+    Using.resource(Files.list(rootPath)) { s =>
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p))
+        .map(_.getFileName.toString)
+        .filter(_.startsWith(RejectPrefix))
+        .map(_.stripPrefix(RejectPrefix))
+        .toSeq.sorted
+    }
+
+  /** Explicitly reclaim one quarantine after inspection. */
+  def dropRejected(physical: String): Unit =
+    deletePhysical(s"$RejectPrefix$physical")
 
   val RejectPrefix = "_rejects_"
 
@@ -359,10 +390,12 @@ class IndexStore(val spark: SparkSession, val root: String,
     require(indexExists(physical), s"cannot bind $alias to missing $physical")
     val old = aliases().get(alias)
     writeManifest(aliases() + (alias -> physical))
-    old.filter(_ != physical).foreach { o =>
-      deletePhysical(o)
-      deletePhysical(s"$RejectPrefix$o") // a dropped index's quarantine goes too
-    }
+    // the old DATA is superseded and dropped; its quarantine is NOT — a
+    // sync's reported reject rows stay inspectable until an explicit
+    // [[dropRejected]] (they are tiny by construction, and deleting them
+    // on the next publish would give an hourly pipeline a one-cycle
+    // inspection window)
+    old.filter(_ != physical).foreach(deletePhysical)
   }
 
   /** K3 — rollback hook: delete a staged physical index after a failed

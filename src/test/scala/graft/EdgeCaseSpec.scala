@@ -81,16 +81,22 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("contamination and cross-corpus pairs on empty/degenerate corpora") {
-    // empty benchmark: nothing can overlap, nothing is contaminated
+    // a blank candidate has no shingles: its metrics are NULL ("no
+    // signal"), never a spurious 0%-contaminated claim — and a NULL
+    // `contaminated` drops out of any WHERE filter, so blanks are never
+    // flagged. Non-blank docs against an empty benchmark overlap nothing.
     val c = Dedup.contamination(weirdDocs, emptyDocs, 0.25).collect()
     assert(c.length === 5)
-    c.foreach(r => assert(r.getAs[Int]("n_overlap") === 0 &&
-      !r.getAs[Boolean]("contaminated")))
+    c.foreach { r =>
+      if (r.getAs[Long]("doc_id") == 1L) assert(r.isNullAt(r.fieldIndex("n_overlap")))
+      else assert(r.getAs[Int]("n_overlap") === 0 && !r.getAs[Boolean]("contaminated"))
+    }
     // empty candidates: empty report
     assert(Dedup.contamination(emptyDocs, weirdDocs, 0.25).count() === 0)
-    // self-benchmark: every doc fully overlaps itself
+    // self-benchmark: every non-blank doc fully overlaps itself
     val self = Dedup.contamination(weirdDocs, weirdDocs, 0.25).collect()
-    self.foreach(r => assert(r.getAs[Int]("n_overlap") === r.getAs[Int]("n_shingles")))
+    self.filter(_.getAs[Long]("doc_id") != 1L)
+      .foreach(r => assert(r.getAs[Int]("n_overlap") === r.getAs[Int]("n_shingles")))
     // cross-corpus with an empty side yields no pairs
     val sh = Dedup.shingleFrame(weirdDocs)
     val shEmpty = Dedup.shingleFrame(emptyDocs)

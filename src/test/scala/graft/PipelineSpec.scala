@@ -57,6 +57,43 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     })
   }
 
+  test("shingle-less docs: null signatures, never banded, results unchanged") {
+    // a raw crawl carries many null/empty/whitespace docs; they must get
+    // null signatures and be dropped BEFORE banding (an empty concat_ws
+    // band key would make all of them pairwise candidates — O(m²))
+    val blanks = spark.createDataFrame(Seq(
+      (900001L, null.asInstanceOf[String], "xx", "crawl", 0L),
+      (900002L, "", "xx", "crawl", 0L),
+      (900003L, "   \n\t ", "xx", "crawl", 0L),
+      (900004L, "  ", "xx", "crawl", 2L))).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val mixed = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(blanks)
+    val sigs = Dedup.minHashSignatures(mixed)
+    assert(sigs.where(col("doc_id") >= 900000L && col("s0").isNotNull).count() === 0L,
+      "shingle-less docs must have null signatures")
+    val base = Dedup.nearDupPairs(docs).collect().map(_.toSeq).toSet
+    val withBlanks = Dedup.nearDupPairs(mixed).collect().map(_.toSeq).toSet
+    assert(withBlanks === base,
+      "blank docs must neither pair with each other nor perturb real pairs")
+  }
+
+  test("minhash kernel declares nullable output even on a non-nullable child") {
+    // compute() returns null for a non-null EMPTY array; with a
+    // non-nullable child and no nullable override, codegen would emit an
+    // assignment to the literal `false` (uncompilable → interpreted
+    // fallback). filter() of a non-nullable split() stays non-nullable.
+    val df = spark.range(3).toDF("id").select(
+      expr("filter(split('a,b', ','), s -> s = 'zzz')").as("sh"))
+    assert(!df.schema("sh").nullable, "precondition: child must be non-nullable")
+    val out = df.select(
+      graft.functions.MinHash.signatures(col("sh"),
+        Dedup.perms.map(_._1), Dedup.perms.map(_._2), Dedup.P).as("sigv"))
+    assert(out.schema("sigv").nullable, "kernel output must declare nullable")
+    assert(out.collect().forall(_.isNullAt(0)),
+      "empty shingle array must yield a null signature")
+  }
+
   test("artifact-fed dedup chain ≡ recompute chain (pairs, dedup, curation)") {
     val sh = Dedup.shingleFrame(docs).cache()
     val sigs = Dedup.minHashSignaturesFrom(sh).cache()

@@ -638,6 +638,54 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(dir, "_stage_live")))
   }
 
+  test("stage cleanup survives entries vanishing mid-walk (concurrent writer)") {
+    // a broken symlink makes getLastModifiedTime throw NoSuchFileException
+    // — the same failure a concurrent promote/drop produces when an entry
+    // vanishes between the walk listing it and the mtime read. Bootstrap
+    // must not crash, and the unreadable entry must read as FRESH (a live
+    // writer), so the stage survives even past the grace.
+    val dir = Files.createTempDirectory("graft-sync").toString
+    val stage = java.nio.file.Paths.get(dir, "_stage_inflight")
+    Files.createDirectories(stage)
+    Files.writeString(stage.resolve("junk"), "x")
+    Files.createSymbolicLink(stage.resolve("vanished"),
+      java.nio.file.Paths.get(dir, "no-such-target"))
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 2L * 60 * 60 * 1000)
+    Files.setLastModifiedTime(stage.resolve("junk"), old)
+    Files.setLastModifiedTime(stage, old)
+    val store = new IndexStore(spark, dir) // must not throw
+    assert(Files.exists(stage.resolve("junk")),
+      "a stage with an unreadable entry must be treated as live, not reclaimed")
+    assert(store.cleanupStaleStages().isEmpty)
+  }
+
+  test("quarantines outlive the next publish; reclamation is explicit") {
+    val dir = Files.createTempDirectory("graft-sync").toString
+    val store = new IndexStore(spark, dir)
+    val pipe = new SyncPipeline(store, new WatermarkStore(dir),
+      validity = Some(length(trim(col(Id))) > 0))
+    def poison(ts: String) = env.limit(1).select(
+      lit("click").as(Idx), lit("").as(Id), lit("""{"k":"x"}""").as(Document),
+      lit(false).as(IsDeleted), lit(ts).cast("timestamp").as(UpdatedAt))
+    val feed = env.where(col(Idx) === "click").unionByName(poison("2024-01-02 00:00:00"))
+    pipe.fullSync(feed, Some(Seq("click")), timestamp = "t1")
+    val phys1 = store.aliases()("click")
+    assert(store.rejected(phys1).get.count() === 1L)
+    // a SECOND successful publish drops the old index's data but must
+    // retain its quarantine: on an hourly pipeline a one-cycle window
+    // would destroy reject rows before anyone inspects them
+    pipe.fullSync(feed, Some(Seq("click")), timestamp = "t2")
+    assert(!store.indexExists(phys1), "old physical data is superseded")
+    assert(store.rejected(phys1).get.count() === 1L,
+      "the superseded sync's quarantine must survive the swap")
+    assert(store.rejectedIndexes().toSet === Set(phys1, store.aliases()("click")))
+    // reclamation is an explicit act, per quarantine
+    store.dropRejected(phys1)
+    assert(store.rejected(phys1).isEmpty)
+    assert(store.rejectedIndexes() === Seq(store.aliases()("click")))
+  }
+
   test("in-place merge read prunes to affected bucket partitions") {
     val (store, _, pipe, _) = freshPipeline()
     pipe.fullSyncBucketed(env, Some(Seq("view")), timestamp = "t1", buckets = 16)
