@@ -335,6 +335,89 @@ object Dedup {
        |SELECT doc_id, lang, source, n_chars FROM documents
        |WHERE doc_id NOT IN (SELECT doc_b FROM pairs WHERE jaccard >= $minJaccard)""".stripMargin
 
+  // --- duplicate clusters (x26): connected components ---------------------
+
+  /** Transitive duplicate clusters over a confirmed near-dup pair graph:
+    * `(doc_id, cluster_id)` for every doc appearing in a pair, where
+    * `cluster_id` is the minimum doc_id of its connected component.
+    * [[nearDupDedup]]'s pairwise drop list under-collapses chains — for
+    * edges (2,9),(3,9) it keeps both 2 and 3 although they are
+    * transitive duplicates via 9; the cluster view is what corpus
+    * curation actually wants: ONE representative per duplicate group,
+    * however the group is wired (crawl mirrors form long chains).
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond" — PAPERS.md), the
+    * published MapReduce-scale CC construction: each half-round is one
+    * hash-aggregate over the symmetrized edge set (emit edges from every
+    * node's neighborhood toward its local minimum), and the edge set
+    * provably contracts to per-component stars rooted at the minimum in
+    * O(log² n) rounds — independent of graph DIAMETER, which is what
+    * kills naive label propagation on chain-shaped dup graphs at corpus
+    * scale. The driver holds only a round counter; `localCheckpoint`
+    * truncates lineage each round so plan size stays constant (on a
+    * cluster, a reliable checkpoint dir does the same job). */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      // symmetrize via a 2-struct explode, not a self-union with swapped
+      // columns (one pass; and a Union whose right side re-aliases the
+      // left's own attributes trips Catalyst's constraint rewriting)
+      val sym = e.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val g = sym
+        .groupBy("u").agg(min("v").as("mn"), collect_set("v").as("nbrs"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"),
+          explode(col("nbrs")).as("v"))
+      val emitted =
+        if (large) g.where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else g.where(col("v") < col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(g.select(col("u"), col("m").as("v")))
+      emitted.where(col("u") =!= col("v")).distinct()
+    }
+    var edges = pairs
+      .select(col("doc_a").cast("long").as("u"), col("doc_b").cast("long").as("v"))
+      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = star(star(edges, large = true), large = false).localCheckpoint(true)
+      // edge-set equality, not a checksum: a false "converged" would
+      // silently mislabel clusters
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"connected components did not converge in $maxRounds rounds")
+    // fixpoint: per-component stars (node → component min); roots carry
+    // no outgoing edge and label themselves
+    val nodes = pairs.select(col("doc_a").cast("long").as("doc_id"))
+      .union(pairs.select(col("doc_b").cast("long").as("doc_id"))).distinct()
+    nodes.join(edges.select(col("u").as("doc_id"), col("v").as("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** [[duplicateClusters]] oracle: reachability closure as a recursive
+    * CTE over the symmetrized confirmed-pair edges, min per node. (The
+    * oracle may be super-linear — DuckDB enumerates all (node, reachable)
+    * pairs — which is exactly why the engine side uses star contraction
+    * instead.) */
+  def duplicateClustersSql(minJaccard: Double): String =
+    s"""${nearDupCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")}, e AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs WHERE jaccard >= $minJaccard
+       |), ed AS (
+       |  SELECT u, v FROM e UNION SELECT v, u FROM e
+       |), walk(n, r) AS (
+       |  SELECT u, u FROM ed
+       |  UNION
+       |  SELECT w.n, ed.v FROM walk w JOIN ed ON ed.u = w.r
+       |)
+       |SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n""".stripMargin
+
   // --- full curation pipeline (x16) ---------------------------------------
 
   /** The end-to-end corpus-curation pipeline as ONE composed plan —

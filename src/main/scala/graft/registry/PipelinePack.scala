@@ -30,6 +30,14 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_a", "doc_b")),
     "x3_neardup_dedup" -> ((s, dir) =>
       Dedup.nearDupDedup(Tables.documents(s, dir), DedupJaccard).orderBy("doc_id")),
+    // transitive duplicate clusters (large-star/small-star connected
+    // components over the confirmed pair graph); NOTE: constructing this
+    // frame RUNS the contraction loop (localCheckpoint per round) — a
+    // deliberate exception to the registry's lazy-build norm, like x18
+    "x26_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard))
+        .orderBy("doc_id")),
 
     // --- text analysis ---------------------------------------------------
     "x4_term_freq" -> ((s, dir) =>
@@ -183,6 +191,8 @@ object PipelinePack extends QueryPack {
       (Dedup.nearDupPairsSql(PairJaccard) + "\nORDER BY doc_a, doc_b"),
     "x3_neardup_dedup" ->
       (Dedup.nearDupDedupSql(DedupJaccard) + "\nORDER BY doc_id"),
+    "x26_dup_clusters" ->
+      (Dedup.duplicateClustersSql(PairJaccard) + "\nORDER BY doc_id"),
     "x4_term_freq" -> (TextOps.termFrequenciesSql + "\nORDER BY lang, token"),
     "x5_lang_id" -> (TextOps.languageIdSql + "\nORDER BY doc_id"),
     "x6_quality_score" -> (TextOps.qualityScoreSql + "\nORDER BY doc_id"),

@@ -94,6 +94,58 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "empty shingle array must yield a null signature")
   }
 
+  test("duplicate clusters: star contraction matches brute-force components") {
+    import spark.implicits._
+    // chain 1-2-3, triangle 10-11-12 with extra edge, bridge 20-21,
+    // star 30-{31,32,33}, plus a chain long enough to need several rounds
+    val edges = Seq(
+      (1L, 2L), (2L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (30L, 31L), (30L, 32L), (30L, 33L),
+      (40L, 41L), (41L, 42L), (42L, 43L), (43L, 44L), (44L, 45L),
+      (45L, 46L), (46L, 47L))
+    val pairs = edges.toDF("doc_a", "doc_b").withColumn("jaccard", lit(1.0))
+    val got = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force union-find on the driver
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val want = nodes.map(n => n -> find(n)).toMap
+    assert(got === want)
+    // chains are fully collapsed — the case the pairwise drop list misses
+    assert(got(47L) === 40L && got(33L) === 30L)
+  }
+
+  test("duplicate clusters on fixture pairs: pairs co-clustered, reps are minima, subsumes drop-list dedup") {
+    val pairs = Dedup.nearDupPairs(docs, 0.5)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val label = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every confirmed pair lands in one cluster
+    pairs.select("doc_a", "doc_b").collect().foreach { r =>
+      assert(label(r.getLong(0)) === label(r.getLong(1)))
+    }
+    // each cluster's representative is its minimum member
+    label.groupBy(_._2).foreach { case (rep, members) =>
+      assert(members.keys.min === rep)
+    }
+    // cluster survivors ⊆ drop-list survivors: collapsing transitively
+    // can only drop MORE docs than the pairwise drop list
+    val dropListKept = Dedup.nearDupDedup(docs, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clusterDropped = label.filter { case (d, rep) => d != rep }.keySet
+    val clusterKept = docs.select("doc_id").collect().map(_.getLong(0)).toSet -- clusterDropped
+    assert(clusterKept.subsetOf(dropListKept))
+  }
+
   test("artifact-fed dedup chain ≡ recompute chain (pairs, dedup, curation)") {
     val sh = Dedup.shingleFrame(docs).cache()
     val sigs = Dedup.minHashSignaturesFrom(sh).cache()
