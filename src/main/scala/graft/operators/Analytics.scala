@@ -142,6 +142,37 @@ object Analytics {
       .select(col("user_id"), col("l_id"), col("r_id"),
         (unix_micros(col("r_ts")) - unix_micros(col("l_ts"))).as("lag_micros"))
 
+  /** As-of join: for each left event, the LATEST right event of the same
+    * user at-or-before its timestamp (trade-vs-quote / attribution
+    * lookup; the operator Spark has no builtin for). Composed as
+    * union-tag → one window per user carrying the last-seen right row —
+    * ONE shuffle on the key and a linear per-partition sort, vs the
+    * equi-join + `max_by` form whose intermediate explodes with
+    * |left per key| × |right per key|. Ties are deterministic: at equal
+    * ts the right side sorts first (at-or-before includes equality) and
+    * equal-ts right rows resolve to the highest event_id — mirrored in
+    * the oracle's `ORDER BY r.ts DESC, r.event_id DESC LIMIT 1`.
+    * Output: (user_id, l_id, r_id, lag_micros), r_id/lag NULL when no
+    * prior right event exists. */
+  def asOfJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = right.select(col("user_id"), col("ts"), lit(0).as("side"),
+      lit(null).cast("long").as("l_id"),
+      col("event_id").as("r_id0"), col("ts").as("r_ts0"))
+    val l = left.select(col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id").as("l_id"),
+      lit(null).cast("long").as("r_id0"), lit(null).cast("timestamp").as("r_ts0"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("side"), col("r_id0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l)
+      .withColumn("r_id", last(col("r_id0"), ignoreNulls = true).over(w))
+      .withColumn("r_ts", last(col("r_ts0"), ignoreNulls = true).over(w))
+      .where(col("side") === 1)
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("lag_micros"))
+  }
+
   /** Per-key exact percentiles (median + p90) of a value column. Exact
     * `percentile` sorts each group's values — the right tool when group
     * cardinality is bounded (per-key metrics); for unbounded groups at

@@ -181,22 +181,7 @@ object TextOps {
     val toks = tokens(col("text"))
     val n = size(toks)
     val meanLen = (length(col("text")) - (n - 1)).cast("double") / n.cast("double")
-    // most frequent token's count = longest equal run of the SORTED token
-    // array: one sort + one left fold, O(n log n) per row, vs. the naive
-    // max-over-distinct-of-count form which is O(distinct × n) — ~10⁸
-    // comparisons for a 10k-word doc. Still a pure per-row expression:
-    // the filter stays a map-only scan at any corpus size.
-    val topCount = aggregate(
-      array_sort(toks),
-      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-      (acc, t) => {
-        val run = when(t === acc.getField("prev"), acc.getField("run") + lit(1))
-          .otherwise(lit(1))
-        struct(t.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      },
-      acc => acc.getField("best"))
-    val topFrac = topCount.cast("double") / n.cast("double")
+    val topFrac = topRunCount(toks).cast("double") / n.cast("double")
     val keep = n.between(minWords, maxWords) &&
       meanLen >= minMeanLen && meanLen <= maxMeanLen &&
       topFrac <= maxTopTokenFrac
@@ -204,6 +189,23 @@ object TextOps {
       meanLen.as("mean_word_len"), topFrac.as("top_token_frac"),
       keep.as("keep"))
   }
+
+  /** Most-frequent element count of a string array = longest equal run
+    * of the SORTED array: one sort + one left fold, O(n log n) per row,
+    * vs. the naive max-over-distinct-of-count form which is
+    * O(distinct × n) — ~10⁸ comparisons for a 10k-word doc. A pure
+    * per-row expression: consumers stay map-only scans at any corpus
+    * size. */
+  private def topRunCount(arr: Column): Column = aggregate(
+    array_sort(arr),
+    struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+    (acc, t) => {
+      val run = when(t === acc.getField("prev"), acc.getField("run") + lit(1))
+        .otherwise(lit(1))
+      struct(t.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"))
+    },
+    acc => acc.getField("best"))
 
   /** [[qualityFilter]]'s keep-predicate as oracle SQL over a text
     * expression — the single source for every oracle that embeds the
@@ -237,6 +239,65 @@ object TextOps {
        |    AND top_token_frac <= $maxTopTokenFrac) AS keep
        |FROM q""".stripMargin
   }
+
+  // --- repetition metrics (x27) -------------------------------------------
+
+  /** Contiguous word n-grams (NOT distinct, unlike [[shingles]] —
+    * repetition IS the signal here). Docs shorter than n words yield one
+    * truncated gram, same convention as shingles. */
+  def ngrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    transform(sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+  }
+  def ngramsSql(e: String, n: Int): String = {
+    val t = tokensSql(e)
+    s"list_transform(range(1, greatest(len($t)-${n - 1}, 1)+1), " +
+      s"i -> array_to_string(($t)[i:i+${n - 1}], ' '))"
+  }
+
+  /** Gopher-style repetition filter (Rae et al.'21 §A1.1's "repetitious
+    * text" rules): fraction of bigram occurrences claimed by the single
+    * most frequent bigram, and fraction of trigram occurrences that are
+    * repeats — boilerplate and template spam score high on both long
+    * before exact dedup would catch them. Adapted to the fixture: n=2/3
+    * (the paper uses 2–4 and 5–10 over much longer documents) and
+    * occurrence-weighted rather than character-weighted fractions —
+    * thresholds are parameters. The top-bigram count reuses the
+    * sorted-run fold ([[topRunCount]]); everything is per-row column
+    * expressions, so the filter is a map-only pass at any corpus size. */
+  def repetitionMetrics(docs: DataFrame,
+      maxTopBigramFrac: Double = 0.20,
+      maxDupTrigramFrac: Double = 0.30): DataFrame = {
+    val bg = ngrams(col("text"), 2)
+    val tg = ngrams(col("text"), 3)
+    val nBg = size(bg)
+    val topBgFrac = topRunCount(bg).cast("double") / nBg.cast("double")
+    val dupTgFrac = (size(tg) - size(array_distinct(tg))).cast("double") /
+      size(tg).cast("double")
+    docs.select(col("doc_id"), nBg.as("n_bigrams"),
+      topBgFrac.as("top_bigram_frac"), dupTgFrac.as("dup_trigram_frac"),
+      (topBgFrac <= maxTopBigramFrac && dupTgFrac <= maxDupTrigramFrac)
+        .as("keep_rep"))
+  }
+
+  /** [[repetitionMetrics]] oracle. The naive O(distinct×n) top-count
+    * form is fine oracle-side (DuckDB checks correctness, not scale). */
+  def repetitionMetricsSql(maxTopBigramFrac: Double = 0.20,
+      maxDupTrigramFrac: Double = 0.30): String =
+    s"""WITH g AS (
+       |  SELECT doc_id, ${ngramsSql("text", 2)} AS bg, ${ngramsSql("text", 3)} AS tg
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, len(bg) AS n_bigrams,
+       |    CAST(list_max(list_transform(list_distinct(bg),
+       |      x -> len(list_filter(bg, y -> y = x)))) AS DOUBLE) / len(bg) AS top_bigram_frac,
+       |    CAST(len(tg) - len(list_distinct(tg)) AS DOUBLE) / len(tg) AS dup_trigram_frac
+       |  FROM g)
+       |SELECT doc_id, n_bigrams, top_bigram_frac, dup_trigram_frac,
+       |  (top_bigram_frac <= $maxTopBigramFrac
+       |    AND dup_trigram_frac <= $maxDupTrigramFrac) AS keep_rep
+       |FROM m""".stripMargin
 
   // --- token counting (x7) -----------------------------------------------
 

@@ -56,6 +56,15 @@ object AnalyticsPack extends QueryPack {
         ev.where(col("event_type") === "purchase"), "1 HOUR")
         .orderBy("l_id", "r_id")
     }),
+    // as-of join: each purchase attributed to the user's latest click
+    // at-or-before it (union-tag + one window per user — no builtin)
+    "tw5_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Analytics.asOfJoin(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"))
+        .orderBy("l_id")
+    }),
     // renamed from a7 (collided with SURVEY A7 sync tallies)
     "u1_distinct_users" -> ((s, dir) =>
       Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id")
@@ -175,6 +184,22 @@ object AnalyticsPack extends QueryPack {
         |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) >= epoch_us(CAST(c.ts AS TIMESTAMP))
         |  AND epoch_us(CAST(p.ts AS TIMESTAMP)) <= epoch_us(CAST(c.ts AS TIMESTAMP)) + 3600000000
         |ORDER BY l_id, r_id""".stripMargin,
+    // LATERAL with an explicit ORDER BY ... LIMIT 1, not DuckDB's native
+    // ASOF JOIN: ASOF leaves equal-timestamp ties unspecified, and the
+    // hash-compare needs the same deterministic tiebreak as the Spark
+    // window (ts DESC, event_id DESC)
+    "tw5_asof_join" ->
+      """SELECT p.user_id, p.event_id AS l_id, c.r_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.r_ts AS TIMESTAMP)) AS lag_micros
+        |FROM events p LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS r_id, r.ts AS r_ts
+        |  FROM events r
+        |  WHERE r.event_type = 'click' AND r.user_id = p.user_id AND r.ts <= p.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC
+        |  LIMIT 1
+        |) c ON TRUE
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY l_id""".stripMargin,
     "u1_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

@@ -74,6 +74,8 @@ object PipelinePack extends QueryPack {
     "x16_curation_pipeline" -> ((s, dir) =>
       Dedup.curationPipeline(Tables.documents(s, dir), DedupJaccard)
         .orderBy("lang")),
+    "x27_repetition_filter" -> ((s, dir) =>
+      TextOps.repetitionMetrics(Tables.documents(s, dir)).orderBy("doc_id")),
 
     "x17_minhash_signatures" -> ((s, dir) =>
       Dedup.minHashSignatures(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -218,6 +220,8 @@ object PipelinePack extends QueryPack {
          |SELECT lang, rank, token, n FROM ranked
          |ORDER BY lang, rank""".stripMargin,
     "x15_quality_filter" -> (TextOps.qualityFilterSql() + "\nORDER BY doc_id"),
+    "x27_repetition_filter" ->
+      (TextOps.repetitionMetricsSql() + "\nORDER BY doc_id"),
     "x16_curation_pipeline" ->
       (Dedup.curationPipelineSql(DedupJaccard) + "\nORDER BY lang"),
     // artifact reuse changes the physical plan, never the result: the

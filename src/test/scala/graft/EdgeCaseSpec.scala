@@ -105,6 +105,32 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
       Dedup.minHashSignaturesFrom(shEmpty), shEmpty, 0.0).count() === 0)
   }
 
+  test("as-of join: at-or-before semantics, deterministic ties, null when no prior event") {
+    import spark.implicits._
+    import graft.operators.Analytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: purchase at 10:00 with clicks before (incl. two at the SAME
+    // instant — must pick the higher event_id) and one equal-ts click
+    // (at-or-before includes equality); user 2: purchase BEFORE any click
+    val clicks = Seq(
+      (101L, 1L, ts("2024-01-01 09:00:00")),
+      (102L, 1L, ts("2024-01-01 09:30:00")), // tie on ts:
+      (103L, 1L, ts("2024-01-01 09:30:00")), //   103 must win over 102
+      (104L, 2L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (201L, 1L, ts("2024-01-01 09:45:00")),
+      (202L, 1L, ts("2024-01-01 09:30:00")), // equal ts ⇒ click 103 counts
+      (203L, 2L, ts("2024-01-01 11:00:00"))) // no prior click ⇒ NULL
+      .toDF("event_id", "user_id", "ts")
+    val got = Analytics.asOfJoin(purchases, clicks).collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got === Map(201L -> 103L, 202L -> 103L, 203L -> -1L))
+    // lag is non-negative whenever a match exists
+    Analytics.asOfJoin(purchases, clicks).collect()
+      .filter(!_.isNullAt(3)).foreach(r => assert(r.getLong(3) >= 0))
+  }
+
   test("CDC merge with empty batch or empty current state") {
     val env = Tables_envelope
     val emptyBatch = env.limit(0)

@@ -94,6 +94,29 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "empty shingle array must yield a null signature")
   }
 
+  test("repetition metrics: template spam flagged, diverse text kept, counts exact") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "buy now click here buy now click here buy now click here", "en", "s", 0L),
+      (2L, "the quick brown fox jumps over a lazy dog near the river bank", "en", "s", 0L),
+      (3L, "a b a b a b a b", "en", "s", 0L))
+    val m = TextOps.repetitionMetrics(cases.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // doc 1: 12 tokens → 11 bigrams; "buy now"/"now click"/"click here"
+    // appear 3× each ("here buy" 2×) → top frac 3/11; trigram repeats:
+    // 10 trigrams, 4 distinct → 6/10 dup — flagged
+    assert(m(1L)._1 === 11)
+    assert(math.abs(m(1L)._2 - 3.0 / 11) < 1e-12)
+    assert(math.abs(m(1L)._3 - 6.0 / 10) < 1e-12)
+    assert(!m(1L)._4)
+    // doc 2: all bigrams and trigrams unique — kept
+    assert(m(2L)._2 === 1.0 / 12 && m(2L)._3 === 0.0 && m(2L)._4)
+    // doc 3: pathological alternation — "a b" 4× of 7 bigrams, all
+    // trigrams one of two values
+    assert(math.abs(m(3L)._2 - 4.0 / 7) < 1e-12 && !m(3L)._4)
+  }
+
   test("duplicate clusters: star contraction matches brute-force components") {
     import spark.implicits._
     // chain 1-2-3, triangle 10-11-12 with extra edge, bridge 20-21,

@@ -169,6 +169,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("repetition filter is map-only: no shuffle, no window") {
+    import graft.operators.TextOps
+    val plan = formatted(TextOps.repetitionMetrics(Tables.documents(spark, sf)))
+    assert(!plan.contains("Exchange"), s"repetition filter shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"repetition filter uses a window:\n$plan")
+  }
+
+  test("as-of join is one key shuffle + window — never a join") {
+    import graft.operators.Analytics
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, psf)
+    val plan = formatted(Analytics.asOfJoin(
+      ev.where(col("event_type") === "purchase"),
+      ev.where(col("event_type") === "click")))
+    // the union-tag + running-last form: the alternative equi-join +
+    // max_by blows up with |left per key| × |right per key|
+    assert(!plan.contains("Join"), s"as-of fell back to a join:\n$plan")
+    val shuffles = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
+    assert(shuffles == 1, s"expected exactly 1 key shuffle, got $shuffles:\n$plan")
+  }
+
   test("IVF cell assignment never windows or shuffles the corpus") {
     val plan = formatted(VectorOps.ivfCells(Tables.embeddings(spark, sf)))
     assert(!plan.contains("Window"), s"argmax via window shuffles the corpus:\n$plan")
