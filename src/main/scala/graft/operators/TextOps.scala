@@ -299,6 +299,98 @@ object TextOps {
        |    AND dup_trigram_frac <= $maxDupTrigramFrac) AS keep_rep
        |FROM m""".stripMargin
 
+  // --- TF-IDF (x28) -------------------------------------------------------
+
+  /** Top-k most distinctive terms per document by smoothed TF-IDF
+    * (`tf · ln((N+1)/(df+1))`). The plan at scale: one explode →
+    * (doc, token) hash-aggregate with map-side combine (TF), the
+    * document-frequency aggregate DERIVED from the TF frame (tokens are
+    * already distinct per doc there — no second corpus pass), a
+    * vocabulary-sized join back, and a per-doc top-k window (doc_id
+    * partitions are token-bounded, so the window scales out). The corpus
+    * count collapses to one broadcast row, same shape as
+    * [[graft.operators.Dedup.contamination]]'s vocabulary. Ranking uses
+    * the 6dp-ROUNDED score on both engines (ln's last ulp may differ
+    * across libm implementations; the rounded value is the compared AND
+    * the ordered quantity, so ranks can never disagree). */
+  def tfIdfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+  }
+
+  def tfIdfTopTermsSql(k: Int = 3): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+       |), df AS (
+       |  SELECT token, count(*) AS df FROM tf GROUP BY token
+       |), n AS (SELECT count(*) AS n FROM documents),
+       |s AS (
+       |  SELECT doc_id, tf.token, tf, df,
+       |    round(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS tfidf
+       |  FROM tf JOIN df USING (token) CROSS JOIN n
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY tfidf DESC, token) AS rank
+       |  FROM s QUALIFY rank <= $k
+       |)
+       |SELECT doc_id, rank, token, tf, df, tfidf FROM r""".stripMargin
+
+  // --- PII scrubbing (x29) ------------------------------------------------
+
+  /** Redaction patterns shared with the oracle (kept to the regex subset
+    * Java and DuckDB interpret identically). Order matters: emails are
+    * matched before bare number runs. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val LongNumRe = "[0-9]{7,}"
+
+  /** PII scrub: replace emails / IPv4s / long digit runs with typed
+    * placeholders and count each redaction class. Pure per-row regex
+    * expressions — map-only at any corpus size; counting runs on the
+    * ORIGINAL text, replacement cascades ordered so an IP inside an
+    * already-redacted email can't double-count. Takes the text column as
+    * an expression so callers can scrub composed/JSON-extracted fields. */
+  def piiScrub(docs: DataFrame, text: Column): DataFrame = {
+    val t = lower(text)
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
+      clean.as("clean_text"))
+  }
+
+  /** [[piiScrub]] oracle over a text expression (DuckDB regexp_replace
+    * needs the 'g' flag for replace-all — Spark's replaces all by
+    * default). */
+  def piiScrubSql(textExpr: String): String = {
+    val t = s"lower($textExpr)"
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all($t, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all($t, '$Ipv4Re')) AS n_ips,
+       |  regexp_replace(regexp_replace(regexp_replace($t,
+       |    '$EmailRe', '<EMAIL>', 'g'),
+       |    '$Ipv4Re', '<IP>', 'g'),
+       |    '$LongNumRe', '<NUM>', 'g') AS clean_text
+       |FROM documents""".stripMargin
+  }
+
   // --- token counting (x7) -----------------------------------------------
 
   /** BPE-ish token regex: letter runs, digit runs, single other symbols —

@@ -76,6 +76,20 @@ object PipelinePack extends QueryPack {
         .orderBy("lang")),
     "x27_repetition_filter" -> ((s, dir) =>
       TextOps.repetitionMetrics(Tables.documents(s, dir)).orderBy("doc_id")),
+    "x28_tfidf_top_terms" -> ((s, dir) =>
+      TextOps.tfIdfTopTerms(Tables.documents(s, dir)).orderBy("doc_id", "rank")),
+    // the fixture carries no PII, so the query composes deterministic
+    // synthetic PII from doc_id (email, IP, long digit run) and scrubs
+    // it — the oracle builds the identical text, so the redaction counts
+    // and cleaned output are fully hash-checked
+    "x29_pii_scrub" -> ((s, dir) =>
+      TextOps.piiScrub(Tables.documents(s, dir),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com from 10.0."),
+          pmod(col("doc_id"), lit(255)).cast("string"), lit("."),
+          pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(" ref 4111111111111111")))
+        .orderBy("doc_id")),
 
     "x17_minhash_signatures" -> ((s, dir) =>
       Dedup.minHashSignatures(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -222,6 +236,12 @@ object PipelinePack extends QueryPack {
     "x15_quality_filter" -> (TextOps.qualityFilterSql() + "\nORDER BY doc_id"),
     "x27_repetition_filter" ->
       (TextOps.repetitionMetricsSql() + "\nORDER BY doc_id"),
+    "x28_tfidf_top_terms" ->
+      (TextOps.tfIdfTopTermsSql() + "\nORDER BY doc_id, rank"),
+    "x29_pii_scrub" ->
+      (TextOps.piiScrubSql("concat(text, ' contact user', doc_id, " +
+        "'@example.com from 10.0.', doc_id % 255, '.', doc_id % 7, " +
+        "' ref 4111111111111111')") + "\nORDER BY doc_id"),
     "x16_curation_pipeline" ->
       (Dedup.curationPipelineSql(DedupJaccard) + "\nORDER BY lang"),
     // artifact reuse changes the physical plan, never the result: the

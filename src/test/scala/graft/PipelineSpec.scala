@@ -117,6 +117,36 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(m(3L)._2 - 4.0 / 7) < 1e-12 && !m(3L)._4)
   }
 
+  test("tf-idf: rare terms outrank ubiquitous ones, smoothed scores exact") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "common zebra common", "en", "s", 0L),
+      (2L, "common common", "en", "s", 0L),
+      (3L, "common yak", "en", "s", 0L)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.tfIdfTopTerms(corpus, k = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getDouble(5))).toMap
+    // doc 1: zebra df=1 → 1·ln(4/2); common df=3, tf=2 → 2·ln(4/4)=0
+    assert(out((1L, 1))._1 === "zebra")
+    assert(math.abs(out((1L, 1))._2 -
+      BigDecimal(math.log(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    assert(out((1L, 2))._1 === "common" && out((1L, 2))._2 === 0.0)
+    assert(out((3L, 1))._1 === "yak")
+  }
+
+  test("pii scrub: emails/ips/long numbers redacted and counted; clean text carries no residue") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Mail Bob.Smith+x@Corp.Example.ORG or admin@a.io from 192.168.0.1 card 4111111111111111", "en", "s", 0L),
+      (2L, "no pii here at all", "en", "s", 0L)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.piiScrub(d, col("text")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L)._1 === 2 && out(1L)._2 === 1)
+    assert(out(1L)._3 === "mail <EMAIL> or <EMAIL> from <IP> card <NUM>")
+    assert(out(2L) === ((0, 0, "no pii here at all")))
+  }
+
   test("duplicate clusters: star contraction matches brute-force components") {
     import spark.implicits._
     // chain 1-2-3, triangle 10-11-12 with extra edge, bridge 20-21,

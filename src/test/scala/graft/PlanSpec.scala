@@ -176,6 +176,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Window"), s"repetition filter uses a window:\n$plan")
   }
 
+  test("pii scrub is map-only") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.functions.col
+    val plan = formatted(TextOps.piiScrub(Tables.documents(spark, sf), col("text")))
+    assert(!plan.contains("Exchange"), s"pii scrub shuffles:\n$plan")
+  }
+
   test("as-of join is one key shuffle + window — never a join") {
     import graft.operators.Analytics
     import org.apache.spark.sql.functions.col
