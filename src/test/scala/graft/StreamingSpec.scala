@@ -168,6 +168,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got === want, "stream-stream join end state diverges from batch")
   }
 
+  test("stream-stream as-of join end state equals the batch as-of join (tw5 twin)") {
+    val source = tmp("asof-src")
+    writeTimeSlicedSource(source, 3)
+    val schema = spark.read.parquet(source.toString).schema
+    def stream(tpe: String) = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(source.toString)
+      .where(col("event_type") === tpe)
+    // zero lateness: slices are time-ordered, so nothing is late and the
+    // final watermark reaches the global max event time (ms floor)
+    val q = graft.streaming.StatefulAsOf.asOf(
+        spark, stream("purchase"), stream("click"), lateness = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("asof_end").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("asof_end").orderBy("l_id")
+      .collect().map(_.toSeq).toSeq
+    // batch twin, restricted to the watermark-finalized prefix: left
+    // events with ts <= max event ts (ms floor, the watermark's unit)
+    val ev = spark.read.parquet(source.toString)
+    val wmUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000L * 1000L
+    val want = Analytics.asOfJoin(
+        ev.where(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) <= wmUs),
+        ev.where(col("event_type") === "click"))
+      .orderBy("l_id").collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty, "fixture has no purchases; test is vacuous")
+    assert(want.exists(_(2) != null), "no purchase has a prior click; test is vacuous")
+    assert(got === want, "stream-stream as-of end state diverges from batch")
+  }
+
   test("streaming resume: a second AvailableNow run over the same checkpoint reprocesses nothing") {
     val source = tmp("stream-src2")
     writeTimeSlicedSource(source, 2)
