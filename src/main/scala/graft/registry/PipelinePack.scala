@@ -164,6 +164,14 @@ object PipelinePack extends QueryPack {
         .orderBy("doc_id")
     }),
 
+    // filtered vector search: candidates restricted to even labels
+    // BEFORE the bucket join (pre-filter semantics — true top-k among
+    // matching vectors)
+    "x30_ann_filtered" -> ((s, dir) =>
+      VectorOps.annTopKFiltered(Tables.embeddings(s, dir), QueryVecs, 5,
+        col("label") % 2 === 0)
+        .orderBy("query_id", "rn")),
+
     // --- ANN: multi-probe (x19) ------------------------------------------
     "x19_ann_multiprobe" -> ((s, dir) =>
       VectorOps.annTopKMultiProbe(Tables.embeddings(s, dir), QueryVecs, 5)
@@ -256,6 +264,9 @@ object PipelinePack extends QueryPack {
         "\nORDER BY doc_id"),
     "x19_ann_multiprobe" ->
       (VectorOps.annTopKMultiProbeSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
+    "x30_ann_filtered" ->
+      (VectorOps.annTopKFilteredSql(QueryVecs, 5, "label % 2 = 0") +
+        "\nORDER BY query_id, rn"),
     "x20_hash_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${graft.operators.Sampling.hashSampleWhereSql("doc_id", 0.25)}

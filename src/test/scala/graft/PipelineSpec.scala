@@ -117,6 +117,27 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(m(3L)._2 - 4.0 / 7) < 1e-12 && !m(3L)._4)
   }
 
+  test("filtered ANN: pre-filter semantics — true top-k among matching vectors") {
+    import graft.operators.VectorOps
+    val pred = col("label") % 2 === 0
+    val got = VectorOps.annTopKFiltered(emb, Seq(0L, 1L), 5, pred).collect()
+    assert(got.nonEmpty)
+    // every result satisfies the predicate, ranks are cosine-descending
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getInt(4))
+      assert(byRank.forall(_.getInt(2) % 2 == 0), "predicate violated")
+      val cosines = byRank.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+    // pre-filter semantics: the result equals annTopK run over a corpus
+    // restricted to matching vectors (queries still resolved unfiltered)
+    val preFiltered = VectorOps.annTopKFiltered(
+      emb.where(pred || col("vec_id").isin(0L, 1L)), Seq(0L, 1L), 5, pred)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(3))).toSet ===
+      preFiltered, "filtering non-candidates must not change the result")
+  }
+
   test("tf-idf: rare terms outrank ubiquitous ones, smoothed scores exact") {
     import spark.implicits._
     val corpus = Seq(
