@@ -156,4 +156,30 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
         out == want
       }
     }
+
+  property("duplicate clusters equal driver union-find on random graphs") =
+    Prop.forAll(Gen.listOfN(25, for {
+      a <- Gen.choose(0L, 30L)
+      b <- Gen.choose(0L, 30L)
+    } yield (a, b))) { rawEdges =>
+      val edges = rawEdges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      edges.isEmpty || {
+        val pairs = edges.toDF("doc_a", "doc_b").withColumn("jaccard", lit(1.0))
+        val got = Dedup.duplicateClusters(pairs).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(n => n -> find(n)).toMap
+        got == want
+      }
+    }
 }
