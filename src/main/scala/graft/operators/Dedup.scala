@@ -382,10 +382,11 @@ object Dedup {
     // star rounds emit (child, smaller-parent) edges, so a (small, large)
     // seed burns an extra contraction round just reorienting (measured
     // 2.3× on the loop at sf0.1)
-    var edges = pairs
+    val seed = pairs
       .select(greatest(col("doc_a"), col("doc_b")).cast("long").as("u"),
         least(col("doc_a"), col("doc_b")).cast("long").as("v"))
       .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var edges = seed
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -398,9 +399,12 @@ object Dedup {
     }
     require(converged, s"connected components did not converge in $maxRounds rounds")
     // fixpoint: per-component stars (node → component min); roots carry
-    // no outgoing edge and label themselves
-    val nodes = pairs.select(col("doc_a").cast("long").as("doc_id"))
-      .union(pairs.select(col("doc_b").cast("long").as("doc_id"))).distinct()
+    // no outgoing edge and label themselves. Nodes come from the
+    // CHECKPOINTED seed, not `pairs` — deriving them from `pairs` would
+    // re-run its whole upstream chain (the MinHash pipeline, for x26)
+    // twice more just to list vertices
+    val nodes = seed.select(col("u").as("doc_id"))
+      .union(seed.select(col("v").as("doc_id"))).distinct()
     nodes.join(edges.select(col("u").as("doc_id"), col("v").as("cluster_id")),
         Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
