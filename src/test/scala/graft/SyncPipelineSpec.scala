@@ -686,6 +686,46 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(store.rejectedIndexes() === Seq(store.aliases()("click")))
   }
 
+  test("time-sorted layout: a watermark range scan skips row groups") {
+    val dir = Files.createTempDirectory("graft-sync").toString
+    val store = new IndexStore(spark, dir)
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type")
+    val total = ev.count()
+    // baseline: same tiny row groups, rows scattered across them (a
+    // random shuffle makes every row group's ts min/max span everything)
+    ev.repartition(4).write.mode("overwrite")
+      .option("parquet.block.size", 64L * 1024)
+      .parquet(s"$dir/ev_unsorted")
+    store.writePhysicalSorted("ev_sorted", ev, "ts",
+      files = 4, blockSize = 64L * 1024)
+    // a selective watermark predicate (top ~10% of event time)
+    val w = ev.selectExpr("percentile(unix_micros(ts), 0.9)")
+      .collect()(0).getDouble(0).toLong
+    def scanRows(path: String): (Long, Long) = {
+      // predicate on the raw column (timestamp_micros of a literal folds
+      // to a constant) — a function OVER ts would defeat pushdown
+      val df = spark.read.parquet(path)
+        .where(col("ts") >= expr(s"timestamp_micros(${w}L)"))
+      // collect() through THIS QueryExecution so its scan metrics
+      // populate (count() would plan and execute a separate aggregate)
+      val n = df.collect().length.toLong
+      val scans = df.queryExecution.executedPlan.collectLeaves()
+      val produced = scans.map(_.metrics("numOutputRows").value).sum
+      (n, produced)
+    }
+    val (nU, producedU) = scanRows(s"$dir/ev_unsorted")
+    val (nS, producedS) = scanRows(s"$dir/ev_sorted")
+    assert(nU === nS, "layout must never change results")
+    assert(nU > 0 && nU < total, "predicate not selective; test is vacuous")
+    // unsorted: every row group spans the full ts range → nothing skips;
+    // sorted: only row groups overlapping the watermark produce rows
+    assert(producedU > total / 2,
+      s"baseline unexpectedly skipped ($producedU of $total)")
+    assert(producedS < producedU / 2,
+      s"sorted layout skipped nothing: produced $producedS vs baseline $producedU")
+  }
+
   test("in-place merge read prunes to affected bucket partitions") {
     val (store, _, pipe, _) = freshPipeline()
     pipe.fullSyncBucketed(env, Some(Seq("view")), timestamp = "t1", buckets = 16)
