@@ -191,21 +191,16 @@ object TextOps {
   }
 
   /** Most-frequent element count of a string array = longest equal run
-    * of the SORTED array: one sort + one left fold, O(n log n) per row,
-    * vs. the naive max-over-distinct-of-count form which is
-    * O(distinct × n) — ~10⁸ comparisons for a 10k-word doc. A pure
-    * per-row expression: consumers stay map-only scans at any corpus
-    * size. */
-  private def topRunCount(arr: Column): Column = aggregate(
-    array_sort(arr),
-    struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
-    (acc, t) => {
-      val run = when(t === acc.getField("prev"), acc.getField("run") + lit(1))
-        .otherwise(lit(1))
-      struct(t.as("prev"), run.as("run"),
-        greatest(acc.getField("best"), run).as("best"))
-    },
-    acc => acc.getField("best"))
+    * of the SORTED array: one sort + one linear scan, O(n log n) per
+    * row, vs. the naive max-over-distinct-of-count form which is
+    * O(distinct × n) — ~10⁸ comparisons for a 10k-word doc. Runs as the
+    * fused native kernel [[graft.functions.TopRunCountExpr]]: the
+    * equivalent `aggregate(array_sort(...))` HOF fold is CodegenFallback
+    * (per-element lambda dispatch), the same interpreted tax the MinHash
+    * kernel removed. Consumers stay map-only codegen'd scans at any
+    * corpus size; kernel ≡ builtin-fold equivalence is spec-pinned. */
+  private def topRunCount(arr: Column): Column =
+    graft.functions.TextKernels.topRunCount(arr)
 
   /** [[qualityFilter]]'s keep-predicate as oracle SQL over a text
     * expression — the single source for every oracle that embeds the

@@ -94,6 +94,32 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "empty shingle array must yield a null signature")
   }
 
+  test("top-run-count kernel ≡ builtin aggregate(array_sort) fold") {
+    val toks = TextOps.tokens(col("text"))
+    val foldForm = aggregate(
+      array_sort(toks),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(t === acc.getField("prev"), acc.getField("run") + lit(1))
+          .otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    val both = docs.select(col("doc_id"),
+      graft.functions.TextKernels.topRunCount(toks).as("kernel"),
+      foldForm.as("fold")).collect()
+    both.foreach(r => assert(r.getInt(1) === r.getInt(2),
+      s"kernel/fold disagree for doc ${r.getLong(0)}"))
+    // degenerate inputs: null array → null, empty array → 0
+    val edge = spark.range(1).select(
+      graft.functions.TextKernels.topRunCount(
+        lit(null).cast("array<string>")).as("n"),
+      graft.functions.TextKernels.topRunCount(
+        expr("array()").cast("array<string>")).as("e")).collect()(0)
+    assert(edge.isNullAt(0) && edge.getInt(1) === 0)
+  }
+
   test("repetition metrics: template spam flagged, diverse text kept, counts exact") {
     import spark.implicits._
     val cases = Seq(

@@ -111,6 +111,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val plan = formatted(TextOps.qualityFilter(Tables.documents(spark, sf)))
     assert(!plan.contains("Exchange"), s"quality filter shuffles:\n$plan")
     assert(!plan.contains("Window"), s"quality filter uses a window:\n$plan")
+    // the top-token count runs as the fused native kernel, not an
+    // interpreted HOF fold
+    assert(plan.contains("graft_top_run_count"),
+      s"top-run kernel missing from the quality-filter plan:\n$plan")
   }
 
   test("minhash signatures are one map-only kernel: no agg shuffle, single md5 pass") {
