@@ -272,7 +272,7 @@ object Dedup {
 
   /** Benchmark decontamination check (the n-gram-overlap eval-set test
     * every serious training corpus runs; cf. the 13-gram overlap
-    * methodology in the GPT-3 paper — PAPERS.md): for each candidate
+    * methodology in the GPT-3 paper, Brown et al.'20): for each candidate
     * document, the fraction of its shingles present in the benchmark
     * set's shingle vocabulary, and a contamination flag above
     * `maxOverlap`.
@@ -347,7 +347,7 @@ object Dedup {
     * however the group is wired (crawl mirrors form long chains).
     *
     * Algorithm: alternating large-star / small-star (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond" — PAPERS.md), the
+    * "Connected Components in MapReduce and Beyond", SoCC'14), the
     * published MapReduce-scale CC construction: each half-round is one
     * hash-aggregate over the symmetrized edge set (emit edges from every
     * node's neighborhood toward its local minimum), and the edge set

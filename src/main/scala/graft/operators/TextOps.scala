@@ -413,7 +413,7 @@ object TextOps {
   /** 32-bit SimHash per document: each word 3-shingle votes ±1 on every
     * bit of its hash; the fingerprint sets bits with positive tally.
     * Near-duplicate docs differ in few bits (Charikar'02 — see
-    * PAPERS.md). Shingles, not unigrams: a small shared vocabulary makes
+    * Charikar'02). Shingles, not unigrams: a small shared vocabulary makes
     * unigram votes identical across documents, while shingle sets are
     * discriminative. Entirely per-row array expressions: at scale this
     * is a map-only pass. */
