@@ -198,6 +198,57 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got === want, "stream-stream as-of end state diverges from batch")
   }
 
+  test("stateful as-of: state survives a checkpointed restart (dominant click carries over)") {
+    val source = tmp("asof-src2")
+    val staging = tmp("asof-stage")
+    writeTimeSlicedSource(staging, 2)
+    val slices = Files.list(staging).iterator().asScala.toList.sortBy(_.getFileName.toString)
+    assert(slices.length === 2)
+    val ckpt = tmp("asof-ckpt").toString
+    val outDir = tmp("asof-out").toString
+    val schema = spark.read.parquet(staging.toString).schema
+    // parquet sink, not memory: the memory sink refuses checkpoint
+    // recovery, and recovery is exactly what this test exercises
+    def runOnce(): Unit = {
+      def stream(tpe: String) = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(source.toString)
+        .where(col("event_type") === tpe)
+      val q = graft.streaming.StatefulAsOf.asOf(
+          spark, stream("purchase"), stream("click"), lateness = "0 seconds")
+        .writeStream.outputMode("append").format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // run 1 sees only the first time slice; run 2 resumes the SAME
+    // checkpoint after the second slice lands — its purchases must still
+    // match clicks remembered from run 1's slice (the dominant-click
+    // state), or resumed attribution silently degrades
+    Files.copy(slices(0), source.resolve("slice_000.parquet"))
+    runOnce()
+    val run1Out = spark.read.parquet(outDir).collect().map(_.toSeq).toSet
+    Files.copy(slices(1), source.resolve("slice_001.parquet"))
+    runOnce()
+    val got = spark.read.parquet(outDir).collect().map(_.toSeq).toSeq
+      .sortBy(_(1).asInstanceOf[Long])
+    val ev = spark.read.parquet(source.toString)
+    val wmUs = ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0) / 1000L * 1000L
+    val want = Analytics.asOfJoin(
+        ev.where(col("event_type") === "purchase" && unix_micros(col("ts")) <= wmUs),
+        ev.where(col("event_type") === "click"))
+      .orderBy("l_id").collect().map(_.toSeq).toSeq
+    assert(want.nonEmpty)
+    assert(got === want, "resumed as-of state diverges from batch")
+    // non-vacuity: some run-2 purchase must have matched a run-1 click
+    val run1MaxClick = spark.read.parquet(slices(0).toString)
+      .where(col("event_type") === "click")
+      .agg(max("event_id")).collect()(0).getLong(0)
+    val run2Rows = got.filterNot(run1Out)
+    assert(run2Rows.exists(r => r(2) != null &&
+      r(2).asInstanceOf[Long] <= run1MaxClick),
+      "no run-2 purchase used run-1 click state; resume test is vacuous")
+  }
+
   test("streaming resume: a second AvailableNow run over the same checkpoint reprocesses nothing") {
     val source = tmp("stream-src2")
     writeTimeSlicedSource(source, 2)
