@@ -172,6 +172,10 @@ object PipelinePack extends QueryPack {
         col("label") % 2 === 0)
         .orderBy("query_id", "rn")),
 
+    // int8 quantization of the embedding corpus (4× storage cut; map-only)
+    "x31_quantize_int8" -> ((s, dir) =>
+      VectorOps.quantizeInt8(Tables.embeddings(s, dir)).orderBy("vec_id")),
+
     // --- ANN: multi-probe (x19) ------------------------------------------
     "x19_ann_multiprobe" -> ((s, dir) =>
       VectorOps.annTopKMultiProbe(Tables.embeddings(s, dir), QueryVecs, 5)
@@ -267,6 +271,8 @@ object PipelinePack extends QueryPack {
     "x30_ann_filtered" ->
       (VectorOps.annTopKFilteredSql(QueryVecs, 5, "label % 2 = 0") +
         "\nORDER BY query_id, rn"),
+    "x31_quantize_int8" ->
+      (VectorOps.quantizeInt8Sql + "\nORDER BY vec_id"),
     "x20_hash_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${graft.operators.Sampling.hashSampleWhereSql("doc_id", 0.25)}

@@ -143,6 +143,26 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(m(3L)._2 - 4.0 / 7) < 1e-12 && !m(3L)._4)
   }
 
+  test("int8 quantization: range bound, half-step error bound, zero-vector safe") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    val withZero = emb.select("vec_id", "embedding", "label")
+      .unionByName(Seq((900001L, Array.fill(64)(0.0f), 0))
+        .toDF("vec_id", "embedding", "label"))
+    val out = VectorOps.quantizeInt8(withZero).collect()
+    assert(out.length === emb.count() + 1)
+    out.foreach { r =>
+      val (scale, qmin, qmax, err) =
+        (r.getDouble(1), r.getInt(3), r.getInt(4), r.getDouble(5))
+      assert(qmin >= -127 && qmax <= 127, s"int8 range violated: [$qmin,$qmax]")
+      // reconstruction error is at most half a quantization step (both
+      // sides report 6dp-rounded values, so allow a 1e-6 rounding margin)
+      assert(err <= scale / 254.0 + 1e-6, s"error $err exceeds half-step for scale $scale")
+      if (r.getLong(0) == 900001L)
+        assert(scale === 0.0 && qmin === 0 && qmax === 0 && err === 0.0)
+    }
+  }
+
   test("filtered ANN: pre-filter semantics — true top-k among matching vectors") {
     import graft.operators.VectorOps
     val pred = col("label") % 2 === 0
