@@ -175,6 +175,11 @@ object PipelinePack extends QueryPack {
     // int8 quantization of the embedding corpus (4× storage cut; map-only)
     "x31_quantize_int8" -> ((s, dir) =>
       VectorOps.quantizeInt8(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    // quantization integrated into search: int8 candidate scoring +
+    // float rerank of a k*3 pool
+    "x32_ann_quantized" -> ((s, dir) =>
+      VectorOps.annTopKQuantized(Tables.embeddings(s, dir), QueryVecs, 5)
+        .orderBy("query_id", "rn")),
 
     // --- ANN: multi-probe (x19) ------------------------------------------
     "x19_ann_multiprobe" -> ((s, dir) =>
@@ -273,6 +278,8 @@ object PipelinePack extends QueryPack {
         "\nORDER BY query_id, rn"),
     "x31_quantize_int8" ->
       (VectorOps.quantizeInt8Sql + "\nORDER BY vec_id"),
+    "x32_ann_quantized" ->
+      (VectorOps.annTopKQuantizedSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x20_hash_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${graft.operators.Sampling.hashSampleWhereSql("doc_id", 0.25)}

@@ -163,6 +163,25 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("quantized ANN: high recall vs float ANN, rerank scores are exact cosines") {
+    import graft.operators.VectorOps
+    val qs = Seq(0L, 1L, 2L)
+    val exact = VectorOps.annTopK(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = VectorOps.annTopKQuantized(emb, qs, 5).collect()
+    val quantSet = quant.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect quantSet).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 pool lost too much recall: $recall")
+    // the reported score is the EXACT float cosine (rerank output), so
+    // any (query, vec) shared with the float path scores identically
+    val exactScores = VectorOps.annTopK(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    quant.foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(c === r.getDouble(2)))
+    }
+  }
+
   test("filtered ANN: pre-filter semantics — true top-k among matching vectors") {
     import graft.operators.VectorOps
     val pred = col("label") % 2 === 0
