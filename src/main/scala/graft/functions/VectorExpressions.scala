@@ -128,7 +128,10 @@ object VectorFunctions {
       (es: Seq[Expression]) => DotProduct(es(0), es(1))),
     ("graft_cosine",
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("graft_top_run_count",
+      new ExpressionInfo(classOf[TopRunCountExpr].getName, "graft_top_run_count"),
+      (es: Seq[Expression]) => TopRunCountExpr(es(0))))
 
   /** Idempotent in-session registration — makes `graft_dot`/`graft_cosine`
     * callable from SQL text without rebuilding the session. */

@@ -76,12 +76,14 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     f.foreach(r => assert(r.getDouble(0) > 0.0))
   }
 
-  test("registered SQL functions graft_dot / graft_cosine work in SQL text") {
+  test("registered SQL functions graft_dot / graft_cosine / graft_top_run_count work in SQL text") {
     VectorFunctions.register(spark)
     val r = spark.sql(
       "SELECT graft_dot(array(1.0D,2.0D), array(3.0D,4.0D)) AS d, " +
-        "graft_cosine(array(1.0D,0.0D), array(1.0D,0.0D)) AS c").collect()(0)
+        "graft_cosine(array(1.0D,0.0D), array(1.0D,0.0D)) AS c, " +
+        "graft_top_run_count(array('b','a','b','c','b')) AS t").collect()(0)
     assert(r.getDouble(0) === 11.0)
     assert(r.getDouble(1) === 1.0)
+    assert(r.getInt(2) === 3)
   }
 }
