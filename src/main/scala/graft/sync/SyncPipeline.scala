@@ -451,6 +451,35 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     }
   }
 
+  /** Compaction for the in-place bucketed layout: every delta merge
+    * rewrites its affected buckets as fresh files, so a long-running
+    * incremental index accumulates small files per bucket — and scan
+    * cost (task scheduling, footer reads) grows with FILE count even
+    * when data volume doesn't. Compaction rewrites each bucket back to
+    * one file per bucket: `repartition(col(bucket))` hash-routes every
+    * bucket's rows to exactly one task, and the write lands through
+    * [[IndexStore.replaceBuckets]] — the same per-bucket
+    * backup-then-swap protocol as a merge, so a crash mid-compaction
+    * loses nothing and readers never see a partial bucket. Content is
+    * untouched (spec: byte-identical rows, merges still prune after).
+    * At 100 TB this runs bucket-parallel and only metadata plus file
+    * count change. Returns the number of buckets compacted. */
+  def compactIndex(alias: String): Int = {
+    val physical = store.aliases().getOrElse(alias,
+      sys.error(s"cannot compact unbound alias $alias"))
+    store.bucketCountOf(physical).getOrElse(
+      sys.error(s"$physical is not a bucketed index"))
+    val cur = store.readPhysical(physical)
+    // the partition column reads back as INT via partition-value
+    // inference; bucket ids are long everywhere else
+    val buckets = cur.select(col(store.BucketKey).cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    if (buckets.nonEmpty)
+      retry.retry(() => store.replaceBuckets(physical,
+        cur.repartition(col(store.BucketKey)), buckets))
+    buckets.length
+  }
+
   /** J2 — post-sync reconciliation in ONE Spark job: the stored side is
     * the union of every index's live read (each a pruned parquet scan),
     * the source one filtered aggregate, compared by

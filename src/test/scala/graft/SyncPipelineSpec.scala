@@ -726,6 +726,45 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
       s"sorted layout skipped nothing: produced $producedS vs baseline $producedU")
   }
 
+  test("bucket compaction: one file per bucket, content byte-identical, merges still work") {
+    val (store, _, pipe, _) = freshPipeline()
+    val cutoff = "2024-01-15 00:00:00"
+    val early = env.where(col(UpdatedAt) < lit(cutoff).cast("timestamp"))
+    pipe.fullSyncBucketed(early, Some(Seq("click")), timestamp = "t1", buckets = 4)
+    val phys = store.aliases()("click")
+    // fragment the buckets the way a large merge does: the staged
+    // partitionBy write emits one file per (task, bucket), so a
+    // multi-task merge frame leaves several files in every bucket dir
+    // (at fixture scale AQE coalesces real merges to one task — force
+    // the multi-task shape through the same writer)
+    store.replaceBuckets(phys,
+      store.readPhysical(phys).repartition(6), Seq(0L, 1L, 2L, 3L))
+    def filesPerBucket: Map[String, Int] = {
+      val root = java.nio.file.Paths.get(store.root, phys)
+      Files.list(root).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith(store.BucketKey + "="))
+        .map { p =>
+          p.getFileName.toString ->
+            Files.list(p).iterator().asScala
+              .count(_.getFileName.toString.endsWith(".parquet"))
+        }.toMap
+    }
+    assert(filesPerBucket.values.exists(_ > 1),
+      "merges produced no multi-file bucket; compaction test is vacuous")
+    val before = store.read("click").get.orderBy(Id).collect().toSeq
+    val compacted = pipe.compactIndex("click")
+    assert(compacted > 0)
+    assert(filesPerBucket.values.forall(_ === 1),
+      s"compaction left multi-file buckets: $filesPerBucket")
+    assert(store.read("click").get.orderBy(Id).collect().toSeq === before,
+      "compaction changed content")
+    // the layout still merges and prunes afterwards
+    pipe.incrementalSyncInPlace(env, Some(Seq("click")), buckets = 4)
+    val want = env.where(col(Idx) === "click" && !col(IsDeleted))
+      .select(Id).distinct().count()
+    assert(store.count("click") === want)
+  }
+
   test("in-place merge read prunes to affected bucket partitions") {
     val (store, _, pipe, _) = freshPipeline()
     pipe.fullSyncBucketed(env, Some(Seq("view")), timestamp = "t1", buckets = 16)
