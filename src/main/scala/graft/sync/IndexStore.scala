@@ -406,6 +406,39 @@ class IndexStore(val spark: SparkSession, val root: String,
   /** Remove a partitioned stage dir (after all promotes, or on failure). */
   def dropStage(stageName: String): Unit = deletePhysical(stageName)
 
+  /** Operational statistics for one live index (the ANALYZE surface an
+    * operator consults before re-bucketing or compacting): row count,
+    * on-disk bytes, data-file count, bucket count (None for flat
+    * layouts), and bucket skew = max/mean rows per bucket (1.0 = perfectly
+    * even; a hot-id workload drifts upward and tells you the id-hash is
+    * no longer spreading load). One metadata-cheap count job + one
+    * directory walk; the per-bucket histogram is a partition-column-only
+    * aggregate (no data pages read). */
+  case class IndexStats(alias: String, physical: String, rows: Long,
+      bytes: Long, files: Int, buckets: Option[Int], bucketSkew: Option[Double])
+
+  def stats(alias: String): Option[IndexStats] =
+    aliases().get(alias).filter(indexExists).map { physical =>
+      val dir = rootPath.resolve(physical)
+      val (bytes, files) = Using.resource(Files.walk(dir)) { s =>
+        s.iterator().asScala
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .foldLeft((0L, 0)) { case ((b, n), p) => (b + Files.size(p), n + 1) }
+      }
+      val rows = if (hasData(physical)) readPhysical(physical).count() else 0L
+      val buckets = bucketCountOf(physical)
+      val skew = buckets.filter(_ => rows > 0).map { _ =>
+        import org.apache.spark.sql.functions.{avg, col, lit, max}
+        val per = readPhysical(physical)
+          .groupBy(col(BucketKey))
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+          .agg(max("n"), avg("n"))
+          .collect()(0)
+        per.getLong(0).toDouble / per.getDouble(1)
+      }
+      IndexStats(alias, physical, rows, bytes, files, buckets, skew)
+    }
+
   // --- commit protocol (K5/K3/K4) ----------------------------------------
 
   /** K5 — atomic alias swap: bind `alias` to `physical`, dropping any

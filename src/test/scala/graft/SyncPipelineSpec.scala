@@ -765,6 +765,22 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(store.count("click") === want)
   }
 
+  test("index stats: rows/bytes/files/buckets/skew reported; skew 1.0 when even") {
+    val (store, _, pipe, _) = freshPipeline()
+    pipe.fullSyncBucketed(env, Some(Seq("click")), timestamp = "t1", buckets = 4)
+    pipe.fullSync(env, Some(Seq("view")), timestamp = "t1")
+    val bucketed = store.stats("click").get
+    assert(bucketed.rows === store.count("click"))
+    assert(bucketed.bytes > 0 && bucketed.files > 0)
+    assert(bucketed.buckets === Some(4))
+    val skew = bucketed.bucketSkew.get
+    assert(skew >= 1.0 && skew < 4.0, s"implausible skew $skew for an id-hash layout")
+    val flat = store.stats("view").get
+    assert(flat.buckets.isEmpty && flat.bucketSkew.isEmpty)
+    assert(flat.rows === store.count("view"))
+    assert(store.stats("nope").isEmpty)
+  }
+
   test("in-place merge read prunes to affected bucket partitions") {
     val (store, _, pipe, _) = freshPipeline()
     pipe.fullSyncBucketed(env, Some(Seq("view")), timestamp = "t1", buckets = 16)
