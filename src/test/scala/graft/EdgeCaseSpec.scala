@@ -37,6 +37,12 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.exactDedup(emptyDocs).count() === 0)
     assert(Dedup.nearDupPairs(emptyDocs).count() === 0)
     assert(Dedup.nearDupDedup(emptyDocs, 0.8).count() === 0)
+    // connected components over no pairs: empty, converges immediately
+    assert(Dedup.duplicateClusters(Dedup.nearDupPairs(emptyDocs)).count() === 0)
+    // a single pair is its own cluster
+    val one = Seq((7L, 9L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    assert(Dedup.duplicateClusters(one).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(7L -> 7L, 9L -> 7L))
     // single-token docs shingle to themselves; no self-pairs
     val pairs = Dedup.nearDupPairs(weirdDocs).collect()
     pairs.foreach(r => assert(r.getLong(0) < r.getLong(1)))

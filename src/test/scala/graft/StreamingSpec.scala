@@ -143,6 +143,19 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val want = TextOps.qualityFilter(spark.read.parquet(src.toString))
       .orderBy("doc_id").collect().map(_.toSeq).toSeq
     assert(got === want)
+    // the MinHash signature kernel is map-only too: signatures computed
+    // on the stream equal the batch artifact (incremental signature
+    // maintenance for a growing corpus needs no new machinery)
+    val q2 = graft.operators.Dedup.minHashSignaturesFrom(
+        stream.select(col("doc_id"), TextOps.shingles(col("text")).as("sh")))
+      .writeStream.outputMode("append").format("memory").queryName("sig_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val gotSigs = spark.table("sig_stream").orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val wantSigs = graft.operators.Dedup.minHashSignatures(
+        spark.read.parquet(src.toString))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(gotSigs === wantSigs)
   }
 
   test("stream-stream interval join end state equals the batch interval join (tw4 twin)") {
