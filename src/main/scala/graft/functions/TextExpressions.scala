@@ -73,8 +73,95 @@ case class TopRunCountExpr(child: Expression)
   override def prettyName: String = "graft_top_run_count"
 }
 
+/** Fused word-k-shingle kernel: lowercase → single-space split →
+  * k-token windows → first-occurrence-distinct, in ONE loop over the
+  * row's UTF8 bytes — bit-identical output (values AND order) to the
+  * builtin chain `array_distinct(transform(sequence(...), i =>
+  * concat_ws(" ", slice(split(lower(c), " "), i, k))))` it replaces
+  * (equivalence is spec-pinned on fixtures, unicode, and blank edge
+  * cases). The builtin chain runs as CodegenFallback (`transform` is a
+  * higher-order function) and allocates per element; shingling is the
+  * CPU-dominant map stage under the whole MinHash dedup family, so it
+  * gets the same native treatment as [[MinHashSignaturesExpr]].
+  *
+  * Blank semantics (must mirror [[graft.operators.TextOps.shingles]]):
+  * null text, or text that is entirely `\s` whitespace, yields NULL —
+  * such docs carry no n-gram signal and banding drops them. */
+case class ShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(k >= 1, "shingle size must be positive")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // blank (all-whitespace) input maps to null output
+  override def nullable: Boolean = true
+
+  /** Java regex `\s` class, the same one normText's `\s+` uses. */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** One row's shingles; shared by interpreted eval and codegen. */
+  def compute(s: UTF8String): ArrayData = {
+    // UTF8String.toLowerCase is what Spark's lower() runs — byte-exact,
+    // locale-independent (String.toLowerCase is locale-sensitive)
+    val text = s.toLowerCase.toString
+    var blank = true
+    var i = 0
+    while (blank && i < text.length) {
+      if (!isWs(text.charAt(i))) blank = false
+      i += 1
+    }
+    if (blank) return null
+    // split(lower(text), " "): single-space separator, empty tokens kept
+    val toks = text.split(" ", -1)
+    val n = toks.length
+    val windows = math.max(n - (k - 1), 1)
+    // first-occurrence order, exactly like array_distinct
+    val seen = new java.util.LinkedHashSet[String](windows * 2)
+    val sb = new java.lang.StringBuilder
+    var w = 0
+    while (w < windows) {
+      sb.setLength(0)
+      val end = math.min(w + k, n)
+      var t = w
+      while (t < end) {
+        if (t > w) sb.append(' ')
+        sb.append(toks(t))
+        t += 1
+      }
+      seen.add(sb.toString)
+      w += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[ShinglesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_shingles"
+}
+
 /** Column-API surface of the text kernels. */
 object TextKernels {
   def topRunCount(arr: Column): Column =
     Bridge.column(TopRunCountExpr(Bridge.expression(arr)))
+  def shingles(text: Column, k: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expression(text), k))
 }

@@ -53,15 +53,14 @@ object TextOps {
     * job ([[graft.operators.Dedup.exactDedup]] keys on `normText`, which
     * maps all blanks to one key). The NULL flows through the MinHash
     * kernel (null in → null sig) and banding drops null signatures. */
-  def shingles(c: Column, k: Int = 3): Column = {
-    val toks = tokens(c)
-    // normText, not trim: `trim` strips only spaces, and "blank" must
-    // include tab/newline-only docs — the same \s+ class exact dedup keys on
-    when(c.isNull || length(normText(c)) === 0, lit(null))
-      .otherwise(array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(k))))))
-  }
+  def shingles(c: Column, k: Int = 3): Column =
+    // fused native kernel (one loop per row; the builtin
+    // array_distinct∘transform∘slice chain is CodegenFallback —
+    // PipelineSpec pins kernel ≡ builtin including blank→NULL and
+    // first-occurrence order). Blank = zero-length normText — `trim`
+    // alone strips only spaces, and tab/newline-only docs must be blank
+    // too, the same \s class exact dedup keys on.
+    graft.functions.TextKernels.shingles(c, k)
   def shinglesSql(e: String, k: Int = 3): String = {
     val t = tokensSql(e)
     s"CASE WHEN $e IS NULL OR len(${normTextSql(e)}) = 0 THEN NULL ELSE " +

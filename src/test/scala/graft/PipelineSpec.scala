@@ -94,6 +94,34 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "empty shingle array must yield a null signature")
   }
 
+  test("shingles kernel ≡ builtin chain (values, order, blank→NULL, unicode)") {
+    import spark.implicits._
+    def builtinShingles(c: org.apache.spark.sql.Column, k: Int) = {
+      val toks = TextOps.tokens(c)
+      when(c.isNull || length(TextOps.normText(c)) === 0, lit(null))
+        .otherwise(array_distinct(transform(
+          sequence(lit(1), greatest(size(toks) - (k - 1), lit(1))),
+          i => concat_ws(" ", slice(toks, i, lit(k))))))
+    }
+    val weird = Seq(
+      (900001L, null.asInstanceOf[String]), (900002L, ""), (900003L, " \n\t "),
+      (900004L, "one"), (900005L, "a b"), (900006L, "a  b   c"),
+      (900007L, "ÜNÏCODE Tökens ÜNÏCODE Tökens here"),
+      (900008L, "x y x y x y")).toDF("doc_id", "text")
+    val all = docs.select("doc_id", "text").unionByName(weird)
+    for (k <- Seq(1, 3, 5)) {
+      val rows = all.select(col("doc_id"),
+        TextOps.shingles(col("text"), k).as("kernel"),
+        builtinShingles(col("text"), k).as("builtin")).collect()
+      rows.foreach { r =>
+        assert(r.isNullAt(1) === r.isNullAt(2), s"null mismatch k=$k doc ${r.getLong(0)}")
+        if (!r.isNullAt(1))
+          assert(r.getSeq[String](1) === r.getSeq[String](2),
+            s"shingle mismatch k=$k doc ${r.getLong(0)}")
+      }
+    }
+  }
+
   test("top-run-count kernel ≡ builtin aggregate(array_sort) fold") {
     val toks = TextOps.tokens(col("text"))
     val foldForm = aggregate(
