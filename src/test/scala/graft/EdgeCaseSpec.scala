@@ -111,6 +111,40 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
       Dedup.minHashSignaturesFrom(shEmpty), shEmpty, 0.0).count() === 0)
   }
 
+  test("round-4 operators on empty and degenerate inputs") {
+    import graft.operators.{Analytics, Sampling, VectorOps}
+    // tf-idf / repetition / pii on empty corpora: empty, never throw
+    assert(TextOps.tfIdfTopTerms(emptyDocs).count() === 0)
+    assert(TextOps.repetitionMetrics(emptyDocs).count() === 0)
+    assert(TextOps.piiScrub(emptyDocs, col("text")).count() === 0)
+    // repetition on empty text: ngrams of "" are [""] — metrics stay
+    // finite (top fraction 1.0, dup fraction 0.0) and the doc is
+    // FLAGGED (an empty doc is all "repetition"; curation drops it
+    // anyway via the word-count floor)
+    val rep = TextOps.repetitionMetrics(weirdDocs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rep(1L).getDouble(2) === 1.0 && rep(1L).getDouble(3) === 0.0)
+    assert(!rep(1L).getBoolean(4))
+    // quantized ANN on empty corpus / zero vectors: empty, never throws
+    val empty = Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+    assert(VectorOps.annTopKQuantized(empty, Seq(0L), 5).count() === 0)
+    assert(VectorOps.annTopKFiltered(empty, Seq(0L), 5, col("label") === 0).count() === 0)
+    val zeros = Seq((0L, Array.fill(64)(0.0f), 0), (1L, Array.fill(64)(0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    assert(VectorOps.annTopKQuantized(zeros, Seq(0L), 5).count() === 0,
+      "zero vectors must be excluded (NaN cosine), not crash")
+    // as-of with an empty right side: every left row emits with NULLs
+    val l = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val r0 = l.limit(0)
+    val asOf = Analytics.asOfJoin(
+      l.select(col("event_id"), col("user_id"), col("ts")),
+      r0.select(col("event_id"), col("user_id"), col("ts"))).collect()
+    assert(asOf.length === 1 && asOf(0).isNullAt(2) && asOf(0).isNullAt(3))
+  }
+
   test("as-of join: at-or-before semantics, deterministic ties, null when no prior event") {
     import spark.implicits._
     import graft.operators.Analytics
