@@ -262,6 +262,77 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "no run-2 purchase used run-1 click state; resume test is vacuous")
   }
 
+  test("streaming incremental dedup: end state equals a slice-by-slice batch replay") {
+    import graft.operators.Dedup
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    // two arrival slices by doc_id (deterministic, both non-trivial)
+    val cut = 250L
+    val slices = Seq(docsAll.where(col("doc_id") < cut),
+      docsAll.where(col("doc_id") >= cut))
+    val src = tmp("sdedup-src")
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = tmp(s"sdedup-slice$i")
+      s.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(f"slice_$i%03d.parquet"))
+    }
+    val minJ = 0.5
+    val sd = new graft.streaming.StreamingDedup(
+      tmp("sdedup-art").toString, tmp("sdedup-out").toString, minJ)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val batches = sd.screenAvailable(spark, stream, tmp("sdedup-ckpt").toString)
+    assert(batches >= 2, s"expected one batch per slice, got $batches")
+    val got = sd.verdicts(spark).get.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+
+    // batch replay of the same greedy-sequential policy
+    var accSh: Option[org.apache.spark.sql.DataFrame] = None
+    var accSigs: Option[org.apache.spark.sql.DataFrame] = None
+    val want = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    for (s <- slices) {
+      val sh = Dedup.shingleFrame(s).cache()
+      val sigs = Dedup.minHashSignaturesFrom(sh).cache()
+      def best(pairs: org.apache.spark.sql.DataFrame) = pairs
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(max(struct(col("jaccard"), (-col("doc_a")).as("nid"))).as("m"))
+        .select(col("doc_id"), (-col("m.nid")).as("dup_of"),
+          col("m.jaccard").as("jaccard"))
+      val fromCorpus = (accSigs, accSh) match {
+        case (Some(cs), Some(csh)) =>
+          best(Dedup.crossCorpusPairs(cs, csh, sigs, sh, minJ))
+        case _ => null
+      }
+      val inner = best(Dedup.nearDupPairsFrom(sigs, sh, minJ))
+      val dups = Option(fromCorpus).map(_.unionByName(inner)).getOrElse(inner)
+        .groupBy("doc_id")
+        .agg(max(struct(col("jaccard"), (-col("dup_of")).as("nid"))).as("m"))
+        .select(col("doc_id"), (-col("m.nid")).as("dup_of"),
+          col("m.jaccard").as("jaccard"))
+      val verdicts = s.select("doc_id").join(dups, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"), col("jaccard"),
+          col("dup_of").isNull.as("accepted"))
+      want ++= verdicts.collect().map(_.toSeq)
+      val acceptedIds = verdicts.where(col("accepted")).select("doc_id")
+      accSh = Some(accSh.map(_.unionByName(sh.join(acceptedIds, "doc_id")))
+        .getOrElse(sh.join(acceptedIds, "doc_id")).cache())
+      accSigs = Some(accSigs.map(_.unionByName(sigs.join(acceptedIds, "doc_id")))
+        .getOrElse(sigs.join(acceptedIds, "doc_id")).cache())
+    }
+    val wantSorted = want.sortBy(_(0).asInstanceOf[Long]).toSeq
+    assert(got.nonEmpty && got === wantSorted,
+      "streaming dedup end state diverges from the batch replay")
+    // non-vacuity: the stream must have rejected something via BOTH paths
+    val rejected = got.filterNot(_(3).asInstanceOf[Boolean])
+    assert(rejected.nonEmpty, "no duplicates detected; test is vacuous")
+    val crossCorpus = rejected.filter(r =>
+      r(0).asInstanceOf[Long] >= cut && r(1).asInstanceOf[Long] < cut)
+    assert(crossCorpus.nonEmpty,
+      "no slice-2 doc matched the accepted corpus; incremental path untested")
+  }
+
   test("streaming resume: a second AvailableNow run over the same checkpoint reprocesses nothing") {
     val source = tmp("stream-src2")
     writeTimeSlicedSource(source, 2)
