@@ -133,6 +133,20 @@ object TextOps {
        |FROM scored""".stripMargin
   }
 
+  /** Language-ID confusion matrix: (actual, predicted) → count — the
+    * evaluation report for [[languageId]]'s classifier (per-class
+    * precision/recall derive from its marginals). One hash aggregate
+    * over the map-only scoring pass; output cardinality is |langs|². */
+  def languageConfusion(docs: DataFrame): DataFrame =
+    languageId(docs)
+      .groupBy(col("lang_actual"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+
+  val languageConfusionSql: String =
+    s"""WITH ids AS ($languageIdSql)
+       |SELECT lang_actual, lang_pred, count(*) AS n
+       |FROM ids GROUP BY lang_actual, lang_pred""".stripMargin
+
   // --- quality scoring (x6) ----------------------------------------------
 
   /** Stopword list for the quality ratio (fixture's closest analog of

@@ -44,6 +44,9 @@ object PipelinePack extends QueryPack {
       TextOps.termFrequencies(Tables.documents(s, dir)).orderBy("lang", "token")),
     "x5_lang_id" -> ((s, dir) =>
       TextOps.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "x33_lang_confusion" -> ((s, dir) =>
+      TextOps.languageConfusion(Tables.documents(s, dir))
+        .orderBy("lang_actual", "lang_pred")),
     "x6_quality_score" -> ((s, dir) =>
       TextOps.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
     "x7_token_counts" -> ((s, dir) =>
@@ -228,6 +231,8 @@ object PipelinePack extends QueryPack {
       (Dedup.duplicateClustersSql(PairJaccard) + "\nORDER BY doc_id"),
     "x4_term_freq" -> (TextOps.termFrequenciesSql + "\nORDER BY lang, token"),
     "x5_lang_id" -> (TextOps.languageIdSql + "\nORDER BY doc_id"),
+    "x33_lang_confusion" ->
+      (TextOps.languageConfusionSql + "\nORDER BY lang_actual, lang_pred"),
     "x6_quality_score" -> (TextOps.qualityScoreSql + "\nORDER BY doc_id"),
     "x7_token_counts" -> (TextOps.tokenCountsSql + "\nORDER BY doc_id"),
     "x8_simhash" -> (TextOps.simHashSql + "\nORDER BY doc_id"),
