@@ -158,10 +158,73 @@ case class ShinglesExpr(child: Expression, k: Int)
   override def prettyName: String = "graft_shingles"
 }
 
+/** Fused SimHash kernel over a shingle array: one md5 per shingle and
+  * one bit-vote loop per row — the builtin form evaluates the md5 chain
+  * per element through an interpreted `transform`, then runs 32 separate
+  * interpreted `filter` passes over the hash array (one per output bit).
+  * Hash is the same md5-first-4-bytes the MinHash kernel and the DuckDB
+  * oracle use; bit b of the fingerprint is set iff more than half the
+  * shingle hashes have bit b set (Charikar'02 votes with a strict
+  * majority). Null array → null (callers coalesce to the builtin form's
+  * blank-doc value if they need one). */
+case class SimHashExpr(child: Expression, bits: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(bits >= 1 && bits <= 32, "simhash bits must be in [1, 32]")
+
+  override def inputTypes = Seq(ArrayType(StringType))
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  /** One row's fingerprint; shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    val counts = new Array[Int](bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
+        var b = 0
+        while (b < bits) {
+          counts(b) += ((h >>> b) & 1L).toInt
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var value = 0L
+    var b = 0
+    while (b < bits) {
+      if (2 * counts(b) > n) value |= (1L << b)
+      b += 1
+    }
+    value
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash", this, classOf[SimHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_simhash"
+}
+
 /** Column-API surface of the text kernels. */
 object TextKernels {
   def topRunCount(arr: Column): Column =
     Bridge.column(TopRunCountExpr(Bridge.expression(arr)))
   def shingles(text: Column, k: Int): Column =
     Bridge.column(ShinglesExpr(Bridge.expression(text), k))
+  def simHash(shingleArr: Column, bits: Int): Column =
+    Bridge.column(SimHashExpr(Bridge.expression(shingleArr), bits))
 }

@@ -431,12 +431,14 @@ object TextOps {
     * discriminative. Entirely per-row array expressions: at scale this
     * is a map-only pass. */
   def simHash(docs: DataFrame): DataFrame = {
-    val hs = transform(shingles(col("text")), t => hash32(t))
-    val n = size(hs)
-    val value = (0 until SimHashBits).map { b =>
-      val cnt = size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
-      when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // fused native kernel: one md5 + one bit-vote loop per row (the
+    // builtin form ran the md5 chain per element through an interpreted
+    // transform plus 32 interpreted filter passes — PipelineSpec pins
+    // kernel ≡ builtin). Blank docs (null shingles) keep the builtin
+    // form's value: every vote CASE fell through to 0.
+    val value = coalesce(
+      graft.functions.TextKernels.simHash(shingles(col("text")), SimHashBits),
+      lit(0L))
     docs.select(col("doc_id"), value.as("simhash"))
   }
 

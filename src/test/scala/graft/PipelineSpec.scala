@@ -122,6 +122,30 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("simhash kernel ≡ builtin transform+filter bit votes") {
+    import spark.implicits._
+    def builtinSimHash(c: org.apache.spark.sql.Column) = {
+      val hs = transform(TextOps.shingles(c), t => TextOps.hash32(t))
+      val n = size(hs)
+      (0 until TextOps.SimHashBits).map { b =>
+        val cnt = size(filter(hs, h => shiftright(h, b).bitwiseAND(lit(1L)) === lit(1L)))
+        when(cnt * 2 > n, lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val weird = Seq((900001L, null.asInstanceOf[String], "xx", "s", 0L),
+      (900002L, "", "xx", "s", 0L), (900003L, "one", "xx", "s", 3L),
+      (900004L, "ünï ünï ünï tökens", "xx", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val all = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(weird)
+    val rows = TextOps.simHash(all).as("k")
+      .join(all.select(col("doc_id"),
+        coalesce(builtinSimHash(col("text")), lit(0L)).as("b")), "doc_id")
+      .collect()
+    rows.foreach(r => assert(r.getLong(1) === r.getLong(2),
+      s"simhash mismatch for doc ${r.getLong(0)}"))
+  }
+
   test("top-run-count kernel ≡ builtin aggregate(array_sort) fold") {
     val toks = TextOps.tokens(col("text"))
     val foldForm = aggregate(
