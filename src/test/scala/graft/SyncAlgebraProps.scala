@@ -157,6 +157,35 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
       }
     }
 
+  property("as-of join equals brute force on random event sets (incl. ts ties)") =
+    Prop.forAll(
+      Gen.listOfN(25, for {
+        user <- Gen.choose(1L, 4L)
+        ts <- Gen.choose(0L, 9L) // small range forces equal-ts ties
+        side <- Gen.prob(0.5)
+      } yield (user, ts, side))) { raw =>
+      val events = raw.zipWithIndex.map { case ((u, t, isLeft), i) =>
+        (i.toLong + 100L, u, new Timestamp(1700000000000L + t * 1000L), isLeft)
+      }
+      val lefts = events.filter(_._4)
+      val rights = events.filterNot(_._4)
+      lefts.isEmpty || {
+        def df(xs: List[(Long, Long, Timestamp, Boolean)]) =
+          xs.map(e => (e._1, e._2, e._3)).toDF("event_id", "user_id", "ts")
+        val got = graft.operators.Analytics.asOfJoin(df(lefts), df(rights))
+          .collect()
+          .map(r => r.getLong(1) ->
+            (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+        // brute force: latest right at-or-before, ties by max event_id
+        val want = lefts.map { l =>
+          val best = rights.filter(r => r._2 == l._2 && !r._3.after(l._3))
+            .sortBy(r => (r._3.getTime, r._1)).lastOption
+          l._1 -> best.map(_._1)
+        }.toMap
+        got == want
+      }
+    }
+
   property("duplicate clusters equal driver union-find on random graphs") =
     Prop.forAll(Gen.listOfN(25, for {
       a <- Gen.choose(0L, 30L)
