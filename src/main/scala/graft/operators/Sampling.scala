@@ -60,6 +60,45 @@ object Sampling {
     s"QUALIFY row_number() OVER (PARTITION BY $strataCol ORDER BY " +
       s"${hash32Sql(s"CAST($keyExpr AS VARCHAR)")}, CAST($keyExpr AS VARCHAR)) <= $quota"
 
+  /** Weighted mixture sampling — the "dataset mixing" step a training
+    * snapshot actually runs: given target proportions per stratum and a
+    * total document budget, sample stratum s at rate
+    * `min(1, budget·w_s / n_s)` so the output approaches the target mix
+    * regardless of how skewed the raw corpus is. The per-stratum rate
+    * DERIVES FROM DATA (one tiny counts aggregate, broadcast back), the
+    * keep-decision is the same content-hash integer threshold as
+    * [[hashSample]] — deterministic across runs, partitionings, and
+    * engines; thresholds are computed in identical double math and
+    * floored, so both engines compare the same integers. Shape: one
+    * |strata|-row aggregate + a broadcast join + a map-only predicate. */
+  def mixtureSample(df: DataFrame, strataCol: String, keyCol: String,
+      weights: Seq[(String, Double)], budget: Long): DataFrame = {
+    require(weights.forall(_._2 >= 0), "negative mixture weight")
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("_n"))
+    val w = weights.foldRight(lit(0.0)) { case ((s, wt), acc) =>
+      when(col(strataCol) === s, lit(wt)).otherwise(acc)
+    }
+    val thresh = least(lit(Denom),
+      floor(lit(budget.toDouble) * w * lit(Denom) / col("_n")))
+    df.join(broadcast(counts), strataCol)
+      .where(hash32(col(keyCol).cast("string")) % Denom < thresh)
+      .drop("_n")
+  }
+
+  def mixtureSampleSql(strataCol: String, keyExpr: String,
+      weights: Seq[(String, Double)], budget: Long): String = {
+    val cases = weights.map { case (s, wt) => s"WHEN '$s' THEN $wt" }
+      .mkString("CASE d.x_strata ", " ", " ELSE 0.0 END")
+    s"""WITH c AS (
+       |  SELECT $strataCol AS x_strata, count(*) AS n FROM documents GROUP BY $strataCol
+       |), d AS (
+       |  SELECT *, $strataCol AS x_strata FROM documents
+       |)
+       |SELECT doc_id, lang, source FROM d JOIN c USING (x_strata)
+       |WHERE ${hash32Sql(s"CAST($keyExpr AS VARCHAR)")} % $Denom <
+       |  least($Denom, floor($budget.0 * ($cases) * $Denom / n))""".stripMargin
+  }
+
   /** Sequence packing (training-batch construction): assign each
     * document to a fixed token-budget pack, first-fit-in-key-order
     * WITHIN its stratum — a document joins the pack its exclusive

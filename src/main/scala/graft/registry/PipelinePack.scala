@@ -21,6 +21,10 @@ object PipelinePack extends QueryPack {
 
   val MinCosine = 0.2
 
+  /** Target language proportions for the mixture-sampling query. */
+  val MixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
@@ -199,6 +203,13 @@ object PipelinePack extends QueryPack {
         .stratifiedQuota(Tables.documents(s, dir), "lang", "doc_id", 50)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // dataset mixing: sample each language toward a target proportion
+    // (rates derived from the per-language counts, hash-deterministic)
+    "x34_mixture_sample" -> ((s, dir) =>
+      graft.operators.Sampling.mixtureSample(Tables.documents(s, dir),
+        "lang", "doc_id", MixWeights, 200L)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
     // the whole corpus-build report in one plan: dedup → quality →
     // deterministic 50% subsample → per-language counts + token budget
     "x25_corpus_build" -> ((s, dir) =>
@@ -293,6 +304,9 @@ object PipelinePack extends QueryPack {
       s"""SELECT doc_id, lang, source FROM documents
          |${graft.operators.Sampling.stratifiedQuotaQualifySql("lang", "doc_id", 50)}
          |ORDER BY doc_id""".stripMargin,
+    "x34_mixture_sample" ->
+      (graft.operators.Sampling.mixtureSampleSql("lang", "doc_id", MixWeights, 200L) +
+        "\nORDER BY doc_id"),
     "x25_corpus_build" ->
       (Dedup.corpusBuildSql(DedupJaccard, 0.5) + "\nORDER BY lang"),
     "x24_sequence_packing" -> {

@@ -285,6 +285,30 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(out(2L) === ((0, 0, "no pii here at all")))
   }
 
+  test("mixture sampling: rates derive from counts, cap at 1, zero weight drops the stratum") {
+    import graft.operators.Sampling
+    val w = Seq("en" -> 0.5, "de" -> 0.5, "es" -> 0.0, "fr" -> 0.0, "zh" -> 0.0)
+    val out = Sampling.mixtureSample(docs, "lang", "doc_id", w, 100L)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byLang.contains("es") && !byLang.contains("fr") && !byLang.contains("zh"),
+      s"zero-weight strata must drop entirely: $byLang")
+    // sampled count tracks budget·w within hash-Bernoulli noise
+    Seq("en", "de").foreach { l =>
+      val n = byLang.getOrElse(l, 0L)
+      assert(n > 20 && n < 80, s"$l sampled $n, expected ≈50")
+    }
+    // a budget beyond the corpus keeps everything (rate caps at 1)
+    val all = Sampling.mixtureSample(docs, "lang", "doc_id",
+      Seq("en" -> 0.2, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.2),
+      1000000L)
+    assert(all.count() === docs.count())
+    // determinism: same inputs, same sample
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Sampling.mixtureSample(docs, "lang", "doc_id", w, 100L)
+        .select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("duplicate clusters: star contraction matches brute-force components") {
     import spark.implicits._
     // chain 1-2-3, triangle 10-11-12 with extra edge, bridge 20-21,
