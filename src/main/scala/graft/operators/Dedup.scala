@@ -410,6 +410,32 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Incremental cluster maintenance: fold NEWLY confirmed pairs (e.g.
+    * a crawl increment's near-dups from [[crossCorpusPairs]] /
+    * [[StreamingDedup]]-style screening) into an EXISTING cluster
+    * labeling without reprocessing old pairs. The previous labeling is
+    * itself a star graph (node → cluster min), so contraction restarts
+    * from stars ∪ new edges — already almost converged; rounds scale
+    * with how much the new edges re-wire, not with corpus history.
+    * Merging two old clusters through a new pair relabels both to the
+    * joint minimum, exactly as a full recompute would (spec-pinned:
+    * ≡ [[duplicateClusters]] over the union of all pair sets). */
+  def duplicateClustersIncremental(prevLabels: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val starEdges = prevLabels.where(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(1.0).as("jaccard"))
+    // singleton clusters (root-only) carry no edge; re-attach their
+    // nodes afterwards so previously-labeled docs never vanish
+    val out = duplicateClusters(
+      starEdges.unionByName(newPairs.select(
+        col("doc_a"), col("doc_b"), col("jaccard"))))
+    prevLabels.select(col("doc_id"))
+      .join(out, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .unionByName(out)
+  }
+
   /** [[duplicateClusters]] oracle: reachability closure as a recursive
     * CTE over the symmetrized confirmed-pair edges, min per node. (The
     * oracle may be super-linear — DuckDB enumerates all (node, reachable)

@@ -340,6 +340,35 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got(47L) === 40L && got(33L) === 30L)
   }
 
+  test("incremental cluster maintenance ≡ full recompute over all pairs") {
+    import spark.implicits._
+    // hand-built: a new pair bridges two existing clusters → joint min
+    val prev = Seq((1L, 1L), (5L, 1L), (2L, 2L), (9L, 2L), (40L, 40L))
+      .toDF("doc_id", "cluster_id") // incl. a singleton (40)
+    val bridge = Seq((5L, 9L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val merged = Dedup.duplicateClustersIncremental(prev, bridge).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === Map(1L -> 1L, 5L -> 1L, 2L -> 1L, 9L -> 1L, 40L -> 40L))
+
+    // fixture: label slice A, then fold in every pair the full corpus
+    // adds (cross pairs + slice-B-internal) — must equal the one-shot
+    // clustering of all pairs
+    val sliceA = docs.where(col("doc_id") % 2 === 0)
+    val pairsA = Dedup.nearDupPairs(sliceA, 0.5)
+    val labelsA = Dedup.duplicateClusters(pairsA)
+    val allPairs = Dedup.nearDupPairs(docs, 0.5)
+    val newPairs = allPairs.join(pairsA.select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"), "left_anti")
+    assert(newPairs.count() > 0, "no incremental pairs; test is vacuous")
+    val inc = Dedup.duplicateClustersIncremental(labelsA, newPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.duplicateClusters(allPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pairs only ever accumulate, so the node sets coincide and the
+    // labelings must be identical
+    assert(inc === full)
+  }
+
   test("duplicate clusters on fixture pairs: pairs co-clustered, reps are minima, subsumes drop-list dedup") {
     val pairs = Dedup.nearDupPairs(docs, 0.5)
     val clusters = Dedup.duplicateClusters(pairs)
