@@ -99,6 +99,25 @@ object Sampling {
        |  least($Denom, floor($budget.0 * ($cases) * $Denom / n))""".stripMargin
   }
 
+  /** Per-stratum length-decile banding: each document's length band
+    * WITHIN its language/source (ntile, ties broken by key for
+    * determinism) — the upstream of length-balanced sampling and of
+    * "drop the shortest decile per language" curation rules. One window
+    * per stratum parallelizes across strata (same scale shape as
+    * [[packByBudget]]); a GLOBAL decile would collapse the window to a
+    * single partition — at corpus scale that variant should instead
+    * broadcast `percentile`/`approx_percentile` cut points and assign
+    * map-only. */
+  def lengthDeciles(df: DataFrame, strataCol: String, lenCol: String,
+      keyCol: String): DataFrame =
+    df.withColumn("decile",
+      ntile(10).over(Window.partitionBy(strataCol)
+        .orderBy(col(lenCol), col(keyCol))))
+
+  def lengthDecilesSelectSql(strataCol: String, lenCol: String,
+      keyCol: String): String =
+    s"ntile(10) OVER (PARTITION BY $strataCol ORDER BY $lenCol, $keyCol) AS decile"
+
   /** Sequence packing (training-batch construction): assign each
     * document to a fixed token-budget pack, first-fit-in-key-order
     * WITHIN its stratum — a document joins the pack its exclusive

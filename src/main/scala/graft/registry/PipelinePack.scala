@@ -210,6 +210,11 @@ object PipelinePack extends QueryPack {
         "lang", "doc_id", MixWeights, 200L)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    "x35_length_deciles" -> ((s, dir) =>
+      graft.operators.Sampling.lengthDeciles(
+        Tables.documents(s, dir), "lang", "n_chars", "doc_id")
+        .select("doc_id", "lang", "n_chars", "decile")
+        .orderBy("doc_id")),
     // the whole corpus-build report in one plan: dedup → quality →
     // deterministic 50% subsample → per-language counts + token budget
     "x25_corpus_build" -> ((s, dir) =>
@@ -307,6 +312,10 @@ object PipelinePack extends QueryPack {
     "x34_mixture_sample" ->
       (graft.operators.Sampling.mixtureSampleSql("lang", "doc_id", MixWeights, 200L) +
         "\nORDER BY doc_id"),
+    "x35_length_deciles" ->
+      s"""SELECT doc_id, lang, n_chars,
+         |  ${graft.operators.Sampling.lengthDecilesSelectSql("lang", "n_chars", "doc_id")}
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "x25_corpus_build" ->
       (Dedup.corpusBuildSql(DedupJaccard, 0.5) + "\nORDER BY lang"),
     "x24_sequence_packing" -> {
