@@ -47,12 +47,21 @@ object Bench {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => s"${q(k)}:$v" }.mkString("{", ",", "}")
+    // 3-dp timings keep the whole 78-query line ~2 KB — full-precision
+    // doubles made it ~4 KB and the driver's bounded tail capture
+    // truncated it every round ("parsed": null in BENCH_r1–r4)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v, _) => s"${q(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${q(k)}:${q(e)}" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"runs_per_query":$Runs,"sf":"$sfDir"}""")
+    val total = r3(results.map(_._2).sum)
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${results.count(_._3.isDefined)},"runs_per_query":$Runs,"sf":"$sfDir"}"""
+    // printed twice — before shutdown (in case stop() hangs/crashes) and
+    // after (so the FINAL stdout line is the parseable artifact even if
+    // shutdown logging interleaves)
+    println(line)
     spark.stop()
+    println(line)
     if (results.exists(_._3.isDefined)) sys.exit(1)
   }
 }

@@ -98,7 +98,9 @@ case class ShinglesExpr(child: Expression, k: Int)
   // blank (all-whitespace) input maps to null output
   override def nullable: Boolean = true
 
-  /** Java regex `\s` class, the same one normText's `\s+` uses. */
+  /** The `[ \t\n\x0B\f\r]` whitespace class (= Java `\s`) — the same
+    * class `TextOps.WsClass` now spells out explicitly in BOTH engines'
+    * normText/shingles regexes, since DuckDB's RE2 `\s` excludes \x0B. */
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 

@@ -392,8 +392,15 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       val next = star(star(edges, large = true), large = false).localCheckpoint(true)
       // edge-set equality, not a checksum: a false "converged" would
-      // silently mislabel clusters
-      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      // silently mislabel clusters. Both sides are distinct (star ends
+      // in .distinct()) and checkpointed, so equality ⟺ empty symmetric
+      // difference — ONE full-outer join + ONE action per round, vs the
+      // former count()+except() pair (2 actions + a distinct-shuffle of
+      // both edge sets each round)
+      converged = next.withColumn("_n", lit(1))
+        .join(edges.withColumn("_e", lit(1)), Seq("u", "v"), "full")
+        .where(col("_n").isNull || col("_e").isNull)
+        .isEmpty
       edges = next
       rounds += 1
     }

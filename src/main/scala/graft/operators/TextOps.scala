@@ -36,12 +36,20 @@ object TextOps {
   def tokens(c: Column): Column = split(lower(c), " ")
   def tokensSql(e: String): String = s"string_split(lower($e), ' ')"
 
+  /** Whitespace class spelled out instead of `\s`: Java regex `\s` is
+    * `[ \t\n\x0B\f\r]` but DuckDB's RE2 `\s` EXCLUDES vertical tab
+    * (\x0B), so a `\s`-based normal form silently diverges across
+    * engines on \x0B-bearing text. The explicit class (= Java `\s`,
+    * which [[graft.functions.TextExpressions]]' kernels also use) is
+    * interpreted identically by both regex engines. */
+  val WsClass = " \\t\\n\\x0B\\f\\r"
+
   /** Whitespace-collapsed, trimmed, lowercased normal form (the exact
     * -dedup key; regexp semantics identical in Spark and DuckDB). */
   def normText(c: Column): Column =
-    trim(regexp_replace(lower(c), "\\s+", " "))
+    trim(regexp_replace(lower(c), s"[$WsClass]+", " "))
   def normTextSql(e: String): String =
-    s"trim(regexp_replace(lower($e), '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace(lower($e), '[$WsClass]+', ' ', 'g'))"
 
   /** Word k-shingles (distinct), as an array column. k=3 default.
     * NULL for blank text (null/empty/whitespace-only): `split` of an
@@ -402,8 +410,9 @@ object TextOps {
   // --- token counting (x7) -----------------------------------------------
 
   /** BPE-ish token regex: letter runs, digit runs, single other symbols —
-    * the pre-tokenizer split rule of byte-pair encoders. */
-  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    * the pre-tokenizer split rule of byte-pair encoders. Whitespace via
+    * [[WsClass]], not `\s` (Java/RE2 divergence on \x0B). */
+  val BpePattern = s"[a-z]+|[0-9]+|[^a-z0-9$WsClass]"
 
   /** Whitespace token count + BPE-ish subword-unit count per document. */
   def tokenCounts(docs: DataFrame): DataFrame =

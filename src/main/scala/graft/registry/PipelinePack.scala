@@ -179,9 +179,11 @@ object PipelinePack extends QueryPack {
         col("label") % 2 === 0)
         .orderBy("query_id", "rn")),
 
-    // int8 quantization of the embedding corpus (4× storage cut; map-only)
+    // int8 quantization of the embedding corpus (4× storage cut; map-only);
+    // registered in the Flat (CSV-vector) shape so the oracle harness can
+    // sort/hash every column
     "x31_quantize_int8" -> ((s, dir) =>
-      VectorOps.quantizeInt8(Tables.embeddings(s, dir)).orderBy("vec_id")),
+      VectorOps.quantizeInt8Flat(Tables.embeddings(s, dir)).orderBy("vec_id")),
     // quantization integrated into search: int8 candidate scoring +
     // float rerank of a k*3 pool
     "x32_ann_quantized" -> ((s, dir) =>
@@ -298,7 +300,7 @@ object PipelinePack extends QueryPack {
       (VectorOps.annTopKFilteredSql(QueryVecs, 5, "label % 2 = 0") +
         "\nORDER BY query_id, rn"),
     "x31_quantize_int8" ->
-      (VectorOps.quantizeInt8Sql + "\nORDER BY vec_id"),
+      (VectorOps.quantizeInt8FlatSql + "\nORDER BY vec_id"),
     "x32_ann_quantized" ->
       (VectorOps.annTopKQuantizedSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x20_hash_sample" ->

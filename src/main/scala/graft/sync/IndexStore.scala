@@ -29,6 +29,15 @@ class IndexStore(val spark: SparkSession, val root: String,
   // skipping, so incremental watermark scans (S2) would read whole
   // indexes. INT64 micros matches the envelope's semantics exactly and
   // restores both. (Spec: "time-sorted layout … skips row groups".)
+  //
+  // SESSION-WIDE SIDE EFFECT, deliberately: this is a SQL conf, not a
+  // per-write option (ParquetOptions exposes no outputTimestampType),
+  // so constructing a store changes the parquet timestamp encoding for
+  // EVERY writer sharing this SparkSession — not just store writes.
+  // TIMESTAMP_MICROS is a strictly better default than INT96 for any
+  // modern reader (INT96 is deprecated upstream), so we set it once
+  // here rather than set/restore around each write, which would race
+  // with concurrent writers on the shared session.
   spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
   Files.createDirectories(rootPath)
   recoverBuckets() // restore any bucket swap a previous run crashed in

@@ -469,14 +469,21 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
       sys.error(s"cannot compact unbound alias $alias"))
     store.bucketCountOf(physical).getOrElse(
       sys.error(s"$physical is not a bucketed index"))
-    val cur = store.readPhysical(physical)
     // the partition column reads back as INT via partition-value
     // inference; bucket ids are long everywhere else
-    val buckets = cur.select(col(store.BucketKey).cast("long")).distinct()
+    val buckets = store.readPhysical(physical)
+      .select(col(store.BucketKey).cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
+    // the read happens INSIDE the retry thunk (like rescaleBuckets): a
+    // partial replaceBuckets failure leaves some buckets swapped and
+    // their old files gone, so a retry must list the files afresh — a
+    // plan captured outside would replay against the stale listing and
+    // die with FileNotFoundException instead of recovering. The bucket
+    // id set itself is stable across attempts (compaction reroutes rows
+    // within buckets, never across), so `buckets` can stay hoisted.
     if (buckets.nonEmpty)
       retry.retry(() => store.replaceBuckets(physical,
-        cur.repartition(col(store.BucketKey)), buckets))
+        store.readPhysical(physical).repartition(col(store.BucketKey)), buckets))
     buckets.length
   }
 
