@@ -460,6 +460,105 @@ object Dedup {
        |)
        |SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n""".stripMargin
 
+  // --- exact substring dedup (x36) ----------------------------------------
+
+  /** Anchor window length: two docs sharing ANY verbatim run of at least
+    * this many normalized characters share an anchor. */
+  val AnchorLen = 30
+  /** Anchors occurring more than this many times across the corpus are
+    * dropped as boilerplate stop-anchors (caps the per-anchor candidate
+    * blowup — the LSH-bucket-cap analog for substring dedup). */
+  val MaxAnchorOcc = 16
+  /** Minimum reported extent length (Lee et al. use 50 BPE tokens; this
+    * is the character-level analog sized to the fixture vocabulary). */
+  val MinExtent = 60
+
+  /** Exact substring duplication across documents (Lee et al., ACL'22,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * MinHash-LSH catches near-duplicate DOCUMENTS; this catches long
+    * verbatim SUBSTRINGS shared across otherwise-different docs
+    * (boilerplate, licenses, quoted passages) — the published tool
+    * builds a suffix array over the corpus, which is inherently
+    * single-machine. The Spark-shaped equivalent:
+    *
+    *  1. '''anchors''' — every `anchorLen`-char window of the normalized
+    *     text, stride 1: a map-only explode, linear in corpus chars;
+    *  2. '''frequency cap''' — anchors occurring more than `maxOcc`
+    *     times are dropped (one window count on the anchor key; its
+    *     shuffle partitioning is REUSED by the candidate join below).
+    *     This bounds candidate rows at Σ occ² ≤ maxOcc·|anchors| —
+    *     near-linear, never all-pairs;
+    *  3. '''candidates''' — self-equi-join on the anchor TEXT, so every
+    *     match is verified exactly (no hash collisions; at 100 TB the
+    *     join key becomes a 128-bit anchor hash — 16 bytes vs anchorLen
+    *     chars in the shuffle — and the run merge below still rejects
+    *     any collision as a length-1 run);
+    *  4. '''extent merge''' — matches on one (doc_a, doc_b) DIAGONAL
+    *     (pos_a − pos_b) with consecutive pos_a form one maximal shared
+    *     extent of length run + anchorLen − 1: a gaps-and-islands window
+    *     per pair-diagonal, parallel across pairs.
+    *
+    * Every substring of length ≥ anchorLen shared verbatim by two docs
+    * (whose anchors survive the cap) is recovered in FULL — the diagonal
+    * merge glues overlapping anchor matches back into the maximal run —
+    * and `minLen` then filters what is long enough to report.
+    *
+    * Output: (doc_a, doc_b, a_start, b_start, match_len), positions
+    * 1-based in the normalized text, doc_a < doc_b. */
+  def substringDups(docs: DataFrame, anchorLen: Int = AnchorLen,
+      maxOcc: Int = MaxAnchorOcc, minLen: Int = MinExtent): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anch = docs.select(col("doc_id"), normText(col("text")).as("t"))
+      // also the sequence() guard: len < anchorLen would make an empty
+      // window range (and sequence(1, 0) steps DOWNWARD in Spark)
+      .where(length(col("t")) >= anchorLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("t")) - (anchorLen - 1))).as("pos"),
+        col("t"))
+      .select(col("doc_id"), col("pos"),
+        col("t").substr(col("pos"), lit(anchorLen)).as("a"))
+    val capped = anch
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("a")))
+      .where(col("occ") <= maxOcc)
+    val cand = capped.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("a"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("a")), "a")
+      .where(col("doc_a") < col("doc_b"))
+    val runW = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    cand.withColumn("diag", col("pa") - col("pb"))
+      .withColumn("grp", col("pa") - row_number().over(runW))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(min("pa").as("a_start"), min("pb").as("b_start"),
+        (count(lit(1)) + (anchorLen - 1)).as("match_len"))
+      .where(col("match_len") >= minLen)
+      .select("doc_a", "doc_b", "a_start", "b_start", "match_len")
+  }
+
+  /** [[substringDups]] oracle, generated from the same constants. */
+  def substringDupsSql(anchorLen: Int = AnchorLen, maxOcc: Int = MaxAnchorOcc,
+      minLen: Int = MinExtent): String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, ${normTextSql("text")} AS t FROM documents
+       |), anch AS (
+       |  SELECT doc_id, i AS pos, substr(t, i, $anchorLen) AS a
+       |  FROM norm, unnest(range(1, greatest(len(t) - ${anchorLen - 1}, 0) + 1)) AS u(i)
+       |  WHERE len(t) >= $anchorLen
+       |), capped AS (
+       |  SELECT * FROM (
+       |    SELECT doc_id, pos, a, count(*) OVER (PARTITION BY a) AS occ FROM anch)
+       |  WHERE occ <= $maxOcc
+       |), m AS (
+       |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
+       |  FROM capped x JOIN capped y ON x.a = y.a AND x.doc_id < y.doc_id
+       |), runs AS (
+       |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+       |  FROM m
+       |)
+       |SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+       |  count(*) + ${anchorLen - 1} AS match_len
+       |FROM runs GROUP BY doc_a, doc_b, diag, grp
+       |HAVING match_len >= $minLen""".stripMargin
+
   // --- full curation pipeline (x16) ---------------------------------------
 
   /** The end-to-end corpus-curation pipeline as ONE composed plan —

@@ -42,6 +42,12 @@ object PipelinePack extends QueryPack {
       Dedup.duplicateClusters(
         Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard))
         .orderBy("doc_id")),
+    // exact substring dedup (Lee et al., ACL'22): verbatim shared extents
+    // ≥ MinExtent chars across doc pairs, via anchor-window equi-join +
+    // diagonal run merge (the distributed stand-in for a suffix array)
+    "x36_substring_dups" -> ((s, dir) =>
+      Dedup.substringDups(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")),
 
     // --- text analysis ---------------------------------------------------
     "x4_term_freq" -> ((s, dir) =>
@@ -247,6 +253,8 @@ object PipelinePack extends QueryPack {
       (Dedup.nearDupDedupSql(DedupJaccard) + "\nORDER BY doc_id"),
     "x26_dup_clusters" ->
       (Dedup.duplicateClustersSql(PairJaccard) + "\nORDER BY doc_id"),
+    "x36_substring_dups" ->
+      (Dedup.substringDupsSql() + "\nORDER BY doc_a, doc_b, a_start, b_start"),
     "x4_term_freq" -> (TextOps.termFrequenciesSql + "\nORDER BY lang, token"),
     "x5_lang_id" -> (TextOps.languageIdSql + "\nORDER BY doc_id"),
     "x33_lang_confusion" ->

@@ -560,6 +560,49 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(q.select("doc_id").collect().map(_.getLong(0)).toSet === again)
   }
 
+  test("substring dedup recovers the maximal shared extent exactly once") {
+    import spark.implicits._
+    // 15 distinct words -> no internal repetition, so the maximal common
+    // run between doc 1 and doc 2 is exactly `shared` (87 chars >= the
+    // 60-char MinExtent); doc 2 carries it at position 1
+    val shared = (1 to 15).map(i => f"w$i%02d").mkString(" ") + " end marker run"
+    val prefix = "unrelated head section "
+    val d = Seq(
+      (1L, prefix + shared),
+      (2L, shared + " different tail entirely"),
+      (3L, "totally different text with no overlap at all whatsoever here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDups(d).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) === (1L, 2L))
+    assert(r.getAs[Int]("a_start") === prefix.length + 1)
+    assert(r.getAs[Int]("b_start") === 1)
+    assert(r.getLong(4) === shared.length.toLong)
+  }
+
+  test("substring dedup: sub-threshold runs filtered, boilerplate anchors capped") {
+    import spark.implicits._
+    // a 40-char shared run: >= AnchorLen (found) but < MinExtent (filtered)
+    val short = (1 to 7).map(i => f"s$i%04d").mkString(" ") // 7*5+6 = 41 chars
+    val sub = Seq((1L, "aaa head " + short), (2L, short + " bbb tail"))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringDups(sub).isEmpty)
+    // the same >=MinExtent boilerplate in 20 docs: every anchor inside the
+    // shared run occurs 20 > MaxAnchorOcc times -> stop-anchor cap drops
+    // them all (doc tags are doubled letters so no tag is a suffix of
+    // another — anchors straddling the tag are unique per doc)
+    val boiler = (1 to 15).map(i => f"b$i%02d").mkString(" ") + " license block"
+    def tag(i: Int): String = s"${('a' + i).toChar}${('a' + i).toChar}"
+    val many = (0 until 20).map(i => (i.toLong, s"doc ${tag(i)} says: " + boiler))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringDups(many).isEmpty)
+    // ...but 3 docs sharing it (under the cap) are all 3 pairs reported
+    val few = (0 until 3).map(i => (i.toLong, s"doc ${tag(i)} says: " + boiler))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringDups(few).count() === 3L)
+  }
+
   test("frame sampling + batched decode: offsets, sizes, checksums line up") {
     val assets = MultimodalOps.assets(docs.where(col("doc_id") < 10))
     val frames = MultimodalOps.sampleFrames(assets, frameBytes = 256, stride = 2)

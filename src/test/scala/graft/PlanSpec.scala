@@ -80,6 +80,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
 
+  test("substring dedup: anchor candidate join is an equi-join; at shuffle-join scale the anchor exchange is paid once") {
+    val plan = formatted(Dedup.substringDups(Tables.documents(spark, sf)))
+    assert(!plan.contains("NestedLoop"), s"all-pairs nested loop in anchor plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+    // at corpus scale the anchor frame exceeds the broadcast threshold and
+    // the candidate join becomes a shuffle join — simulate that (threshold
+    // off) and prove the self-join's two sides REUSE one anchor exchange
+    // (the one the frequency-cap window already paid), so the corpus is
+    // anchored and shuffled once, not twice
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = Dedup.substringDups(Tables.documents(spark, sf))
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+      assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+        s"cap window and candidate join did not share the anchor exchange:\n$executed")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("cosine top-k broadcasts the query side and uses the native expression") {
     val df = VectorOps.cosineTopK(Tables.embeddings(spark, sf), Seq(0L, 1L), 5)
     val plan = formatted(df)
