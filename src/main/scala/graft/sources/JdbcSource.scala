@@ -16,9 +16,11 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   * clause automatically (Catalyst JDBC pushdown), exactly like the
   * reference's hand-composed SQL.
   *
-  * The harness has no live database or JDBC driver, so tests assert on
-  * the assembled options; `load()` is the only call that needs a real
-  * endpoint.
+  * The harness has no live Postgres, so the Postgres-specific pieces
+  * (driver class, session init) are asserted on the assembled options;
+  * the READ PATH ITSELF — fetchsize, partitioned range scan, remote
+  * predicate pushdown — is executed end-to-end against an embedded
+  * Derby database in JdbcSourceSpec.
   */
 object JdbcSource {
 
@@ -34,7 +36,10 @@ object JdbcSource {
       partitionColumn: Option[String] = Some("updated_at"),
       numPartitions: Int = 8,
       lowerBound: Option[String] = None,
-      upperBound: Option[String] = None)
+      upperBound: Option[String] = None,
+      // cheap per-connection session init: a read-only reporting cursor on
+      // Postgres; None for engines without the statement (e.g. Derby)
+      sessionInit: Option[String] = Some("SET TRANSACTION READ ONLY"))
 
   /** The exact option map handed to the JDBC reader — pure, testable. */
   def options(cfg: JdbcConfig): Map[String, String] = {
@@ -44,9 +49,8 @@ object JdbcSource {
       "user" -> cfg.user,
       "password" -> cfg.password,
       "driver" -> cfg.driver,
-      "fetchsize" -> cfg.fetchSize.toString,
-      // cheap session init: read-only transaction, like a reporting cursor
-      "sessionInitStatement" -> "SET TRANSACTION READ ONLY")
+      "fetchsize" -> cfg.fetchSize.toString) ++
+      cfg.sessionInit.map("sessionInitStatement" -> _)
     val part = for {
       c <- cfg.partitionColumn
       lo <- cfg.lowerBound
