@@ -31,21 +31,29 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *  - a table name is stable across blue/green publishes even though
   *    the physical dir changes every publish.
   *
-  * The catalog is deliberately READ-ONLY: SQL writes would bypass the
-  * store's staged-write + alias-swap commit protocol (and its retry /
-  * quarantine semantics), so `createTable`/`dropTable` throw — mutations
-  * go through [[graft.sync.IndexStore]] / [[graft.sync.SyncPipeline]].
+  * `INSERT INTO <catalog>.<alias>` is supported — but never as a raw
+  * file write: the plan falls back to a driver-side `InsertableRelation`
+  * ([[org.apache.spark.sql.connector.write.V1Write]]) that routes the
+  * whole batch through [[graft.sync.SyncPipeline.insertInto]] — the same
+  * tolerant staged write + atomic alias swap every pipeline publish
+  * uses. Readers see the old or the new index, never a partial append,
+  * and with `spark.sql.catalog.<name>.validity` set (a boolean SQL
+  * expression over the row), poison rows quarantine under `_rejects_*`
+  * instead of failing the INSERT. DDL (`CREATE`/`DROP`/`ALTER`) still
+  * throws: index lifecycle belongs to the store's commit protocol.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var root: String = _
+  private var validity: Option[String] = None
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = Option(options.get("root")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog $name needs spark.sql.catalog.$name.root"))
+    validity = Option(options.get("validity"))
   }
 
   override def name(): String = catalogName
@@ -68,13 +76,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Array(catalogName) ++ ident.namespace ++ Array(ident.name)))
     val path = java.nio.file.Paths.get(root).resolve(physical).toString
-    ParquetTable(
+    val parquet = ParquetTable(
       s"$catalogName.${ident.name}",
       SparkSession.active,
       CaseInsensitiveStringMap.empty(),
       Seq(path),
       userSpecifiedSchema = None,
       fallbackFileFormat = classOf[ParquetFileFormat])
+    new GraftCatalog.AliasTable(parquet, ident.name, root, validity)
   }
 
   private def readOnly: Nothing = throw new UnsupportedOperationException(
@@ -118,6 +127,54 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 object GraftCatalog {
+
+  /** The catalog's table: reads delegate to Spark's native
+    * [[ParquetTable]] (pushdown intact); writes fall back to a
+    * driver-side `InsertableRelation` so the batch routes through the
+    * pipeline's tolerant staged write + alias swap — never a direct
+    * file write into the live physical dir. */
+  private class AliasTable(parquet: ParquetTable, alias: String, root: String,
+      validity: Option[String])
+      extends Table
+      with org.apache.spark.sql.connector.catalog.SupportsRead
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    import org.apache.spark.sql.connector.write._
+
+    override def name(): String = parquet.name
+    override def schema(): StructType = parquet.schema
+    override def capabilities(): util.Set[TableCapability] = {
+      val caps = new java.util.HashSet[TableCapability](parquet.capabilities())
+      caps.add(TableCapability.V1_BATCH_WRITE)
+      caps.add(TableCapability.TRUNCATE)
+      caps
+    }
+    override def newScanBuilder(options: CaseInsensitiveStringMap) =
+      parquet.newScanBuilder(options)
+
+    override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+      new WriteBuilder with SupportsTruncate {
+        private var overwrite = false
+        override def truncate(): WriteBuilder = { overwrite = true; this }
+        override def build(): Write = new V1Write {
+          override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+            new org.apache.spark.sql.sources.InsertableRelation {
+              override def insert(data: org.apache.spark.sql.DataFrame,
+                  overwriteFlag: Boolean): Unit = {
+                val spark = data.sparkSession
+                // store construction is idempotent (and runs the same
+                // crash recovery every pipeline bootstrap runs)
+                val store = new graft.sync.IndexStore(spark, root)
+                val pipe = new graft.sync.SyncPipeline(store,
+                  new graft.sync.WatermarkStore(root),
+                  validity = validity.map(org.apache.spark.sql.functions.expr))
+                pipe.insertInto(alias, data, overwrite || overwriteFlag)
+                ()
+              }
+            }
+        }
+      }
+  }
+
   /** Parse a store root's alias manifest (same format
     * [[graft.sync.IndexStore]] writes: one `alias=physical` per line).
     * Read fresh on every call — the manifest replace is atomic, so a

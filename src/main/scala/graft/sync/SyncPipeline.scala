@@ -149,6 +149,38 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     } finally store.dropStage(stage)
   }
 
+  /** The SQL INSERT surface (the [[graft.sources.GraftCatalog]] write
+    * path): append `df` to the live index behind `alias` — or replace
+    * it, for INSERT OVERWRITE — through the SAME tolerant staged write
+    * and atomic alias swap every pipeline publish uses. Blue/green, not
+    * in-place: old ∪ new lands in a FRESH physical and the alias swap is
+    * the commit, so readers see the old or the new index, never a
+    * partial append, and a failed insert leaves the live index
+    * untouched. With a validity predicate configured, poison rows
+    * (false OR NULL) quarantine under the new physical's `_rejects_`
+    * dir instead of failing the insert — SQL writers get K1's
+    * per-record tolerance for free. The batch size is observed ON the
+    * write (no extra action on `df`).
+    *
+    * Cost note: an append rewrites the index (O(index + batch)) — the
+    * price of atomically-published SQL inserts over an immutable store.
+    * High-volume appends belong in [[incrementalSyncInPlace]], whose
+    * bucketed merge is O(delta). */
+  def insertInto(alias: String, df: DataFrame, overwrite: Boolean = false): IndexSyncReport = {
+    val physical = s"${alias}_ins_${System.nanoTime()}"
+    val obs = new Observation(s"graft_insert_${System.nanoTime()}")
+    val observed = df.observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
+    val combined =
+      if (overwrite) observed
+      else store.read(alias).map(_.unionByName(observed)).getOrElse(observed)
+    val rejects = writeStaged(physical, combined)
+    store.swapAlias(alias, physical)
+    val n = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
+    IndexSyncReport(alias, physical,
+      if (overwrite) "insert_overwrite" else "insert",
+      upserts = n - rejects, deletes = 0L, rejects = rejects)
+  }
+
   /** Validity split for the bucketed (in-place) paths, which write
     * through their own bucketed layout rather than [[writeStagedTolerant]]:
     * quarantine the poison side under `_rejects_<name>`, return the good

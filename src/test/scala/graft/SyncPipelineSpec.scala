@@ -246,6 +246,53 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(store.aliasExists("click"))
   }
 
+  test("DSv2 catalog INSERT routes through the tolerant staged writer") {
+    val (store, _, pipe, dir) = freshPipeline()
+    pipe.fullSync(env, Some(Seq("click", "view")), timestamp = "t1")
+    // a dedicated catalog name: Spark caches the instance per name, so
+    // the validity option must be set before first use
+    spark.conf.set("spark.sql.catalog.gins",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gins.root", dir)
+    spark.conf.set("spark.sql.catalog.gins.validity", s"length($Id) > 0")
+    val before = store.count("click")
+    val beforePhys = store.aliases()("click")
+
+    // 2 valid rows + 1 poison row (empty id), shaped like the live index;
+    // materialized locally — the first INSERT's swap deletes the old
+    // physical the rows were derived from
+    val live = store.read("click").get
+    val batch = live.limit(2).withColumn(Id, concat(lit("ins_"), col(Id)))
+      .unionByName(live.limit(1).withColumn(Id, lit("")))
+    spark.createDataFrame(
+        java.util.Arrays.asList(batch.collect(): _*), batch.schema)
+      .createOrReplaceTempView("gins_batch")
+    spark.sql("INSERT INTO gins.click SELECT * FROM gins_batch")
+
+    // valid rows landed; the poison row did not
+    assert(store.count("click") === before + 2)
+    assert(spark.sql("SELECT count(*) FROM gins.click").head().getLong(0) === before + 2)
+    assert(spark.sql(s"SELECT count(*) FROM gins.click WHERE $Id LIKE 'ins_%'")
+      .head().getLong(0) === 2L)
+    // blue/green: the insert published a NEW physical and swapped the alias
+    val afterPhys = store.aliases()("click")
+    assert(afterPhys !== beforePhys)
+    assert(!store.indexExists(beforePhys))
+    // the poison row quarantined under the new physical's rejects dir
+    val rej = store.rejected(afterPhys)
+    assert(rej.isDefined && rej.get.count() === 1L)
+    assert(rej.get.select(Id).head().getString(0) === "")
+    // untouched sibling alias still serves
+    assert(spark.sql("SELECT count(*) FROM gins.view").head().getLong(0) ===
+      store.count("view"))
+    // INSERT OVERWRITE replaces the index through the same protocol
+    spark.sql("INSERT OVERWRITE gins.click SELECT * FROM gins_batch")
+    assert(store.count("click") === 2L)
+    // DDL is still rejected — lifecycle belongs to the commit protocol
+    intercept[Exception](spark.sql("DROP TABLE gins.click"))
+    assert(store.aliasExists("click"))
+  }
+
   test("reconcile is a single action for N indexes") {
     val (_, _, pipe, _) = freshPipeline()
     pipe.fullSync(env, None, timestamp = "t1")
