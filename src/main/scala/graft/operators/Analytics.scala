@@ -153,7 +153,16 @@ object Analytics {
     * equal-ts right rows resolve to the highest event_id — mirrored in
     * the oracle's `ORDER BY r.ts DESC, r.event_id DESC LIMIT 1`.
     * Output: (user_id, l_id, r_id, lag_micros), r_id/lag NULL when no
-    * prior right event exists. */
+    * prior right event exists.
+    *
+    * HOT-KEY BOUND: the per-user window serializes WITHIN a key — one
+    * task scans a key's whole timeline, so wall time is O(max events
+    * per key) however many executors exist. Fine for human-scale keys
+    * (≤ a few million events: one task's linear scan); a pathological
+    * key (a bot user with 10⁹ events at 100 TB) makes that task the
+    * straggler — use [[asOfJoinBucketed]] there, which splits each
+    * key's timeline into time buckets at the cost of one extra
+    * (tiny) boundary pass. */
   def asOfJoin(left: DataFrame, right: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val r = right.select(col("user_id"), col("ts"), lit(0).as("side"),
@@ -171,6 +180,62 @@ object Analytics {
       .where(col("side") === 1)
       .select(col("user_id"), col("l_id"), col("r_id"),
         (unix_micros(col("ts")) - unix_micros(col("r_ts"))).as("lag_micros"))
+  }
+
+  /** [[asOfJoin]] for skewed keys: identical semantics, but each key's
+    * timeline is SPLIT into time buckets so no task ever scans more
+    * than one (key, bucket) slice — the straggler bound drops from
+    * O(events per key) to O(events per key per bucket), and a hot key
+    * parallelizes across its buckets. The classic two-level scan:
+    *
+    *  1. within-bucket pass — the same union-tag running-`last` window,
+    *     partitioned by (user, bucket) instead of user;
+    *  2. boundary pass — per (user, bucket), the LAST right event
+    *     (lexicographic max of (ts, id) — same tie-break), then a
+    *     carry-forward window over this per-bucket summary ordered by
+    *     bucket. The summary has one row per (user, active bucket) —
+    *     the per-user sequential part shrinks from the full timeline
+    *     to #buckets rows;
+    *  3. stitch — left rows with no within-bucket match take the
+    *     carried boundary value, equi-joined back on (user, bucket):
+    *     the same key the big window already shuffled on, so the join
+    *     reuses that exchange rather than re-shuffling the data.
+    *
+    * `bucketMicros` trades straggler bound against boundary-summary
+    * size: pick it so a hot key's densest bucket fits one task
+    * comfortably (default 1 day; a 10⁹-event/year bot key then caps
+    * any task at ~3M events while the summary stays ≤365 rows/key). */
+  def asOfJoinBucketed(left: DataFrame, right: DataFrame,
+      bucketMicros: Long = 86400000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = right.select(col("user_id"), col("ts"), lit(0).as("side"),
+      lit(null).cast("long").as("l_id"),
+      col("event_id").as("r_id0"), col("ts").as("r_ts0"))
+    val l = left.select(col("user_id"), col("ts"), lit(1).as("side"),
+      col("event_id").as("l_id"),
+      lit(null).cast("long").as("r_id0"), lit(null).cast("timestamp").as("r_ts0"))
+    val uni = r.unionByName(l)
+      .withColumn("bucket", floor(unix_micros(col("ts")) / bucketMicros))
+    val w = Window.partitionBy("user_id", "bucket")
+      .orderBy(col("ts"), col("side"), col("r_id0"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = uni
+      .withColumn("in_r_id", last(col("r_id0"), ignoreNulls = true).over(w))
+      .withColumn("in_r_ts", last(col("r_ts0"), ignoreNulls = true).over(w))
+    // per-(user, bucket) last right event; buckets holding only left rows
+    // get a NULL the carry window skips over
+    val carryW = Window.partitionBy("user_id").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = uni.groupBy("user_id", "bucket")
+      .agg(max(when(col("side") === 0, struct(col("r_ts0"), col("r_id0")))).as("mx"))
+      .select(col("user_id"), col("bucket"),
+        last(col("mx"), ignoreNulls = true).over(carryW).as("prev"))
+    inBucket.where(col("side") === 1)
+      .join(carried, Seq("user_id", "bucket"))
+      .select(col("user_id"), col("l_id"),
+        coalesce(col("in_r_id"), col("prev.r_id0")).as("r_id"),
+        (unix_micros(col("ts")) -
+          unix_micros(coalesce(col("in_r_ts"), col("prev.r_ts0")))).as("lag_micros"))
   }
 
   /** Per-key exact percentiles (median + p90) of a value column. Exact

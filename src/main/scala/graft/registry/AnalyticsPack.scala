@@ -65,6 +65,15 @@ object AnalyticsPack extends QueryPack {
         ev.where(col("event_type") === "click"))
         .orderBy("l_id")
     }),
+    // skew-safe as-of variant: identical semantics via (user, time-bucket)
+    // windows + a boundary carry pass — the hot-key plan shape
+    "tw6_asof_bucketed" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      Analytics.asOfJoinBucketed(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "click"))
+        .orderBy("l_id")
+    }),
     // renamed from a7 (collided with SURVEY A7 sync tallies)
     "u1_distinct_users" -> ((s, dir) =>
       Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id")
@@ -189,6 +198,20 @@ object AnalyticsPack extends QueryPack {
     // hash-compare needs the same deterministic tiebreak as the Spark
     // window (ts DESC, event_id DESC)
     "tw5_asof_join" ->
+      """SELECT p.user_id, p.event_id AS l_id, c.r_id,
+        |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.r_ts AS TIMESTAMP)) AS lag_micros
+        |FROM events p LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS r_id, r.ts AS r_ts
+        |  FROM events r
+        |  WHERE r.event_type = 'click' AND r.user_id = p.user_id AND r.ts <= p.ts
+        |  ORDER BY r.ts DESC, r.event_id DESC
+        |  LIMIT 1
+        |) c ON TRUE
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY l_id""".stripMargin,
+    // bucketing changes the physical plan, never the result: tw6's oracle
+    // is tw5's, verbatim
+    "tw6_asof_bucketed" ->
       """SELECT p.user_id, p.event_id AS l_id, c.r_id,
         |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.r_ts AS TIMESTAMP)) AS lag_micros
         |FROM events p LEFT JOIN LATERAL (

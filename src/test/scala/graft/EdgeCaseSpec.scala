@@ -171,6 +171,31 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
       .filter(!_.isNullAt(3)).foreach(r => assert(r.getLong(3) >= 0))
   }
 
+  test("bucketed as-of join: a hot key splits across time buckets, result identical") {
+    import graft.operators.Analytics
+    // one pathological user: 100k purchases interleaved with 100k clicks,
+    // 0.5 s apart (~28 hours) — the plain as-of scans it as ONE task;
+    // hourly buckets split it into ~28 independent slices
+    val base = 1700000000000000L
+    val ev = spark.range(200000).select(
+      col("id").as("event_id"), lit(7L).as("user_id"),
+      timestamp_micros(lit(base) + col("id") * 500000L).as("ts"))
+    val lefts = ev.where(col("event_id") % 2 === 0)
+    val rights = ev.where(col("event_id") % 2 === 1)
+    val hour = 3600000000L
+    // the hot key genuinely spans many buckets
+    assert(ev.select(floor(unix_micros(col("ts")) / hour)).distinct().count() >= 24)
+    val plain = Analytics.asOfJoin(lefts, rights)
+    val bucketed = Analytics.asOfJoinBucketed(lefts, rights, bucketMicros = hour)
+    assert(bucketed.count() === plain.count())
+    assert(bucketed.unionByName(plain).distinct().count() === plain.count(),
+      "bucketed variant diverged from the single-window as-of")
+    // and the big window really partitions on (user, bucket), so no task
+    // holds more than one bucket of the hot key
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("user_id") && plan.contains("bucket"), plan)
+  }
+
   test("CDC merge with empty batch or empty current state") {
     val env = Tables_envelope
     val emptyBatch = env.limit(0)

@@ -81,7 +81,9 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("substring dedup: anchor candidate join is an equi-join; at shuffle-join scale the anchor exchange is paid once") {
-    val plan = formatted(Dedup.substringDups(Tables.documents(spark, sf)))
+    // psf: PipelineSpec cache()s the sf0.001 documents — a cache hit swaps
+    // the scan for InMemoryTableScan and defeats exchange reuse
+    val plan = formatted(Dedup.substringDups(Tables.documents(spark, psf)))
     assert(!plan.contains("NestedLoop"), s"all-pairs nested loop in anchor plan:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
@@ -94,7 +96,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val prev = spark.conf.get(key)
     try {
       spark.conf.set(key, "-1")
-      val df = Dedup.substringDups(Tables.documents(spark, sf))
+      val df = Dedup.substringDups(Tables.documents(spark, psf))
       df.collect()
       val executed = df.queryExecution.executedPlan.toString
       assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
