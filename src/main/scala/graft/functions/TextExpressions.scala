@@ -221,6 +221,93 @@ case class SimHashExpr(child: Expression, bits: Int)
   override def prettyName: String = "graft_simhash"
 }
 
+/** Fused anchor-hash kernel for exact substring dedup
+  * ([[graft.operators.Dedup.substringDups]] x36): the 60-bit md5-prefix
+  * hash of EVERY `anchorLen`-char window of the text (stride 1), as one
+  * long array per row. Bit-identical to the builtin chain
+  * `conv(substring(md5(substr(t, pos, len)), 1, 15), 16, 10)` per
+  * position and to the DuckDB oracle's
+  * `('0x' || substr(md5(substr(..)), 1, 15))::BIGINT` — the first 15
+  * hex digits of an md5 are the digest's first 8 bytes (big-endian,
+  * unsigned) shifted right 4 bits. The builtin chain pays, per anchor: a
+  * substring copy, a 32-char hex-string allocation, and a BigInteger
+  * base parse (~1.4 µs); this kernel reuses ONE MessageDigest per row
+  * and hashes byte slices of the row's single UTF-8 buffer in place.
+  * Windows are CODE-POINT aligned (what both engines' `substr` count).
+  *
+  * Null semantics: null text, or fewer than `anchorLen` code points
+  * (no full window), yields NULL — explode then drops the row, exactly
+  * like the `length(t) >= anchorLen` guard it backs up. */
+case class AnchorHashesExpr(child: Expression, anchorLen: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(anchorLen >= 1, "anchor length must be positive")
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  // short (no full window) input maps to null output
+  override def nullable: Boolean = true
+
+  /** One row's anchor hashes; shared by interpreted eval and codegen. */
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    // code-point start offsets (UTF-8 walk; continuation bytes are 10xxxxxx)
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      nChars += 1
+      val b = bytes(i) & 0xff
+      i += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+    }
+    val n = nChars - anchorLen + 1
+    if (n <= 0) return null
+    val starts = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      starts(c) = i
+      c += 1
+      val b = bytes(i) & 0xff
+      i += (if (b < 0x80) 1 else if (b < 0xe0) 2 else if (b < 0xf0) 3 else 4)
+    }
+    starts(nChars) = bytes.length
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](n)
+    var p = 0
+    while (p < n) {
+      val from = starts(p)
+      val until = starts(p + anchorLen)
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      out(p) = ((((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4)
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("anchorHashes", this, classOf[AnchorHashesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);
+       |${ev.isNull} = ${ev.value} == null;
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_anchor_hashes"
+}
+
 /** Column-API surface of the text kernels. */
 object TextKernels {
   def topRunCount(arr: Column): Column =
@@ -229,4 +316,6 @@ object TextKernels {
     Bridge.column(ShinglesExpr(Bridge.expression(text), k))
   def simHash(shingleArr: Column, bits: Int): Column =
     Bridge.column(SimHashExpr(Bridge.expression(shingleArr), bits))
+  def anchorHashes(text: Column, anchorLen: Int): Column =
+    Bridge.column(AnchorHashesExpr(Bridge.expression(text), anchorLen))
 }

@@ -483,16 +483,26 @@ object Dedup {
     *
     *  1. '''anchors''' — every `anchorLen`-char window of the normalized
     *     text, stride 1: a map-only explode, linear in corpus chars;
-    *  2. '''frequency cap''' — anchors occurring more than `maxOcc`
-    *     times are dropped (one window count on the anchor key; its
-    *     shuffle partitioning is REUSED by the candidate join below).
-    *     This bounds candidate rows at Σ occ² ≤ maxOcc·|anchors| —
-    *     near-linear, never all-pairs;
-    *  3. '''candidates''' — self-equi-join on the anchor TEXT, so every
-    *     match is verified exactly (no hash collisions; at 100 TB the
-    *     join key becomes a 128-bit anchor hash — 16 bytes vs anchorLen
-    *     chars in the shuffle — and the run merge below still rejects
-    *     any collision as a length-1 run);
+    *  2. '''frequency band''' — one hash-aggregate counts occurrences
+    *     per anchor (map-side partial combine: what shuffles is ≈ one
+    *     row per distinct anchor, not per occurrence) and keeps only
+    *     anchors seen 2..`maxOcc` times: singletons — the overwhelming
+    *     bulk of a real corpus — can never pair and exit HERE, before
+    *     any join, and the >`maxOcc` boilerplate stop-anchors cap the
+    *     candidate blowup at Σ occ² ≤ maxOcc·|anchors|. (A window
+    *     count computes the same thing in one shuffle but pays
+    *     WindowExec's per-group machinery on millions of single-row
+    *     groups — measured 3.8 s vs 0.4 s on 1.3M anchors at sf0.1.)
+    *     Anchors are keyed by a 60-bit hash (first 15 md5 hex digits,
+    *     the [[TextOps.hash32]] device widened): shuffles carry 8
+    *     bytes instead of anchorLen chars;
+    *  3. '''candidates''' — the surviving anchor occurrences (a
+    *     near-dup-bounded sliver of the corpus) self-equi-join on the
+    *     anchor hash; the self-join's two sides are the same subtree,
+    *     so the exchange is planned once and reused. A hash collision
+    *     (~2⁻⁶⁰ per anchor pair) surfaces as a length-1 diagonal run,
+    *     which the extent merge below filters at `minLen` — the run
+    *     STRUCTURE is the verification;
     *  4. '''extent merge''' — matches on one (doc_a, doc_b) DIAGONAL
     *     (pos_a − pos_b) with consecutive pos_a form one maximal shared
     *     extent of length run + anchorLen − 1: a gaps-and-islands window
@@ -508,20 +518,28 @@ object Dedup {
   def substringDups(docs: DataFrame, anchorLen: Int = AnchorLen,
       maxOcc: Int = MaxAnchorOcc, minLen: Int = MinExtent): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // NOTE: constructing this frame MATERIALIZES the anchor frame
+    // (localCheckpoint — the x26 eager-build exception): the frequency
+    // band and the candidate join both consume it, and without the
+    // checkpoint each branch would re-run the scan→explode→hash chain
+    // (measured 12.9 s vs 3 s at sf0.1). ~20 bytes/anchor; on a cluster
+    // a reliable checkpoint/persisted artifact does the same job.
     val anch = docs.select(col("doc_id"), normText(col("text")).as("t"))
-      // also the sequence() guard: len < anchorLen would make an empty
-      // window range (and sequence(1, 0) steps DOWNWARD in Spark)
       .where(length(col("t")) >= anchorLen)
       .select(col("doc_id"),
-        explode(sequence(lit(1), length(col("t")) - (anchorLen - 1))).as("pos"),
-        col("t"))
-      .select(col("doc_id"), col("pos"),
-        col("t").substr(col("pos"), lit(anchorLen)).as("a"))
-    val capped = anch
-      .withColumn("occ", count(lit(1)).over(Window.partitionBy("a")))
-      .where(col("occ") <= maxOcc)
-    val cand = capped.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("a"))
-      .join(capped.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("a")), "a")
+        // fused kernel: one digest loop per row over one byte buffer —
+        // the per-anchor builtin chain (substr copy + hex string +
+        // BigInteger conv) costs ~1.4 µs × |corpus chars|
+        posexplode(graft.functions.TextKernels.anchorHashes(col("t"), anchorLen))
+          .as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"), col("h"))
+      .localCheckpoint(true)
+    val survivors = anch.groupBy("h").agg(count(lit(1)).as("occ"))
+      .where(col("occ").between(2, maxOcc))
+      .select("h")
+    val kept = anch.join(survivors, "h")
+    val cand = kept.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h")), "h")
       .where(col("doc_a") < col("doc_b"))
     val runW = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     cand.withColumn("diag", col("pa") - col("pb"))
@@ -539,16 +557,17 @@ object Dedup {
     s"""WITH norm AS (
        |  SELECT doc_id, ${normTextSql("text")} AS t FROM documents
        |), anch AS (
-       |  SELECT doc_id, i AS pos, substr(t, i, $anchorLen) AS a
+       |  SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(substr(t, i, $anchorLen)), 1, 15))::BIGINT AS h
        |  FROM norm, unnest(range(1, greatest(len(t) - ${anchorLen - 1}, 0) + 1)) AS u(i)
        |  WHERE len(t) >= $anchorLen
        |), capped AS (
        |  SELECT * FROM (
-       |    SELECT doc_id, pos, a, count(*) OVER (PARTITION BY a) AS occ FROM anch)
+       |    SELECT doc_id, pos, h, count(*) OVER (PARTITION BY h) AS occ FROM anch)
        |  WHERE occ <= $maxOcc
        |), m AS (
        |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, x.pos AS pa, y.pos AS pb
-       |  FROM capped x JOIN capped y ON x.a = y.a AND x.doc_id < y.doc_id
+       |  FROM capped x JOIN capped y ON x.h = y.h AND x.doc_id < y.doc_id
        |), runs AS (
        |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp

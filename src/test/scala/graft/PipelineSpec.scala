@@ -560,6 +560,32 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(q.select("doc_id").collect().map(_.getLong(0)).toSet === again)
   }
 
+  test("anchor-hash kernel ≡ builtin md5/conv chain, per position, incl. unicode") {
+    import spark.implicits._
+    val a = 5
+    val cases = Seq(
+      (1L, "the quick brown fox jumps over it"),
+      (2L, "exact"),                       // exactly one window
+      (3L, "tiny"),                        // < anchorLen -> null
+      (4L, "naïve café — ünïcödé ✓ text"), // multi-byte code points
+      (5L, "")).toDF("doc_id", "t")
+    val viaKernel = cases.select(col("doc_id"),
+        posexplode(graft.functions.TextKernels.anchorHashes(col("t"), a))
+          .as(Seq("i", "h")))
+      .select(col("doc_id"), (col("i") + 1).as("pos"), col("h"))
+    val viaBuiltins = cases
+      .where(length(col("t")) >= a)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), length(col("t")) - (a - 1))).as("pos"), col("t"))
+      .select(col("doc_id"), col("pos"),
+        conv(substring(md5(col("t").substr(col("pos"), lit(a))), 1, 15), 16, 10)
+          .cast("long").as("h"))
+    val k = viaKernel.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = viaBuiltins.collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(k === b)
+    assert(k.nonEmpty && k.keys.exists(_._1 == 4L)) // unicode rows really compared
+  }
+
   test("substring dedup recovers the maximal shared extent exactly once") {
     import spark.implicits._
     // 15 distinct words -> no internal repetition, so the maximal common

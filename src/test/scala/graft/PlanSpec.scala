@@ -87,11 +87,11 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("NestedLoop"), s"all-pairs nested loop in anchor plan:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
-    // at corpus scale the anchor frame exceeds the broadcast threshold and
-    // the candidate join becomes a shuffle join — simulate that (threshold
-    // off) and prove the self-join's two sides REUSE one anchor exchange
-    // (the one the frequency-cap window already paid), so the corpus is
-    // anchored and shuffled once, not twice
+    // at corpus scale the surviving-anchor frame exceeds the broadcast
+    // threshold and the candidate join becomes a shuffle join — simulate
+    // that (threshold off) and prove the self-join's two identical sides
+    // REUSE one exchange over the checkpointed anchor frame, so the
+    // survivors are shuffled once, not twice
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
     try {
