@@ -578,6 +578,85 @@ object Dedup {
        |FROM runs GROUP BY doc_a, doc_b, diag, grp
        |HAVING match_len >= $minLen""".stripMargin
 
+  /** Drop threshold for [[substringDupStats]]: a doc more than half
+    * covered by verbatim text already present in earlier docs is
+    * removed. */
+  val DupDropFrac = 0.5
+
+  /** Doc-level view of [[substringDups]] — the removal policy of Lee et
+    * al.'s ExactSubstr dedup, Spark-shaped: for each document, how much
+    * of it is verbatim text already present in an EARLIER (lower-id)
+    * document, and whether that crosses the drop threshold. "How much"
+    * is the UNION of the doc's matched extents (a doc sharing one
+    * passage with 50 earlier docs is 1× covered, not 50×): per doc, a
+    * classic interval-union sweep — sort extents by start, a running
+    * max-end window marks island starts, islands aggregate to merged
+    * intervals — one window + one aggregate over the (tiny) extent set,
+    * parallel across docs.
+    *
+    * Output: (doc_id, n_chars_norm, dup_chars, dup_frac, dropped) for
+    * every doc with at least one matched extent; the drop list is
+    * `WHERE dropped`. Keep-first orientation: coverage counts only
+    * extents where the doc is the HIGHER id of the pair, so the
+    * earliest copy of any passage is never charged for it. */
+  def substringDupStats(docs: DataFrame, anchorLen: Int = AnchorLen,
+      maxOcc: Int = MaxAnchorOcc, minLen: Int = MinExtent,
+      dropFrac: Double = DupDropFrac): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = substringDups(docs, anchorLen, maxOcc, minLen)
+      .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
+        (col("b_start") + col("match_len") - 1).as("e"))
+    val sweep = Window.partitionBy("doc_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.partitionBy("doc_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val covered = iv
+      .withColumn("newi",
+        when(col("s") > coalesce(max(col("e")).over(sweep), lit(Long.MinValue)), 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("newi")).over(cum))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + 1).as("dup_chars"))
+    docs.select(col("doc_id"), length(normText(col("text"))).as("n_chars_norm"))
+      .join(covered, "doc_id")
+      .withColumn("dup_frac",
+        round(col("dup_chars").cast("double") / col("n_chars_norm"), 6))
+      .withColumn("dropped", col("dup_frac") >= dropFrac)
+  }
+
+  /** [[substringDupStats]] oracle, generated from the same constants. */
+  def substringDupStatsSql(anchorLen: Int = AnchorLen, maxOcc: Int = MaxAnchorOcc,
+      minLen: Int = MinExtent, dropFrac: Double = DupDropFrac): String = {
+    val ext = substringDupsSql(anchorLen, maxOcc, minLen)
+    s"""WITH ext AS (
+       |$ext
+       |), iv AS (
+       |  SELECT doc_b AS doc_id, b_start AS s, b_start + match_len - 1 AS e FROM ext
+       |), isl AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ${Long.MinValue})
+       |      THEN 1 ELSE 0 END AS newi
+       |  FROM iv
+       |), grp AS (
+       |  SELECT doc_id, s, e, sum(newi) OVER (PARTITION BY doc_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM isl
+       |), merged AS (
+       |  SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, isl
+       |), cov AS (
+       |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+       |  FROM merged GROUP BY doc_id
+       |)
+       |SELECT cov.doc_id AS doc_id, len(${normTextSql("d.text")}) AS n_chars_norm,
+       |  cov.dup_chars,
+       |  round(CAST(cov.dup_chars AS DOUBLE) / len(${normTextSql("d.text")}), 6) AS dup_frac,
+       |  round(CAST(cov.dup_chars AS DOUBLE) / len(${normTextSql("d.text")}), 6) >= $dropFrac AS dropped
+       |FROM documents d JOIN cov ON cov.doc_id = d.doc_id""".stripMargin
+  }
+
   // --- full curation pipeline (x16) ---------------------------------------
 
   /** The end-to-end corpus-curation pipeline as ONE composed plan —

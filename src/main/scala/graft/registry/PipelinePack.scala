@@ -77,6 +77,10 @@ object PipelinePack extends QueryPack {
     "x36_substring_dups" -> ((s, dir) =>
       Dedup.substringDups(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b", "a_start", "b_start")),
+    // doc-level removal policy over x36's extents: per-doc UNION of
+    // duplicated extents (keep-first orientation) + drop flag
+    "x37_dup_coverage" -> ((s, dir) =>
+      Dedup.substringDupStats(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // --- text analysis ---------------------------------------------------
     "x4_term_freq" -> ((s, dir) =>
@@ -289,6 +293,8 @@ object PipelinePack extends QueryPack {
       (Dedup.duplicateClustersSql(PairJaccard) + "\nORDER BY doc_id"),
     "x36_substring_dups" ->
       (Dedup.substringDupsSql() + "\nORDER BY doc_a, doc_b, a_start, b_start"),
+    "x37_dup_coverage" ->
+      (Dedup.substringDupStatsSql() + "\nORDER BY doc_id"),
     "x4_term_freq" -> (TextOps.termFrequenciesSql + "\nORDER BY lang, token"),
     "x5_lang_id" -> (TextOps.languageIdSql + "\nORDER BY doc_id"),
     "x33_lang_confusion" ->

@@ -607,6 +607,36 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(4) === shared.length.toLong)
   }
 
+  test("substring coverage: overlapping extents union once, keep-first never charged") {
+    import spark.implicits._
+    // distinct word pools so the only shared runs are the planted ones
+    def words(tag: String, n: Int) = (1 to n).map(i => f"$tag$i%03d").mkString(" ")
+    val p = words("p", 8)   // 8×4+7  = 39 chars
+    val q = words("q", 13)  // 13×4+12 = 64 chars >= the 60-char MinExtent
+    val r = words("r", 8)
+    val dTail = words("z", 30)
+    val a = s"$p $q"            // doc 1: P Q
+    val b = s"$q $r"            // doc 2: Q R
+    val cDoc = s"$p $q $r"      // doc 3: P Q R — covered by 1 and 2 jointly
+    val dDoc = s"$q $dTail"     // doc 4: Q + long unique tail — partial coverage
+    val docs = Seq((1L, a), (2L, b), (3L, cDoc), (4L, dDoc)).toDF("doc_id", "text")
+    val got = Dedup.substringDupStats(docs).collect()
+      .map(r0 => r0.getLong(0) -> ((r0.getLong(2), r0.getDouble(3), r0.getBoolean(4))))
+      .toMap
+    // doc 1 is the earliest copy of everything it contains: never listed
+    assert(!got.contains(1L))
+    // doc 2 shares exactly Q with doc 1
+    assert(got(2L)._1 === q.length.toLong)
+    // doc 3: extent [P Q] (vs 1) and extent [Q R] (vs 2) OVERLAP on Q —
+    // union covers the whole doc exactly once -> frac 1.0, dropped
+    assert(got(3L) === ((cDoc.length.toLong, 1.0, true)))
+    // doc 4: Q matched against docs 1, 2, 3 -> near-identical extents
+    // counted once (vs 2 and 3 the run extends over the trailing shared
+    // space, hence +1); long unique tail keeps it under the threshold
+    assert(got(4L)._1 === (q.length + 1).toLong)
+    assert(got(4L)._2 < 0.5 && !got(4L)._3)
+  }
+
   test("substring dedup: sub-threshold runs filtered, boilerplate anchors capped") {
     import spark.implicits._
     // a 40-char shared run: >= AnchorLen (found) but < MinExtent (filtered)
