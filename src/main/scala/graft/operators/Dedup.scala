@@ -515,16 +515,17 @@ object Dedup {
     *
     * Output: (doc_a, doc_b, a_start, b_start, match_len), positions
     * 1-based in the normalized text, doc_a < doc_b. */
-  def substringDups(docs: DataFrame, anchorLen: Int = AnchorLen,
-      maxOcc: Int = MaxAnchorOcc, minLen: Int = MinExtent): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // NOTE: constructing this frame MATERIALIZES the anchor frame
-    // (localCheckpoint — the x26 eager-build exception): the frequency
-    // band and the candidate join both consume it, and without the
-    // checkpoint each branch would re-run the scan→explode→hash chain
-    // (measured 12.9 s vs 3 s at sf0.1). ~20 bytes/anchor; on a cluster
-    // a reliable checkpoint/persisted artifact does the same job.
-    val anch = docs.select(col("doc_id"), normText(col("text")).as("t"))
+  /** The anchor frame `(doc_id, pos, h)` — THE persistable artifact of
+    * the substring-dedup family (the [[shingleFrame]] analog): ~20
+    * bytes/anchor, consumed by the frequency band, the within-corpus
+    * candidate join, and the cross-corpus variant. MATERIALIZED at
+    * construction (localCheckpoint — the x26 eager-build exception):
+    * every consumer reads it at least twice, and without the checkpoint
+    * each branch re-runs the scan→kernel chain (measured 12.9 s vs 3 s
+    * at sf0.1). On a cluster a reliable checkpoint / persisted parquet
+    * artifact does the same job. */
+  def anchorFrame(docs: DataFrame, anchorLen: Int = AnchorLen): DataFrame =
+    docs.select(col("doc_id"), normText(col("text")).as("t"))
       .where(length(col("t")) >= anchorLen)
       .select(col("doc_id"),
         // fused kernel: one digest loop per row over one byte buffer —
@@ -534,13 +535,18 @@ object Dedup {
           .as(Seq("i", "h")))
       .select(col("doc_id"), (col("i") + 1).as("pos"), col("h"))
       .localCheckpoint(true)
-    val survivors = anch.groupBy("h").agg(count(lit(1)).as("occ"))
+
+  /** Anchors whose total occurrence count is in [2, maxOcc] — the
+    * frequency band shared by the within- and cross-corpus paths. */
+  private def anchorSurvivors(anch: DataFrame, maxOcc: Int): DataFrame =
+    anch.groupBy("h").agg(count(lit(1)).as("occ"))
       .where(col("occ").between(2, maxOcc))
       .select("h")
-    val kept = anch.join(survivors, "h")
-    val cand = kept.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h"))
-      .join(kept.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h")), "h")
-      .where(col("doc_a") < col("doc_b"))
+
+  /** Diagonal gaps-and-islands merge: matched anchor positions →
+    * maximal shared extents (shared tail of x36/x39). */
+  private def mergeExtents(cand: DataFrame, anchorLen: Int, minLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val runW = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     cand.withColumn("diag", col("pa") - col("pb"))
       .withColumn("grp", col("pa") - row_number().over(runW))
@@ -549,6 +555,39 @@ object Dedup {
         (count(lit(1)) + (anchorLen - 1)).as("match_len"))
       .where(col("match_len") >= minLen)
       .select("doc_a", "doc_b", "a_start", "b_start", "match_len")
+  }
+
+  def substringDups(docs: DataFrame, anchorLen: Int = AnchorLen,
+      maxOcc: Int = MaxAnchorOcc, minLen: Int = MinExtent): DataFrame = {
+    val anch = anchorFrame(docs, anchorLen)
+    val kept = anch.join(anchorSurvivors(anch, maxOcc), "h")
+    val cand = kept.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h")), "h")
+      .where(col("doc_a") < col("doc_b"))
+    mergeExtents(cand, anchorLen, minLen)
+  }
+
+  /** Cross-corpus exact substring duplication: verbatim extents shared
+    * between a corpus-A document and a corpus-B document — the
+    * "screen the new crawl's text against the existing snapshot"
+    * companion of [[crossCorpusPairs]], at substring rather than
+    * document granularity. Takes the two [[anchorFrame]] artifacts
+    * (A's persisted from a previous snapshot, B's freshly computed —
+    * corpus A's text is never re-read); the frequency band counts
+    * occurrences over A ∪ B, so boilerplate is capped wherever it
+    * lives; candidates come only from A-anchor ⋈ B-anchor hash
+    * matches, never A×B. Returns (doc_a ∈ A, doc_b ∈ B, a_start,
+    * b_start, match_len) — within-A and within-B duplication is
+    * deliberately NOT reported (that is each corpus's own x36). */
+  def crossSubstringDups(anchA: DataFrame, anchB: DataFrame,
+      anchorLen: Int = AnchorLen, maxOcc: Int = MaxAnchorOcc,
+      minLen: Int = MinExtent): DataFrame = {
+    val survivors =
+      anchorSurvivors(anchA.select("h").unionAll(anchB.select("h")), maxOcc)
+    val cand = anchA.join(survivors, "h")
+      .select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h"))
+      .join(anchB.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h")), "h")
+    mergeExtents(cand, anchorLen, minLen)
   }
 
   /** [[substringDups]] oracle, generated from the same constants. */
@@ -625,6 +664,39 @@ object Dedup {
         round(col("dup_chars").cast("double") / col("n_chars_norm"), 6))
       .withColumn("dropped", col("dup_frac") >= dropFrac)
   }
+
+  /** [[crossSubstringDups]] oracle: the same chain with the candidate
+    * sides split by corpus predicates over doc_id (the frequency band
+    * stays over ALL anchors = A ∪ B, exactly like the engine side). */
+  def crossSubstringDupsSql(predA: String, predB: String,
+      anchorLen: Int = AnchorLen, maxOcc: Int = MaxAnchorOcc,
+      minLen: Int = MinExtent): String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, ${normTextSql("text")} AS t FROM documents
+       |), anch AS (
+       |  SELECT doc_id, i AS pos,
+       |    ('0x' || substr(md5(substr(t, i, $anchorLen)), 1, 15))::BIGINT AS h
+       |  FROM norm, unnest(range(1, greatest(len(t) - ${anchorLen - 1}, 0) + 1)) AS u(i)
+       |  WHERE len(t) >= $anchorLen
+       |), surv AS (
+       |  SELECT h FROM (SELECT h, count(*) AS occ FROM anch GROUP BY h)
+       |  WHERE occ BETWEEN 2 AND $maxOcc
+       |), ca AS (
+       |  SELECT doc_id, pos, h FROM anch JOIN surv USING (h) WHERE $predA
+       |), cb AS (
+       |  SELECT doc_id, pos, h FROM anch JOIN surv USING (h) WHERE $predB
+       |), m AS (
+       |  SELECT ca.doc_id AS doc_a, cb.doc_id AS doc_b, ca.pos AS pa, cb.pos AS pb
+       |  FROM ca JOIN cb USING (h)
+       |), runs AS (
+       |  SELECT doc_a, doc_b, pa - pb AS diag, pa, pb,
+       |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS grp
+       |  FROM m
+       |)
+       |SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+       |  count(*) + ${anchorLen - 1} AS match_len
+       |FROM runs GROUP BY doc_a, doc_b, diag, grp
+       |HAVING match_len >= $minLen""".stripMargin
 
   /** [[substringDupStats]] oracle, generated from the same constants. */
   def substringDupStatsSql(anchorLen: Int = AnchorLen, maxOcc: Int = MaxAnchorOcc,

@@ -460,6 +460,60 @@ object TextOps {
        |SELECT doc_id, $terms AS simhash FROM h""".stripMargin
   }
 
+  // --- unigram surprisal (x38) --------------------------------------------
+
+  /** Unigram-LM surprisal per document: average bits per token,
+    * −(1/n)·Σ log₂ p(tᵢ), with p estimated from the corpus's own term
+    * frequencies — the deterministic stand-in for the LM-perplexity
+    * quality filter every serious curation pipeline runs (CCNet,
+    * Wenzek et al. LREC'20, scores docs by LM perplexity and keeps the
+    * low/middle bands; a unigram model is the same MECHANISM with an
+    * oracle-checkable estimator). High bits-per-token = rare/garbled
+    * text, low = boilerplate-common tokens.
+    *
+    * Scale/determinism shape:
+    *  - TF pass: one explode→hash-aggregate (map-side combined) — the
+    *    x4 shuffle; the token total is a one-row broadcast;
+    *  - scoring pass: exploded tokens equi-join the per-token log-prob
+    *    frame on `token` (planner broadcasts while the vocab is small;
+    *    at open-vocabulary scale it degrades to a keyed shuffle, never
+    *    a driver collect), then one hash-aggregate per doc;
+    *  - per-token log₂ p is rounded to 9 dp and summed as
+    *    DECIMAL(18,9): decimal addition is EXACT and order-independent,
+    *    so partial-aggregation order — the classic float-sum
+    *    nondeterminism — cannot flip the result between runs or
+    *    engines. The only float op left is log₂ itself (1-ulp libm
+    *    risk, absorbed by the 9-dp grid same as the cosine recipes). */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val total = tok.agg(count(lit(1)).as("total"))
+    val lp = tok.groupBy("token").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log2(col("n") / col("total")), 9).cast("decimal(18,9)").as("lp"))
+    tok.join(lp, "token")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(-col("slp").cast("double") / col("n_tokens"), 6).as("bits_per_token"))
+  }
+
+  val unigramSurprisalSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM documents
+       |), tot AS (
+       |  SELECT count(*) AS total FROM tok
+       |), lp AS (
+       |  SELECT token, CAST(round(log2(n / total), 9) AS DECIMAL(18,9)) AS lp
+       |  FROM (SELECT token, count(*) AS n FROM tok GROUP BY token), tot
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_tokens, sum(lp) AS slp
+       |  FROM tok JOIN lp USING (token) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens,
+       |  round(-CAST(slp AS DOUBLE) / n_tokens, 6) AS bits_per_token
+       |FROM agg""".stripMargin
+
   // --- rolling-hash fingerprint (x9) --------------------------------------
 
   val GramLen = 8

@@ -81,6 +81,16 @@ object PipelinePack extends QueryPack {
     // duplicated extents (keep-first orientation) + drop flag
     "x37_dup_coverage" -> ((s, dir) =>
       Dedup.substringDupStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    // cross-corpus substring screening: new-crawl (odd ids) text checked
+    // verbatim against the existing snapshot (even ids) purely via the
+    // two anchor artifacts
+    "x39_cross_substring" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.crossSubstringDups(
+        Dedup.anchorFrame(docs.where(col("doc_id") % 2 === 0)),
+        Dedup.anchorFrame(docs.where(col("doc_id") % 2 === 1)))
+        .orderBy("doc_a", "doc_b", "a_start", "b_start")
+    }),
 
     // --- text analysis ---------------------------------------------------
     "x4_term_freq" -> ((s, dir) =>
@@ -96,6 +106,10 @@ object PipelinePack extends QueryPack {
       TextOps.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
     "x8_simhash" -> ((s, dir) =>
       TextOps.simHash(Tables.documents(s, dir)).orderBy("doc_id")),
+    // unigram-LM surprisal (the oracle-checkable stand-in for CCNet-style
+    // perplexity quality filtering)
+    "x38_unigram_surprisal" -> ((s, dir) =>
+      TextOps.unigramSurprisal(Tables.documents(s, dir)).orderBy("doc_id")),
     "x9_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -295,6 +309,9 @@ object PipelinePack extends QueryPack {
       (Dedup.substringDupsSql() + "\nORDER BY doc_a, doc_b, a_start, b_start"),
     "x37_dup_coverage" ->
       (Dedup.substringDupStatsSql() + "\nORDER BY doc_id"),
+    "x39_cross_substring" ->
+      (Dedup.crossSubstringDupsSql("doc_id % 2 = 0", "doc_id % 2 = 1") +
+        "\nORDER BY doc_a, doc_b, a_start, b_start"),
     "x4_term_freq" -> (TextOps.termFrequenciesSql + "\nORDER BY lang, token"),
     "x5_lang_id" -> (TextOps.languageIdSql + "\nORDER BY doc_id"),
     "x33_lang_confusion" ->
@@ -302,6 +319,8 @@ object PipelinePack extends QueryPack {
     "x6_quality_score" -> (TextOps.qualityScoreSql + "\nORDER BY doc_id"),
     "x7_token_counts" -> (TextOps.tokenCountsSql + "\nORDER BY doc_id"),
     "x8_simhash" -> (TextOps.simHashSql + "\nORDER BY doc_id"),
+    "x38_unigram_surprisal" ->
+      (TextOps.unigramSurprisalSql + "\nORDER BY doc_id"),
     "x9_fingerprint" -> (TextOps.fingerprintSql + "\nORDER BY doc_id"),
     "x10_cosine_topk" ->
       (VectorOps.cosineTopKSql(QueryVecs, 10) + "\nORDER BY query_id, rn"),

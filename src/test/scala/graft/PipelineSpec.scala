@@ -560,6 +560,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(q.select("doc_id").collect().map(_.getLong(0)).toSet === again)
   }
 
+  test("unigram surprisal matches the hand formula; rarer text scores more bits") {
+    import spark.implicits._
+    // corpus: 8 tokens total; "a"×4, "b"×2, "c"×1, "d"×1
+    val docs = Seq((1L, "a a a a"), (2L, "b b"), (3L, "c d")).toDF("doc_id", "text")
+    val got = TextOps.unigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // power-of-two probabilities -> log2 exact, no rounding ambiguity
+    assert(got(1L) === ((4L, 1.0))) // p(a)=4/8 -> 1 bit/token
+    assert(got(2L) === ((2L, 2.0))) // p(b)=2/8 -> 2 bits
+    assert(got(3L) === ((2L, 3.0))) // p(c)=p(d)=1/8 -> 3 bits
+    assert(got(1L)._2 < got(2L)._2 && got(2L)._2 < got(3L)._2)
+  }
+
   test("anchor-hash kernel ≡ builtin md5/conv chain, per position, incl. unicode") {
     import spark.implicits._
     val a = 5
@@ -605,6 +618,24 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Int]("a_start") === prefix.length + 1)
     assert(r.getAs[Int]("b_start") === 1)
     assert(r.getLong(4) === shared.length.toLong)
+  }
+
+  test("cross-corpus substring dedup reports only A-to-B extents") {
+    import spark.implicits._
+    val shared = (1 to 15).map(i => f"x$i%02d").mkString(" ") + " common block"
+    val corpusA = Seq(
+      (1L, "alpha head " + shared),
+      (2L, "beta head " + shared)) // within-A pair: must NOT be reported
+      .toDF("doc_id", "text")
+    val corpusB = Seq(
+      (10L, shared + " new crawl tail"),
+      (11L, "entirely fresh content with nothing shared here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.crossSubstringDups(
+        Dedup.anchorFrame(corpusA), Dedup.anchorFrame(corpusB))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both A docs match B's doc 10; no within-A pair, nothing for doc 11
+    assert(got === Set((1L, 10L), (2L, 10L)))
   }
 
   test("substring coverage: overlapping extents union once, keep-first never charged") {
