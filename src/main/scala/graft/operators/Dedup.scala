@@ -640,9 +640,18 @@ object Dedup {
     * earliest copy of any passage is never charged for it. */
   def substringDupStats(docs: DataFrame, anchorLen: Int = AnchorLen,
       maxOcc: Int = MaxAnchorOcc, minLen: Int = MinExtent,
+      dropFrac: Double = DupDropFrac): DataFrame =
+    substringDupStatsFrom(docs, substringDups(docs, anchorLen, maxOcc, minLen),
+      dropFrac)
+
+  /** [[substringDupStats]] from a precomputed extent frame ([[substringDups]]'
+    * output — the `...From` artifact convention: extents are computed
+    * once per corpus snapshot and every downstream policy consumes
+    * them, so the anchor build never re-runs per report). */
+  def substringDupStatsFrom(docs: DataFrame, ext: DataFrame,
       dropFrac: Double = DupDropFrac): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val iv = substringDups(docs, anchorLen, maxOcc, minLen)
+    val iv = ext
       .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
         (col("b_start") + col("match_len") - 1).as("e"))
     val sweep = Window.partitionBy("doc_id").orderBy("s", "e")

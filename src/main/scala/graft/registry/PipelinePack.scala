@@ -54,6 +54,31 @@ object PipelinePack extends QueryPack {
     }
   }
 
+  /** A per-snapshot parquet artifact under the tmp dir, keyed by
+    * (fixture dir, fixture mtime, caller constants) and validated by
+    * `_SUCCESS` + atomic rename — the same scheme as x18's signature
+    * artifacts (see that registration's rationale: parquet, not
+    * cache(), so plan substitution can never silently feed other
+    * queries). `build` runs once per key; a lost concurrent race keeps
+    * the winner's output. */
+  private def snapshotArtifact(dir: String, fixture: String, name: String,
+      keyParts: Any*)(build: String => Unit): String = {
+    val mtime = new java.io.File(s"$dir/$fixture").lastModified()
+    val key = Integer.toHexString((dir, mtime, keyParts.toList).hashCode())
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_artifacts_$key")
+    val target = new java.io.File(base, name)
+    if (!new java.io.File(target, "_SUCCESS").exists()) {
+      val tmp = new java.io.File(base, s"$name.tmp.${System.nanoTime()}")
+      build(tmp.toString)
+      if (!target.getParentFile.exists()) target.getParentFile.mkdirs()
+      if (!tmp.renameTo(target)) {
+        val fs = new scala.reflect.io.Directory(tmp); fs.deleteRecursively()
+      }
+    }
+    target.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
@@ -77,18 +102,28 @@ object PipelinePack extends QueryPack {
     "x36_substring_dups" -> ((s, dir) =>
       Dedup.substringDups(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b", "a_start", "b_start")),
-    // doc-level removal policy over x36's extents: per-doc UNION of
-    // duplicated extents (keep-first orientation) + drop flag
-    "x37_dup_coverage" -> ((s, dir) =>
-      Dedup.substringDupStats(Tables.documents(s, dir)).orderBy("doc_id")),
+    // doc-level removal policy over x36's extents, artifact-fed: the
+    // extent frame (x36's output) is computed once per snapshot and
+    // every downstream policy consumes it — x36 measures the build,
+    // x37 measures the policy (the x16-vs-x18 convention)
+    "x37_dup_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ext = snapshotArtifact(dir, "documents.parquet", "sub_extents.parquet",
+        Dedup.AnchorLen, Dedup.MaxAnchorOcc, Dedup.MinExtent)(
+        p => Dedup.substringDups(docs).write.mode("overwrite").parquet(p))
+      Dedup.substringDupStatsFrom(docs, s.read.parquet(ext)).orderBy("doc_id")
+    }),
     // cross-corpus substring screening: new-crawl (odd ids) text checked
     // verbatim against the existing snapshot (even ids) purely via the
-    // two anchor artifacts
+    // two persisted anchor artifacts — neither corpus's text re-read
     "x39_cross_substring" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      def anchors(par: Int) = snapshotArtifact(dir, "documents.parquet",
+        s"anchors_$par.parquet", Dedup.AnchorLen, par)(
+        p => Dedup.anchorFrame(docs.where(col("doc_id") % 2 === par))
+          .write.mode("overwrite").parquet(p))
       Dedup.crossSubstringDups(
-        Dedup.anchorFrame(docs.where(col("doc_id") % 2 === 0)),
-        Dedup.anchorFrame(docs.where(col("doc_id") % 2 === 1)))
+        s.read.parquet(anchors(0)), s.read.parquet(anchors(1)))
         .orderBy("doc_a", "doc_b", "a_start", "b_start")
     }),
 

@@ -165,7 +165,15 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     * Cost note: an append rewrites the index (O(index + batch)) — the
     * price of atomically-published SQL inserts over an immutable store.
     * High-volume appends belong in [[incrementalSyncInPlace]], whose
-    * bucketed merge is O(delta). */
+    * bucketed merge is O(delta).
+    *
+    * Concurrency note: read-combine-swap is not serialized across
+    * writers — two overlapping inserts to one alias each publish a
+    * frame derived from the same BEFORE state, and the later swap wins
+    * (the earlier insert's rows are superseded, exactly like two
+    * concurrent blue/green publishes). Serialize inserts per alias, or
+    * use the pipeline's sync paths, when multiple writers share an
+    * alias. */
   def insertInto(alias: String, df: DataFrame, overwrite: Boolean = false): IndexSyncReport = {
     val physical = s"${alias}_ins_${System.nanoTime()}"
     val obs = new Observation(s"graft_insert_${System.nanoTime()}")
