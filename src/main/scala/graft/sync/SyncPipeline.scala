@@ -178,10 +178,29 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     val physical = s"${alias}_ins_${System.nanoTime()}"
     val obs = new Observation(s"graft_insert_${System.nanoTime()}")
     val observed = df.observe(obs, coalesce(count(lit(1)), lit(0L)).as("n"))
+    val prev = store.aliases().get(alias)
+    // a bucketed physical exposes its bucket partition column to readers
+    // (and hence to the catalog's INSERT schema) — strip it from both
+    // sides so placement is always RECOMPUTED from the id; a caller
+    // could otherwise plant rows in buckets the id-hash disagrees with
+    def noBucket(d: DataFrame): DataFrame =
+      if (d.columns.contains(store.BucketKey)) d.drop(store.BucketKey) else d
     val combined =
-      if (overwrite) observed
-      else store.read(alias).map(_.unionByName(observed)).getOrElse(observed)
-    val rejects = writeStaged(physical, combined)
+      if (overwrite) noBucket(observed)
+      else store.read(alias).map(c => noBucket(c).unionByName(noBucket(observed)))
+        .getOrElse(noBucket(observed))
+    // an alias served by a BUCKETED physical must stay bucketed across
+    // an insert: a flat replacement would silently break the next
+    // in-place merge (which prunes on the bucket partition column).
+    // The bucket count carries over; re-scaling stays rescaleBuckets'
+    // job.
+    val rejects = prev.flatMap(store.bucketCountOf) match {
+      case Some(buckets) =>
+        val (good, rej) = quarantineSplit(combined, physical)
+        retry.retry(() => store.writePhysicalBucketed(physical, good, Id, buckets))
+        rej
+      case None => writeStaged(physical, combined)
+    }
     store.swapAlias(alias, physical)
     val n = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)
     IndexSyncReport(alias, physical,

@@ -293,6 +293,32 @@ class SyncPipelineSpec extends AnyFunSuite with SparkSpec {
     assert(store.aliasExists("click"))
   }
 
+  test("insertInto preserves a bucketed layout; the next in-place merge still works") {
+    val (store, _, pipe, _) = freshPipeline()
+    val cutoff = "2024-01-15 00:00:00"
+    val early = env.where(col(UpdatedAt) < lit(cutoff).cast("timestamp"))
+    pipe.fullSyncBucketed(early, Some(Seq("click")), timestamp = "t1", buckets = 8)
+    val before = store.count("click")
+
+    // insert two synthetic rows through the SQL-surface path
+    val batch = store.read("click").get.drop(store.BucketKey).limit(2)
+      .withColumn(Id, concat(lit("ins_"), col(Id)))
+    val localBatch = spark.createDataFrame(
+      java.util.Arrays.asList(batch.collect(): _*), batch.schema)
+    val r = pipe.insertInto("click", localBatch)
+    assert(r.mode === "insert" && r.upserts === 2L && r.rejects === 0L)
+    assert(store.count("click") === before + 2)
+    // layout survived: still bucketed at 8, every row in its id-hash bucket
+    val phys = store.aliases()("click")
+    assert(store.bucketCountOf(phys) === Some(8))
+    assert(store.readPhysical(phys).where(col(store.BucketKey).cast("long") =!=
+      pmod(xxhash64(col(Id)), lit(8L))).count() === 0)
+    // and the delta-proportional merge path still prunes and applies
+    val reports = pipe.incrementalSyncInPlace(env, Some(Seq("click")), buckets = 8)
+    assert(reports.head.mode === "incremental")
+    assert(store.count("click") > before)
+  }
+
   test("reconcile is a single action for N indexes") {
     val (_, _, pipe, _) = freshPipeline()
     pipe.fullSync(env, None, timestamp = "t1")
