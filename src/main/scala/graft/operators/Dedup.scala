@@ -650,21 +650,7 @@ object Dedup {
     * them, so the anchor build never re-runs per report). */
   def substringDupStatsFrom(docs: DataFrame, ext: DataFrame,
       dropFrac: Double = DupDropFrac): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val iv = ext
-      .select(col("doc_b").as("doc_id"), col("b_start").as("s"),
-        (col("b_start") + col("match_len") - 1).as("e"))
-    val sweep = Window.partitionBy("doc_id").orderBy("s", "e")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = Window.partitionBy("doc_id").orderBy("s", "e")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val covered = iv
-      .withColumn("newi",
-        when(col("s") > coalesce(max(col("e")).over(sweep), lit(Long.MinValue)), 1)
-          .otherwise(0))
-      .withColumn("isl", sum(col("newi")).over(cum))
-      .groupBy("doc_id", "isl")
-      .agg(min("s").as("s"), max("e").as("e"))
+    val covered = mergedIslands(ext)
       .groupBy("doc_id")
       .agg(sum(col("e") - col("s") + 1).as("dup_chars"))
     docs.select(col("doc_id"), length(normText(col("text"))).as("n_chars_norm"))
@@ -673,6 +659,67 @@ object Dedup {
         round(col("dup_chars").cast("double") / col("n_chars_norm"), 6))
       .withColumn("dropped", col("dup_frac") >= dropFrac)
   }
+
+  /** Per-doc UNION of matched extents as disjoint `(doc_id, s, e)`
+    * intervals (keep-first orientation: a doc's coverage counts only
+    * extents where it is the pair's HIGHER id) — the interval-union
+    * sweep shared by the coverage report and the span scrubber. */
+  private def mergedIslands(ext: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val iv = ext
+      .select(col("doc_b").as("doc_id"), col("b_start").cast("int").as("s"),
+        (col("b_start") + col("match_len") - 1).cast("int").as("e"))
+    val sweep = Window.partitionBy("doc_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = Window.partitionBy("doc_id").orderBy("s", "e")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv.withColumn("newi",
+        when(col("s") > coalesce(max(col("e")).over(sweep), lit(Int.MinValue)), 1)
+          .otherwise(0))
+      .withColumn("isl", sum(col("newi")).over(cum))
+      .groupBy("doc_id", "isl")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .select("doc_id", "s", "e")
+  }
+
+  /** The cut step of ExactSubstr dedup (Lee et al. delete the duplicated
+    * spans, not the documents): every doc's normalized text with its
+    * duplicated extents REMOVED — keep-first orientation, so the
+    * earliest copy of a passage survives verbatim and later copies lose
+    * exactly the shared spans. Returns every document:
+    * (doc_id, clean_text, n_removed); untouched docs pass through with
+    * n_removed = 0. The cut itself is a per-row left fold over the
+    * doc's (few, disjoint, sorted) islands — concatenate the gaps — so
+    * beyond [[mergedIslands]]' window the operator adds one small
+    * aggregate and a map stage, no extra pass over the corpus. */
+  def substringScrubFrom(docs: DataFrame, ext: DataFrame): DataFrame = {
+    val accType = "struct<p:int,o:string>"
+    val packed = mergedIslands(ext)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+    val t = col("t")
+    val cut = aggregate(
+      col("iv"),
+      struct(lit(1).as("p"), lit("").as("o")).cast(accType),
+      (acc, isl) => struct(
+        (isl.getField("e") + 1).as("p"),
+        concat(acc.getField("o"),
+          t.substr(acc.getField("p"), isl.getField("s") - acc.getField("p"))).as("o"))
+        .cast(accType),
+      acc => concat(acc.getField("o"),
+        t.substr(acc.getField("p"), length(t) - acc.getField("p") + 1)))
+    docs.select(col("doc_id"), normText(col("text")).as("t"))
+      .join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), t,
+        when(col("iv").isNull, t).otherwise(cut).as("clean_text"))
+      .select(col("doc_id"), col("clean_text"),
+        (length(t) - length(col("clean_text"))).cast("long").as("n_removed"))
+  }
+
+  /** [[substringScrubFrom]] over freshly computed extents. */
+  def substringScrub(docs: DataFrame, anchorLen: Int = AnchorLen,
+      maxOcc: Int = MaxAnchorOcc, minLen: Int = MinExtent): DataFrame =
+    substringScrubFrom(docs, substringDups(docs, anchorLen, maxOcc, minLen))
 
   /** [[crossSubstringDups]] oracle: the same chain with the candidate
     * sides split by corpus predicates over doc_id (the frequency band
@@ -736,6 +783,51 @@ object Dedup {
        |  round(CAST(cov.dup_chars AS DOUBLE) / len(${normTextSql("d.text")}), 6) AS dup_frac,
        |  round(CAST(cov.dup_chars AS DOUBLE) / len(${normTextSql("d.text")}), 6) >= $dropFrac AS dropped
        |FROM documents d JOIN cov ON cov.doc_id = d.doc_id""".stripMargin
+  }
+
+  /** [[substringScrubFrom]] oracle: the stats chain's merged islands,
+    * then per doc the concatenation of the UNCOVERED gaps (string_agg
+    * ordered by gap start — the same cut the Spark fold performs). */
+  def substringScrubSql(anchorLen: Int = AnchorLen, maxOcc: Int = MaxAnchorOcc,
+      minLen: Int = MinExtent): String = {
+    val ext = substringDupsSql(anchorLen, maxOcc, minLen)
+    s"""WITH ext AS (
+       |$ext
+       |), iv AS (
+       |  SELECT doc_b AS doc_id, b_start AS s, b_start + match_len - 1 AS e FROM ext
+       |), isl AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), ${Int.MinValue})
+       |      THEN 1 ELSE 0 END AS newi
+       |  FROM iv
+       |), grp AS (
+       |  SELECT doc_id, s, e, sum(newi) OVER (PARTITION BY doc_id ORDER BY s, e
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM isl
+       |), merged AS (
+       |  SELECT doc_id, isl, min(s) AS s, max(e) AS e FROM grp GROUP BY doc_id, isl
+       |), norm AS (
+       |  SELECT doc_id, ${normTextSql("text")} AS t FROM documents
+       |), gaps AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1) AS gs,
+       |    s - 1 AS ge
+       |  FROM merged
+       |  UNION ALL
+       |  SELECT m.doc_id, max(m.e) + 1 AS gs, len(n.t) AS ge
+       |  FROM merged m JOIN norm n ON n.doc_id = m.doc_id
+       |  GROUP BY m.doc_id, len(n.t)
+       |), cleaned AS (
+       |  SELECT g.doc_id,
+       |    coalesce(string_agg(substr(n.t, g.gs, g.ge - g.gs + 1), ''
+       |      ORDER BY g.gs), '') AS clean_text
+       |  FROM gaps g JOIN norm n ON n.doc_id = g.doc_id
+       |  GROUP BY g.doc_id
+       |)
+       |SELECT n.doc_id AS doc_id, coalesce(c.clean_text, n.t) AS clean_text,
+       |  CAST(len(n.t) - len(coalesce(c.clean_text, n.t)) AS BIGINT) AS n_removed
+       |FROM norm n LEFT JOIN cleaned c ON c.doc_id = n.doc_id""".stripMargin
   }
 
   // --- full curation pipeline (x16) ---------------------------------------

@@ -119,6 +119,15 @@ object PipelinePack extends QueryPack {
         p => Dedup.substringDups(docs).write.mode("overwrite").parquet(p))
       Dedup.substringDupStatsFrom(docs, s.read.parquet(ext)).orderBy("doc_id")
     }),
+    // the cut step (Lee et al. delete the SPANS, not the docs): cleaned
+    // text with duplicated extents removed, artifact-fed like x37
+    "x40_substring_scrub" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ext = snapshotArtifact(dir, "documents.parquet", "sub_extents.parquet",
+        Dedup.AnchorLen, Dedup.MaxAnchorOcc, Dedup.MinExtent)(
+        p => Dedup.substringDups(docs).write.mode("overwrite").parquet(p))
+      Dedup.substringScrubFrom(docs, s.read.parquet(ext)).orderBy("doc_id")
+    }),
     // cross-corpus substring screening: new-crawl (odd ids) text checked
     // verbatim against the existing snapshot (even ids) purely via the
     // two persisted anchor artifacts — neither corpus's text re-read
@@ -353,6 +362,8 @@ object PipelinePack extends QueryPack {
     "x39_cross_substring" ->
       (Dedup.crossSubstringDupsSql("doc_id % 2 = 0", "doc_id % 2 = 1") +
         "\nORDER BY doc_a, doc_b, a_start, b_start"),
+    "x40_substring_scrub" ->
+      (Dedup.substringScrubSql() + "\nORDER BY doc_id"),
     "x4_term_freq" -> (TextOps.termFrequenciesSql + "\nORDER BY lang, token"),
     "x5_lang_id" -> (TextOps.languageIdSql + "\nORDER BY doc_id"),
     "x33_lang_confusion" ->

@@ -666,6 +666,14 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // space, hence +1); long unique tail keeps it under the threshold
     assert(got(4L)._1 === (q.length + 1).toLong)
     assert(got(4L)._2 < 0.5 && !got(4L)._3)
+
+    // the cut step: spans removed, earliest copies survive verbatim
+    val clean = Dedup.substringScrub(docs).collect()
+      .map(r0 => r0.getLong(0) -> ((r0.getString(1), r0.getLong(2)))).toMap
+    assert(clean(1L) === ((a, 0L)))                         // first copy untouched
+    assert(clean(2L) === ((" " + r, q.length.toLong)))      // Q cut from the front
+    assert(clean(3L) === (("", cDoc.length.toLong)))        // fully duplicated -> empty
+    assert(clean(4L) === ((dTail, (q.length + 1).toLong)))  // "Q " cut, tail survives
   }
 
   test("substring dedup: sub-threshold runs filtered, boilerplate anchors capped") {

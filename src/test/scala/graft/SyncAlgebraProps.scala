@@ -199,7 +199,32 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
       }
     }
 
-  property("duplicate clusters equal driver union-find on random graphs") =
+  property("max substring extent equals brute-force longest common substring") =
+    Prop.forAll(
+      Gen.listOfN(30, Gen.oneOf('a', 'b', ' ')).map(_.mkString),
+      Gen.listOfN(30, Gen.oneOf('a', 'b', ' ')).map(_.mkString)) { (ra, rb) =>
+      def norm(s: String) = s.toLowerCase.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
+      val (a, b) = (norm(ra), norm(rb))
+      val A = 4
+      // driver-side O(n·m) LCS DP — the oracle the distributed plan must match
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      var lcs = 0
+      for (i <- 1 to a.length; j <- 1 to b.length) {
+        if (a(i - 1) == b(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          lcs = math.max(lcs, dp(i)(j))
+        }
+      }
+      val ext = Dedup.substringDups(
+          List((1L, a), (2L, b)).toDF("doc_id", "text"),
+          anchorLen = A, maxOcc = 1000, minLen = A)
+        .collect().map(_.getLong(4))
+      val got = if (ext.isEmpty) 0 else ext.max.toInt
+      // below anchorLen nothing is reportable; at or above, the longest
+      // extent IS the LCS (every extent is a verified common substring,
+      // and any common substring >= A yields a full-length diagonal run)
+      if (lcs < A) got == 0 else got == lcs
+    }
     Prop.forAll(Gen.listOfN(25, for {
       a <- Gen.choose(0L, 30L)
       b <- Gen.choose(0L, 30L)
