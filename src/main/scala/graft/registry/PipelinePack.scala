@@ -181,6 +181,12 @@ object PipelinePack extends QueryPack {
       VectorOps.ivfTopK(Tables.embeddings(s, dir), QueryVecs, 5, nprobe = 2,
         centroids = Some(codebookFor(s, dir)))
         .orderBy("query_id", "rn")),
+    // IVF index-health report: per-cell member count + centroid coherence
+    // (the ANALYZE surface consulted before retraining with more cells)
+    "x41_ivf_cell_stats" -> ((s, dir) =>
+      VectorOps.ivfCellStats(Tables.embeddings(s, dir),
+        centroids = Some(codebookFor(s, dir)))
+        .orderBy("cell")),
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
         .orderBy("lang", "rank")),
@@ -382,6 +388,8 @@ object PipelinePack extends QueryPack {
       (VectorOps.embeddingNearDupsSql(MinCosine) + "\nORDER BY vec_a, vec_b"),
     "x13_ivf_topk" ->
       (VectorOps.ivfTopKSql(QueryVecs, 5, nprobe = 2) + "\nORDER BY query_id, rn"),
+    "x41_ivf_cell_stats" ->
+      (VectorOps.ivfCellStatsSql() + "\nORDER BY cell"),
     "x14_top_tokens" ->
       s"""WITH tok AS (SELECT lang, unnest(${TextOps.tokensSql("text")}) AS token FROM documents),
          |tf AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),

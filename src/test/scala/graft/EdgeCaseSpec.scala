@@ -171,6 +171,33 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
       .filter(!_.isNullAt(3)).foreach(r => assert(r.getLong(3) >= 0))
   }
 
+  test("substring ops: empty, blank, and duplication-free inputs") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.substringDups(empty).isEmpty)
+    assert(Dedup.substringScrub(empty).isEmpty)
+    // blank/short docs carry no full anchor window: no extents, scrub
+    // passes their (normalized) text through untouched
+    val blank = Seq((1L, Some("")), (2L, Some("   ")), (3L, None),
+      (4L, Some("short text"))).toDF("doc_id", "text")
+    assert(Dedup.substringDups(blank).isEmpty)
+    val cleaned = Dedup.substringScrub(blank).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def ct(id: Long) = (cleaned(id).getString(1), cleaned(id).getLong(2))
+    assert(ct(1L) === (("", 0L)) && ct(2L) === (("", 0L)))
+    assert(ct(4L) === (("short text", 0L)))
+    // null text passes through as null (both engines agree)
+    assert(cleaned(3L).isNullAt(1) && cleaned(3L).isNullAt(2))
+    // docs with no shared runs: identity scrub, empty coverage report
+    val distinctDocs = Seq(
+      (1L, (1 to 20).map(i => f"a$i%03d").mkString(" ")),
+      (2L, (1 to 20).map(i => f"b$i%03d").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.substringDups(distinctDocs).isEmpty)
+    assert(Dedup.substringDupStats(distinctDocs).isEmpty)
+    assert(Dedup.substringScrub(distinctDocs).where(col("n_removed") =!= 0L).isEmpty)
+  }
+
   test("bucketed as-of join: a hot key splits across time buckets, result identical") {
     import graft.operators.Analytics
     // one pathological user: 100k purchases interleaved with 100k clicks,
