@@ -558,8 +558,12 @@ object Dedup {
   }
 
   def substringDups(docs: DataFrame, anchorLen: Int = AnchorLen,
+      maxOcc: Int = MaxAnchorOcc, minLen: Int = MinExtent): DataFrame =
+    substringDupsFromAnchors(anchorFrame(docs, anchorLen), anchorLen, maxOcc, minLen)
+
+  /** [[substringDups]] from a precomputed [[anchorFrame]] artifact. */
+  def substringDupsFromAnchors(anch: DataFrame, anchorLen: Int = AnchorLen,
       maxOcc: Int = MaxAnchorOcc, minLen: Int = MinExtent): DataFrame = {
-    val anch = anchorFrame(docs, anchorLen)
     val kept = anch.join(anchorSurvivors(anch, maxOcc), "h")
     val cand = kept.select(col("doc_id").as("doc_a"), col("pos").as("pa"), col("h"))
       .join(kept.select(col("doc_id").as("doc_b"), col("pos").as("pb"), col("h")), "h")

@@ -333,6 +333,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "no slice-2 doc matched the accepted corpus; incremental path untested")
   }
 
+  test("streaming substring screen: end state equals a slice-by-slice batch replay") {
+    import graft.operators.Dedup
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    val cut = 250L
+    val slices = Seq(docsAll.where(col("doc_id") < cut),
+      docsAll.where(col("doc_id") >= cut))
+    val src = tmp("ssub-src")
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = tmp(s"ssub-slice$i")
+      s.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(f"slice_$i%03d.parquet"))
+    }
+    val ss = new graft.streaming.StreamingSubstring(
+      tmp("ssub-art").toString, tmp("ssub-out").toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val batches = ss.screenAvailable(spark, stream, tmp("ssub-ckpt").toString)
+    assert(batches >= 2, s"expected one batch per slice, got $batches")
+    val got = ss.verdicts(spark).get.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+
+    // batch replay of the same greedy-sequential policy
+    var accAnch: Option[org.apache.spark.sql.DataFrame] = None
+    val want = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    for (s <- slices) {
+      val anch = Dedup.anchorFrame(s)
+      val fromCorpus = accAnch.map(Dedup.crossSubstringDups(_, anch))
+      val inner = Dedup.substringDupsFromAnchors(anch)
+      val ext = fromCorpus.map(_.unionByName(inner)).getOrElse(inner)
+      val stats = Dedup.substringDupStatsFrom(s, ext)
+      val verdicts = s.select("doc_id")
+        .join(stats.select(col("doc_id"), col("dup_frac"), col("dropped")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"),
+          (!coalesce(col("dropped"), lit(false))).as("accepted"))
+      want ++= verdicts.collect().map(_.toSeq)
+      val acc = anch.join(verdicts.where(col("accepted")).select("doc_id"), "doc_id")
+      accAnch = Some(accAnch.map(_.unionByName(acc)).getOrElse(acc)
+        .localCheckpoint(true))
+    }
+    val wantSorted = want.sortBy(_(0).asInstanceOf[Long]).toSeq
+    assert(got.nonEmpty && got === wantSorted,
+      "streaming substring screen diverges from the batch replay")
+    // non-vacuity: rejections exist, and slice 2 saw nonzero coverage
+    // against the accepted slice-1 corpus (the incremental path)
+    assert(got.exists(r => !r(2).asInstanceOf[Boolean]),
+      "nothing rejected; test is vacuous")
+    assert(got.exists(r => r(0).asInstanceOf[Long] >= cut &&
+      r(1).asInstanceOf[Double] > 0.0),
+      "no slice-2 doc matched the accepted corpus; incremental path untested")
+  }
+
   test("streaming resume: a second AvailableNow run over the same checkpoint reprocesses nothing") {
     val source = tmp("stream-src2")
     writeTimeSlicedSource(source, 2)
