@@ -4,9 +4,14 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline (builder brief
-  * "Deduplication"; SURVEY.md §2.11): exact content-hash dedup and
+  * "Deduplication"; SURVEY.md §2.11): exact content-hash dedup,
   * MinHash-LSH banded near-duplicate detection with exact n-gram Jaccard
-  * confirmation on the candidate pairs.
+  * confirmation, transitive duplicate clustering (star-contraction
+  * connected components, incremental maintenance), benchmark
+  * decontamination, and the ExactSubstr family (verbatim shared-extent
+  * detection, per-doc duplicated-coverage drop lists, span scrubbing,
+  * cross-corpus screening) — each consumable from persisted
+  * signature/shingle/anchor artifacts.
   *
   * The 100 TB shape, end to end:
   *  - signatures are PER-ROW array expressions (map-only, no shuffle);
