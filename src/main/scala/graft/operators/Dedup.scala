@@ -839,6 +839,49 @@ object Dedup {
        |FROM norm n LEFT JOIN cleaned c ON c.doc_id = n.doc_id""".stripMargin
   }
 
+  /** Per-source curation report: for each document source, how many
+    * docs the near-dup policy and the substring-coverage policy would
+    * each remove — the per-provenance dashboard a corpus owner reads
+    * before shipping (a source whose drop rate spikes is a scraper gone
+    * wrong or a mirror re-crawled). Takes the two drop lists as frames
+    * (typically derived from the persisted pair/extent artifacts — see
+    * the x42 registration), so the report itself is two broadcast-size
+    * joins + one aggregate, no corpus re-hash. */
+  def sourceDropReport(docs: DataFrame, nearDupDrops: DataFrame,
+      substringDrops: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .join(nearDupDrops.select(col("doc_id")).distinct()
+        .withColumn("nd", lit(1)), Seq("doc_id"), "left")
+      .join(substringDrops.select(col("doc_id")).distinct()
+        .withColumn("sd", lit(1)), Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when(col("nd") === 1, 1L).otherwise(0L)).as("neardup_dropped"),
+        sum(when(col("sd") === 1, 1L).otherwise(0L)).as("substring_dropped"))
+
+  /** [[sourceDropReport]] oracle with the drop lists derived in SQL
+    * (near-dup pairs at `minJaccard`, substring coverage at the default
+    * thresholds), generated from the same constants. */
+  def sourceDropReportSql(minJaccard: Double): String =
+    s"""WITH nd AS (
+       |  SELECT DISTINCT doc_b AS doc_id FROM (
+       |${nearDupPairsSql(minJaccard)}
+       |  )
+       |), sub AS (
+       |  SELECT doc_id FROM (
+       |${substringDupStatsSql()}
+       |  ) WHERE dropped
+       |)
+       |SELECT d.source AS source, count(*) AS docs,
+       |  CAST(sum(CASE WHEN nd.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS neardup_dropped,
+       |  CAST(sum(CASE WHEN sub.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS substring_dropped
+       |FROM documents d
+       |LEFT JOIN nd ON nd.doc_id = d.doc_id
+       |LEFT JOIN sub ON sub.doc_id = d.doc_id
+       |GROUP BY d.source""".stripMargin
+
   // --- full curation pipeline (x16) ---------------------------------------
 
   /** The end-to-end corpus-curation pipeline as ONE composed plan —

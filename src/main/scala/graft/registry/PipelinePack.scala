@@ -128,6 +128,26 @@ object PipelinePack extends QueryPack {
         p => Dedup.substringDups(docs).write.mode("overwrite").parquet(p))
       Dedup.substringScrubFrom(docs, s.read.parquet(ext)).orderBy("doc_id")
     }),
+    // per-source drop dashboard: both policies' drop lists derived from
+    // the persisted pair/extent artifacts (the near-dup list filters the
+    // 0.5-threshold pair artifact at DedupJaccard — it contains every
+    // higher-threshold pair), so the report re-hashes nothing
+    "x42_source_drop_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = snapshotArtifact(dir, "documents.parquet",
+        "neardup_pairs.parquet", PairJaccard)(
+        p => Dedup.nearDupPairs(docs, PairJaccard)
+          .write.mode("overwrite").parquet(p))
+      val ext = snapshotArtifact(dir, "documents.parquet", "sub_extents.parquet",
+        Dedup.AnchorLen, Dedup.MaxAnchorOcc, Dedup.MinExtent)(
+        p => Dedup.substringDups(docs).write.mode("overwrite").parquet(p))
+      Dedup.sourceDropReport(docs,
+        s.read.parquet(pairs).where(col("jaccard") >= DedupJaccard)
+          .select(col("doc_b").as("doc_id")),
+        Dedup.substringDupStatsFrom(docs, s.read.parquet(ext))
+          .where(col("dropped")).select("doc_id"))
+        .orderBy("source")
+    }),
     // cross-corpus substring screening: new-crawl (odd ids) text checked
     // verbatim against the existing snapshot (even ids) purely via the
     // two persisted anchor artifacts — neither corpus's text re-read
@@ -370,6 +390,8 @@ object PipelinePack extends QueryPack {
         "\nORDER BY doc_a, doc_b, a_start, b_start"),
     "x40_substring_scrub" ->
       (Dedup.substringScrubSql() + "\nORDER BY doc_id"),
+    "x42_source_drop_report" ->
+      (Dedup.sourceDropReportSql(DedupJaccard) + "\nORDER BY source"),
     "x4_term_freq" -> (TextOps.termFrequenciesSql + "\nORDER BY lang, token"),
     "x5_lang_id" -> (TextOps.languageIdSql + "\nORDER BY doc_id"),
     "x33_lang_confusion" ->
