@@ -214,8 +214,15 @@ object Analytics {
     val l = left.select(col("user_id"), col("ts"), lit(1).as("side"),
       col("event_id").as("l_id"),
       lit(null).cast("long").as("r_id0"), lit(null).cast("timestamp").as("r_ts0"))
+    // NULL ts → the sentinel FIRST bucket, not a NULL bucket the inner
+    // equi-join below would drop: [[asOfJoin]]'s single window sorts
+    // NULL-ts rows first (nulls-first ordering), so they see only other
+    // NULL-ts rows before them — bucketing them together below
+    // Long.MinValue/…+carry reproduces exactly that order, keeping the
+    // two variants row-identical even on NULL-ts input (spec-pinned).
     val uni = r.unionByName(l)
-      .withColumn("bucket", floor(unix_micros(col("ts")) / bucketMicros))
+      .withColumn("bucket", when(col("ts").isNull, lit(Long.MinValue))
+        .otherwise(floor(unix_micros(col("ts")) / bucketMicros)))
     val w = Window.partitionBy("user_id", "bucket")
       .orderBy(col("ts"), col("side"), col("r_id0"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -259,9 +266,12 @@ object Analytics {
 
   /** Exact + approximate (HLL) distinct cardinality per key. The approx
     * path is the 100 TB one: constant memory per key vs a full shuffle of
-    * distinct values. */
-  def distinctCardinality(df: DataFrame, keyCol: String, distinctCol: String): DataFrame =
+    * distinct values. `rsd` is HLL++'s target relative standard
+    * deviation (Spark default 0.05; tighter costs more registers, still
+    * constant per key). */
+  def distinctCardinality(df: DataFrame, keyCol: String, distinctCol: String,
+      rsd: Double = 0.05): DataFrame =
     df.groupBy(keyCol).agg(
       countDistinct(col(distinctCol)).as("exact_distinct"),
-      approx_count_distinct(col(distinctCol)).as("approx_distinct"))
+      approx_count_distinct(col(distinctCol), rsd).as("approx_distinct"))
 }

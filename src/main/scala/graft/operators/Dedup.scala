@@ -120,6 +120,21 @@ object Dedup {
        |SELECT doc_id, $cols FROM sigs""".stripMargin
   }
 
+  /** Band buckets with more members than this are dropped BEFORE the
+    * candidate self-join — the [[MaxAnchorOcc]] frequency band applied to
+    * MinHash banding. Without it, m near-identical docs (a template plus
+    * a unique footer — routine in web crawls) share band keys and
+    * generate m²/2 candidate pairs: the quadratic cliff a 100× scale-up
+    * falls off. With the cap, candidates are bounded at Σ occ² ≤
+    * maxBucket·|band rows|. The trade is recall on boilerplate
+    * super-clusters (a >maxBucket bucket IS near-certain boilerplate —
+    * the same argument as the anchor cap); exact-duplicate collapse of
+    * such cliques belongs to [[exactDedup]], which is cap-free. Buckets
+    * with a single member are dropped too (they cannot pair), so the
+    * join's input is only the genuinely pairable sliver. Mirrored in the
+    * oracle chain ([[nearDupCtes]]/[[crossCorpusPairsSql]]). */
+  val MaxBandBucket = 32
+
   /** Banded LSH candidate pairs with exact shingle-Jaccard confirmation:
     * docs sharing ANY band's full signature slice become a candidate;
     * candidates then get exact |A∩B|/|A∪B| over their shingle sets.
@@ -156,6 +171,31 @@ object Dedup {
       .select(col("doc_id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
 
+  /** (band, bkey) buckets with occupancy in [2, maxBucket] over `all` —
+    * one hash-aggregate with map-side partial combine (what shuffles is
+    * ≈ one row per distinct bucket, not per occurrence), exactly the
+    * [[anchorSurvivors]] shape. Counted over the FULL band population a
+    * candidate join will draw from (for the cross-corpus path that is
+    * A ∪ B, so boilerplate is capped wherever it lives). */
+  private def bucketSurvivors(all: DataFrame, maxBucket: Int): DataFrame =
+    all.groupBy("band", "bkey").agg(count(lit(1)).as("occ"))
+      .where(col("occ").between(2, maxBucket))
+      .select("band", "bkey")
+
+  /** Within-corpus candidate pairs from a signature frame, with the
+    * bucket-occupancy cap applied (package-visible so the clique-blowup
+    * spec can count candidates directly). */
+  private[graft] def bandCandidates(sigs: DataFrame,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
+    val bands = bandFrame(sigs)
+    val kept = bands.join(bucketSurvivors(bands, maxBucket), Seq("band", "bkey"))
+    kept.as("a").join(kept.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** Candidate pairs → exact shingle-Jaccard confirmation (shared tail
     * of the within- and cross-corpus pair operators). */
   private def confirmJaccard(cand: DataFrame, shA: DataFrame, shB: DataFrame,
@@ -171,22 +211,15 @@ object Dedup {
   }
 
   def nearDupPairsFrom(sigs: DataFrame, withSh: DataFrame,
-      minJaccard: Double = 0.0): DataFrame = {
-    val bands = bandFrame(sigs)
-    // no join hints here, deliberately (measured): at fixture scale the
-    // planner broadcasts the band/shingle sides, which re-derives the
-    // signature subtree (when `sigs` is not materialized) but skips a
-    // shuffle — faster. At corpus scale those sides exceed the broadcast
-    // threshold, and size-based planning flips to shuffled joins whose
-    // identical band exchanges then dedupe via ReusedExchange.
-    // Hard-pinning either shape lost ~70% wall time at sf0.1.
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    confirmJaccard(cand, withSh, withSh, minJaccard)
-  }
+      minJaccard: Double = 0.0): DataFrame =
+    // no join hints in the candidate join, deliberately (measured): at
+    // fixture scale the planner broadcasts the band/shingle sides, which
+    // re-derives the signature subtree (when `sigs` is not materialized)
+    // but skips a shuffle — faster. At corpus scale those sides exceed
+    // the broadcast threshold, and size-based planning flips to shuffled
+    // joins whose identical band exchanges then dedupe via
+    // ReusedExchange. Hard-pinning either shape lost ~70% wall at sf0.1.
+    confirmJaccard(bandCandidates(sigs), withSh, withSh, minJaccard)
 
   /** Cross-corpus near-duplicate pairs: corpus B documents that
     * near-duplicate a corpus A document — the "dedup the new crawl
@@ -200,7 +233,12 @@ object Dedup {
     * artifacts are joined. Returns (doc_a ∈ A, doc_b ∈ B, jaccard). */
   def crossCorpusPairs(sigsA: DataFrame, shA: DataFrame,
       sigsB: DataFrame, shB: DataFrame, minJaccard: Double): DataFrame = {
-    val cand = bandFrame(sigsA).as("a").join(bandFrame(sigsB).as("b"),
+    val (ba, bb) = (bandFrame(sigsA), bandFrame(sigsB))
+    // occupancy counted over A ∪ B — a bucket that is rare in the new
+    // crawl but boilerplate across the existing corpus is still capped
+    val surv = bucketSurvivors(ba.union(bb), MaxBandBucket)
+    val cand = ba.join(surv, Seq("band", "bkey")).as("a")
+      .join(bb.join(surv, Seq("band", "bkey")).as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
@@ -244,27 +282,42 @@ object Dedup {
        |  FROM cand JOIN shs x ON x.doc_id = doc_a JOIN shs y ON y.doc_id = doc_b
        |)""".stripMargin
 
-  /** Shared CTE chain for the DuckDB oracle (signatures → bands → pairs →
-    * jaccard), generated from the same constants as the Spark side. */
+  /** Shared CTE chain for the DuckDB oracle (signatures → bands →
+    * bucket cap → pairs → jaccard), generated from the same constants as
+    * the Spark side ([[MaxBandBucket]] mirrors [[bucketSurvivors]]). */
   private def nearDupCtes: String =
     s"""$sigCtesSql, bands AS (
        |    ${bandSelectsSql()}
+       |), bsurv AS (
+       |  SELECT band, bkey FROM (
+       |    SELECT band, bkey, count(*) AS occ FROM bands GROUP BY band, bkey)
+       |  WHERE occ BETWEEN 2 AND $MaxBandBucket
+       |), kept AS (
+       |  SELECT k.doc_id, k.band, k.bkey FROM bands k JOIN bsurv USING (band, bkey)
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM kept a JOIN kept b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
        |), $pairsCteSql""".stripMargin
 
   /** [[crossCorpusPairs]] oracle: the same chain with the band sides
-    * split by corpus predicates over doc_id. */
+    * split by corpus predicates over doc_id; the bucket cap counts
+    * occupancy over A ∪ B, exactly like the engine side. */
   def crossCorpusPairsSql(predA: String, predB: String, minJaccard: Double): String =
     s"""$sigCtesSql, bands_a AS (
        |    ${bandSelectsSql(predA)}
        |), bands_b AS (
        |    ${bandSelectsSql(predB)}
+       |), bsurv AS (
+       |  SELECT band, bkey FROM (
+       |    SELECT band, bkey, count(*) AS occ FROM (
+       |      SELECT * FROM bands_a UNION ALL SELECT * FROM bands_b)
+       |    GROUP BY band, bkey)
+       |  WHERE occ BETWEEN 2 AND $MaxBandBucket
        |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands_a a JOIN bands_b b
+       |  FROM (SELECT k.* FROM bands_a k JOIN bsurv USING (band, bkey)) a
+       |  JOIN (SELECT k.* FROM bands_b k JOIN bsurv USING (band, bkey)) b
        |    ON a.band = b.band AND a.bkey = b.bkey
        |), $pairsCteSql
        |SELECT doc_a, doc_b, jaccard FROM pairs
@@ -342,6 +395,45 @@ object Dedup {
 
   // --- duplicate clusters (x26): connected components ---------------------
 
+  /** The eager-build family's lineage-truncation point. Default (None):
+    * `localCheckpoint` — executor-local blocks, fastest, NOT
+    * fault-tolerant on a real cluster (a lost executor loses the blocks
+    * and the job fails back to square one). With `Some(dir)`: a RELIABLE
+    * checkpoint — the RDD is persisted under `dir` (put it on the
+    * cluster's shared store: HDFS/S3), so round state survives executor
+    * loss; the price is one write+read of the frame per round. Results
+    * are identical either way (CheckpointSpec pins it). */
+  private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+    checkpointDir match {
+      case None => df.localCheckpoint(true)
+      case Some(dir) =>
+        df.sparkSession.sparkContext.setCheckpointDir(dir)
+        df.checkpoint(true)
+    }
+
+  /** One large-star / small-star half-round (Kiveris et al.) over an
+    * edge frame (u, v) — package-visible so StarSpec can pin its plan
+    * shape (no CollectSet aggregate). */
+  private[graft] def starContraction(e: DataFrame, large: Boolean): DataFrame = {
+    // symmetrize via a 2-struct explode, not a self-union with swapped
+    // columns (one pass; and a Union whose right side re-aliases the
+    // left's own attributes trips Catalyst's constraint rewriting)
+    val sym = e.select(explode(array(
+        struct(col("u"), col("v")),
+        struct(col("v").as("u"), col("u").as("v")))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
+    val mins = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    val g = sym.join(mins, "u") // (u, v, m): per-row memory, any hub degree
+    val emitted =
+      if (large) g.where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      else g.where(col("v") < col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(g.select(col("u"), col("m").as("v")))
+    emitted.where(col("u") =!= col("v")).distinct()
+  }
+
   /** Transitive duplicate clusters over a confirmed near-dup pair graph:
     * `(doc_id, cluster_id)` for every doc appearing in a pair, where
     * `cluster_id` is the minimum doc_id of its connected component.
@@ -359,43 +451,38 @@ object Dedup {
     * provably contracts to per-component stars rooted at the minimum in
     * O(log² n) rounds — independent of graph DIAMETER, which is what
     * kills naive label propagation on chain-shaped dup graphs at corpus
-    * scale. The driver holds only a round counter; `localCheckpoint`
-    * truncates lineage each round so plan size stays constant (on a
-    * cluster, a reliable checkpoint dir does the same job). */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    def star(e: DataFrame, large: Boolean): DataFrame = {
-      // symmetrize via a 2-struct explode, not a self-union with swapped
-      // columns (one pass; and a Union whose right side re-aliases the
-      // left's own attributes trips Catalyst's constraint rewriting)
-      val sym = e.select(explode(array(
-          struct(col("u"), col("v")),
-          struct(col("v").as("u"), col("u").as("v")))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
-      val g = sym
-        .groupBy("u").agg(min("v").as("mn"), collect_set("v").as("nbrs"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"),
-          explode(col("nbrs")).as("v"))
-      val emitted =
-        if (large) g.where(col("v") > col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-        else g.where(col("v") < col("u"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .union(g.select(col("u"), col("m").as("v")))
-      emitted.where(col("u") =!= col("v")).distinct()
-    }
+    * scale. The driver holds only a round counter; the [[materialize]]
+    * point truncates lineage each round so plan size stays constant
+    * (executor-local blocks by default; pass `checkpointDir` for the
+    * fault-tolerant path on a real cluster). */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // Each star half-round: min-per-node aggregate, then JOIN the min
+    // back to the symmetrized edges — never groupBy+collect_set+explode,
+    // which materializes a node's whole neighborhood in ONE aggregation
+    // buffer: a boilerplate hub (one doc near-duplicated 10⁶ times at
+    // 100 TB) would put a 10⁶-element set into a single task — the
+    // classic skewed-collect_set OOM. The join-back form is two shuffles
+    // instead of one, but both hash on `u`, so the exchange is planned
+    // once and reused; per-task memory is per-ROW, hub-degree-
+    // independent. (StarSpec pins the plan: no CollectSet node, and a
+    // 10⁵-degree star contracts in one round.)
+    // package-visible as [[starContraction]] for the plan-pin spec
     // seed in the star-canonical orientation (node → SMALLER partner):
     // star rounds emit (child, smaller-parent) edges, so a (small, large)
     // seed burns an extra contraction round just reorienting (measured
     // 2.3× on the loop at sf0.1)
-    val seed = pairs
+    val seed = materialize(pairs
       .select(greatest(col("doc_a"), col("doc_b")).cast("long").as("u"),
         least(col("doc_a"), col("doc_b")).cast("long").as("v"))
-      .where(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .where(col("u") =!= col("v")).distinct(), checkpointDir)
     var edges = seed
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = star(star(edges, large = true), large = false).localCheckpoint(true)
+      val next = materialize(
+        starContraction(starContraction(edges, large = true), large = false),
+        checkpointDir)
       // edge-set equality, not a checksum: a false "converged" would
       // silently mislabel clusters. Both sides are distinct (star ends
       // in .distinct()) and checkpointed, so equality ⟺ empty symmetric
@@ -433,7 +520,7 @@ object Dedup {
     * joint minimum, exactly as a full recompute would (spec-pinned:
     * ≡ [[duplicateClusters]] over the union of all pair sets). */
   def duplicateClustersIncremental(prevLabels: DataFrame,
-      newPairs: DataFrame): DataFrame = {
+      newPairs: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
     val starEdges = prevLabels.where(col("doc_id") =!= col("cluster_id"))
       .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"),
         lit(1.0).as("jaccard"))
@@ -441,7 +528,8 @@ object Dedup {
     // nodes afterwards so previously-labeled docs never vanish
     val out = duplicateClusters(
       starEdges.unionByName(newPairs.select(
-        col("doc_a"), col("doc_b"), col("jaccard"))))
+        col("doc_a"), col("doc_b"), col("jaccard"))),
+      checkpointDir = checkpointDir)
     prevLabels.select(col("doc_id"))
       .join(out, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
@@ -527,10 +615,11 @@ object Dedup {
     * construction (localCheckpoint — the x26 eager-build exception):
     * every consumer reads it at least twice, and without the checkpoint
     * each branch re-runs the scan→kernel chain (measured 12.9 s vs 3 s
-    * at sf0.1). On a cluster a reliable checkpoint / persisted parquet
-    * artifact does the same job. */
-  def anchorFrame(docs: DataFrame, anchorLen: Int = AnchorLen): DataFrame =
-    docs.select(col("doc_id"), normText(col("text")).as("t"))
+    * at sf0.1). On a cluster pass `checkpointDir` to route through a
+    * reliable checkpoint instead ([[materialize]]). */
+  def anchorFrame(docs: DataFrame, anchorLen: Int = AnchorLen,
+      checkpointDir: Option[String] = None): DataFrame =
+    materialize(docs.select(col("doc_id"), normText(col("text")).as("t"))
       .where(length(col("t")) >= anchorLen)
       .select(col("doc_id"),
         // fused kernel: one digest loop per row over one byte buffer —
@@ -538,8 +627,7 @@ object Dedup {
         // BigInteger conv) costs ~1.4 µs × |corpus chars|
         posexplode(graft.functions.TextKernels.anchorHashes(col("t"), anchorLen))
           .as(Seq("i", "h")))
-      .select(col("doc_id"), (col("i") + 1).as("pos"), col("h"))
-      .localCheckpoint(true)
+      .select(col("doc_id"), (col("i") + 1).as("pos"), col("h")), checkpointDir)
 
   /** Anchors whose total occurrence count is in [2, maxOcc] — the
     * frequency band shared by the within- and cross-corpus paths. */

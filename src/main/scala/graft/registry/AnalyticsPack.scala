@@ -79,9 +79,19 @@ object AnalyticsPack extends QueryPack {
       Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id")
         .select(col("event_type"), col("exact_distinct"))
         .orderBy("event_type")),
-    // HLL estimate differs from any exact oracle by design → rows-only check
+    // Error-BOUND registration, not a rows-only hole: the HLL estimate
+    // itself can't be mirrored in DuckDB, but its 5% accuracy contract
+    // CAN — emit (key, exact, |approx−exact|/exact ≤ 0.05) and let the
+    // oracle assert the bound holds (its side is trivially TRUE; a
+    // drifting HLL flips the Spark side to false → hash-red). rsd=0.01
+    // sizes the sketch so the 5% check isn't riding the default sketch's
+    // own 5% std-dev edge.
     "u2_approx_distinct" -> ((s, dir) =>
-      Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id")
+      Analytics.distinctCardinality(Tables.events(s, dir), "event_type", "user_id",
+          rsd = 0.01)
+        .select(col("event_type"), col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct"))
+            <= col("exact_distinct").cast("double") * 0.05).as("within_5pct"))
         .orderBy("event_type")),
     "u3_value_quantiles" -> ((s, dir) =>
       Analytics.valueQuantiles(Tables.events(s, dir), "event_type", "value")
@@ -225,6 +235,13 @@ object AnalyticsPack extends QueryPack {
         |ORDER BY l_id""".stripMargin,
     "u1_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the oracle's bound-check is trivially TRUE (exact vs exact); the
+    // Spark side computes it against the real HLL estimate — the hash
+    // compare IS the error-bound assertion
+    "u2_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+        |  TRUE AS within_5pct
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "u3_value_quantiles" ->
       """SELECT event_type,

@@ -33,10 +33,22 @@ object PipelinePack extends QueryPack {
     * bits, so the artifact-fed codebook is bit-identical to a fresh
     * training run (and hence to the oracle's unrolled k-means). Atomic
     * rename publish, same scheme as x18's signature artifacts. */
+  /** Collision-resistant cache key: SHA-256 over the literal key
+    * components (NUL-joined), not a 32-bit tuple hashCode — a hashCode
+    * collision across snapshots would silently feed a stale artifact
+    * into correctness-checked queries. File size joins mtime in the key
+    * so a fixture rewritten within the filesystem's mtime granularity
+    * still misses the cache. */
+  private def artifactKey(parts: Any*): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(parts.mkString("\u0000").getBytes("UTF-8"))
+      .take(12).map("%02x".format(_)).mkString
+
   private def codebookFor(s: SparkSession, dir: String): Seq[Seq[Double]] = {
-    val mtime = new java.io.File(s"$dir/embeddings.parquet").lastModified()
-    val key = Integer.toHexString((dir, mtime, VectorOps.NumCentroids,
-      VectorOps.KMeansIters, VectorOps.KMeansGrid, VectorOps.Dim).hashCode())
+    val fx = new java.io.File(s"$dir/embeddings.parquet")
+    val key = artifactKey(dir, fx.lastModified(), fx.length(),
+      VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.KMeansGrid,
+      VectorOps.Dim)
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_codebook_$key.txt")
     if (f.exists()) {
@@ -63,8 +75,8 @@ object PipelinePack extends QueryPack {
     * the winner's output. */
   private def snapshotArtifact(dir: String, fixture: String, name: String,
       keyParts: Any*)(build: String => Unit): String = {
-    val mtime = new java.io.File(s"$dir/$fixture").lastModified()
-    val key = Integer.toHexString((dir, mtime, keyParts.toList).hashCode())
+    val fx = new java.io.File(s"$dir/$fixture")
+    val key = artifactKey((Seq(dir, fx.lastModified(), fx.length()) ++ keyParts): _*)
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_artifacts_$key")
     val target = new java.io.File(base, name)

@@ -73,4 +73,86 @@ object JdbcSource {
     * expects them from `graph.index_documents`. */
   def envelope(spark: SparkSession, cfg: JdbcConfig): DataFrame =
     reader(spark, cfg).load()
+
+  /** Tolerant JDBC write-back — the WRITE side of the reference's sink
+    * (flows/main_flow.py:413-422: `streaming_bulk` with
+    * `raise_on_error=False`, collecting per-record failures instead of
+    * failing the batch), over JDBC: INSERT `df`'s rows into `cfg.table`
+    * in bounded `executeBatch` chunks. A row the DATABASE rejects (a
+    * constraint violation — the JDBC analog of a per-document bulk
+    * error) is re-routed to `rejectTable` (same columns plus a
+    * `graft_err VARCHAR` tail) instead of failing the write: the failed
+    * chunk rolls back and replays row-by-row, so one poison row costs
+    * one extra pass over its chunk, never a task retry. Returns the
+    * number of quarantined rows.
+    *
+    * Scale shape: genuinely per-partition imperative work (the one
+    * legitimate RDD case) — each partition opens ONE connection and
+    * streams its rows through a prepared statement in `batchSize`
+    * chunks under explicit transactions; nothing returns to the driver
+    * but one count per partition. Executed end-to-end against embedded
+    * Derby in JdbcSourceSpec (poison row quarantined, batch survives). */
+  def writeTolerant(df: DataFrame, cfg: JdbcConfig, rejectTable: String,
+      batchSize: Int = 100): Long = {
+    val fields = df.schema.fieldNames
+    val n = fields.length
+    val insertSql = s"INSERT INTO ${cfg.table} (${fields.mkString(", ")})" +
+      s" VALUES (${Array.fill(n)("?").mkString(", ")})"
+    val rejectSql = s"INSERT INTO $rejectTable (${fields.mkString(", ")}, graft_err)" +
+      s" VALUES (${Array.fill(n + 1)("?").mkString(", ")})"
+    val (url, user, password, driver) = (cfg.url, cfg.user, cfg.password, cfg.driver)
+    df.rdd.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator(0L)
+      else {
+        // DriverManager discovers drivers via SPI; explicit registration
+        // only matters for drivers not packaged as services
+        try Class.forName(driver) catch { case _: Throwable => () }
+        val props = new java.util.Properties()
+        props.setProperty("user", user)
+        props.setProperty("password", password)
+        val conn = java.sql.DriverManager.getConnection(url, props)
+        var rejected = 0L
+        try {
+          conn.setAutoCommit(false)
+          val ins = conn.prepareStatement(insertSql)
+          val rej = conn.prepareStatement(rejectSql)
+          def bind(ps: java.sql.PreparedStatement, r: org.apache.spark.sql.Row): Unit = {
+            var i = 0
+            while (i < n) { ps.setObject(i + 1, r.get(i)); i += 1 }
+          }
+          val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row](batchSize)
+          def flush(): Unit = if (buf.nonEmpty) {
+            try {
+              buf.foreach { r => bind(ins, r); ins.addBatch() }
+              ins.executeBatch()
+              conn.commit()
+            } catch {
+              case _: java.sql.SQLException =>
+                // the chunk had at least one poison row: undo any partial
+                // batch effects, then replay row-by-row to isolate it
+                ins.clearBatch()
+                conn.rollback()
+                buf.foreach { r =>
+                  try { bind(ins, r); ins.executeUpdate(); conn.commit() }
+                  catch {
+                    case e: java.sql.SQLException =>
+                      conn.rollback()
+                      bind(rej, r)
+                      rej.setString(n + 1, (String.valueOf(e.getSQLState) + ": " +
+                        String.valueOf(e.getMessage)).take(200))
+                      rej.executeUpdate()
+                      conn.commit()
+                      rejected += 1
+                  }
+                }
+            }
+            buf.clear()
+          }
+          rows.foreach { r => buf += r; if (buf.size >= batchSize) flush() }
+          flush()
+        } finally conn.close()
+        Iterator(rejected)
+      }
+    }.sum().toLong
+  }
 }

@@ -35,7 +35,11 @@ import org.apache.spark.sql.streaming.Trigger
   * (flat executor memory at any stream length).
   */
 class StreamingSubstring(artifactDir: String, outDir: String,
-    dropFrac: Double = Dedup.DupDropFrac) {
+    dropFrac: Double = Dedup.DupDropFrac,
+    // routes the per-batch anchor materialization through a reliable
+    // checkpoint (Dedup.materialize): set on a real cluster so a lost
+    // executor cannot lose the batch's anchor blocks mid-screen
+    reliableCheckpointDir: Option[String] = None) {
 
   private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
 
@@ -61,7 +65,8 @@ class StreamingSubstring(artifactDir: String, outDir: String,
     val spark = batch.sparkSession
     val docs = batch.select("doc_id", "text").persist()
     try {
-      val anch = Dedup.anchorFrame(docs) // materialized (localCheckpoint)
+      val anch = Dedup.anchorFrame(docs, // materialized (Dedup.materialize)
+        checkpointDir = reliableCheckpointDir)
       val fromCorpus = corpusAnchors(spark) match {
         case Some(cAnch) => Dedup.crossSubstringDups(cAnch, anch)
         case None => emptyExtents(spark)

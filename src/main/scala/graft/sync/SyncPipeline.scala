@@ -92,16 +92,20 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
   private def writeStaged(name: String, df: DataFrame): Long =
     validity match {
       case Some(_) => writeStagedTolerant(name, df)
-      case None =>
-        writeChunk match {
-          case Some(start) =>
-            retry.withAdaptiveChunks(start, reconnectMs = 0L) { c =>
-              retry.retry(() => store.writePhysical(name, df, Some(c)))
-            }
-          case None =>
-            retry.retry(() => store.writePhysical(name, df, None))
+      case None => writeRaw(name, df); 0L
+    }
+
+  /** The validity-free physical write (chunked + retried) — for frames
+    * whose rows are already validated (e.g. [[insertInto]]'s old ∪
+    * screened-new union). */
+  private def writeRaw(name: String, df: DataFrame): Unit =
+    writeChunk match {
+      case Some(start) =>
+        retry.withAdaptiveChunks(start, reconnectMs = 0L) { c =>
+          retry.retry(() => store.writePhysical(name, df, Some(c)))
         }
-        0L
+      case None =>
+        retry.retry(() => store.writePhysical(name, df, None))
     }
 
   private val ValidKey = "_graft_valid"
@@ -157,10 +161,14 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     * the commit, so readers see the old or the new index, never a
     * partial append, and a failed insert leaves the live index
     * untouched. With a validity predicate configured, poison rows
-    * (false OR NULL) quarantine under the new physical's `_rejects_`
-    * dir instead of failing the insert — SQL writers get K1's
-    * per-record tolerance for free. The batch size is observed ON the
-    * write (no extra action on `df`).
+    * (false OR NULL) of the NEW BATCH quarantine under the new
+    * physical's `_rejects_` dir instead of failing the insert — SQL
+    * writers get K1's per-record tolerance for free. Already-published
+    * rows are never re-screened: validation happened at their own
+    * publish, and re-screening against a possibly-changed predicate
+    * would re-quarantine them on every append and corrupt the tally.
+    * The batch size is observed on the split's single pass over the
+    * new batch (or on the write itself when no validity is configured).
     *
     * Cost note: an append rewrites the index (O(index + batch)) — the
     * price of atomically-published SQL inserts over an immutable store.
@@ -185,21 +193,26 @@ class SyncPipeline(store: IndexStore, watermarks: WatermarkStore,
     // could otherwise plant rows in buckets the id-hash disagrees with
     def noBucket(d: DataFrame): DataFrame =
       if (d.columns.contains(store.BucketKey)) d.drop(store.BucketKey) else d
+    // the quarantine split screens ONLY the new batch: pre-published
+    // rows were validated at their own publish time — re-screening them
+    // against a (possibly changed) predicate would re-quarantine them on
+    // every append and corrupt the tally (upserts = n − rejects could
+    // undercount or go negative). The split's one count action runs over
+    // the new batch alone; the old rows ride along unvalidated.
+    val (goodNew, rejects) = quarantineSplit(noBucket(observed), physical)
     val combined =
-      if (overwrite) noBucket(observed)
-      else store.read(alias).map(c => noBucket(c).unionByName(noBucket(observed)))
-        .getOrElse(noBucket(observed))
+      if (overwrite) goodNew
+      else store.read(alias).map(c => noBucket(c).unionByName(goodNew))
+        .getOrElse(goodNew)
     // an alias served by a BUCKETED physical must stay bucketed across
     // an insert: a flat replacement would silently break the next
     // in-place merge (which prunes on the bucket partition column).
     // The bucket count carries over; re-scaling stays rescaleBuckets'
     // job.
-    val rejects = prev.flatMap(store.bucketCountOf) match {
+    prev.flatMap(store.bucketCountOf) match {
       case Some(buckets) =>
-        val (good, rej) = quarantineSplit(combined, physical)
-        retry.retry(() => store.writePhysicalBucketed(physical, good, Id, buckets))
-        rej
-      case None => writeStaged(physical, combined)
+        retry.retry(() => store.writePhysicalBucketed(physical, combined, Id, buckets))
+      case None => writeRaw(physical, combined)
     }
     store.swapAlias(alias, physical)
     val n = obs.get.get("n").map(_.asInstanceOf[Long]).getOrElse(0L)

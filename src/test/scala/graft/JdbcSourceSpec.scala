@@ -95,4 +95,60 @@ class JdbcSourceSpec extends AnyFunSuite with SparkSpec {
       java.sql.Timestamp.valueOf("2024-01-01 01:00:00"))
     assert(late.count() === 60L)
   }
+
+  test("tolerant write-back quarantines constraint-violating rows, batch survives") {
+    // the reference's streaming_bulk write side (raise_on_error=False,
+    // flows/main_flow.py:413-422) executed over JDBC: a staged frame with
+    // poison rows (PK collisions) lands in Derby with the poison routed
+    // to the reject table — the batch never fails
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_w")
+      .resolve("db").toString
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE index_documents (
+          |  id BIGINT NOT NULL PRIMARY KEY,
+          |  idx VARCHAR(32),
+          |  document VARCHAR(256))""".stripMargin)
+      st.execute(
+        """CREATE TABLE rejected_documents (
+          |  id BIGINT,
+          |  idx VARCHAR(32),
+          |  document VARCHAR(256),
+          |  graft_err VARCHAR(256))""".stripMargin)
+      // one pre-published row the staged frame will collide with
+      st.execute("INSERT INTO index_documents VALUES (7, 'click', '{\"k\":7}')")
+    } finally conn.close()
+
+    val cfg = JdbcConfig(
+      url = url, table = "index_documents",
+      user = "app", password = "app",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      sessionInit = None)
+    // 60 rows across 3 partitions; ids 7 and 23 are poison (7 collides
+    // with the pre-published row, 23 is a WITHIN-batch duplicate pair —
+    // its first copy lands, the second quarantines)
+    val staged = (0L until 60L).map(i => (i, s"t$i", s"""{"k":$i}"""))
+      .toDF("id", "idx", "document")
+      .union(Seq((23L, "dup", "{}")).toDF("id", "idx", "document"))
+      .repartition(3)
+    val rejects = JdbcSource.writeTolerant(staged, cfg, "rejected_documents",
+      batchSize = 16)
+    assert(rejects === 2L)
+
+    // round-trip: read back through the same JDBC source path
+    val back = JdbcSource.envelope(spark, cfg.copy(partitionColumn = None))
+    assert(back.count() === 60L) // 59 staged + the pre-published id=7
+    assert(back.select("id").distinct().count() === 60L)
+    val rej = JdbcSource.envelope(spark,
+      cfg.copy(table = "rejected_documents", partitionColumn = None))
+    assert(rej.count() === 2L)
+    assert(rej.select("id").collect().map(_.getLong(0)).toSet === Set(7L, 23L))
+    // the quarantine carries the database's own error, not a blank
+    assert(rej.where(col("graft_err").isNull).count() === 0L)
+  }
 }

@@ -225,6 +225,8 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
       // and any common substring >= A yields a full-length diagonal run)
       if (lcs < A) got == 0 else got == lcs
     }
+
+  property("duplicate clusters equal driver union-find on random graphs") =
     Prop.forAll(Gen.listOfN(25, for {
       a <- Gen.choose(0L, 30L)
       b <- Gen.choose(0L, 30L)
