@@ -205,6 +205,12 @@ object PipelinePack extends QueryPack {
     "x12_embedding_neardup" -> ((s, dir) =>
       VectorOps.embeddingNearDups(Tables.embeddings(s, dir), MinCosine)
         .orderBy("vec_a", "vec_b")),
+    // SemDeDup: one representative per transitive embedding near-dup
+    // cluster (bucketed pairs → star-contraction CC; `WHERE kept` is
+    // the curated corpus)
+    "x43_semantic_dedup" -> ((s, dir) =>
+      VectorOps.semanticDedup(Tables.embeddings(s, dir), MinCosine)
+        .orderBy("vec_id")),
     // codebook fed from the per-snapshot artifact (training is index-build
     // work, run once per corpus snapshot — not per search); values are
     // bit-identical to a fresh trainedCentroids() run, so the unrolled
@@ -420,6 +426,8 @@ object PipelinePack extends QueryPack {
       (VectorOps.annTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x12_embedding_neardup" ->
       (VectorOps.embeddingNearDupsSql(MinCosine) + "\nORDER BY vec_a, vec_b"),
+    "x43_semantic_dedup" ->
+      (VectorOps.semanticDedupSql(MinCosine) + "\nORDER BY vec_id"),
     "x13_ivf_topk" ->
       (VectorOps.ivfTopKSql(QueryVecs, 5, nprobe = 2) + "\nORDER BY query_id, rn"),
     "x41_ivf_cell_stats" ->
