@@ -463,10 +463,15 @@ object Dedup {
     // buffer: a boilerplate hub (one doc near-duplicated 10⁶ times at
     // 100 TB) would put a 10⁶-element set into a single task — the
     // classic skewed-collect_set OOM. The join-back form is two shuffles
-    // instead of one, but both hash on `u`, so the exchange is planned
-    // once and reused; per-task memory is per-ROW, hub-degree-
-    // independent. (StarSpec pins the plan: no CollectSet node, and a
-    // 10⁵-degree star contracts in one round.)
+    // instead of one, both cheap in the way that matters (plan verified
+    // with broadcast disabled): the min side map-combines, so its
+    // exchange carries one (u, partial-min) row per node per mapper —
+    // never raw edges — and the final aggregate's output partitioning
+    // already satisfies the join, which re-shuffles nothing on that
+    // side; the raw edge side shuffles once. Per-task memory is
+    // per-ROW, hub-degree-independent. (ScaleShapeSpec pins the plan:
+    // no CollectSet node, and a 10⁵-degree star contracts in one
+    // round.)
     // package-visible as [[starContraction]] for the plan-pin spec
     // seed in the star-canonical orientation (node → SMALLER partner):
     // star rounds emit (child, smaller-parent) edges, so a (small, large)

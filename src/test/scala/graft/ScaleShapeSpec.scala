@@ -72,6 +72,31 @@ class ScaleShapeSpec extends AnyFunSuite with SparkSpec {
       bandsPerBucket.collect().map(_.toSeq).toSet)
   }
 
+  // --- semantic dedup: exact-duplicate clique collapse ----------------------
+
+  test("semanticDedup collapses an exact-duplicate clique before the bucket join") {
+    // 20k vectors but only 8 distinct values: the worst bucket-clique
+    // shape (identical docs → identical embeddings). The exact
+    // pre-collapse must hand the LSH join 8 members total — without it
+    // one bucket holds 2500+ copies and the join goes quadratic.
+    import graft.operators.VectorOps
+    val dim = VectorOps.Dim
+    val emb = spark.range(0, 20000).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        d => (pmod(col("id"), lit(8L)) + d.cast("long")).cast("float") / 100f)
+        .as("embedding"))
+    val mapping = VectorOps.exactCollapse(emb)
+    assert(mapping.where(col("vec_id") === col("rep0")).count() === 8L)
+    val labels = VectorOps.semanticDedup(emb, minCosine = 0.9999)
+    assert(labels.count() === 20000L)
+    // every vector labels to its value-group's minimum id (groups are
+    // id mod 8, and neighboring value-groups also clear the loose
+    // threshold only if cosine says so — at minimum the exact groups
+    // must be merged onto ids 0..7 or below)
+    assert(labels.where(col("rep_id") > col("vec_id")).count() === 0L)
+    assert(labels.where(col("kept")).count() <= 8L)
+  }
+
   // --- injectable reliable checkpoint --------------------------------------
 
   test("reliable-checkpoint path ≡ localCheckpoint path (clusters + anchors)") {

@@ -251,4 +251,71 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
         got == want
       }
     }
+
+  property("semantic dedup equals driver brute-force over bucketed cosine pairs") =
+    {
+      import graft.operators.VectorOps
+      val dim = VectorOps.Dim
+      // vector pool with deliberate EXACT copies (exercises the
+      // pre-collapse), jittered near-copies (intermediate cosines), an
+      // occasional zero vector (NaN-cosine singleton), and random
+      // near-orthogonal noise
+      val genBase: Gen[Vector[Float]] =
+        Gen.listOfN(dim, Gen.choose(-1f, 1f)).map(_.toVector)
+      val genVecs: Gen[List[Vector[Float]]] = for {
+        nBase <- Gen.choose(2, 4)
+        bases <- Gen.listOfN(nBase, genBase)
+        n <- Gen.choose(4, 14)
+        vecs <- Gen.listOfN(n, Gen.frequency(
+          3 -> Gen.oneOf(bases),
+          2 -> Gen.oneOf(bases).flatMap(b =>
+            Gen.choose(0, dim - 1).map(i => b.updated(i, b(i) + 0.01f))),
+          1 -> Gen.const(Vector.fill(dim)(0f)),
+          2 -> genBase))
+      } yield vecs
+      val planes = 2 // few buckets, several members each — misses ARE the spec
+      Prop.forAll(genVecs, Gen.oneOf(0.8, 0.95, 0.999)) { (vecs, minCos) =>
+        val emb = vecs.zipWithIndex
+          .map { case (v, i) => (i.toLong, v.toArray) }.toDF("vec_id", "embedding")
+        val got = VectorOps.semanticDedup(emb, minCos, numPlanes = planes)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        // driver replica of the declarative spec: float→double exact,
+        // sequential left-fold dot (the engine kernel's pinned order),
+        // HALF_UP 6-dp rounding, pairs only WITHIN a hyperplane bucket,
+        // union-find closure, min-id labels, NaN-cosine rows singleton
+        val dv = vecs.map(_.map(_.toDouble))
+        def dot(a: Vector[Double], b: Vector[Double]): Double =
+          a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+        val planeVs = VectorOps.planesFor(planes).map(_.toVector)
+        def bucket(v: Vector[Double]): Long =
+          planeVs.zipWithIndex.map { case (p, j) =>
+            if (dot(v, p) >= 0) 1L << j else 0L
+          }.sum
+        def cos6(a: Vector[Double], b: Vector[Double]): Double = {
+          val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+          if (c.isNaN) Double.NaN
+          else java.math.BigDecimal.valueOf(c)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        }
+        val n = dv.length
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        for (i <- 0 until n; j <- (i + 1) until n
+             if bucket(dv(i)) == bucket(dv(j))) {
+          val c = cos6(dv(i), dv(j))
+          if (!c.isNaN && c >= minCos) {
+            val (ri, rj) = (find(i.toLong), find(j.toLong))
+            if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+          }
+        }
+        val want = (0 until n).map { i =>
+          val rep = find(i.toLong)
+          (i.toLong, rep, rep == i.toLong)
+        }.toSet
+        got == want
+      }
+    }
 }
