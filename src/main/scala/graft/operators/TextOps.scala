@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline
@@ -512,6 +513,71 @@ object TextOps {
        |)
        |SELECT doc_id, n_tokens,
        |  round(-CAST(slp AS DOUBLE) / n_tokens, 6) AS bits_per_token
+       |FROM agg""".stripMargin
+
+  // --- bigram surprisal (x44) ---------------------------------------------
+
+  /** Bigram-LM surprisal per document: average bits per bigram,
+    * −(1/m)·Σ log₂ p(w₂|w₁), with the conditional estimated from the
+    * corpus's own bigram counts (c(w₁w₂)/c(w₁·)) — one model order up
+    * from [[unigramSurprisal]], and a materially sharper quality signal:
+    * a doc of individually-common tokens in implausible ORDER (shuffled
+    * text, keyword-stuffed spam, boilerplate splices) scores high here
+    * while the unigram model waves it through. Same CCNet-style use:
+    * keep the low/middle perplexity bands.
+    *
+    * Scale shape: bigram extraction is a per-doc window (`lead` over
+    * token position — partitions by doc, parallel across the corpus, no
+    * cross-doc traffic); the two count aggregates and the count-join
+    * shuffle on token keys, the same shape as any term-frequency pass.
+    * Per-bigram log-probs are rounded onto a 10⁻⁹ decimal grid before
+    * the per-doc sum — decimal addition is associative, so the result is
+    * independent of Spark's partial-aggregation order AND bit-identical
+    * to the oracle's (the x38 device). Docs with < 2 tokens have no
+    * bigrams and drop out, in both engines. */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumnRenamed("col", "token")
+    val big = tok
+      .withColumn("w2",
+        lead(col("token"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("token").as("w1"), col("w2"))
+    val pref = big.groupBy("w1").agg(count(lit(1)).as("np"))
+    val lp = big.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .join(pref, "w1")
+      .select(col("w1"), col("w2"),
+        round(log2(col("n") / col("np")), 9).cast("decimal(18,9)").as("lp"))
+    big.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp")).as("slp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(-col("slp").cast("double") / col("n_bigrams"), 6)
+          .as("bits_per_bigram"))
+  }
+
+  val bigramSurprisalSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS token,
+       |    generate_subscripts(${tokensSql("text")}, 1) AS pos
+       |  FROM documents
+       |), big AS (
+       |  SELECT doc_id, token AS w1,
+       |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+       |  FROM tok QUALIFY w2 IS NOT NULL
+       |), pref AS (
+       |  SELECT w1, count(*) AS np FROM big GROUP BY w1
+       |), lp AS (
+       |  SELECT w1, w2, CAST(round(log2(n / np), 9) AS DECIMAL(18,9)) AS lp
+       |  FROM (SELECT w1, w2, count(*) AS n FROM big GROUP BY w1, w2)
+       |  JOIN pref USING (w1)
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_bigrams, sum(lp) AS slp
+       |  FROM big JOIN lp USING (w1, w2) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_bigrams,
+       |  round(-CAST(slp AS DOUBLE) / n_bigrams, 6) AS bits_per_bigram
        |FROM agg""".stripMargin
 
   // --- rolling-hash fingerprint (x9) --------------------------------------

@@ -192,6 +192,10 @@ object PipelinePack extends QueryPack {
     // perplexity quality filtering)
     "x38_unigram_surprisal" -> ((s, dir) =>
       TextOps.unigramSurprisal(Tables.documents(s, dir)).orderBy("doc_id")),
+    // bigram-LM surprisal: one model order up — catches common-token,
+    // implausible-ORDER docs the unigram model waves through
+    "x45_bigram_surprisal" -> ((s, dir) =>
+      TextOps.bigramSurprisal(Tables.documents(s, dir)).orderBy("doc_id")),
     "x9_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -225,6 +229,12 @@ object PipelinePack extends QueryPack {
       VectorOps.ivfCellStats(Tables.embeddings(s, dir),
         centroids = Some(codebookFor(s, dir)))
         .orderBy("cell")),
+    // recall@k of every ANN variant vs the exact top-k — the index
+    // acceptance metric; IVF side fed from the same codebook artifact
+    "x44_ann_recall" -> ((s, dir) =>
+      VectorOps.annRecall(Tables.embeddings(s, dir), QueryVecs, 5,
+        centroids = Some(codebookFor(s, dir)))
+        .orderBy("method", "query_id")),
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
         .orderBy("lang", "rank")),
@@ -419,6 +429,8 @@ object PipelinePack extends QueryPack {
     "x8_simhash" -> (TextOps.simHashSql + "\nORDER BY doc_id"),
     "x38_unigram_surprisal" ->
       (TextOps.unigramSurprisalSql + "\nORDER BY doc_id"),
+    "x45_bigram_surprisal" ->
+      (TextOps.bigramSurprisalSql + "\nORDER BY doc_id"),
     "x9_fingerprint" -> (TextOps.fingerprintSql + "\nORDER BY doc_id"),
     "x10_cosine_topk" ->
       (VectorOps.cosineTopKSql(QueryVecs, 10) + "\nORDER BY query_id, rn"),
@@ -432,6 +444,8 @@ object PipelinePack extends QueryPack {
       (VectorOps.ivfTopKSql(QueryVecs, 5, nprobe = 2) + "\nORDER BY query_id, rn"),
     "x41_ivf_cell_stats" ->
       (VectorOps.ivfCellStatsSql() + "\nORDER BY cell"),
+    "x44_ann_recall" ->
+      (VectorOps.annRecallSql(QueryVecs, 5) + "\nORDER BY method, query_id"),
     "x14_top_tokens" ->
       s"""WITH tok AS (SELECT lang, unnest(${TextOps.tokensSql("text")}) AS token FROM documents),
          |tf AS (SELECT lang, token, count(*) AS n FROM tok GROUP BY lang, token),

@@ -573,6 +573,42 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L)._2 < got(2L)._2 && got(2L)._2 < got(3L)._2)
   }
 
+  test("bigram surprisal matches the hand formula; <2-token docs drop") {
+    import spark.implicits._
+    // bigram counts: (a,b)×2, (a,c)×2 -> p(·|a)=1/2 (1 bit each);
+    // (c,b) and (b,d) are their prefix's only continuation (0 bits)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "a c b d"),
+      (5L, "z")).toDF("doc_id", "text")
+    val got = TextOps.bigramSurprisal(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) === ((1L, 1.0)))
+    assert(got(2L) === ((1L, 1.0)))
+    assert(got(3L) === ((1L, 1.0)))
+    assert(got(4L) === ((3L, 0.333333))) // (1 + 0 + 0) / 3, rounded 6dp
+    assert(!got.contains(5L)) // a single-token doc has no bigrams
+  }
+
+  test("ann recall grid is complete; lsh row equals the manual intersection") {
+    import graft.operators.VectorOps
+    val qs = Seq(0L, 1L, 2L)
+    val got = VectorOps.annRecall(emb, qs, 5).collect()
+    assert(got.length === VectorOps.RecallMethods.size * qs.size)
+    got.foreach { r =>
+      assert(r.getLong(2) === 5L) // corpus large enough: exact_n = k
+      val recall = r.getDouble(4)
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(math.abs(recall - r.getLong(3).toDouble / r.getLong(2)) < 1e-9)
+    }
+    val exact = VectorOps.cosineTopK(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = VectorOps.annTopK(emb, qs, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hitByQ = (exact intersect lsh).groupBy(_._1).view.mapValues(_.size).toMap
+    got.filter(_.getString(0) == "lsh").foreach { r =>
+      assert(r.getLong(3) === hitByQ.getOrElse(r.getLong(1), 0).toLong)
+    }
+  }
+
   test("anchor-hash kernel ≡ builtin md5/conv chain, per position, incl. unicode") {
     import spark.implicits._
     val a = 5
