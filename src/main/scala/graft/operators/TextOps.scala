@@ -515,7 +515,7 @@ object TextOps {
        |  round(-CAST(slp AS DOUBLE) / n_tokens, 6) AS bits_per_token
        |FROM agg""".stripMargin
 
-  // --- bigram surprisal (x44) ---------------------------------------------
+  // --- bigram surprisal (x45) ---------------------------------------------
 
   /** Bigram-LM surprisal per document: average bits per bigram,
     * −(1/m)·Σ log₂ p(w₂|w₁), with the conditional estimated from the
@@ -579,6 +579,43 @@ object TextOps {
        |SELECT doc_id, n_bigrams,
        |  round(-CAST(slp AS DOUBLE) / n_bigrams, 6) AS bits_per_bigram
        |FROM agg""".stripMargin
+
+  // --- surprisal bands (x46) ----------------------------------------------
+
+  /** CCNet's head/middle/tail banding (Wenzek et al. LREC'20 §4.3): rank
+    * each language's documents by LM surprisal ([[unigramSurprisal]])
+    * and cut into `nBands` equal-population bands — band 1 = lowest
+    * surprisal ("head", cleanest), band `nBands` = "tail" (CCNet trains
+    * on head+middle and drops tail). This is the DECISION step the
+    * surprisal score exists for; per-language banding matters because
+    * raw surprisal is not comparable across languages.
+    *
+    * Determinism: the band edge is a pure function of rank, and the
+    * rank order is total (surprisal already rounded to 6 dp, ties broken
+    * by doc_id), so both engines cut identically. Scale shape: scoring
+    * is the audited x38 pass; banding is one window per language —
+    * parallel across languages, and within a language `ntile` is a
+    * sort-partitioned rank, the same cost class as any per-stratum
+    * window in [[graft.operators.Sampling]]. */
+  def surprisalBands(docs: DataFrame, nBands: Int = 3): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("bits_per_token"), col("doc_id"))
+    unigramSurprisal(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("bits_per_token"),
+        ntile(nBands).over(w).cast("long").as("band"))
+  }
+
+  def surprisalBandsSql(nBands: Int = 3): String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, bits_per_token FROM (
+       |$unigramSurprisalSql
+       |  )
+       |)
+       |SELECT s.doc_id, d.lang, s.bits_per_token,
+       |  ntile($nBands) OVER (PARTITION BY d.lang
+       |    ORDER BY s.bits_per_token, s.doc_id) AS band
+       |FROM scored s JOIN documents d USING (doc_id)""".stripMargin
 
   // --- rolling-hash fingerprint (x9) --------------------------------------
 

@@ -196,6 +196,10 @@ object PipelinePack extends QueryPack {
     // implausible-ORDER docs the unigram model waves through
     "x45_bigram_surprisal" -> ((s, dir) =>
       TextOps.bigramSurprisal(Tables.documents(s, dir)).orderBy("doc_id")),
+    // CCNet head/middle/tail cut: per-language surprisal terciles — the
+    // decision step the surprisal score feeds
+    "x46_surprisal_bands" -> ((s, dir) =>
+      TextOps.surprisalBands(Tables.documents(s, dir)).orderBy("doc_id")),
     "x9_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -431,6 +435,8 @@ object PipelinePack extends QueryPack {
       (TextOps.unigramSurprisalSql + "\nORDER BY doc_id"),
     "x45_bigram_surprisal" ->
       (TextOps.bigramSurprisalSql + "\nORDER BY doc_id"),
+    "x46_surprisal_bands" ->
+      (TextOps.surprisalBandsSql() + "\nORDER BY doc_id"),
     "x9_fingerprint" -> (TextOps.fingerprintSql + "\nORDER BY doc_id"),
     "x10_cosine_topk" ->
       (VectorOps.cosineTopKSql(QueryVecs, 10) + "\nORDER BY query_id, rn"),

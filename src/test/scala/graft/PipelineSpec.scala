@@ -588,6 +588,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!got.contains(5L)) // a single-token doc has no bigrams
   }
 
+  test("surprisal bands: equal-population cut per lang, ordered by surprisal") {
+    val got = TextOps.surprisalBands(docs).collect()
+    assert(got.length === docs.count())
+    got.groupBy(_.getString(1)).foreach { case (lang, rows) =>
+      val sizes = rows.groupBy(_.getLong(3)).view.mapValues(_.size).toMap
+      assert(sizes.keySet === Set(1L, 2L, 3L), s"$lang missing a band")
+      assert(sizes.values.max - sizes.values.min <= 1, s"$lang unbalanced: $sizes")
+      // cut respects the surprisal order: band b's max <= band b+1's min
+      def bits(b: Long) = rows.filter(_.getLong(3) == b).map(_.getDouble(2))
+      assert(bits(1L).max <= bits(2L).min && bits(2L).max <= bits(3L).min)
+    }
+  }
+
   test("ann recall grid is complete; lsh row equals the manual intersection") {
     import graft.operators.VectorOps
     val qs = Seq(0L, 1L, 2L)
