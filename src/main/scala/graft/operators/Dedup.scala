@@ -403,7 +403,7 @@ object Dedup {
     * cluster's shared store: HDFS/S3), so round state survives executor
     * loss; the price is one write+read of the frame per round. Results
     * are identical either way (CheckpointSpec pins it). */
-  private def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
+  private[graft] def materialize(df: DataFrame, checkpointDir: Option[String]): DataFrame =
     checkpointDir match {
       case None => df.localCheckpoint(true)
       case Some(dir) =>
