@@ -219,6 +219,33 @@ object PipelinePack extends QueryPack {
     "x43_semantic_dedup" -> ((s, dir) =>
       VectorOps.semanticDedup(Tables.embeddings(s, dir), MinCosine)
         .orderBy("vec_id")),
+    // new-batch embeddings (odd vec_ids) screened against the existing
+    // snapshot (even) — the scan incremental semantic dedup feeds on
+    "x47_cross_embedding_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.crossEmbeddingNearDups(
+        emb.where(col("vec_id") % 2 === 1),
+        emb.where(col("vec_id") % 2 === 0), MinCosine)
+        .orderBy("vec_a", "vec_b")
+    }),
+    // the incremental path registered against the BATCH oracle: labels
+    // for old∪new via star edges + fresh new×new / new×old pairs must
+    // reproduce x43's closure exactly — equivalence checked by the
+    // driver's own hash gate, not just a spec. The prior snapshot's
+    // labels are artifact-fed (in production they are the previous
+    // run's OUTPUT, never recomputed), so the query measures the
+    // increment, not a replay of the old corpus's labelling
+    "x48_semantic_dedup_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val old = emb.where(col("vec_id") % 2 === 0)
+      val prev = snapshotArtifact(dir, "embeddings.parquet",
+        "semdedup_even_labels.parquet", MinCosine)(
+        p => VectorOps.semanticDedup(old, MinCosine)
+          .write.mode("overwrite").parquet(p))
+      VectorOps.semanticDedupIncremental(s.read.parquet(prev), old,
+        emb.where(col("vec_id") % 2 === 1), MinCosine)
+        .orderBy("vec_id")
+    }),
     // codebook fed from the per-snapshot artifact (training is index-build
     // work, run once per corpus snapshot — not per search); values are
     // bit-identical to a fresh trainedCentroids() run, so the unrolled
@@ -445,6 +472,14 @@ object PipelinePack extends QueryPack {
     "x12_embedding_neardup" ->
       (VectorOps.embeddingNearDupsSql(MinCosine) + "\nORDER BY vec_a, vec_b"),
     "x43_semantic_dedup" ->
+      (VectorOps.semanticDedupSql(MinCosine) + "\nORDER BY vec_id"),
+    "x47_cross_embedding_pairs" ->
+      (VectorOps.crossEmbeddingNearDupsSql(
+        "vec_id % 2 = 1", "vec_id % 2 = 0", MinCosine) +
+        "\nORDER BY vec_a, vec_b"),
+    // deliberately x43's oracle verbatim: the incremental path must be
+    // indistinguishable from the batch run
+    "x48_semantic_dedup_inc" ->
       (VectorOps.semanticDedupSql(MinCosine) + "\nORDER BY vec_id"),
     "x13_ivf_topk" ->
       (VectorOps.ivfTopKSql(QueryVecs, 5, nprobe = 2) + "\nORDER BY query_id, rn"),

@@ -601,6 +601,54 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("incremental semantic dedup ≡ batch; a bridging vector merges old clusters") {
+    import spark.implicits._
+    import graft.operators.VectorOps
+    // engineer vectors in the plane of (u = LSH plane 0's direction, w ⊥ u)
+    // so every vector has positive dot with plane 0 -> one shared bucket
+    // under numPlanes = 1, and cosines are pure functions of the angles
+    val p = VectorOps.planesFor(1).head.toArray
+    val pn = math.sqrt(p.map(x => x * x).sum)
+    val u = p.map(_ / pn)
+    val e0 = Array.tabulate(VectorOps.Dim)(i => if (i == 0) 1.0 else 0.0)
+    val d0 = e0.zip(u).map { case (a, b) => a * b }.sum
+    val w0 = e0.zip(u).map { case (a, b) => a - d0 * b }
+    val wn = math.sqrt(w0.map(x => x * x).sum)
+    val w = w0.map(_ / wn)
+    def mix(deg: Double): Array[Float] = {
+      val t = math.toRadians(deg)
+      u.zip(w).map { case (a, b) => (math.cos(t) * a + math.sin(t) * b).toFloat }
+    }
+    // old: 0° and 36° (cosine 0.809 < 0.9 -> two singleton clusters);
+    // new: 18° bridges both (cosine 0.951 to each) -> one merged cluster
+    val old = Seq((1L, mix(0)), (2L, mix(36))).toDF("vec_id", "embedding")
+    val nw = Seq((3L, mix(18))).toDF("vec_id", "embedding")
+    val prev = VectorOps.semanticDedup(old, 0.9, numPlanes = 1)
+    assert(prev.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 1L), (2L, 2L))) // unmerged before the bridge arrives
+    def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val inc = labels(VectorOps.semanticDedupIncremental(prev, old, nw, 0.9,
+      numPlanes = 1))
+    assert(inc === Set((1L, 1L, true), (2L, 1L, false), (3L, 1L, false)))
+    val batch = labels(VectorOps.semanticDedup(
+      old.unionByName(nw), 0.9, numPlanes = 1))
+    assert(inc === batch)
+  }
+
+  test("incremental semantic dedup equals the batch run on the fixture") {
+    import graft.operators.VectorOps
+    val old = emb.where(col("vec_id") % 2 === 0)
+    val nw = emb.where(col("vec_id") % 2 === 1)
+    def labels(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val inc = labels(VectorOps.semanticDedupIncremental(
+      VectorOps.semanticDedup(old, 0.2), old, nw, 0.2))
+    val batch = labels(VectorOps.semanticDedup(emb, 0.2))
+    assert(inc === batch)
+    assert(inc.nonEmpty && inc.exists(!_._3)) // dedup actually collapsed something
+  }
+
   test("ann recall grid is complete; lsh row equals the manual intersection") {
     import graft.operators.VectorOps
     val qs = Seq(0L, 1L, 2L)
