@@ -333,6 +333,75 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "no slice-2 doc matched the accepted corpus; incremental path untested")
   }
 
+  test("streaming semantic dedup: end state equals a slice-by-slice batch replay") {
+    import graft.operators.VectorOps
+    val embAll = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val cut = 250L
+    val slices = Seq(embAll.where(col("vec_id") < cut),
+      embAll.where(col("vec_id") >= cut))
+    val src = tmp("ssem-src")
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = tmp(s"ssem-slice$i")
+      s.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(f"slice_$i%03d.parquet"))
+    }
+    val minC = 0.2
+    val sd = new graft.streaming.StreamingSemanticDedup(
+      tmp("ssem-art").toString, tmp("ssem-out").toString, minC)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val batches = sd.screenAvailable(spark, stream, tmp("ssem-ckpt").toString)
+    assert(batches >= 2, s"expected one batch per slice, got $batches")
+    val got = sd.verdicts(spark).get.orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+
+    // batch replay of the same greedy-sequential policy
+    var accReps: Option[org.apache.spark.sql.DataFrame] = None
+    val want = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    for (s <- slices) {
+      val vecs = s.cache()
+      def best(cands: org.apache.spark.sql.DataFrame) = cands
+        .groupBy("vec_id")
+        .agg(max(struct(col("cosine"), (-col("dup_cand")).as("nid"))).as("m"))
+        .select(col("vec_id"), (-col("m.nid")).as("dup_of"),
+          col("m.cosine").as("cosine"))
+      val fromCorpus = accReps.map(r =>
+        best(VectorOps.crossEmbeddingNearDups(vecs, r, minC)
+          .select(col("vec_a").as("vec_id"), col("vec_b").as("dup_cand"),
+            col("cosine"))))
+      val inner = best(VectorOps.embeddingNearDups(vecs, minC)
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("dup_cand"),
+          col("cosine")))
+      val dups = fromCorpus.map(_.unionByName(inner)).getOrElse(inner)
+        .groupBy("vec_id")
+        .agg(max(struct(col("cosine"), (-col("dup_of")).as("nid"))).as("m"))
+        .select(col("vec_id"), (-col("m.nid")).as("dup_of"),
+          col("m.cosine").as("cosine"))
+      val verdicts = vecs.select("vec_id").join(dups, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("dup_of"), col("cosine"),
+          col("dup_of").isNull.as("accepted"))
+      want ++= verdicts.collect().map(_.toSeq)
+      val acceptedIds = verdicts.where(col("accepted")).select("vec_id")
+      accReps = Some(accReps.map(_.unionByName(vecs.join(acceptedIds, "vec_id")))
+        .getOrElse(vecs.join(acceptedIds, "vec_id")).cache())
+    }
+    val wantSorted = want.sortBy(_(0).asInstanceOf[Long]).toSeq
+    assert(got.nonEmpty && got === wantSorted,
+      "streaming semantic dedup end state diverges from the batch replay")
+    // non-vacuity: rejections via BOTH the corpus and within-batch paths
+    val rejected = got.filterNot(_(3).asInstanceOf[Boolean])
+    assert(rejected.nonEmpty, "no semantic duplicates detected; test is vacuous")
+    assert(rejected.exists(r =>
+      r(0).asInstanceOf[Long] >= cut && r(1).asInstanceOf[Long] < cut),
+      "no slice-2 vector matched the accepted corpus; incremental path untested")
+    assert(rejected.exists(r =>
+      (r(0).asInstanceOf[Long] < cut) == (r(1).asInstanceOf[Long] < cut)),
+      "no within-batch rejection; inner path untested")
+  }
+
   test("streaming substring screen: end state equals a slice-by-slice batch replay") {
     import graft.operators.Dedup
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
