@@ -23,7 +23,7 @@ object Bench {
     // the quantity min-of-N is meant to report.
     try {
       spark.range(1 << 20).selectExpr("sum(id)").collect()
-      SparkEntry.queries.foreach { case (_, f) =>
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, f) =>
         try f(spark, sfDir).count() catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
@@ -31,8 +31,13 @@ object Bench {
     // codegen compilation; min is the steady-state latency). Failures
     // keep their timing but are reported explicitly — a broken query
     // must never masquerade as a fast one.
+    // Name-sorted, NOT map order: hash-map order reshuffles whenever the
+    // registry gains a query, and with it every query's JIT/GC/page-cache
+    // neighborhood — measured swinging x2_minhash_pairs 0.57–2.69 s across
+    // same-code runs. A fixed order makes per-query numbers comparable
+    // round over round.
     val Runs = 2
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val timings = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         val err =
