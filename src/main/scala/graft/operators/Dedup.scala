@@ -1062,4 +1062,83 @@ object Dedup {
        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS after_quality
        |FROM q GROUP BY lang""".stripMargin
   }
+
+  // --- winnowing fingerprints (x49) ----------------------------------------
+
+  /** Winnowing k-gram length (Schleimer, Wilkerson & Aiken, SIGMOD'03 —
+    * the MOSS algorithm). With window [[WinnowW]], any verbatim run of
+    * at least WinnowK + WinnowW − 1 normalized characters shared by two
+    * docs is GUARANTEED to share a selected fingerprint — a tunable
+    * recall floor the MinHash path doesn't offer (Jaccard is global,
+    * blind to one long shared passage in otherwise-different docs) at a
+    * fraction of [[substringDups]]' cost (w× fewer join keys than
+    * stride-1 anchors, no extent merge). */
+  val WinnowK = 12
+  /** Winnowing window: each run of WinnowW consecutive k-gram hashes
+    * contributes its minimum to the fingerprint set. */
+  val WinnowW = 8
+  /** Fingerprint-frequency band cap (the [[MaxAnchorOcc]] analog). */
+  val MaxFpOcc = 16
+
+  /** Per-document winnowed fingerprint set, exploded to `(doc_id, fp)`
+    * rows. Selection is a pure per-row expression chain — the stride-1
+    * k-gram hashes come from the fused [[graft.functions.TextKernels
+    * .anchorHashes]] kernel, each length-w window takes its min, and
+    * duplicates collapse — so fingerprinting a 100 TB corpus is a
+    * map-only scan, exactly like the anchor build. Docs shorter than k
+    * normalized chars produce no fingerprints (both engines). */
+  def winnowFingerprints(docs: DataFrame, k: Int = WinnowK,
+      w: Int = WinnowW): DataFrame =
+    docs.select(col("doc_id"), normText(col("text")).as("t"))
+      .where(length(col("t")) >= k)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.anchorHashes(col("t"), k).as("hs"))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+
+  /** Winnowing-based candidate pairs: docs sharing at least `minShared`
+    * surviving fingerprints, with the shared count (MOSS's similarity
+    * signal). The [2, maxOcc] frequency band drops singleton AND
+    * boilerplate fingerprints BEFORE the self-join — candidates bounded
+    * by Σocc², the same cap discipline as the anchor and LSH-bucket
+    * paths. */
+  def winnowPairs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
+      maxOcc: Int = MaxFpOcc, minShared: Int = 2): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    val survivors = fps.groupBy("fp").agg(count(lit(1)).as("occ"))
+      .where(col("occ").between(2, maxOcc))
+      .select("fp")
+    val capped = fps.join(survivors, "fp")
+    capped.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(capped.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared")) // fps are per-doc distinct already
+      .where(col("shared") >= minShared)
+  }
+
+  def winnowPairsSql(k: Int = WinnowK, w: Int = WinnowW,
+      maxOcc: Int = MaxFpOcc, minShared: Int = 2): String =
+    s"""WITH norm AS (
+       |  SELECT doc_id, ${normTextSql("text")} AS t FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(range(1, greatest(len(t) - ${k - 1}, 0) + 1),
+       |    i -> ('0x' || substr(md5(substr(t, i, $k)), 1, 15))::BIGINT) AS hs
+       |  FROM norm WHERE len(t) >= $k
+       |), fp AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |    list_transform(range(1, greatest(len(hs) - ${w - 1}, 1) + 1),
+       |      i -> list_min(list_slice(hs, i, i + ${w - 1}))))) AS fp
+       |  FROM hs
+       |), surv AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS occ FROM fp GROUP BY fp)
+       |  WHERE occ BETWEEN 2 AND $maxOcc
+       |), capped AS (
+       |  SELECT f.doc_id, f.fp FROM fp f JOIN surv USING (fp)
+       |)
+       |SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS shared
+       |FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
+       |GROUP BY doc_a, doc_b
+       |HAVING shared >= $minShared""".stripMargin
 }

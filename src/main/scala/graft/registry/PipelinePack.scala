@@ -120,6 +120,12 @@ object PipelinePack extends QueryPack {
     "x36_substring_dups" -> ((s, dir) =>
       Dedup.substringDups(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b", "a_start", "b_start")),
+    // winnowing candidate pairs (Schleimer et al., SIGMOD'03): docs
+    // sharing surviving window-min fingerprints — guaranteed to catch
+    // any shared run >= k+w-1 chars at w-fold fewer join keys than x36
+    "x49_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
     // doc-level removal policy over x36's extents, artifact-fed: the
     // extent frame (x36's output) is computed once per snapshot and
     // every downstream policy consumes it — x36 measures the build,
@@ -473,6 +479,8 @@ object PipelinePack extends QueryPack {
       (VectorOps.embeddingNearDupsSql(MinCosine) + "\nORDER BY vec_a, vec_b"),
     "x43_semantic_dedup" ->
       (VectorOps.semanticDedupSql(MinCosine) + "\nORDER BY vec_id"),
+    "x49_winnow_pairs" ->
+      (Dedup.winnowPairsSql() + "\nORDER BY doc_a, doc_b"),
     "x47_cross_embedding_pairs" ->
       (VectorOps.crossEmbeddingNearDupsSql(
         "vec_id % 2 = 1", "vec_id % 2 = 0", MinCosine) +

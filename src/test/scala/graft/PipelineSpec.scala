@@ -696,6 +696,38 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(k.nonEmpty && k.keys.exists(_._1 == 4L)) // unicode rows really compared
   }
 
+  test("winnowing: selection matches a driver reference; shared-run guarantee holds") {
+    import spark.implicits._
+    val k = Dedup.WinnowK
+    val w = Dedup.WinnowW
+    // shared run of exactly k + w - 1 chars — the guarantee boundary
+    val shared = "abcdefghijklmnopqrs".take(k + w - 1)
+    assert(shared.length === k + w - 1)
+    val d = Seq(
+      (1L, s"unrelated prefix one $shared"),
+      (2L, s"$shared totally different tail"),
+      (3L, "no overlap with the others at all here")).toDF("doc_id", "text")
+    val got = Dedup.winnowFingerprints(d).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // driver reference: same md5-derived hashes, same window-min rule
+    def ref(text: String): Set[Long] = {
+      val t = text.toLowerCase.replaceAll("[ \\t\\n\\x0B\\f\\r]+", " ").trim
+      val hs = t.sliding(k).map { g =>
+        java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(15), 16)
+      }.toVector
+      (0 to math.max(hs.length - w, 0)).map(i => hs.slice(i, i + w).min).toSet
+    }
+    Seq(1L, 2L, 3L).foreach { id =>
+      val text = d.where(col("doc_id") === id).collect().head.getString(1)
+      assert(got(id) === ref(text), s"doc $id selection diverges from reference")
+    }
+    // guarantee: docs 1 and 2 share a >= k+w-1 run -> >= 1 shared fingerprint
+    assert((got(1L) intersect got(2L)).nonEmpty, "winnowing guarantee violated")
+    assert((got(1L) intersect got(3L)).isEmpty, "false sharing with unrelated doc")
+  }
+
   test("substring dedup recovers the maximal shared extent exactly once") {
     import spark.implicits._
     // 15 distinct words -> no internal repetition, so the maximal common
