@@ -139,4 +139,37 @@ object Sampling {
       tokensExpr: String, budget: Long): String =
     s"CAST(floor((sum($tokensExpr) OVER (PARTITION BY $strataCol ORDER BY $keyCol " +
       s"ROWS UNBOUNDED PRECEDING) - $tokensExpr) / $budget.0) AS BIGINT) AS pack_id"
+
+  /** Weighted sample without replacement (Efraimidis & Spirakis, IPL
+    * 2006, algorithm A-ES): each row gets priority u^(1/w) for uniform
+    * u and weight w, and the n largest priorities ARE a weighted sample
+    * without replacement — the standard way to tilt a corpus sample
+    * toward long/high-quality documents in one distributed pass. The
+    * uniform is the content hash (never `rand()`, per this object's
+    * contract), the priority is compared as ln(u)/w — the same order,
+    * no underflow for large weights — rounded onto a 10⁻¹² grid so both
+    * engines rank identical values (the x38 device, applied to
+    * ordering; kept as DOUBLE — both engines' parquet/pandas types
+    * align, and the 12-dp round IS the quantization). Selection is
+    * sort+limit, which Spark plans as a distributed top-k (TakeOrdered)
+    * — per-partition heaps, no global shuffle; zero/negative weights
+    * are clamped to 1.
+    *
+    * Returns the selected rows with their priority (`pri`). */
+  def weightedSample(df: DataFrame, weightCol: String, keyCol: String,
+      n: Int): DataFrame = {
+    val u = (hash32(col(keyCol).cast("string")) % Denom + 1).cast("double") /
+      lit((Denom + 1).toDouble)
+    val w = greatest(col(weightCol).cast("double"), lit(1.0))
+    val pri = round(log(u) / w, 12)
+    df.withColumn("pri", pri)
+      .orderBy(col("pri").desc, col(keyCol).cast("string"))
+      .limit(n)
+  }
+
+  /** [[weightedSample]] oracle skeleton: the priority expression + the
+    * ORDER BY ... LIMIT tail (compose around a SELECT over the fixture). */
+  def weightedSamplePriSql(weightExpr: String, keyExpr: String): String =
+    s"round(ln((${hash32Sql(s"CAST($keyExpr AS VARCHAR)")} % $Denom + 1) " +
+      s"/ ${Denom + 1}.0) / greatest(CAST($weightExpr AS DOUBLE), 1.0), 12) AS pri"
 }

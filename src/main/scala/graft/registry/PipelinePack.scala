@@ -399,6 +399,14 @@ object PipelinePack extends QueryPack {
       graft.operators.Sampling.hashSample(Tables.documents(s, dir), "doc_id", 0.25)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // Efraimidis-Spirakis A-ES: the n largest u^(1/w) priorities are a
+    // weighted sample without replacement — tilt toward long docs, one
+    // distributed top-k pass, hash-derived (reproducible) uniforms
+    "x50_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(
+        Tables.documents(s, dir).select("doc_id", "lang", "source", "n_chars"),
+        "n_chars", "doc_id", 100)
+        .orderBy("doc_id")),
     "x21_stratified_sample" -> ((s, dir) =>
       graft.operators.Sampling
         .stratifiedQuota(Tables.documents(s, dir), "lang", "doc_id", 50)
@@ -538,6 +546,13 @@ object PipelinePack extends QueryPack {
     "x20_hash_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${graft.operators.Sampling.hashSampleWhereSql("doc_id", 0.25)}
+         |ORDER BY doc_id""".stripMargin,
+    "x50_weighted_sample" ->
+      s"""SELECT * FROM (
+         |  SELECT doc_id, lang, source, n_chars,
+         |    ${graft.operators.Sampling.weightedSamplePriSql("n_chars", "doc_id")}
+         |  FROM documents
+         |  ORDER BY pri DESC, CAST(doc_id AS VARCHAR) LIMIT 100)
          |ORDER BY doc_id""".stripMargin,
     "x21_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -560,6 +560,32 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(q.select("doc_id").collect().map(_.getLong(0)).toSet === again)
   }
 
+  test("weighted sample: A-ES selection equals the driver reference, reproducible") {
+    import graft.operators.Sampling
+    val n = 50
+    val got = Sampling.weightedSample(
+      docs.select("doc_id", "lang", "source", "n_chars"), "n_chars", "doc_id", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.size === n)
+    assert(got === Sampling.weightedSample(
+      docs.select("doc_id", "lang", "source", "n_chars"), "n_chars", "doc_id", n)
+      .select("doc_id").collect().map(_.getLong(0)).toSet) // reproducible
+    // driver reference: same hash-uniform, same ln(u)/w key, same rounding
+    def h32(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    val ref = docs.select("doc_id", "n_chars").collect()
+      .map { r =>
+        val (id, w) = (r.getLong(0), math.max(r.getLong(1).toDouble, 1.0))
+        val u = (h32(id.toString) % Sampling.Denom + 1).toDouble /
+          (Sampling.Denom + 1).toDouble
+        (id, BigDecimal(math.log(u) / w).setScale(12, BigDecimal.RoundingMode.HALF_UP))
+      }
+      .sortBy { case (id, pri) => (-pri, id.toString) }
+      .take(n).map(_._1).toSet
+    assert(got === ref, "A-ES selection diverges from the driver reference")
+  }
+
   test("unigram surprisal matches the hand formula; rarer text scores more bits") {
     import spark.implicits._
     // corpus: 8 tokens total; "a"×4, "b"×2, "c"×1, "d"×1

@@ -60,6 +60,23 @@ class ScaleShapeSpec extends AnyFunSuite with SparkSpec {
     assert(capped <= bound, s"capped candidate count $capped exceeds bound $bound")
   }
 
+  test("winnow fingerprint cap: a 1000-doc boilerplate clique yields zero candidates") {
+    // every fingerprint of the shared template occurs ~1000× — far past
+    // MaxFpOcc — so the frequency band drops them all BEFORE the
+    // self-join: the documented boilerplate/recall trade, and the reason
+    // the join never sees m²/2 template pairs
+    val template = ("the quick brown fox jumps over the lazy dog and then " +
+      "proceeds to recite the entire corpus licensing boilerplate verbatim ") * 3
+    val docs = spark.range(0, 1000)
+      .select(col("id").as("doc_id"),
+        concat(lit(template), lit("footer "), col("id")).as("text"))
+    assert(Dedup.winnowPairs(docs).count() === 0L,
+      "over-common fingerprints must be dropped before the join")
+    // same shape with the cap lifted: the clique explodes — proving the
+    // fixture is adversarial and the band is what bounds it
+    assert(Dedup.winnowPairs(docs, maxOcc = Int.MaxValue).count() > 400000L)
+  }
+
   test("bucket cap keeps pair results identical when no bucket exceeds it") {
     // the fixture-scale guarantee behind x2/x3/x16/x22/x25/x26 staying
     // green: capped and effectively-uncapped candidates coincide when
