@@ -309,6 +309,68 @@ case class AnchorHashesExpr(child: Expression, anchorLen: Int)
 }
 
 /** Column-API surface of the text kernels. */
+/** Winnowing selection (Schleimer et al., SIGMOD'03): distinct sliding-
+  * window minima of a hash array, first-occurrence order — semantically
+  * `array_distinct(transform(sequence(1, greatest(n-w+1, 1)), i ->
+  * array_min(slice(hs, i, w))))`, but O(n) via a monotonic deque where
+  * the builtin chain is O(n·w) and allocates a w-element array copy per
+  * window (measured 5.5 s → the kernel's fraction of that at sf0.1 on
+  * x49). Arrays shorter than the window contribute their single overall
+  * minimum, exactly like the truncated-slice builtin form. */
+case class WinnowExpr(child: Expression, w: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(w >= 1, "winnow window must be positive")
+
+  override def inputTypes = Seq(ArrayType(org.apache.spark.sql.types.LongType))
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  /** One row's winnowed minima; shared by interpreted eval and codegen. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return ArrayData.toArrayData(Array.empty[Long])
+    val wins = math.max(n - w + 1, 1)
+    val mins = new Array[Long](wins)
+    val dq = new Array[Int](n) // monotonic deque of indices, values increasing
+    var head = 0
+    var tail = 0
+    var i = 0
+    while (i < n) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(dq(tail - 1)) >= v) tail -= 1
+      dq(tail) = i
+      tail += 1
+      if (i >= w - 1) {
+        while (dq(head) <= i - w) head += 1
+        mins(i - w + 1) = arr.getLong(dq(head))
+      }
+      i += 1
+    }
+    if (n < w) mins(0) = arr.getLong(dq(head)) // single truncated window
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var j = 0
+    while (j < wins) { seen.add(mins(j)); j += 1 }
+    val out = new Array[Long](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnow", this, classOf[WinnowExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
+}
+
 object TextKernels {
   def topRunCount(arr: Column): Column =
     Bridge.column(TopRunCountExpr(Bridge.expression(arr)))
@@ -318,4 +380,6 @@ object TextKernels {
     Bridge.column(SimHashExpr(Bridge.expression(shingleArr), bits))
   def anchorHashes(text: Column, anchorLen: Int): Column =
     Bridge.column(AnchorHashesExpr(Bridge.expression(text), anchorLen))
+  def winnow(hashArr: Column, w: Int): Column =
+    Bridge.column(WinnowExpr(Bridge.expression(hashArr), w))
 }

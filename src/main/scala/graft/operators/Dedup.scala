@@ -1093,9 +1093,11 @@ object Dedup {
       .where(length(col("t")) >= k)
       .select(col("doc_id"),
         graft.functions.TextKernels.anchorHashes(col("t"), k).as("hs"))
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
-          i => array_min(slice(col("hs"), i, lit(w)))))).as("fp"))
+      // fused O(n) deque kernel; ≡ the builtin
+      // array_distinct(transform(sequence(...), i -> array_min(slice(hs, i, w))))
+      // chain, which is O(n·w) and copies a w-array per window (spec-pinned)
+      .select(col("doc_id"), explode(
+        graft.functions.TextKernels.winnow(col("hs"), w)).as("fp"))
 
   /** Winnowing-based candidate pairs: docs sharing at least `minShared`
     * surviving fingerprints, with the shared count (MOSS's similarity

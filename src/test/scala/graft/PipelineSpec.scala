@@ -722,6 +722,30 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(k.nonEmpty && k.keys.exists(_._1 == 4L)) // unicode rows really compared
   }
 
+  test("winnow kernel ≡ builtin slice/array_min chain, incl. short arrays") {
+    import spark.implicits._
+    val w = Dedup.WinnowW
+    val rng = new scala.util.Random(42)
+    val cases = (Seq(
+      Seq(5L),                       // n < w: one truncated window
+      Seq(3L, 1L, 2L),               // n < w with interior min
+      (1L to 7L).toSeq,              // n = w - 1
+      (1L to 8L).toSeq,              // n = w exactly
+      Seq.fill(30)(7L),              // all-equal: one distinct fingerprint
+      (30L to 1L by -1).toSeq        // strictly decreasing: min slides
+    ) ++ Seq.tabulate(20)(i => Seq.fill(5 + rng.nextInt(60))(rng.nextLong())))
+      .zipWithIndex.map { case (hs, i) => (i.toLong, hs) }
+      .toDF("id", "hs")
+    val viaKernel = cases.select(col("id"),
+      graft.functions.TextKernels.winnow(col("hs"), w).as("fp"))
+    val viaBuiltins = cases.select(col("id"), array_distinct(
+      transform(sequence(lit(1), greatest(size(col("hs")) - (w - 1), lit(1))),
+        i => array_min(slice(col("hs"), i, lit(w))))).as("fp"))
+    val k = viaKernel.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val b = viaBuiltins.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(k === b) // values AND first-occurrence order
+  }
+
   test("winnowing: selection matches a driver reference; shared-run guarantee holds") {
     import spark.implicits._
     val k = Dedup.WinnowK
