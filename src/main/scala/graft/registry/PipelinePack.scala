@@ -275,6 +275,31 @@ object PipelinePack extends QueryPack {
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
         .orderBy("lang", "rank")),
+    // Misra-Gries heavy hitters: per-lang bounded-memory sketch (k=32
+    // counters, ever) vs the exact heavy set (c > n/(k+1)). Output =
+    // each true heavy hitter with its exact count and the
+    // order-independent guarantee booleans (in sketch; counter within
+    // [c - n/(k+1), c], integer arithmetic) — the u2 device: a sketch
+    // that drifts flips a boolean and the hash gate goes red. The
+    // candidate set BEYOND the guarantee floor is merge-order-dependent
+    // by design, so only guarantee-backed facts are emitted
+    "x51_heavy_hitters" -> ((s, dir) => {
+      val K = 32
+      val tok = Tables.documents(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+      val sk = tok.groupBy("lang").agg(
+        graft.functions.MisraGriesAgg.misraGries(col("token"), K).as("sk"),
+        count(lit(1)).as("n_tokens"))
+      tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))
+        .join(sk, "lang")
+        .where(col("c") * (K + 1) > col("n_tokens"))
+        .select(col("lang"), col("token"), col("c"),
+          (element_at(col("sk"), col("token")).isNotNull &&
+            element_at(col("sk"), col("token")) <= col("c") &&
+            element_at(col("sk"), col("token")) * (K + 1) >=
+              col("c") * (K + 1) - col("n_tokens")).as("covered_bounded"))
+        .orderBy("lang", "token")
+    }),
     "x15_quality_filter" -> ((s, dir) =>
       TextOps.qualityFilter(Tables.documents(s, dir)).orderBy("doc_id")),
     "x16_curation_pipeline" -> ((s, dir) =>
@@ -514,6 +539,20 @@ object PipelinePack extends QueryPack {
          |SELECT lang, rank, token, n FROM ranked
          |ORDER BY lang, rank""".stripMargin,
     "x15_quality_filter" -> (TextOps.qualityFilterSql() + "\nORDER BY doc_id"),
+    // exact heavy set + literal TRUE: the Spark side's booleans ARE the
+    // sketch-guarantee assertions
+    "x51_heavy_hitters" ->
+      s"""WITH tok AS (
+         |  SELECT lang, unnest(${TextOps.tokensSql("text")}) AS token FROM documents
+         |), n AS (
+         |  SELECT lang, count(*) AS n_tokens FROM tok GROUP BY lang
+         |), c AS (
+         |  SELECT lang, token, count(*) AS c FROM tok GROUP BY lang, token
+         |)
+         |SELECT c.lang, c.token, c.c, TRUE AS covered_bounded
+         |FROM c JOIN n USING (lang)
+         |WHERE c.c * 33 > n.n_tokens
+         |ORDER BY lang, token""".stripMargin,
     "x27_repetition_filter" ->
       (TextOps.repetitionMetricsSql() + "\nORDER BY doc_id"),
     "x28_tfidf_top_terms" ->

@@ -560,6 +560,41 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(q.select("doc_id").collect().map(_.getLong(0)).toSet === again)
   }
 
+  test("misra-gries: coverage + bounds hold under decrement pressure, any partitioning") {
+    import spark.implicits._
+    import graft.functions.MisraGriesAgg.misraGries
+    // zipf-ish skew over 1000 distinct tokens, k=8 — the sketch is
+    // forced to decrement constantly (vocab >> k)
+    val k = 8
+    val rows = (0 until 20000).map { i =>
+      val t = if (i % 3 == 0) s"hot${i % 2}" else s"cold${i % 1000}"
+      (i.toLong, t)
+    }
+    val exact = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n = rows.size.toLong
+    val floor = n.toDouble / (k + 1)
+    val trueHeavy = exact.filter(_._2 > floor).keySet
+    assert(trueHeavy.nonEmpty, "fixture has no heavy hitters; test is vacuous")
+    for (parts <- Seq(1, 4, 32); reversed <- Seq(false, true)) {
+      val df0 = (if (reversed) rows.reverse else rows).toDF("id", "token")
+        .repartition(parts, col("id"))
+      val sk = df0.agg(misraGries(col("token"), k).as("sk"))
+        .collect().head.getMap[String, Long](0)
+      assert(sk.size <= k, s"sketch exceeded $k counters: ${sk.size}")
+      trueHeavy.foreach { t =>
+        val est = sk.get(t)
+        assert(est.isDefined,
+          s"heavy '$t' (c=${exact(t)}) missing at parts=$parts rev=$reversed")
+        assert(est.get <= exact(t) && est.get >= exact(t) - floor,
+          s"'$t' counter ${est.get} outside [c-n/(k+1), c]=[${exact(t) - floor}, ${exact(t)}]")
+      }
+      // every surviving counter is a lower bound for SOME real count
+      sk.foreach { case (t, est) =>
+        assert(est <= exact.getOrElse(t, 0L), s"counter for '$t' overcounts")
+      }
+    }
+  }
+
   test("weighted sample: A-ES selection equals the driver reference, reproducible") {
     import graft.operators.Sampling
     val n = 50

@@ -234,4 +234,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(shuffles == 0, s"corpus-side hash shuffle in IVF assignment:\n$plan")
   }
+
+  test("weighted sample plans as distributed top-k, not a global sort") {
+    import graft.operators.Sampling
+    val plan = formatted(Sampling.weightedSample(
+      Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars"),
+      "n_chars", "doc_id", 100))
+    // sort+limit must fuse into TakeOrdered (per-partition heaps); a
+    // Sort node means the whole corpus range-shuffles for 100 rows
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"A-ES selection lost the top-k fusion:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort crept into the sample:\n$plan")
+  }
 }
