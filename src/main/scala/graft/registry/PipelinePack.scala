@@ -293,11 +293,15 @@ object PipelinePack extends QueryPack {
       tok.groupBy("lang", "token").agg(count(lit(1)).as("c"))
         .join(sk, "lang")
         .where(col("c") * (K + 1) > col("n_tokens"))
+        // try_element_at, NOT element_at: under ANSI (Spark 4 default) a
+        // missing map key THROWS — a drifted sketch must turn the row
+        // red at the gate, not error the whole query
         .select(col("lang"), col("token"), col("c"),
-          (element_at(col("sk"), col("token")).isNotNull &&
-            element_at(col("sk"), col("token")) <= col("c") &&
-            element_at(col("sk"), col("token")) * (K + 1) >=
-              col("c") * (K + 1) - col("n_tokens")).as("covered_bounded"))
+          coalesce(
+            try_element_at(col("sk"), col("token")) <= col("c") &&
+              try_element_at(col("sk"), col("token")) * (K + 1) >=
+                col("c") * (K + 1) - col("n_tokens"),
+            lit(false)).as("covered_bounded"))
         .orderBy("lang", "token")
     }),
     "x15_quality_filter" -> ((s, dir) =>
