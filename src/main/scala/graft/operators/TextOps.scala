@@ -594,9 +594,13 @@ object TextOps {
     * rank order is total (surprisal already rounded to 6 dp, ties broken
     * by doc_id), so both engines cut identically. Scale shape: scoring
     * is the audited x38 pass; banding is one window per language —
-    * parallel across languages, and within a language `ntile` is a
-    * sort-partitioned rank, the same cost class as any per-stratum
-    * window in [[graft.operators.Sampling]]. */
+    * parallel across languages, the same cost class as any per-stratum
+    * window in [[graft.operators.Sampling]], but a language IS one sort
+    * partition: a corpus dominated by one language rides on a single
+    * straggler task. That is acceptable at per-snapshot report cardinality
+    * and exactness is what the oracle checks; for the 100 TB path use
+    * [[surprisalBandsApprox]], which replaces the rank window with
+    * approximate-quantile cutoffs and a map-only assignment. */
   def surprisalBands(docs: DataFrame, nBands: Int = 3): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(col("bits_per_token"), col("doc_id"))
@@ -604,6 +608,31 @@ object TextOps {
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang"), col("bits_per_token"),
         ntile(nBands).over(w).cast("long").as("band"))
+  }
+
+  /** [[surprisalBands]]' 100 TB shape: per-language band CUTOFFS via
+    * `percentile_approx` (one aggregate — no per-language sort
+    * partition, no straggler on a dominant language), then band
+    * assignment as a map-only comparison against the broadcast cutoff
+    * row. Bands are approximate at the boundaries (quantile-sketch
+    * error + ties land whole tie-groups on one side) but each doc's
+    * band is within one of the exact cut for any reasonable accuracy —
+    * spec-pinned against [[surprisalBands]] on the fixture. Not
+    * oracle-registered: the sketch is Spark-internal, so there is no
+    * engine-independent declarative twin. */
+  def surprisalBandsApprox(docs: DataFrame, nBands: Int = 3,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = unigramSurprisal(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val cuts = scored.groupBy("lang").agg(
+      percentile_approx(col("bits_per_token"),
+        array((1 until nBands).map(i => lit(i.toDouble / nBands)): _*),
+        lit(accuracy)).as("cuts"))
+    scored.join(broadcast(cuts), "lang")
+      .select(col("doc_id"), col("lang"), col("bits_per_token"),
+        aggregate(col("cuts"), lit(1L), (acc, c) =>
+          acc + when(col("bits_per_token") > c, lit(1L)).otherwise(lit(0L)))
+          .as("band"))
   }
 
   def surprisalBandsSql(nBands: Int = 3): String =

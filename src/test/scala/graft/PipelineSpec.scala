@@ -710,6 +710,20 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(inc.nonEmpty && inc.exists(!_._3)) // dedup actually collapsed something
   }
 
+  test("approx surprisal bands agree with the exact cut within one band") {
+    val exact = TextOps.surprisalBands(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val approx = TextOps.surprisalBandsApprox(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(approx.keySet === exact.keySet)
+    assert(approx.values.toSet.subsetOf(Set(1L, 2L, 3L)))
+    val off = approx.count { case (id, b) => math.abs(b - exact(id)) > 1 }
+    assert(off === 0, s"$off docs moved more than one band")
+    val same = approx.count { case (id, b) => b == exact(id) }
+    assert(same >= (exact.size * 0.9).toInt,
+      s"only $same/${exact.size} docs band-stable; sketch accuracy suspect")
+  }
+
   test("ann recall grid is complete; lsh row equals the manual intersection") {
     import graft.operators.VectorOps
     val qs = Seq(0L, 1L, 2L)
