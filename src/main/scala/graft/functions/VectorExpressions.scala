@@ -122,6 +122,15 @@ object VectorFunctions {
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
+  /** Extract a literal-int argument from SQL-text function calls (the
+    * kernel shape parameters are plan-time constants, never row data). */
+  private def litInt(e: Expression, fn: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: shape argument must be a literal integer, got $other")
+  }
+
   private[functions] val entries: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_dot",
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
@@ -131,7 +140,24 @@ object VectorFunctions {
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
     ("graft_top_run_count",
       new ExpressionInfo(classOf[TopRunCountExpr].getName, "graft_top_run_count"),
-      (es: Seq[Expression]) => TopRunCountExpr(es(0))))
+      (es: Seq[Expression]) => TopRunCountExpr(es(0))),
+    ("graft_shingles",
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "graft_shingles"),
+      (es: Seq[Expression]) => ShinglesExpr(es(0), litInt(es(1), "graft_shingles"))),
+    ("graft_simhash",
+      new ExpressionInfo(classOf[SimHashExpr].getName, "graft_simhash"),
+      (es: Seq[Expression]) => SimHashExpr(es(0), litInt(es(1), "graft_simhash"))),
+    ("graft_anchor_hashes",
+      new ExpressionInfo(classOf[AnchorHashesExpr].getName, "graft_anchor_hashes"),
+      (es: Seq[Expression]) =>
+        AnchorHashesExpr(es(0), litInt(es(1), "graft_anchor_hashes"))),
+    ("graft_winnow",
+      new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
+      (es: Seq[Expression]) => WinnowExpr(es(0), litInt(es(1), "graft_winnow"))),
+    ("graft_misra_gries",
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_misra_gries"),
+      (es: Seq[Expression]) =>
+        MisraGriesAgg(es(0), litInt(es(1), "graft_misra_gries"))))
 
   /** Idempotent in-session registration — makes `graft_dot`/`graft_cosine`
     * callable from SQL text without rebuilding the session. */

@@ -137,4 +137,28 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getDouble(1) === 1.0)
     assert(r.getInt(2) === 3)
   }
+
+  test("text kernels and the MG aggregate are callable from SQL text") {
+    VectorFunctions.register(spark)
+    // scalar kernels ≡ their Column-API twins
+    val s = spark.sql(
+      "SELECT graft_shingles('a b c d', 3) AS sh, " +
+        "graft_simhash(array('x','y'), 8) AS sim, " +
+        "graft_anchor_hashes('abcdef', 5) AS ah, " +
+        "graft_winnow(array(5L, 1L, 9L, 2L), 2) AS wn").collect()(0)
+    assert(s.getSeq[String](0).nonEmpty)
+    assert(s.getSeq[Long](2).length === 2) // two length-5 windows in 6 chars
+    assert(s.getSeq[Long](3) === Seq(1L, 2L)) // window minima, deduped
+    // the imperative aggregate resolves and groups through SQL
+    spark.sql("SELECT explode(array('a','a','a','b','c')) AS t")
+      .createOrReplaceTempView("mg_in")
+    val m = spark.sql(
+      "SELECT graft_misra_gries(t, 2) AS sk FROM mg_in")
+      .collect()(0).getMap[String, Long](0)
+    assert(m.size <= 2 && m.contains("a"), s"unexpected sketch: $m")
+    // non-literal shape argument is rejected at plan time
+    intercept[Exception] {
+      spark.sql("SELECT graft_winnow(array(1L), cast(rand()*2 AS INT))").collect()
+    }
+  }
 }
