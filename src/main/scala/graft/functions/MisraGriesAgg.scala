@@ -106,6 +106,10 @@ case class MisraGriesAgg(child: Expression, k: Int,
     new ArrayBasedMapData(ArrayData.toArrayData(ks), ArrayData.toArrayData(vs))
   }
 
+  // length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws past 64 KB
+  // of encoded bytes, and a raw-crawl "token" (unbroken base64 blob,
+  // minified JS) can exceed that — the sketch must survive any input
+  // the exact counting path would.
   override def serialize(buf: java.util.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -113,7 +117,9 @@ case class MisraGriesAgg(child: Expression, k: Int,
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -126,8 +132,9 @@ case class MisraGriesAgg(child: Expression, k: Int,
     val buf = new java.util.HashMap[String, Long](k * 2)
     var i = 0
     while (i < n) {
-      val t = in.readUTF()
-      buf.put(t, in.readLong())
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
       i += 1
     }
     buf

@@ -316,7 +316,12 @@ case class AnchorHashesExpr(child: Expression, anchorLen: Int)
   * the builtin chain is O(n·w) and allocates a w-element array copy per
   * window (measured 5.5 s → the kernel's fraction of that at sf0.1 on
   * x49). Arrays shorter than the window contribute their single overall
-  * minimum, exactly like the truncated-slice builtin form. */
+  * minimum, exactly like the truncated-slice builtin form. One
+  * deliberate divergence: EMPTY input yields an empty array where the
+  * builtin chain yields `[null]` (array_min of an empty slice) — the
+  * empty fingerprint set is the meaningful value, and the declared
+  * element type is non-null. Callers in [[graft.operators.Dedup]] never
+  * feed empty arrays (length ≥ k is filtered first). */
 case class WinnowExpr(child: Expression, w: Int)
     extends UnaryExpression with ImplicitCastInputTypes {
 

@@ -125,7 +125,9 @@ object VectorFunctions {
   /** Extract a literal-int argument from SQL-text function calls (the
     * kernel shape parameters are plan-time constants, never row data). */
   private def litInt(e: Expression, fn: String): Int = e match {
-    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number, _)
+        if v.longValue() == v.intValue() =>
+      v.intValue()
     case other =>
       throw new IllegalArgumentException(
         s"$fn: shape argument must be a literal integer, got $other")

@@ -1104,10 +1104,16 @@ object Dedup {
     * signal). The [2, maxOcc] frequency band drops singleton AND
     * boilerplate fingerprints BEFORE the self-join — candidates bounded
     * by Σocc², the same cap discipline as the anchor and LSH-bucket
-    * paths. */
+    * paths. `minShared` defaults to 1 because the k+w−1 guarantee only
+    * promises ONE shared fingerprint for a boundary-length run — a
+    * higher floor is a precision knob that explicitly trades that
+    * guarantee away. The fingerprint frame feeds three consumers
+    * (occurrence band + both join sides), so it is materialized once
+    * (the anchorFrame convention; reliable when `checkpointDir` set). */
   def winnowPairs(docs: DataFrame, k: Int = WinnowK, w: Int = WinnowW,
-      maxOcc: Int = MaxFpOcc, minShared: Int = 2): DataFrame = {
-    val fps = winnowFingerprints(docs, k, w)
+      maxOcc: Int = MaxFpOcc, minShared: Int = 1,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val fps = materialize(winnowFingerprints(docs, k, w), checkpointDir)
     val survivors = fps.groupBy("fp").agg(count(lit(1)).as("occ"))
       .where(col("occ").between(2, maxOcc))
       .select("fp")
@@ -1121,7 +1127,7 @@ object Dedup {
   }
 
   def winnowPairsSql(k: Int = WinnowK, w: Int = WinnowW,
-      maxOcc: Int = MaxFpOcc, minShared: Int = 2): String =
+      maxOcc: Int = MaxFpOcc, minShared: Int = 1): String =
     s"""WITH norm AS (
        |  SELECT doc_id, ${normTextSql("text")} AS t FROM documents
        |), hs AS (

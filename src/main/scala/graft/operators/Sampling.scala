@@ -152,15 +152,19 @@ object Sampling {
     * ordering; kept as DOUBLE — both engines' parquet/pandas types
     * align, and the 12-dp round IS the quantization). Selection is
     * sort+limit, which Spark plans as a distributed top-k (TakeOrdered)
-    * — per-partition heaps, no global shuffle; zero/negative weights
-    * are clamped to 1.
+    * — per-partition heaps, no global shuffle; only zero/negative/NULL
+    * weights are clamped to 1 (fractional weights tilt as given).
     *
     * Returns the selected rows with their priority (`pri`). */
   def weightedSample(df: DataFrame, weightCol: String, keyCol: String,
       n: Int): DataFrame = {
     val u = (hash32(col(keyCol).cast("string")) % Denom + 1).cast("double") /
       lit((Denom + 1).toDouble)
-    val w = greatest(col(weightCol).cast("double"), lit(1.0))
+    // only non-positive/NULL weights are clamped — fractional weights in
+    // (0, 1) are legitimate A-ES inputs (quality scores) and must tilt,
+    // not collapse to uniform
+    val wc = col(weightCol).cast("double")
+    val w = when(wc.isNull || wc <= 0.0, lit(1.0)).otherwise(wc)
     val pri = round(log(u) / w, 12)
     df.withColumn("pri", pri)
       .orderBy(col("pri").desc, col(keyCol).cast("string"))
@@ -171,5 +175,6 @@ object Sampling {
     * ORDER BY ... LIMIT tail (compose around a SELECT over the fixture). */
   def weightedSamplePriSql(weightExpr: String, keyExpr: String): String =
     s"round(ln((${hash32Sql(s"CAST($keyExpr AS VARCHAR)")} % $Denom + 1) " +
-      s"/ ${Denom + 1}.0) / greatest(CAST($weightExpr AS DOUBLE), 1.0), 12) AS pri"
+      s"/ ${Denom + 1}.0) / (CASE WHEN CAST($weightExpr AS DOUBLE) > 0 " +
+      s"THEN CAST($weightExpr AS DOUBLE) ELSE 1.0 END), 12) AS pri"
 }

@@ -61,7 +61,7 @@ class StreamingDedup(artifactDir: String, outDir: String,
 
   /** One micro-batch of the greedy-sequential policy (also the unit the
     * spec replays in batch mode). */
-  private[streaming] def screenBatch(batch: DataFrame, batchId: Long): Unit = {
+  private[graft] def screenBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val docs = batch.select("doc_id", "text").persist()
     try {
@@ -76,7 +76,7 @@ class StreamingDedup(artifactDir: String, outDir: String,
           .select(col("doc_id"), (-col("m.nid")).as("dup_of"),
             col("m.jaccard").as("jaccard"))
         // vs the accepted corpus so far (empty on the first batch)
-        val corpusDup = corpusSigs(spark) match {
+        val corpusDup = corpusSigs(spark, batchId) match {
           case Some((cSigs, cSh)) =>
             best(Dedup.crossCorpusPairs(cSigs, cSh, sigs, sh, minJaccard))
           case None => spark.emptyDataFrame
@@ -107,15 +107,21 @@ class StreamingDedup(artifactDir: String, outDir: String,
     } finally docs.unpersist()
   }
 
-  /** The accepted-corpus artifact accumulated so far (None before any
-    * batch wrote it). */
-  private def corpusSigs(spark: SparkSession): Option[(DataFrame, DataFrame)] = {
+  /** The accepted-corpus artifact accumulated by batches BEFORE
+    * `batchId` (None before any wrote it). Strictly-earlier slices only:
+    * a checkpoint replay of batch N must re-screen against exactly the
+    * state it originally saw — reading N's own leftover slice would make
+    * every replayed doc self-match at jaccard 1.0 and flip to rejected. */
+  private def corpusSigs(spark: SparkSession,
+      batchId: Long): Option[(DataFrame, DataFrame)] = {
     val sigsDir = new java.io.File(s"$artifactDir/sigs")
     val shDir = new java.io.File(s"$artifactDir/sh")
     if (!sigsDir.isDirectory || !shDir.isDirectory) None
     else Some((
-      spark.read.parquet(sigsDir.toString).drop("gbatch"),
-      spark.read.parquet(shDir.toString).drop("gbatch")))
+      spark.read.parquet(sigsDir.toString)
+        .where(col("gbatch") < batchId).drop("gbatch"),
+      spark.read.parquet(shDir.toString)
+        .where(col("gbatch") < batchId).drop("gbatch")))
   }
 
   /** All verdicts written so far. */

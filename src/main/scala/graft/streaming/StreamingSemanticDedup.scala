@@ -34,9 +34,18 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Mechanics mirror [[StreamingDedup]]: `foreachBatch` (candidate
   * generation needs batch joins), per-batch `gbatch=<id>` overwrite
-  * slices (checkpoint-replay safe), state in the artifact directory —
-  * executor memory flat at any stream length, and the artifact is the
-  * ordinary `(vec_id, embedding)` frame any batch pipeline reads. */
+  * slices plus strictly-earlier-slice corpus reads (checkpoint-replay
+  * safe — a replayed batch re-screens against exactly the state it
+  * originally saw), state in the artifact directory — executor memory
+  * flat at any stream length, and the artifact is the ordinary
+  * `(vec_id, embedding)` frame any batch pipeline reads.
+  *
+  * Cost caveat: within-batch pairs run over the RAW batch (verdict rows
+  * are per-vector, so the exact-collapse trick the batch/incremental
+  * paths use does not apply directly); m identical vectors in ONE
+  * micro-batch cost m²/2 within-bucket pairs — bounded by the
+  * micro-batch size, never the corpus. Size triggers accordingly, or
+  * pre-collapse upstream if a source emits mass-duplicated embeddings. */
 class StreamingSemanticDedup(artifactDir: String, outDir: String,
     minCosine: Double, numPlanes: Int = VectorOps.NumPlanes) {
 
@@ -60,7 +69,7 @@ class StreamingSemanticDedup(artifactDir: String, outDir: String,
 
   /** One micro-batch of the greedy-sequential policy (also the unit the
     * spec replays in batch mode). */
-  private[streaming] def screenBatch(batch: DataFrame, batchId: Long): Unit = {
+  private[graft] def screenBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val vecs = batch.select("vec_id", "embedding").persist()
     try {
@@ -71,7 +80,7 @@ class StreamingSemanticDedup(artifactDir: String, outDir: String,
         .agg(max(struct(col("cosine"), (-col("dup_cand")).as("nid"))).as("m"))
         .select(col("vec_id"), (-col("m.nid")).as("dup_of"),
           col("m.cosine").as("cosine"))
-      val corpusDup = corpusReps(spark) match {
+      val corpusDup = corpusReps(spark, batchId) match {
         case Some(reps) =>
           best(VectorOps.crossEmbeddingNearDups(vecs, reps, minCosine, numPlanes)
             .select(col("vec_a").as("vec_id"), col("vec_b").as("dup_cand"),
@@ -103,12 +112,16 @@ class StreamingSemanticDedup(artifactDir: String, outDir: String,
     } finally vecs.unpersist()
   }
 
-  /** The accepted-representative artifact accumulated so far (None
-    * before any batch wrote it). */
-  private def corpusReps(spark: SparkSession): Option[DataFrame] = {
+  /** The accepted-representative artifact accumulated by batches BEFORE
+    * `batchId` (None before any wrote it). Strictly-earlier slices only:
+    * a checkpoint replay of batch N re-screens against exactly the state
+    * it originally saw — reading N's own leftover slice would make every
+    * replayed vector self-match at cosine 1.0 and flip to rejected. */
+  private def corpusReps(spark: SparkSession, batchId: Long): Option[DataFrame] = {
     val d = new java.io.File(s"$artifactDir/reps")
     if (!d.isDirectory) None
-    else Some(spark.read.parquet(d.toString).drop("gbatch"))
+    else Some(spark.read.parquet(d.toString)
+      .where(col("gbatch") < batchId).drop("gbatch"))
   }
 
   /** All verdicts written so far. */

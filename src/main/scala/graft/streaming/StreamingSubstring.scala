@@ -67,7 +67,7 @@ class StreamingSubstring(artifactDir: String, outDir: String,
     try {
       val anch = Dedup.anchorFrame(docs, // materialized (Dedup.materialize)
         checkpointDir = reliableCheckpointDir)
-      val fromCorpus = corpusAnchors(spark) match {
+      val fromCorpus = corpusAnchors(spark, batchId) match {
         case Some(cAnch) => Dedup.crossSubstringDups(cAnch, anch)
         case None => emptyExtents(spark)
       }
@@ -97,11 +97,17 @@ class StreamingSubstring(artifactDir: String, outDir: String,
       .withColumn("a_start", lit(0)).withColumn("b_start", lit(0))
       .withColumn("match_len", lit(0L)).limit(0)
 
-  /** The accepted-corpus anchor artifact accumulated so far. */
-  private def corpusAnchors(spark: SparkSession): Option[DataFrame] = {
+  /** The accepted-corpus anchor artifact accumulated by batches BEFORE
+    * `batchId`. Strictly-earlier slices only: a checkpoint replay of
+    * batch N must re-screen against exactly the state it originally saw
+    * — reading N's own leftover slice would score every replayed doc as
+    * fully duplicated against itself and reject it. */
+  private def corpusAnchors(spark: SparkSession,
+      batchId: Long): Option[DataFrame] = {
     val d = new java.io.File(s"$artifactDir/anchors")
     if (!d.isDirectory) None
-    else Some(spark.read.parquet(d.toString).drop("gbatch"))
+    else Some(spark.read.parquet(d.toString)
+      .where(col("gbatch") < batchId).drop("gbatch"))
   }
 
   /** All verdicts written so far. */

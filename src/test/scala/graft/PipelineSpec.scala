@@ -611,7 +611,8 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         .map("%02x".format(_)).mkString.take(8), 16)
     val ref = docs.select("doc_id", "n_chars").collect()
       .map { r =>
-        val (id, w) = (r.getLong(0), math.max(r.getLong(1).toDouble, 1.0))
+        val w0 = r.getLong(1).toDouble
+        val (id, w) = (r.getLong(0), if (w0 > 0) w0 else 1.0)
         val u = (h32(id.toString) % Sampling.Denom + 1).toDouble /
           (Sampling.Denom + 1).toDouble
         (id, BigDecimal(math.log(u) / w).setScale(12, BigDecimal.RoundingMode.HALF_UP))
@@ -825,6 +826,12 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // guarantee: docs 1 and 2 share a >= k+w-1 run -> >= 1 shared fingerprint
     assert((got(1L) intersect got(2L)).nonEmpty, "winnowing guarantee violated")
     assert((got(1L) intersect got(3L)).isEmpty, "false sharing with unrelated doc")
+    // ...and the guarantee must survive winnowPairs' DEFAULTS end-to-end:
+    // a boundary run promises exactly ONE shared fingerprint, so any
+    // default minShared > 1 would silently void it (regression pin)
+    val pairs = Dedup.winnowPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)), s"boundary pair lost through defaults: $pairs")
   }
 
   test("substring dedup recovers the maximal shared extent exactly once") {

@@ -60,18 +60,21 @@ class ScaleShapeSpec extends AnyFunSuite with SparkSpec {
     assert(capped <= bound, s"capped candidate count $capped exceeds bound $bound")
   }
 
-  test("winnow fingerprint cap: a 1000-doc boilerplate clique yields zero candidates") {
+  test("winnow fingerprint cap bounds a 1000-doc boilerplate clique at O(m·cap)") {
     // every fingerprint of the shared template occurs ~1000× — far past
-    // MaxFpOcc — so the frequency band drops them all BEFORE the
-    // self-join: the documented boilerplate/recall trade, and the reason
-    // the join never sees m²/2 template pairs
+    // MaxFpOcc — so the frequency band drops them BEFORE the self-join
+    // (the documented boilerplate/recall trade); what survives is the
+    // footer-adjacent fingerprints, each in ≤ MaxFpOcc docs, so pairs
+    // are bounded by Σocc² over surviving fingerprints, never m²/2
+    // template pairs
     val template = ("the quick brown fox jumps over the lazy dog and then " +
       "proceeds to recite the entire corpus licensing boilerplate verbatim ") * 3
     val docs = spark.range(0, 1000)
       .select(col("id").as("doc_id"),
         concat(lit(template), lit("footer "), col("id")).as("text"))
-    assert(Dedup.winnowPairs(docs).count() === 0L,
-      "over-common fingerprints must be dropped before the join")
+    val capped = Dedup.winnowPairs(docs).count()
+    assert(capped < 20000L,
+      s"capped clique pairs not bounded: $capped (template fps leaked past the band)")
     // same shape with the cap lifted: the clique explodes — proving the
     // fixture is adversarial and the band is what bounds it
     assert(Dedup.winnowPairs(docs, maxOcc = Int.MaxValue).count() > 400000L)

@@ -402,6 +402,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "no within-batch rejection; inner path untested")
   }
 
+  test("streaming screens are checkpoint-replay idempotent (batch re-run ≡ first run)") {
+    // a crashed-before-checkpoint-commit batch is re-delivered with the
+    // SAME batchId; the screen must re-produce identical verdicts and
+    // artifact slices — in particular the corpus read must exclude the
+    // replayed batch's own leftover slice, or every replayed row
+    // self-matches and flips to rejected
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    val s0 = docsAll.where(col("doc_id") < 250)
+    val s1 = docsAll.where(col("doc_id") >= 250)
+    val sd = new graft.streaming.StreamingDedup(
+      tmp("rply-art").toString, tmp("rply-out").toString, 0.5)
+    sd.screenBatch(s0, 0)
+    sd.screenBatch(s1, 1)
+    val before = sd.verdicts(spark).get.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    sd.screenBatch(s1, 1) // replay
+    val after = sd.verdicts(spark).get.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    assert(after === before, "lexical screen diverged on replay")
+
+    val embAll = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val e0 = embAll.where(col("vec_id") < 250)
+    val e1 = embAll.where(col("vec_id") >= 250)
+    val ss = new graft.streaming.StreamingSemanticDedup(
+      tmp("rplys-art").toString, tmp("rplys-out").toString, 0.2)
+    ss.screenBatch(e0, 0)
+    ss.screenBatch(e1, 1)
+    val sBefore = ss.verdicts(spark).get.orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    ss.screenBatch(e1, 1) // replay
+    val sAfter = ss.verdicts(spark).get.orderBy("vec_id")
+      .collect().map(_.toSeq).toSeq
+    assert(sAfter === sBefore, "semantic screen diverged on replay")
+    assert(sBefore.exists(r => !r(3).asInstanceOf[Boolean]),
+      "no rejections at all; replay test is vacuous")
+  }
+
   test("streaming substring screen: end state equals a slice-by-slice batch replay") {
     import graft.operators.Dedup
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
