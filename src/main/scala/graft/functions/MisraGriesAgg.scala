@@ -49,27 +49,8 @@ case class MisraGriesAgg(child: Expression, k: Int,
   override def createAggregationBuffer(): java.util.HashMap[String, Long] =
     new java.util.HashMap[String, Long](k * 2)
 
-  /** Weighted MG insert: bump the counter; on overflow past k keys,
-    * subtract the minimum counter from every key and drop the zeros —
-    * at least one key (the minimum) leaves, so size is ≤ k after every
-    * add. Each subtraction of m discounts ≥ (k+1)·m input weight, which
-    * is where the n/(k+1) undercount bound comes from. */
   private def add(buf: java.util.HashMap[String, Long], t: String,
-      c: Long): Unit = {
-    val cur = buf.getOrDefault(t, 0L)
-    buf.put(t, cur + c)
-    if (buf.size > k) {
-      var m = Long.MaxValue
-      val it0 = buf.values().iterator()
-      while (it0.hasNext) { val v = it0.next(); if (v < m) m = v }
-      val it = buf.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val nv = e.getValue - m
-        if (nv <= 0) it.remove() else e.setValue(nv)
-      }
-    }
-  }
+      c: Long): Unit = MisraGries.add(buf, t, c, k)
 
   override def update(buf: java.util.HashMap[String, Long],
       input: InternalRow): java.util.HashMap[String, Long] = {
@@ -152,4 +133,31 @@ object MisraGriesAgg {
   /** The sketch as an aggregate Column: `misraGries(col, k)`. */
   def misraGries(c: Column, k: Int): Column =
     Bridge.column(MisraGriesAgg(Bridge.expression(c), k).toAggregateExpression())
+}
+
+/** The Misra–Gries insert, shared by the batch aggregate and the
+  * streaming tracker ([[graft.streaming.StreamingHeavyHitters]]) so the
+  * two paths can never implement different sketches. */
+object MisraGries {
+  /** Weighted MG insert: bump the counter; on overflow past k keys,
+    * subtract the minimum counter from every key and drop the zeros —
+    * at least one key (the minimum) leaves, so size is ≤ k after every
+    * add. Each subtraction of m discounts ≥ (k+1)·m input weight, which
+    * is where the n/(k+1) undercount bound comes from. */
+  def add(buf: java.util.HashMap[String, Long], t: String, c: Long,
+      k: Int): Unit = {
+    val cur = buf.getOrDefault(t, 0L)
+    buf.put(t, cur + c)
+    if (buf.size > k) {
+      var m = Long.MaxValue
+      val it0 = buf.values().iterator()
+      while (it0.hasNext) { val v = it0.next(); if (v < m) m = v }
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue - m
+        if (nv <= 0) it.remove() else e.setValue(nv)
+      }
+    }
+  }
 }

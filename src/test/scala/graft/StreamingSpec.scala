@@ -402,6 +402,59 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "no within-batch rejection; inner path untested")
   }
 
+  test("streaming heavy hitters: MG guarantees hold at the end-state sketch") {
+    import spark.implicits._
+    // skewed synthetic stream, vocab >> k, two arrival slices
+    val k = 8
+    val rows = (0 until 6000).map { i =>
+      val lang = if (i % 2 == 0) "aa" else "bb"
+      val tok = if (i % 3 == 0) s"hot${i % 2}" else s"cold${i % 97}"
+      (i, lang, tok)
+    }
+    val src = tmp("hh-src")
+    Seq(rows.take(3000), rows.drop(3000)).zipWithIndex.foreach { case (s, i) =>
+      val stage = tmp(s"hh-slice$i")
+      s.toDF("i", "lang", "text").select("lang", "text")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(f"slice_$i%03d.parquet"))
+    }
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val q = graft.streaming.StreamingHeavyHitters.track(spark, stream, k)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val all = spark.table("hh").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(all.map(_._2).distinct.length >= 2, "only one emission; stream ran once")
+    // end state per lang = the rows at that lang's max n_seen
+    val finalSk = all.groupBy(_._1).map { case (lang, rs) =>
+      val nMax = rs.map(_._2).max
+      lang -> (nMax, rs.filter(_._2 == nMax).map(r => r._3 -> r._4).toMap)
+    }
+    val exact = rows.groupBy(_._2).map { case (lang, rs) =>
+      lang -> rs.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    }
+    exact.foreach { case (lang, counts) =>
+      val (n, sk) = finalSk(lang)
+      assert(n === counts.values.sum, s"$lang: n_seen drifted")
+      assert(sk.size <= k, s"$lang: sketch exceeded $k counters")
+      val floor = n.toDouble / (k + 1)
+      counts.filter(_._2 > floor).foreach { case (t, c) =>
+        assert(sk.contains(t), s"$lang: heavy '$t' (c=$c) missing from end state")
+        assert(sk(t) <= c && sk(t) >= c - floor,
+          s"$lang: '$t' est ${sk(t)} outside [c-n/(k+1), c]")
+      }
+      sk.foreach { case (t, est) =>
+        assert(est <= counts.getOrElse(t, 0L), s"$lang: '$t' overcounts")
+      }
+    }
+  }
+
   test("streaming screens are checkpoint-replay idempotent (batch re-run ≡ first run)") {
     // a crashed-before-checkpoint-commit batch is re-delivered with the
     // SAME batchId; the screen must re-produce identical verdicts and
