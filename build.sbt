@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON. sbt's "[success] Total time: …" epilogue prints AFTER the
+// program's output and has broken that parse every round ("parsed":
+// null in BENCH_r1–r6). Suppressing the success line makes Bench's
+// compact JSON the true final line regardless of how sbt is invoked,
+// and StdoutOutput passes the forked JVM's stdout through unprefixed
+// (the default logger strategy prepends "[info] ", which a strict
+// JSON parse of the last line would also choke on).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by the command engine, not a task
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,9 +21,15 @@ object Bench {
     // compilation in both its back-to-back runs (measured: tw1 2.7 s
     // cold-path vs 0.22 s steady-state at sf0.1). Steady-state latency is
     // the quantity min-of-N is meant to report.
+    // optional focus set for local iteration (comma-separated names);
+    // the driver never sets it — absent means the full registry
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     try {
       spark.range(1 << 20).selectExpr("sum(id)").collect()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, f) =>
+      selected.foreach { case (_, f) =>
         try f(spark, sfDir).count() catch { case _: Throwable => () }
       }
     } catch { case _: Throwable => () }
@@ -37,7 +43,7 @@ object Bench {
     // same-code runs. A fixed order makes per-query numbers comparable
     // round over round.
     val Runs = 2
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val timings = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         val err =

@@ -7,6 +7,15 @@ import org.apache.spark.sql.functions._
   * would emit per sampled frame). */
 case class MediaFrame(asset_id: Long, frame_no: Int, offset: Long, byte_len: Int, checksum: String)
 
+/** An encoded image asset (real PNG/BMP bytes) derived deterministically
+  * from a document row — the fixture input of the REAL decode path. */
+case class ImageAsset(asset_id: Long, media: Array[Byte])
+
+/** Real decoded-image metadata: container format sniffed from the byte
+  * stream, dimensions and a pixel probe read back by the actual decoder. */
+case class ImageMeta(asset_id: Long, format: String, width: Int, height: Int,
+    corner_rgb: Int)
+
 /** Multimodal column handling (builder brief "Multimodal columns"):
   * image/audio/video as opaque `binary` columns with a typed metadata
   * struct, plus decode / feature-extract / frame-sample stages.
@@ -101,8 +110,85 @@ object MultimodalOps {
        |  md5(substr(text, CAST(frame_no * $frameBytes + 1 AS INT), $frameBytes)) AS checksum
        |FROM f WHERE frame_no % $stride = 0""".stripMargin
 
-  /** DECODE STUB — deterministic fake standing in for a real codec
-    * (none is installed in this container). Real deployments replace the
+  // --- real decode: pure-JVM formats (javax.imageio) ----------------------
+
+  /** Deterministic per-pixel value for the generated fixture images —
+    * shared, via plain integer arithmetic, with the m3 oracle SQL (the
+    * corner probe) and the round-trip spec. */
+  private[graft] def pixelRgb(id: Long, x: Int, y: Int): Int =
+    (((id % 256) << 16) | ((x % 256) << 8) | (y % 256)).toInt
+
+  /** Deterministic image dimensions per asset id (also mirrored in the
+    * m3 oracle SQL). */
+  private[graft] def dimsFor(id: Long): (Int, Int) =
+    (8 + (id % 24).toInt, 8 + ((id * 7) % 16).toInt)
+
+  /** REAL encoded image bytes per document: even ids become PNG, odd ids
+    * BMP — both encoders ship in the JDK (`javax.imageio`), so no
+    * container codec is needed. Pixels and dimensions are pure functions
+    * of the id, which is what lets the decode step be oracle-checked:
+    * whatever the real decoder reads back must equal what was encoded.
+    * Per-partition batched generation, map-only. */
+  def imageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val (w, h) = dimsFor(id)
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixelRgb(id, x, y))
+        val out = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "bmp", out)
+        ImageAsset(id, out.toByteArray)
+      }
+    }
+  }
+
+  /** REAL decode via `javax.imageio` — NOT the stub: the container
+    * format is sniffed from the byte stream by the registered readers
+    * (PNG signature / "BM" magic), dimensions and the corner pixel come
+    * from actually decoding the payload. Formats the JDK lacks
+    * (video/audio) still go through [[fakeDecode]]; this path proves the
+    * plumbing end-to-end on the formats it does ship. Per-partition
+    * batched, map-only — the same shape as [[decodeFrames]]. */
+  def decodeImageMeta(spark: SparkSession,
+      assetsDs: Dataset[ImageAsset]): Dataset[ImageMeta] = {
+    import spark.implicits._
+    assetsDs.mapPartitions { it =>
+      it.map { a =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(a.media))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          require(readers.hasNext, s"no JDK reader for asset ${a.asset_id}")
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val fmt = reader.getFormatName.toLowerCase
+            val img = reader.read(0)
+            ImageMeta(a.asset_id, fmt, img.getWidth, img.getHeight,
+              img.getRGB(0, 0) & 0xffffff)
+          } finally reader.dispose()
+        } finally iis.close()
+      }
+    }
+  }
+
+  /** The m3 oracle: every column of the decoded output re-derived from
+    * pure integer arithmetic over `documents` — matching means the REAL
+    * encoder→decoder round trip preserved format, dimensions, and pixel
+    * values. */
+  def imageDecodeSql: String =
+    s"""SELECT doc_id AS asset_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+       |  CAST(8 + doc_id % 24 AS INT) AS width,
+       |  CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
+       |  CAST((doc_id % 256) * 65536 AS INT) AS corner_rgb
+       |FROM documents""".stripMargin
+
+  /** DECODE STUB — deterministic fake standing in for codecs the JDK
+    * does NOT ship (video/audio); for JDK-supported image formats the
+    * REAL path is [[decodeImageMeta]]. Real deployments replace the
     * body with the actual decoder call; the batched per-partition
     * iteration around it (the `mapInPandas`-shaped plumbing) is real. */
   def fakeDecode(bytes: Array[Byte]): MediaFrame =

@@ -104,15 +104,44 @@ object Sampling {
     * determinism) — the upstream of length-balanced sampling and of
     * "drop the shortest decile per language" curation rules. One window
     * per stratum parallelizes across strata (same scale shape as
-    * [[packByBudget]]); a GLOBAL decile would collapse the window to a
-    * single partition — at corpus scale that variant should instead
-    * broadcast `percentile`/`approx_percentile` cut points and assign
-    * map-only. */
+    * [[packByBudget]]) — but a stratum IS one sort partition, and real
+    * corpora have a dominant stratum (90% English is the normal case),
+    * so at 100 TB that stratum rides on a single straggler task. This
+    * exact form is the oracle-checked spec; for the scale path use
+    * [[lengthDecilesApprox]], which replaces the rank window with
+    * broadcast `percentile_approx` cut points and a map-only
+    * assignment. */
   def lengthDeciles(df: DataFrame, strataCol: String, lenCol: String,
       keyCol: String): DataFrame =
     df.withColumn("decile",
       ntile(10).over(Window.partitionBy(strataCol)
         .orderBy(col(lenCol), col(keyCol))))
+
+  /** [[lengthDeciles]]' 100 TB shape — the same device as
+    * [[TextOps.surprisalBandsApprox]]: per-stratum decile CUTOFFS via
+    * one `percentile_approx` aggregate (map-side-combined, no
+    * per-stratum sort partition, no dominant-stratum straggler), then
+    * band assignment as a map-only comparison against the broadcast
+    * cutoff row. Deciles are approximate at the boundaries
+    * (quantile-sketch error, plus ties land whole tie-groups on one
+    * side where ntile splits them by key) but each doc's decile is
+    * within one of the exact cut for any reasonable accuracy —
+    * spec-pinned against [[lengthDeciles]] on the fixture. Not
+    * oracle-registered: the sketch is Spark-internal, so there is no
+    * engine-independent declarative twin; the exact ntile form above
+    * remains the oracle query. */
+  def lengthDecilesApprox(df: DataFrame, strataCol: String, lenCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val cuts = df.groupBy(strataCol).agg(
+      percentile_approx(col(lenCol).cast("double"),
+        array((1 until 10).map(i => lit(i / 10.0)): _*),
+        lit(accuracy)).as("cuts"))
+    df.join(broadcast(cuts), strataCol)
+      .withColumn("decile",
+        aggregate(col("cuts"), lit(1L), (acc, c) =>
+          acc + when(col(lenCol).cast("double") > c, lit(1L)).otherwise(lit(0L))))
+      .drop("cuts")
+  }
 
   def lengthDecilesSelectSql(strataCol: String, lenCol: String,
       keyCol: String): String =
@@ -140,6 +169,64 @@ object Sampling {
     s"CAST(floor((sum($tokensExpr) OVER (PARTITION BY $strataCol ORDER BY $keyCol " +
       s"ROWS UNBOUNDED PRECEDING) - $tokensExpr) / $budget.0) AS BIGINT) AS pack_id"
 
+  /** [[packByBudget]]' 100 TB shape. First-fit-in-order is sequential by
+    * definition, and a window `partitionBy(stratum)` hands a dominant
+    * stratum (90% English is the normal case) to ONE task sorting the
+    * whole stratum. The two-level form breaks the chain: hash each
+    * stratum into `ceil(Σtokens / budget / targetPacksPerBucket)`
+    * sub-buckets (so a sub-bucket holds ~`targetPacksPerBucket` packs
+    * regardless of stratum size), first-fit WITHIN the sub-bucket — the
+    * per-task sort is now bounded by the sub-bucket, parallel across
+    * sub-buckets — then make pack ids globally dense per stratum by
+    * offsetting each sub-bucket's local ids with a broadcast exclusive
+    * prefix-sum of per-sub-bucket pack counts. The pack count needs NO
+    * second pass over the data: within a sub-bucket the exclusive
+    * cumulative sum is maximal at the last row in key order, so
+    * `n_packs = floor((Σtokens − tokens_last) / budget) + 1` falls out
+    * of one map-side-combined aggregate (`max_by` picks the last row's
+    * tokens; keys are unique by [[packByBudget]]'s contract).
+    *
+    * Semantics trade: first-fit order is preserved within each
+    * sub-bucket, not across the stratum — packs differ from the exact
+    * form's (which remains the oracle query), but every pack except at
+    * most one per sub-bucket still holds ≥ `budget` tokens' worth of
+    * starts, which is the property training-batch construction needs.
+    * With a single sub-bucket the output IS the exact form
+    * (spec-pinned). Not oracle-registered: sub-bucket assignment is
+    * engine-local layout, the exact form stays the declarative spec. */
+  def packByBudgetTwoLevel(df: DataFrame, strataCol: String, keyCol: String,
+      tokensCol: String, budget: Long,
+      targetPacksPerBucket: Int = 64): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(targetPacksPerBucket > 0,
+      s"targetPacksPerBucket must be positive: $targetPacksPerBucket")
+    val nb = df.groupBy(strataCol).agg(
+      greatest(lit(1L), ceil(sum(col(tokensCol)).cast("double") /
+        lit(budget.toDouble * targetPacksPerBucket)).cast("long")).as("_nb"))
+    val withB = df.join(broadcast(nb), strataCol)
+      .withColumn("_sb", pmod(hash32(col(keyCol).cast("string")), col("_nb")))
+      .drop("_nb")
+    val w = Window.partitionBy(col(strataCol), col("_sb")).orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = withB.withColumn("_lp",
+      floor((sum(col(tokensCol)).over(w) - col(tokensCol)) /
+        lit(budget.toDouble)).cast("long"))
+    // per-sub-bucket pack counts from ONE aggregate (no window re-pass),
+    // then exclusive prefix offsets — a window over the |strata|·nb-row
+    // counts frame, broadcast back
+    val counts = withB.groupBy(col(strataCol), col("_sb")).agg(
+      (floor((sum(col(tokensCol)) - max_by(col(tokensCol), col(keyCol))) /
+        lit(budget.toDouble)).cast("long") + 1L).as("_np"))
+    val offsets = counts.withColumn("_off",
+      coalesce(sum(col("_np")).over(
+        Window.partitionBy(strataCol).orderBy("_sb")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(strataCol), col("_sb"), col("_off"))
+    local.join(broadcast(offsets), Seq(strataCol, "_sb"))
+      .withColumn("pack_id", col("_off") + col("_lp"))
+      .drop("_sb", "_lp", "_off")
+  }
+
   /** Weighted sample without replacement (Efraimidis & Spirakis, IPL
     * 2006, algorithm A-ES): each row gets priority u^(1/w) for uniform
     * u and weight w, and the n largest priorities ARE a weighted sample
@@ -151,13 +238,23 @@ object Sampling {
     * engines rank identical values (the x38 device, applied to
     * ordering; kept as DOUBLE — both engines' parquet/pandas types
     * align, and the 12-dp round IS the quantization). Selection is
-    * sort+limit, which Spark plans as a distributed top-k (TakeOrdered)
-    * — per-partition heaps, no global shuffle; only zero/negative/NULL
-    * weights are clamped to 1 (fractional weights tilt as given).
+    * sort+limit, which Spark plans as a distributed top-k
+    * (TakeOrderedAndProject) — per-partition heaps, no global shuffle —
+    * but ONLY while `n <= spark.sql.execution.topKSortFallbackThreshold`
+    * (default 10000); a larger `n` silently falls back to a global
+    * range-partitioned sort, so large-budget callers must raise that
+    * config to keep the distributed-top-k shape. Only
+    * zero/negative/NULL weights are clamped to 1 (fractional weights
+    * tilt as given).
     *
-    * Returns the selected rows with their priority (`pri`). */
+    * Returns the selected rows with their priority (`pri`); the input
+    * must not already carry a `pri` column (it would be silently
+    * overwritten otherwise — same contract as `_rk` in
+    * [[stratifiedQuota]]). */
   def weightedSample(df: DataFrame, weightCol: String, keyCol: String,
       n: Int): DataFrame = {
+    require(!df.columns.contains("pri"),
+      "weightedSample emits a 'pri' column; input already has one")
     val u = (hash32(col(keyCol).cast("string")) % Denom + 1).cast("double") /
       lit((Denom + 1).toDouble)
     // only non-positive/NULL weights are clamped — fractional weights in

@@ -52,7 +52,16 @@ object VectorOps {
     * corpus vectors (self excluded). The query set is broadcast — the
     * corpus is scanned exactly once regardless of |queries|; per-query
     * ranking is a window (partitioned by query) over the joined
-    * similarities. */
+    * similarities.
+    *
+    * This is the deliberate EXACT BASELINE, not the production retrieval
+    * path: it scores every corpus vector against every query (one full
+    * corpus scan × |queries| dot products), which at 100 TB is priced
+    * per-query-batch and only worth paying to ground truth. Its consumer
+    * is [[annRecall]] (x44), which cross-checks every ANN variant
+    * ([[annTopK]], [[annTopKMultiProbe]], [[ivfTopK]],
+    * [[annTopKQuantized]]) against this result end-to-end; production
+    * retrieval at scale goes through those bucketed variants. */
   def cosineTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     val q = e.where(col("vec_id").isin(queryIds: _*))
@@ -771,17 +780,25 @@ object VectorOps {
     * knob bounding expected bucket population (raise it with corpus
     * size — see [[NumPlanes]]). */
   /** Exact pre-collapse for [[semanticDedup]]: every NONZERO vector maps
-    * to the minimum vec_id among bit-identical vectors (`rep0`), via one
-    * window over the vector value — a single shuffle keyed on the
-    * vector, no join. Returns the full mapping `(vec_id, rep0)`.
-    * Zero-norm vectors are excluded: their cosine is NaN with
+    * to the minimum vec_id among bit-identical vectors (`rep0`), as a
+    * min-aggregate keyed on the vector value joined back to the rows —
+    * the same device [[Dedup.starContraction]] uses for hub nodes, for
+    * the same reason. The collapse exists precisely because real corpora
+    * carry one embedding m ≫ 1 times, and that duplicated vector is
+    * exactly the value a `Window.partitionBy(v)` would hand to ONE task
+    * to buffer whole (m × ~6 KB at 768 dims). The aggregate instead
+    * combines map-side (each mapper emits one partial min per distinct
+    * vector it saw) and the join-back streams — per-task memory is
+    * per-ROW, not per-group. Returns the full mapping `(vec_id, v,
+    * rep0)`. Zero-norm vectors are excluded: their cosine is NaN with
     * everything (including each other), so [[embeddingNearDups]] never
     * pairs them and they must stay singletons — collapsing them here
     * would merge vectors the declarative spec keeps apart. */
   private[graft] def exactCollapse(embeddings: DataFrame): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
       .where(dot(col("v"), col("v")) > lit(0.0))
-    e.withColumn("rep0", min("vec_id").over(Window.partitionBy("v")))
+    val reps = e.groupBy(col("v")).agg(min("vec_id").as("rep0"))
+    e.join(reps, Seq("v")).select(col("vec_id"), col("v"), col("rep0"))
   }
 
   def semanticDedup(embeddings: DataFrame, minCosine: Double,

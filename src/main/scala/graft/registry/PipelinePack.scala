@@ -21,6 +21,12 @@ object PipelinePack extends QueryPack {
 
   val MinCosine = 0.2
 
+  /** Misra–Gries sketch size for x51 — the SINGLE source for both the
+    * Spark-side guarantee booleans and the oracle's heavy-set floor
+    * (`c·(K+1) > n`); interpolating it into the SQL keeps the two sides
+    * from silently desynchronizing if the size changes. */
+  val HeavyHittersK = 32
+
   /** Target language proportions for the mixture-sampling query. */
   val MixWeights: Seq[(String, Double)] =
     Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
@@ -284,7 +290,7 @@ object PipelinePack extends QueryPack {
     // candidate set BEYOND the guarantee floor is merge-order-dependent
     // by design, so only guarantee-backed facts are emitted
     "x51_heavy_hitters" -> ((s, dir) => {
-      val K = 32
+      val K = HeavyHittersK
       val tok = Tables.documents(s, dir)
         .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
       val sk = tok.groupBy("lang").agg(
@@ -473,6 +479,12 @@ object PipelinePack extends QueryPack {
     "m2_frame_sample" -> ((s, dir) =>
       MultimodalOps.frameSummary(MultimodalOps.assets(Tables.documents(s, dir)))
         .orderBy("asset_id", "frame_no")),
+    // REAL decode (javax.imageio, in-JDK PNG/BMP): encode deterministic
+    // images per doc, decode them back, oracle-check format/dims/pixel
+    "m3_image_decode" -> ((s, dir) =>
+      MultimodalOps.decodeImageMeta(s,
+        MultimodalOps.imageAssets(s, Tables.documents(s, dir)))
+        .toDF().orderBy("asset_id")),
   )
 
   def oracle: Map[String, String] = Map(
@@ -555,7 +567,7 @@ object PipelinePack extends QueryPack {
          |)
          |SELECT c.lang, c.token, c.c, TRUE AS covered_bounded
          |FROM c JOIN n USING (lang)
-         |WHERE c.c * 33 > n.n_tokens
+         |WHERE c.c * ${HeavyHittersK + 1} > n.n_tokens
          |ORDER BY lang, token""".stripMargin,
     "x27_repetition_filter" ->
       (TextOps.repetitionMetricsSql() + "\nORDER BY doc_id"),
@@ -619,6 +631,8 @@ object PipelinePack extends QueryPack {
     "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),
     "m2_frame_sample" ->
       (MultimodalOps.frameSummarySql() + "\nORDER BY asset_id, frame_no"),
+    "m3_image_decode" ->
+      (MultimodalOps.imageDecodeSql + "\nORDER BY asset_id"),
     "x17_minhash_signatures" ->
       (Dedup.minHashSignaturesSql + "\nORDER BY doc_id"),
   )

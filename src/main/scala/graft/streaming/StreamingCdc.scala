@@ -80,7 +80,10 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
         col(UpdatedAt) >= lit(wmMin).cast("timestamp"))
       .withWatermark(UpdatedAt, lateness)
 
-    var batches = 0L
+    // distinct ids, not an invocation counter: a checkpoint replay of an
+    // already-seen batchId re-invokes foreachBatch but must not
+    // double-count in the returned total
+    val seen = scala.collection.mutable.Set.empty[Long]
     val hwms = scala.collection.concurrent.TrieMap.empty[String, String]
     val query: StreamingQuery = env.writeStream
       .option("checkpointLocation",
@@ -88,7 +91,7 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyMicroBatch(batch, indexes, wms, s"${timestamp}_b$batchId", hwms)
-        batches += 1
+        seen.synchronized { seen += batchId }
         onBatchProcessed(batchId)
       }
       .start()
@@ -102,7 +105,7 @@ class StreamingCdc(store: IndexStore, watermarks: WatermarkStore,
     hwms.foreach { case (idx, hwm) =>
       if (hwm > wms.getOrElse(idx, "")) watermarks.save(idx, hwm)
     }
-    batches
+    seen.size.toLong
   }
 
   /** Test seam: invoked after each committed micro-batch (lets specs

@@ -43,20 +43,22 @@ class StreamingDedup(artifactDir: String, outDir: String,
 
   private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
 
-  /** Run to completion of available data; returns micro-batches run. */
+  /** Run to completion of available data; returns DISTINCT micro-batches
+    * run — a checkpoint replay of an already-seen batchId after a
+    * failure re-invokes `foreachBatch` but must not double-count. */
   def screenAvailable(spark: SparkSession, docsStream: DataFrame,
       checkpoint: String, maxFilesPerTrigger: Int = 1): Long = {
-    var batches = 0L
+    val seen = scala.collection.mutable.Set.empty[Long]
     val q = docsStream.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         screenBatch(batch, batchId)
-        batches += 1
+        seen.synchronized { seen += batchId; () }
       }
       .start()
     q.awaitTermination()
-    batches
+    seen.size.toLong
   }
 
   /** One micro-batch of the greedy-sequential policy (also the unit the

@@ -2,6 +2,8 @@ package graft
 
 import graft.sources.JdbcSource
 import graft.sources.JdbcSource.JdbcConfig
+import graft.sources.Tables.{Id, Idx, IsDeleted, UpdatedAt}
+import graft.sync.{IndexStore, SyncPipeline, WatermarkStore}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** S3 — JDBC source assembly: no live database in the harness, so the
@@ -150,5 +152,119 @@ class JdbcSourceSpec extends AnyFunSuite with SparkSpec {
     assert(rej.select("id").collect().map(_.getLong(0)).toSet === Set(7L, 23L))
     // the quarantine carries the database's own error, not a blank
     assert(rej.where(col("graft_err").isNull).count() === 0L)
+  }
+
+  test("reference program end-to-end: Derby source → full + incremental sync → tolerant JDBC write-back") {
+    // the whole main_flow.py:602-762 composition with every stage
+    // EXECUTED: a PG-shaped JDBC source (partitioned range scan) feeds
+    // SyncPipeline's full sync; source-side updates/inserts/tombstones
+    // then flow through the watermarked incremental sync; the published
+    // state writes back over JDBC with a poison row quarantined
+    // mid-stream — existing operators only, composed.
+    import org.apache.spark.sql.functions._
+    val dbDir = java.nio.file.Files.createTempDirectory("graft_derby_e2e")
+      .resolve("db").toString
+    val url = s"jdbc:derby:$dbDir;create=true"
+
+    def withConn[A](f: java.sql.Connection => A): A = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try f(c) finally c.close()
+    }
+    withConn { conn =>
+      val st = conn.createStatement()
+      st.execute(
+        """CREATE TABLE index_documents (
+          |  idx VARCHAR(32),
+          |  id VARCHAR(32) NOT NULL,
+          |  document VARCHAR(256),
+          |  is_deleted BOOLEAN,
+          |  updated_at TIMESTAMP)""".stripMargin)
+      // the write-back "ES" table: PK on id makes collisions DB-rejected
+      st.execute(
+        """CREATE TABLE es_documents (
+          |  id VARCHAR(32) NOT NULL PRIMARY KEY,
+          |  document VARCHAR(256))""".stripMargin)
+      st.execute(
+        """CREATE TABLE es_rejects (
+          |  id VARCHAR(32),
+          |  document VARCHAR(256),
+          |  graft_err VARCHAR(256))""".stripMargin)
+      val ps = conn.prepareStatement("INSERT INTO index_documents VALUES (?,?,?,?,?)")
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      (0 until 60).foreach { i =>
+        ps.setString(1, if (i % 2 == 0) "click" else "view")
+        ps.setString(2, i.toString)
+        ps.setString(3, s"""{"k":$i}""")
+        ps.setBoolean(4, false)
+        ps.setTimestamp(5, new java.sql.Timestamp(t0.getTime + i * 60000L))
+        ps.addBatch()
+      }
+      ps.executeBatch()
+    }
+
+    val srcCfg = JdbcConfig(
+      url = url, table = "index_documents",
+      user = "app", password = "app",
+      fetchSize = 25,
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      partitionColumn = Some("updated_at"),
+      numPartitions = 4,
+      lowerBound = Some("2024-01-01 00:00:00"),
+      upperBound = Some("2024-01-01 01:00:00"),
+      sessionInit = None)
+    def readSource() = JdbcSource.envelope(spark, srcCfg)
+      .select(col(Idx), col(Id), col("document"), col(IsDeleted), col(UpdatedAt))
+
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_e2e_store").toString
+    val store = new IndexStore(spark, storeDir)
+    val wms = new WatermarkStore(storeDir)
+    val pipe = new SyncPipeline(store, wms)
+
+    // stage 1: full sync off the JDBC source (4 parallel range cursors)
+    val full = pipe.fullSync(readSource(), None, timestamp = "t1")
+    assert(full.map(_.index).toSet === Set("click", "view"))
+    assert(store.count("click") === 30L && store.count("view") === 30L)
+    assert(pipe.reconcile(readSource(), Seq("click", "view")).isEmpty)
+
+    // stage 2: source moves on — one update, one insert, one tombstone,
+    // all AFTER the persisted watermark; plus an old row that must NOT
+    // re-sync (stays behind the watermark)
+    withConn { conn =>
+      val st = conn.createStatement()
+      st.execute("UPDATE index_documents SET document = '{\"k\":0,\"v\":2}'," +
+        " updated_at = TIMESTAMP('2024-01-02 00:00:00') WHERE id = '0'")
+      st.execute("INSERT INTO index_documents VALUES ('click', '100'," +
+        " '{\"k\":100}', false, TIMESTAMP('2024-01-02 00:05:00'))")
+      st.execute("UPDATE index_documents SET is_deleted = true," +
+        " updated_at = TIMESTAMP('2024-01-02 00:10:00') WHERE id = '2'")
+    }
+    val inc = pipe.incrementalSync(readSource(), None, timestamp = "t2")
+    val incClick = inc.find(_.index == "click").get
+    assert(incClick.mode === "incremental")
+    assert(incClick.deletes === 1L) // the tombstone
+    // view saw no post-watermark changes → zero-work skip
+    assert(inc.find(_.index == "view").get.mode === "skipped")
+    val clickState = store.read("click").get
+    assert(clickState.where(col(Id) === "100").count() === 1L) // insert
+    assert(clickState.where(col(Id) === "2").count() === 0L) // tombstone
+    assert(clickState.where(col(Id) === "0") // update applied
+      .select("document").head().getString(0).contains("\"v\":2"))
+    assert(store.count("click") === 30L) // 30 − 1 del + 1 insert
+
+    // stage 3: publish the synced state back over JDBC; a pre-existing
+    // ES row collides on the PK and must quarantine, not fail the batch
+    withConn(_.createStatement()
+      .execute("INSERT INTO es_documents VALUES ('4', '{\"stale\":true}')"))
+    val esCfg = srcCfg.copy(table = "es_documents", partitionColumn = None)
+    val rejects = JdbcSource.writeTolerant(
+      clickState.select(col(Id), col("document")), esCfg, "es_rejects",
+      batchSize = 8)
+    assert(rejects === 1L)
+    val es = JdbcSource.envelope(spark, esCfg)
+    assert(es.count() === 30L) // 29 new + the stale pre-published row
+    val rej = JdbcSource.envelope(spark,
+      esCfg.copy(table = "es_rejects"))
+    assert(rej.count() === 1L)
+    assert(rej.head().getString(0) === "4")
   }
 }

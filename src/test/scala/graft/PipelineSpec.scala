@@ -725,6 +725,88 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"only $same/${exact.size} docs band-stable; sketch accuracy suspect")
   }
 
+  test("approx length deciles agree with the exact ntile within one band") {
+    import graft.operators.Sampling
+    val exact = Sampling.lengthDeciles(docs, "lang", "n_chars", "doc_id")
+      .select("doc_id", "decile").collect()
+      .map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val approx = Sampling.lengthDecilesApprox(docs, "lang", "n_chars")
+      .select("doc_id", "decile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    assert(approx.values.forall(d => d >= 1L && d <= 10L))
+    val off = approx.count { case (id, d) => math.abs(d - exact(id)) > 1 }
+    assert(off === 0, s"$off docs moved more than one decile")
+    val same = approx.count { case (id, d) => d == exact(id) }
+    assert(same >= (exact.size * 0.8).toInt,
+      s"only $same/${exact.size} docs decile-stable; sketch accuracy suspect")
+  }
+
+  test("two-level packing: single sub-bucket ≡ exact; multi-bucket keeps invariants") {
+    import graft.operators.Sampling
+    val tokens = docs.select(col("doc_id"), col("lang"),
+      size(TextOps.tokens(col("text"))).as("n_tokens"))
+    // targetPacksPerBucket large enough → one sub-bucket per stratum →
+    // the two-level form IS the exact first-fit
+    val exact = Sampling.packByBudget(tokens, "lang", "doc_id", "n_tokens", 512L)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val one = Sampling.packByBudgetTwoLevel(tokens, "lang", "doc_id",
+      "n_tokens", 512L, targetPacksPerBucket = 1000000)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one === exact)
+    // small targetPacksPerBucket → real sub-bucketing; verify against a
+    // full driver-side reference simulation of the two-level build
+    // (sub-bucket hash, per-sub-bucket first-fit, prefix offsets)
+    val budget = 512L
+    val tpb = 2
+    val multi = Sampling.packByBudgetTwoLevel(tokens, "lang", "doc_id",
+      "n_tokens", budget, targetPacksPerBucket = tpb)
+      .select("doc_id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(multi.keySet === exact.keySet) // row-preserving
+    val base = tokens.select(col("doc_id"), col("lang"), col("n_tokens"),
+      TextOps.hash32(col("doc_id").cast("string")).as("h")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong, r.getLong(3)))
+    val expected = base.groupBy(_._2).flatMap { case (_, rs) =>
+      val tot = rs.map(_._3).sum
+      val nb = math.max(1L, math.ceil(tot.toDouble / (budget.toDouble * tpb)).toLong)
+      val bySb = rs.groupBy(t => java.lang.Math.floorMod(t._4, nb))
+      // local first-fit per sub-bucket in key order
+      val locals = bySb.map { case (sb, ds) =>
+        var cum = 0L
+        val ids = ds.sortBy(_._1).map { d =>
+          val lp = (cum.toDouble / budget).toLong
+          cum += d._3
+          d._1 -> lp
+        }
+        sb -> ids
+      }
+      // exclusive prefix offsets of per-sub-bucket pack counts, in sb order
+      val np = locals.view.mapValues(ids => ids.map(_._2).max + 1).toMap
+      val sbs = locals.keys.toSeq.sorted
+      val offs = sbs.zip(sbs.scanLeft(0L)((acc, sb) => acc + np(sb))).toMap
+      locals.toSeq.flatMap { case (sb, ids) =>
+        ids.map { case (id, lp) => id -> (offs(sb) + lp) }
+      }
+    }
+    assert(multi === expected,
+      s"two-level pack ids diverge from the reference simulation: " +
+        s"${(multi.toSet diff expected.toSet).take(5)}")
+    // the data-side window is keyed by (stratum, sub-bucket), never the
+    // full stratum — the dominant-stratum straggler is the whole point
+    val opt = Sampling.packByBudgetTwoLevel(tokens, "lang", "doc_id",
+      "n_tokens", 512L, targetPacksPerBucket = 2)
+      .queryExecution.optimizedPlan.toString
+    // partition spec (lang, _sb) then the doc_id sort key — the comma
+    // after _sb distinguishes it from the offsets window, which merely
+    // ORDERS by _sb ("_sb#N ASC") over the tiny counts frame
+    assert("windowspecdefinition\\(lang#\\d+, _sb#\\d+L?, doc_id#\\d+L? ASC"
+      .r.findFirstIn(opt).isDefined,
+      s"data window not sub-bucketed:\n$opt")
+  }
+
   test("ann recall grid is complete; lsh row equals the manual intersection") {
     import graft.operators.VectorOps
     val qs = Seq(0L, 1L, 2L)
@@ -951,6 +1033,30 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     decoded.filter(_.frame_no == 0).foreach { f =>
       val bytes = texts(f.asset_id).getBytes("UTF-8").take(256)
       assert(f.checksum === MultimodalOps.fakeDecode(bytes).checksum)
+    }
+  }
+
+  test("real image decode (javax.imageio) round-trips the generated PNG/BMP") {
+    val got = MultimodalOps.decodeImageMeta(spark,
+      MultimodalOps.imageAssets(spark, docs)).collect()
+    assert(got.length === docs.count())
+    got.foreach { m =>
+      val (w, h) = MultimodalOps.dimsFor(m.asset_id)
+      assert(m.format === (if (m.asset_id % 2 == 0) "png" else "bmp"),
+        s"asset ${m.asset_id}: sniffed format ${m.format}")
+      assert(m.width === w && m.height === h,
+        s"asset ${m.asset_id}: ${m.width}x${m.height} != ${w}x$h")
+      assert(m.corner_rgb === MultimodalOps.pixelRgb(m.asset_id, 0, 0))
+    }
+    // lossless round trip pixel-for-pixel, one asset of each format
+    val two = MultimodalOps.imageAssets(spark, docs.where(col("doc_id") < 2))
+      .collect().map(a => a.asset_id -> a.media).toMap
+    two.foreach { case (id, bytes) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = MultimodalOps.dimsFor(id)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((img.getRGB(x, y) & 0xffffff) === MultimodalOps.pixelRgb(id, x, y),
+          s"asset $id pixel ($x,$y)")
     }
   }
 }

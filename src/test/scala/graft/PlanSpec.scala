@@ -237,9 +237,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("weighted sample plans as distributed top-k, not a global sort") {
     import graft.operators.Sampling
+    val n = 100
+    // the fusion below only holds while n <= topKSortFallbackThreshold
+    // (default 10000) — beyond it Spark silently falls back to a global
+    // range-partitioned sort; weightedSample's scaladoc tells
+    // large-budget callers to raise the config
+    assert(n <= spark.conf.get("spark.sql.execution.topKSortFallbackThreshold").toInt)
     val plan = formatted(Sampling.weightedSample(
       Tables.documents(spark, sf).select("doc_id", "lang", "source", "n_chars"),
-      "n_chars", "doc_id", 100))
+      "n_chars", "doc_id", n))
     // sort+limit must fuse into TakeOrdered (per-partition heaps); a
     // Sort node means the whole corpus range-shuffles for 100 rows
     assert(plan.contains("TakeOrderedAndProject"),

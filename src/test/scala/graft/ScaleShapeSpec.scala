@@ -117,6 +117,26 @@ class ScaleShapeSpec extends AnyFunSuite with SparkSpec {
     assert(labels.where(col("kept")).count() <= 8L)
   }
 
+  test("exactCollapse plans no Window — per-row memory when one vector repeats 100k times") {
+    // the embedding-space hub: one vector duplicated 10⁵ times (identical
+    // docs → identical embeddings). A Window.partitionBy(v) hands ALL
+    // copies to one task to buffer; the min-agg + join-back form combines
+    // map-side and streams the join, so per-task memory is per-row.
+    import graft.operators.VectorOps
+    val emb = spark.range(0, 100000).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(16)), d => d.cast("float") / 100f)
+        .as("embedding"))
+    val mapping = VectorOps.exactCollapse(emb)
+    val qe = mapping.queryExecution
+    val txt = qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+    assert(!txt.contains("Window"),
+      s"exactCollapse buffers whole value-groups in a window partition:\n$txt")
+    assert(mapping.count() === 100000L)
+    // every copy maps to the single minimum id
+    assert(mapping.where(col("rep0") =!= 0L).count() === 0L)
+    assert(mapping.where(col("vec_id") === col("rep0")).count() === 1L)
+  }
+
   // --- injectable reliable checkpoint --------------------------------------
 
   test("reliable-checkpoint path ≡ localCheckpoint path (clusters + anchors)") {
