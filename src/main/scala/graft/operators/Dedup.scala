@@ -184,10 +184,23 @@ object Dedup {
 
   /** Within-corpus candidate pairs from a signature frame, with the
     * bucket-occupancy cap applied (package-visible so the clique-blowup
-    * spec can count candidates directly). */
+    * spec can count candidates directly).
+    *
+    * The band frame is MATERIALIZED (the [[materialize]] convention)
+    * before fanning out to its two consumers — the occupancy aggregate
+    * and the kept-join. Left lazy, Catalyst plans the band subtree (and
+    * under it the whole signature derivation, when `sigs` is itself
+    * unmaterialized) once per consumer: broadcast planning at fixture
+    * scale duplicates it outright, and even the shuffled shape only
+    * dedupes the exchange, not the scan below it. Measured under
+    * driver conditions (full 95-query registry, name-sorted, min-of-2,
+    * sf0.1 × local[32], two runs per variant): x2 0.76/0.97 s
+    * materialized vs 1.37/1.05 s lazy, x3 1.04/1.01 vs 2.00/1.45 —
+    * the r6 driver's x2 = 1.40 s was this recompute, not noise. */
   private[graft] def bandCandidates(sigs: DataFrame,
-      maxBucket: Int = MaxBandBucket): DataFrame = {
-    val bands = bandFrame(sigs)
+      maxBucket: Int = MaxBandBucket,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val bands = materialize(bandFrame(sigs), checkpointDir)
     val kept = bands.join(bucketSurvivors(bands, maxBucket), Seq("band", "bkey"))
     kept.as("a").join(kept.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -211,15 +224,16 @@ object Dedup {
   }
 
   def nearDupPairsFrom(sigs: DataFrame, withSh: DataFrame,
-      minJaccard: Double = 0.0): DataFrame =
+      minJaccard: Double = 0.0,
+      checkpointDir: Option[String] = None): DataFrame =
     // no join hints in the candidate join, deliberately (measured): at
-    // fixture scale the planner broadcasts the band/shingle sides, which
-    // re-derives the signature subtree (when `sigs` is not materialized)
-    // but skips a shuffle — faster. At corpus scale those sides exceed
-    // the broadcast threshold, and size-based planning flips to shuffled
-    // joins whose identical band exchanges then dedupe via
-    // ReusedExchange. Hard-pinning either shape lost ~70% wall at sf0.1.
-    confirmJaccard(bandCandidates(sigs), withSh, withSh, minJaccard)
+    // fixture scale the planner broadcasts the band/shingle sides and at
+    // corpus scale size-based planning flips to shuffled joins; either
+    // way the band frame itself is materialized inside bandCandidates,
+    // so neither shape re-derives the signature subtree. Hard-pinning
+    // either join shape lost ~70% wall at sf0.1.
+    confirmJaccard(bandCandidates(sigs, MaxBandBucket, checkpointDir),
+      withSh, withSh, minJaccard)
 
   /** Cross-corpus near-duplicate pairs: corpus B documents that
     * near-duplicate a corpus A document — the "dedup the new crawl
@@ -230,10 +244,16 @@ object Dedup {
     * bucket matches — never A×B — and each is confirmed by exact
     * Jaccard over the two shingle frames. The portable-artifact payoff:
     * corpus A's text is never re-read, only its signature/shingle
-    * artifacts are joined. Returns (doc_a ∈ A, doc_b ∈ B, jaccard). */
+    * artifacts are joined. Returns (doc_a ∈ A, doc_b ∈ B, jaccard).
+    *
+    * Both band frames are materialized ([[bandCandidates]]' device, same
+    * measured recompute): each is consumed twice — by the A ∪ B
+    * occupancy union and by its own side of the candidate join. */
   def crossCorpusPairs(sigsA: DataFrame, shA: DataFrame,
-      sigsB: DataFrame, shB: DataFrame, minJaccard: Double): DataFrame = {
-    val (ba, bb) = (bandFrame(sigsA), bandFrame(sigsB))
+      sigsB: DataFrame, shB: DataFrame, minJaccard: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val ba = materialize(bandFrame(sigsA), checkpointDir)
+    val bb = materialize(bandFrame(sigsB), checkpointDir)
     // occupancy counted over A ∪ B — a bucket that is rare in the new
     // crawl but boilerplate across the existing corpus is still capped
     val surv = bucketSurvivors(ba.union(bb), MaxBandBucket)
@@ -540,6 +560,52 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .unionByName(out)
   }
+
+  /** Quality-aware cluster representative selection: for each duplicate
+    * cluster (from [[duplicateClusters]]), the member the curation
+    * pipeline should KEEP — highest quality (`uniq_ratio` from
+    * [[TextOps.qualityScore]]), `doc_id` as the deterministic tiebreak —
+    * plus the member count. Min-doc-id representatives (what
+    * [[nearDupDedup]]'s keep-first policy and the cluster label itself
+    * encode) are arbitrary; real dedup pipelines keep the BEST copy of
+    * boilerplate-heavy near-dup groups (the canonical page, not the
+    * mirror with ads).
+    *
+    * Scale shape: one equi-join (clusters ⋈ quality on doc_id) and one
+    * hash-aggregate — the argmax is `max(struct(quality, -doc_id))`, so
+    * it map-side combines and a 10⁶-member boilerplate cluster costs
+    * one struct per mapper, never a buffered member list (the
+    * [[starContraction]] contract, applied to policy selection). */
+  def clusterRepresentatives(clusters: DataFrame,
+      quality: DataFrame): DataFrame =
+    clusters.join(quality.select(col("doc_id"), col("uniq_ratio")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(
+        max(struct(col("uniq_ratio").as("q"),
+          (-col("doc_id")).as("nid"))).as("_best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("_best.nid")).as("rep_doc"),
+        col("_best.q").as("rep_quality"), col("n_members"))
+
+  /** [[clusterRepresentatives]] oracle over the x26 clustering: the
+    * recursive-CTE closure as a subquery, quality joined in, argmax as
+    * a per-cluster rank-1 window (declarative spec only — the engine
+    * side is the map-side-combined struct-max aggregate above). */
+  def clusterRepresentativesSql(minJaccard: Double): String =
+    s"""WITH clus AS (
+       |${duplicateClustersSql(minJaccard)}
+       |), q AS (
+       |${TextOps.qualityScoreSql}
+       |), j AS (
+       |  SELECT clus.cluster_id, clus.doc_id, q.uniq_ratio
+       |  FROM clus JOIN q USING (doc_id)
+       |)
+       |SELECT cluster_id, rep_doc, rep_quality, n_members FROM (
+       |  SELECT cluster_id, doc_id AS rep_doc, uniq_ratio AS rep_quality,
+       |    count(*) OVER (PARTITION BY cluster_id) AS n_members,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY uniq_ratio DESC, doc_id) AS rn
+       |  FROM j) WHERE rn = 1""".stripMargin
 
   /** [[duplicateClusters]] oracle: reachability closure as a recursive
     * CTE over the symmetrized confirmed-pair edges, min per node. (The

@@ -274,4 +274,82 @@ object Sampling {
     s"round(ln((${hash32Sql(s"CAST($keyExpr AS VARCHAR)")} % $Denom + 1) " +
       s"/ ${Denom + 1}.0) / (CASE WHEN CAST($weightExpr AS DOUBLE) > 0 " +
       s"THEN CAST($weightExpr AS DOUBLE) ELSE 1.0 END), 12) AS pri"
+
+  /** Greedy token-budget corpus selection: walk the corpus in quality
+    * order (`uniq_ratio` DESC, `doc_id` as the deterministic tiebreak)
+    * and keep the longest prefix whose cumulative token count stays
+    * within `budget` — the "best N billion tokens" curation step that
+    * sits between quality scoring and training-shard construction.
+    * Prefix semantics (stop at the first overflowing document), so the
+    * result is exactly the declarative window form
+    * `sum(n_tokens) OVER (ORDER BY uniq_ratio DESC, doc_id) <= budget`
+    * — which is the oracle query, but NOT the execution plan: a global
+    * ordered cumulative sum is one sort partition, the very shape this
+    * file keeps evicting.
+    *
+    * The scale shape instead resolves the budget in quality-histogram
+    * space: (1) bucket each doc's quality onto a `res`-cell grid
+    * (map-only; floor is monotonic, so bucket order refines quality
+    * order); (2) one map-side-combined aggregate sums tokens per
+    * bucket — ≤ `res`+1 rows, collected as bounded driver metadata
+    * (the k×dim k-means grid precedent); (3) a driver scan finds the
+    * boundary bucket where the budget runs out; (4) every doc in a
+    * strictly better bucket is kept by a map-only filter, and ONLY the
+    * boundary bucket — expected corpus/`res` rows — pays an exact
+    * in-bucket prefix window for the remaining budget. Degenerate
+    * bound, stated honestly: a corpus whose quality is one constant
+    * lands entirely in the boundary bucket and the window serializes —
+    * ties cannot be split by a finer grid. Real quality scores are
+    * ratio-valued and spread; `res` = 4096 puts ~0.02% of the corpus
+    * in the windowed bucket.
+    *
+    * Returns (doc_id, n_tokens, uniq_ratio) for the selected prefix.
+    * Runs the histogram job at call time (the x26 convention: the
+    * operator IS iterative/driver-resolved, a deliberate exception to
+    * lazy build). */
+  def selectByTokenBudget(docs: DataFrame, budget: Long,
+      res: Int = 4096): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(res > 0, s"res must be positive: $res")
+    val scored = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"))
+    val withB = scored.withColumn("_qb",
+      least(floor(col("uniq_ratio") * res), lit(res.toLong)).cast("int"))
+    // ≤ res+1 rows of (bucket, token-sum): bounded metadata, one
+    // map-side-combined aggregate over the corpus
+    val hist = withB.groupBy("_qb").agg(sum("n_tokens").as("_t")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sortBy(-_._1)
+    // walk buckets best-first until the budget runs out
+    var before = 0L
+    var boundary = Option.empty[Int]
+    val it = hist.iterator
+    while (boundary.isEmpty && it.hasNext) {
+      val (qb, t) = it.next()
+      if (before + t > budget) boundary = Some(qb) else before += t
+    }
+    boundary match {
+      case None => scored // the whole corpus fits
+      case Some(qb) =>
+        val keepAll = withB.filter(col("_qb") > qb)
+        val w = Window.partitionBy("_qb")
+          .orderBy(col("uniq_ratio").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val fromBoundary = withB.filter(col("_qb") === qb)
+          .withColumn("_cum", sum("n_tokens").over(w))
+          .where(col("_cum") <= budget - before)
+          .drop("_cum")
+        keepAll.union(fromBoundary).drop("_qb")
+    }
+  }
+
+  /** [[selectByTokenBudget]]'s declarative twin — the global prefix
+    * window the operator's histogram plan is proven equal to. */
+  def selectByTokenBudgetSql(budget: Long): String =
+    s"""WITH scored AS (${TextOps.qualityScoreSql}),
+       |sel AS (
+       |  SELECT doc_id, n_tokens, uniq_ratio,
+       |    sum(n_tokens) OVER (ORDER BY uniq_ratio DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM scored)
+       |SELECT doc_id, n_tokens, uniq_ratio FROM sel WHERE cum <= $budget""".stripMargin
 }

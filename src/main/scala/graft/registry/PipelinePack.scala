@@ -27,6 +27,10 @@ object PipelinePack extends QueryPack {
     * from silently desynchronizing if the size changes. */
   val HeavyHittersK = 32
 
+  /** Token budget for x52's greedy corpus selection — sized to select a
+    * strict, non-empty subset at every fixture scale factor. */
+  val SelectBudget = 12000L
+
   /** Target language proportions for the mixture-sampling query. */
   val MixWeights: Seq[(String, Double)] =
     Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
@@ -119,6 +123,21 @@ object PipelinePack extends QueryPack {
         p => Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard)
           .write.mode("overwrite").parquet(p))
       Dedup.duplicateClusters(s.read.parquet(pairs)).orderBy("doc_id")
+    }),
+    // keep-the-BEST-copy policy over x26's clusters: highest-quality
+    // member per duplicate group (argmax as a map-side-combined struct
+    // max, hub-cluster-safe). Artifact-fed like x37: the pair graph is
+    // x26's snapshot artifact, so this measures the policy + CC, not a
+    // MinHash rebuild
+    "x53_cluster_reps" -> ((s, dir) => {
+      val pairs = snapshotArtifact(dir, "documents.parquet",
+        "neardup_pairs.parquet", PairJaccard)(
+        p => Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard)
+          .write.mode("overwrite").parquet(p))
+      Dedup.clusterRepresentatives(
+        Dedup.duplicateClusters(s.read.parquet(pairs)),
+        TextOps.qualityScore(Tables.documents(s, dir)))
+        .orderBy("cluster_id")
     }),
     // exact substring dedup (Lee et al., ACL'22): verbatim shared extents
     // ≥ MinExtent chars across doc pairs, via anchor-window equi-join +
@@ -454,6 +473,15 @@ object PipelinePack extends QueryPack {
         "lang", "doc_id", MixWeights, 200L)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+    // greedy "best N tokens" corpus selection: quality-ordered prefix
+    // under a token budget, resolved in quality-histogram space (one
+    // bounded-metadata aggregate + map-only keep; only the boundary
+    // bucket pays a window) — proven equal to the oracle's global
+    // prefix window
+    "x52_budget_select" -> ((s, dir) =>
+      graft.operators.Sampling.selectByTokenBudget(
+        Tables.documents(s, dir), SelectBudget)
+        .orderBy("doc_id")),
     "x35_length_deciles" -> ((s, dir) =>
       graft.operators.Sampling.lengthDeciles(
         Tables.documents(s, dir), "lang", "n_chars", "doc_id")
@@ -495,6 +523,8 @@ object PipelinePack extends QueryPack {
       (Dedup.nearDupDedupSql(DedupJaccard) + "\nORDER BY doc_id"),
     "x26_dup_clusters" ->
       (Dedup.duplicateClustersSql(PairJaccard) + "\nORDER BY doc_id"),
+    "x53_cluster_reps" ->
+      (Dedup.clusterRepresentativesSql(PairJaccard) + "\nORDER BY cluster_id"),
     "x36_substring_dups" ->
       (Dedup.substringDupsSql() + "\nORDER BY doc_a, doc_b, a_start, b_start"),
     "x37_dup_coverage" ->
@@ -620,6 +650,9 @@ object PipelinePack extends QueryPack {
       s"""SELECT doc_id, lang, n_chars,
          |  ${graft.operators.Sampling.lengthDecilesSelectSql("lang", "n_chars", "doc_id")}
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "x52_budget_select" ->
+      (graft.operators.Sampling.selectByTokenBudgetSql(SelectBudget) +
+        "\nORDER BY doc_id"),
     "x25_corpus_build" ->
       (Dedup.corpusBuildSql(DedupJaccard, 0.5) + "\nORDER BY lang"),
     "x24_sequence_packing" -> {

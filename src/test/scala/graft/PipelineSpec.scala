@@ -807,6 +807,62 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"data window not sub-bucketed:\n$opt")
   }
 
+  test("token-budget selection equals the global greedy prefix at every budget") {
+    import graft.operators.Sampling
+    val scored = TextOps.qualityScore(docs)
+      .select("doc_id", "n_tokens", "uniq_ratio").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val order = scored.sortBy(t => (-t._3, t._1))
+    def greedy(budget: Long): Set[Long] = {
+      var cum = 0L
+      order.takeWhile { t => cum += t._2; cum <= budget }.map(_._1).toSet
+    }
+    val total = scored.map(_._2.toLong).sum
+    for (b <- Seq(0L, 500L, 5000L, graft.registry.PipelinePack.SelectBudget, total)) {
+      val got = Sampling.selectByTokenBudget(docs, b)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === greedy(b), s"budget $b")
+    }
+    assert(greedy(total).size === scored.length) // whole-corpus edge exercised
+    assert(greedy(500L).nonEmpty && greedy(500L).size < scored.length)
+    // plan shape: the only window is keyed by the quality bucket (the
+    // filtered boundary bucket) — never a partition-less global cumsum
+    val plan = Sampling.selectByTokenBudget(docs, 500L)
+      .queryExecution.optimizedPlan.toString
+    assert("windowspecdefinition\\(_qb#\\d+".r.findFirstIn(plan).isDefined,
+      s"boundary window not bucket-keyed:\n$plan")
+    assert("windowspecdefinition\\((uniq_ratio|n_tokens|doc_id)#".r
+      .findFirstIn(plan).isEmpty,
+      s"global (partition-less) cumsum window found:\n$plan")
+  }
+
+  test("cluster representatives pick the highest-quality member, agg-only plan") {
+    val pairs = Dedup.nearDupPairs(docs, 0.5)
+    val clusters = Dedup.duplicateClusters(pairs).cache()
+    val q = TextOps.qualityScore(docs)
+    val reps = Dedup.clusterRepresentatives(clusters, q)
+    val got = reps.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val qm = q.select("doc_id", "uniq_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val cl = clusters.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = cl.groupBy(_._2).map { case (cid, ms) =>
+      val best = ms.map(_._1).minBy(d => (-qm(d), d))
+      (cid, best, qm(best), ms.size.toLong)
+    }.toSet
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture should contain duplicate clusters")
+    // the representative is a member of its own cluster
+    val byDoc = cl.toMap
+    got.foreach { case (cid, rep, _, _) => assert(byDoc(rep) === cid) }
+    // argmax runs as a map-side-combined struct aggregate: no window,
+    // no buffered member list (hub-cluster safe)
+    val plan = reps.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowspecdefinition"), s"window in plan:\n$plan")
+    assert(!plan.contains("collect_set") && !plan.contains("collect_list"),
+      s"buffered member list in plan:\n$plan")
+  }
+
   test("ann recall grid is complete; lsh row equals the manual intersection") {
     import graft.operators.VectorOps
     val qs = Seq(0L, 1L, 2L)
