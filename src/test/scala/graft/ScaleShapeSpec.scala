@@ -39,6 +39,36 @@ class ScaleShapeSpec extends AnyFunSuite with SparkSpec {
     assert(labels.count() === 100001L)
   }
 
+  test("a 100k-member cluster selects its representative without a member buffer") {
+    // the boilerplate-hub CLUSTER (the post-CC analog of the star hub):
+    // quality rises with id so the argmax is the LAST member — worst
+    // case for any plan that buffers members before choosing. The
+    // struct-max aggregate map-side combines: per-task state is one
+    // struct, member-count-independent.
+    val clusters = spark.range(0, 100000)
+      .select(col("id").as("doc_id"), lit(0L).as("cluster_id"))
+    val quality = spark.range(0, 100000)
+      .select(col("id").as("doc_id"),
+        (col("id").cast("double") / 100000.0).as("uniq_ratio"))
+    val reps = Dedup.clusterRepresentatives(clusters, quality)
+    val qe = reps.queryExecution
+    val txt = qe.executedPlan.toString + "\n" + qe.optimizedPlan.toString
+    assert(!txt.contains("collect_set") && !txt.contains("CollectSet") &&
+      !txt.contains("collect_list") && !txt.contains("CollectList") &&
+      !txt.toLowerCase.contains("windowspecdefinition"),
+      s"representative selection buffers members:\n$txt")
+    val row = reps.collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(1) === 99999L) // highest-quality member wins
+    assert(row(0).getLong(3) === 100000L)
+    // tie on quality → lowest doc_id (the deterministic tiebreak)
+    val tied = Dedup.clusterRepresentatives(
+      Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("doc_id", "cluster_id"),
+      Seq((1L, 0.5), (2L, 0.7), (3L, 0.7)).toDF("doc_id", "uniq_ratio"))
+      .collect()
+    assert(tied.length === 1 && tied(0).getLong(1) === 2L)
+  }
+
   // --- LSH band-bucket occupancy cap ---------------------------------------
 
   test("a 1000-doc near-identical clique yields O(m·maxBucket) candidates, not m²/2") {
