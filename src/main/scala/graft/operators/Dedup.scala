@@ -372,6 +372,38 @@ object Dedup {
       .withColumn("contaminated", col("overlap_frac") > maxOverlap)
   }
 
+  /** [[contamination]]'s large-benchmark shape. The broadcast form
+    * flattens the WHOLE benchmark vocabulary into one array in one
+    * aggregation-buffer row (`collect_list` + `flatten`) — the right
+    * trade for eval sets (thousands of docs, the normal case: the vocab
+    * rides a single broadcast and candidates stay map-only), but a
+    * single-task memory cliff when the "benchmark" is itself a corpus
+    * (decontaminating against an entire held-out test SPLIT). This twin
+    * keeps the vocabulary as ROWS: distinct benchmark shingles,
+    * candidate shingles exploded + deduped per doc, one semi-join on
+    * the shingle key (shuffle or broadcast — size-based planning
+    * decides), zero-overlap docs restored by a left join against the
+    * per-doc shingle counts. Row-identical to [[contamination]]
+    * (spec-pinned, and x54 registers it against x23's oracle verbatim
+    * — the hash gate proves the two shapes indistinguishable). */
+  def contaminationJoin(candidates: DataFrame, benchmark: DataFrame,
+      maxOverlap: Double): DataFrame = {
+    val cand = shingleFrame(candidates)
+    val vocab = shingleFrame(benchmark)
+      .select(explode(col("sh")).as("s")).distinct()
+    val matched = cand
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .dropDuplicates("doc_id", "s")
+      .join(vocab, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).cast("int").as("n_overlap"))
+    cand.select(col("doc_id"), size(col("sh")).as("n_shingles"))
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0)))
+      .withColumn("overlap_frac",
+        col("n_overlap").cast("double") / col("n_shingles"))
+      .withColumn("contaminated", col("overlap_frac") > maxOverlap)
+  }
+
   /** [[contamination]] oracle over `documents` split by doc_id predicates. */
   def contaminationSql(benchPred: String, candPred: String, maxOverlap: Double): String =
     s"""WITH shs AS (

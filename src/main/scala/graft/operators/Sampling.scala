@@ -304,6 +304,9 @@ object Sampling {
     * in the windowed bucket.
     *
     * Returns (doc_id, n_tokens, uniq_ratio) for the selected prefix.
+    * NULL-text documents carry NULL quality and are excluded outright
+    * (both sides — a NULL would otherwise land in a NULL histogram
+    * bucket here and sort engine-dependently in the oracle's window).
     * Runs the histogram job at call time (the x26 convention: the
     * operator IS iterative/driver-resolved, a deliberate exception to
     * lazy build). */
@@ -313,6 +316,7 @@ object Sampling {
     require(res > 0, s"res must be positive: $res")
     val scored = TextOps.qualityScore(docs)
       .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"))
+      .where(col("n_tokens").isNotNull && col("uniq_ratio").isNotNull)
     val withB = scored.withColumn("_qb",
       least(floor(col("uniq_ratio") * res), lit(res.toLong)).cast("int"))
     // ≤ res+1 rows of (bucket, token-sum): bounded metadata, one
@@ -350,6 +354,7 @@ object Sampling {
        |  SELECT doc_id, n_tokens, uniq_ratio,
        |    sum(n_tokens) OVER (ORDER BY uniq_ratio DESC, doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM scored)
+       |  FROM scored
+       |  WHERE n_tokens IS NOT NULL AND uniq_ratio IS NOT NULL)
        |SELECT doc_id, n_tokens, uniq_ratio FROM sel WHERE cum <= $budget""".stripMargin
 }

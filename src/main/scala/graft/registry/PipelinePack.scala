@@ -423,6 +423,16 @@ object PipelinePack extends QueryPack {
         docs.where(col("doc_id") >= 5), docs.where(col("doc_id") < 5), 0.25)
         .orderBy("doc_id")
     }),
+    // the large-benchmark decontamination shape: vocabulary as rows +
+    // shingle-key semi-join instead of one collect_list'd vocab array.
+    // Registered against x23's oracle VERBATIM (the x48 convention) —
+    // the hash gate itself proves join twin ≡ broadcast form
+    "x54_contamination_join" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationJoin(
+        docs.where(col("doc_id") >= 5), docs.where(col("doc_id") < 5), 0.25)
+        .orderBy("doc_id")
+    }),
 
     // filtered vector search: candidates restricted to even labels
     // BEFORE the bucket join (pre-filter semantics — true top-k among
@@ -617,6 +627,9 @@ object PipelinePack extends QueryPack {
       (Dedup.crossCorpusPairsSql("doc_id % 2 = 0", "doc_id % 2 = 1", PairJaccard) +
         "\nORDER BY doc_a, doc_b"),
     "x23_contamination" ->
+      (Dedup.contaminationSql("doc_id < 5", "doc_id >= 5", 0.25) +
+        "\nORDER BY doc_id"),
+    "x54_contamination_join" ->
       (Dedup.contaminationSql("doc_id < 5", "doc_id >= 5", 0.25) +
         "\nORDER BY doc_id"),
     "x19_ann_multiprobe" ->

@@ -863,6 +863,31 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"buffered member list in plan:\n$plan")
   }
 
+  test("contamination join twin ≡ broadcast form; no vocab buffer; null-text safe") {
+    val bench = docs.where(col("doc_id") < 5)
+    val cand = docs.where(col("doc_id") >= 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3), r.getBoolean(4))).toSet
+    val broad = rows(Dedup.contamination(cand, bench, 0.25))
+    val joined = Dedup.contaminationJoin(cand, bench, 0.25)
+    assert(rows(joined) === broad)
+    assert(broad.nonEmpty)
+    // the twin must never funnel the vocabulary through an aggregation
+    // buffer — that single-task array is exactly what it replaces
+    val plan = joined.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("collect_list") && !plan.contains("collect_set"),
+      s"vocab buffered in an aggregate:\n$plan")
+    // x52 robustness: a NULL-text doc has NULL quality — excluded, not
+    // an NPE in the histogram walk
+    import spark.implicits._
+    val withNull = Seq((1L, "alpha beta gamma"), (2L, null))
+      .toDF("doc_id", "text")
+    val sel = graft.operators.Sampling.selectByTokenBudget(withNull, 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sel === Set(1L))
+  }
+
   test("ann recall grid is complete; lsh row equals the manual intersection") {
     import graft.operators.VectorOps
     val qs = Seq(0L, 1L, 2L)
