@@ -346,6 +346,40 @@ object Sampling {
     }
   }
 
+  /** Deterministic training-shard assignment: `shard =
+    * hash32(key) mod nShards` — the write-layout step after
+    * [[packByBudget]] builds batches: N shard files a data loader can
+    * stream round-robin, every engine/rerun agreeing on placement
+    * (content hash, never `rand()` or partition index, per this
+    * object's contract). Map-only; the hash equidistributes doc counts
+    * AND token mass across shards regardless of input order or skew in
+    * any natural key. */
+  def assignShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    df.withColumn("shard",
+      pmod(hash32(col(keyCol).cast("string")), lit(nShards.toLong)))
+  }
+
+  /** Per-shard balance report over [[assignShards]]: doc and token
+    * counts per shard — the skew check run before committing a shard
+    * layout (a loader is throttled by its heaviest shard). One
+    * map-side-combined aggregate to ≤ `nShards` rows. */
+  def shardStats(df: DataFrame, keyCol: String, tokensCol: String,
+      nShards: Int): DataFrame =
+    assignShards(df, keyCol, nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).cast("long").as("n_tokens"))
+
+  /** [[shardStats]] oracle skeleton over a FROM-able doc relation
+    * exposing the key and a token-count expression. */
+  def shardStatsSql(keyExpr: String, tokensExpr: String,
+      nShards: Int): String =
+    s"""SELECT ${hash32Sql(s"CAST($keyExpr AS VARCHAR)")} % $nShards AS shard,
+       |  count(*) AS n_docs,
+       |  CAST(sum($tokensExpr) AS BIGINT) AS n_tokens
+       |FROM documents GROUP BY 1""".stripMargin
+
   /** [[selectByTokenBudget]]'s declarative twin — the global prefix
     * window the operator's histogram plan is proven equal to. */
   def selectByTokenBudgetSql(budget: Long): String =

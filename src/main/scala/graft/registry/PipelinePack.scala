@@ -126,16 +126,22 @@ object PipelinePack extends QueryPack {
     }),
     // keep-the-BEST-copy policy over x26's clusters: highest-quality
     // member per duplicate group (argmax as a map-side-combined struct
-    // max, hub-cluster-safe). Artifact-fed like x37: the pair graph is
-    // x26's snapshot artifact, so this measures the policy + CC, not a
-    // MinHash rebuild
+    // max, hub-cluster-safe). Artifact-fed one level deeper than x37:
+    // the CLUSTER LABELING is itself a per-snapshot artifact (built
+    // from the pairs artifact — the same labels incremental
+    // maintenance feeds on), so x26 measures the CC build and x53
+    // measures only the policy (the x36-vs-x37 convention)
     "x53_cluster_reps" -> ((s, dir) => {
       val pairs = snapshotArtifact(dir, "documents.parquet",
         "neardup_pairs.parquet", PairJaccard)(
         p => Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard)
           .write.mode("overwrite").parquet(p))
+      val clusters = snapshotArtifact(dir, "documents.parquet",
+        "dup_clusters.parquet", PairJaccard)(
+        p => Dedup.duplicateClusters(s.read.parquet(pairs))
+          .write.mode("overwrite").parquet(p))
       Dedup.clusterRepresentatives(
-        Dedup.duplicateClusters(s.read.parquet(pairs)),
+        s.read.parquet(clusters),
         TextOps.qualityScore(Tables.documents(s, dir)))
         .orderBy("cluster_id")
     }),
@@ -492,6 +498,15 @@ object PipelinePack extends QueryPack {
       graft.operators.Sampling.selectByTokenBudget(
         Tables.documents(s, dir), SelectBudget)
         .orderBy("doc_id")),
+    // training-shard balance report: deterministic hash shard
+    // assignment + per-shard doc/token tallies (the skew check before
+    // committing a shard layout) — map-only + one agg to nShards rows
+    "x55_shard_stats" -> ((s, dir) =>
+      graft.operators.Sampling.shardStats(
+        Tables.documents(s, dir).select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).as("ws_tokens")),
+        "doc_id", "ws_tokens", 16)
+        .orderBy("shard")),
     "x35_length_deciles" -> ((s, dir) =>
       graft.operators.Sampling.lengthDeciles(
         Tables.documents(s, dir), "lang", "n_chars", "doc_id")
@@ -666,6 +681,9 @@ object PipelinePack extends QueryPack {
     "x52_budget_select" ->
       (graft.operators.Sampling.selectByTokenBudgetSql(SelectBudget) +
         "\nORDER BY doc_id"),
+    "x55_shard_stats" ->
+      (graft.operators.Sampling.shardStatsSql("doc_id",
+        s"len(${TextOps.tokensSql("text")})", 16) + "\nORDER BY shard"),
     "x25_corpus_build" ->
       (Dedup.corpusBuildSql(DedupJaccard, 0.5) + "\nORDER BY lang"),
     "x24_sequence_packing" -> {

@@ -888,6 +888,28 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(sel === Set(1L))
   }
 
+  test("shard assignment is deterministic, partition-independent, and balanced") {
+    import graft.operators.Sampling
+    val base = spark.range(0, 10000)
+      .select(col("id").as("doc_id"), lit(1).as("t"))
+    def assign(df: org.apache.spark.sql.DataFrame) =
+      Sampling.assignShards(df, "doc_id", 16).select("doc_id", "shard")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = assign(base)
+    assert(a === assign(base.repartition(7))) // placement ⊥ partitioning
+    val stats = Sampling.shardStats(base, "doc_id", "t", 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(stats.length === 16)
+    assert(stats.map(_._2).sum === 10000L) // partition of the corpus
+    val perShard = stats.map(_._2)
+    assert(perShard.max <= 2 * perShard.min,
+      s"hash shard imbalance: ${perShard.toSeq.sorted}")
+    // map-only + one aggregate: no window anywhere
+    val plan = Sampling.shardStats(base, "doc_id", "t", 16)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowspecdefinition"))
+  }
+
   test("ann recall grid is complete; lsh row equals the manual intersection") {
     import graft.operators.VectorOps
     val qs = Seq(0L, 1L, 2L)
