@@ -311,12 +311,22 @@ object Sampling {
     * operator IS iterative/driver-resolved, a deliberate exception to
     * lazy build). */
   def selectByTokenBudget(docs: DataFrame, budget: Long,
+      res: Int = 4096): DataFrame =
+    selectScoredByBudget(
+      TextOps.qualityScore(docs)
+        .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"))
+        .where(col("n_tokens").isNotNull && col("uniq_ratio").isNotNull),
+      budget, res)
+
+  /** [[selectByTokenBudget]]'s core over an already-scored frame
+    * `(doc_id, n_tokens, uniq_ratio)` — callers with their own quality
+    * metric plug in here (and the ScalaCheck property drives this
+    * directly with adversarial tie/boundary corpora the fixture can't
+    * produce). `uniq_ratio` must be non-null and in [0, 1]. */
+  def selectScoredByBudget(scored: DataFrame, budget: Long,
       res: Int = 4096): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
     require(res > 0, s"res must be positive: $res")
-    val scored = TextOps.qualityScore(docs)
-      .select(col("doc_id"), col("n_tokens"), col("uniq_ratio"))
-      .where(col("n_tokens").isNotNull && col("uniq_ratio").isNotNull)
     val withB = scored.withColumn("_qb",
       least(floor(col("uniq_ratio") * res), lit(res.toLong)).cast("int"))
     // ≤ res+1 rows of (bucket, token-sum): bounded metadata, one

@@ -318,4 +318,38 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
         got == want
       }
     }
+
+  /** Scored corpora with HEAVY quality ties (few distinct values) —
+    * the tie/boundary shapes the parquet fixture can't produce. */
+  private val genScored: Gen[List[(Long, Int, Double)]] =
+    for {
+      n <- Gen.choose(1, 30)
+      rows <- Gen.listOfN(n, for {
+        t <- Gen.choose(1, 20)
+        q <- Gen.oneOf(0.0, 0.25, 0.5, 0.5, 0.75, 1.0)
+      } yield (t, q))
+    } yield rows.zipWithIndex.map { case ((t, q), i) => (i.toLong, t, q) }
+
+  property("budget selection ≡ greedy prefix under ties and exact-boundary budgets") =
+    Prop.forAll(genScored, Gen.choose(0, 200), Gen.prob(0.5), Gen.choose(0, 30)) {
+      (rows, randomBudget, useBoundary, k) =>
+        val order = rows.sortBy(t => (-t._3, t._1))
+        val prefixSums = order.scanLeft(0L)(_ + _._2).tail
+        // half the time, land the budget EXACTLY on a greedy prefix sum
+        // (the == boundary the WHERE cum <= budget must include)
+        val budget =
+          if (useBoundary && prefixSums.nonEmpty)
+            prefixSums(k % prefixSums.length)
+          else randomBudget.toLong
+        var cum = 0L
+        val expect = order.takeWhile { t => cum += t._2; cum <= budget }
+          .map(_._1).toSet
+        // res = 8: coarse grid forces multi-doc boundary buckets and
+        // cross-bucket ties — the adversarial regime for the histogram
+        val got = graft.operators.Sampling
+          .selectScoredByBudget(rows.toDF("doc_id", "n_tokens", "uniq_ratio"),
+            budget, res = 8)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        got == expect
+    }
 }
