@@ -327,6 +327,9 @@ object Sampling {
       res: Int = 4096): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
     require(res > 0, s"res must be positive: $res")
+    require(!scored.columns.contains("_qb") && !scored.columns.contains("_cum"),
+      "selectScoredByBudget uses internal columns '_qb'/'_cum'; " +
+        "input must not carry them (the 'pri' contract of weightedSample)")
     val withB = scored.withColumn("_qb",
       least(floor(col("uniq_ratio") * res), lit(res.toLong)).cast("int"))
     // ≤ res+1 rows of (bucket, token-sum): bounded metadata, one
@@ -366,6 +369,8 @@ object Sampling {
     * any natural key. */
   def assignShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards > 0, s"nShards must be positive: $nShards")
+    require(!df.columns.contains("shard"),
+      "assignShards emits a 'shard' column; input already has one")
     df.withColumn("shard",
       pmod(hash32(col(keyCol).cast("string")), lit(nShards.toLong)))
   }

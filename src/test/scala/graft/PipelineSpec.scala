@@ -908,6 +908,15 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     val plan = Sampling.shardStats(base, "doc_id", "t", 16)
       .queryExecution.optimizedPlan.toString.toLowerCase
     assert(!plan.contains("windowspecdefinition"))
+    // output-column collisions rejected, not silently overwritten
+    intercept[IllegalArgumentException] {
+      Sampling.assignShards(base.withColumn("shard", lit(0L)), "doc_id", 16)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.selectScoredByBudget(
+        base.select(col("doc_id"), col("t").as("n_tokens"),
+          lit(0.5).as("uniq_ratio"), lit(1).as("_qb")), 10L)
+    }
   }
 
   test("ann recall grid is complete; lsh row equals the manual intersection") {
