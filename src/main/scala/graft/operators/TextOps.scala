@@ -670,4 +670,93 @@ object TextOps {
        |    i -> ${hash32Sql(s"substr(nt, i, $GramLen)")})) AS fingerprint
        |FROM nrm""".stripMargin
   }
+
+  // --- BM25 ranked retrieval (x56) ----------------------------------------
+
+  /** Okapi BM25 parameters (Robertson et al., TREC-3): the textbook
+    * defaults. Interpolated into BOTH the Spark plan and the oracle SQL
+    * (the x51 single-constant rule). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 top-k ranked retrieval over the corpus for a fixed query-term
+    * batch — the lexical half of hybrid search (the ANN family is the
+    * dense half; the reference feeds documents INTO a search index, and
+    * this closes the loop by serving the ranked lookup itself).
+    * `score(d,q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with the Lucene non-negative idf `ln((N−df+0.5)/(df+0.5)+1)`.
+    *
+    * Scale shape: tf / dl / df are map-side-combined hash aggregates
+    * (one row per (doc, term) / doc / term on the wire); query terms
+    * and the 1-row corpus stats broadcast; scoring is map-only; the
+    * final top-k windows per query over docs that matched ≥ 1 query
+    * term. Determinism is the x38 device applied to scoring: each
+    * (doc, term) partial score lands on a 10⁻⁹ decimal grid BEFORE the
+    * per-(query, doc) sum (associative — partial-agg order can't move
+    * it), the summed score is rounded to 6 dp BEFORE ranking (the
+    * cosine convention), doc_id breaks ties. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "token")
+    val scored = tf.join(dl, "doc_id").join(dfreq, "token")
+      .join(broadcast(qterms), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"),
+        round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * (col("tf") * lit(Bm25K1 + 1))
+          / (col("tf") + lit(Bm25K1) *
+            (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 9)
+          .cast("decimal(18,9)").as("s"))
+    val agg = scored.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("s")).cast("double"), 6).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    agg.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** [[bm25TopK]] oracle — same constants, same parenthesization, same
+    * decimal grid, same round-before-rank. */
+  def bm25TopKSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
+    val qvals = queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM documents
+       |), tf AS (
+       |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+       |), dl AS (
+       |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+       |), stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM dl
+       |), dfreq AS (
+       |  SELECT token, count(*) AS df FROM tf GROUP BY token
+       |), q(query_id, token) AS (VALUES $qvals
+       |), scored AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * ${Bm25K1 + 1})
+       |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 9)
+       |      AS DECIMAL(18,9)) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token)
+       |    JOIN q USING (token), stats
+       |), agg AS (
+       |  SELECT query_id, doc_id,
+       |    round(CAST(sum(s) AS DOUBLE), 6) AS score
+       |  FROM scored GROUP BY query_id, doc_id
+       |)
+       |SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rn
+       |FROM agg
+       |QUALIFY rn <= $k""".stripMargin
+  }
 }

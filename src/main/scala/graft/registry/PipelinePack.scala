@@ -31,6 +31,14 @@ object PipelinePack extends QueryPack {
     * strict, non-empty subset at every fixture scale factor. */
   val SelectBudget = 12000L
 
+  /** Fixed lexical query batch for BM25 retrieval (x56) — terms drawn
+    * from the fixture vocabulary so every query matches documents at
+    * every scale factor. */
+  val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"),
+    1L -> Seq("vector", "table"),
+    2L -> Seq("window", "batch", "scan"))
+
   /** Target language proportions for the mixture-sampling query. */
   val MixWeights: Seq[(String, Double)] =
     Seq("en" -> 0.4, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.1, "zh" -> 0.1)
@@ -498,6 +506,13 @@ object PipelinePack extends QueryPack {
       graft.operators.Sampling.selectByTokenBudget(
         Tables.documents(s, dir), SelectBudget)
         .orderBy("doc_id")),
+    // BM25 ranked retrieval: the lexical half of hybrid search (the
+    // ANN family is the dense half) — tf/dl/df hash aggregates,
+    // broadcast query batch + corpus stats, decimal-grid partial
+    // scores, round-before-rank top-k per query
+    "x56_bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(Tables.documents(s, dir), Bm25Queries, 5)
+        .orderBy("query_id", "rn")),
     // training-shard balance report: deterministic hash shard
     // assignment + per-shard doc/token tallies (the skew check before
     // committing a shard layout) — map-only + one agg to nShards rows
@@ -684,6 +699,8 @@ object PipelinePack extends QueryPack {
     "x55_shard_stats" ->
       (graft.operators.Sampling.shardStatsSql("doc_id",
         s"len(${TextOps.tokensSql("text")})", 16) + "\nORDER BY shard"),
+    "x56_bm25_topk" ->
+      (TextOps.bm25TopKSql(Bm25Queries, 5) + "\nORDER BY query_id, rn"),
     "x25_corpus_build" ->
       (Dedup.corpusBuildSql(DedupJaccard, 0.5) + "\nORDER BY lang"),
     "x24_sequence_packing" -> {

@@ -919,6 +919,45 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bm25 ranking equals a driver-side reference on a toy corpus") {
+    import spark.implicits._
+    val corpus = Map(
+      0L -> Seq("spark", "join", "join", "table"),
+      1L -> Seq("spark", "table", "table", "table"),
+      2L -> Seq("join", "join", "join", "spark", "spark"),
+      3L -> Seq("window", "scan", "batch"))
+    val toy = corpus.toSeq.sortBy(_._1)
+      .map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("table"))
+    val got = TextOps.bm25TopK(toy, queries, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // driver reference: same formula, same decimal grid, same rank rule
+    val n = corpus.size
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    val df = corpus.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    def r6(x: BigDecimal) = x.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = queries.flatMap { case (qid, terms) =>
+      corpus.toSeq.flatMap { case (d, toks) =>
+        val parts = terms.flatMap { t =>
+          val tf = toks.count(_ == t)
+          if (tf == 0) None else {
+            val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+            Some(r9(idf * (tf * (TextOps.Bm25K1 + 1)) /
+              (tf + TextOps.Bm25K1 *
+                (1.0 - TextOps.Bm25B + TextOps.Bm25B * toks.size / avgdl))))
+          }
+        }
+        if (parts.isEmpty) None else Some((d, r6(parts.sum)))
+      }.sortBy { case (d, s) => (-s, d) }.take(3).zipWithIndex
+        .map { case ((d, s), i) => (qid, d, s, i + 1) }
+    }.toSet
+    assert(got === expected)
+    assert(got.map(_._1) === Set(0L, 1L))
+    // doc 3 matches no query term and must appear nowhere
+    assert(!got.exists(_._2 == 3L))
+  }
+
   test("ann recall grid is complete; lsh row equals the manual intersection") {
     import graft.operators.VectorOps
     val qs = Seq(0L, 1L, 2L)
