@@ -10,7 +10,15 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
-run / fork := true
+// Project-level (unscoped), NOT `run /`-scoped: the driver invokes
+// `sbt "runMain graft.Bench"`, and sbt's delegation for a key scoped
+// (proj, Compile, runMain) never consults (proj, Zero-config, run) —
+// so `run / fork` and `run / outputStrategy` were invisible to
+// runMain, which is why BENCH_r6's JSON still carried an "[info] "
+// prefix despite the round-6 `run /` settings. Unscoped settings sit
+// at (proj, *, *), which BOTH run and runMain delegate to.
+fork := true
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
 // as JSON. sbt's "[success] Total time: …" epilogue prints AFTER the
 // program's output and has broken that parse every round ("parsed":
@@ -21,7 +29,6 @@ run / fork := true
 // JSON parse of the last line would also choke on).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess // consumed by the command engine, not a task
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
