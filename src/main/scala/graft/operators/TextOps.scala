@@ -697,11 +697,37 @@ object TextOps {
     * cosine convention), doc_id breaks ties. */
   def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
       k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+    val (tf, dl) = bm25Stats(docs)
+    bm25TopKFrom(tf, dl, queries, k)
+  }
+
+  /** The per-document lexical index frames BM25 serves from:
+    * `(doc_id, token, tf)` and `(doc_id, dl)`. Both are PER-DOC local —
+    * a doc's rows depend on its text alone — which is what makes them
+    * incrementally maintainable: a corpus slice's stats computed in
+    * isolation equal its stats within the full corpus, so an artifact
+    * of appended per-batch slices IS the full index
+    * ([[graft.streaming.StreamingLexical]] builds exactly that).
+    * `dl` derives from `tf` (sum of a doc's term counts), so the token
+    * explosion is aggregated ONCE — the doc_id shuffle moves the
+    * already-combined (doc, term) rows, not raw tokens. */
+  def bm25Stats(docs: DataFrame): (DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    (tf, dl)
+  }
+
+  /** BM25 scoring + per-query top-k from prebuilt index frames — the
+    * single scoring path both [[bm25TopK]] (batch) and the streaming
+    * artifact serve through, so batch/stream equivalence is structural,
+    * not coincidental. Corpus-level df/N/avgdl are derived HERE from
+    * the per-doc frames: they are the corpus-dependent part, cheap
+    * (one hash agg + a 1-row broadcast) and always current. */
+  def bm25TopKFrom(tf: DataFrame, dl: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    val spark = tf.sparkSession
+    import spark.implicits._
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))

@@ -513,6 +513,14 @@ object PipelinePack extends QueryPack {
     "x56_bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(Tables.documents(s, dir), Bm25Queries, 5)
         .orderBy("query_id", "rn")),
+    // hybrid retrieval: RRF fusion of the BM25 lexical list and the
+    // LSH-bucketed ANN dense list (same query ids on both halves) —
+    // exact integer rank arithmetic, tiny full-outer join over two
+    // top-k frames
+    "x57_hybrid_topk" -> ((s, dir) =>
+      graft.operators.HybridOps.hybridTopK(
+        Tables.documents(s, dir), Tables.embeddings(s, dir), Bm25Queries, 5)
+        .orderBy("query_id", "rn")),
     // training-shard balance report: deterministic hash shard
     // assignment + per-shard doc/token tallies (the skew check before
     // committing a shard layout) — map-only + one agg to nShards rows
@@ -701,6 +709,9 @@ object PipelinePack extends QueryPack {
         s"len(${TextOps.tokensSql("text")})", 16) + "\nORDER BY shard"),
     "x56_bm25_topk" ->
       (TextOps.bm25TopKSql(Bm25Queries, 5) + "\nORDER BY query_id, rn"),
+    "x57_hybrid_topk" ->
+      (graft.operators.HybridOps.hybridTopKSql(Bm25Queries, 5) +
+        "\nORDER BY query_id, rn"),
     "x25_corpus_build" ->
       (Dedup.corpusBuildSql(DedupJaccard, 0.5) + "\nORDER BY lang"),
     "x24_sequence_packing" -> {

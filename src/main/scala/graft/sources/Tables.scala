@@ -30,15 +30,32 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default; read it as epoch-nanos long and floor-divide to
-    * microseconds (integer `div` — epoch nanos exceed 2^53, double math
-    * would corrupt). Matches DuckDB's nanos→micros truncation, so oracle
-    * comparisons stay exact. */
+  /** Canonicalize the event-time column to session-tz TIMESTAMP whatever
+    * physical flavor the fixture carries. The driver's generator has
+    * shipped two so far:
+    *
+    *  - TIMESTAMP(NANOS) (rounds 1–6), which Spark's parquet reader
+    *    rejects by default; read as epoch-nanos long and floor-divide to
+    *    microseconds (integer `div` — epoch nanos exceed 2^53, double
+    *    math would corrupt). Matches DuckDB's nanos→micros truncation.
+    *  - `timestamp[us], tz=None` (round 7+), which Spark 4 infers as
+    *    TIMESTAMP_NTZ. The session timezone is pinned UTC (build.sbt
+    *    javaOptions), so casting to TIMESTAMP keeps the wall-clock micros
+    *    bit-identical — and identical to DuckDB's naive timestamps.
+    *
+    * [[events]] avoids this cast layer entirely for the NTZ flavor by
+    * disabling NTZ *inference* at the scan (the column reads as
+    * TIMESTAMP natively, so `ts` predicates push into the parquet scan
+    * with no unwrap rule); this function is the defensive net for frames
+    * that arrive through other readers. */
   private[graft] def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.find(f => f.name == "ts" && f.dataType == org.apache.spark.sql.types.LongType)
-      .map(_ => df.withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-      .getOrElse(df)
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
@@ -48,14 +65,43 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // conditional set: RuntimeConfig.set costs ~30ms per call (measured),
+    // conditional sets: RuntimeConfig.set costs ~30ms per call (measured),
     // a real tax on query builders invoked in a loop
     if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // recover watermark pushdown through the nanos→micros derivation
-    graft.plans.NanoWatermarkPushdown.install(spark)
-    normalizeTs(load(spark, dir, "events"))
+    // µs/no-tz parquet (the round-7+ fixture flavor) reads as TIMESTAMP,
+    // not TIMESTAMP_NTZ: the scan column is then session-tz (UTC) native,
+    // so `ts` predicates push into the scan with no cast to unwrap
+    if (!spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").contains("false"))
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = load(spark, dir, "events")
+    // the pushdown-recovery rule only matters for the nanos-as-long
+    // flavor (its derivation hides `ts` from the scan); gate install on
+    // the schema actually read so µs fixtures don't carry a dead rule
+    if (raw.schema.exists(f => f.name == "ts" &&
+        f.dataType == org.apache.spark.sql.types.LongType))
+      graft.plans.NanoWatermarkPushdown.install(spark)
+    assertCanonicalTs(raw, s"$dir/events.parquet")
+    normalizeTs(raw)
   }
+
+  /** Fail fast — with a message naming the file and the unexpected
+    * flavor — when the fixture generator ships a `ts` physical type this
+    * source layer has no canonicalization for. (Round 7 lost three
+    * queries and 20 tests to a silent TIMESTAMP(NANOS) → µs/no-tz
+    * regeneration; anything unrecognized must be one loud message, not a
+    * downstream `DATATYPE_MISMATCH`.) */
+  private[graft] def assertCanonicalTs(df: DataFrame, file: String): Unit =
+    df.schema.find(_.name == "ts").foreach { f =>
+      val ok = f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+        f.dataType == org.apache.spark.sql.types.TimestampType
+      require(ok,
+        s"fixture $file: column 'ts' read as ${f.dataType.sql} — not a flavor " +
+          "this source layer canonicalizes (epoch-nanos LONG, TIMESTAMP_NTZ, " +
+          "or TIMESTAMP). The fixture generator likely changed the physical " +
+          "type again; extend graft.sources.Tables.normalizeTs.")
+    }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 

@@ -39,7 +39,12 @@ import org.apache.spark.sql.streaming.Trigger
   * pipelines.
   */
 class StreamingDedup(artifactDir: String, outDir: String,
-    minJaccard: Double) {
+    minJaccard: Double,
+    // reliable-checkpoint dir for the band-frame materializations inside
+    // [[Dedup.crossCorpusPairs]]/[[Dedup.nearDupPairsFrom]] (default:
+    // executor-local blocks — set on a real cluster so a lost executor
+    // can't kill a long screen; the [[StreamingSubstring]] convention)
+    reliableCheckpointDir: Option[String] = None) {
 
   private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
 
@@ -80,13 +85,15 @@ class StreamingDedup(artifactDir: String, outDir: String,
         // vs the accepted corpus so far (empty on the first batch)
         val corpusDup = corpusSigs(spark, batchId) match {
           case Some((cSigs, cSh)) =>
-            best(Dedup.crossCorpusPairs(cSigs, cSh, sigs, sh, minJaccard))
+            best(Dedup.crossCorpusPairs(cSigs, cSh, sigs, sh, minJaccard,
+              reliableCheckpointDir))
           case None => spark.emptyDataFrame
             .withColumn("doc_id", lit(0L)).withColumn("dup_of", lit(0L))
             .withColumn("jaccard", lit(0.0)).limit(0)
         }
         // within-batch: drop the higher id of every confirmed pair
-        val innerDup = best(Dedup.nearDupPairsFrom(sigs, sh, minJaccard))
+        val innerDup = best(Dedup.nearDupPairsFrom(sigs, sh, minJaccard,
+          reliableCheckpointDir))
         val dups = corpusDup.unionByName(innerDup)
           .groupBy("doc_id")
           .agg(max(struct(col("jaccard"), (-col("dup_of")).as("nid"))).as("m"))

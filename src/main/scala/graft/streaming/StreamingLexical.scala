@@ -1,0 +1,79 @@
+package graft.streaming
+
+import graft.operators.TextOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming lexical (BM25) indexing: maintain the per-document index
+  * frames — `(doc_id, token, tf)` and `(doc_id, dl)` — as a GROWING
+  * artifact while the crawl arrives, so ranked lexical retrieval serves
+  * from the artifact at any point without re-tokenizing the corpus.
+  * The lexical sibling of [[StreamingSemanticDedup]]'s embedding
+  * artifact and [[StreamingDedup]]'s signature artifact.
+  *
+  * Why this decomposition is exactly right for streaming: tf and dl are
+  * PER-DOC local ([[TextOps.bm25Stats]]), so a batch's slice computed in
+  * isolation is bit-identical to that slice within a full-corpus build —
+  * appending slices IS maintaining the index. The corpus-level parts of
+  * the score (df, N, avgdl) are NOT append-local (every new doc moves
+  * them), so they are deliberately NOT stored: [[topK]] derives them
+  * from the artifact at serve time through the same
+  * [[TextOps.bm25TopKFrom]] path batch retrieval uses — one hash agg
+  * over the artifact, always consistent with the current corpus, and
+  * batch/stream equivalence is structural rather than reconciled.
+  *
+  * Mechanics: `foreachBatch` + per-batch `gbatch=<id>` overwrite slices
+  * (the [[StreamingDedup]] convention) — a checkpoint-replayed batch
+  * rewrites its own slice instead of double-counting, executor memory is
+  * flat at any stream length, and the artifact is an ordinary parquet
+  * frame any batch pipeline can read. */
+class StreamingLexical(artifactDir: String) {
+
+  private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
+
+  /** Index all available micro-batches; returns DISTINCT batches run
+    * (replays re-invoke `foreachBatch` but must not count twice). */
+  def indexAvailable(spark: SparkSession, docsStream: DataFrame,
+      checkpoint: String): Long = {
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val q = docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexBatch(batch, batchId)
+        seen.synchronized { seen += batchId; () }
+      }
+      .start()
+    q.awaitTermination()
+    seen.size.toLong
+  }
+
+  /** One micro-batch: tokenize, aggregate the batch's per-doc frames,
+    * publish them as this batch's artifact slices. */
+  private[graft] def indexBatch(batch: DataFrame, batchId: Long): Unit = {
+    val docs = batch.select("doc_id", "text")
+    val (tf, dl) = TextOps.bm25Stats(docs)
+    tf.write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/tf", batchId))
+    dl.write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/dl", batchId))
+  }
+
+  /** The accumulated index frames, or None before any batch wrote. */
+  def artifact(spark: SparkSession): Option[(DataFrame, DataFrame)] = {
+    val tfDir = new java.io.File(s"$artifactDir/tf")
+    val dlDir = new java.io.File(s"$artifactDir/dl")
+    if (!tfDir.isDirectory || !dlDir.isDirectory) None
+    else Some((
+      spark.read.parquet(tfDir.toString).drop("gbatch"),
+      spark.read.parquet(dlDir.toString).drop("gbatch")))
+  }
+
+  /** Serve BM25 top-k from the current artifact — the same scoring path
+    * as batch [[TextOps.bm25TopK]], so the result over N indexed batches
+    * equals the batch build over their concatenation. */
+  def topK(spark: SparkSession, queries: Seq[(Long, Seq[String])],
+      k: Int): Option[DataFrame] =
+    artifact(spark).map { case (tf, dl) =>
+      TextOps.bm25TopKFrom(tf, dl, queries, k)
+    }
+}

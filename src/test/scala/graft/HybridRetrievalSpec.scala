@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{HybridOps, TextOps, VectorOps}
+
+/** Pins [[HybridOps]]' reciprocal-rank fusion against an independent
+  * driver-side reference: RRF computed here in plain Scala from the two
+  * collected top-k lists, exact integer arithmetic both sides. */
+class HybridRetrievalSpec extends AnyFunSuite with SparkSpec {
+
+  private val K = 5
+  private val Queries: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join"),
+    1L -> Seq("vector", "table"),
+    2L -> Seq("window", "batch", "scan"))
+
+  test("rrfDenom is divisible by every fused denominator") {
+    val d = HybridOps.rrfDenom(K)
+    (1 to K).foreach { r =>
+      assert(d % (HybridOps.RrfK + r) === 0L, s"rank $r denominator must divide")
+    }
+    // and stays comfortably inside exact-double territory (the Spark
+    // side divides as double before the long cast)
+    assert(d < (1L << 53))
+  }
+
+  test("hybrid fusion matches a driver-side RRF reference on the fixture corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val lex = TextOps.bm25TopK(docs, Queries, K)
+      .select("query_id", "doc_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val dense = VectorOps.annTopK(emb, Queries.map(_._1), K)
+      .select(col("query_id"), col("vec_id"), col("rn")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val d = HybridOps.rrfDenom(K)
+    // independent reference: integer RRF over the union of both lists,
+    // ranked per query by (score desc, doc_id asc), top K
+    val want = (lex.keySet ++ dense.keySet).toSeq.map { case (q, id) =>
+      val s = lex.get((q, id)).map(r => d / (HybridOps.RrfK + r)).getOrElse(0L) +
+        dense.get((q, id)).map(r => d / (HybridOps.RrfK + r)).getOrElse(0L)
+      (q, id, s)
+    }.groupBy(_._1).flatMap { case (q, rows) =>
+      rows.sortBy(t => (-t._3, t._2)).take(K).zipWithIndex
+        .map { case ((_, id, s), i) => (q, id, s, i + 1) }
+    }.toSet
+    val got = HybridOps.hybridTopK(docs, emb, Queries, K)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(got === want)
+    // every query produced a non-empty fused list
+    assert(got.map(_._1) === Queries.map(_._1).toSet)
+  }
+
+  test("a doc ranked by only one half still fuses (absent list contributes 0)") {
+    // toy corpus engineered so the lexical and dense top lists disagree
+    val sess = spark
+    import sess.implicits._
+    val lexIn = Seq((0L, 10L, 1), (0L, 11L, 2)).toDF("query_id", "doc_id", "rn")
+    val denseIn = Seq((0L, 11L, 1), (0L, 12L, 2)).toDF("query_id", "doc_id", "rn")
+    val got = HybridOps.rrfFuse(lexIn, denseIn, 3)
+      .orderBy("rn").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getInt(3)))
+    val d = HybridOps.rrfDenom(3)
+    val s61 = d / 61; val s62 = d / 62
+    // 11 appears in both lists (ranks 2 and 1) and must win
+    assert(got.toSeq === Seq(
+      (11L, s62 + s61, 1),
+      (10L, s61, 2),
+      (12L, s62, 3)))
+  }
+}
+
+/** Round 7 lost three queries and 20 tests to a silent fixture
+  * regeneration that flipped `events.ts` from TIMESTAMP(NANOS) to
+  * µs/no-tz. These pin the canonicalization chokepoint so the NEXT
+  * regeneration either normalizes silently or fails with one clear
+  * message naming the file and flavor. */
+class FixtureSchemaSpec extends AnyFunSuite with SparkSpec {
+
+  test("every fixture column the engine relies on reads at its canonical type") {
+    import graft.sources.Tables
+    val ev = Tables.events(spark, sf)
+    val want = Map(
+      "event_id" -> LongType, "ts" -> TimestampType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
+    want.foreach { case (c, t) =>
+      val f = ev.schema.find(_.name == c)
+      assert(f.nonEmpty, s"events missing column $c")
+      assert(f.get.dataType === t,
+        s"events.$c normalized to ${f.get.dataType}, want $t")
+    }
+    val docs = Tables.documents(spark, sf)
+    assert(docs.schema("doc_id").dataType === LongType)
+    assert(docs.schema("text").dataType === StringType)
+    val emb = Tables.embeddings(spark, sf)
+    assert(emb.schema("vec_id").dataType === LongType)
+    assert(emb.schema("embedding").dataType.isInstanceOf[ArrayType])
+  }
+
+  test("regenerated fixture with an unrecognized ts flavor fails loudly, naming the file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fixture").toString
+    // a ts flavor the source layer has no canonicalization for
+    val rows = java.util.Arrays.asList(Row(1L, 12.5), Row(2L, 13.5))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", DoubleType)))
+    spark.createDataFrame(rows, schema).write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Tables.events(spark, dir)
+    }
+    assert(e.getMessage.contains(s"$dir/events.parquet"), e.getMessage)
+    assert(e.getMessage.contains("DOUBLE"), e.getMessage)
+    assert(e.getMessage.contains("normalizeTs"), e.getMessage)
+  }
+
+  test("both historical ts flavors normalize to session-tz TIMESTAMP with identical values") {
+    import graft.sources.Tables
+    val dir = java.nio.file.Files.createTempDirectory("graft-flavor").toString
+    val micros = Seq(1704067200000000L, 1704070800000001L) // 2024-01-01 UTC
+    // µs/no-tz flavor (round 7+): written as TIMESTAMP_NTZ parquet
+    val sess = spark
+    import sess.implicits._
+    micros.toDF("us")
+      .select(col("us").cast("long").as("event_id"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+      .write.parquet(s"$dir/events.parquet")
+    val ntz = Tables.events(spark, dir)
+    assert(ntz.schema("ts").dataType === TimestampType)
+    val gotNtz = ntz.select(unix_micros(col("ts"))).orderBy("ts")
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotNtz === micros)
+    // nanos-as-long flavor (rounds 1-6): normalizeTs floor-divides
+    val nanos = micros.map(_ * 1000L + 999L).toDF("ts")
+    val gotNanos = Tables.normalizeTs(nanos)
+      .select(unix_micros(col("ts"))).orderBy("ts")
+      .collect().map(_.getLong(0)).toSeq
+    assert(gotNanos === micros, "nanos must truncate to the same micros")
+  }
+}

