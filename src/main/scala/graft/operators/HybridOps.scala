@@ -73,8 +73,22 @@ object HybridOps {
     * two-stage serve. */
   def hybridTopK(docs: DataFrame, embeddings: DataFrame,
       queries: Seq[(Long, Seq[String])], k: Int,
+      numPlanes: Int = VectorOps.NumPlanes,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val (tf, dl) = TextOps.bm25Stats(docs, checkpointDir)
+    hybridTopKFrom(tf, dl, embeddings, queries, k, numPlanes)
+  }
+
+  /** [[hybridTopK]] from prebuilt lexical index frames — the serve path
+    * when the index is maintained incrementally
+    * ([[graft.streaming.StreamingLexical]]'s artifact plus an appended
+    * embedding frame): hybrid search over a streaming corpus without
+    * re-tokenizing anything, through the exact batch scoring/fusion
+    * code. */
+  def hybridTopKFrom(tf: DataFrame, dl: DataFrame, embeddings: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int,
       numPlanes: Int = VectorOps.NumPlanes): DataFrame = {
-    val lex = TextOps.bm25TopK(docs, queries, k)
+    val lex = TextOps.bm25TopKFrom(tf, dl, queries, k)
     val dense = VectorOps.annTopK(embeddings, queries.map(_._1), k, numPlanes)
       .withColumnRenamed("vec_id", "doc_id")
     rrfFuse(lex, dense, k)

@@ -696,8 +696,8 @@ object TextOps {
     * it), the summed score is rounded to 6 dp BEFORE ranking (the
     * cosine convention), doc_id breaks ties. */
   def bm25TopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
-      k: Int): DataFrame = {
-    val (tf, dl) = bm25Stats(docs)
+      k: Int, checkpointDir: Option[String] = None): DataFrame = {
+    val (tf, dl) = bm25Stats(docs, checkpointDir)
     bm25TopKFrom(tf, dl, queries, k)
   }
 
@@ -708,12 +708,22 @@ object TextOps {
     * isolation equal its stats within the full corpus, so an artifact
     * of appended per-batch slices IS the full index
     * ([[graft.streaming.StreamingLexical]] builds exactly that).
-    * `dl` derives from `tf` (sum of a doc's term counts), so the token
-    * explosion is aggregated ONCE — the doc_id shuffle moves the
-    * already-combined (doc, term) rows, not raw tokens. */
-  def bm25Stats(docs: DataFrame): (DataFrame, DataFrame) = {
+    *
+    * `tf` is MATERIALIZED (the [[Dedup.materialize]] band-frame
+    * convention; reliable when `checkpointDir` set): it feeds three
+    * consumers (the scoring join, `dl`, and df), and the initial
+    * physical plan otherwise repeats the scan+tokenize subtree per
+    * consumer — AQE's runtime stage reuse recovered only one of the
+    * three copies when measured, so at corpus scale the 100 TB
+    * tokenization pass would run twice. `dl` then derives from the
+    * materialized `tf` (sum of a doc's term counts) — the doc_id
+    * shuffle moves already-combined (doc, term) rows, never raw
+    * tokens. */
+  def bm25Stats(docs: DataFrame,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val tf = Dedup.materialize(
+      tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf")), checkpointDir)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     (tf, dl)
   }

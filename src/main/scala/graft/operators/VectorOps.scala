@@ -29,7 +29,7 @@ object VectorOps {
   val Dim = 64
 
   /** Cast float32 array → float64 (exact; every float is a double). */
-  private def asDoubles(c: Column): Column = transform(c, _.cast("double"))
+  private[graft] def asDoubles(c: Column): Column = transform(c, _.cast("double"))
 
   /** Sequential left-fold dot product: the native codegen'd expression
     * ([[graft.functions.DotProduct]]) — same accumulation order as the
@@ -690,6 +690,347 @@ object VectorOps {
        |    round(${dotSql("pv", "cv")} / (pnrm * cnrm), 6) DESC, vec_id) AS rn
        |FROM pooled
        |WHERE NOT isnan(round(${dotSql("pv", "cv")} / (pnrm * cnrm), 6))
+       |QUALIFY rn <= $k""".stripMargin
+
+  // --- product quantization (x58/x59) -------------------------------------
+
+  /** PQ layout (Jégou/Douze/Schmid, IEEE PAMI 2011): the vector is split
+    * into `PqSubspaces` contiguous subvectors; each subspace gets its own
+    * `PqSubCentroids`-entry codebook; a vector's code is one centroid id
+    * per subspace. Storage per vector drops from Dim floats to
+    * `PqSubspaces` small ints — 4 ids vs 64 floats here (64× at byte
+    * width), the compression that makes a 100 TB corpus's candidate scan
+    * read gigabytes instead of terabytes. Defaults sized to the fixture
+    * (64-dim, ≤10⁵ vectors); both are caller knobs — at corpus scale
+    * pick subspaces·log2(subCentroids) to hit the storage budget and
+    * train on a sample. */
+  val PqSubspaces = 4
+  val PqSubCentroids = 16
+  val PqIters = 2
+
+  private def subCentArrayLit(book: Seq[Seq[Double]]): Column =
+    array(book.zipWithIndex.map { case (cv, i) =>
+      struct(lit(i.toLong).as("cent_id"), array(cv.map(lit): _*).as("cv"))
+    }: _*)
+
+  /** Sequential-fold squared L2 — the subspace assignment metric
+    * (cosine is wrong per-subspace: subvector norms carry signal). Same
+    * left-fold order as DuckDB's `list_reduce`, so distances are
+    * bit-identical and ties resolve the same way in both engines. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def l2sqSql(a: String, b: String, d: Int): String =
+    s"list_reduce(list_transform(range(1, ${d + 1}), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (x, y) -> x + y)"
+
+  /** Nearest sub-centroid argmin as a fold over the literal sub-codebook
+    * (the [[cellOf]] device with L2): replace only on STRICTLY smaller
+    * distance, iterating id-ascending — identical to a window ordered
+    * (dist ASC, cent_id ASC). Map-only; the corpus never joins for its
+    * own encoding. */
+  private def subCellOf(sv: Column, book: Seq[Seq[Double]]): Column = {
+    val accType = "struct<cell:bigint,d2:double>"
+    aggregate(
+      subCentArrayLit(book),
+      struct(lit(-1L).as("cell"), lit(Double.PositiveInfinity).as("d2"))
+        .cast(accType),
+      (acc, c) => {
+        val dd = l2sq(sv, c.getField("cv"))
+        when(dd < acc.getField("d2"),
+          struct(c.getField("cent_id").as("cell"), dd.as("d2")).cast(accType))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cell"))
+  }
+
+  /** Deterministic per-subspace Lloyd's — [[trainedCentroids]]' driver
+    * loop generalized to PQ: ONE assignment scan per iteration covers
+    * every subspace (each row emits `m` (sub, cell, subvector) structs),
+    * grid-sums partial-aggregate map-side to ≤ subCentroids×Dim rows of
+    * index metadata, and every arithmetic step (grid floor, exact BIGINT
+    * sum, (sum→double)/n/grid) mirrors [[pqKmeansCtes]] so the books are
+    * bit-identical to the oracle's. Seeded init: subvectors of the first
+    * `ksub` vectors by id. Returns books(sub)(centId) = sub-centroid. */
+  def pqTrainedCodebooks(embeddings: DataFrame, m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids, iters: Int = PqIters): Seq[Seq[Seq[Double]]] = {
+    require(Dim % m == 0, s"Dim=$Dim not divisible by $m subspaces")
+    val d = Dim / m
+    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val seed = e.where(col("vec_id") < ksub).orderBy("vec_id").collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+    var books: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(mi => seed.map(sv => sv.slice(mi * d, (mi + 1) * d)))
+    for (_ <- 1 to iters) {
+      val subStructs = array((0 until m).map { mi =>
+        val sv = slice(col("v"), mi * d + 1, d)
+        struct(lit(mi).as("sub"), subCellOf(sv, books(mi)).as("cell"),
+          sv.as("sv"))
+      }: _*)
+      val stats = e.select(explode(subStructs).as("s"))
+        .select(col("s.sub"), col("s.cell"),
+          posexplode(col("s.sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "cell", "dim")
+        .agg(sum(floor(col("x") * KMeansGrid + lit(0.5)).cast("long")).as("g"),
+          count(lit(1)).as("n"))
+        .collect()
+      val bySubCell = stats.groupBy(r => (r.getInt(0), r.getLong(1)))
+      books = books.zipWithIndex.map { case (book, mi) =>
+        book.zipWithIndex.map { case (prev, ci) =>
+          bySubCell.get((mi, ci.toLong)) match {
+            case Some(rows) =>
+              val n = rows.head.getLong(4).toDouble
+              val byDim = rows.map(r => r.getInt(2) -> r.getLong(3)).toMap
+              (0 until d).map(dd => byDim(dd).toDouble / n / KMeansGrid.toDouble)
+            case None => prev
+          }
+        }
+      }
+    }
+    books
+  }
+
+  /** PQ encoding under given books — map-only (one fold per subspace
+    * over the literal codebook; no join, no shuffle, no window), the
+    * shape that encodes a 100 TB corpus in one pass. Wide form:
+    * `(vec_id, v, codes)` with `codes(m)` the subspace-m centroid id. */
+  def pqCodesWide(embeddings: DataFrame,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val m = books.size
+    val d = Dim / m
+    embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        array((0 until m).map(mi =>
+          subCellOf(slice(col("v"), mi * d + 1, d), books(mi))): _*).as("codes"))
+  }
+
+  /** The registration-facing long form: one `(vec_id, sub, code)` row
+    * per subspace. NOTE: constructing this under the default books RUNS
+    * the training loop (the x13/x18/x26 eager-build exception); pass a
+    * snapshot's codebook artifact to reuse instead of retraining. */
+  def pqCodes(embeddings: DataFrame,
+      books: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val bks = books.getOrElse(pqTrainedCodebooks(embeddings))
+    pqCodesWide(embeddings, bks)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+  }
+
+  /** Reconstruction x̂ = concat of the chosen sub-centroids — a pure
+    * expression over the codes column and the literal books. */
+  private[graft] def reconOf(codes: Column, books: Seq[Seq[Seq[Double]]]): Column =
+    flatten(array(books.zipWithIndex.map { case (book, mi) =>
+      element_at(array(book.map(cv => array(cv.map(lit): _*)): _*),
+        element_at(codes, mi + 1).cast("int") + 1)
+    }: _*))
+
+  /** PQ top-k by asymmetric distance (ADC): the query stays full
+    * precision, corpus candidates are scored as cosine(q, x̂) against
+    * their CODE-RECONSTRUCTED vectors — so the candidate scan reads
+    * `subspaces` ids per vector instead of Dim floats (the 100 TB
+    * bandwidth story; compose with [[ivfTopK]]'s probes to also prune
+    * the candidate COUNT — this operator is the compression layer,
+    * deliberately scored over the full corpus like the x10 baseline so
+    * its recall is attributable to quantization alone). Queries
+    * broadcast; reconstruction is literal-lookup map work; ranking
+    * rounds to 6 dp before ordering, vec_id tiebreak. */
+  def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      books: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val bks = books.getOrElse(pqTrainedCodebooks(embeddings))
+    val recon = pqCodesWide(embeddings, bks)
+      .select(col("vec_id"), reconOf(col("codes"), bks).as("rv"))
+    val q = embeddings
+      .select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+      .where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = recon.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("rv")), 6).as("cosine"))
+      .where(!isnan(col("cosine")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** Unrolled per-subspace Lloyd's as CTEs; requires `e(vec_id, v)` in
+    * scope. Emits `pc_<sub>_<iter>` chains plus `pcodes` (the long-form
+    * encoding) and `pcents` (every final sub-centroid) — mirrored step
+    * for step with [[pqTrainedCodebooks]]/[[pqCodesWide]]. */
+  private def pqKmeansCtes(m: Int, ksub: Int, iters: Int): String = {
+    val d = Dim / m
+    val perSub = (0 until m).map { mi =>
+      val a = mi * d + 1
+      val b = (mi + 1) * d
+      val sub =
+        s"""se$mi AS (
+           |  SELECT vec_id, v[$a:$b] AS sv FROM e
+           |), pc_${mi}_0 AS (
+           |  SELECT vec_id AS cent_id, sv AS cv FROM se$mi WHERE vec_id < $ksub
+           |)""".stripMargin
+      val rounds = (1 to iters).map { i =>
+        s"""pa_${mi}_$i AS (
+           |  SELECT vec_id, sv, cent_id AS cell,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY
+           |      ${l2sqSql("sv", "cv", d)}, cent_id) AS rn
+           |  FROM se$mi CROSS JOIN pc_${mi}_${i - 1}
+           |  QUALIFY rn = 1
+           |), ps_${mi}_$i AS (
+           |  SELECT cell, dim,
+           |    CAST(SUM(CAST(floor(sv[dim] * $KMeansGrid + 0.5) AS BIGINT)) AS DOUBLE)
+           |      / COUNT(*) / $KMeansGrid AS mval
+           |  FROM pa_${mi}_$i CROSS JOIN generate_series(1, $d) t(dim)
+           |  GROUP BY cell, dim
+           |), pc_${mi}_$i AS (
+           |  SELECT p.cent_id,
+           |    CASE WHEN count(s.mval) = 0 THEN any_value(p.cv)
+           |         ELSE list(s.mval ORDER BY s.dim) END AS cv
+           |  FROM pc_${mi}_${i - 1} p LEFT JOIN ps_${mi}_$i s ON s.cell = p.cent_id
+           |  GROUP BY p.cent_id
+           |)""".stripMargin
+      }
+      // encoding assigns against the FINAL books (after the last mean
+      // update) — one more argmin pass, exactly like [[pqCodesWide]];
+      // reusing the last training assignment (pa_*_iters, computed
+      // against the PREVIOUS books) would desynchronize the engines
+      val enc =
+        s"""pe_$mi AS (
+           |  SELECT vec_id, cent_id AS code,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY
+           |      ${l2sqSql("sv", "cv", d)}, cent_id) AS rn
+           |  FROM se$mi CROSS JOIN pc_${mi}_$iters
+           |  QUALIFY rn = 1
+           |)""".stripMargin
+      ((sub +: rounds) :+ enc).mkString(",\n")
+    }
+    val codes = (0 until m)
+      .map(mi => s"SELECT vec_id, CAST($mi AS INT) AS sub, code FROM pe_$mi")
+      .mkString("pcodes AS (\n", "\n  UNION ALL\n", "\n)")
+    val cents = (0 until m)
+      .map(mi => s"SELECT CAST($mi AS INT) AS sub, cent_id, cv FROM pc_${mi}_$iters")
+      .mkString("pcents AS (\n", "\n  UNION ALL\n", "\n)")
+    (perSub :+ codes :+ cents).mkString(",\n")
+  }
+
+  /** [[pqCodes]] oracle. */
+  def pqCodesSql(m: Int = PqSubspaces, ksub: Int = PqSubCentroids,
+      iters: Int = PqIters): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |${pqKmeansCtes(m, ksub, iters)}
+       |SELECT vec_id, sub, code FROM pcodes""".stripMargin
+
+  /** [[pqTopK]] oracle — reconstruction via ordered list-concat of the
+    * chosen sub-centroids, then the exact cosine/round/rank chain. */
+  def pqTopKSql(queryIds: Seq[Long], k: Int, m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids, iters: Int = PqIters): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |${pqKmeansCtes(m, ksub, iters)},
+       |recon AS (
+       |  SELECT c.vec_id, flatten(list(p.cv ORDER BY c.sub)) AS rv
+       |  FROM pcodes c JOIN pcents p ON p.sub = c.sub AND p.cent_id = c.code
+       |  GROUP BY c.vec_id
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, r.vec_id,
+       |    round(${dotSql("q.v", "r.rv")} /
+       |      (${normSql("q.v")} * ${normSql("r.rv")}), 6) AS cosine
+       |  FROM e q JOIN recon r ON r.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (${queryIds.mkString(",")})
+       |)
+       |SELECT query_id, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |FROM scored
+       |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |QUALIFY rn <= $k""".stripMargin
+
+  /** IVF+PQ — the production vector-index stack assembled: IVF probes
+    * prune the candidate COUNT (≈ nprobe/cells of the corpus per
+    * query), PQ codes cut the candidate-scan BANDWIDTH (m ids per
+    * vector instead of Dim floats), ADC scores the pruned candidates
+    * against full-precision queries. Both index frames (cell
+    * assignment, codes) are per-snapshot artifacts in production — a
+    * query-time search reads codes + the probed cells' id lists, never
+    * the float column. PQ here encodes the RAW vector (the IVFFlat-PQ
+    * layout); the residual-encoding refinement (encode v − centroid)
+    * needs per-cell books and is the documented next step, not a
+    * different plan shape. Ranking: 6-dp round before order, vec_id
+    * tiebreak — the family convention. */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int, centroids: Option[Seq[Seq[Double]]] = None,
+      books: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainedCentroids(embeddings))
+    val bks = books.getOrElse(pqTrainedCodebooks(embeddings))
+    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val cells = ivfCellsWith(embeddings, cents).select("vec_id", "cell")
+    val recon = pqCodesWide(embeddings, bks)
+      .select(col("vec_id"), reconOf(col("codes"), bks).as("rv"))
+    val probes = {
+      val q = e.where(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          explode(centArrayLit(cents)).as("c"))
+        .select(col("query_id"), col("qv"), col("c.cent_id").as("cell"),
+          cosine(col("qv"), col("c.cv")).as("ccos"))
+      val w = Window.partitionBy("query_id").orderBy(desc("ccos"), asc("cell"))
+      q.withColumn("rn", row_number().over(w)).where(col("rn") <= nprobe)
+        .select(col("query_id"), col("qv"), col("cell"))
+    }
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(recon, "vec_id")
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(cosine(col("qv"), col("rv")), 6).as("cosine"))
+      .where(!isnan(col("cosine")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** [[ivfPqTopK]] oracle — the x13 probe/assign chain composed with
+    * the PQ reconstruction chain (disjoint CTE namespaces). */
+  def ivfPqTopKSql(queryIds: Seq[Long], k: Int, nprobe: Int,
+      iters: Int = KMeansIters, m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |${kmeansCtes(NumCentroids, iters)},
+       |cents AS (SELECT cent_id, cv FROM cents$iters),
+       |assign AS (
+       |  SELECT vec_id, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM e CROSS JOIN cents
+       |  QUALIFY rn = 1
+       |), probes AS (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${dotSql("q.v", "cv")} / (${normSql("q.v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM e q CROSS JOIN cents
+       |  WHERE q.vec_id IN (${queryIds.mkString(",")})
+       |  QUALIFY rn <= $nprobe
+       |),
+       |${pqKmeansCtes(m, ksub, pqIters)},
+       |recon AS (
+       |  SELECT c.vec_id, flatten(list(p.cv ORDER BY c.sub)) AS rv
+       |  FROM pcodes c JOIN pcents p ON p.sub = c.sub AND p.cent_id = c.code
+       |  GROUP BY c.vec_id
+       |), scored AS (
+       |  SELECT p.query_id, a.vec_id, a.cell,
+       |    round(${dotSql("p.qv", "r.rv")} /
+       |      (${normSql("p.qv")} * ${normSql("r.rv")}), 6) AS cosine
+       |  FROM probes p
+       |  JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+       |  JOIN recon r ON r.vec_id = a.vec_id
+       |)
+       |SELECT query_id, vec_id, cell, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |FROM scored
+       |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
        |QUALIFY rn <= $k""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs: all pairs WITHIN an LSH

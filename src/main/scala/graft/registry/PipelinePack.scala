@@ -84,6 +84,35 @@ object PipelinePack extends QueryPack {
     }
   }
 
+  /** [[codebookFor]]'s PQ sibling: the per-subspace codebooks as a
+    * per-snapshot file artifact (doubles as raw IEEE-754 bits —
+    * bit-identical to a fresh training run), trained once per
+    * (fixture, PQ constants) key. */
+  private def pqBooksFor(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    val fx = new java.io.File(s"$dir/embeddings.parquet")
+    val key = artifactKey(dir, fx.lastModified(), fx.length(), "pq",
+      VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      VectorOps.KMeansGrid, VectorOps.Dim)
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_pqbooks_$key.txt")
+    if (f.exists()) {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().map(_.split(",").toSeq
+        .map(b => java.lang.Double.longBitsToDouble(b.toLong))).toList
+        .grouped(VectorOps.PqSubCentroids).toList
+      finally src.close()
+    } else {
+      val books = VectorOps.pqTrainedCodebooks(Tables.embeddings(s, dir))
+      val tmp = new java.io.File(f.getParentFile,
+        s"${f.getName}.tmp.${System.nanoTime()}")
+      java.nio.file.Files.writeString(tmp.toPath,
+        books.flatten.map(_.map(java.lang.Double.doubleToLongBits).mkString(","))
+          .mkString("\n"))
+      if (!tmp.renameTo(f)) tmp.delete() // lost a concurrent race: theirs won
+      books
+    }
+  }
+
   /** A per-snapshot parquet artifact under the tmp dir, keyed by
     * (fixture dir, fixture mtime, caller constants) and validated by
     * `_SUCCESS` + atomic rename — the same scheme as x18's signature
@@ -521,6 +550,25 @@ object PipelinePack extends QueryPack {
       graft.operators.HybridOps.hybridTopK(
         Tables.documents(s, dir), Tables.embeddings(s, dir), Bm25Queries, 5)
         .orderBy("query_id", "rn")),
+    // product quantization: per-subspace codebooks (artifact-fed, the
+    // x13 convention), map-only encoding — Dim floats -> m small ids
+    // per vector, the 100 TB candidate-scan bandwidth cut
+    "x58_pq_codes" -> ((s, dir) =>
+      VectorOps.pqCodes(Tables.embeddings(s, dir), Some(pqBooksFor(s, dir)))
+        .orderBy("vec_id", "sub")),
+    // ADC search over the PQ codes: full-precision queries vs
+    // code-reconstructed corpus, recall attributable to quantization
+    "x59_pq_topk" -> ((s, dir) =>
+      VectorOps.pqTopK(Tables.embeddings(s, dir), QueryVecs, 5,
+        Some(pqBooksFor(s, dir)))
+        .orderBy("query_id", "rn")),
+    // the assembled production index: IVF probes prune candidate
+    // COUNT, PQ codes cut candidate-scan BANDWIDTH, ADC scores the
+    // survivors; both codebooks artifact-fed
+    "x60_ivfpq_topk" -> ((s, dir) =>
+      VectorOps.ivfPqTopK(Tables.embeddings(s, dir), QueryVecs, 5,
+        nprobe = 2, Some(codebookFor(s, dir)), Some(pqBooksFor(s, dir)))
+        .orderBy("query_id", "rn")),
     // training-shard balance report: deterministic hash shard
     // assignment + per-shard doc/token tallies (the skew check before
     // committing a shard layout) — map-only + one agg to nShards rows
@@ -711,6 +759,13 @@ object PipelinePack extends QueryPack {
       (TextOps.bm25TopKSql(Bm25Queries, 5) + "\nORDER BY query_id, rn"),
     "x57_hybrid_topk" ->
       (graft.operators.HybridOps.hybridTopKSql(Bm25Queries, 5) +
+        "\nORDER BY query_id, rn"),
+    "x58_pq_codes" ->
+      (VectorOps.pqCodesSql() + "\nORDER BY vec_id, sub"),
+    "x59_pq_topk" ->
+      (VectorOps.pqTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
+    "x60_ivfpq_topk" ->
+      (VectorOps.ivfPqTopKSql(QueryVecs, 5, nprobe = 2) +
         "\nORDER BY query_id, rn"),
     "x25_corpus_build" ->
       (Dedup.corpusBuildSql(DedupJaccard, 0.5) + "\nORDER BY lang"),

@@ -223,6 +223,34 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
     assert(plan.contains("user_id") && plan.contains("bucket"), plan)
   }
 
+  test("retrieval ops on degenerate inputs: empty corpus, k over corpus size, no-term queries") {
+    import graft.operators.{HybridOps, TextOps, VectorOps}
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val emptyD = docs.limit(0)
+    // bm25 over an empty corpus: no rows, no divide-by-zero from avgdl
+    assert(TextOps.bm25TopK(emptyD, Seq(0L -> Seq("alpha")), 5).count() === 0)
+    // query terms absent from the corpus: that query returns no rows
+    val miss = TextOps.bm25TopK(docs, Seq(0L -> Seq("zzz"), 1L -> Seq("beta")), 5)
+      .select("query_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(miss === Set(1L))
+    // k far beyond corpus size: every matching doc returned, rn dense
+    val big = TextOps.bm25TopK(docs, Seq(0L -> Seq("beta")), 100)
+    assert(big.count() === 2)
+    // fusion where one half is entirely empty: the other half's ranking
+    // survives with its contribution only
+    val lex = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("query_id", "doc_id", "rn")
+    val fused = HybridOps.rrfFuse(lex, lex.limit(0), 5)
+    assert(fused.count() === 2)
+    assert(fused.orderBy("rn").collect().map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    // PQ on an empty corpus under given books: no rows, no failure
+    val books = VectorOps.pqTrainedCodebooks(
+      graft.sources.Tables.embeddings(spark, sf))
+    val emptyE = graft.sources.Tables.embeddings(spark, sf).limit(0)
+    assert(VectorOps.pqCodes(emptyE, Some(books)).count() === 0)
+    assert(VectorOps.pqTopK(emptyE, Seq(0L), 5, Some(books)).count() === 0)
+  }
+
   test("CDC merge with empty batch or empty current state") {
     val env = Tables_envelope
     val emptyBatch = env.limit(0)

@@ -56,6 +56,26 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(got.map(_._1) === Queries.map(_._1).toSet)
   }
 
+  test("hybrid serve from streaming-built lexical artifact equals the batch build") {
+    val docsAll = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val embAll = graft.sources.Tables.embeddings(spark, sf)
+    val cut = 250L
+    val sl = new graft.streaming.StreamingLexical(
+      java.nio.file.Files.createTempDirectory("hyb-art").toString)
+    sl.indexBatch(docsAll.where(col("doc_id") < cut), 0)
+    sl.indexBatch(docsAll.where(col("doc_id") >= cut), 1)
+    val (tf, dl) = sl.artifact(spark).get
+    // the dense side appends per-doc too: two arrival slices re-unioned
+    val emb = embAll.where(col("vec_id") < cut)
+      .unionByName(embAll.where(col("vec_id") >= cut))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    val got = rows(HybridOps.hybridTopKFrom(tf, dl, emb, Queries, K))
+    val want = rows(HybridOps.hybridTopK(docsAll, embAll, Queries, K))
+    assert(want.nonEmpty)
+    assert(got === want, "artifact-served hybrid diverges from batch")
+  }
+
   test("a doc ranked by only one half still fuses (absent list contributes 0)") {
     // toy corpus engineered so the lexical and dense top lists disagree
     val sess = spark

@@ -62,6 +62,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(orFiltered.count() === clicks + otherAfterW)
   }
 
+  test("bm25/hybrid: corpus is tokenized exactly once, query batch broadcasts, fusion never products") {
+    import graft.operators.{HybridOps, TextOps}
+    val qs = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    // tf is consumed three times (scoring join, dl, df); it is
+    // MATERIALIZED in bm25Stats, so the serve plan must contain ZERO
+    // documents scans — a scan here means a consumer re-tokenizes the
+    // corpus (AQE's runtime stage reuse recovered only one of the three
+    // subtree copies when measured, hence the structural fix)
+    val lexPlan = TextOps.bm25TopK(Tables.documents(spark, psf), qs, 5)
+      .queryExecution.executedPlan.toString
+    assert(!lexPlan.contains("documents.parquet"),
+      s"serve plan re-reads the corpus — tf not materialized:\n$lexPlan")
+    // the fixed query-term batch reaches the index via broadcast, never
+    // by shuffling the index for it
+    assert(lexPlan.contains("BroadcastHashJoin"),
+      s"query batch not broadcast:\n$lexPlan")
+    // fusion equi-joins two <= k*|q|-row frames on (query_id, doc_id);
+    // no cartesian anywhere, and the full-outer fuse is a keyed join.
+    // (One BroadcastNestedLoopJoin IS expected and correct: attaching
+    // the 1-row corpus-stats frame via crossJoin(broadcast(stats)).)
+    val fusedPlan = HybridOps.hybridTopK(Tables.documents(spark, psf),
+      Tables.embeddings(spark, psf), qs, 5)
+      .queryExecution.executedPlan.toString
+    assert(!fusedPlan.contains("CartesianProduct"),
+      s"cartesian in hybrid plan:\n$fusedPlan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*FullOuter".r
+      .findFirstIn(fusedPlan).nonEmpty,
+      s"RRF fuse is not a keyed full-outer join:\n$fusedPlan")
+  }
+
+  test("PQ encoding is map-only: literal-codebook folds, no join, no shuffle, no window") {
+    val emb = Tables.embeddings(spark, psf)
+    val books = VectorOps.pqTrainedCodebooks(emb)
+    val plan = formatted(VectorOps.pqCodesWide(emb, books))
+    assert(!plan.contains("Exchange") && !plan.contains("Join") &&
+      !plan.contains("Window"),
+      s"PQ encode must be one map-only scan at any corpus size:\n$plan")
+  }
+
   test("column pruning: a two-column projection reads only those columns") {
     val df = Tables.lineitem(spark, psf).select("l_orderkey", "l_quantity")
     val plan = formatted(df)
