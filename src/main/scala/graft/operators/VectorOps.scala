@@ -698,13 +698,13 @@ object VectorOps {
     * into `PqSubspaces` contiguous subvectors; each subspace gets its own
     * `PqSubCentroids`-entry codebook; a vector's code is one centroid id
     * per subspace. Storage per vector drops from Dim floats to
-    * `PqSubspaces` small ints — 4 ids vs 64 floats here (64× at byte
+    * `PqSubspaces` small ints — 8 ids vs 64 floats here (32× at byte
     * width), the compression that makes a 100 TB corpus's candidate scan
     * read gigabytes instead of terabytes. Defaults sized to the fixture
     * (64-dim, ≤10⁵ vectors); both are caller knobs — at corpus scale
     * pick subspaces·log2(subCentroids) to hit the storage budget and
     * train on a sample. */
-  val PqSubspaces = 4
+  val PqSubspaces = 8
   val PqSubCentroids = 16
   val PqIters = 2
 
@@ -960,26 +960,78 @@ object VectorOps {
     * tiebreak — the family convention. */
   def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       nprobe: Int, centroids: Option[Seq[Seq[Double]]] = None,
-      books: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+      books: Option[Seq[Seq[Seq[Double]]]] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
     val cents = centroids.getOrElse(trainedCentroids(embeddings))
     val bks = books.getOrElse(pqTrainedCodebooks(embeddings))
     val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
-    val cells = ivfCellsWith(embeddings, cents).select("vec_id", "cell")
-    val recon = pqCodesWide(embeddings, bks)
-      .select(col("vec_id"), reconOf(col("codes"), bks).as("rv"))
-    val probes = {
-      val q = e.where(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("query_id"), col("v").as("qv"),
-          explode(centArrayLit(cents)).as("c"))
-        .select(col("query_id"), col("qv"), col("c.cent_id").as("cell"),
-          cosine(col("qv"), col("c.cv")).as("ccos"))
-      val w = Window.partitionBy("query_id").orderBy(desc("ccos"), asc("cell"))
-      q.withColumn("rn", row_number().over(w)).where(col("rn") <= nprobe)
-        .select(col("query_id"), col("qv"), col("cell"))
+    // the cell list is MATERIALIZED ([[graft.operators.Dedup.materialize]];
+    // reliable when `checkpointDir` set) — in production the inverted
+    // file is a stored index artifact, not per-query work, and here the
+    // concrete frame also keeps the join key a plain attribute: left as
+    // an alias of the assignment fold, Spark 4.1's
+    // InferFiltersFromConstraints copies the fold across the cell
+    // equi-join onto the probe side, where its corpus-vector reference
+    // cannot bind (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND, deterministic).
+    // constraint barrier on top of the materialization: a checkpointed
+    // frame PRESERVES its origin plan's constraints, so the join key
+    // still carries `cell = <assignment fold over the corpus vector>`;
+    // InferFiltersFromConstraints then copies that fold across the cell
+    // equi-join onto the probe side, where the corpus-vector reference
+    // cannot bind (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — deterministic,
+    // Spark 4.1). Re-wrapping the checkpointed RDD in a fresh frame
+    // keeps the data materialized exactly once and drops the ghost
+    // constraint.
+    def indexFrame(df: DataFrame): DataFrame = {
+      val ck = Dedup.materialize(df, checkpointDir)
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
     }
-    val scored = cells.join(broadcast(probes), Seq("cell"))
+    val cells = indexFrame(
+      ivfCellsWith(embeddings, cents).select("vec_id", "cell"))
+    val recon = indexFrame(pqCodesWide(embeddings, bks)
+      .select(col("vec_id"), reconOf(col("codes"), bks).as("rv")))
+    // probe selection runs on the DRIVER — the production shape (an
+    // index node ranks |queries|·|cells| centroid cosines, bounded
+    // metadata like the codebook itself). The sequential-fold cosine
+    // below is bit-identical to the oracle's `list_reduce` chain; ties
+    // mirror the [[cellOf]] convention (cosine DESC with NaN ranked
+    // first, then cell ASC).
+    //
+    // The frame is RDD-backed (one partition), NOT a LocalRelation, on
+    // purpose: on this composed cells⋈probes⋈recon plan, Spark 4.1's
+    // `ConvertToLocalRelation` eagerly binds a join-constraint-inferred
+    // filter that still references the corpus side's assignment fold
+    // against the probe relation's three columns and dies with
+    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (deterministic, cold-session).
+    // An RDD-backed relation is outside that rule's reach; the frame is
+    // |queries|·nprobe rows either way and still broadcasts.
+    val probes = {
+      val spark = embeddings.sparkSession
+      import spark.implicits._
+      val qvecs = e.where(col("vec_id").isin(queryIds: _*))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      val rows = queryIds.filter(qvecs.contains).flatMap { qid =>
+        val qv = qvecs(qid)
+        val ranked = cents.zipWithIndex.map { case (cv, ci) =>
+          val dot = qv.zip(cv).map { case (x, y) => x * y }.sum
+          val c = dot / (math.sqrt(qv.map(x => x * x).sum) *
+            math.sqrt(cv.map(x => x * x).sum))
+          (ci.toLong, c)
+        }.sortWith { case ((cellA, cosA), (cellB, cosB)) =>
+          // NaN first (both engines rank NaN above every double DESC),
+          // then cosine DESC, then cell ASC
+          if (cosA.isNaN != cosB.isNaN) cosA.isNaN
+          else if (cosA != cosB) cosA > cosB
+          else cellA < cellB
+        }.take(nprobe)
+        ranked.map { case (cell, _) => (qid, qv, cell) }
+      }
+      spark.createDataset(spark.sparkContext.parallelize(rows, 1))
+        .toDF("query_id", "qv", "cell")
+    }
+    val scored = cells.join(recon, "vec_id")
+      .join(broadcast(probes), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
-      .join(recon, "vec_id")
       .select(col("query_id"), col("vec_id"), col("cell"),
         round(cosine(col("qv"), col("rv")), 6).as("cosine"))
       .where(!isnan(col("cosine")))
@@ -1271,7 +1323,8 @@ object VectorOps {
   /** Names of the approximate variants [[annRecall]] evaluates, in
     * report order. Shared with the oracle generator so the two can
     * never list different methods. */
-  val RecallMethods: Seq[String] = Seq("ivf", "lsh", "multiprobe", "quantized")
+  val RecallMethods: Seq[String] =
+    Seq("ivf", "ivfpq", "lsh", "multiprobe", "pq", "quantized")
 
   /** ANN index-quality harness: recall@k of every approximate variant
     * against the exact brute-force top-k, per query — THE acceptance
@@ -1288,14 +1341,18 @@ object VectorOps {
     * is arithmetic over ≤ |methods|·|queries|·k rows — driver-scale
     * metadata, shuffled nowhere meaningful. */
   def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-      centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+      centroids: Option[Seq[Seq[Double]]] = None,
+      books: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     def side(method: String, df: DataFrame): DataFrame =
       df.select(lit(method).as("method"), col("query_id"), col("vec_id"))
     val exact = cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id")
     val approx =
       side("ivf", ivfTopK(embeddings, queryIds, k, nprobe = 2, centroids))
+        .unionByName(side("ivfpq",
+          ivfPqTopK(embeddings, queryIds, k, nprobe = 2, centroids, books)))
         .unionByName(side("lsh", annTopK(embeddings, queryIds, k)))
         .unionByName(side("multiprobe", annTopKMultiProbe(embeddings, queryIds, k)))
+        .unionByName(side("pq", pqTopK(embeddings, queryIds, k, books)))
         .unionByName(side("quantized", annTopKQuantized(embeddings, queryIds, k)))
     val hits = approx
       .join(exact.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
@@ -1317,8 +1374,10 @@ object VectorOps {
   def annRecallSql(queryIds: Seq[Long], k: Int): String = {
     val variantSql = Map(
       "ivf" -> ivfTopKSql(queryIds, k, nprobe = 2),
+      "ivfpq" -> ivfPqTopKSql(queryIds, k, nprobe = 2),
       "lsh" -> annTopKSql(queryIds, k),
       "multiprobe" -> annTopKMultiProbeSql(queryIds, k),
+      "pq" -> pqTopKSql(queryIds, k),
       "quantized" -> annTopKQuantizedSql(queryIds, k))
     val unions = RecallMethods.map { m =>
       s"  SELECT '$m' AS method, query_id, vec_id FROM (\n${variantSql(m)}\n  )"

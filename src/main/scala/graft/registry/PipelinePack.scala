@@ -338,7 +338,8 @@ object PipelinePack extends QueryPack {
     // acceptance metric; IVF side fed from the same codebook artifact
     "x44_ann_recall" -> ((s, dir) =>
       VectorOps.annRecall(Tables.embeddings(s, dir), QueryVecs, 5,
-        centroids = Some(codebookFor(s, dir)))
+        centroids = Some(codebookFor(s, dir)),
+        books = Some(pqBooksFor(s, dir)))
         .orderBy("method", "query_id")),
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)

@@ -89,7 +89,7 @@ class PqSpec extends AnyFunSuite with SparkSpec {
 
   test("PQ beats nothing it shouldn't: reconstructed self-cosine is high on real vectors") {
     // the compression sanity floor: a 64-dim vector reconstructed from
-    // 4 sub-centroids should still point mostly the same way — mean
+    // 8 sub-centroids should still point mostly the same way — mean
     // cosine(v, recon(v)) well above 0 (a random codebook gives ~0)
     val recon = VectorOps.pqTopK(emb, Seq(0L), 1, Some(books)) // force build path
     assert(recon.count() >= 0)
