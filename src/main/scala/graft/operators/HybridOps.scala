@@ -94,6 +94,98 @@ object HybridOps {
     rrfFuse(lex, dense, k)
   }
 
+  /** Lexical weight of the weighted-score fusion — 0.5 (equal halves;
+    * exactly representable in binary, so the multiply is exact).
+    * Interpolated into both engines (the x51 single-constant rule). */
+  val WeightedLexW = 0.5
+
+  /** Weighted-score fusion (CombSUM with per-query min–max
+    * normalization) — the OTHER production fusion policy next to RRF:
+    * rank-agnostic, so a runaway-best dense hit keeps its margin where
+    * RRF would flatten it to 1/(K+1). Each half's scores are
+    * normalized to [0,1] WITHIN its query's top-k list
+    * (`(s−min)/(max−min)`; a degenerate one-score list normalizes to 1
+    * — the only doc is that list's best), a doc absent from one list
+    * contributes 0 from it (the CombSUM convention over the union),
+    * and the fused score `w·lex + (1−w)·dense` rounds to 6 dp BEFORE
+    * ranking (the cosine convention), doc_id tiebreak. Same tiny
+    * full-outer-join shape as [[rrfFuse]]. */
+  def weightedFuse(lex: DataFrame, dense: DataFrame, k: Int,
+      w: Double = WeightedLexW): DataFrame = {
+    def normed(df: DataFrame, scoreCol: String, as: String): DataFrame = {
+      val win = Window.partitionBy("query_id")
+      df.select(col("query_id"), col("doc_id"),
+        when(max(col(scoreCol)).over(win) === min(col(scoreCol)).over(win),
+          lit(1.0))
+          .otherwise((col(scoreCol) - min(col(scoreCol)).over(win)) /
+            (max(col(scoreCol)).over(win) - min(col(scoreCol)).over(win)))
+          .as(as))
+    }
+    val l = normed(lex, "score", "nlex")
+    val r = normed(dense, "cosine", "ndense")
+    val fused = l.join(r, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        round(coalesce(col("nlex"), lit(0.0)) * lit(w) +
+          coalesce(col("ndense"), lit(0.0)) * lit(1.0 - w), 6).as("wscore"))
+    val win = Window.partitionBy("query_id").orderBy(desc("wscore"), asc("doc_id"))
+    fused.withColumn("rn", row_number().over(win)).where(col("rn") <= k)
+  }
+
+  /** End-to-end weighted hybrid — [[hybridTopK]]'s retrieval halves
+    * under [[weightedFuse]]. */
+  def hybridTopKWeighted(docs: DataFrame, embeddings: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      numPlanes: Int = VectorOps.NumPlanes,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val (tf, dl) = TextOps.bm25Stats(docs, checkpointDir)
+    val lex = TextOps.bm25TopKFrom(tf, dl, queries, k)
+      .select("query_id", "doc_id", "score")
+    val dense = VectorOps.annTopK(embeddings, queries.map(_._1), k, numPlanes)
+      .withColumnRenamed("vec_id", "doc_id")
+      .select("query_id", "doc_id", "cosine")
+    weightedFuse(lex, dense, k)
+  }
+
+  /** [[hybridTopKWeighted]] oracle — same normalization, weights, and
+    * round-before-rank, composed over both halves' oracle CTEs. */
+  def hybridTopKWeightedSql(queries: Seq[(Long, Seq[String])], k: Int,
+      w: Double = WeightedLexW): String =
+    s"""WITH lexraw AS (
+       |  SELECT query_id, doc_id, score
+       |  FROM (${TextOps.bm25TopKSql(queries, k)})
+       |), denseraw AS (
+       |  SELECT query_id, vec_id AS doc_id, cosine
+       |  FROM (${VectorOps.annTopKSql(queries.map(_._1), k)})
+       |), lex AS (
+       |  SELECT query_id, doc_id,
+       |    CASE WHEN max(score) OVER (PARTITION BY query_id) =
+       |              min(score) OVER (PARTITION BY query_id) THEN 1.0
+       |         ELSE (score - min(score) OVER (PARTITION BY query_id)) /
+       |              (max(score) OVER (PARTITION BY query_id) -
+       |               min(score) OVER (PARTITION BY query_id)) END AS nlex
+       |  FROM lexraw
+       |), dense AS (
+       |  SELECT query_id, doc_id,
+       |    CASE WHEN max(cosine) OVER (PARTITION BY query_id) =
+       |              min(cosine) OVER (PARTITION BY query_id) THEN 1.0
+       |         ELSE (cosine - min(cosine) OVER (PARTITION BY query_id)) /
+       |              (max(cosine) OVER (PARTITION BY query_id) -
+       |               min(cosine) OVER (PARTITION BY query_id)) END AS ndense
+       |  FROM denseraw
+       |), fused AS (
+       |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
+       |    coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |    round(coalesce(l.nlex, 0.0) * $w +
+       |      coalesce(r.ndense, 0.0) * ${1.0 - w}, 6) AS wscore
+       |  FROM lex l FULL OUTER JOIN dense r
+       |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+       |)
+       |SELECT query_id, doc_id, wscore,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY wscore DESC, doc_id) AS rn
+       |FROM fused
+       |QUALIFY rn <= $k""".stripMargin
+
   /** [[hybridTopK]] oracle — composes the two halves' own oracle CTEs
     * (verbatim, as derived subqueries) and fuses with the same integer
     * arithmetic (`//` is DuckDB's integer division). */

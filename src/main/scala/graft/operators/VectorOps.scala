@@ -836,13 +836,23 @@ object VectorOps {
   def pqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       books: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     val bks = books.getOrElse(pqTrainedCodebooks(embeddings))
-    val recon = pqCodesWide(embeddings, bks)
-      .select(col("vec_id"), reconOf(col("codes"), bks).as("rv"))
     val q = embeddings
       .select(col("vec_id"), asDoubles(col("embedding")).as("v"))
       .where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val scored = recon.crossJoin(broadcast(q))
+    pqTopKFromCodes(pqCodesWide(embeddings, bks).select("vec_id", "codes"),
+      q, k, bks)
+  }
+
+  /** ADC top-k from a prebuilt `(vec_id, codes)` frame — the serve path
+    * when codes are a stored index artifact (a batch snapshot's encode
+    * pass, or [[graft.streaming.StreamingVectorIndex]]'s growing
+    * slices): the candidate scan reads codes only; queries arrive as a
+    * `(query_id, qv)` frame and broadcast. */
+  def pqTopKFromCodes(codes: DataFrame, queries: DataFrame, k: Int,
+      books: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val recon = codes.select(col("vec_id"), reconOf(col("codes"), books).as("rv"))
+    val scored = recon.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(cosine(col("qv"), col("rv")), 6).as("cosine"))

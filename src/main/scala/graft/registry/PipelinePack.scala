@@ -551,6 +551,12 @@ object PipelinePack extends QueryPack {
       graft.operators.HybridOps.hybridTopK(
         Tables.documents(s, dir), Tables.embeddings(s, dir), Bm25Queries, 5)
         .orderBy("query_id", "rn")),
+    // weighted-score fusion (CombSUM + per-query min-max normalization):
+    // the rank-agnostic fusion policy next to x57's RRF
+    "x61_hybrid_weighted" -> ((s, dir) =>
+      graft.operators.HybridOps.hybridTopKWeighted(
+        Tables.documents(s, dir), Tables.embeddings(s, dir), Bm25Queries, 5)
+        .orderBy("query_id", "rn")),
     // product quantization: per-subspace codebooks (artifact-fed, the
     // x13 convention), map-only encoding — Dim floats -> m small ids
     // per vector, the 100 TB candidate-scan bandwidth cut
@@ -760,6 +766,9 @@ object PipelinePack extends QueryPack {
       (TextOps.bm25TopKSql(Bm25Queries, 5) + "\nORDER BY query_id, rn"),
     "x57_hybrid_topk" ->
       (graft.operators.HybridOps.hybridTopKSql(Bm25Queries, 5) +
+        "\nORDER BY query_id, rn"),
+    "x61_hybrid_weighted" ->
+      (graft.operators.HybridOps.hybridTopKWeightedSql(Bm25Queries, 5) +
         "\nORDER BY query_id, rn"),
     "x58_pq_codes" ->
       (VectorOps.pqCodesSql() + "\nORDER BY vec_id, sub"),

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.operators.VectorOps
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming vector indexing — the dense sibling of
+  * [[StreamingLexical]], closing the "hybrid retrieval while the crawl
+  * arrives" loop: each micro-batch appends its embeddings AND their PQ
+  * codes as artifact slices, so dense search serves at any point from
+  * the artifact (ADC over codes — no re-encoding, no float-column
+  * candidate scan) and hybrid search composes it with the lexical
+  * artifact through the same batch scoring paths.
+  *
+  * The codebooks are deliberately a FIXED constructor argument, not
+  * per-batch state: in production PQ books are trained once on an
+  * initial corpus sample and kept stable so codes stay comparable
+  * across the whole stream (retraining mid-stream would silently change
+  * what every previous code means). Embeddings and codes are both
+  * per-doc-local, so slice isolation ≡ full-corpus values — the same
+  * append-only insight as the lexical tf/dl frames.
+  *
+  * Mechanics: `foreachBatch` + per-batch `gbatch=<id>` overwrite slices
+  * (replay-safe, flat executor memory), the family convention. */
+class StreamingVectorIndex(artifactDir: String,
+    books: Seq[Seq[Seq[Double]]]) {
+
+  private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
+
+  /** Index all available micro-batches; returns DISTINCT batches run. */
+  def indexAvailable(spark: SparkSession, embStream: DataFrame,
+      checkpoint: String): Long = {
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val q = embStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexBatch(batch, batchId)
+        seen.synchronized { seen += batchId; () }
+      }
+      .start()
+    q.awaitTermination()
+    seen.size.toLong
+  }
+
+  /** One micro-batch: append the raw embeddings (kept for exact rerank
+    * and downstream reuse) and the map-only PQ encode under the fixed
+    * books. */
+  private[graft] def indexBatch(batch: DataFrame, batchId: Long): Unit = {
+    val vecs = batch.select("vec_id", "embedding")
+    vecs.write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/emb", batchId))
+    VectorOps.pqCodesWide(vecs, books).select("vec_id", "codes")
+      .write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/codes", batchId))
+  }
+
+  /** The accumulated `(vec_id, embedding)` / `(vec_id, codes)` frames,
+    * or None before any batch wrote. */
+  def artifact(spark: SparkSession): Option[(DataFrame, DataFrame)] = {
+    val e = new java.io.File(s"$artifactDir/emb")
+    val c = new java.io.File(s"$artifactDir/codes")
+    if (!e.isDirectory || !c.isDirectory) None
+    else Some((
+      spark.read.parquet(e.toString).drop("gbatch"),
+      spark.read.parquet(c.toString).drop("gbatch")))
+  }
+
+  /** ADC top-k over the code artifact for query ids resolved in the
+    * embedding artifact — the same scoring path as batch
+    * [[VectorOps.pqTopKFromCodes]], so stream ≡ batch is structural. */
+  def topK(spark: SparkSession, queryIds: Seq[Long],
+      k: Int): Option[DataFrame] =
+    artifact(spark).map { case (emb, codes) =>
+      val q = emb.select(col("vec_id"),
+          org.apache.spark.sql.functions.transform(col("embedding"),
+            _.cast("double")).as("v"))
+        .where(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      VectorOps.pqTopKFromCodes(codes, q, k, books)
+    }
+}

@@ -76,6 +76,27 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSpec {
     assert(got === want, "artifact-served hybrid diverges from batch")
   }
 
+  test("weighted fusion: min-max normalization, absent-half zeros, degenerate lists") {
+    val sess = spark
+    import sess.implicits._
+    // query 0: two lex docs (scores 2.0 and 1.0), two dense (0.8, 0.4),
+    // doc 11 in both; query 1: ONE doc in each list (degenerate min=max)
+    val lex = Seq((0L, 10L, 2.0), (0L, 11L, 1.0), (1L, 20L, 3.0))
+      .toDF("query_id", "doc_id", "score")
+    val dense = Seq((0L, 11L, 0.8), (0L, 12L, 0.4), (1L, 21L, 0.9))
+      .toDF("query_id", "doc_id", "cosine")
+    val got = HybridOps.weightedFuse(lex, dense, 5)
+      .orderBy("query_id", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // q0 normalized: lex 10→1.0, 11→0.0; dense 11→1.0, 12→0.0
+    // fused: 10 = .5*1.0 = 0.5; 11 = .5*0 + .5*1 = 0.5; 12 = 0.0
+    // tie at 0.5 → doc_id: 10 then 11
+    // q1 degenerate singletons both normalize to 1.0 → each 0.5, 20 then 21
+    assert(got.toSeq === Seq(
+      (0L, 10L, 0.5, 1), (0L, 11L, 0.5, 2), (0L, 12L, 0.0, 3),
+      (1L, 20L, 0.5, 1), (1L, 21L, 0.5, 2)))
+  }
+
   test("a doc ranked by only one half still fuses (absent list contributes 0)") {
     // toy corpus engineered so the lexical and dense top lists disagree
     val sess = spark

@@ -300,6 +300,47 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows(sl.topK(spark, queries, 5).get) === want)
   }
 
+  test("streaming vector index: ADC serve from code artifact equals the batch build, replay-safe") {
+    import graft.operators.VectorOps
+    val embAll = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainedCodebooks(embAll)
+    val cut = 250L
+    val slices = Seq(embAll.where(col("vec_id") < cut),
+      embAll.where(col("vec_id") >= cut))
+    val sv = new graft.streaming.StreamingVectorIndex(
+      tmp("svec-art").toString, books)
+    sv.indexBatch(slices(0), 0)
+    sv.indexBatch(slices(1), 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    val queryIds = Seq(0L, 1L, 2L)
+    val got = rows(sv.topK(spark, queryIds, 5).get)
+    val want = rows(VectorOps.pqTopK(embAll, queryIds, 5, Some(books)))
+    assert(want.nonEmpty, "batch ADC reference empty; test is vacuous")
+    assert(got === want, "artifact-served ADC diverges from the batch build")
+    // replay rewrites the slice instead of double-counting
+    sv.indexBatch(slices(1), 1)
+    assert(rows(sv.topK(spark, queryIds, 5).get) === want,
+      "vector index diverged after batch replay")
+
+    // the full crawl-time hybrid: lexical artifact + dense artifact,
+    // fused through the same batch scoring paths
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    val sl = new graft.streaming.StreamingLexical(tmp("svec-lex").toString)
+    sl.indexBatch(docsAll.where(col("doc_id") < cut), 0)
+    sl.indexBatch(docsAll.where(col("doc_id") >= cut), 1)
+    val (tf, dl) = sl.artifact(spark).get
+    val (embArt, _) = sv.artifact(spark).get
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    val hybridGot = rows(graft.operators.HybridOps
+      .hybridTopKFrom(tf, dl, embArt, queries, 5))
+    val hybridWant = rows(graft.operators.HybridOps
+      .hybridTopK(docsAll, embAll, queries, 5))
+    assert(hybridWant.nonEmpty)
+    assert(hybridGot === hybridWant,
+      "hybrid over streaming artifacts diverges from the batch hybrid")
+  }
+
   test("streaming incremental dedup: end state equals a slice-by-slice batch replay") {
     import graft.operators.Dedup
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
