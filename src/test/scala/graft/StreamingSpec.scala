@@ -307,10 +307,22 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val cut = 250L
     val slices = Seq(embAll.where(col("vec_id") < cut),
       embAll.where(col("vec_id") >= cut))
+    // through the real file-stream path: one micro-batch per slice file
+    val src = tmp("svec-src")
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = tmp(s"svec-slice$i")
+      s.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(f"slice_$i%03d.parquet"))
+    }
     val sv = new graft.streaming.StreamingVectorIndex(
       tmp("svec-art").toString, books)
-    sv.indexBatch(slices(0), 0)
-    sv.indexBatch(slices(1), 1)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val batches = sv.indexAvailable(spark, stream, tmp("svec-ckpt").toString)
+    assert(batches >= 2, s"expected one batch per slice, got $batches")
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
     val queryIds = Seq(0L, 1L, 2L)
