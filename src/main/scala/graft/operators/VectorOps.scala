@@ -759,6 +759,11 @@ object VectorOps {
     val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     val seed = e.where(col("vec_id") < ksub).orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
+    // the seed labels sub-centroids by ARRAY INDEX while the oracle
+    // labels by raw vec_id — identical only when [0, ksub) is dense;
+    // fail loudly instead of silently desynchronizing the engines
+    require(seed.size == ksub,
+      s"PQ seed needs vec_ids 0..${ksub - 1} present; got ${seed.size}")
     var books: Seq[Seq[Seq[Double]]] =
       (0 until m).map(mi => seed.map(sv => sv.slice(mi * d, (mi + 1) * d)))
     for (_ <- 1 to iters) {
@@ -1020,7 +1025,10 @@ object VectorOps {
       import spark.implicits._
       val qvecs = e.where(col("vec_id").isin(queryIds: _*))
         .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
-      val rows = queryIds.filter(qvecs.contains).flatMap { qid =>
+      // distinct: a duplicated query id would emit duplicate probe
+      // rows, score every candidate twice, and corrupt the ranking
+      // (the oracle's IN-list dedups naturally)
+      val rows = queryIds.distinct.filter(qvecs.contains).flatMap { qid =>
         val qv = qvecs(qid)
         val ranked = cents.zipWithIndex.map { case (cv, ci) =>
           val dot = qv.zip(cv).map { case (x, y) => x * y }.sum
@@ -1039,8 +1047,15 @@ object VectorOps {
       spark.createDataset(spark.sparkContext.parallelize(rows, 1))
         .toDF("query_id", "qv", "cell")
     }
-    val scored = cells.join(recon, "vec_id")
-      .join(broadcast(probes), Seq("cell"))
+    // join order is the scale contract: broadcast the probe frame onto
+    // `cells` FIRST — a map-only broadcast-hash join that prunes the
+    // corpus to the ~nprobe/cells surviving fraction — and only then
+    // join the code-reconstruction frame. The reverse order (recon
+    // first) shuffles BOTH corpus-sized index frames in full per query
+    // batch before any probe filters, which Catalyst will not reorder
+    // without CBO.
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .join(recon, "vec_id")
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
         round(cosine(col("qv"), col("rv")), 6).as("cosine"))
