@@ -27,7 +27,16 @@ import org.apache.spark.sql.streaming.Trigger
   * (the [[StreamingDedup]] convention) — a checkpoint-replayed batch
   * rewrites its own slice instead of double-counting, executor memory is
   * flat at any stream length, and the artifact is an ordinary parquet
-  * frame any batch pipeline can read. */
+  * frame any batch pipeline can read.
+  *
+  * Upsert/tombstone contract ([[ArtifactSlices]]): a batch row is an
+  * upsert of its `doc_id` — a re-crawled doc's new slice supersedes the
+  * old one at serve — and a row with `is_deleted = true` is a tombstone
+  * that removes the doc from every subsequent serve. [[artifact]]
+  * resolves latest-slice-wins over the per-batch ops records, so df, N,
+  * avgdl and the scoring join all see exactly the LIVE corpus — the
+  * reference's incremental sync semantics (upsert-or-delete actions)
+  * carried into the streaming index. */
 class StreamingLexical(artifactDir: String) {
 
   private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
@@ -49,23 +58,35 @@ class StreamingLexical(artifactDir: String) {
     seen.size.toLong
   }
 
-  /** One micro-batch: tokenize, aggregate the batch's per-doc frames,
-    * publish them as this batch's artifact slices. */
+  /** One micro-batch: tokenize the batch's LIVE docs, aggregate their
+    * per-doc frames, publish them as this batch's artifact slices, and
+    * record the batch's membership (upserts + tombstones) as its ops
+    * slice. A tombstoned doc contributes no tf/dl rows — its effect is
+    * carried entirely by the ops record. */
   private[graft] def indexBatch(batch: DataFrame, batchId: Long): Unit = {
-    val docs = batch.select("doc_id", "text")
+    val docs = batch.where(!ArtifactSlices.deletedCol(batch))
+      .select("doc_id", "text")
     val (tf, dl) = TextOps.bm25Stats(docs)
     tf.write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/tf", batchId))
     dl.write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/dl", batchId))
+    ArtifactSlices.opsOf(batch, "doc_id").write.mode(SaveMode.Overwrite)
+      .parquet(slice(s"$artifactDir/ops", batchId))
   }
 
-  /** The accumulated index frames, or None before any batch wrote. */
+  /** The accumulated index frames resolved to the LIVE corpus (latest
+    * slice per doc wins, tombstoned docs screened), or None before any
+    * batch wrote. */
   def artifact(spark: SparkSession): Option[(DataFrame, DataFrame)] = {
     val tfDir = new java.io.File(s"$artifactDir/tf")
     val dlDir = new java.io.File(s"$artifactDir/dl")
-    if (!tfDir.isDirectory || !dlDir.isDirectory) None
-    else Some((
-      spark.read.parquet(tfDir.toString).drop("gbatch"),
-      spark.read.parquet(dlDir.toString).drop("gbatch")))
+    val opsDir = new java.io.File(s"$artifactDir/ops")
+    if (!tfDir.isDirectory || !dlDir.isDirectory || !opsDir.isDirectory) None
+    else {
+      val ops = spark.read.parquet(opsDir.toString)
+      Some((
+        ArtifactSlices.resolve(spark.read.parquet(tfDir.toString), ops, "doc_id"),
+        ArtifactSlices.resolve(spark.read.parquet(dlDir.toString), ops, "doc_id")))
+    }
   }
 
   /** Serve BM25 top-k from the current artifact — the same scoring path

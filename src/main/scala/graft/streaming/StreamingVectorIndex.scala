@@ -22,7 +22,13 @@ import org.apache.spark.sql.streaming.Trigger
   * append-only insight as the lexical tf/dl frames.
   *
   * Mechanics: `foreachBatch` + per-batch `gbatch=<id>` overwrite slices
-  * (replay-safe, flat executor memory), the family convention. */
+  * (replay-safe, flat executor memory), the family convention.
+  *
+  * Upsert/tombstone contract ([[ArtifactSlices]]): a batch row upserts
+  * its `vec_id` (a re-embedded doc's new slice supersedes the old one)
+  * and `is_deleted = true` tombstones it out of every subsequent serve —
+  * [[artifact]] resolves latest-slice-wins over the per-batch ops
+  * records, so the ADC candidate scan sees exactly the LIVE corpus. */
 class StreamingVectorIndex(artifactDir: String,
     books: Seq[Seq[Seq[Double]]]) {
 
@@ -48,21 +54,29 @@ class StreamingVectorIndex(artifactDir: String,
     * and downstream reuse) and the map-only PQ encode under the fixed
     * books. */
   private[graft] def indexBatch(batch: DataFrame, batchId: Long): Unit = {
-    val vecs = batch.select("vec_id", "embedding")
+    val vecs = batch.where(!ArtifactSlices.deletedCol(batch))
+      .select("vec_id", "embedding")
     vecs.write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/emb", batchId))
     VectorOps.pqCodesWide(vecs, books).select("vec_id", "codes")
       .write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/codes", batchId))
+    ArtifactSlices.opsOf(batch, "vec_id").write.mode(SaveMode.Overwrite)
+      .parquet(slice(s"$artifactDir/ops", batchId))
   }
 
-  /** The accumulated `(vec_id, embedding)` / `(vec_id, codes)` frames,
-    * or None before any batch wrote. */
+  /** The accumulated `(vec_id, embedding)` / `(vec_id, codes)` frames
+    * resolved to the LIVE corpus (latest slice per vec wins, tombstoned
+    * vecs screened), or None before any batch wrote. */
   def artifact(spark: SparkSession): Option[(DataFrame, DataFrame)] = {
     val e = new java.io.File(s"$artifactDir/emb")
     val c = new java.io.File(s"$artifactDir/codes")
-    if (!e.isDirectory || !c.isDirectory) None
-    else Some((
-      spark.read.parquet(e.toString).drop("gbatch"),
-      spark.read.parquet(c.toString).drop("gbatch")))
+    val o = new java.io.File(s"$artifactDir/ops")
+    if (!e.isDirectory || !c.isDirectory || !o.isDirectory) None
+    else {
+      val ops = spark.read.parquet(o.toString)
+      Some((
+        ArtifactSlices.resolve(spark.read.parquet(e.toString), ops, "vec_id"),
+        ArtifactSlices.resolve(spark.read.parquet(c.toString), ops, "vec_id")))
+    }
   }
 
   /** ADC top-k over the code artifact for query ids resolved in the

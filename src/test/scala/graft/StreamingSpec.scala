@@ -353,6 +353,126 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "hybrid over streaming artifacts diverges from the batch hybrid")
   }
 
+  test("streaming retrieval artifacts honor upserts and tombstones: serve equals the batch build over the live corpus") {
+    import graft.operators.{HybridOps, TextOps, VectorOps}
+    val fn = org.apache.spark.sql.functions
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    val embAll = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainedCodebooks(embAll)
+    // the crawl's second pass re-fetches docs 0-49 with NEW content and
+    // new embeddings; the third pass tombstones docs 100-149 (their
+    // payload is nonsense on purpose — a tombstone's payload must be
+    // ignored). Docs 400+ never arrive.
+    val recrawlDocs = docsAll.where(col("doc_id") < 50)
+      .withColumn("text", concat(col("text"), lit(" freshly recrawled words")))
+    val reembed = embAll.where(col("vec_id") < 50)
+      .withColumn("embedding",
+        fn.transform(col("embedding"), x => -x))
+    val docSlices = Seq(
+      docsAll.where(col("doc_id") < 200).withColumn("is_deleted", lit(false)),
+      docsAll.where(col("doc_id") >= 200 && col("doc_id") < 400)
+        .unionByName(recrawlDocs).withColumn("is_deleted", lit(false)),
+      docsAll.where(col("doc_id") >= 100 && col("doc_id") < 150)
+        .withColumn("text", lit("tombstone payload must be ignored"))
+        .withColumn("is_deleted", lit(true)))
+    val embSlices = Seq(
+      embAll.where(col("vec_id") < 200).withColumn("is_deleted", lit(false)),
+      embAll.where(col("vec_id") >= 200 && col("vec_id") < 400)
+        .unionByName(reembed).withColumn("is_deleted", lit(false)),
+      embAll.where(col("vec_id") >= 100 && col("vec_id") < 150)
+        .withColumn("is_deleted", lit(true)))
+    // the surviving corpus the serve must reflect
+    val liveDocs = recrawlDocs
+      .unionByName(docsAll.where(col("doc_id") >= 50 && col("doc_id") < 100))
+      .unionByName(docsAll.where(col("doc_id") >= 150 && col("doc_id") < 400))
+    val liveEmb = reembed
+      .unionByName(embAll.where(col("vec_id") >= 50 && col("vec_id") < 100))
+      .unionByName(embAll.where(col("vec_id") >= 150 && col("vec_id") < 400))
+
+    def stage(prefix: String, slices: Seq[DataFrame]): Path = {
+      val src = tmp(prefix)
+      slices.zipWithIndex.foreach { case (s, i) =>
+        val st = tmp(s"$prefix-slice$i")
+        s.coalesce(1).write.mode("overwrite").parquet(st.toString)
+        val part = Files.list(st).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val dst = Files.copy(part, src.resolve(f"slice_$i%03d.parquet"))
+        // batch order IS the upsert order: force strictly increasing
+        // mtimes so FileStreamSource assigns slice i to batch i
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() - (slices.size - i) * 10000L))
+      }
+      src
+    }
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+
+    // lexical, through the real file-stream path (one batch per file;
+    // FileStreamSource's (timestamp, path) order makes slice_002 the
+    // last batch, so the tombstones are the latest record)
+    val docSrc = stage("uplex-src", docSlices)
+    val sl = new graft.streaming.StreamingLexical(tmp("uplex-art").toString)
+    val docSchema = spark.read.parquet(docSrc.toString).schema
+    val docStream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).parquet(docSrc.toString)
+    assert(sl.indexAvailable(spark, docStream, tmp("uplex-ckpt").toString) >= 3)
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("recrawled", "words"))
+    val lexGot = rows(sl.topK(spark, queries, 5).get)
+    val lexWant = rows(TextOps.bm25TopK(liveDocs, queries, 5))
+    assert(lexWant.nonEmpty, "live-corpus lexical reference empty; test is vacuous")
+    assert(lexGot === lexWant,
+      "artifact-served BM25 diverges from the batch build over the live corpus")
+    // non-vacuity: the naive append-only union would NOT match — the
+    // re-crawl really changed the corpus-level stats
+    val staleWant = rows(TextOps.bm25TopK(
+      docsAll.where(col("doc_id") < 400), queries, 5))
+    assert(lexWant !== staleWant,
+      "upserts/tombstones did not change the ranking; test is vacuous")
+
+    // dense, same protocol
+    val embSrc = stage("upvec-src", embSlices)
+    val sv = new graft.streaming.StreamingVectorIndex(
+      tmp("upvec-art").toString, books)
+    val embSchema = spark.read.parquet(embSrc.toString).schema
+    val embStream = spark.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1).parquet(embSrc.toString)
+    assert(sv.indexAvailable(spark, embStream, tmp("upvec-ckpt").toString) >= 3)
+    val queryIds = Seq(0L, 60L, 170L)
+    val adcGot = rows(sv.topK(spark, queryIds, 5).get)
+    val adcWant = rows(VectorOps.pqTopK(liveEmb, queryIds, 5, Some(books)))
+    assert(adcWant.nonEmpty, "live-corpus ADC reference empty; test is vacuous")
+    assert(adcGot === adcWant,
+      "artifact-served ADC diverges from the batch build over the live corpus")
+
+    // a deleted doc is really gone from every serve surface
+    val deadLex = sl.topK(spark, Seq(0L -> Seq("spark")), 500).get
+      .where(col("doc_id") >= 100 && col("doc_id") < 150).count()
+    assert(deadLex == 0, "tombstoned doc served by BM25")
+    val deadVec = sv.topK(spark, queryIds, 500).get
+      .where(col("vec_id") >= 100 && col("vec_id") < 150).count()
+    assert(deadVec == 0, "tombstoned vec served by ADC")
+
+    // hybrid over BOTH resolved artifacts ≡ batch hybrid over the live
+    // corpus
+    val (tf, dl) = sl.artifact(spark).get
+    val (embArt, _) = sv.artifact(spark).get
+    val hybridGot = rows(HybridOps.hybridTopKFrom(tf, dl, embArt, queries, 5))
+    val hybridWant = rows(HybridOps.hybridTopK(liveDocs, liveEmb, queries, 5))
+    assert(hybridWant.nonEmpty)
+    assert(hybridGot === hybridWant,
+      "hybrid over resolved artifacts diverges from the live-corpus batch hybrid")
+
+    // replay safety survives resolution: re-running the re-crawl batch
+    // overwrites its own slices and changes nothing
+    sl.indexBatch(docSlices(1), 1)
+    sv.indexBatch(embSlices(1), 1)
+    assert(rows(sl.topK(spark, queries, 5).get) === lexWant,
+      "lexical serve diverged after batch replay")
+    assert(rows(sv.topK(spark, queryIds, 5).get) === adcWant,
+      "dense serve diverged after batch replay")
+  }
+
   test("streaming incremental dedup: end state equals a slice-by-slice batch replay") {
     import graft.operators.Dedup
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
