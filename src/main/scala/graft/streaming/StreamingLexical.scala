@@ -39,7 +39,7 @@ import org.apache.spark.sql.streaming.Trigger
   * carried into the streaming index. */
 class StreamingLexical(artifactDir: String) {
 
-  private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
+  private val slices = new SlicedArtifact(artifactDir, Seq("tf", "dl"), "doc_id")
 
   /** Index all available micro-batches; returns DISTINCT batches run
     * (replays re-invoke `foreachBatch` but must not count twice). */
@@ -67,27 +67,23 @@ class StreamingLexical(artifactDir: String) {
     val docs = batch.where(!ArtifactSlices.deletedCol(batch))
       .select("doc_id", "text")
     val (tf, dl) = TextOps.bm25Stats(docs)
-    tf.write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/tf", batchId))
-    dl.write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/dl", batchId))
-    ArtifactSlices.opsOf(batch, "doc_id").write.mode(SaveMode.Overwrite)
-      .parquet(slice(s"$artifactDir/ops", batchId))
+    slices.writeSlice(tf, "tf", batchId)
+    slices.writeSlice(dl, "dl", batchId)
+    slices.writeSlice(ArtifactSlices.opsOf(batch, "doc_id"), "ops", batchId)
   }
 
   /** The accumulated index frames resolved to the LIVE corpus (latest
     * slice per doc wins, tombstoned docs screened), or None before any
     * batch wrote. */
-  def artifact(spark: SparkSession): Option[(DataFrame, DataFrame)] = {
-    val tfDir = new java.io.File(s"$artifactDir/tf")
-    val dlDir = new java.io.File(s"$artifactDir/dl")
-    val opsDir = new java.io.File(s"$artifactDir/ops")
-    if (!tfDir.isDirectory || !dlDir.isDirectory || !opsDir.isDirectory) None
-    else {
-      val ops = spark.read.parquet(opsDir.toString)
-      Some((
-        ArtifactSlices.resolve(spark.read.parquet(tfDir.toString), ops, "doc_id"),
-        ArtifactSlices.resolve(spark.read.parquet(dlDir.toString), ops, "doc_id")))
-    }
-  }
+  def artifact(spark: SparkSession): Option[(DataFrame, DataFrame)] =
+    slices.resolved(spark).map(m => (m("tf"), m("dl")))
+
+  /** Fold the accumulated slices into one compacted generation
+    * ([[SlicedArtifact.compact]]): serve cost stops growing with batch
+    * count, served results are unchanged, and the stream keeps indexing
+    * on top. Returns the compacted high-water batch id. */
+  def compact(spark: SparkSession, numFiles: Int = 1): Long =
+    slices.compact(spark, numFiles)
 
   /** Serve BM25 top-k from the current artifact — the same scoring path
     * as batch [[TextOps.bm25TopK]], so the result over N indexed batches

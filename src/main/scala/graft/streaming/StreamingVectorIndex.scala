@@ -32,7 +32,8 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingVectorIndex(artifactDir: String,
     books: Seq[Seq[Seq[Double]]]) {
 
-  private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
+  private val slices =
+    new SlicedArtifact(artifactDir, Seq("emb", "codes"), "vec_id")
 
   /** Index all available micro-batches; returns DISTINCT batches run. */
   def indexAvailable(spark: SparkSession, embStream: DataFrame,
@@ -56,28 +57,24 @@ class StreamingVectorIndex(artifactDir: String,
   private[graft] def indexBatch(batch: DataFrame, batchId: Long): Unit = {
     val vecs = batch.where(!ArtifactSlices.deletedCol(batch))
       .select("vec_id", "embedding")
-    vecs.write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/emb", batchId))
-    VectorOps.pqCodesWide(vecs, books).select("vec_id", "codes")
-      .write.mode(SaveMode.Overwrite).parquet(slice(s"$artifactDir/codes", batchId))
-    ArtifactSlices.opsOf(batch, "vec_id").write.mode(SaveMode.Overwrite)
-      .parquet(slice(s"$artifactDir/ops", batchId))
+    slices.writeSlice(vecs, "emb", batchId)
+    slices.writeSlice(
+      VectorOps.pqCodesWide(vecs, books).select("vec_id", "codes"),
+      "codes", batchId)
+    slices.writeSlice(ArtifactSlices.opsOf(batch, "vec_id"), "ops", batchId)
   }
 
   /** The accumulated `(vec_id, embedding)` / `(vec_id, codes)` frames
     * resolved to the LIVE corpus (latest slice per vec wins, tombstoned
     * vecs screened), or None before any batch wrote. */
-  def artifact(spark: SparkSession): Option[(DataFrame, DataFrame)] = {
-    val e = new java.io.File(s"$artifactDir/emb")
-    val c = new java.io.File(s"$artifactDir/codes")
-    val o = new java.io.File(s"$artifactDir/ops")
-    if (!e.isDirectory || !c.isDirectory || !o.isDirectory) None
-    else {
-      val ops = spark.read.parquet(o.toString)
-      Some((
-        ArtifactSlices.resolve(spark.read.parquet(e.toString), ops, "vec_id"),
-        ArtifactSlices.resolve(spark.read.parquet(c.toString), ops, "vec_id")))
-    }
-  }
+  def artifact(spark: SparkSession): Option[(DataFrame, DataFrame)] =
+    slices.resolved(spark).map(m => (m("emb"), m("codes")))
+
+  /** Fold the accumulated slices into one compacted generation
+    * ([[SlicedArtifact.compact]]); serve results unchanged, file count
+    * flat from then on. Returns the compacted high-water batch id. */
+  def compact(spark: SparkSession, numFiles: Int = 1): Long =
+    slices.compact(spark, numFiles)
 
   /** ADC top-k over the code artifact for query ids resolved in the
     * embedding artifact — the same scoring path as batch

@@ -473,6 +473,94 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "dense serve diverged after batch replay")
   }
 
+  test("streaming artifact compaction: slices fold to one generation, served results unchanged, stream continues on top") {
+    import graft.operators.{TextOps, VectorOps}
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    val embAll = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainedCodebooks(embAll)
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    val queryIds = Seq(0L, 60L)
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    def sliceDirs(root: String, frame: String) =
+      Option(new java.io.File(s"$root/$frame").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("gbatch="))
+    def dataFiles(dir: java.io.File): Seq[java.io.File] =
+      Option(dir.listFiles()).toSeq.flatten.flatMap(f =>
+        if (f.isDirectory) dataFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty)
+
+    // three batches: two upsert waves, then a re-crawl + tombstone wave
+    val recrawl = docsAll.where(col("doc_id") < 30)
+      .withColumn("text", concat(col("text"), lit(" compacted recrawl")))
+    val lexRoot = tmp("cmp-lex").toString
+    val sl = new graft.streaming.StreamingLexical(lexRoot)
+    sl.indexBatch(docsAll.where(col("doc_id") < 100), 0)
+    sl.indexBatch(docsAll.where(col("doc_id") >= 100 && col("doc_id") < 200), 1)
+    sl.indexBatch(recrawl.withColumn("is_deleted", lit(false))
+      .unionByName(docsAll.where(col("doc_id") >= 150 && col("doc_id") < 200)
+        .withColumn("is_deleted", lit(true))), 2)
+    val before = rows(sl.topK(spark, queries, 5).get)
+    assert(before.nonEmpty)
+    val hw = sl.compact(spark)
+    assert(hw == 2, s"high-water batch id: expected 2, got $hw")
+    // served results byte-identical; every pre-compaction slice gone;
+    // ONE data file per frame regardless of how many batches arrived
+    assert(rows(sl.topK(spark, queries, 5).get) === before,
+      "compaction changed the served BM25 results")
+    for (f <- Seq("tf", "dl", "ops")) {
+      assert(sliceDirs(lexRoot, f).isEmpty, s"stale $f slices survive compaction")
+      val gen = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(lexRoot, "COMPACT")).trim
+      val files = dataFiles(new java.io.File(s"$lexRoot/$gen/$f"))
+      assert(files.size == 1, s"$f: expected 1 compacted file, got ${files.size}")
+    }
+    // replay of a pre-compaction batch is invisible (reads ignore <= hw)
+    sl.indexBatch(docsAll.where(col("doc_id") >= 100 && col("doc_id") < 200), 1)
+    assert(rows(sl.topK(spark, queries, 5).get) === before,
+      "pre-compaction batch replay leaked into the compacted serve")
+    // the stream continues on top: new docs + a re-crawl of a COMPACTED
+    // doc, serve ≡ batch build over the updated live corpus
+    val refresh = docsAll.where(col("doc_id") >= 40 && col("doc_id") < 50)
+      .withColumn("text", concat(col("text"), lit(" post compaction refresh")))
+    sl.indexBatch(docsAll.where(col("doc_id") >= 200 && col("doc_id") < 250)
+      .unionByName(refresh), 3)
+    val liveDocs = recrawl
+      .unionByName(docsAll.where(col("doc_id") >= 30 && col("doc_id") < 40))
+      .unionByName(refresh)
+      .unionByName(docsAll.where(col("doc_id") >= 50 && col("doc_id") < 150))
+      .unionByName(docsAll.where(col("doc_id") >= 200 && col("doc_id") < 250))
+    assert(rows(sl.topK(spark, queries, 5).get) ===
+      rows(TextOps.bm25TopK(liveDocs, queries, 5)),
+      "post-compaction indexing diverges from the live-corpus batch build")
+    // an orphaned generation (crash between write and pointer swap) is
+    // ignored by reads and swept by the next compaction
+    val orphan = new java.io.File(s"$lexRoot/compact-99-orphan")
+    assert(orphan.mkdirs())
+    assert(sl.compact(spark) == 3)
+    assert(!orphan.exists(), "orphaned generation not swept")
+    assert(rows(sl.topK(spark, queries, 5).get) ===
+      rows(TextOps.bm25TopK(liveDocs, queries, 5)),
+      "second compaction changed the served results")
+
+    // the dense artifact under the same protocol
+    val vecRoot = tmp("cmp-vec").toString
+    val sv = new graft.streaming.StreamingVectorIndex(vecRoot, books)
+    sv.indexBatch(embAll.where(col("vec_id") < 100), 0)
+    sv.indexBatch(embAll.where(col("vec_id") >= 100 && col("vec_id") < 200), 1)
+    sv.indexBatch(embAll.where(col("vec_id") >= 150 && col("vec_id") < 200)
+      .withColumn("is_deleted", lit(true)), 2)
+    val adcBefore = rows(sv.topK(spark, queryIds, 5).get)
+    assert(sv.compact(spark) == 2)
+    assert(rows(sv.topK(spark, queryIds, 5).get) === adcBefore,
+      "compaction changed the served ADC results")
+    val liveEmb = embAll.where(col("vec_id") < 150)
+    assert(adcBefore === rows(VectorOps.pqTopK(liveEmb, queryIds, 5, Some(books))),
+      "compacted ADC serve diverges from the live-corpus batch build")
+    for (f <- Seq("emb", "codes", "ops"))
+      assert(sliceDirs(vecRoot, f).isEmpty, s"stale $f slices survive compaction")
+  }
+
   test("streaming incremental dedup: end state equals a slice-by-slice batch replay") {
     import graft.operators.Dedup
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
