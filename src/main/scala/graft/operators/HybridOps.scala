@@ -66,33 +66,81 @@ object HybridOps {
     fused.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
 
-  /** End-to-end hybrid top-k: BM25 over `docs` for the lexical term
-    * batch, LSH-bucketed ANN over `embeddings` for the same query ids
-    * (each query id doubles as its query vector's vec_id), RRF-fused.
-    * Each half retrieves its own top-k before fusion — the standard
-    * two-stage serve. */
-  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
-      queries: Seq[(Long, Seq[String])], k: Int,
+  /** Fusion policy of the unified [[search]] surface. `Rrf` is the
+    * calibration-free default; `Weighted` keeps score margins;
+    * `LexicalOnly`/`DenseOnly` serve one half through the same entry
+    * (the ablation/debug path every retrieval stack exposes). */
+  sealed trait Fusion
+  case object Rrf extends Fusion
+  final case class Weighted(w: Double = WeightedLexW) extends Fusion
+  case object LexicalOnly extends Fusion
+  case object DenseOnly extends Fusion
+
+  /** THE serve entry: one call composes the lexical half (BM25 over the
+    * tf/dl index frames), the dense half (LSH-bucketed ANN), and the
+    * fusion policy. Each half retrieves its own top-k before fusion —
+    * the standard two-stage serve. `hybridTopK`/`hybridTopKWeighted`
+    * are this under a fixed policy; x57/x61 register through here.
+    *
+    * For artifact-fed serving (a snapshot's stored index, or the
+    * streaming lexical/vector artifacts) use [[searchFrom]] with the
+    * resolved frames — the scoring/fusion code is identical, so batch
+    * and streaming serves stay equivalence-comparable. */
+  def search(docs: DataFrame, embeddings: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int, policy: Fusion = Rrf,
       numPlanes: Int = VectorOps.NumPlanes,
       checkpointDir: Option[String] = None): DataFrame = {
     val (tf, dl) = TextOps.bm25Stats(docs, checkpointDir)
-    hybridTopKFrom(tf, dl, embeddings, queries, k, numPlanes)
+    searchFrom(tf, dl, embeddings, queries, k, policy, numPlanes)
   }
 
-  /** [[hybridTopK]] from prebuilt lexical index frames — the serve path
+  /** [[search]] from prebuilt lexical index frames — the serve path
     * when the index is maintained incrementally
     * ([[graft.streaming.StreamingLexical]]'s artifact plus an appended
     * embedding frame): hybrid search over a streaming corpus without
     * re-tokenizing anything, through the exact batch scoring/fusion
-    * code. */
+    * code. The dense half defaults to LSH over `embeddings`; to serve
+    * it from a PQ-code artifact instead, retrieve the halves with
+    * [[VectorOps.pqTopKFromCodes]]/[[TextOps.bm25TopKFrom]] and fuse
+    * with [[fuse]] — same policies, same arithmetic. */
+  def searchFrom(tf: DataFrame, dl: DataFrame, embeddings: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int, policy: Fusion = Rrf,
+      numPlanes: Int = VectorOps.NumPlanes): DataFrame = {
+    def lex = TextOps.bm25TopKFrom(tf, dl, queries, k)
+    def dense = VectorOps.annTopK(embeddings, queries.map(_._1), k, numPlanes)
+      .withColumnRenamed("vec_id", "doc_id")
+    policy match {
+      case LexicalOnly => lex
+      case DenseOnly => dense
+      case _ => fuse(lex, dense, k, policy)
+    }
+  }
+
+  /** Fuse two prebuilt ranked halves — `lex(query_id, doc_id, score,
+    * rn)`, `dense(query_id, doc_id, cosine, rn)` — under a policy. The
+    * seam [[searchFrom]] and the streaming-artifact serves share. */
+  def fuse(lex: DataFrame, dense: DataFrame, k: Int, policy: Fusion): DataFrame =
+    policy match {
+      case Weighted(w) => weightedFuse(
+        lex.select("query_id", "doc_id", "score"),
+        dense.select("query_id", "doc_id", "cosine"), k, w)
+      case _ => rrfFuse(lex, dense, k)
+    }
+
+  /** End-to-end RRF hybrid — [[search]] under the `Rrf` policy (kept as
+    * the named two-arg form the specs and streaming serves call). */
+  def hybridTopK(docs: DataFrame, embeddings: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      numPlanes: Int = VectorOps.NumPlanes,
+      checkpointDir: Option[String] = None): DataFrame =
+    search(docs, embeddings, queries, k, Rrf, numPlanes, checkpointDir)
+
+  /** [[hybridTopK]] from prebuilt lexical index frames — see
+    * [[searchFrom]]. */
   def hybridTopKFrom(tf: DataFrame, dl: DataFrame, embeddings: DataFrame,
       queries: Seq[(Long, Seq[String])], k: Int,
-      numPlanes: Int = VectorOps.NumPlanes): DataFrame = {
-    val lex = TextOps.bm25TopKFrom(tf, dl, queries, k)
-    val dense = VectorOps.annTopK(embeddings, queries.map(_._1), k, numPlanes)
-      .withColumnRenamed("vec_id", "doc_id")
-    rrfFuse(lex, dense, k)
-  }
+      numPlanes: Int = VectorOps.NumPlanes): DataFrame =
+    searchFrom(tf, dl, embeddings, queries, k, Rrf, numPlanes)
 
   /** Lexical weight of the weighted-score fusion — 0.5 (equal halves;
     * exactly representable in binary, so the multiply is exact).
@@ -131,20 +179,13 @@ object HybridOps {
     fused.withColumn("rn", row_number().over(win)).where(col("rn") <= k)
   }
 
-  /** End-to-end weighted hybrid — [[hybridTopK]]'s retrieval halves
-    * under [[weightedFuse]]. */
+  /** End-to-end weighted hybrid — [[search]] under the `Weighted`
+    * policy. */
   def hybridTopKWeighted(docs: DataFrame, embeddings: DataFrame,
       queries: Seq[(Long, Seq[String])], k: Int,
       numPlanes: Int = VectorOps.NumPlanes,
-      checkpointDir: Option[String] = None): DataFrame = {
-    val (tf, dl) = TextOps.bm25Stats(docs, checkpointDir)
-    val lex = TextOps.bm25TopKFrom(tf, dl, queries, k)
-      .select("query_id", "doc_id", "score")
-    val dense = VectorOps.annTopK(embeddings, queries.map(_._1), k, numPlanes)
-      .withColumnRenamed("vec_id", "doc_id")
-      .select("query_id", "doc_id", "cosine")
-    weightedFuse(lex, dense, k)
-  }
+      checkpointDir: Option[String] = None): DataFrame =
+    search(docs, embeddings, queries, k, Weighted(), numPlanes, checkpointDir)
 
   /** [[hybridTopKWeighted]] oracle — same normalization, weights, and
     * round-before-rank, composed over both halves' oracle CTEs. */

@@ -753,10 +753,21 @@ object VectorOps {
     * bit-identical to the oracle's. Seeded init: subvectors of the first
     * `ksub` vectors by id. Returns books(sub)(centId) = sub-centroid. */
   def pqTrainedCodebooks(embeddings: DataFrame, m: Int = PqSubspaces,
-      ksub: Int = PqSubCentroids, iters: Int = PqIters): Seq[Seq[Seq[Double]]] = {
+      ksub: Int = PqSubCentroids, iters: Int = PqIters): Seq[Seq[Seq[Double]]] =
+    pqTrainBooksOn(
+      embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v")),
+      m, ksub, iters)
+
+  /** The training loop itself, over any `(vec_id, v)` frame — shared by
+    * raw-vector books ([[pqTrainedCodebooks]]) and residual books
+    * ([[pqResidualCodebooks]]); the arithmetic contract (grid floor,
+    * exact BIGINT sum, (sum→double)/n/grid, seeded init) is identical
+    * either way, so both stay bit-identical to [[pqKmeansCtes]] run over
+    * the matching source CTE. */
+  private def pqTrainBooksOn(e: DataFrame, m: Int, ksub: Int,
+      iters: Int): Seq[Seq[Seq[Double]]] = {
     require(Dim % m == 0, s"Dim=$Dim not divisible by $m subspaces")
     val d = Dim / m
-    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     val seed = e.where(col("vec_id") < ksub).orderBy("vec_id").collect()
       .map(_.getSeq[Double](1).toSeq).toSeq
     // the seed labels sub-centroids by ARRAY INDEX while the oracle
@@ -866,18 +877,21 @@ object VectorOps {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
 
-  /** Unrolled per-subspace Lloyd's as CTEs; requires `e(vec_id, v)` in
-    * scope. Emits `pc_<sub>_<iter>` chains plus `pcodes` (the long-form
-    * encoding) and `pcents` (every final sub-centroid) — mirrored step
-    * for step with [[pqTrainedCodebooks]]/[[pqCodesWide]]. */
-  private def pqKmeansCtes(m: Int, ksub: Int, iters: Int): String = {
+  /** Unrolled per-subspace Lloyd's as CTEs; requires `$src(vec_id, v)`
+    * in scope (`e` for raw-vector books, the residual CTE for
+    * [[pqResidualCodebooks]]' oracle). Emits `pc_<sub>_<iter>` chains
+    * plus `pcodes` (the long-form encoding) and `pcents` (every final
+    * sub-centroid) — mirrored step for step with
+    * [[pqTrainedCodebooks]]/[[pqCodesWide]]. */
+  private def pqKmeansCtes(m: Int, ksub: Int, iters: Int,
+      src: String = "e"): String = {
     val d = Dim / m
     val perSub = (0 until m).map { mi =>
       val a = mi * d + 1
       val b = (mi + 1) * d
       val sub =
         s"""se$mi AS (
-           |  SELECT vec_id, v[$a:$b] AS sv FROM e
+           |  SELECT vec_id, v[$a:$b] AS sv FROM $src
            |), pc_${mi}_0 AS (
            |  SELECT vec_id AS cent_id, sv AS cv FROM se$mi WHERE vec_id < $ksub
            |)""".stripMargin
@@ -1005,48 +1019,7 @@ object VectorOps {
       ivfCellsWith(embeddings, cents).select("vec_id", "cell"))
     val recon = indexFrame(pqCodesWide(embeddings, bks)
       .select(col("vec_id"), reconOf(col("codes"), bks).as("rv")))
-    // probe selection runs on the DRIVER — the production shape (an
-    // index node ranks |queries|·|cells| centroid cosines, bounded
-    // metadata like the codebook itself). The sequential-fold cosine
-    // below is bit-identical to the oracle's `list_reduce` chain; ties
-    // mirror the [[cellOf]] convention (cosine DESC with NaN ranked
-    // first, then cell ASC).
-    //
-    // The frame is RDD-backed (one partition), NOT a LocalRelation, on
-    // purpose: on this composed cells⋈probes⋈recon plan, Spark 4.1's
-    // `ConvertToLocalRelation` eagerly binds a join-constraint-inferred
-    // filter that still references the corpus side's assignment fold
-    // against the probe relation's three columns and dies with
-    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (deterministic, cold-session).
-    // An RDD-backed relation is outside that rule's reach; the frame is
-    // |queries|·nprobe rows either way and still broadcasts.
-    val probes = {
-      val spark = embeddings.sparkSession
-      import spark.implicits._
-      val qvecs = e.where(col("vec_id").isin(queryIds: _*))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
-      // distinct: a duplicated query id would emit duplicate probe
-      // rows, score every candidate twice, and corrupt the ranking
-      // (the oracle's IN-list dedups naturally)
-      val rows = queryIds.distinct.filter(qvecs.contains).flatMap { qid =>
-        val qv = qvecs(qid)
-        val ranked = cents.zipWithIndex.map { case (cv, ci) =>
-          val dot = qv.zip(cv).map { case (x, y) => x * y }.sum
-          val c = dot / (math.sqrt(qv.map(x => x * x).sum) *
-            math.sqrt(cv.map(x => x * x).sum))
-          (ci.toLong, c)
-        }.sortWith { case ((cellA, cosA), (cellB, cosB)) =>
-          // NaN first (both engines rank NaN above every double DESC),
-          // then cosine DESC, then cell ASC
-          if (cosA.isNaN != cosB.isNaN) cosA.isNaN
-          else if (cosA != cosB) cosA > cosB
-          else cellA < cellB
-        }.take(nprobe)
-        ranked.map { case (cell, _) => (qid, qv, cell) }
-      }
-      spark.createDataset(spark.sparkContext.parallelize(rows, 1))
-        .toDF("query_id", "qv", "cell")
-    }
+    val probes = probeFrame(embeddings, e, queryIds, cents, nprobe)
     // join order is the scale contract: broadcast the probe frame onto
     // `cells` FIRST — a map-only broadcast-hash join that prunes the
     // corpus to the ~nprobe/cells surviving fraction — and only then
@@ -1063,6 +1036,280 @@ object VectorOps {
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
+
+  /** Driver-side probe ranking — the production shape (an index node
+    * ranks |queries|·|cells| centroid cosines, bounded metadata like the
+    * codebook itself). The sequential-fold cosine is bit-identical to
+    * the oracle's `list_reduce` chain; ties mirror the [[cellOf]]
+    * convention (cosine DESC with NaN ranked first, then cell ASC).
+    * Query ids are dedup'd: a duplicated id would emit duplicate probe
+    * rows, score every candidate twice, and corrupt the ranking (the
+    * oracle's IN-list dedups naturally). */
+  private[graft] def probeRows(qvecs: Map[Long, Seq[Double]],
+      queryIds: Seq[Long], cents: Seq[Seq[Double]],
+      nprobe: Int): Seq[(Long, Seq[Double], Long)] =
+    queryIds.distinct.filter(qvecs.contains).flatMap { qid =>
+      val qv = qvecs(qid)
+      val ranked = cents.zipWithIndex.map { case (cv, ci) =>
+        val dot = qv.zip(cv).map { case (x, y) => x * y }.sum
+        val c = dot / (math.sqrt(qv.map(x => x * x).sum) *
+          math.sqrt(cv.map(x => x * x).sum))
+        (ci.toLong, c)
+      }.sortWith { case ((cellA, cosA), (cellB, cosB)) =>
+        // NaN first (both engines rank NaN above every double DESC),
+        // then cosine DESC, then cell ASC
+        if (cosA.isNaN != cosB.isNaN) cosA.isNaN
+        else if (cosA != cosB) cosA > cosB
+        else cellA < cellB
+      }.take(nprobe)
+      ranked.map { case (cell, _) => (qid, qv, cell) }
+    }
+
+  /** The probe rows as a broadcastable frame. RDD-backed (one
+    * partition), NOT a LocalRelation, on purpose: on the composed
+    * cells⋈probes⋈recon plan, Spark 4.1's `ConvertToLocalRelation`
+    * eagerly binds a join-constraint-inferred filter that still
+    * references the corpus side's assignment fold against the probe
+    * relation's three columns and dies with
+    * INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (deterministic, cold-session).
+    * An RDD-backed relation is outside that rule's reach; the frame is
+    * |queries|·nprobe rows either way and still broadcasts. */
+  private def probeFrame(embeddings: DataFrame, e: DataFrame,
+      queryIds: Seq[Long], cents: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val qvecs = e.where(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val rows = probeRows(qvecs, queryIds, cents, nprobe)
+    spark.createDataset(spark.sparkContext.parallelize(rows, 1))
+      .toDF("query_id", "qv", "cell")
+  }
+
+  /** The persistable IVF+PQ index frame `(vec_id, codes, cell)` — ONE
+    * artifact carrying both halves of the index (the inverted-file cell
+    * list and the PQ codes), built in one map-only corpus pass (two
+    * literal-codebook folds per row; no join, no shuffle). Write it
+    * `partitionBy("cell")` per snapshot: a probed-cell serve read then
+    * PARTITION-PRUNES to the nprobe/cells directories — scan cost ∝
+    * nprobe/cells, the IVF promise made physical. `residual = true`
+    * encodes v − centroid(cell) (pass [[pqResidualCodebooks]]' books);
+    * false encodes the raw vector (the x60 IVFFlat-PQ layout). */
+  def ivfPqIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], residual: Boolean = false): DataFrame = {
+    val m = books.size
+    val d = Dim / m
+    val withCell = embeddings
+      .select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), cellOf(col("v"), cents).as("cell"))
+    val enc = if (residual) {
+      val cv = element_at(centArrayLit(cents), col("cell").cast("int") + 1)
+        .getField("cv")
+      withCell.select(col("vec_id"), col("cell"),
+        zip_with(col("v"), cv, (x, y) => x - y).as("ev"))
+    } else withCell.select(col("vec_id"), col("cell"), col("v").as("ev"))
+    enc.select(col("vec_id"),
+      array((0 until m).map(mi =>
+        subCellOf(slice(col("ev"), mi * d + 1, d), books(mi))): _*).as("codes"),
+      col("cell"))
+  }
+
+  /** Serve top-k from a stored `(vec_id, codes, cell)` index frame —
+    * the production query path: the caller reads the cell-partitioned
+    * artifact with a `cell IN (probed)` filter (partition-pruned scan),
+    * this joins the broadcast probe frame and scores ADC on the
+    * survivors only. Exactly ONE corpus-frame join in the plan (the
+    * broadcast probe attach); reconstruction is literal-lookup map work
+    * computed AFTER pruning, so decode cost is ∝ the probed fraction
+    * too. Build the pruning filter first with [[probedCellsOf]]. */
+  def ivfPqTopKFromIndex(index: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int, nprobe: Int, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]], residual: Boolean = false): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val probes = probeFrame(embeddings, e, queryIds, cents, nprobe)
+    val recon0 = reconOf(col("codes"), books)
+    val rv = if (residual) {
+      val cv = element_at(centArrayLit(cents), col("cell").cast("int") + 1)
+        .getField("cv")
+      zip_with(cv, recon0, (x, y) => x + y)
+    } else recon0
+    val scored = index.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("cell"),
+        round(cosine(col("qv"), rv), 6).as("cosine"))
+      .where(!isnan(col("cosine")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** The distinct cells the probe ranking will touch — the pruning
+    * filter for the cell-partitioned artifact read (bounded driver
+    * metadata: ≤ |queries|·nprobe longs). */
+  def probedCellsOf(embeddings: DataFrame, queryIds: Seq[Long],
+      cents: Seq[Seq[Double]], nprobe: Int): Seq[Long] = {
+    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val qvecs = e.where(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    probeRows(qvecs, queryIds, cents, nprobe).map(_._3).distinct
+  }
+
+  // --- residual PQ (IVFADC, x62) ------------------------------------------
+
+  /** Per-subspace codebooks trained on RESIDUALS r = v − centroid(cell)
+    * (Jégou/Douze/Schmid, PAMI'11 §IV: quantize the displacement from
+    * the coarse centroid, not the raw vector — residual magnitudes are
+    * a fraction of raw ones, so the same code budget spends on a much
+    * smaller volume and ADC recall rises). One SHARED book set across
+    * cells (the classic IVFADC layout; per-cell books multiply codebook
+    * storage ×cells for marginal gain). Training arithmetic is
+    * [[pqTrainedCodebooks]]' loop verbatim over the residual frame —
+    * bit-identical to [[pqKmeansCtes]] over the residual CTE. */
+  def pqResidualCodebooks(embeddings: DataFrame, cents: Seq[Seq[Double]],
+      m: Int = PqSubspaces, ksub: Int = PqSubCentroids,
+      iters: Int = PqIters): Seq[Seq[Seq[Double]]] = {
+    val cv = element_at(centArrayLit(cents), col("cell").cast("int") + 1)
+      .getField("cv")
+    val res = embeddings
+      .select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), cellOf(col("v"), cents).as("cell"))
+      .select(col("vec_id"), zip_with(col("v"), cv, (x, y) => x - y).as("v"))
+    pqTrainBooksOn(res, m, ksub, iters)
+  }
+
+  /** Residual-encoded IVF+PQ top-k (IVFADC): probes prune candidate
+    * COUNT, residual codes cut candidate BANDWIDTH with less
+    * reconstruction error than raw-vector codes (x̂ = centroid + r̂
+    * starts from the right neighborhood). Same probe-pruned join order
+    * as [[ivfPqTopK]]: broadcast probes ⋈ index first, recon after. */
+  def ivfPqResidualTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      nprobe: Int, centroids: Option[Seq[Seq[Double]]] = None,
+      books: Option[Seq[Seq[Seq[Double]]]] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainedCentroids(embeddings))
+    val bks = books.getOrElse(pqResidualCodebooks(embeddings, cents))
+    val index = {
+      val ck = Dedup.materialize(
+        ivfPqIndex(embeddings, cents, bks, residual = true), checkpointDir)
+      ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    }
+    ivfPqTopKFromIndex(index, embeddings, queryIds, k, nprobe, cents, bks,
+      residual = true)
+  }
+
+  /** [[ivfPqResidualTopK]] oracle — the x60 chain with the PQ training
+    * CTEs re-rooted on the residual CTE and reconstruction completed by
+    * adding the coarse centroid back. */
+  def ivfPqResidualTopKSql(queryIds: Seq[Long], k: Int, nprobe: Int,
+      iters: Int = KMeansIters, m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |${kmeansCtes(NumCentroids, iters)},
+       |cents AS (SELECT cent_id, cv FROM cents$iters),
+       |assign AS (
+       |  SELECT vec_id, v, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM e CROSS JOIN cents
+       |  QUALIFY rn = 1
+       |), probes AS (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${dotSql("q.v", "cv")} / (${normSql("q.v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM e q CROSS JOIN cents
+       |  WHERE q.vec_id IN (${queryIds.mkString(",")})
+       |  QUALIFY rn <= $nprobe
+       |), res AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS v
+       |  FROM assign a JOIN cents c ON c.cent_id = a.cell
+       |),
+       |${pqKmeansCtes(m, ksub, pqIters, src = "res")},
+       |recon0 AS (
+       |  SELECT c.vec_id, flatten(list(p.cv ORDER BY c.sub)) AS rv
+       |  FROM pcodes c JOIN pcents p ON p.sub = c.sub AND p.cent_id = c.code
+       |  GROUP BY c.vec_id
+       |), xhat AS (
+       |  SELECT r.vec_id, a.cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> c.cv[i] + r.rv[i]) AS rv
+       |  FROM recon0 r
+       |  JOIN assign a ON a.vec_id = r.vec_id
+       |  JOIN cents c ON c.cent_id = a.cell
+       |), scored AS (
+       |  SELECT p.query_id, x.vec_id, x.cell,
+       |    round(${dotSql("p.qv", "x.rv")} /
+       |      (${normSql("p.qv")} * ${normSql("x.rv")}), 6) AS cosine
+       |  FROM probes p JOIN xhat x ON x.cell = p.cell AND x.vec_id <> p.query_id
+       |)
+       |SELECT query_id, vec_id, cell, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |FROM scored
+       |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |QUALIFY rn <= $k""".stripMargin
+
+  /** Two-stage refine (the production serve shape on top of IVFADC:
+    * Jégou PAMI'11 §V's re-ranking): stage 1 retrieves an ADC shortlist
+    * of `r > k` candidates from the compressed index (probe-pruned,
+    * codes-only bandwidth), stage 2 re-scores ONLY those r·|queries|
+    * survivors against their full-precision vectors and re-ranks to the
+    * final k. The refine corrects quantization-induced rank inversions
+    * near the cut at the cost of r·|q| float-vector reads — bounded
+    * lookups, not a scan; in Spark the broadcast shortlist turns the
+    * read into one corpus scan joined map-side, and at 100 TB the same
+    * frame serves as the point-lookup key list. Recall ceiling is stage
+    * 1's candidate set (refine reorders, never recovers a missed
+    * neighbor) — measured through the recall spec next to the ADC
+    * variants. */
+  def ivfPqRefineTopK(index: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int, r: Int, nprobe: Int,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      residual: Boolean = false): DataFrame = {
+    require(r >= k, s"shortlist r=$r must be >= k=$k")
+    val short = ivfPqTopKFromIndex(index, embeddings, queryIds, r, nprobe,
+      cents, books, residual).select("query_id", "vec_id")
+    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val q = e.where(col("vec_id").isin(queryIds.distinct: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(short), "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .where(!isnan(col("cosine")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** [[ivfPqRefineTopK]] oracle (residual stage 1): the x62 chain as a
+    * derived shortlist subquery (its own WITH scope — the x44 embedding
+    * convention), exact re-scoring against the raw vectors, re-rank. */
+  def ivfPqRefineTopKSql(queryIds: Seq[Long], k: Int, r: Int,
+      nprobe: Int): String =
+    s"""WITH rshort AS (
+       |  SELECT query_id, vec_id FROM (
+       |${ivfPqResidualTopKSql(queryIds, r, nprobe)}
+       |  )
+       |), re AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), rq AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM re
+       |  WHERE vec_id IN (${queryIds.mkString(",")})
+       |), rscored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(${dotSql("q.qv", "e.v")} /
+       |      (${normSql("q.qv")} * ${normSql("e.v")}), 6) AS cosine
+       |  FROM rshort s
+       |  JOIN re e ON e.vec_id = s.vec_id
+       |  JOIN rq q ON q.query_id = s.query_id
+       |)
+       |SELECT query_id, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |FROM rscored
+       |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |QUALIFY rn <= $k""".stripMargin
 
   /** [[ivfPqTopK]] oracle — the x13 probe/assign chain composed with
     * the PQ reconstruction chain (disjoint CTE namespaces). */
@@ -1349,7 +1596,7 @@ object VectorOps {
     * report order. Shared with the oracle generator so the two can
     * never list different methods. */
   val RecallMethods: Seq[String] =
-    Seq("ivf", "ivfpq", "lsh", "multiprobe", "pq", "quantized")
+    Seq("ivf", "ivfpq", "ivfpq_res", "lsh", "multiprobe", "pq", "quantized")
 
   /** ANN index-quality harness: recall@k of every approximate variant
     * against the exact brute-force top-k, per query — THE acceptance
@@ -1367,7 +1614,8 @@ object VectorOps {
     * metadata, shuffled nowhere meaningful. */
   def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       centroids: Option[Seq[Seq[Double]]] = None,
-      books: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+      books: Option[Seq[Seq[Seq[Double]]]] = None,
+      resBooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
     def side(method: String, df: DataFrame): DataFrame =
       df.select(lit(method).as("method"), col("query_id"), col("vec_id"))
     val exact = cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id")
@@ -1375,6 +1623,9 @@ object VectorOps {
       side("ivf", ivfTopK(embeddings, queryIds, k, nprobe = 2, centroids))
         .unionByName(side("ivfpq",
           ivfPqTopK(embeddings, queryIds, k, nprobe = 2, centroids, books)))
+        .unionByName(side("ivfpq_res",
+          ivfPqResidualTopK(embeddings, queryIds, k, nprobe = 2, centroids,
+            resBooks)))
         .unionByName(side("lsh", annTopK(embeddings, queryIds, k)))
         .unionByName(side("multiprobe", annTopKMultiProbe(embeddings, queryIds, k)))
         .unionByName(side("pq", pqTopK(embeddings, queryIds, k, books)))
@@ -1400,6 +1651,7 @@ object VectorOps {
     val variantSql = Map(
       "ivf" -> ivfTopKSql(queryIds, k, nprobe = 2),
       "ivfpq" -> ivfPqTopKSql(queryIds, k, nprobe = 2),
+      "ivfpq_res" -> ivfPqResidualTopKSql(queryIds, k, nprobe = 2),
       "lsh" -> annTopKSql(queryIds, k),
       "multiprobe" -> annTopKMultiProbeSql(queryIds, k),
       "pq" -> pqTopKSql(queryIds, k),

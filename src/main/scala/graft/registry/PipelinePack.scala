@@ -113,6 +113,59 @@ object PipelinePack extends QueryPack {
     }
   }
 
+  /** [[pqBooksFor]]'s residual sibling: per-subspace codebooks trained
+    * on v − centroid(cell) under the snapshot's coarse codebook
+    * (IVFADC; [[VectorOps.pqResidualCodebooks]]). Keyed by BOTH constant
+    * sets — the residual frame depends on the coarse books too. */
+  private def pqResBooksFor(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+    val fx = new java.io.File(s"$dir/embeddings.parquet")
+    val key = artifactKey(dir, fx.lastModified(), fx.length(), "pqres",
+      VectorOps.NumCentroids, VectorOps.KMeansIters,
+      VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      VectorOps.KMeansGrid, VectorOps.Dim)
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_pqresbooks_$key.txt")
+    if (f.exists()) {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().map(_.split(",").toSeq
+        .map(b => java.lang.Double.longBitsToDouble(b.toLong))).toList
+        .grouped(VectorOps.PqSubCentroids).toList
+      finally src.close()
+    } else {
+      val books = VectorOps.pqResidualCodebooks(
+        Tables.embeddings(s, dir), codebookFor(s, dir))
+      val tmp = new java.io.File(f.getParentFile,
+        s"${f.getName}.tmp.${System.nanoTime()}")
+      java.nio.file.Files.writeString(tmp.toPath,
+        books.flatten.map(_.map(java.lang.Double.doubleToLongBits).mkString(","))
+          .mkString("\n"))
+      if (!tmp.renameTo(f)) tmp.delete() // lost a concurrent race: theirs won
+      books
+    }
+  }
+
+  /** Schema of the persisted IVF+PQ index artifact — passed explicitly
+    * on read so the `cell` PARTITION column keeps its written BIGINT
+    * type (inference would narrow it to INT and the pruning filter's
+    * long literals would sit behind a cast). */
+  private val IvfPqIndexSchema = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT"
+
+  /** The cell-partitioned IVF+PQ index artifact for a snapshot, built
+    * once per (fixture, codebook constants, flavor) key and served with
+    * a partition-pruned read: the `cell IN (probed)` filter prunes the
+    * file listing to the probed directories, so a query batch's scan
+    * cost is ∝ nprobe/cells — the IVF promise made physical on disk. */
+  private def ivfPqIndexFor(s: SparkSession, dir: String,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      residual: Boolean): String =
+    snapshotArtifact(dir, "embeddings.parquet",
+      if (residual) "ivfpq_res_index.parquet" else "ivfpq_index.parquet",
+      "ivfpq_index", residual, VectorOps.NumCentroids, VectorOps.KMeansIters,
+      VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      VectorOps.KMeansGrid, VectorOps.Dim)(p =>
+      VectorOps.ivfPqIndex(Tables.embeddings(s, dir), cents, books, residual)
+        .write.partitionBy("cell").parquet(p))
+
   /** A per-snapshot parquet artifact under the tmp dir, keyed by
     * (fixture dir, fixture mtime, caller constants) and validated by
     * `_SUCCESS` + atomic rename — the same scheme as x18's signature
@@ -339,7 +392,8 @@ object PipelinePack extends QueryPack {
     "x44_ann_recall" -> ((s, dir) =>
       VectorOps.annRecall(Tables.embeddings(s, dir), QueryVecs, 5,
         centroids = Some(codebookFor(s, dir)),
-        books = Some(pqBooksFor(s, dir)))
+        books = Some(pqBooksFor(s, dir)),
+        resBooks = Some(pqResBooksFor(s, dir)))
         .orderBy("method", "query_id")),
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
@@ -543,19 +597,21 @@ object PipelinePack extends QueryPack {
     "x56_bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(Tables.documents(s, dir), Bm25Queries, 5)
         .orderBy("query_id", "rn")),
-    // hybrid retrieval: RRF fusion of the BM25 lexical list and the
-    // LSH-bucketed ANN dense list (same query ids on both halves) —
-    // exact integer rank arithmetic, tiny full-outer join over two
-    // top-k frames
+    // hybrid retrieval through the unified serve entry: RRF fusion of
+    // the BM25 lexical list and the LSH-bucketed ANN dense list (same
+    // query ids on both halves) — exact integer rank arithmetic, tiny
+    // full-outer join over two top-k frames
     "x57_hybrid_topk" -> ((s, dir) =>
-      graft.operators.HybridOps.hybridTopK(
-        Tables.documents(s, dir), Tables.embeddings(s, dir), Bm25Queries, 5)
+      graft.operators.HybridOps.search(
+        Tables.documents(s, dir), Tables.embeddings(s, dir), Bm25Queries, 5,
+        graft.operators.HybridOps.Rrf)
         .orderBy("query_id", "rn")),
     // weighted-score fusion (CombSUM + per-query min-max normalization):
-    // the rank-agnostic fusion policy next to x57's RRF
+    // the rank-agnostic fusion policy, through the same serve entry
     "x61_hybrid_weighted" -> ((s, dir) =>
-      graft.operators.HybridOps.hybridTopKWeighted(
-        Tables.documents(s, dir), Tables.embeddings(s, dir), Bm25Queries, 5)
+      graft.operators.HybridOps.search(
+        Tables.documents(s, dir), Tables.embeddings(s, dir), Bm25Queries, 5,
+        graft.operators.HybridOps.Weighted())
         .orderBy("query_id", "rn")),
     // product quantization: per-subspace codebooks (artifact-fed, the
     // x13 convention), map-only encoding — Dim floats -> m small ids
@@ -571,11 +627,54 @@ object PipelinePack extends QueryPack {
         .orderBy("query_id", "rn")),
     // the assembled production index: IVF probes prune candidate
     // COUNT, PQ codes cut candidate-scan BANDWIDTH, ADC scores the
-    // survivors; both codebooks artifact-fed
-    "x60_ivfpq_topk" -> ((s, dir) =>
-      VectorOps.ivfPqTopK(Tables.embeddings(s, dir), QueryVecs, 5,
-        nprobe = 2, Some(codebookFor(s, dir)), Some(pqBooksFor(s, dir)))
-        .orderBy("query_id", "rn")),
+    // survivors. Served from the CELL-PARTITIONED index artifact: the
+    // probed-cell filter partition-prunes the scan to nprobe/cells of
+    // the directories (proven by scan metrics in HybridRetrievalSpec),
+    // and the one corpus join is the broadcast probe attach
+    "x60_ivfpq_topk" -> ((s, dir) => {
+      val cents = codebookFor(s, dir)
+      val books = pqBooksFor(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val path = ivfPqIndexFor(s, dir, cents, books, residual = false)
+      val probed = VectorOps.probedCellsOf(emb, QueryVecs, cents, nprobe = 2)
+      val index = s.read.schema(IvfPqIndexSchema).parquet(path)
+        .where(col("cell").isin(probed: _*))
+      VectorOps.ivfPqTopKFromIndex(index, emb, QueryVecs, 5, nprobe = 2,
+        cents, books)
+        .orderBy("query_id", "rn")
+    }),
+    // IVFADC: residual encoding (codes quantize v − centroid(cell),
+    // x̂ = centroid + r̂) — same probe-pruned artifact serve, tighter
+    // reconstruction, measurably higher recall than raw-vector codes
+    // through the x44 harness
+    "x62_ivfpq_residual" -> ((s, dir) => {
+      val cents = codebookFor(s, dir)
+      val books = pqResBooksFor(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val path = ivfPqIndexFor(s, dir, cents, books, residual = true)
+      val probed = VectorOps.probedCellsOf(emb, QueryVecs, cents, nprobe = 2)
+      val index = s.read.schema(IvfPqIndexSchema).parquet(path)
+        .where(col("cell").isin(probed: _*))
+      VectorOps.ivfPqTopKFromIndex(index, emb, QueryVecs, 5, nprobe = 2,
+        cents, books, residual = true)
+        .orderBy("query_id", "rn")
+    }),
+    // two-stage refine: ADC shortlist of r=20 from the residual index,
+    // exact re-scoring of only those r·|q| survivors, final top-5 —
+    // quantization's rank inversions near the cut corrected at bounded
+    // lookup cost (the Jégou §V re-ranking serve shape)
+    "x63_ivfpq_refine" -> ((s, dir) => {
+      val cents = codebookFor(s, dir)
+      val books = pqResBooksFor(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val path = ivfPqIndexFor(s, dir, cents, books, residual = true)
+      val probed = VectorOps.probedCellsOf(emb, QueryVecs, cents, nprobe = 2)
+      val index = s.read.schema(IvfPqIndexSchema).parquet(path)
+        .where(col("cell").isin(probed: _*))
+      VectorOps.ivfPqRefineTopK(index, emb, QueryVecs, 5, r = 20,
+        nprobe = 2, cents, books, residual = true)
+        .orderBy("query_id", "rn")
+    }),
     // training-shard balance report: deterministic hash shard
     // assignment + per-shard doc/token tallies (the skew check before
     // committing a shard layout) — map-only + one agg to nShards rows
@@ -776,6 +875,12 @@ object PipelinePack extends QueryPack {
       (VectorOps.pqTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x60_ivfpq_topk" ->
       (VectorOps.ivfPqTopKSql(QueryVecs, 5, nprobe = 2) +
+        "\nORDER BY query_id, rn"),
+    "x62_ivfpq_residual" ->
+      (VectorOps.ivfPqResidualTopKSql(QueryVecs, 5, nprobe = 2) +
+        "\nORDER BY query_id, rn"),
+    "x63_ivfpq_refine" ->
+      (VectorOps.ivfPqRefineTopKSql(QueryVecs, 5, r = 20, nprobe = 2) +
         "\nORDER BY query_id, rn"),
     "x25_corpus_build" ->
       (Dedup.corpusBuildSql(DedupJaccard, 0.5) + "\nORDER BY lang"),

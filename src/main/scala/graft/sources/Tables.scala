@@ -71,7 +71,15 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // µs/no-tz parquet (the round-7+ fixture flavor) reads as TIMESTAMP,
     // not TIMESTAMP_NTZ: the scan column is then session-tz (UTC) native,
-    // so `ts` predicates push into the scan with no cast to unwrap
+    // so `ts` predicates push into the scan with no cast to unwrap.
+    // SESSION-WIDE side effect, deliberate: there is no per-read parquet
+    // option for NTZ inference (Spark 4.1 ParquetOptions has none — only
+    // this SQLConf, consulted again at task execution, so a set/restore
+    // bracket around the read would race the scan). Every µs/no-tz
+    // parquet column read AFTER the first events() call therefore also
+    // arrives as session-tz TIMESTAMP; with the session pinned UTC
+    // (build.sbt javaOptions) the wall-clock micros are bit-identical,
+    // and [[normalizeTs]] stays the defensive net for frames read before.
     if (!spark.conf.getOption("spark.sql.parquet.inferTimestampNTZ.enabled").contains("false"))
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = load(spark, dir, "events")

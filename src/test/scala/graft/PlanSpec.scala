@@ -52,6 +52,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(condLines.nonEmpty, s"no Filter in plan:\n$plan")
     assert(!condLines.exists(_.contains(" AND ")),
       s"OR-branch watermark harvested into a conjunct:\n$plan")
+    // ...and the SCAN must not carry a harvested bound either: pushing
+    // the whole Or() is sound, but a bare top-level ts lower bound in
+    // PushedFilters (outside any Or) silently drops pre-W clicks at the
+    // row-group level even when the Filter node above looks correct.
+    // Top-level entries of the [..] list are split at bracket depth 0.
+    for (pf <- plan.linesIterator.filter(_.contains("PushedFilters"))) {
+      val inner = pf.substring(pf.indexOf('[') + 1,
+        math.max(pf.indexOf('[') + 1, pf.lastIndexOf(']')))
+      val top = scala.collection.mutable.Buffer.empty[String]
+      var depth = 0; val sb = new StringBuilder
+      for (c <- inner) c match {
+        case ',' if depth == 0 => top += sb.toString.trim; sb.clear()
+        case _ =>
+          if (c == '(') depth += 1 else if (c == ')') depth -= 1
+          sb += c
+      }
+      if (sb.nonEmpty) top += sb.toString.trim
+      val bare = top.filter(e => e.startsWith("GreaterThanOrEqual(ts") ||
+        e.startsWith("GreaterThan(ts"))
+      assert(bare.isEmpty,
+        s"bare ts lower bound harvested into PushedFilters: $bare\n$plan")
+    }
     // correctness oracle: disjunction == clicks + non-click rows after W
     val clicks = env.filter(col(Tables.Idx) === "click").count()
     val clicksBeforeW =

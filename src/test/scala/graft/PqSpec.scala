@@ -87,6 +87,120 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(got === want)
   }
 
+  test("residual IVFADC: codes valid, reconstruction tighter than raw codes, recall not worse") {
+    val cents = VectorOps.trainedCentroids(emb)
+    val resBooks = VectorOps.pqResidualCodebooks(emb, cents)
+    assert(resBooks.size === VectorOps.PqSubspaces)
+    assert(resBooks.forall(_.size === VectorOps.PqSubCentroids))
+    val vecs = emb.select(col("vec_id"),
+        VectorOps.asDoubles(col("embedding")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    def collectIdx(residual: Boolean, bks: Seq[Seq[Seq[Double]]]) =
+      VectorOps.ivfPqIndex(emb, cents, bks, residual).collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Long](1).toSeq, r.getLong(2))).toMap
+    val idxRaw = collectIdx(residual = false, books)
+    val idxRes = collectIdx(residual = true, resBooks)
+    // both layouts carry the same coarse cell for every vector
+    assert(idxRaw.keySet === vecs.keySet && idxRes.keySet === vecs.keySet)
+    assert(idxRaw.forall { case (id, (_, cell)) => idxRes(id)._2 === cell })
+    assert(idxRes.values.forall(_._1.forall(c =>
+      c >= 0 && c < VectorOps.PqSubCentroids)), "residual code out of range")
+    def reconFrom(codes: Seq[Long], bks: Seq[Seq[Seq[Double]]]): Seq[Double] =
+      codes.zipWithIndex.flatMap { case (c, mi) => bks(mi)(c.toInt) }
+    // residual reconstruction (centroid + r̂) must be tighter on average
+    // than raw-vector codes under the same bit budget — the IVFADC claim
+    val (sumRaw, sumRes) = vecs.keys.foldLeft((0.0, 0.0)) { case ((a, b), id) =>
+      val v = vecs(id)
+      val xRaw = reconFrom(idxRaw(id)._1, books)
+      val cell = idxRes(id)._2.toInt
+      val xRes = cents(cell).zip(reconFrom(idxRes(id)._1, resBooks))
+        .map { case (c, r) => c + r }
+      (a + cos(v, xRaw), b + cos(v, xRes))
+    }
+    assert(sumRes > sumRaw,
+      f"residual recon no tighter: raw ${sumRaw / vecs.size}%.4f vs res ${sumRes / vecs.size}%.4f")
+  }
+
+  test("residual encoding lifts IVF+PQ recall at sf0.01 (the IVFADC claim, measured)") {
+    // measured at sf0.01: the sf0.001 fixture's ~60 vectors make
+    // recall@5 a 20-sample coin flip (±0.1 swings are 2 items); at
+    // sf0.01 the ordering is stable — r9 measurement: ivfpq_res 0.40,
+    // ivfpq 0.33, pq 0.37 over 6 queries
+    val e01 = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val cents = VectorOps.trainedCentroids(e01)
+    val rec = VectorOps.annRecall(e01, Seq(0L, 1L, 2L, 3L, 4L, 5L), 5,
+        Some(cents), Some(VectorOps.pqTrainedCodebooks(e01)),
+        Some(VectorOps.pqResidualCodebooks(e01, cents)))
+      .groupBy("method").agg(avg("recall").as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rec("ivfpq_res") >= rec("ivfpq"),
+      s"residual encoding lowered recall at sf0.01: $rec")
+    assert(rec("ivfpq_res") >= rec("pq"),
+      s"assembled residual index trails plain PQ at sf0.01: $rec")
+    // two-stage refine reorders the shortlist by exact cosine — its
+    // recall can only meet or beat stage 1's (same candidate ceiling,
+    // rank inversions near the cut corrected)
+    val queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+    val resBooks = VectorOps.pqResidualCodebooks(e01, cents)
+    val idx = VectorOps.ivfPqIndex(e01, cents, resBooks, residual = true)
+    val exact = VectorOps.cosineTopK(e01, queryIds, 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = VectorOps.ivfPqRefineTopK(idx, e01, queryIds, 5, r = 20,
+        nprobe = 2, cents, resBooks, residual = true)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refineRecall = refined.count(exact.contains).toDouble / exact.size
+    assert(refineRecall >= rec("ivfpq_res"),
+      f"refine lowered recall: $refineRecall%.3f vs stage-1 ${rec("ivfpq_res")}%.3f")
+  }
+
+  test("cell-partitioned index artifact: probed read scans ONLY probed partitions; artifact serve ≡ in-memory serve") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    val cents = VectorOps.trainedCentroids(emb)
+    VectorOps.ivfPqIndex(emb, cents, books)
+      .write.partitionBy("cell").parquet(s"$dir/idx")
+    val queryIds = Seq(0L, 1L, 2L)
+    val probed = VectorOps.probedCellsOf(emb, queryIds, cents, nprobe = 2)
+    val schema = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT"
+    val pruned = spark.read.schema(schema).parquet(s"$dir/idx")
+      .where(col("cell").isin(probed: _*))
+    // collect() through THIS QueryExecution so its scan metrics populate
+    val n = pruned.collect().length.toLong
+    val produced = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    val perCell = spark.read.schema(schema).parquet(s"$dir/idx")
+      .groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = probed.map(perCell.getOrElse(_, 0L)).sum
+    assert(expect > 0 && expect < perCell.values.sum,
+      "probes not selective on this fixture; test is vacuous")
+    assert(n === expect)
+    assert(produced === expect,
+      s"scan produced $produced rows — unprobed partitions were read (probed hold $expect)")
+    // the serve from the pruned artifact read is row-identical to the
+    // in-memory x60 path (same probe ranking, same ADC arithmetic)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toSet
+    val fromIdx = VectorOps.ivfPqTopKFromIndex(
+      pruned, emb, queryIds, 5, nprobe = 2, cents, books)
+    val inMem = VectorOps.ivfPqTopK(emb, queryIds, 5, nprobe = 2,
+      Some(cents), Some(books))
+    assert(rows(fromIdx) === rows(inMem))
+    // plan shape: exactly ONE join — the broadcast probe attach; the
+    // corpus frame never joins another corpus-sized frame
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = fromIdx.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size === 1, s"expected one join in the artifact serve:\n${fromIdx.queryExecution.optimizedPlan}")
+    assert(fromIdx.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "probe attach is not a broadcast hash join")
+  }
+
   test("PQ beats nothing it shouldn't: reconstructed self-cosine is high on real vectors") {
     // the compression sanity floor: a 64-dim vector reconstructed from
     // 8 sub-centroids should still point mostly the same way — mean
