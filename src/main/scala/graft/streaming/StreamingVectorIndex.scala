@@ -28,12 +28,20 @@ import org.apache.spark.sql.streaming.Trigger
   * its `vec_id` (a re-embedded doc's new slice supersedes the old one)
   * and `is_deleted = true` tombstones it out of every subsequent serve —
   * [[artifact]] resolves latest-slice-wins over the per-batch ops
-  * records, so the ADC candidate scan sees exactly the LIVE corpus. */
+  * records, so the ADC candidate scan sees exactly the LIVE corpus.
+  *
+  * With `cents` supplied (a coarse IVF codebook, fixed like the books),
+  * each batch ALSO appends the residual-encoded `(vec_id, codes, cell)`
+  * index slice ([[VectorOps.ivfPqIndex]], map-only under the fixed
+  * codebooks), and [[ivfTopK]] serves the probe-pruned IVFADC path from
+  * the growing artifact — streamed ingestion, batch-identical serve. */
 class StreamingVectorIndex(artifactDir: String,
-    books: Seq[Seq[Seq[Double]]]) {
+    books: Seq[Seq[Seq[Double]]],
+    cents: Option[Seq[Seq[Double]]] = None) {
 
-  private val slices =
-    new SlicedArtifact(artifactDir, Seq("emb", "codes"), "vec_id")
+  private val slices = new SlicedArtifact(artifactDir,
+    Seq("emb", "codes") ++ (if (cents.isDefined) Seq("ivf") else Seq.empty),
+    "vec_id")
 
   /** Index all available micro-batches; returns DISTINCT batches run. */
   def indexAvailable(spark: SparkSession, embStream: DataFrame,
@@ -61,6 +69,8 @@ class StreamingVectorIndex(artifactDir: String,
     slices.writeSlice(
       VectorOps.pqCodesWide(vecs, books).select("vec_id", "codes"),
       "codes", batchId)
+    cents.foreach(cs => slices.writeSlice(
+      VectorOps.ivfPqIndex(vecs, cs, books, residual = true), "ivf", batchId))
     slices.writeSlice(ArtifactSlices.opsOf(batch, "vec_id"), "ops", batchId)
   }
 
@@ -88,5 +98,23 @@ class StreamingVectorIndex(artifactDir: String,
         .where(col("vec_id").isin(queryIds: _*))
         .select(col("vec_id").as("query_id"), col("v").as("qv"))
       VectorOps.pqTopKFromCodes(codes, q, k, books)
+    }
+
+  /** Probe-pruned IVFADC top-k from the streamed `(vec_id, codes,
+    * cell)` artifact (requires `cents`) — the SAME
+    * [[VectorOps.ivfPqTopKFromIndex]] path a batch snapshot serves, so
+    * stream ≡ batch is structural: probe ranking on the driver, the
+    * probed-cell filter pruning the candidate frame before the one
+    * broadcast join, residual reconstruction on survivors only. */
+  def ivfTopK(spark: SparkSession, queryIds: Seq[Long], k: Int,
+      nprobe: Int): Option[DataFrame] =
+    cents.flatMap { cs =>
+      slices.resolved(spark).map { m =>
+        val emb = m("emb")
+        val probed = VectorOps.probedCellsOf(emb, queryIds, cs, nprobe)
+        VectorOps.ivfPqTopKFromIndex(
+          m("ivf").where(col("cell").isin(probed: _*)),
+          emb, queryIds, k, nprobe, cs, books, residual = true)
+      }
     }
 }

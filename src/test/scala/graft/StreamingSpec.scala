@@ -473,6 +473,54 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "dense serve diverged after batch replay")
   }
 
+  test("streaming IVFADC: probe-pruned serve from the streamed cell+code artifact equals the batch build over the live corpus") {
+    import graft.operators.VectorOps
+    val fn = org.apache.spark.sql.functions
+    val embAll = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    // fixed codebooks, the streaming-index contract: coarse cells AND
+    // residual books trained once, held stable across the stream
+    val cents = VectorOps.trainedCentroids(embAll)
+    val books = VectorOps.pqResidualCodebooks(embAll, cents)
+    val sv = new graft.streaming.StreamingVectorIndex(
+      tmp("sivf-art").toString, books, Some(cents))
+    // two upsert waves (the second re-embeds vecs 0-29 with flipped
+    // vectors — cell assignment itself moves), then a tombstone wave
+    val reembed = embAll.where(col("vec_id") < 30)
+      .withColumn("embedding", fn.transform(col("embedding"), x => -x))
+    sv.indexBatch(embAll.where(col("vec_id") < 200)
+      .withColumn("is_deleted", lit(false)), 0)
+    sv.indexBatch(embAll.where(col("vec_id") >= 200 && col("vec_id") < 400)
+      .unionByName(reembed).withColumn("is_deleted", lit(false)), 1)
+    sv.indexBatch(embAll.where(col("vec_id") >= 100 && col("vec_id") < 150)
+      .withColumn("is_deleted", lit(true)), 2)
+    val liveEmb = reembed
+      .unionByName(embAll.where(col("vec_id") >= 30 && col("vec_id") < 100))
+      .unionByName(embAll.where(col("vec_id") >= 150 && col("vec_id") < 400))
+    val queryIds = Seq(0L, 60L, 170L)
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    val got = rows(sv.ivfTopK(spark, queryIds, 5, nprobe = 2).get)
+    // independent batch reference: the one-shot residual IVFADC over
+    // the live corpus under the same fixed codebooks
+    val want = rows(VectorOps.ivfPqResidualTopK(liveEmb, queryIds, 5,
+      nprobe = 2, Some(cents), Some(books)))
+    assert(want.nonEmpty, "live-corpus IVFADC reference empty; test is vacuous")
+    assert(got === want,
+      "streamed IVFADC serve diverges from the batch build over the live corpus")
+    // a tombstoned vec is really gone from the probe-pruned surface
+    val dead = sv.ivfTopK(spark, queryIds, 500, nprobe = cents.size).get
+      .where(col("vec_id") >= 100 && col("vec_id") < 150).count()
+    assert(dead == 0, "tombstoned vec served by streamed IVFADC")
+    // replay safety and compaction both preserve the serve
+    sv.indexBatch(embAll.where(col("vec_id") >= 200 && col("vec_id") < 400)
+      .unionByName(reembed).withColumn("is_deleted", lit(false)), 1)
+    assert(rows(sv.ivfTopK(spark, queryIds, 5, nprobe = 2).get) === want,
+      "streamed IVFADC diverged after batch replay")
+    sv.compact(spark)
+    assert(rows(sv.ivfTopK(spark, queryIds, 5, nprobe = 2).get) === want,
+      "compaction changed the streamed IVFADC serve")
+  }
+
   test("streaming artifact compaction: slices fold to one generation, served results unchanged, stream continues on top") {
     import graft.operators.{TextOps, VectorOps}
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
