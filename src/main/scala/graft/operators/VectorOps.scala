@@ -1311,6 +1311,186 @@ object VectorOps {
        |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
        |QUALIFY rn <= $k""".stripMargin
 
+  // --- binary (sign-bit) quantization + Hamming shortlist (x64) -----------
+
+  /** Shortlist size of the two-stage binary/prefix serves — 4× the
+    * final k at the fixture scale (the refine convention; a corpus
+    * deployment tunes r against measured recall like nprobe). */
+  val BinaryShortlist = 20
+
+  /** Sign-bit sketch: one bit per dimension (`v[i] > 0`), packed into a
+    * single BIGINT — 64 dims fit EXACTLY in one long, so the index
+    * column is 8 bytes/vector (32× under the float column, 8× under the
+    * PQ codes). Bit i's weight is the Scala-folded `1L << i` (bit 63 is
+    * Long.MinValue — two's complement makes the distinct-weight SUM the
+    * exact bit pattern, and the oracle uses the same literal weights
+    * because DuckDB's `<< 63` overflow-checks). */
+  private def signBits(v: Column): Column =
+    (0 until Dim).map(i =>
+      when(element_at(v, i + 1) > lit(0.0), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def signBitsSql(v: String): String =
+    (0 until Dim).map { i =>
+      val w = if (i == 63) "(-9223372036854775807 - 1)"
+      else s"(CAST(1 AS BIGINT) << $i)"
+      s"CASE WHEN ($v)[${i + 1}] > 0 THEN $w ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+
+  /** Binary-quantization top-k (sign bits + Hamming + exact rerank) —
+    * the third compression point on the engine's accuracy/bandwidth
+    * curve, next to int8 (x19) and PQ (x59): stage 1 ranks the corpus
+    * by `popcount(xor(sig, qsig))` — ONE xor+popcount per candidate
+    * over an 8-byte column, the cheapest first pass a vector index can
+    * run (random-hyperplane cosine-angle estimation with the identity
+    * planes; Charikar STOC'02's SimHash bound applies) — stage 2
+    * re-scores the r·|q| shortlist against full-precision vectors
+    * exactly like [[ivfPqRefineTopK]]. Hamming ties (integer distances
+    * collide constantly) break on vec_id in both engines; the final
+    * ranking is the family's round-6/vec_id convention. */
+  def binaryTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      r: Int = BinaryShortlist): DataFrame = {
+    require(r >= k, s"shortlist r=$r must be >= k=$k")
+    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    // in production `sig` is the stored 8-byte index column; computing
+    // it here is one map-only pass (plan-pinned: no shuffle)
+    val sk = e.select(col("vec_id"), col("v"), signBits(col("v")).as("sig"))
+    val q = sk.where(col("vec_id").isin(queryIds.distinct: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("sig").as("qsig"))
+    val ham = sk.select("vec_id", "sig").crossJoin(broadcast(q.drop("qv")))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("sig").bitwiseXOR(col("qsig"))).as("hamming"))
+    val ws = Window.partitionBy("query_id").orderBy(asc("hamming"), asc("vec_id"))
+    val short = ham.withColumn("srn", row_number().over(ws))
+      .where(col("srn") <= r).select("query_id", "vec_id")
+    val scored = e.join(broadcast(short), "vec_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .where(!isnan(col("cosine")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** [[binaryTopK]] oracle — same literal bit weights, `bit_count(xor)`
+    * shortlist, exact rerank. */
+  def binaryTopKSql(queryIds: Seq[Long], k: Int,
+      r: Int = BinaryShortlist): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), sk AS (
+       |  SELECT vec_id, v, ${signBitsSql("v")} AS sig FROM e
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, sig AS qsig FROM sk
+       |  WHERE vec_id IN (${queryIds.mkString(",")})
+       |), short AS (
+       |  SELECT q.query_id, s.vec_id,
+       |    row_number() OVER (PARTITION BY q.query_id
+       |      ORDER BY bit_count(xor(s.sig, q.qsig)) ASC, s.vec_id) AS srn
+       |  FROM sk s CROSS JOIN q
+       |  WHERE s.vec_id <> q.query_id
+       |  QUALIFY srn <= $r
+       |), scored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(${dotSql("q.qv", "e.v")} /
+       |      (${normSql("q.qv")} * ${normSql("e.v")}), 6) AS cosine
+       |  FROM short s
+       |  JOIN e ON e.vec_id = s.vec_id
+       |  JOIN q ON q.query_id = s.query_id
+       |)
+       |SELECT query_id, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |FROM scored
+       |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |QUALIFY rn <= $k""".stripMargin
+
+  // --- prefix-dimension (Matryoshka) shortlist + rerank (x65) -------------
+
+  /** Prefix dimensions of the truncated first pass — 16 of 64 (4×
+    * dimension cut). Matryoshka-trained embeddings (Kusupati et al.,
+    * NeurIPS'22) front-load information so a prefix-dim scan is a
+    * usable coarse ranking; the knob trades first-pass bandwidth
+    * against shortlist quality like nprobe/planes. */
+  val PrefixDims = 16
+
+  /** Prefix-dimension two-stage top-k: stage 1 ranks by cosine over
+    * only the FIRST `dPrefix` components (the candidate scan reads a
+    * quarter of the float column — with a column layout that stores the
+    * prefix separately, a quarter of the bytes), stage 2 re-scores the
+    * shortlist at full dimension. Same refine skeleton as
+    * [[binaryTopK]]; the prefix cosine rounds to 6 dp before the
+    * shortlist rank so both engines cut the same candidates. */
+  def prefixTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+      r: Int = BinaryShortlist, dPrefix: Int = PrefixDims): DataFrame = {
+    require(r >= k, s"shortlist r=$r must be >= k=$k")
+    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val sk = e.select(col("vec_id"), col("v"),
+      slice(col("v"), 1, dPrefix).as("pv"))
+    val q = sk.where(col("vec_id").isin(queryIds.distinct: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("pv").as("qpv"))
+    val pre = sk.select("vec_id", "pv").crossJoin(broadcast(q.drop("qv")))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qpv"), col("pv")), 6).as("pcos"))
+      .where(!isnan(col("pcos")))
+    val ws = Window.partitionBy("query_id").orderBy(desc("pcos"), asc("vec_id"))
+    val short = pre.withColumn("srn", row_number().over(ws))
+      .where(col("srn") <= r).select("query_id", "vec_id")
+    val scored = e.join(broadcast(short), "vec_id")
+      .join(broadcast(q.select("query_id", "qv")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .where(!isnan(col("cosine")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** [[prefixTopK]] oracle. */
+  def prefixTopKSql(queryIds: Seq[Long], k: Int,
+      r: Int = BinaryShortlist, dPrefix: Int = PrefixDims): String = {
+    def pdotSql(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, ${dPrefix + 1}), i -> ($a)[i] * ($b)[i]), (x, y) -> x + y)"
+    def pnormSql(a: String): String = s"sqrt(${pdotSql(a, a)})"
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), sk AS (
+       |  SELECT vec_id, v, v[1:$dPrefix] AS pv FROM e
+       |), q AS (
+       |  SELECT vec_id AS query_id, v AS qv, pv AS qpv FROM sk
+       |  WHERE vec_id IN (${queryIds.mkString(",")})
+       |), pre AS (
+       |  SELECT q.query_id, s.vec_id,
+       |    round(${pdotSql("q.qpv", "s.pv")} /
+       |      (${pnormSql("q.qpv")} * ${pnormSql("s.pv")}), 6) AS pcos
+       |  FROM sk s CROSS JOIN q
+       |  WHERE s.vec_id <> q.query_id
+       |), short AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY pcos DESC, vec_id) AS srn
+       |  FROM pre
+       |  WHERE pcos IS NOT NULL AND NOT isnan(pcos)
+       |  QUALIFY srn <= $r
+       |), scored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(${dotSql("q.qv", "e.v")} /
+       |      (${normSql("q.qv")} * ${normSql("e.v")}), 6) AS cosine
+       |  FROM short s
+       |  JOIN e ON e.vec_id = s.vec_id
+       |  JOIN q ON q.query_id = s.query_id
+       |)
+       |SELECT query_id, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |FROM scored
+       |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
   /** [[ivfPqTopK]] oracle — the x13 probe/assign chain composed with
     * the PQ reconstruction chain (disjoint CTE namespaces). */
   def ivfPqTopKSql(queryIds: Seq[Long], k: Int, nprobe: Int,

@@ -675,6 +675,17 @@ object PipelinePack extends QueryPack {
         nprobe = 2, cents, books, residual = true)
         .orderBy("query_id", "rn")
     }),
+    // binary quantization: sign bits pack 64 dims into ONE 8-byte long,
+    // the Hamming (xor+popcount) shortlist is the cheapest first pass a
+    // vector index can run, exact rerank of the r·|q| survivors
+    "x64_binary_topk" -> ((s, dir) =>
+      VectorOps.binaryTopK(Tables.embeddings(s, dir), QueryVecs, 5)
+        .orderBy("query_id", "rn")),
+    // Matryoshka-style prefix search: coarse ranking over the first 16
+    // of 64 dims (4× first-pass bandwidth cut), exact full-dim rerank
+    "x65_prefix_topk" -> ((s, dir) =>
+      VectorOps.prefixTopK(Tables.embeddings(s, dir), QueryVecs, 5)
+        .orderBy("query_id", "rn")),
     // training-shard balance report: deterministic hash shard
     // assignment + per-shard doc/token tallies (the skew check before
     // committing a shard layout) — map-only + one agg to nShards rows
@@ -882,6 +893,10 @@ object PipelinePack extends QueryPack {
     "x63_ivfpq_refine" ->
       (VectorOps.ivfPqRefineTopKSql(QueryVecs, 5, r = 20, nprobe = 2) +
         "\nORDER BY query_id, rn"),
+    "x64_binary_topk" ->
+      (VectorOps.binaryTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
+    "x65_prefix_topk" ->
+      (VectorOps.prefixTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x25_corpus_build" ->
       (Dedup.corpusBuildSql(DedupJaccard, 0.5) + "\nORDER BY lang"),
     "x24_sequence_packing" -> {

@@ -157,6 +157,21 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     val refineRecall = refined.count(exact.contains).toDouble / exact.size
     assert(refineRecall >= rec("ivfpq_res"),
       f"refine lowered recall: $refineRecall%.3f vs stage-1 ${rec("ivfpq_res")}%.3f")
+    // the two training-free compression points: sign-bit Hamming
+    // shortlist and prefix-dim shortlist, both with exact rerank
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(exact.contains).toDouble / exact.size
+    }
+    val binR = recallOf(VectorOps.binaryTopK(e01, queryIds, 5))
+    val preR = recallOf(VectorOps.prefixTopK(e01, queryIds, 5))
+    info(f"sf0.01 recall@5: binary $binR%.3f prefix $preR%.3f " +
+      f"refine $refineRecall%.3f ivfpq_res ${rec("ivfpq_res")}%.3f")
+    // r9 measurement: binary 0.533, prefix 0.367 (floors leave headroom
+    // for a fixture regeneration, not for a broken shortlist)
+    assert(binR >= 0.3, s"sign-bit Hamming shortlist recall collapsed: $binR")
+    assert(preR >= 0.2, s"prefix-dim shortlist recall collapsed: $preR")
   }
 
   test("cell-partitioned index artifact: probed read scans ONLY probed partitions; artifact serve ≡ in-memory serve") {
