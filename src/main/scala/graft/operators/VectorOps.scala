@@ -1776,7 +1776,8 @@ object VectorOps {
     * report order. Shared with the oracle generator so the two can
     * never list different methods. */
   val RecallMethods: Seq[String] =
-    Seq("ivf", "ivfpq", "ivfpq_res", "lsh", "multiprobe", "pq", "quantized")
+    Seq("binary", "ivf", "ivfpq", "ivfpq_res", "lsh", "multiprobe", "pq",
+      "prefix", "quantized")
 
   /** ANN index-quality harness: recall@k of every approximate variant
     * against the exact brute-force top-k, per query — THE acceptance
@@ -1810,6 +1811,8 @@ object VectorOps {
         .unionByName(side("multiprobe", annTopKMultiProbe(embeddings, queryIds, k)))
         .unionByName(side("pq", pqTopK(embeddings, queryIds, k, books)))
         .unionByName(side("quantized", annTopKQuantized(embeddings, queryIds, k)))
+        .unionByName(side("binary", binaryTopK(embeddings, queryIds, k)))
+        .unionByName(side("prefix", prefixTopK(embeddings, queryIds, k)))
     val hits = approx
       .join(exact.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
       .groupBy("method", "query_id")
@@ -1835,7 +1838,9 @@ object VectorOps {
       "lsh" -> annTopKSql(queryIds, k),
       "multiprobe" -> annTopKMultiProbeSql(queryIds, k),
       "pq" -> pqTopKSql(queryIds, k),
-      "quantized" -> annTopKQuantizedSql(queryIds, k))
+      "quantized" -> annTopKQuantizedSql(queryIds, k),
+      "binary" -> binaryTopKSql(queryIds, k),
+      "prefix" -> prefixTopKSql(queryIds, k))
     val unions = RecallMethods.map { m =>
       s"  SELECT '$m' AS method, query_id, vec_id FROM (\n${variantSql(m)}\n  )"
     }.mkString("\n  UNION ALL\n")

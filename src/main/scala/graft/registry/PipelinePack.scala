@@ -144,6 +144,23 @@ object PipelinePack extends QueryPack {
     }
   }
 
+  /** The BM25 index frames (tf, dl) as per-snapshot parquet artifacts —
+    * the lexical sibling of the codebook convention: tokenizing the
+    * corpus is index-build work, run once per snapshot, and the hybrid
+    * serves (x57/x61) read the stored index instead of re-tokenizing
+    * per query batch. Counts are integers, so the parquet round trip is
+    * exact and the serves stay hash-identical to their oracles. */
+  private def bm25IndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    lazy val stats = TextOps.bm25Stats(Tables.documents(s, dir), None)
+    val tfPath = snapshotArtifact(dir, "documents.parquet",
+      "bm25_tf.parquet", "bm25tf")(p =>
+      stats._1.write.mode("overwrite").parquet(p))
+    val dlPath = snapshotArtifact(dir, "documents.parquet",
+      "bm25_dl.parquet", "bm25dl")(p =>
+      stats._2.write.mode("overwrite").parquet(p))
+    (s.read.parquet(tfPath), s.read.parquet(dlPath))
+  }
+
   /** Schema of the persisted IVF+PQ index artifact — passed explicitly
     * on read so the `cell` PARTITION column keeps its written BIGINT
     * type (inference would narrow it to INT and the pruning filter's
@@ -600,19 +617,25 @@ object PipelinePack extends QueryPack {
     // hybrid retrieval through the unified serve entry: RRF fusion of
     // the BM25 lexical list and the LSH-bucketed ANN dense list (same
     // query ids on both halves) — exact integer rank arithmetic, tiny
-    // full-outer join over two top-k frames
-    "x57_hybrid_topk" -> ((s, dir) =>
-      graft.operators.HybridOps.search(
-        Tables.documents(s, dir), Tables.embeddings(s, dir), Bm25Queries, 5,
+    // full-outer join over two top-k frames. The lexical half serves
+    // from the per-snapshot tf/dl index artifact (production never
+    // re-tokenizes the corpus per query batch — the x13 convention)
+    "x57_hybrid_topk" -> ((s, dir) => {
+      val (tf, dl) = bm25IndexFor(s, dir)
+      graft.operators.HybridOps.searchFrom(
+        tf, dl, Tables.embeddings(s, dir), Bm25Queries, 5,
         graft.operators.HybridOps.Rrf)
-        .orderBy("query_id", "rn")),
+        .orderBy("query_id", "rn")
+    }),
     // weighted-score fusion (CombSUM + per-query min-max normalization):
     // the rank-agnostic fusion policy, through the same serve entry
-    "x61_hybrid_weighted" -> ((s, dir) =>
-      graft.operators.HybridOps.search(
-        Tables.documents(s, dir), Tables.embeddings(s, dir), Bm25Queries, 5,
+    "x61_hybrid_weighted" -> ((s, dir) => {
+      val (tf, dl) = bm25IndexFor(s, dir)
+      graft.operators.HybridOps.searchFrom(
+        tf, dl, Tables.embeddings(s, dir), Bm25Queries, 5,
         graft.operators.HybridOps.Weighted())
-        .orderBy("query_id", "rn")),
+        .orderBy("query_id", "rn")
+    }),
     // product quantization: per-subspace codebooks (artifact-fed, the
     // x13 convention), map-only encoding — Dim floats -> m small ids
     // per vector, the 100 TB candidate-scan bandwidth cut

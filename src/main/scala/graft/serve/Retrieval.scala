@@ -1,0 +1,148 @@
+package graft.serve
+
+import graft.operators.{HybridOps, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-handle retrieval over a corpus snapshot — the serve surface a
+  * user actually deploys, packaging every index artifact this engine
+  * builds behind `build`/`load`/`search` instead of five hand-wired
+  * frames.
+  *
+  * The reference's whole job is feeding documents INTO a search service
+  * (reference: flows/main_flow.py:528-563 bulk-indexes and never reads
+  * back); this is the Spark-native answer to the half the reference
+  * outsources. A snapshot directory holds:
+  *
+  *  - `codebook.txt` / `pqbooks.txt` — the coarse IVF codebook and the
+  *    residual PQ books, doubles as raw IEEE-754 bits (bit-identical
+  *    round trip, the registry-artifact convention);
+  *  - `index/` — the residual IVFADC frame `(vec_id, codes, cell)`
+  *    written `partitionBy(cell)`, so a probed serve read
+  *    PARTITION-PRUNES to ~nprobe/cells of the files;
+  *  - `emb/` — the float column, read only for query-vector lookup and
+  *    the bounded exact rerank (never scanned as stage 1);
+  *  - `tf/` / `dl/` — the lexical index frames BM25 serves from.
+  *
+  * Publish is atomic: everything stages into a sibling tmp directory
+  * and one rename commits it (the [[graft.sync.IndexStore]] alias-swap
+  * convention) — a crashed build leaves either the old snapshot or
+  * none, never a half-written one.
+  *
+  * Serving composes the engine's audited halves verbatim —
+  * [[TextOps.bm25TopKFrom]], [[VectorOps.ivfPqRefineTopK]] over the
+  * pruned index read, [[HybridOps.fuse]] — so every scale shape and
+  * determinism contract documented on those operators holds unchanged
+  * here, and a snapshot serve is equivalence-testable against the
+  * in-memory builds. */
+final class Retrieval private[serve] (spark: SparkSession, dir: String,
+    val cents: Seq[Seq[Double]], val books: Seq[Seq[Seq[Double]]]) {
+
+  private def emb = spark.read.parquet(s"$dir/emb")
+  private def tf = spark.read.parquet(s"$dir/tf")
+  private def dl = spark.read.parquet(s"$dir/dl")
+
+  /** Dense top-k from the stored index: driver probe ranking → the
+    * probed-cell filter prunes the partitioned index read → residual
+    * ADC on survivors → exact rerank of the `refine` shortlist against
+    * the float column (bounded lookups, not a scan). */
+  def denseTopK(queryIds: Seq[Long], k: Int, nprobe: Int = 2,
+      refine: Int = VectorOps.BinaryShortlist): DataFrame = {
+    val probed = VectorOps.probedCellsOf(emb, queryIds, cents, nprobe)
+    val index = spark.read.schema(Retrieval.IndexSchema)
+      .parquet(s"$dir/index")
+      .where(col("cell").isin(probed: _*))
+    VectorOps.ivfPqRefineTopK(index, emb, queryIds, k, refine, nprobe,
+      cents, books, residual = true)
+  }
+
+  /** Lexical top-k from the stored tf/dl frames — df/N/avgdl derive at
+    * serve through the same path the batch build uses. */
+  def lexicalTopK(queries: Seq[(Long, Seq[String])], k: Int): DataFrame =
+    TextOps.bm25TopKFrom(tf, dl, queries, k)
+
+  /** THE entry: both halves from the stored artifacts, fused under the
+    * policy (each query id doubles as its query vector's vec_id — the
+    * shared-id hybrid layout). */
+  def search(queries: Seq[(Long, Seq[String])], k: Int,
+      policy: HybridOps.Fusion = HybridOps.Rrf,
+      nprobe: Int = 2): DataFrame = {
+    def dense = denseTopK(queries.map(_._1), k, nprobe)
+      .withColumnRenamed("vec_id", "doc_id")
+    policy match {
+      case HybridOps.LexicalOnly => lexicalTopK(queries, k)
+      case HybridOps.DenseOnly => dense
+      case p => HybridOps.fuse(lexicalTopK(queries, k), dense, k, p)
+    }
+  }
+}
+
+object Retrieval {
+
+  /** Explicit read schema so the `cell` PARTITION column keeps its
+    * written BIGINT type (inference would narrow it to INT and put the
+    * pruning filter's long literals behind a cast). */
+  private[graft] val IndexSchema = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT"
+
+  private def writeBooks(path: java.nio.file.Path,
+      rows: Seq[Seq[Double]]): Unit = {
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.writeString(path,
+      rows.map(_.map(java.lang.Double.doubleToLongBits).mkString(","))
+        .mkString("\n"))
+    ()
+  }
+
+  private def readBooks(path: java.nio.file.Path): List[Seq[Double]] =
+    java.nio.file.Files.readString(path).split("\n").toList
+      .map(_.split(",").toSeq
+        .map(b => java.lang.Double.longBitsToDouble(b.toLong)))
+
+  /** Train, encode, and publish every artifact for the snapshot, then
+    * return the loaded handle. Training cost is the documented
+    * once-per-snapshot work ([[VectorOps.trainedCentroids]] +
+    * [[VectorOps.pqResidualCodebooks]]); encoding and the lexical
+    * aggregates are single corpus passes. Atomic: stage + rename. */
+  def build(docs: DataFrame, embeddings: DataFrame, dir: String,
+      checkpointDir: Option[String] = None): Retrieval = {
+    val spark = docs.sparkSession
+    val staged = new java.io.File(s"$dir.tmp-${System.nanoTime()}")
+    val cents = VectorOps.trainedCentroids(embeddings)
+    val books = VectorOps.pqResidualCodebooks(embeddings, cents)
+    writeBooks(staged.toPath.resolve("codebook.txt"), cents)
+    writeBooks(staged.toPath.resolve("pqbooks.txt"), books.flatten)
+    VectorOps.ivfPqIndex(embeddings, cents, books, residual = true)
+      .write.partitionBy("cell").mode(SaveMode.Overwrite)
+      .parquet(s"$staged/index")
+    embeddings.select("vec_id", "embedding")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staged/emb")
+    val (tf, dl) = TextOps.bm25Stats(docs, checkpointDir)
+    tf.write.mode(SaveMode.Overwrite).parquet(s"$staged/tf")
+    dl.write.mode(SaveMode.Overwrite).parquet(s"$staged/dl")
+    // commit: replace any previous snapshot by rename (atomic on one
+    // filesystem; a crash before this point leaves the old snapshot)
+    val target = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    if (target.exists()) rm(target)
+    require(staged.renameTo(target),
+      s"snapshot publish failed: could not rename $staged to $dir")
+    load(spark, dir)
+  }
+
+  /** Load a published snapshot's handle (codebooks round-trip through
+    * raw bits, so a loaded handle serves bit-identically to the one
+    * `build` returned). */
+  def load(spark: SparkSession, dir: String): Retrieval = {
+    val root = java.nio.file.Paths.get(dir)
+    require(java.nio.file.Files.exists(root.resolve("codebook.txt")),
+      s"$dir is not a published retrieval snapshot")
+    val cents = readBooks(root.resolve("codebook.txt"))
+    val books = readBooks(root.resolve("pqbooks.txt"))
+      .grouped(VectorOps.PqSubCentroids).toList
+      .map(_.toSeq)
+    new Retrieval(spark, dir, cents, books)
+  }
+}

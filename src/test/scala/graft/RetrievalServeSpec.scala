@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{HybridOps, TextOps, VectorOps}
+import graft.serve.Retrieval
+
+/** The snapshot serve surface: build/load/search must compose the
+  * audited halves verbatim, so every serve is equivalence-comparable
+  * to the in-memory builds — and the publish must be atomic-replace. */
+class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val docs = graft.sources.Tables.documents(spark, sf)
+    .select("doc_id", "text").cache()
+  private lazy val emb = graft.sources.Tables.embeddings(spark, sf)
+    .select("vec_id", "embedding").cache()
+
+  private def rows(df: DataFrame) =
+    df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+
+  test("snapshot build + load + search equal the in-memory composed halves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-serve")
+      .toString + "/snap"
+    val built = Retrieval.build(docs, emb, dir)
+    val loaded = Retrieval.load(spark, dir)
+    // codebooks round-trip through raw IEEE-754 bits — bit-identical
+    assert(loaded.cents === built.cents)
+    assert(loaded.books === built.books)
+
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    val queryIds = queries.map(_._1)
+
+    // lexical half ≡ the one-shot batch build over the corpus
+    val lexWant = rows(TextOps.bm25TopK(docs, queries, 5))
+    assert(lexWant.nonEmpty, "lexical reference empty; test is vacuous")
+    assert(rows(loaded.lexicalTopK(queries, 5)) === lexWant)
+
+    // dense half ≡ refine over the in-memory residual index under the
+    // same codebooks (stored index vs freshly encoded: same rows)
+    val idx = VectorOps.ivfPqIndex(emb, built.cents, built.books,
+      residual = true)
+    val probed = VectorOps.probedCellsOf(emb, queryIds, built.cents, 2)
+    val denseWant = rows(VectorOps.ivfPqRefineTopK(
+      idx.where(col("cell").isin(probed: _*)), emb, queryIds, 5,
+      VectorOps.BinaryShortlist, 2, built.cents, built.books,
+      residual = true))
+    assert(denseWant.nonEmpty, "dense reference empty; test is vacuous")
+    assert(rows(loaded.denseTopK(queryIds, 5)) === denseWant)
+
+    // fused search ≡ an INDEPENDENT composition of in-memory halves
+    val denseRef = VectorOps.ivfPqRefineTopK(
+      idx.where(col("cell").isin(probed: _*)), emb, queryIds, 5,
+      VectorOps.BinaryShortlist, 2, built.cents, built.books,
+      residual = true).withColumnRenamed("vec_id", "doc_id")
+    for (p <- Seq[HybridOps.Fusion](HybridOps.Rrf, HybridOps.Weighted())) {
+      val want = rows(HybridOps.fuse(
+        TextOps.bm25TopK(docs, queries, 5), denseRef, 5, p))
+      assert(want.nonEmpty)
+      assert(rows(loaded.search(queries, 5, p)) === want,
+        s"snapshot serve diverges from the composed in-memory halves under $p")
+    }
+    // single-half policies route to the matching half
+    assert(rows(loaded.search(queries, 5, HybridOps.LexicalOnly)) === lexWant)
+    assert(rows(loaded.search(queries, 5, HybridOps.DenseOnly)) ===
+      rows(denseRef))
+
+    // rebuild REPLACES the snapshot atomically; the new handle and a
+    // fresh load both serve the new corpus
+    val smaller = docs.where(col("doc_id") < 250)
+    Retrieval.build(smaller, emb, dir)
+    val reloaded = Retrieval.load(spark, dir)
+    val lexSmall = rows(TextOps.bm25TopK(smaller, queries, 5))
+    assert(lexSmall !== lexWant, "rebuild corpus change invisible; vacuous")
+    assert(rows(reloaded.lexicalTopK(queries, 5)) === lexSmall)
+  }
+}
