@@ -127,6 +127,57 @@ object HybridOps {
       case _ => rrfFuse(lex, dense, k)
     }
 
+  /** Metadata-filtered hybrid search — the production feature on top of
+    * [[searchFrom]]: candidates restricted to the `allowed` doc-id
+    * frame on BOTH halves BEFORE each half's top-k rank (pre-filter — a
+    * post-filter of unfiltered top-k under-fills under selective
+    * predicates), while corpus statistics stay GLOBAL (df/N/avgdl and
+    * the LSH buckets are collection properties; the Lucene filter-query
+    * semantics — a filter narrows candidates, it does not re-weight the
+    * collection). The allowed frame is an id list — it broadcasts into
+    * both halves; everything else keeps the unfiltered serve's shapes. */
+  def searchFiltered(tf: DataFrame, dl: DataFrame, embeddings: DataFrame,
+      allowed: DataFrame, queries: Seq[(Long, Seq[String])], k: Int,
+      policy: Fusion = Rrf, numPlanes: Int = VectorOps.NumPlanes): DataFrame = {
+    def lex = TextOps.bm25TopKFrom(tf, dl, queries, k, Some(allowed))
+    def dense = VectorOps.annTopKAllowed(embeddings, allowed,
+        queries.map(_._1), k, numPlanes)
+      .withColumnRenamed("vec_id", "doc_id")
+    policy match {
+      case LexicalOnly => lex
+      case DenseOnly => dense
+      case p => fuse(lex, dense, k, p)
+    }
+  }
+
+  /** [[searchFiltered]] oracle under the RRF policy — both halves'
+    * filtered oracle CTEs (candidate `IN` restriction before each rank,
+    * global stats), fused with the exact integer arithmetic.
+    * `allowedSql` is a one-column doc_id subquery. */
+  def searchFilteredSql(queries: Seq[(Long, Seq[String])], k: Int,
+      allowedSql: String): String = {
+    val d = rrfDenom(k)
+    s"""WITH lex AS (
+       |  SELECT query_id, doc_id, rn
+       |  FROM (${TextOps.bm25TopKSql(queries, k, Some(allowedSql))})
+       |), dense AS (
+       |  SELECT query_id, vec_id AS doc_id, rn
+       |  FROM (${VectorOps.annTopKAllowedSql(queries.map(_._1), k, allowedSql)})
+       |), fused AS (
+       |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
+       |    coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |    coalesce($d // ($RrfK + l.rn), 0) +
+       |      coalesce($d // ($RrfK + r.rn), 0) AS rrf
+       |  FROM lex l FULL OUTER JOIN dense r
+       |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+       |)
+       |SELECT query_id, doc_id, rrf,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rn
+       |FROM fused
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
   /** End-to-end RRF hybrid — [[search]] under the `Rrf` policy (kept as
     * the named two-arg form the specs and streaming serves call). */
   def hybridTopK(docs: DataFrame, embeddings: DataFrame,

@@ -735,7 +735,8 @@ object TextOps {
     * the per-doc frames: they are the corpus-dependent part, cheap
     * (one hash agg + a 1-row broadcast) and always current. */
   def bm25TopKFrom(tf: DataFrame, dl: DataFrame,
-      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+      queries: Seq[(Long, Seq[String])], k: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val spark = tf.sparkSession
     import spark.implicits._
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -754,14 +755,27 @@ object TextOps {
           .cast("decimal(18,9)").as("s"))
     val agg = scored.groupBy("query_id", "doc_id")
       .agg(round(sum(col("s")).cast("double"), 6).as("score"))
+    // metadata filter = candidate restriction BEFORE the rank, with
+    // GLOBAL df/N/avgdl — the Lucene filter-query semantics: a filter
+    // narrows candidates, it does not re-weight the collection. (A
+    // post-filter of an unfiltered top-k under-fills; filtering tf
+    // itself would silently change every idf.)
+    val restricted = allowed.fold(agg)(a =>
+      agg.join(broadcast(a.select("doc_id")), Seq("doc_id"), "left_semi")
+        .select("query_id", "doc_id", "score")) // un-front the join key
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
-    agg.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+    restricted.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
 
   /** [[bm25TopK]] oracle — same constants, same parenthesization, same
-    * decimal grid, same round-before-rank. */
-  def bm25TopKSql(queries: Seq[(Long, Seq[String])], k: Int): String = {
+    * decimal grid, same round-before-rank. `allowedSql`: an optional
+    * one-column doc_id subquery restricting candidates before the rank
+    * (global stats, the filter-query semantics above). */
+  def bm25TopKSql(queries: Seq[(Long, Seq[String])], k: Int,
+      allowedSql: Option[String] = None): String = {
+    val restrict = allowedSql
+      .map(a => s"WHERE doc_id IN ($a)\n").getOrElse("")
     val qvals = queries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
     s"""WITH tok AS (
@@ -793,6 +807,6 @@ object TextOps {
        |  row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, doc_id) AS rn
        |FROM agg
-       |QUALIFY rn <= $k""".stripMargin
+       |${restrict}QUALIFY rn <= $k""".stripMargin
   }
 }

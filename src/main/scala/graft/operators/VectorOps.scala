@@ -174,6 +174,54 @@ object VectorOps {
        |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
        |QUALIFY rn <= $k""".stripMargin
 
+  /** [[annTopK]] with candidates restricted to an `allowed` doc-id
+    * frame — the cross-table sibling of [[annTopKFiltered]] (there the
+    * filter is a predicate over the corpus's own metadata column; here
+    * it is membership in a set computed elsewhere, e.g. a documents
+    * predicate in the shared doc_id == vec_id space). Pre-filter: the
+    * semi-join lands on the corpus side BEFORE the bucket join, so the
+    * result is the true top-k among allowed vectors; buckets stay
+    * global; queries are looked up unfiltered. The allowed frame
+    * broadcasts (it is an id list, not corpus bytes). */
+  def annTopKAllowed(embeddings: DataFrame, allowed: DataFrame,
+      queryIds: Seq[Long], k: Int, numPlanes: Int = NumPlanes): DataFrame = {
+    val e0 = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val e = e0.join(broadcast(allowed.toDF("vec_id")), Seq("vec_id"), "left_semi")
+      .withColumn("bucket", bucketOf(col("v"), numPlanes))
+    val q = e0.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        bucketOf(col("v"), numPlanes).as("qbucket"))
+    val scored = e.join(broadcast(q), col("bucket") === col("qbucket") &&
+        col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .where(!isnan(col("cosine")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** [[annTopKAllowed]] oracle — `allowedSql` is a one-column id
+    * subquery in the shared id space. */
+  def annTopKAllowedSql(queryIds: Seq[Long], k: Int,
+      allowedSql: String): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |), n AS (
+       |  SELECT vec_id, v, ${normSql("v")} AS nrm, ${bucketSql("v")} AS bucket FROM e
+       |), scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    round(${dotSql("q.v", "c.v")} / (q.nrm * c.nrm), 6) AS cosine
+       |  FROM n q JOIN n c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+       |  WHERE q.vec_id IN (${queryIds.mkString(",")})
+       |    AND c.vec_id IN ($allowedSql)
+       |)
+       |SELECT query_id, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |FROM scored
+       |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |QUALIFY rn <= $k""".stripMargin
+
   /** Filtered ANN top-k ("filtered vector search"): [[annTopK]] with a
     * metadata predicate applied to the CORPUS side BEFORE the bucket
     * join — pre-filter semantics, so the result is the true top-k among

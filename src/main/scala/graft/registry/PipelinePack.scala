@@ -627,6 +627,18 @@ object PipelinePack extends QueryPack {
         graft.operators.HybridOps.Rrf)
         .orderBy("query_id", "rn")
     }),
+    // metadata-filtered hybrid: candidates restricted to English docs
+    // on BOTH halves before each rank (pre-filter; the broadcast id
+    // list lands below the bucket/scoring joins), df/N/avgdl and
+    // buckets stay global — the Lucene filter-query semantics
+    "x66_hybrid_filtered" -> ((s, dir) => {
+      val (tf, dl) = bm25IndexFor(s, dir)
+      val allowed = Tables.documents(s, dir)
+        .where(col("lang") === "en").select("doc_id")
+      graft.operators.HybridOps.searchFiltered(
+        tf, dl, Tables.embeddings(s, dir), allowed, Bm25Queries, 5)
+        .orderBy("query_id", "rn")
+    }),
     // weighted-score fusion (CombSUM + per-query min-max normalization):
     // the rank-agnostic fusion policy, through the same serve entry
     "x61_hybrid_weighted" -> ((s, dir) => {
@@ -918,6 +930,10 @@ object PipelinePack extends QueryPack {
         "\nORDER BY query_id, rn"),
     "x64_binary_topk" ->
       (VectorOps.binaryTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
+    "x66_hybrid_filtered" ->
+      (graft.operators.HybridOps.searchFilteredSql(Bm25Queries, 5,
+        "SELECT doc_id FROM documents WHERE lang = 'en'") +
+        "\nORDER BY query_id, rn"),
     "x65_prefix_topk" ->
       (VectorOps.prefixTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x25_corpus_build" ->

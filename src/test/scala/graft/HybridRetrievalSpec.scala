@@ -114,6 +114,50 @@ class HybridRetrievalSpec extends AnyFunSuite with SparkSpec {
       (10L, s61, 2),
       (12L, s62, 3)))
   }
+
+  test("filtered hybrid: every result allowed, pre-filter fills k, global stats preserved") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val (tf, dl) = TextOps.bm25Stats(docs.select("doc_id", "text"))
+    val allowed = docs.where(col("lang") === "en").select("doc_id")
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    assert(allowedIds.nonEmpty && allowedIds.size < docs.count(),
+      "filter not selective on this fixture; test is vacuous")
+    val filtered = HybridOps.searchFiltered(tf, dl, emb, allowed, Queries, K)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // candidate restriction: every fused result is an allowed doc
+    assert(filtered.nonEmpty)
+    assert(filtered.forall { case (_, id) => allowedIds.contains(id) },
+      s"disallowed doc in filtered results: $filtered")
+    // non-vacuity: the filter really changed the ranking vs unfiltered
+    val unfiltered = HybridOps.searchFrom(tf, dl, emb, Queries, K)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(filtered.toSet !== unfiltered.toSet,
+      "filtered ≡ unfiltered; filter had no effect — vacuous")
+    // PRE-filter semantics: the lexical half returns the true top-k
+    // among allowed docs — a post-filter of the unfiltered top-k would
+    // under-fill whenever fewer than k of the unfiltered top-k are
+    // allowed. Assert against the independently computed reference.
+    val lexFiltered = TextOps.bm25TopKFrom(tf, dl, Queries, K, Some(allowed))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    val lexAllRanked = TextOps.bm25TopKFrom(tf, dl, Queries, 1000000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val wantLex = lexAllRanked.toSeq.filter(t => allowedIds.contains(t._2))
+      .groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+        rows.sortBy(_._3).take(K).zipWithIndex
+          .map { case ((_, id, _), i) => (q, id) -> (i + 1) }
+      }.toMap
+    assert(lexFiltered === wantLex,
+      "filtered lexical top-k is not the true top-k among allowed docs")
+    // global stats: an allowed doc's score must be IDENTICAL to its
+    // unfiltered score (the filter narrows candidates, never re-weights)
+    val unfScores = TextOps.bm25TopKFrom(tf, dl, Queries, 1000000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val fScores = TextOps.bm25TopKFrom(tf, dl, Queries, K, Some(allowed))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(fScores.forall { case (k2, s) => unfScores(k2) == s },
+      "filtering changed a surviving doc's score — stats not global")
+  }
 }
 
 /** Round 7 lost three queries and 20 tests to a silent fixture
