@@ -178,6 +178,27 @@ object HybridOps {
        |QUALIFY rn <= $k""".stripMargin
   }
 
+  /** Tokenize raw query strings with the ENGINE'S tokenizer rule —
+    * [[TextOps.tokens]] is `split(lower(text), " ")`, and this is that
+    * rule applied driver-side to the bounded query batch (split
+    * limit -1 keeps empty tokens exactly like Spark's `split`, so a
+    * query tokenizes identically to a document containing the same
+    * text). Callers hand in what users type; indexing and querying can
+    * never disagree on token boundaries. */
+  def tokenizeQueries(queries: Seq[(Long, String)]): Seq[(Long, Seq[String])] =
+    queries.map { case (id, text) =>
+      id -> text.toLowerCase.split(" ", -1).toSeq
+    }
+
+  /** [[search]] over raw query strings — tokenized by
+    * [[tokenizeQueries]], then the standard serve. */
+  def searchText(docs: DataFrame, embeddings: DataFrame,
+      queries: Seq[(Long, String)], k: Int, policy: Fusion = Rrf,
+      numPlanes: Int = VectorOps.NumPlanes,
+      checkpointDir: Option[String] = None): DataFrame =
+    search(docs, embeddings, tokenizeQueries(queries), k, policy,
+      numPlanes, checkpointDir)
+
   /** End-to-end RRF hybrid — [[search]] under the `Rrf` policy (kept as
     * the named two-arg form the specs and streaming serves call). */
   def hybridTopK(docs: DataFrame, embeddings: DataFrame,

@@ -75,6 +75,43 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       case p => HybridOps.fuse(lexicalTopK(queries, k), dense, k, p)
     }
   }
+
+  /** [[search]] over raw query strings — tokenized with the engine's
+    * own rule ([[HybridOps.tokenizeQueries]]), so querying can never
+    * disagree with indexing on token boundaries. */
+  def searchText(queries: Seq[(Long, String)], k: Int,
+      policy: HybridOps.Fusion = HybridOps.Rrf, nprobe: Int = 2): DataFrame =
+    search(HybridOps.tokenizeQueries(queries), k, policy, nprobe)
+
+  /** Metadata-filtered serve from the stored artifacts — pre-filter
+    * candidates, global stats ([[HybridOps.searchFiltered]]'s
+    * semantics). The dense half semi-joins the allowed id list onto the
+    * probed index slice BEFORE ADC, so the filter composes with the
+    * partition-pruned read instead of replacing it. */
+  def searchFiltered(queries: Seq[(Long, Seq[String])], allowed: DataFrame,
+      k: Int, policy: HybridOps.Fusion = HybridOps.Rrf,
+      nprobe: Int = 2, refine: Int = VectorOps.BinaryShortlist): DataFrame = {
+    def lex = TextOps.bm25TopKFrom(tf, dl, queries, k, Some(allowed))
+    // dense pre-filter: restrict candidates BEFORE the final rank. The
+    // shortlist widens to `refine` before the filter, so selective
+    // predicates still fill k from the probed cells.
+    def dense = {
+      val qids = queries.map(_._1)
+      val probed = VectorOps.probedCellsOf(emb, qids, cents, nprobe)
+      val index = spark.read.schema(Retrieval.IndexSchema)
+        .parquet(s"$dir/index")
+        .where(col("cell").isin(probed: _*))
+        .join(broadcast(allowed.toDF("vec_id")), Seq("vec_id"), "left_semi")
+      VectorOps.ivfPqRefineTopK(index, emb, qids, k, refine, nprobe,
+        cents, books, residual = true)
+        .withColumnRenamed("vec_id", "doc_id")
+    }
+    policy match {
+      case HybridOps.LexicalOnly => lex
+      case HybridOps.DenseOnly => dense
+      case p => HybridOps.fuse(lex, dense, k, p)
+    }
+  }
 }
 
 object Retrieval {

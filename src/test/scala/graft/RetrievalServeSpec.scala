@@ -66,6 +66,37 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(rows(loaded.search(queries, 5, HybridOps.DenseOnly)) ===
       rows(denseRef))
 
+    // raw-text entry: searchText tokenizes with the ENGINE's rule —
+    // identical to handing in the pre-tokenized terms, and identical to
+    // what Spark's own tokenizer would produce for the same strings
+    val rawQueries = Seq(0L -> "Spark  JOIN", 1L -> "vector table")
+    val tokenized = graft.operators.HybridOps.tokenizeQueries(rawQueries)
+    val sess = spark
+    import sess.implicits._
+    val engineTok = rawQueries.toDF("id", "text")
+      .select(col("id"), TextOps.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(tokenized.forall { case (id, ts) => engineTok(id) === ts },
+      "driver-side tokenization diverges from the engine tokenizer")
+    assert(rows(loaded.searchText(rawQueries, 5)) ===
+      rows(loaded.search(tokenized, 5)))
+
+    // filtered serve from the snapshot: all results allowed, and the
+    // lexical half equals the operator-level filtered path
+    val allowed = graft.sources.Tables.documents(spark, sf)
+      .where(col("lang") === "en").select("doc_id")
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val fil = loaded.searchFiltered(queries, allowed, 5)
+    val filRows = fil.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(filRows.nonEmpty)
+    assert(filRows.forall { case (_, id) => allowedIds.contains(id) },
+      s"disallowed doc served by the filtered snapshot: $filRows")
+    assert(rows(loaded.searchFiltered(queries, allowed, 5,
+      HybridOps.LexicalOnly)) ===
+      rows(TextOps.bm25TopKFrom(
+        spark.read.parquet(s"$dir/tf"), spark.read.parquet(s"$dir/dl"),
+        queries, 5, Some(allowed))))
+
     // rebuild REPLACES the snapshot atomically; the new handle and a
     // fresh load both serve the new corpus
     val smaller = docs.where(col("doc_id") < 250)
