@@ -178,6 +178,34 @@ object HybridOps {
        |QUALIFY rn <= $k""".stripMargin
   }
 
+  /** Oracle for the [[graft.serve.Retrieval]] snapshot handle's
+    * default serve: BM25 lexical half fused by RRF with the
+    * residual-IVFADC-plus-refine dense half (the handle's
+    * [[graft.serve.Retrieval.denseTopK]] IS [[VectorOps
+    * .ivfPqRefineTopK]], so its oracle chain composes verbatim). */
+  def snapshotSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
+      r: Int, nprobe: Int): String = {
+    val d = rrfDenom(k)
+    s"""WITH lex AS (
+       |  SELECT query_id, doc_id, rn FROM (${TextOps.bm25TopKSql(queries, k)})
+       |), dense AS (
+       |  SELECT query_id, vec_id AS doc_id, rn
+       |  FROM (${VectorOps.ivfPqRefineTopKSql(queries.map(_._1), k, r, nprobe)})
+       |), fused AS (
+       |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
+       |    coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |    coalesce($d // ($RrfK + l.rn), 0) +
+       |      coalesce($d // ($RrfK + r.rn), 0) AS rrf
+       |  FROM lex l FULL OUTER JOIN dense r
+       |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+       |)
+       |SELECT query_id, doc_id, rrf,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rn
+       |FROM fused
+       |QUALIFY rn <= $k""".stripMargin
+  }
+
   /** Tokenize raw query strings with the ENGINE'S tokenizer rule —
     * [[TextOps.tokens]] is `split(lower(text), " ")`, and this is that
     * rule applied driver-side to the bounded query batch (split

@@ -208,7 +208,38 @@ object PipelinePack extends QueryPack {
     target.toString
   }
 
+  /** The published [[graft.serve.Retrieval]] snapshot for a fixture,
+    * built once per (fixture pair, engine constants) key under the tmp
+    * dir — the deployment handle itself, registered so the one API a
+    * user actually calls is oracle-gated end-to-end. Training inside
+    * `build` is deterministic, so a cached snapshot serves
+    * bit-identically to a fresh one. */
+  private def retrievalFor(s: SparkSession, dir: String): graft.serve.Retrieval = {
+    val fe = new java.io.File(s"$dir/embeddings.parquet")
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    val key = artifactKey(dir, fe.lastModified(), fe.length(),
+      fd.lastModified(), fd.length(), "retrieval",
+      VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.PqSubspaces,
+      VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
+      VectorOps.Dim)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_retrieval_$key")
+    if (new java.io.File(root, "codebook.txt").exists())
+      graft.serve.Retrieval.load(s, root.toString)
+    else graft.serve.Retrieval.build(
+      Tables.documents(s, dir).select("doc_id", "text"),
+      Tables.embeddings(s, dir).select("vec_id", "embedding"),
+      root.toString)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the deployment surface end-to-end: one handle over the published
+    // snapshot artifacts (cell-partitioned residual IVFADC index +
+    // tf/dl lexical index + codebooks), default hybrid policy — the
+    // oracle composes the BM25 chain with the refine chain under RRF
+    "x67_snapshot_search" -> ((s, dir) =>
+      retrievalFor(s, dir).search(Bm25Queries, 5)
+        .orderBy("query_id", "rn")),
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -933,6 +964,10 @@ object PipelinePack extends QueryPack {
     "x66_hybrid_filtered" ->
       (graft.operators.HybridOps.searchFilteredSql(Bm25Queries, 5,
         "SELECT doc_id FROM documents WHERE lang = 'en'") +
+        "\nORDER BY query_id, rn"),
+    "x67_snapshot_search" ->
+      (graft.operators.HybridOps.snapshotSearchSql(Bm25Queries, 5,
+        r = VectorOps.BinaryShortlist, nprobe = 2) +
         "\nORDER BY query_id, rn"),
     "x65_prefix_topk" ->
       (VectorOps.prefixTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),

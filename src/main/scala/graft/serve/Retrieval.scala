@@ -164,8 +164,15 @@ object Retrieval {
       f.delete(); ()
     }
     if (target.exists()) rm(target)
-    require(staged.renameTo(target),
-      s"snapshot publish failed: could not rename $staged to $dir")
+    if (!staged.renameTo(target)) {
+      // lost a concurrent publish race: the winner's snapshot is
+      // already at `dir` — serve theirs, drop ours (training is
+      // deterministic, so the artifacts are identical anyway)
+      require(new java.io.File(target, "codebook.txt").exists(),
+        s"snapshot publish failed: could not rename $staged to $dir " +
+          "and no published snapshot exists there")
+      rm(staged)
+    }
     load(spark, dir)
   }
 
