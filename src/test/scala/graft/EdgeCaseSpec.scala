@@ -251,6 +251,42 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
     assert(VectorOps.pqTopK(emptyE, Seq(0L), 5, Some(books)).count() === 0)
   }
 
+  test("round-9 retrieval ops on degenerate inputs: empty allowed set, missing query ids, zero vectors, empty corpus") {
+    import graft.operators.{HybridOps, TextOps, VectorOps}
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf).select("doc_id", "text")
+    val (tf, dl) = TextOps.bm25Stats(docs)
+    val queries = Seq(0L -> Seq("spark", "join"))
+    // EMPTY allowed set: filtered search returns no rows, never errors
+    val emptyAllowed = docs.select("doc_id").limit(0)
+    assert(HybridOps.searchFiltered(tf, dl, emb, emptyAllowed,
+      queries, 5).count() === 0)
+    // a query id absent from the corpus is skipped, not an error
+    assert(VectorOps.binaryTopK(emb, Seq(999999999L), 5).count() === 0)
+    assert(VectorOps.prefixTopK(emb, Seq(999999999L), 5).count() === 0)
+    // empty corpus: both two-stage serves produce no rows
+    val emptyE = emb.limit(0)
+    assert(VectorOps.binaryTopK(emptyE, Seq(0L), 5).count() === 0)
+    assert(VectorOps.prefixTopK(emptyE, Seq(0L), 5).count() === 0)
+    // a zero vector sketches to sig 0 / NaN prefix cosine without
+    // failing, and never appears in results (the NaN screen)
+    val sess = spark
+    import sess.implicits._
+    val withZero = emb.select("vec_id", "embedding").unionByName(
+      Seq((888888L, Seq.fill(VectorOps.Dim)(0.0f)))
+        .toDF("vec_id", "embedding"))
+    assert(VectorOps.prefixTopK(withZero, Seq(0L), 5)
+      .where(col("vec_id") === 888888L).count() === 0)
+    // residual index on an empty corpus under given codebooks: no rows
+    val cents = VectorOps.trainedCentroids(emb)
+    val books = VectorOps.pqResidualCodebooks(emb, cents)
+    assert(VectorOps.ivfPqIndex(emptyE, cents, books, residual = true)
+      .count() === 0)
+    // tokenizeQueries: empty string -> one empty token (the engine's
+    // split rule, exactly), never an exception
+    assert(HybridOps.tokenizeQueries(Seq(1L -> ""))  === Seq(1L -> Seq("")))
+  }
+
   test("CDC merge with empty batch or empty current state") {
     val env = Tables_envelope
     val emptyBatch = env.limit(0)
