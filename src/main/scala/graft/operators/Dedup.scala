@@ -656,6 +656,110 @@ object Dedup {
        |)
        |SELECT n AS doc_id, min(r) AS cluster_id FROM walk GROUP BY n""".stripMargin
 
+  // --- PageRank over the pair graph (x68) ---------------------------------
+
+  /** PageRank damping factor — 0.85, Brin/Page's constant
+    * (interpolated into both engines, the x51 single-constant rule). */
+  val RankDamping = 0.85
+
+  /** Fixed PageRank iteration count — fixed, not convergence-tested,
+    * so the oracle unrolls the same rounds (the k-means convention). */
+  val RankIters = 3
+
+  /** PageRank over the UNDIRECTED confirmed-pair graph — graph
+    * centrality as a CANONICALNESS signal: in a near-dup graph the
+    * most-connected copy of a boilerplate family is the one most other
+    * copies resemble, a structural complement to
+    * [[clusterRepresentatives]]' content-quality argmax (rank comes
+    * from the graph, quality from the text; a curation policy can
+    * consult both). Isolated docs (in no pair) are out of scope —
+    * rank is a property OF the duplicate graph.
+    *
+    * `r_{i+1}(v) = (1−d)/N + d · Σ_{u~v} r_i(u)/deg(u)`, `iters`
+    * fixed rounds from the uniform 1/N start. Undirected: each pair
+    * contributes both directions, so there are no dangling nodes and
+    * mass is conserved up to the damping term.
+    *
+    * Determinism: the neighbor-sum is the one partial-agg-order-
+    * sensitive spot, handled by the x38/x56 decimal-grid device —
+    * each contribution `r/deg` rounds to the 10⁻⁹ grid and sums as
+    * exact DECIMAL(18,9); everything after is scalar double arithmetic
+    * in a fixed operation order mirrored by the oracle. Final rank
+    * rounds to 6 dp (the cosine convention).
+    *
+    * Scale shape: per round, one equi-join of the edge frame with the
+    * current (bounded: one row per graph node) rank frame, one
+    * map-side-combined hash agg, one join back to degrees — the
+    * standard distributed PageRank step. Rounds are materialized
+    * ([[materialize]]) so lineage stays flat; N and nothing else
+    * reaches the driver. */
+  def pairGraphRank(pairs: DataFrame, iters: Int = RankIters,
+      damping: Double = RankDamping,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = materialize(
+      edges.groupBy("src").agg(count(lit(1)).as("deg")), checkpointDir)
+    val nn = deg.agg(count(lit(1)).as("n"))
+    var ranks = deg.crossJoin(broadcast(nn))
+      .select(col("src").as("doc_id"), col("deg"),
+        (lit(1.0) / col("n")).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"),
+          round(col("rank") / col("deg"), 9).cast("decimal(18,9)").as("c"))
+      val sums = contrib.groupBy("doc_id").agg(sum(col("c")).as("cs"))
+      ranks = materialize(
+        deg.join(sums, col("src") === sums("doc_id"))
+          .crossJoin(broadcast(nn))
+          .select(col("src").as("doc_id"), col("deg"),
+            (lit(1.0 - damping) / col("n") +
+              lit(damping) * col("cs").cast("double")).as("rank")),
+        checkpointDir)
+    }
+    ranks.select(col("doc_id"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** [[pairGraphRank]] oracle — the pair CTEs + `iters` unrolled
+    * rounds, every rounding/cast/operation-order spot mirrored. Float
+    * literals are wrapped `CAST(... AS DOUBLE)`: DuckDB types bare
+    * decimal literals as DECIMAL and decimal division would diverge
+    * from Spark's double arithmetic. */
+  def pairGraphRankSql(minJaccard: Double, iters: Int = RankIters,
+      damping: Double = RankDamping): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS doc_id,
+         |    CAST(round(r.rank / r.deg, 9) AS DECIMAL(18,9)) AS c
+         |  FROM edges e JOIN r${i - 1} r ON r.doc_id = e.src
+         |), s$i AS (
+         |  SELECT doc_id, sum(c) AS cs FROM c$i GROUP BY doc_id
+         |), r$i AS (
+         |  SELECT d.src AS doc_id, d.deg,
+         |    CAST(${1.0 - damping} AS DOUBLE) / n +
+         |      CAST($damping AS DOUBLE) * CAST(s.cs AS DOUBLE) AS rank
+         |  FROM deg d JOIN s$i s ON s.doc_id = d.src, nn
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$nearDupCtes, p AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $minJaccard
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM p
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), nn AS (
+       |  SELECT count(*) AS n FROM deg
+       |), r0 AS (
+       |  SELECT src AS doc_id, deg, CAST(1 AS DOUBLE) / n AS rank
+       |  FROM deg, nn
+       |),
+       |$rounds
+       |SELECT doc_id, round(rank, 6) AS rank FROM r$iters""".stripMargin
+  }
+
   // --- exact substring dedup (x36) ----------------------------------------
 
   /** Anchor window length: two docs sharing ANY verbatim run of at least

@@ -262,6 +262,17 @@ object PipelinePack extends QueryPack {
           .write.mode("overwrite").parquet(p))
       Dedup.duplicateClusters(s.read.parquet(pairs)).orderBy("doc_id")
     }),
+    // PageRank over the confirmed near-dup pair graph: graph
+    // centrality as the CANONICALNESS signal next to x53's content
+    // quality — 3 fixed rounds, decimal-grid neighbor sums, artifact-
+    // fed pairs (measures the rank loop, not a MinHash rebuild)
+    "x68_pair_pagerank" -> ((s, dir) => {
+      val pairs = snapshotArtifact(dir, "documents.parquet",
+        "neardup_pairs.parquet", PairJaccard)(
+        p => Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard)
+          .write.mode("overwrite").parquet(p))
+      Dedup.pairGraphRank(s.read.parquet(pairs)).orderBy("doc_id")
+    }),
     // keep-the-BEST-copy policy over x26's clusters: highest-quality
     // member per duplicate group (argmax as a map-side-combined struct
     // max, hub-cluster-safe). Artifact-fed one level deeper than x37:
@@ -969,6 +980,8 @@ object PipelinePack extends QueryPack {
       (graft.operators.HybridOps.snapshotSearchSql(Bm25Queries, 5,
         r = VectorOps.BinaryShortlist, nprobe = 2) +
         "\nORDER BY query_id, rn"),
+    "x68_pair_pagerank" ->
+      (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),
     "x65_prefix_topk" ->
       (VectorOps.prefixTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x25_corpus_build" ->

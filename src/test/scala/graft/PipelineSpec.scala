@@ -1210,4 +1210,51 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
           s"asset $id pixel ($x,$y)")
     }
   }
+
+  test("pair-graph PageRank: matches a driver reference on a toy graph, conserves mass, partition-independent") {
+    import graft.operators.Dedup
+    val sess = spark
+    import sess.implicits._
+    // star + tail: hub 0 ~ {1,2,3}, path 3-4. Hub must outrank leaves.
+    val pairs = Seq((0L, 1L, 1.0), (0L, 2L, 1.0), (0L, 3L, 1.0),
+      (3L, 4L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val got = Dedup.pairGraphRank(pairs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // driver reference: same arithmetic, same rounding spots
+    val edges = Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 3L -> 4L)
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size }
+    val n = deg.size
+    var rank: Map[Long, Double] = deg.map { case (v, _) => v -> 1.0 / n }
+    for (_ <- 1 to Dedup.RankIters) {
+      val sums = edges.groupBy(_._2).map { case (v, es) =>
+        // exact decimal sum of 9-dp-rounded contributions
+        v -> es.map { case (u, _) =>
+          BigDecimal(rank(u) / deg(u))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        }.sum
+      }
+      rank = deg.map { case (v, _) =>
+        v -> ((1.0 - Dedup.RankDamping) / n +
+          Dedup.RankDamping * sums(v).toDouble)
+      }
+    }
+    val want = rank.map { case (v, r) =>
+      v -> BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got === want)
+    assert(got(0L) > got(1L) && got(0L) > got(4L),
+      s"hub does not outrank leaves: $got")
+    // damped mass conservation: Σ rank = 1 (up to the 6-dp grid)
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, s"mass leaked: $got")
+    // partition independence on the fixture pair graph
+    val fixPairs = Dedup.nearDupPairs(
+      graft.sources.Tables.documents(spark, sf), 0.5).cache()
+    val a = Dedup.pairGraphRank(fixPairs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = Dedup.pairGraphRank(fixPairs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a.nonEmpty, "fixture pair graph empty; test is vacuous")
+    assert(a === b, "PageRank diverged under a different partitioning")
+  }
 }
