@@ -760,6 +760,104 @@ object Dedup {
        |SELECT doc_id, round(rank, 6) AS rank FROM r$iters""".stripMargin
   }
 
+  /** Quality-teleport PageRank (TrustRank, Gyöngyi/Garcia-Molina/
+    * Pedersen VLDB'04, with the quality score as the trust seed):
+    * [[pairGraphRank]] with the uniform 1/N teleport replaced by a
+    * per-node prior `t(v) = q(v)/Σq` — so rank PROPAGATES the content-
+    * quality signal through the duplicate graph instead of treating
+    * every node as equally trustworthy a priori. A low-quality mirror
+    * adjacent to high-quality canonicals inherits standing it would
+    * not get from its own text; an isolated clique of junk gets none —
+    * exactly the curation question x53's per-cluster argmax cannot
+    * answer across cluster boundaries.
+    *
+    * `r_{i+1}(v) = (1−d)·t(v) + d·Σ_{u~v} r_i(u)/deg(u)`, `r_0 = t`.
+    * [[pairGraphRank]] is the `t = 1/N` special case; the same
+    * determinism devices apply, plus one more global scalar: `Σq` is
+    * an exact DECIMAL sum of 9-dp-rounded qualities (a double sum's
+    * partial-agg order would leak into every teleport weight).
+    * `quality` must carry `(doc_id, uniq_ratio)` ([[TextOps
+    * .qualityScore]]'s signal column, the x53 convention). */
+  def qualityRank(pairs: DataFrame, quality: DataFrame,
+      iters: Int = RankIters, damping: Double = RankDamping,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val qg = quality.select(col("doc_id"),
+      round(col("uniq_ratio"), 9).cast("decimal(18,9)").as("qg"))
+    val base0 = deg.join(qg, deg("src") === qg("doc_id"))
+      .select(col("src").as("doc_id"), col("deg"), col("qg"))
+    val qtot = base0.agg(sum(col("qg")).as("qq"))
+    val base = materialize(
+      base0.crossJoin(broadcast(qtot))
+        .select(col("doc_id"), col("deg"),
+          (col("qg").cast("double") / col("qq").cast("double")).as("t")),
+      checkpointDir)
+    var ranks = base.withColumn("rank", col("t"))
+    for (_ <- 1 to iters) {
+      val contrib = edges
+        .join(ranks.select(col("doc_id").as("src"), col("deg"), col("rank")),
+          "src")
+        .select(col("dst").as("doc_id"),
+          round(col("rank") / col("deg"), 9).cast("decimal(18,9)").as("c"))
+      val sums = contrib.groupBy("doc_id").agg(sum(col("c")).as("cs"))
+      ranks = materialize(
+        base.join(sums, "doc_id")
+          .select(col("doc_id"), col("deg"), col("t"),
+            (lit(1.0 - damping) * col("t") +
+              lit(damping) * col("cs").cast("double")).as("rank")),
+        checkpointDir)
+    }
+    ranks.select(col("doc_id"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** [[qualityRank]] oracle — the x68 chain with the quality-seeded
+    * teleport CTEs ([[TextOps.qualityScoreSql]] embedded; `Σq` as the
+    * same exact decimal sum). */
+  def qualityRankSql(minJaccard: Double, iters: Int = RankIters,
+      damping: Double = RankDamping): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS doc_id,
+         |    CAST(round(r.rank / r.deg, 9) AS DECIMAL(18,9)) AS c
+         |  FROM edges e JOIN r${i - 1} r ON r.doc_id = e.src
+         |), s$i AS (
+         |  SELECT doc_id, sum(c) AS cs FROM c$i GROUP BY doc_id
+         |), r$i AS (
+         |  SELECT b.doc_id, b.deg, b.t,
+         |    CAST(${1.0 - damping} AS DOUBLE) * b.t +
+         |      CAST($damping AS DOUBLE) * CAST(s.cs AS DOUBLE) AS rank
+         |  FROM base b JOIN s$i s ON s.doc_id = b.doc_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$nearDupCtes, p AS (
+       |  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $minJaccard
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM p
+       |  UNION ALL
+       |  SELECT doc_b AS src, doc_a AS dst FROM p
+       |), deg AS (
+       |  SELECT src, count(*) AS deg FROM edges GROUP BY src
+       |), qual AS (
+       |  SELECT doc_id, uniq_ratio FROM (${TextOps.qualityScoreSql})
+       |), qn AS (
+       |  SELECT d.src AS doc_id, d.deg,
+       |    CAST(round(q.uniq_ratio, 9) AS DECIMAL(18,9)) AS qg
+       |  FROM deg d JOIN qual q ON q.doc_id = d.src
+       |), qt AS (
+       |  SELECT sum(qg) AS qq FROM qn
+       |), base AS (
+       |  SELECT doc_id, deg,
+       |    CAST(qg AS DOUBLE) / CAST(qq AS DOUBLE) AS t
+       |  FROM qn, qt
+       |), r0 AS (
+       |  SELECT doc_id, deg, t, t AS rank FROM base
+       |),
+       |$rounds
+       |SELECT doc_id, round(rank, 6) AS rank FROM r$iters""".stripMargin
+  }
+
   // --- exact substring dedup (x36) ----------------------------------------
 
   /** Anchor window length: two docs sharing ANY verbatim run of at least

@@ -273,6 +273,19 @@ object PipelinePack extends QueryPack {
           .write.mode("overwrite").parquet(p))
       Dedup.pairGraphRank(s.read.parquet(pairs)).orderBy("doc_id")
     }),
+    // TrustRank: x68's walk with the teleport seeded by content
+    // quality — rank propagates the quality prior through the dup
+    // graph (a junk mirror of good pages inherits standing, an
+    // isolated junk clique gets none)
+    "x69_quality_rank" -> ((s, dir) => {
+      val pairs = snapshotArtifact(dir, "documents.parquet",
+        "neardup_pairs.parquet", PairJaccard)(
+        p => Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard)
+          .write.mode("overwrite").parquet(p))
+      Dedup.qualityRank(s.read.parquet(pairs),
+        TextOps.qualityScore(Tables.documents(s, dir)))
+        .orderBy("doc_id")
+    }),
     // keep-the-BEST-copy policy over x26's clusters: highest-quality
     // member per duplicate group (argmax as a map-side-combined struct
     // max, hub-cluster-safe). Artifact-fed one level deeper than x37:
@@ -982,6 +995,8 @@ object PipelinePack extends QueryPack {
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),
+    "x69_quality_rank" ->
+      (Dedup.qualityRankSql(PairJaccard) + "\nORDER BY doc_id"),
     "x65_prefix_topk" ->
       (VectorOps.prefixTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x25_corpus_build" ->

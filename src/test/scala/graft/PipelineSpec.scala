@@ -1257,4 +1257,48 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(a.nonEmpty, "fixture pair graph empty; test is vacuous")
     assert(a === b, "PageRank diverged under a different partitioning")
   }
+
+  test("quality-teleport rank: prior pulls rank on a symmetric graph, mass = 1, partition-independent") {
+    import graft.operators.Dedup
+    val sess = spark
+    import sess.implicits._
+    // 4-cycle: every node degree 2 — plain PageRank is uniform by
+    // symmetry, so ANY rank spread must come from the quality teleport
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0),
+      (1L, 4L, 1.0)).toDF("doc_a", "doc_b", "jaccard")
+    val quality = Seq((1L, 0.9), (2L, 0.3), (3L, 0.3), (4L, 0.3))
+      .toDF("doc_id", "uniq_ratio")
+    val got = Dedup.qualityRank(pairs, quality).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+    // at 3 (odd) rounds a cycle's mass oscillates: the trusted node's
+    // teleport mass currently sits on its NEIGHBORS — the claims that
+    // are stable across parity are (a) the far node, equidistant and
+    // untrusted, ranks strictly LOWEST; (b) the trusted node beats it;
+    // (c) the two symmetric neighbors tie exactly
+    assert(Seq(1L, 2L, 4L).forall(v => got(v) > got(3L)),
+      s"trust did not disadvantage the far node: $got")
+    assert(got(2L) === got(4L), s"symmetric neighbors diverged: $got")
+    // teleport mass is normalized, walk is conservative: Σ rank = 1
+    assert(math.abs(got.values.sum - 1.0) < 1e-4, s"mass leaked: $got")
+    // uniform quality degenerates to plain PageRank (t = 1/N)
+    val uniformQ = Seq((1L, 0.5), (2L, 0.5), (3L, 0.5), (4L, 0.5))
+      .toDF("doc_id", "uniq_ratio")
+    val uni = Dedup.qualityRank(pairs, uniformQ).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val plain = Dedup.pairGraphRank(pairs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni === plain,
+      s"uniform teleport is not the plain-PageRank special case: $uni vs $plain")
+    // partition independence on the fixture graph with real qualities
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val fixPairs = Dedup.nearDupPairs(docs, 0.5).cache()
+    val q = graft.operators.TextOps.qualityScore(docs)
+    val a = Dedup.qualityRank(fixPairs, q).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = Dedup.qualityRank(fixPairs.repartition(5), q.repartition(3))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a.nonEmpty && a === b,
+      "quality rank diverged under a different partitioning")
+  }
 }
