@@ -29,7 +29,16 @@ object SparkEntry {
     packs.map(_.queries).reduce(_ ++ _)
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted keys → rows-only check. */
+    * the same parquet tables. Omitted keys → rows-only check.
+    *
+    * Every oracle ships with its CTE heads fenced `AS MATERIALIZED`
+    * ([[graft.operators.VectorOps.materializedCtes]]): DuckDB's default
+    * CTE inlining re-derives shared subtrees per reference, which made
+    * the four k-means-training oracles (x44/x62/x63/x67) take 4–5 min
+    * EACH at sf0.01 and broke the round-9 gate; fenced, the full
+    * 114-oracle suite runs in well under a minute with per-query results
+    * verified identical (including row order) to the un-fenced plans. */
   def oracleSql: Map[String, String] =
     packs.map(_.oracle).reduce(_ ++ _)
+      .view.mapValues(graft.operators.VectorOps.materializedCtes).toMap
 }

@@ -186,7 +186,7 @@ object HybridOps {
   def snapshotSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
       r: Int, nprobe: Int): String = {
     val d = rrfDenom(k)
-    s"""WITH lex AS (
+    VectorOps.materializedCtes(s"""WITH lex AS (
        |  SELECT query_id, doc_id, rn FROM (${TextOps.bm25TopKSql(queries, k)})
        |), dense AS (
        |  SELECT query_id, vec_id AS doc_id, rn
@@ -203,7 +203,7 @@ object HybridOps {
        |  row_number() OVER (PARTITION BY query_id
        |    ORDER BY rrf DESC, doc_id) AS rn
        |FROM fused
-       |QUALIFY rn <= $k""".stripMargin
+       |QUALIFY rn <= $k""".stripMargin)
   }
 
   /** Tokenize raw query strings with the ENGINE'S tokenizer rule —

@@ -46,6 +46,27 @@ object VectorOps {
 
   private def normSql(a: String): String = s"sqrt(${dotSql(a, a)})"
 
+  /** Rewrite every bare-identifier CTE head to `AS MATERIALIZED` — a
+    * DuckDB (≥ 0.9) evaluation fence for oracle SQL. The training chains
+    * ([[kmeansCtes]], [[pqKmeansCtes]]) are referenced from several
+    * downstream CTEs, and DuckDB's default CTE inlining re-derives the
+    * whole shared subtree per reference: x62's oracle took 270 s at
+    * sf0.01 un-fenced vs 1.1 s materialized (measured, identical rows),
+    * and the nine-variant x44 oracle was worse. Recursive heads
+    * (`walk(n, r) AS (`) and column-aliased VALUES heads
+    * (`q(query_id, token) AS (`) end in `)` so the bare-identifier
+    * pattern skips them — required, since `MATERIALIZED` is invalid on a
+    * recursive CTE — and a lookbehind skips named-window clauses
+    * (`WINDOW w AS (PARTITION BY …)`, the one other bare-identifier
+    * `AS (` in the dialect). Idempotent (the head of an already-fenced
+    * CTE is followed by ` AS MATERIALIZED (`, which can't match).
+    * Applied to the whole oracle map at [[graft.SparkEntry.oracleSql]];
+    * identity verified per-query against the un-fenced plans (all 114,
+    * equal including row order). */
+  private[graft] def materializedCtes(sql: String): String =
+    sql.replaceAll("""(?i)(?<!window )\b([A-Za-z_][A-Za-z0-9_]*) AS \(""",
+      "$1 AS MATERIALIZED (")
+
   // --- brute-force cosine top-k (x10) -------------------------------------
 
   /** Exact cosine top-k: for each query vector (by id), the k nearest
@@ -1249,7 +1270,7 @@ object VectorOps {
   def ivfPqResidualTopKSql(queryIds: Seq[Long], k: Int, nprobe: Int,
       iters: Int = KMeansIters, m: Int = PqSubspaces,
       ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String =
-    s"""WITH e AS (
+    materializedCtes(s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |),
@@ -1296,7 +1317,7 @@ object VectorOps {
        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
        |FROM scored
        |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
-       |QUALIFY rn <= $k""".stripMargin
+       |QUALIFY rn <= $k""".stripMargin)
 
   /** Two-stage refine (the production serve shape on top of IVFADC:
     * Jégou PAMI'11 §V's re-ranking): stage 1 retrieves an ADC shortlist
@@ -1335,7 +1356,7 @@ object VectorOps {
     * convention), exact re-scoring against the raw vectors, re-rank. */
   def ivfPqRefineTopKSql(queryIds: Seq[Long], k: Int, r: Int,
       nprobe: Int): String =
-    s"""WITH rshort AS (
+    materializedCtes(s"""WITH rshort AS (
        |  SELECT query_id, vec_id FROM (
        |${ivfPqResidualTopKSql(queryIds, r, nprobe)}
        |  )
@@ -1357,7 +1378,7 @@ object VectorOps {
        |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
        |FROM rscored
        |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
-       |QUALIFY rn <= $k""".stripMargin
+       |QUALIFY rn <= $k""".stripMargin)
 
   // --- binary (sign-bit) quantization + Hamming shortlist (x64) -----------
 
@@ -1892,7 +1913,7 @@ object VectorOps {
     val unions = RecallMethods.map { m =>
       s"  SELECT '$m' AS method, query_id, vec_id FROM (\n${variantSql(m)}\n  )"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH exact AS (
+    materializedCtes(s"""WITH exact AS (
        |  SELECT query_id, vec_id FROM (
        |${cosineTopKSql(queryIds, k)}
        |  )
@@ -1916,6 +1937,6 @@ object VectorOps {
        |  FROM grid g LEFT JOIN hits h
        |    ON h.method = g.method AND h.query_id = g.query_id
        |)
-       |SELECT method, query_id, exact_n, hits, recall FROM rpt""".stripMargin
+       |SELECT method, query_id, exact_n, hits, recall FROM rpt""".stripMargin)
   }
 }

@@ -25,9 +25,11 @@ import org.apache.spark.sql.functions._
   *  - `tf/` / `dl/` — the lexical index frames BM25 serves from.
   *
   * Publish is atomic: everything stages into a sibling tmp directory
-  * and one rename commits it (the [[graft.sync.IndexStore]] alias-swap
-  * convention) — a crashed build leaves either the old snapshot or
-  * none, never a half-written one.
+  * and a rename-aside swap commits it (the [[graft.sync.IndexStore]]
+  * alias-swap convention) — live → `dir.old-<nonce>`, staged → live,
+  * delete the aside. A crashed build leaves a COMPLETE snapshot under
+  * some name, never a half-written or half-deleted one; `load` renames
+  * a stranded aside back into place if the crash hit the swap window.
   *
   * Serving composes the engine's audited halves verbatim —
   * [[TextOps.bm25TopKFrom]], [[VectorOps.ivfPqRefineTopK]] over the
@@ -156,14 +158,34 @@ object Retrieval {
     val (tf, dl) = TextOps.bm25Stats(docs, checkpointDir)
     tf.write.mode(SaveMode.Overwrite).parquet(s"$staged/tf")
     dl.write.mode(SaveMode.Overwrite).parquet(s"$staged/dl")
-    // commit: replace any previous snapshot by rename (atomic on one
-    // filesystem; a crash before this point leaves the old snapshot)
+    publish(staged, dir)
+    load(spark, dir)
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
+  /** Commit a fully-staged snapshot directory as `dir` by rename-aside
+    * swap: live → `dir.old-<nonce>`, staged → live, delete the aside.
+    * At NO point does a partially-deleted directory exist under any
+    * name — every named directory is a complete snapshot — so a crash
+    * anywhere leaves either the new snapshot live, or the old one live,
+    * or (crash exactly between the two renames) the old one complete
+    * under its aside name, which [[load]] recovers by renaming back.
+    * The earlier delete-then-rename sequence could crash mid-recursive-
+    * delete and leave `codebook.txt` alive over a truncated `index/` —
+    * a corrupt state `load` would accept.
+    *
+    * `betweenRenames` is a test seam: the crash-injection spec throws
+    * from it to simulate dying in the swap window. */
+  private[graft] def publish(staged: java.io.File, dir: String,
+      betweenRenames: () => Unit = () => ()): Unit = {
     val target = new java.io.File(dir)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    if (target.exists()) rm(target)
+    val aside = new java.io.File(s"$dir.old-${System.nanoTime()}")
+    val hadOld = target.exists() && target.renameTo(aside)
+    betweenRenames()
     if (!staged.renameTo(target)) {
       // lost a concurrent publish race: the winner's snapshot is
       // already at `dir` — serve theirs, drop ours (training is
@@ -173,14 +195,37 @@ object Retrieval {
           "and no published snapshot exists there")
       rm(staged)
     }
-    load(spark, dir)
+    if (hadOld) rm(aside)
+    // sweep asides orphaned by a crash after a past swap completed but
+    // before its delete ran (the live snapshot supersedes them all)
+    asidesOf(dir).foreach(rm)
   }
+
+  /** `dir.old-<nonce>` siblings, oldest first. */
+  private def asidesOf(dir: String): Seq[java.io.File] = {
+    val f = new java.io.File(dir).getAbsoluteFile
+    val prefix = f.getName + ".old-"
+    Option(f.getParentFile.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(prefix))
+      .sortBy(_.getName.stripPrefix(prefix).toLong).toSeq
+  }
+
+  /** Recovery for a crash inside [[publish]]'s swap window: if no live
+    * snapshot exists but a complete aside does, rename the newest aside
+    * back into place. A concurrent finished publish wins the rename
+    * race harmlessly (the aside rename fails, the live dir serves). */
+  private def recoverAside(dir: String): Unit =
+    asidesOf(dir)
+      .filter(a => new java.io.File(a, "codebook.txt").exists())
+      .lastOption.foreach { a => a.renameTo(new java.io.File(dir)); () }
 
   /** Load a published snapshot's handle (codebooks round-trip through
     * raw bits, so a loaded handle serves bit-identically to the one
     * `build` returned). */
   def load(spark: SparkSession, dir: String): Retrieval = {
     val root = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(root.resolve("codebook.txt")))
+      recoverAside(dir)
     require(java.nio.file.Files.exists(root.resolve("codebook.txt")),
       s"$dir is not a published retrieval snapshot")
     val cents = readBooks(root.resolve("codebook.txt"))

@@ -106,4 +106,44 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(lexSmall !== lexWant, "rebuild corpus change invisible; vacuous")
     assert(rows(reloaded.lexicalTopK(queries, 5)) === lexSmall)
   }
+
+  test("publish crash in the swap window leaves a loadable snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("graft-swap").toString
+    val live = s"$root/snap"
+    val queries = Seq(0L -> Seq("spark", "join"))
+    Retrieval.build(docs, emb, live)
+    val before = rows(Retrieval.load(spark, live).lexicalTopK(queries, 5))
+    assert(before.nonEmpty)
+
+    // a second, fully-staged snapshot (different corpus, so a wrongly
+    // committed one would serve visibly different results)
+    val smaller = docs.where(col("doc_id") < 250)
+    Retrieval.build(smaller, emb, s"$root/staged")
+    val lexSmall = rows(TextOps.bm25TopK(smaller, queries, 5))
+    assert(lexSmall !== before, "staged corpus change invisible; vacuous")
+
+    // kill the publish exactly between live→aside and staged→live: the
+    // live dir is momentarily gone, but the OLD snapshot is complete
+    // under its aside name — nothing is ever half-deleted
+    object Crash extends Exception
+    intercept[Crash.type] {
+      Retrieval.publish(new java.io.File(s"$root/staged"), live,
+        betweenRenames = () => throw Crash)
+    }
+    assert(!new java.io.File(live, "codebook.txt").exists(),
+      "crash injected after the aside rename; live must be vacant")
+
+    // load() recovers the stranded aside and serves the OLD corpus
+    assert(rows(Retrieval.load(spark, live).lexicalTopK(queries, 5))
+      === before, "post-crash load must serve the pre-publish snapshot")
+    assert(new java.io.File(live, "codebook.txt").exists())
+
+    // the staged snapshot survived the crash; retrying the publish
+    // completes the swap and sweeps every aside
+    Retrieval.publish(new java.io.File(s"$root/staged"), live)
+    assert(rows(Retrieval.load(spark, live).lexicalTopK(queries, 5))
+      === lexSmall)
+    assert(!new java.io.File(root).listFiles()
+      .exists(_.getName.startsWith("snap.old-")), "aside not swept")
+  }
 }
