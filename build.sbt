@@ -41,8 +41,18 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap + GC sized for the single-JVM local[32] harness, not for a real
+// executor: the 114-query registry's warmup-plus-timed passes hold far
+// more live plan/broadcast/codegen state than one production query
+// would, and in an 8g heap that turned into a suite-wide GC tax (the
+// round-9 bench regression: the SAME 106 queries measured 63.3 s under
+// 8g+G1 vs 45.0 s under 24g+ParallelGC on one machine, with the
+// slowdown spread uniformly over untouched queries — the GC-pressure
+// signature, not a plan change). ParallelGC is the right collector for
+// a throughput batch harness (no latency SLO); the box has 128 GiB.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+UseParallelGC",
 )

@@ -215,7 +215,11 @@ object HybridOps {
     * never disagree on token boundaries. */
   def tokenizeQueries(queries: Seq[(Long, String)]): Seq[(Long, Seq[String])] =
     queries.map { case (id, text) =>
-      id -> text.toLowerCase.split(" ", -1).toSeq
+      // Locale.ROOT, not the JVM default: Spark's lower() lowercases
+      // ASCII locale-independently, and under a Turkish-locale JVM the
+      // default toLowerCase maps 'I' to dotless 'ı' — the one way
+      // driver-side query tokens could diverge from indexed tokens
+      id -> text.toLowerCase(java.util.Locale.ROOT).split(" ", -1).toSeq
     }
 
   /** [[search]] over raw query strings — tokenized by

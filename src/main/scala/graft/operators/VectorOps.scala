@@ -1182,6 +1182,33 @@ object VectorOps {
       col("cell"))
   }
 
+  /** One driver-side probe computation serving BOTH artifact-serve
+    * needs: `cells` is the distinct probed-cell list (the
+    * partition-pruning filter for the index read) and `frame` is the
+    * broadcastable `(query_id, qv, cell)` probe frame the ADC join
+    * attaches. Before this seam existed every artifact serve collected
+    * the query vectors and ranked the probe cosines TWICE — once in
+    * [[probedCellsOf]] for the filter, once inside the serve for the
+    * frame — two redundant driver jobs per query batch on the hot path
+    * (x60/x62/x63/x67, the snapshot handle, the streaming IVF serve). */
+  final case class ProbePlan(cells: Seq[Long], frame: DataFrame)
+
+  /** Build the [[ProbePlan]]: ONE query-vector collect (bounded:
+    * |queries| rows), one driver ranking, both outputs derived from the
+    * same probe rows so filter and frame can never disagree. */
+  def probePlanOf(embeddings: DataFrame, queryIds: Seq[Long],
+      cents: Seq[Seq[Double]], nprobe: Int): ProbePlan = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val qvecs = e.where(col("vec_id").isin(queryIds: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val rows = probeRows(qvecs, queryIds, cents, nprobe)
+    val frame = spark.createDataset(spark.sparkContext.parallelize(rows, 1))
+      .toDF("query_id", "qv", "cell")
+    ProbePlan(rows.map(_._3).distinct, frame)
+  }
+
   /** Serve top-k from a stored `(vec_id, codes, cell)` index frame —
     * the production query path: the caller reads the cell-partitioned
     * artifact with a `cell IN (probed)` filter (partition-pruned scan),
@@ -1189,19 +1216,23 @@ object VectorOps {
     * survivors only. Exactly ONE corpus-frame join in the plan (the
     * broadcast probe attach); reconstruction is literal-lookup map work
     * computed AFTER pruning, so decode cost is ∝ the probed fraction
-    * too. Build the pruning filter first with [[probedCellsOf]]. */
+    * too. Build the pruning filter first with [[probePlanOf]] and hand
+    * its `frame` in via `probes` — otherwise the probe collect/ranking
+    * runs a second time here. */
   def ivfPqTopKFromIndex(index: DataFrame, embeddings: DataFrame,
       queryIds: Seq[Long], k: Int, nprobe: Int, cents: Seq[Seq[Double]],
-      books: Seq[Seq[Seq[Double]]], residual: Boolean = false): DataFrame = {
+      books: Seq[Seq[Seq[Double]]], residual: Boolean = false,
+      probes: Option[DataFrame] = None): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
-    val probes = probeFrame(embeddings, e, queryIds, cents, nprobe)
+    val probeDf = probes.getOrElse(
+      probeFrame(embeddings, e, queryIds, cents, nprobe))
     val recon0 = reconOf(col("codes"), books)
     val rv = if (residual) {
       val cv = element_at(centArrayLit(cents), col("cell").cast("int") + 1)
         .getField("cv")
       zip_with(cv, recon0, (x, y) => x + y)
     } else recon0
-    val scored = index.join(broadcast(probes), Seq("cell"))
+    val scored = index.join(broadcast(probeDf), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), col("cell"),
         round(cosine(col("qv"), rv), 6).as("cosine"))
@@ -1335,10 +1366,11 @@ object VectorOps {
   def ivfPqRefineTopK(index: DataFrame, embeddings: DataFrame,
       queryIds: Seq[Long], k: Int, r: Int, nprobe: Int,
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
-      residual: Boolean = false): DataFrame = {
+      residual: Boolean = false,
+      probes: Option[DataFrame] = None): DataFrame = {
     require(r >= k, s"shortlist r=$r must be >= k=$k")
     val short = ivfPqTopKFromIndex(index, embeddings, queryIds, r, nprobe,
-      cents, books, residual).select("query_id", "vec_id")
+      cents, books, residual, probes).select("query_id", "vec_id")
     val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     val q = e.where(col("vec_id").isin(queryIds.distinct: _*))
       .select(col("vec_id").as("query_id"), col("v").as("qv"))

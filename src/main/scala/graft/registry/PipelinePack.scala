@@ -161,11 +161,11 @@ object PipelinePack extends QueryPack {
     (s.read.parquet(tfPath), s.read.parquet(dlPath))
   }
 
-  /** Schema of the persisted IVF+PQ index artifact — passed explicitly
-    * on read so the `cell` PARTITION column keeps its written BIGINT
-    * type (inference would narrow it to INT and the pruning filter's
-    * long literals would sit behind a cast). */
-  private val IvfPqIndexSchema = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT"
+  /** Schema of the persisted IVF+PQ index artifact — THE one
+    * definition, shared with the serve handle so the registry read and
+    * the snapshot read can never drift apart (see
+    * [[graft.serve.Retrieval.IndexSchema]] for why it is explicit). */
+  private val IvfPqIndexSchema = graft.serve.Retrieval.IndexSchema
 
   /** The cell-partitioned IVF+PQ index artifact for a snapshot, built
     * once per (fixture, codebook constants, flavor) key and served with
@@ -726,11 +726,11 @@ object PipelinePack extends QueryPack {
       val books = pqBooksFor(s, dir)
       val emb = Tables.embeddings(s, dir)
       val path = ivfPqIndexFor(s, dir, cents, books, residual = false)
-      val probed = VectorOps.probedCellsOf(emb, QueryVecs, cents, nprobe = 2)
+      val probe = VectorOps.probePlanOf(emb, QueryVecs, cents, nprobe = 2)
       val index = s.read.schema(IvfPqIndexSchema).parquet(path)
-        .where(col("cell").isin(probed: _*))
+        .where(col("cell").isin(probe.cells: _*))
       VectorOps.ivfPqTopKFromIndex(index, emb, QueryVecs, 5, nprobe = 2,
-        cents, books)
+        cents, books, probes = Some(probe.frame))
         .orderBy("query_id", "rn")
     }),
     // IVFADC: residual encoding (codes quantize v − centroid(cell),
@@ -742,11 +742,11 @@ object PipelinePack extends QueryPack {
       val books = pqResBooksFor(s, dir)
       val emb = Tables.embeddings(s, dir)
       val path = ivfPqIndexFor(s, dir, cents, books, residual = true)
-      val probed = VectorOps.probedCellsOf(emb, QueryVecs, cents, nprobe = 2)
+      val probe = VectorOps.probePlanOf(emb, QueryVecs, cents, nprobe = 2)
       val index = s.read.schema(IvfPqIndexSchema).parquet(path)
-        .where(col("cell").isin(probed: _*))
+        .where(col("cell").isin(probe.cells: _*))
       VectorOps.ivfPqTopKFromIndex(index, emb, QueryVecs, 5, nprobe = 2,
-        cents, books, residual = true)
+        cents, books, residual = true, probes = Some(probe.frame))
         .orderBy("query_id", "rn")
     }),
     // two-stage refine: ADC shortlist of r=20 from the residual index,
@@ -758,11 +758,12 @@ object PipelinePack extends QueryPack {
       val books = pqResBooksFor(s, dir)
       val emb = Tables.embeddings(s, dir)
       val path = ivfPqIndexFor(s, dir, cents, books, residual = true)
-      val probed = VectorOps.probedCellsOf(emb, QueryVecs, cents, nprobe = 2)
+      val probe = VectorOps.probePlanOf(emb, QueryVecs, cents, nprobe = 2)
       val index = s.read.schema(IvfPqIndexSchema).parquet(path)
-        .where(col("cell").isin(probed: _*))
+        .where(col("cell").isin(probe.cells: _*))
       VectorOps.ivfPqRefineTopK(index, emb, QueryVecs, 5, r = 20,
-        nprobe = 2, cents, books, residual = true)
+        nprobe = 2, cents, books, residual = true,
+        probes = Some(probe.frame))
         .orderBy("query_id", "rn")
     }),
     // binary quantization: sign bits pack 64 dims into ONE 8-byte long,

@@ -40,9 +40,15 @@ import org.apache.spark.sql.functions._
 final class Retrieval private[serve] (spark: SparkSession, dir: String,
     val cents: Seq[Seq[Double]], val books: Seq[Seq[Seq[Double]]]) {
 
+  // accessors drop the `pb` merge-bucket partition column ([[Retrieval
+  // .MergeBuckets]]) — it is physical layout for [[Retrieval.rebuild]]'s
+  // per-partition swaps, not part of any frame's logical schema
   private def emb = spark.read.parquet(s"$dir/emb")
+    .select("vec_id", "embedding")
   private def tf = spark.read.parquet(s"$dir/tf")
+    .select("doc_id", "token", "tf")
   private def dl = spark.read.parquet(s"$dir/dl")
+    .select("doc_id", "dl")
 
   /** Dense top-k from the stored index: driver probe ranking → the
     * probed-cell filter prunes the partitioned index read → residual
@@ -50,12 +56,12 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * the float column (bounded lookups, not a scan). */
   def denseTopK(queryIds: Seq[Long], k: Int, nprobe: Int = 2,
       refine: Int = VectorOps.BinaryShortlist): DataFrame = {
-    val probed = VectorOps.probedCellsOf(emb, queryIds, cents, nprobe)
+    val probe = VectorOps.probePlanOf(emb, queryIds, cents, nprobe)
     val index = spark.read.schema(Retrieval.IndexSchema)
       .parquet(s"$dir/index")
-      .where(col("cell").isin(probed: _*))
+      .where(col("cell").isin(probe.cells: _*))
     VectorOps.ivfPqRefineTopK(index, emb, queryIds, k, refine, nprobe,
-      cents, books, residual = true)
+      cents, books, residual = true, probes = Some(probe.frame))
   }
 
   /** Lexical top-k from the stored tf/dl frames — df/N/avgdl derive at
@@ -99,13 +105,13 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     // predicates still fill k from the probed cells.
     def dense = {
       val qids = queries.map(_._1)
-      val probed = VectorOps.probedCellsOf(emb, qids, cents, nprobe)
+      val probe = VectorOps.probePlanOf(emb, qids, cents, nprobe)
       val index = spark.read.schema(Retrieval.IndexSchema)
         .parquet(s"$dir/index")
-        .where(col("cell").isin(probed: _*))
+        .where(col("cell").isin(probe.cells: _*))
         .join(broadcast(allowed.toDF("vec_id")), Seq("vec_id"), "left_semi")
       VectorOps.ivfPqRefineTopK(index, emb, qids, k, refine, nprobe,
-        cents, books, residual = true)
+        cents, books, residual = true, probes = Some(probe.frame))
         .withColumnRenamed("vec_id", "doc_id")
     }
     policy match {
@@ -137,29 +143,191 @@ object Retrieval {
       .map(_.split(",").toSeq
         .map(b => java.lang.Double.longBitsToDouble(b.toLong)))
 
+  /** Merge-bucket count for the id-keyed frames (emb/tf/dl/dh): each is
+    * written `partitionBy("pb")` with `pb = vec_id|doc_id mod this`, so
+    * [[rebuild]] can rewrite only the buckets a delta touches (the
+    * [[graft.sync.InPlaceMerge]] bucket convention). 32 suits the
+    * fixtures; a corpus deployment sizes it so a bucket stays near the
+    * block size, exactly like the sync store's bucket count. */
+  val MergeBuckets = 32
+
+  private def pb(idCol: String): org.apache.spark.sql.Column =
+    pmod(col(idCol), lit(MergeBuckets.toLong)).cast("int")
+
+  /** Per-doc content fingerprint frame `(doc_id, dh)` — the cheap
+    * change detector [[rebuild]] diffs instead of re-tokenizing the
+    * corpus (md5 of the text: one map pass, no explode/agg). */
+  private def dhOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("dh"))
+
   /** Train, encode, and publish every artifact for the snapshot, then
     * return the loaded handle. Training cost is the documented
     * once-per-snapshot work ([[VectorOps.trainedCentroids]] +
     * [[VectorOps.pqResidualCodebooks]]); encoding and the lexical
-    * aggregates are single corpus passes. Atomic: stage + rename. */
+    * aggregates are single corpus passes. Atomic: stage + rename-aside
+    * swap.
+    *
+    * `codebooks` pins the coarse + residual books instead of training —
+    * the production convention (train once on an initial sample, keep
+    * codes comparable across snapshots; the same fixed-codebook rule the
+    * streaming index enforces by constructor). [[rebuild]] is this
+    * applied automatically with the PRIOR snapshot's books plus
+    * delta-proportional encode/write. */
   def build(docs: DataFrame, embeddings: DataFrame, dir: String,
-      checkpointDir: Option[String] = None): Retrieval = {
+      checkpointDir: Option[String] = None,
+      codebooks: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None)
+      : Retrieval = {
     val spark = docs.sparkSession
     val staged = new java.io.File(s"$dir.tmp-${System.nanoTime()}")
-    val cents = VectorOps.trainedCentroids(embeddings)
-    val books = VectorOps.pqResidualCodebooks(embeddings, cents)
+    val (cents, books) = codebooks.getOrElse {
+      val cs = VectorOps.trainedCentroids(embeddings)
+      (cs, VectorOps.pqResidualCodebooks(embeddings, cs))
+    }
     writeBooks(staged.toPath.resolve("codebook.txt"), cents)
     writeBooks(staged.toPath.resolve("pqbooks.txt"), books.flatten)
     VectorOps.ivfPqIndex(embeddings, cents, books, residual = true)
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$staged/index")
-    embeddings.select("vec_id", "embedding")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staged/emb")
+    embeddings.select(col("vec_id"), col("embedding"), pb("vec_id").as("pb"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/emb")
     val (tf, dl) = TextOps.bm25Stats(docs, checkpointDir)
-    tf.write.mode(SaveMode.Overwrite).parquet(s"$staged/tf")
-    dl.write.mode(SaveMode.Overwrite).parquet(s"$staged/dl")
+    tf.withColumn("pb", pb("doc_id"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/tf")
+    dl.withColumn("pb", pb("doc_id"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/dl")
+    dhOf(docs).withColumn("pb", pb("doc_id"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/dh")
     publish(staged, dir)
     load(spark, dir)
+  }
+
+  /** Incremental snapshot refresh — the fixed-codebook insight applied
+    * to batch publish: reuse the PRIOR snapshot's coarse + residual
+    * codebooks (no retraining — the multi-pass cost a full [[build]]
+    * pays every publish), re-encode ONLY the docs whose content/vector
+    * actually changed, and rewrite only the index cells and merge
+    * buckets the delta touches (per-partition staged swap, the
+    * [[graft.sync.InPlaceMerge]] convention). `docs`/`embeddings` are
+    * the full NEW corpus; ids absent from them are deletes.
+    *
+    * Cost shape at scale: delta detection is two thin-column
+    * diff joins (stored md5 fingerprints against new ones; stored
+    * vectors against new ids/values), tokenization and PQ encoding run
+    * over the CHANGED rows only, and write volume ∝ touched partitions
+    * — against a full build's retrain (many corpus passes) + full
+    * re-encode + full rewrite.
+    *
+    * Crash contract: per-partition swaps commit independently (each
+    * partition directory is always one complete generation), so a crash
+    * mid-rebuild can leave a mixed-generation snapshot — rerun the same
+    * rebuild to converge (it is idempotent: already-merged partitions
+    * diff empty). A deployment that needs all-or-nothing publish uses
+    * [[build]] with `codebooks` pinned instead, at full-rewrite cost. */
+  def rebuild(docs: DataFrame, embeddings: DataFrame, dir: String,
+      checkpointDir: Option[String] = None): Retrieval = {
+    val spark = docs.sparkSession
+    val prior = load(spark, dir)
+    require(new java.io.File(s"$dir/dh").isDirectory,
+      s"$dir predates incremental rebuild (no dh/ fingerprint frame); " +
+        "publish once with build() to upgrade the layout")
+
+    // ---- dense delta: ids whose vector is new or changed / deleted ----
+    val newE = embeddings.select(col("vec_id"), col("embedding"))
+    val oldE = spark.read.parquet(s"$dir/emb")
+      .select(col("vec_id").as("o_id"), col("embedding").as("o_emb"))
+    val cmpE = newE.join(oldE, col("vec_id") === col("o_id"), "full_outer")
+    val changedVec = cmpE
+      .where(col("vec_id").isNotNull &&
+        (col("o_id").isNull || !(col("embedding") <=> col("o_emb"))))
+      .select("vec_id")
+    val deletedVec = cmpE.where(col("vec_id").isNull)
+      .select(col("o_id").as("vec_id"))
+    val touchedVec = changedVec.unionByName(deletedVec)
+    val changedEmb = newE.join(touchedVec, Seq("vec_id"), "left_semi")
+
+    // index cells the delta touches: the OLD cells of every touched id
+    // (an updated vector may have moved cells) plus the NEW assignments
+    val oldIdx = spark.read.schema(IndexSchema).parquet(s"$dir/index")
+    val newIdx = VectorOps.ivfPqIndex(changedEmb, prior.cents, prior.books,
+      residual = true)
+    val affectedCells = oldIdx
+      .join(touchedVec, Seq("vec_id"), "left_semi").select("cell")
+      .unionByName(newIdx.select("cell"))
+      .distinct().collect().map(_.getLong(0)).toSeq // bounded: ≤ cells
+    if (affectedCells.nonEmpty) {
+      val mergedIdx = oldIdx.where(col("cell").isin(affectedCells: _*))
+        .join(touchedVec, Seq("vec_id"), "left_anti")
+        .unionByName(newIdx)
+      replacePartitions(s"$dir/index", "cell", mergedIdx,
+        affectedCells.map(_.toString))
+    }
+    mergeBucketed(spark, s"$dir/emb", "vec_id", touchedVec,
+      changedEmb)
+
+    // ---- lexical delta: docs whose content fingerprint moved ----
+    val newDh = dhOf(docs)
+    val oldDh = spark.read.parquet(s"$dir/dh")
+      .select(col("doc_id").as("o_id"), col("dh").as("o_dh"))
+    val cmpD = newDh.join(oldDh, col("doc_id") === col("o_id"), "full_outer")
+    val changedDoc = cmpD
+      .where(col("doc_id").isNotNull &&
+        (col("o_id").isNull || col("dh") =!= col("o_dh")))
+      .select("doc_id")
+    val deletedDoc = cmpD.where(col("doc_id").isNull)
+      .select(col("o_id").as("doc_id"))
+    val touchedDoc = changedDoc.unionByName(deletedDoc)
+    val changedDocs = docs.join(touchedDoc, Seq("doc_id"), "left_semi")
+    val (tfNew, dlNew) = TextOps.bm25Stats(changedDocs, checkpointDir)
+    mergeBucketed(spark, s"$dir/tf", "doc_id", touchedDoc, tfNew)
+    mergeBucketed(spark, s"$dir/dl", "doc_id", touchedDoc, dlNew)
+    mergeBucketed(spark, s"$dir/dh", "doc_id", touchedDoc,
+      newDh.join(touchedDoc, Seq("doc_id"), "left_semi"))
+
+    load(spark, dir)
+  }
+
+  /** Merge fresh rows for touched ids into a `pb`-bucketed frame:
+    * affected buckets derive directly from the touched ids (mod
+    * arithmetic, no lookup), the old frame is read partition-pruned to
+    * them, touched ids are anti-joined out, fresh rows unioned in, and
+    * only those bucket directories swap. */
+  private def mergeBucketed(spark: SparkSession, frameDir: String,
+      idCol: String, touched: DataFrame, fresh: DataFrame): Unit = {
+    val affected = touched
+      .select(pb(idCol).as("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded: ≤ MergeBuckets
+    if (affected.isEmpty) return
+    val old = spark.read.parquet(frameDir)
+      .where(col("pb").isin(affected: _*))
+      .drop("pb")
+    val merged = old.join(touched, Seq(idCol), "left_anti")
+      .unionByName(fresh)
+      .withColumn("pb", pb(idCol))
+    replacePartitions(frameDir, "pb", merged, affected.map(_.toString))
+  }
+
+  /** Swap exactly the `partCol=<v>` directories of a partitioned frame
+    * for their staged replacements — each partition is always one
+    * complete generation on disk (rename-aside per partition, the
+    * [[publish]] discipline applied dir-by-dir). A staged partition
+    * that merged to empty deletes the live one (every row gone). */
+  private def replacePartitions(frameDir: String, partCol: String,
+      merged: DataFrame, affected: Seq[String]): Unit = {
+    val staged = new java.io.File(s"$frameDir.merge-${System.nanoTime()}")
+    merged.repartition(col(partCol))
+      .write.partitionBy(partCol).mode(SaveMode.Overwrite)
+      .parquet(staged.toString)
+    affected.foreach { v =>
+      val name = s"$partCol=$v"
+      val live = new java.io.File(s"$frameDir/$name")
+      val next = new java.io.File(staged, name)
+      // dot-prefixed aside: invisible to parquet readers while it lives
+      val aside = new java.io.File(s"$frameDir/.aside-$v-${System.nanoTime()}")
+      val hadOld = live.exists() && live.renameTo(aside)
+      if (next.exists()) { next.renameTo(live); () }
+      if (hadOld) rm(aside)
+    }
+    rm(staged)
   }
 
   private def rm(f: java.io.File): Unit = {

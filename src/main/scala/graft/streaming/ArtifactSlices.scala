@@ -78,12 +78,62 @@ private[streaming] object ArtifactSlices {
   * below the pointed generation's high-water id. A checkpoint replay of
   * a pre-compaction batch rewrites a slice that reads ignore — replay
   * safety survives compaction. */
+private[streaming] object SlicedArtifact {
+  /** Default retention for dirs superseded by a compaction pointer
+    * swap. A reader that resolved its frames just BEFORE the swap still
+    * holds plans referencing the old generation + slice paths; deleting
+    * them at the swap would fail that read mid-union
+    * ([[graft.sync.IndexStore.cleanupStaleStages]]'s grace convention,
+    * applied to supersession: age is measured from the swap that made a
+    * dir garbage, not from the dir's mtime, because a months-old slice
+    * can be superseded a millisecond before being read). */
+  val CompactionGraceMs: Long = 10L * 60L * 1000L
+}
+
 private[streaming] final class SlicedArtifact(
     root: String, frames: Seq[String], key: String) {
 
   private def sliceDir(frame: String, batchId: Long) =
     s"$root/$frame/gbatch=$batchId"
   private val pointer = java.nio.file.Paths.get(root, "COMPACT")
+  // deferred-deletion log: one "<supersededAtMillis>\t<path>" line per
+  // dir a pointer swap made garbage; swept once past the grace window
+  private val staleLog = java.nio.file.Paths.get(root, "STALE")
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
+  /** Record newly superseded dirs for deferred deletion (single-writer
+    * stream: appends don't race). */
+  private def markStale(dirs: Seq[java.io.File]): Unit =
+    if (dirs.nonEmpty) {
+      val now = System.currentTimeMillis()
+      val lines = dirs.map(d => s"$now\t${d.getAbsolutePath}\n").mkString
+      java.nio.file.Files.writeString(staleLog, lines,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
+    }
+
+  /** Delete logged dirs whose supersession age exceeds the grace;
+    * rewrite the log with the survivors (temp + atomic move). */
+  private def sweepStale(graceMs: Long): Unit =
+    if (java.nio.file.Files.exists(staleLog)) {
+      val cutoff = System.currentTimeMillis() - graceMs
+      val (due, kept) = java.nio.file.Files.readString(staleLog)
+        .split("\n").toSeq.filter(_.nonEmpty)
+        .partition(_.split("\t")(0).toLong <= cutoff)
+      due.foreach(l => rm(new java.io.File(l.split("\t")(1))))
+      val tmp = java.nio.file.Paths.get(root, s".STALE.tmp-${System.nanoTime()}")
+      java.nio.file.Files.writeString(tmp,
+        kept.map(_ + "\n").mkString)
+      java.nio.file.Files.move(tmp, staleLog,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
 
   /** Publish one batch's slice of one frame (overwrite = replay-safe). */
   def writeSlice(df: DataFrame, frame: String, batchId: Long): Unit =
@@ -129,6 +179,21 @@ private[streaming] final class SlicedArtifact(
     parts.reduceOption(_.unionByName(_))
   }
 
+  /** Batch ids that have a slice for `ref` but none for `frame`, plus
+    * `-1` when the pointed compacted generation lacks `frame`'s fold —
+    * the reopen-with-more-frames hazard: an artifact written before
+    * `frame` existed resolves a `frame` frame that silently misses
+    * every pre-existing key while `ref` still carries them. */
+  private[streaming] def missingFor(ref: String, frame: String): Seq[Long] = {
+    val base = compactedGen()
+    val hw = base.map(_._2).getOrElse(Long.MinValue)
+    val missingBase = base.toSeq.collect {
+      case (dir, _) if !new java.io.File(s"$dir/$frame").isDirectory => -1L
+    }
+    val newer = sliceIds(ref).filter(_ > hw).toSet -- sliceIds(frame).toSet
+    missingBase ++ newer.toSeq.sorted
+  }
+
   /** All frames resolved to the live corpus (latest slice per key wins,
     * tombstoned keys screened), or None before any batch wrote. */
   def resolved(spark: org.apache.spark.sql.SparkSession): Option[Map[String, DataFrame]] =
@@ -142,7 +207,8 @@ private[streaming] final class SlicedArtifact(
     * there is nothing to compact. `numFiles` sizes the compacted
     * output — 1 is right for a test artifact; at corpus scale pass a
     * count that keeps file sizes near the block size. */
-  def compact(spark: org.apache.spark.sql.SparkSession, numFiles: Int = 1): Long = {
+  def compact(spark: org.apache.spark.sql.SparkSession, numFiles: Int = 1,
+      graceMs: Long = SlicedArtifact.CompactionGraceMs): Long = {
     val opsAll = frameWithBatches(spark, "ops").getOrElse(return -1L)
     val hw = (compactedGen().map(_._2).toSeq ++ sliceIds("ops")) match {
       case Seq() => return -1L
@@ -164,18 +230,19 @@ private[streaming] final class SlicedArtifact(
     java.nio.file.Files.move(tmp, pointer,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    // best-effort cleanup: superseded slices and unpointed generations
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-      f.delete(); ()
-    }
-    (frames :+ "ops").foreach { f =>
-      sliceIds(f).filter(_ <= hw)
-        .foreach(b => rm(new java.io.File(sliceDir(f, b))))
-    }
-    Option(new java.io.File(root).listFiles()).foreach(_.foreach { f =>
-      if (f.getName.startsWith("compact-") && f.getName != gen) rm(f)
-    })
+    // deferred cleanup: the swap just made the superseded slices and
+    // unpointed generations garbage, but a reader that resolved BEFORE
+    // the swap may still be mid-union over them — log them stale now,
+    // delete them only once a grace window has passed (each compaction
+    // sweeps what earlier swaps logged; graceMs = 0 deletes on the next
+    // line, the eager behavior the replay spec pins)
+    val superseded =
+      (frames :+ "ops").flatMap(f => sliceIds(f).filter(_ <= hw)
+        .map(b => new java.io.File(sliceDir(f, b)))) ++
+      Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("compact-") && f.getName != gen)
+    markStale(superseded)
+    sweepStale(graceMs)
     hw
   }
 }

@@ -82,8 +82,9 @@ class StreamingLexical(artifactDir: String) {
     * ([[SlicedArtifact.compact]]): serve cost stops growing with batch
     * count, served results are unchanged, and the stream keeps indexing
     * on top. Returns the compacted high-water batch id. */
-  def compact(spark: SparkSession, numFiles: Int = 1): Long =
-    slices.compact(spark, numFiles)
+  def compact(spark: SparkSession, numFiles: Int = 1,
+      graceMs: Long = SlicedArtifact.CompactionGraceMs): Long =
+    slices.compact(spark, numFiles, graceMs)
 
   /** Serve BM25 top-k from the current artifact — the same scoring path
     * as batch [[TextOps.bm25TopK]], so the result over N indexed batches

@@ -43,6 +43,23 @@ class StreamingVectorIndex(artifactDir: String,
     Seq("emb", "codes") ++ (if (cents.isDefined) Seq("ivf") else Seq.empty),
     "vec_id")
 
+  // Fail fast on the reopen hazard: an artifact previously written
+  // WITHOUT cents has emb/codes slices but no ivf slices, so reopening
+  // it with cents would resolve an ivf frame silently missing every
+  // pre-existing vector — candidates would vanish from the IVFADC serve
+  // with no error. (Writing ivf slices for NEW batches can't repair the
+  // old ones: codes are per-doc-local, but serve correctness needs the
+  // whole live corpus in the cell index.)
+  cents.foreach { _ =>
+    val missing = slices.missingFor("emb", "ivf")
+    require(missing.isEmpty,
+      s"artifact at $artifactDir was written without a coarse codebook: " +
+        s"embedding slices with no matching ivf slice (batch ids " +
+        s"${missing.mkString(", ")}; -1 = the compacted base). Reopen " +
+        "without cents for ADC-only serving, or re-index the corpus " +
+        "under a cents-carrying handle.")
+  }
+
   /** Index all available micro-batches; returns DISTINCT batches run. */
   def indexAvailable(spark: SparkSession, embStream: DataFrame,
       checkpoint: String): Long = {
@@ -83,8 +100,9 @@ class StreamingVectorIndex(artifactDir: String,
   /** Fold the accumulated slices into one compacted generation
     * ([[SlicedArtifact.compact]]); serve results unchanged, file count
     * flat from then on. Returns the compacted high-water batch id. */
-  def compact(spark: SparkSession, numFiles: Int = 1): Long =
-    slices.compact(spark, numFiles)
+  def compact(spark: SparkSession, numFiles: Int = 1,
+      graceMs: Long = SlicedArtifact.CompactionGraceMs): Long =
+    slices.compact(spark, numFiles, graceMs)
 
   /** ADC top-k over the code artifact for query ids resolved in the
     * embedding artifact — the same scoring path as batch
@@ -111,10 +129,11 @@ class StreamingVectorIndex(artifactDir: String,
     cents.flatMap { cs =>
       slices.resolved(spark).map { m =>
         val emb = m("emb")
-        val probed = VectorOps.probedCellsOf(emb, queryIds, cs, nprobe)
+        val probe = VectorOps.probePlanOf(emb, queryIds, cs, nprobe)
         VectorOps.ivfPqTopKFromIndex(
-          m("ivf").where(col("cell").isin(probed: _*)),
-          emb, queryIds, k, nprobe, cs, books, residual = true)
+          m("ivf").where(col("cell").isin(probe.cells: _*)),
+          emb, queryIds, k, nprobe, cs, books, residual = true,
+          probes = Some(probe.frame))
       }
     }
 }

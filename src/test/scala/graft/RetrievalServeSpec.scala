@@ -107,6 +107,67 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(rows(reloaded.lexicalTopK(queries, 5)) === lexSmall)
   }
 
+  test("incremental rebuild: same serve as a fixed-codebook full build, delta-only writes") {
+    val root = java.nio.file.Files.createTempDirectory("graft-rebuild").toString
+    val live = s"$root/snap"
+    // initial corpus: ids < 420
+    val docs0 = docs.where(col("doc_id") < 420)
+    val emb0 = emb.where(col("vec_id") < 420)
+    val prior = Retrieval.build(docs0, emb0, live)
+
+    // the refreshed corpus — a SMALL delta (so some of the 16 cells are
+    // provably untouched): ids < 4 re-crawled (new text) AND
+    // re-embedded, [416,420) dropped, [420,424) added
+    def refresh(d: org.apache.spark.sql.DataFrame, id: String) =
+      d.where(col(id) < 424 && !(col(id) >= 416 && col(id) < 420))
+    val docs1 = refresh(docs, "doc_id")
+      .withColumn("text", when(col("doc_id") < 4,
+        concat(col("text"), lit(" refreshed crawl"))).otherwise(col("text")))
+    val emb1 = refresh(emb, "vec_id")
+      .withColumn("embedding", when(col("vec_id") < 4,
+        reverse(col("embedding"))).otherwise(col("embedding")))
+
+    def cellDirs = new java.io.File(s"$live/index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
+    val mtimeBefore = cellDirs.map(d => d.getName -> d.lastModified()).toMap
+
+    val rebuilt = Retrieval.rebuild(docs1, emb1, live)
+    // codebooks untouched: rebuild NEVER retrains
+    assert(rebuilt.cents === prior.cents && rebuilt.books === prior.books,
+      "rebuild retrained the codebooks")
+
+    // serve ≡ a from-scratch build pinned to the SAME codebooks
+    val want = Retrieval.build(docs1, emb1, s"$root/full",
+      codebooks = Some((prior.cents, prior.books)))
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    for (p <- Seq[HybridOps.Fusion](HybridOps.Rrf, HybridOps.LexicalOnly,
+        HybridOps.DenseOnly)) {
+      assert(rows(rebuilt.search(queries, 5, p)) ===
+        rows(want.search(queries, 5, p)),
+        s"incremental rebuild diverges from the full fixed-codebook build under $p")
+    }
+
+    // delta-only writes: cells holding only untouched vectors must not
+    // have been rewritten. Touched = old cells of changed/deleted ids
+    // plus new cells of changed/added ids, both under the PRIOR books.
+    def cellsOf(e: org.apache.spark.sql.DataFrame) = graft.operators.VectorOps
+      .ivfPqIndex(e, prior.cents, prior.books, residual = true)
+      .select("cell").distinct().collect().map("cell=" + _.getLong(0)).toSet
+    val touchedCells =
+      cellsOf(emb0.where(col("vec_id") < 4 || col("vec_id") >= 416)) ++
+      cellsOf(emb1.where(col("vec_id") < 4 || col("vec_id") >= 420))
+    val untouched = mtimeBefore.keySet -- touchedCells
+    assert(untouched.nonEmpty,
+      "every cell touched; the delta-only assertion is vacuous")
+    for (d <- cellDirs if untouched.contains(d.getName))
+      assert(d.lastModified() == mtimeBefore(d.getName),
+        s"${d.getName} was rewritten by a delta that never touched it")
+
+    // idempotence: re-running the same rebuild is a no-op serve-wise
+    val again = Retrieval.rebuild(docs1, emb1, live)
+    assert(rows(again.search(queries, 5)) === rows(want.search(queries, 5)))
+  }
+
   test("publish crash in the swap window leaves a loadable snapshot") {
     val root = java.nio.file.Files.createTempDirectory("graft-swap").toString
     val live = s"$root/snap"

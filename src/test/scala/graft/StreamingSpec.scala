@@ -521,6 +521,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "compaction changed the streamed IVFADC serve")
   }
 
+  test("compaction grace: a reader resolved before the swap still reads; a later sweep reclaims") {
+    import graft.operators.TextOps
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    val queries = Seq(0L -> Seq("spark", "join"))
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    def sliceDirs(root: String, frame: String) =
+      Option(new java.io.File(s"$root/$frame").listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("gbatch="))
+    val root = tmp("grace-lex").toString
+    val sl = new graft.streaming.StreamingLexical(root)
+    sl.indexBatch(docsAll.where(col("doc_id") < 100), 0)
+    sl.indexBatch(docsAll.where(col("doc_id") >= 100 && col("doc_id") < 200), 1)
+    // this plan resolved against the PRE-compaction slice paths
+    val preSwapReader = sl.topK(spark, queries, 5).get
+    val want = rows(preSwapReader)
+    assert(want.nonEmpty)
+    // default grace: the swap logs the superseded slices stale instead
+    // of deleting them, so the pre-swap reader's union still executes
+    assert(sl.compact(spark) == 1)
+    assert(sliceDirs(root, "tf").nonEmpty,
+      "superseded slices deleted inside the grace window")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "STALE")), "stale log missing")
+    assert(rows(preSwapReader) === want,
+      "pre-swap reader broke after compaction inside the grace window")
+    // a later compaction with an elapsed grace sweeps everything the
+    // earlier swap logged (and its own supersessions)
+    assert(sl.compact(spark, graceMs = 0) == 1)
+    assert(sliceDirs(root, "tf").isEmpty, "grace-expired slices survive")
+    assert(rows(sl.topK(spark, queries, 5).get) === want,
+      "served results changed across graced compactions")
+  }
+
   test("streaming artifact compaction: slices fold to one generation, served results unchanged, stream continues on top") {
     import graft.operators.{TextOps, VectorOps}
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
@@ -550,7 +584,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .withColumn("is_deleted", lit(true))), 2)
     val before = rows(sl.topK(spark, queries, 5).get)
     assert(before.nonEmpty)
-    val hw = sl.compact(spark)
+    val hw = sl.compact(spark, graceMs = 0)
     assert(hw == 2, s"high-water batch id: expected 2, got $hw")
     // served results byte-identical; every pre-compaction slice gone;
     // ONE data file per frame regardless of how many batches arrived
@@ -585,7 +619,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // ignored by reads and swept by the next compaction
     val orphan = new java.io.File(s"$lexRoot/compact-99-orphan")
     assert(orphan.mkdirs())
-    assert(sl.compact(spark) == 3)
+    assert(sl.compact(spark, graceMs = 0) == 3)
     assert(!orphan.exists(), "orphaned generation not swept")
     assert(rows(sl.topK(spark, queries, 5).get) ===
       rows(TextOps.bm25TopK(liveDocs, queries, 5)),
@@ -599,7 +633,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     sv.indexBatch(embAll.where(col("vec_id") >= 150 && col("vec_id") < 200)
       .withColumn("is_deleted", lit(true)), 2)
     val adcBefore = rows(sv.topK(spark, queryIds, 5).get)
-    assert(sv.compact(spark) == 2)
+    assert(sv.compact(spark, graceMs = 0) == 2)
     assert(rows(sv.topK(spark, queryIds, 5).get) === adcBefore,
       "compaction changed the served ADC results")
     val liveEmb = embAll.where(col("vec_id") < 150)
