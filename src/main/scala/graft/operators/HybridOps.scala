@@ -206,6 +206,38 @@ object HybridOps {
        |QUALIFY rn <= $k""".stripMargin)
   }
 
+  /** Oracle for [[graft.serve.Retrieval.rebuild]]'s end-to-end serve
+    * (x70): the [[snapshotSearchSql]] fusion where the dense half's
+    * codebooks train on the PRIOR corpus only
+    * ([[VectorOps.ivfPqFixedBookRefineSql]]) and both halves serve the
+    * REFRESHED corpus — so the incremental merge path is oracle-gated
+    * against exactly the fixed-codebook semantics the handle promises. */
+  def rebuildSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
+      r: Int, nprobe: Int, trainEmbSql: String, serveEmbSql: String,
+      serveDocsSql: String): String = {
+    val d = rrfDenom(k)
+    VectorOps.materializedCtes(s"""WITH lex AS (
+       |  SELECT query_id, doc_id, rn
+       |  FROM (${TextOps.bm25TopKSql(queries, k, docsSql = Some(serveDocsSql))})
+       |), dense AS (
+       |  SELECT query_id, vec_id AS doc_id, rn
+       |  FROM (${VectorOps.ivfPqFixedBookRefineSql(queries.map(_._1), k, r,
+                  nprobe, trainEmbSql, serveEmbSql)})
+       |), fused AS (
+       |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
+       |    coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |    coalesce($d // ($RrfK + l.rn), 0) +
+       |      coalesce($d // ($RrfK + r.rn), 0) AS rrf
+       |  FROM lex l FULL OUTER JOIN dense r
+       |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+       |)
+       |SELECT query_id, doc_id, rrf,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rn
+       |FROM fused
+       |QUALIFY rn <= $k""".stripMargin)
+  }
+
   /** Tokenize raw query strings with the ENGINE'S tokenizer rule —
     * [[TextOps.tokens]] is `split(lower(text), " ")`, and this is that
     * rule applied driver-side to the bounded query batch (split

@@ -773,13 +773,20 @@ object TextOps {
     * one-column doc_id subquery restricting candidates before the rank
     * (global stats, the filter-query semantics above). */
   def bm25TopKSql(queries: Seq[(Long, Seq[String])], k: Int,
-      allowedSql: Option[String] = None): String = {
+      allowedSql: Option[String] = None,
+      docsSql: Option[String] = None): String = {
     val restrict = allowedSql
       .map(a => s"WHERE doc_id IN ($a)\n").getOrElse("")
     val qvals = queries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
-    s"""WITH tok AS (
-       |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM documents
+    // docsSql swaps the corpus for a derived `(doc_id, text)` SELECT
+    // (the x70 refreshed-corpus serve); absent, the emitted text is
+    // byte-identical to the historical generator
+    val (srcCte, srcName) = docsSql
+      .map(d => (s"docs_src AS (\n$d\n), ", "docs_src"))
+      .getOrElse(("", "documents"))
+    s"""WITH ${srcCte}tok AS (
+       |  SELECT doc_id, unnest(${tokensSql("text")}) AS token FROM $srcName
        |), tf AS (
        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
        |), dl AS (

@@ -488,10 +488,10 @@ object VectorOps {
     * [[trainedCentroids]] step for step — grid floor, exact BIGINT sum,
     * (sum → double)/n/grid — so both engines derive bit-identical
     * codebooks. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, src: String = "e"): String = {
     val init =
       s"""cents0 AS (
-         |  SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < $k
+         |  SELECT vec_id AS cent_id, v AS cv FROM $src WHERE vec_id < $k
          |)""".stripMargin
     val rounds = (1 to iters).map { i =>
       s"""asg$i AS (
@@ -499,7 +499,7 @@ object VectorOps {
          |    row_number() OVER (PARTITION BY vec_id ORDER BY
          |      ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) DESC,
          |      cent_id) AS rn
-         |  FROM e CROSS JOIN cents${i - 1}
+         |  FROM $src CROSS JOIN cents${i - 1}
          |  QUALIFY rn = 1
          |), st$i AS (
          |  SELECT cell, dim,
@@ -1411,6 +1411,117 @@ object VectorOps {
        |FROM rscored
        |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
        |QUALIFY rn <= $k""".stripMargin)
+
+  /** Dense half of the incremental-snapshot oracle (x70) — the SQL
+    * mirror of [[graft.serve.Retrieval.rebuild]]'s fixed-codebook
+    * contract: the coarse codebook AND the residual PQ books train on
+    * `trainSql`'s corpus ONLY (the prior snapshot's corpus), the
+    * refreshed corpus `serveSql` is assigned + residual-encoded under
+    * those FIXED books, and the serve is the x63 two-stage refine over
+    * the re-encoded index. Both args are complete `(vec_id, v)` SELECTs
+    * (v already double). The train chains are [[kmeansCtes]] /
+    * [[pqKmeansCtes]] verbatim; only the encode pass reads the serve
+    * corpus — exactly the split `rebuild` makes physical. */
+  def ivfPqFixedBookRefineSql(queryIds: Seq[Long], k: Int, r: Int,
+      nprobe: Int, trainSql: String, serveSql: String,
+      iters: Int = KMeansIters, m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String = {
+    val d = Dim / m
+    val perSub = (0 until m).map { mi =>
+      val a = mi * d + 1
+      val b = (mi + 1) * d
+      s"""sc_$mi AS (
+         |  SELECT s.vec_id, p.cent_id AS code,
+         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |      ${l2sqSql("s.sv", "p.cv", d)}, p.cent_id) AS rn
+         |  FROM (SELECT vec_id, v[$a:$b] AS sv FROM sres) s
+         |  CROSS JOIN (SELECT cent_id, cv FROM pcents WHERE sub = $mi) p
+         |  QUALIFY rn = 1
+         |)""".stripMargin
+    }
+    val scodes = (0 until m)
+      .map(mi => s"SELECT vec_id, CAST($mi AS INT) AS sub, code FROM sc_$mi")
+      .mkString("scodes AS (\n", "\n  UNION ALL\n", "\n)")
+    materializedCtes(s"""WITH e AS (
+       |$trainSql
+       |),
+       |${kmeansCtes(NumCentroids, iters)},
+       |cents AS (SELECT cent_id, cv FROM cents$iters),
+       |tassign AS (
+       |  SELECT vec_id, v, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM e CROSS JOIN cents
+       |  QUALIFY rn = 1
+       |), res AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS v
+       |  FROM tassign a JOIN cents c ON c.cent_id = a.cell
+       |),
+       |${pqKmeansCtes(m, ksub, pqIters, src = "res")},
+       |es AS (
+       |$serveSql
+       |), sassign AS (
+       |  SELECT vec_id, v, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM es CROSS JOIN cents
+       |  QUALIFY rn = 1
+       |), sres AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS v
+       |  FROM sassign a JOIN cents c ON c.cent_id = a.cell
+       |),
+       |${perSub.mkString(",\n")},
+       |$scodes,
+       |srecon AS (
+       |  SELECT c.vec_id, flatten(list(p.cv ORDER BY c.sub)) AS rv
+       |  FROM scodes c JOIN pcents p ON p.sub = c.sub AND p.cent_id = c.code
+       |  GROUP BY c.vec_id
+       |), sxhat AS (
+       |  SELECT r.vec_id, a.cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> c.cv[i] + r.rv[i]) AS rv
+       |  FROM srecon r
+       |  JOIN sassign a ON a.vec_id = r.vec_id
+       |  JOIN cents c ON c.cent_id = a.cell
+       |), sprobes AS (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${dotSql("q.v", "cv")} / (${normSql("q.v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM es q CROSS JOIN cents
+       |  WHERE q.vec_id IN (${queryIds.mkString(",")})
+       |  QUALIFY rn <= $nprobe
+       |), sscored AS (
+       |  SELECT p.query_id, x.vec_id,
+       |    round(${dotSql("p.qv", "x.rv")} /
+       |      (${normSql("p.qv")} * ${normSql("x.rv")}), 6) AS cosine
+       |  FROM sprobes p JOIN sxhat x ON x.cell = p.cell AND x.vec_id <> p.query_id
+       |), rshort AS (
+       |  SELECT query_id, vec_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM sscored
+       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |  QUALIFY rn <= $r
+       |), rq AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM es
+       |  WHERE vec_id IN (${queryIds.mkString(",")})
+       |), rscored AS (
+       |  SELECT s.query_id, s.vec_id,
+       |    round(${dotSql("q.qv", "e2.v")} /
+       |      (${normSql("q.qv")} * ${normSql("e2.v")}), 6) AS cosine
+       |  FROM rshort s
+       |  JOIN es e2 ON e2.vec_id = s.vec_id
+       |  JOIN rq q ON q.query_id = s.query_id
+       |)
+       |SELECT query_id, vec_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |FROM rscored
+       |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |QUALIFY rn <= $k""".stripMargin)
+  }
 
   // --- binary (sign-bit) quantization + Hamming shortlist (x64) -----------
 

@@ -232,6 +232,67 @@ object PipelinePack extends QueryPack {
       root.toString)
   }
 
+  // --- the x70 incremental-refresh scenario ------------------------------
+  // One deterministic corpus evolution, spelled identically in both
+  // engines: the PRIOR snapshot holds ids `< 16 OR id % 5 <> 0` (the
+  // `< 16` clause keeps the k-means/PQ seed range dense — both trainers
+  // seed from ids [0, 16)); the REFRESH drops `id % 101 = 7`, re-crawls
+  // `id % 97 = 3` (text suffixed, embedding reversed), and thereby adds
+  // every `id % 5 = 0, id >= 16` doc the prior snapshot never held.
+
+  private def initialDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .where(col("doc_id") < 16 || col("doc_id") % 5 =!= 0)
+  private def initialEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .where(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
+  private def refreshedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select("doc_id", "text")
+      .where(col("doc_id") % 101 =!= 7)
+      .withColumn("text", when(col("doc_id") % 97 === 3,
+        concat(col("text"), lit(" refreshed"))).otherwise(col("text")))
+  private def refreshedEmb(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select("vec_id", "embedding")
+      .where(col("vec_id") % 101 =!= 7)
+      .withColumn("embedding", when(col("vec_id") % 97 === 3,
+        reverse(col("embedding"))).otherwise(col("embedding")))
+
+  private val TrainEmbSql =
+    """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |FROM embeddings WHERE vec_id < 16 OR vec_id % 5 <> 0""".stripMargin
+  private val ServeEmbSql =
+    """SELECT vec_id, list_transform(
+      |    CASE WHEN vec_id % 97 = 3 THEN list_reverse(embedding)
+      |         ELSE embedding END, x -> CAST(x AS DOUBLE)) AS v
+      |FROM embeddings WHERE vec_id % 101 <> 7""".stripMargin
+  private val ServeDocsSql =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 97 = 3 THEN text || ' refreshed' ELSE text END AS text
+      |FROM documents WHERE doc_id % 101 <> 7""".stripMargin
+
+  /** The refreshed snapshot handle: a cached PRIOR build (fixture-keyed
+    * like [[retrievalFor]]) brought current by [[graft.serve.Retrieval
+    * .rebuild]] on every call — after the first merge the rebuild is
+    * idempotent, so the registered query measures the steady-state
+    * refresh (delta diff scans) plus the serve, never a retrain. */
+  private def rebuildRetrievalFor(s: SparkSession,
+      dir: String): graft.serve.Retrieval = {
+    val fe = new java.io.File(s"$dir/embeddings.parquet")
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    val key = artifactKey(dir, fe.lastModified(), fe.length(),
+      fd.lastModified(), fd.length(), "retrieval_rebuild",
+      VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.PqSubspaces,
+      VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
+      VectorOps.Dim)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_rebuild_$key")
+    if (!new java.io.File(root, "codebook.txt").exists())
+      graft.serve.Retrieval.build(initialDocs(s, dir), initialEmb(s, dir),
+        root.toString)
+    graft.serve.Retrieval.rebuild(refreshedDocs(s, dir),
+      refreshedEmb(s, dir), root.toString)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the deployment surface end-to-end: one handle over the published
     // snapshot artifacts (cell-partitioned residual IVFADC index +
@@ -239,6 +300,13 @@ object PipelinePack extends QueryPack {
     // oracle composes the BM25 chain with the refine chain under RRF
     "x67_snapshot_search" -> ((s, dir) =>
       retrievalFor(s, dir).search(Bm25Queries, 5)
+        .orderBy("query_id", "rn")),
+    // the refresh path end-to-end: a prior snapshot is brought current
+    // by the incremental rebuild (fixed codebooks, delta-only encode +
+    // write) and served — the oracle trains on the PRIOR corpus only
+    // and serves the refreshed one, pinning the fixed-book semantics
+    "x70_rebuild_search" -> ((s, dir) =>
+      rebuildRetrievalFor(s, dir).search(Bm25Queries, 5)
         .orderBy("query_id", "rn")),
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
@@ -993,6 +1061,11 @@ object PipelinePack extends QueryPack {
     "x67_snapshot_search" ->
       (graft.operators.HybridOps.snapshotSearchSql(Bm25Queries, 5,
         r = VectorOps.BinaryShortlist, nprobe = 2) +
+        "\nORDER BY query_id, rn"),
+    "x70_rebuild_search" ->
+      (graft.operators.HybridOps.rebuildSearchSql(Bm25Queries, 5,
+        r = VectorOps.BinaryShortlist, nprobe = 2,
+        TrainEmbSql, ServeEmbSql, ServeDocsSql) +
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),

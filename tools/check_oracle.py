@@ -8,9 +8,15 @@ Runs each oracle SQL from <verifyOutDir>/oracle_sql.json in DuckDB over the
 fixture parquet tables, loads the Spark result parquet, sorts columns by
 name, and compares values both order-sensitively and order-insensitively.
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
+
+# Oracle wall-time alarm: round 9's gate silently recorded ZERO results
+# because four oracles took 4-5 min EACH in DuckDB (unfenced CTE chains)
+# and the driver's budget ran out. Flag anything slow enough to threaten
+# the budget so the regression is visible the day it is introduced.
+SLOW_ORACLE_SECS = 15.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -31,6 +37,7 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     no_oracle = []
+    slow_names = []
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -38,19 +45,26 @@ def main(sf_dir, out_dir):
         if name not in oracle:
             no_oracle.append(name)
             continue
+        t0 = time.time()
         try:
             got = norm(pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))], ignore_index=True))
             want = norm(con.sql(oracle[name]).df())
             status, detail = compare(got, want)
         except Exception as e:
             status, detail = "ERROR", str(e)[:300]
+        secs = time.time() - t0
+        slow = f"  [SLOW ORACLE {secs:.1f}s - gate budget risk]" if secs > SLOW_ORACLE_SECS else ""
+        if slow:
+            slow_names.append((name, round(secs, 1)))
         if status == "OK":
             n_pass += 1
-            print(f"  OK    {name} ({detail})")
+            print(f"  OK    {name} ({detail}, {secs:.1f}s){slow}")
         else:
             n_fail += 1
-            print(f"  {status}  {name}: {detail}")
+            print(f"  {status}  {name}: {detail}{slow}")
     print(f"\n{n_pass} pass, {n_fail} fail; rows-only (no oracle): {no_oracle}")
+    if slow_names:
+        print(f"SLOW ORACLES (> {SLOW_ORACLE_SECS:.0f}s, budget risk): {slow_names}")
     return 1 if n_fail else 0
 
 def compare(got, want):
