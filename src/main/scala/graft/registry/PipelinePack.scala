@@ -21,6 +21,11 @@ object PipelinePack extends QueryPack {
 
   val MinCosine = 0.2
 
+  /** Confirmed edit-similarity floor for x71 (1 − lev/maxlen ≥ this) —
+    * low enough to confirm a non-empty subset of the LSH candidates at
+    * every fixture scale, strict enough that some candidates fail. */
+  val EditSim = 0.3
+
   /** Misra–Gries sketch size for x51 — the SINGLE source for both the
     * Spark-side guarantee booleans and the oracle's heavy-set floor
     * (`c·(K+1) > n`); interpolating it into the SQL keeps the two sides
@@ -219,6 +224,7 @@ object PipelinePack extends QueryPack {
     val fd = new java.io.File(s"$dir/documents.parquet")
     val key = artifactKey(dir, fe.lastModified(), fe.length(),
       fd.lastModified(), fd.length(), "retrieval",
+      graft.serve.Retrieval.LayoutVersion,
       VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.PqSubspaces,
       VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
       VectorOps.Dim)
@@ -281,6 +287,7 @@ object PipelinePack extends QueryPack {
     val fd = new java.io.File(s"$dir/documents.parquet")
     val key = artifactKey(dir, fe.lastModified(), fe.length(),
       fd.lastModified(), fd.length(), "retrieval_rebuild",
+      graft.serve.Retrieval.LayoutVersion,
       VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.PqSubspaces,
       VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
       VectorOps.Dim)
@@ -314,6 +321,17 @@ object PipelinePack extends QueryPack {
     "x2_minhash_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard)
         .orderBy("doc_a", "doc_b")),
+    // the OTHER candidate confirm: normalized Levenshtein over the same
+    // capped banded candidates — order-sensitive where Jaccard is
+    // order-blind; the O(len²) DP runs only on the bounded candidate set
+    "x71_edit_pairs" -> ((s, dir) =>
+      Dedup.editDupPairs(Tables.documents(s, dir), EditSim)
+        .orderBy("doc_a", "doc_b")),
+    // RAG-style token-window chunking: map-only, no shuffle; chunk ids
+    // stable for provenance joins and embedding-id composition
+    "x72_doc_chunks" -> ((s, dir) =>
+      TextOps.chunkDocs(Tables.documents(s, dir))
+        .orderBy("doc_id", "chunk_id")),
     "x3_neardup_dedup" -> ((s, dir) =>
       Dedup.nearDupDedup(Tables.documents(s, dir), DedupJaccard).orderBy("doc_id")),
     // transitive duplicate clusters (large-star/small-star connected
@@ -891,6 +909,10 @@ object PipelinePack extends QueryPack {
     "x1_exact_dedup" -> (Dedup.exactDedupSql + "\nORDER BY doc_id"),
     "x2_minhash_pairs" ->
       (Dedup.nearDupPairsSql(PairJaccard) + "\nORDER BY doc_a, doc_b"),
+    "x71_edit_pairs" ->
+      (Dedup.editDupPairsSql(EditSim) + "\nORDER BY doc_a, doc_b"),
+    "x72_doc_chunks" ->
+      (TextOps.chunkDocsSql() + "\nORDER BY doc_id, chunk_id"),
     "x3_neardup_dedup" ->
       (Dedup.nearDupDedupSql(DedupJaccard) + "\nORDER BY doc_id"),
     "x26_dup_clusters" ->

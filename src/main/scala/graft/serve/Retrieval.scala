@@ -129,6 +129,13 @@ object Retrieval {
     * pruning filter's long literals behind a cast). */
   private[graft] val IndexSchema = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT"
 
+  /** On-disk snapshot layout version — a cache-key component for
+    * anything that keys cached snapshots by fixture identity, so a
+    * layout change (v2: pb-bucketed frames + dh/vh fingerprints)
+    * invalidates stale caches instead of tripping [[rebuild]]'s
+    * layout check. */
+  val LayoutVersion = 2
+
   private def writeBooks(path: java.nio.file.Path,
       rows: Seq[Seq[Double]]): Unit = {
     java.nio.file.Files.createDirectories(path.getParent)
@@ -159,6 +166,16 @@ object Retrieval {
     * corpus (md5 of the text: one map pass, no explode/agg). */
   private def dhOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("dh"))
+
+  /** Per-vector fingerprint frame `(vec_id, vh)` — the dense twin of
+    * [[dhOf]]: xxhash64 over the float array, so [[rebuild]]'s change
+    * detection diffs two thin BIGINT columns instead of reading the
+    * stored FLOAT COLUMN corpus-wide (at corpus scale the emb frame IS
+    * the bulk of the snapshot; the diff must not scan it). Internal
+    * layout only — never crosses the oracle boundary, so a Spark-native
+    * hash is fine where the doc side uses cross-engine md5. */
+  private def vhOf(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), xxhash64(col("embedding")).as("vh"))
 
   /** Train, encode, and publish every artifact for the snapshot, then
     * return the loaded handle. Training cost is the documented
@@ -197,6 +214,8 @@ object Retrieval {
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/dl")
     dhOf(docs).withColumn("pb", pb("doc_id"))
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/dh")
+    vhOf(embeddings).withColumn("pb", pb("vec_id"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/vh")
     publish(staged, dir)
     load(spark, dir)
   }
@@ -227,18 +246,22 @@ object Retrieval {
       checkpointDir: Option[String] = None): Retrieval = {
     val spark = docs.sparkSession
     val prior = load(spark, dir)
-    require(new java.io.File(s"$dir/dh").isDirectory,
-      s"$dir predates incremental rebuild (no dh/ fingerprint frame); " +
-        "publish once with build() to upgrade the layout")
+    require(new java.io.File(s"$dir/dh").isDirectory &&
+        new java.io.File(s"$dir/vh").isDirectory,
+      s"$dir predates incremental rebuild (no dh/vh fingerprint " +
+        "frames); publish once with build() to upgrade the layout")
 
-    // ---- dense delta: ids whose vector is new or changed / deleted ----
+    // ---- dense delta: ids whose vector is new or changed / deleted,
+    // detected on the thin stored fingerprints — the float column is
+    // never scanned for the diff
     val newE = embeddings.select(col("vec_id"), col("embedding"))
-    val oldE = spark.read.parquet(s"$dir/emb")
-      .select(col("vec_id").as("o_id"), col("embedding").as("o_emb"))
-    val cmpE = newE.join(oldE, col("vec_id") === col("o_id"), "full_outer")
+    val newVh = vhOf(embeddings)
+    val oldVh = spark.read.parquet(s"$dir/vh")
+      .select(col("vec_id").as("o_id"), col("vh").as("o_vh"))
+    val cmpE = newVh.join(oldVh, col("vec_id") === col("o_id"), "full_outer")
     val changedVec = cmpE
       .where(col("vec_id").isNotNull &&
-        (col("o_id").isNull || !(col("embedding") <=> col("o_emb"))))
+        (col("o_id").isNull || col("vh") =!= col("o_vh")))
       .select("vec_id")
     val deletedVec = cmpE.where(col("vec_id").isNull)
       .select(col("o_id").as("vec_id"))
@@ -263,6 +286,8 @@ object Retrieval {
     }
     mergeBucketed(spark, s"$dir/emb", "vec_id", touchedVec,
       changedEmb)
+    mergeBucketed(spark, s"$dir/vh", "vec_id", touchedVec,
+      newVh.join(touchedVec, Seq("vec_id"), "left_semi"))
 
     // ---- lexical delta: docs whose content fingerprint moved ----
     val newDh = dhOf(docs)
