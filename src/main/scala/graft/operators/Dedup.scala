@@ -302,10 +302,11 @@ object Dedup {
        |  FROM cand JOIN shs x ON x.doc_id = doc_a JOIN shs y ON y.doc_id = doc_b
        |)""".stripMargin
 
-  /** Shared CTE chain for the DuckDB oracle (signatures → bands →
-    * bucket cap → pairs → jaccard), generated from the same constants as
-    * the Spark side ([[MaxBandBucket]] mirrors [[bucketSurvivors]]). */
-  private def nearDupCtes: String =
+  /** WITH-chain through the banded candidates only (no confirm tail):
+    * signatures → bands → bucket cap → `cand` — the shared prefix of
+    * the Jaccard confirm ([[nearDupCtes]]) and the edit-distance
+    * confirm ([[editDupPairsSql]]). */
+  private def candCtesSql: String =
     s"""$sigCtesSql, bands AS (
        |    ${bandSelectsSql()}
        |), bsurv AS (
@@ -318,7 +319,13 @@ object Dedup {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM kept a JOIN kept b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |), $pairsCteSql""".stripMargin
+       |)""".stripMargin
+
+  /** Shared CTE chain for the DuckDB oracle (signatures → bands →
+    * bucket cap → pairs → jaccard), generated from the same constants as
+    * the Spark side ([[MaxBandBucket]] mirrors [[bucketSurvivors]]). */
+  private def nearDupCtes: String =
+    s"""$candCtesSql, $pairsCteSql""".stripMargin
 
   /** [[crossCorpusPairs]] oracle: the same chain with the band sides
     * split by corpus predicates over doc_id; the bucket cap counts
@@ -347,6 +354,49 @@ object Dedup {
     s"""$nearDupCtes
        |SELECT doc_a, doc_b, jaccard FROM pairs
        |WHERE jaccard >= $minJaccard""".stripMargin
+
+  /** Edit-distance-verified near-duplicate pairs — the OTHER classic
+    * confirm on LSH candidates (shingle Jaccard measures set overlap
+    * and is order-blind; normalized Levenshtein measures the actual
+    * rewrite distance, so a doc whose paragraphs were REORDERED scores
+    * high Jaccard but low edit similarity, and a doc with a small
+    * in-place patch scores high on both — curation pipelines use the
+    * two signals together). Candidates come from the SAME capped banded
+    * join as [[nearDupPairs]] (never all-pairs; the O(len²) DP runs
+    * only on the bounded candidate set — the scale contract), then each
+    * pair is scored `1 − lev(a,b) / max(len(a), len(b))`, rounded to
+    * 6 dp before the threshold.
+    *
+    * Cross-engine note: Spark's `levenshtein` counts CODEPOINTS while
+    * DuckDB's counts BYTES — identical on ASCII corpora (the fixtures
+    * are ASCII; verified `length = octet_length` corpus-wide). The
+    * operator's own semantics are Spark's codepoint distance. */
+  def editDupPairs(docs: DataFrame, minSim: Double,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val withSh = shingleFrame(docs)
+    val cand = bandCandidates(minHashSignaturesFrom(withSh),
+      MaxBandBucket, checkpointDir)
+    val a = docs.select(col("doc_id").as("doc_a"), col("text").as("ta"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("text").as("tb"))
+    cand.join(a, "doc_a").join(b, "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+          greatest(length(col("ta")), length(col("tb"))), 6).as("edit_sim"))
+      .where(col("edit_sim") >= minSim)
+  }
+
+  /** [[editDupPairs]] oracle: the shared candidate chain with the
+    * Levenshtein confirm in place of the Jaccard one. */
+  def editDupPairsSql(minSim: Double): String =
+    s"""$candCtesSql, epairs AS (
+       |  SELECT doc_a, doc_b,
+       |    round(1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE) /
+       |      greatest(length(x.text), length(y.text)), 6) AS edit_sim
+       |  FROM cand JOIN documents x ON x.doc_id = doc_a
+       |    JOIN documents y ON y.doc_id = doc_b
+       |)
+       |SELECT doc_a, doc_b, edit_sim FROM epairs
+       |WHERE edit_sim >= $minSim""".stripMargin
 
   /** Benchmark decontamination check (the n-gram-overlap eval-set test
     * every serious training corpus runs; cf. the 13-gram overlap

@@ -816,4 +816,71 @@ object TextOps {
        |FROM agg
        |${restrict}QUALIFY rn <= $k""".stripMargin
   }
+
+  /** Token window / overlap of [[chunkDocs]] — 64/16 suits the fixture
+    * doc lengths (most docs yield 1–5 chunks); a RAG deployment tunes
+    * them to its embedding model's context. Single-constant rule: both
+    * engines interpolate these. */
+  val ChunkWindow = 64
+  val ChunkOverlap = 16
+
+  /** Token-window chunking — the splitting step every RAG /
+    * context-packing pipeline runs before embedding: each doc becomes
+    * `ceil((n − overlap) / (window − overlap))` chunks (min 1) of up to
+    * `window` tokens, consecutive chunks sharing `overlap` tokens so no
+    * semantic unit is cut without context. One row per
+    * `(doc_id, chunk_id)` with the chunk text (tokens re-joined with
+    * single spaces — the engine tokenizer's inverse up to whitespace
+    * runs) and its token count; `chunk_id` is the 0-based window index,
+    * so chunk provenance is stable and joinable.
+    *
+    * Scale shape: pure per-doc column work — tokenize, one bounded
+    * `sequence` explode (fan-out = chunks per doc, data-proportional),
+    * an array slice per row. Map-only, no shuffle, no window; chunk
+    * rows land embedding-ready for [[graft.serve.Retrieval.build]]'s
+    * corpus or the streaming indexes (chunk_id composes into the vec_id
+    * space as `doc_id * maxChunks + chunk_id`). */
+  def chunkDocs(docs: DataFrame, window: Int = ChunkWindow,
+      overlap: Int = ChunkOverlap): DataFrame = {
+    require(window > overlap && overlap >= 0,
+      s"window=$window must exceed overlap=$overlap")
+    val step = window - overlap
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        greatest(floor((size(col("toks")) - lit(overlap) + lit(step - 1)) /
+          lit(step)).cast("long"), lit(1L)).as("nc"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("toks"), (col("chunk_id") * step + 1).cast("int"),
+          lit(window)).as("ct"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ct")).cast("long").as("n_tokens"),
+        array_join(col("ct"), " ").as("chunk"))
+  }
+
+  /** [[chunkDocs]] oracle — same integer chunk-count arithmetic
+    * (`(n − overlap + step − 1) // step`, floored at 1), DuckDB's
+    * inclusive list slice `[a : a+window−1]` ≡ Spark's clamped
+    * `slice(a, window)`. */
+  def chunkDocsSql(window: Int = ChunkWindow,
+      overlap: Int = ChunkOverlap): String = {
+    val step = window - overlap
+    s"""WITH t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+       |), n AS (
+       |  SELECT doc_id, toks,
+       |    greatest((len(toks) - $overlap + ${step - 1}) // $step, 1) AS nc
+       |  FROM t
+       |), g AS (
+       |  SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n
+       |), c AS (
+       |  SELECT doc_id, chunk_id,
+       |    toks[(chunk_id * $step + 1):(chunk_id * $step + $window)] AS ct
+       |  FROM g
+       |)
+       |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
+       |  array_to_string(ct, ' ') AS chunk
+       |FROM c""".stripMargin
+  }
 }

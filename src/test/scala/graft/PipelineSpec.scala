@@ -1301,4 +1301,80 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(a.nonEmpty && a === b,
       "quality rank diverged under a different partitioning")
   }
+
+  test("edit-distance confirm: order-sensitive where Jaccard is order-blind") {
+    val sess = spark
+    import sess.implicits._
+    // b = a with two sentences swapped (same shingle-ish content, real
+    // rewrite distance); c = a with one word patched (tiny distance)
+    val sent1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val sent2 = "a slow green turtle walks under the busy bridge beside the old mill"
+    val a = s"$sent1 $sent2"
+    val b = s"$sent2 $sent1"
+    val c = a.replace("quick", "rapid")
+    val tiny = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    def sim(x: String, y: String): Double = {
+      val lev = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(x, y).toInt
+      1.0 - lev.toDouble / math.max(x.length, y.length)
+    }
+    val got = Dedup.editDupPairs(tiny, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every confirmed value matches a reference Levenshtein, and the
+    // patched pair scores far above the reordered pair
+    got.foreach { case ((da, db), v) =>
+      val want = math.rint(sim(Map(0L -> a, 1L -> b, 2L -> c)(da),
+        Map(0L -> a, 1L -> b, 2L -> c)(db)) * 1e6) / 1e6
+      assert(math.abs(v - want) < 1e-9, s"($da,$db): got $v want $want")
+    }
+    assert(got.contains((0L, 2L)), "patched near-copy not confirmed")
+    if (got.contains((0L, 1L)))
+      assert(got((0L, 2L)) > got((0L, 1L)),
+        "a one-word patch must outscore a sentence reorder")
+
+    // fixture-scale: confirmed pairs are a subset of the banded
+    // candidates with scores in [0, 1]
+    val pairs = Dedup.editDupPairs(docs.select("doc_id", "text"), 0.3)
+      .collect()
+    assert(pairs.nonEmpty, "no edit-confirmed pairs at fixture scale; vacuous")
+    assert(pairs.forall(r => r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0))
+    val cand = Dedup.nearDupPairs(docs, 0.0)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nearDupPairs at jaccard>=0 IS the candidate set (confirm keeps all)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(cand))
+  }
+
+  test("token-window chunking: coverage, overlap, and reconstruction") {
+    val w = TextOps.ChunkWindow
+    val o = TextOps.ChunkOverlap
+    val step = w - o
+    val chunks = TextOps.chunkDocs(docs.select("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_._3 <= w), "chunk over the window budget")
+    val toks = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+    chunks.groupBy(_._1).foreach { case (id, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk ids dense from 0; count matches the closed-form formula
+      assert(sorted.map(_._2) === sorted.indices.map(_.toLong))
+      val n = toks(id).size
+      val wantN = math.max((n - o + step - 1) / step, 1)
+      assert(sorted.size == wantN, s"doc $id: ${sorted.size} chunks, want $wantN")
+      // each chunk is exactly the token slice of its window, so
+      // consecutive chunks overlap by `o` and the corpus reconstructs
+      sorted.foreach { case (_, cid, nt, text) =>
+        val want = toks(id).slice((cid * step).toInt,
+          (cid * step).toInt + w)
+        assert(nt == want.size && text == want.mkString(" "),
+          s"doc $id chunk $cid diverges from the token slice")
+      }
+      val rebuilt = sorted.flatMap { case (_, cid, _, text) =>
+        val ts = text.split(" ", -1).toVector
+        if (cid == 0) ts else ts.drop(o min ts.size)
+      }.toVector
+      assert(rebuilt == toks(id), s"doc $id does not reconstruct from chunks")
+    }
+  }
 }
