@@ -268,26 +268,34 @@ object Retrieval {
     val touchedVec = changedVec.unionByName(deletedVec)
     val changedEmb = newE.join(touchedVec, Seq("vec_id"), "left_semi")
 
-    // index cells the delta touches: the OLD cells of every touched id
-    // (an updated vector may have moved cells) plus the NEW assignments
-    val oldIdx = spark.read.schema(IndexSchema).parquet(s"$dir/index")
-    val newIdx = VectorOps.ivfPqIndex(changedEmb, prior.cents, prior.books,
-      residual = true)
-    val affectedCells = oldIdx
-      .join(touchedVec, Seq("vec_id"), "left_semi").select("cell")
-      .unionByName(newIdx.select("cell"))
-      .distinct().collect().map(_.getLong(0)).toSeq // bounded: ≤ cells
-    if (affectedCells.nonEmpty) {
-      val mergedIdx = oldIdx.where(col("cell").isin(affectedCells: _*))
-        .join(touchedVec, Seq("vec_id"), "left_anti")
-        .unionByName(newIdx)
-      replacePartitions(s"$dir/index", "cell", mergedIdx,
-        affectedCells.map(_.toString))
+    // ONE bounded job answers "which buckets, and was there a delta at
+    // all": an empty result short-circuits the whole dense side (the
+    // steady-state no-op refresh costs exactly the two fingerprint
+    // diffs plus the serve — the production idempotent-rerun path)
+    val touchedVecPb = affectedPbsOf(touchedVec, "vec_id")
+    if (touchedVecPb.nonEmpty) {
+      // index cells the delta touches: the OLD cells of every touched
+      // id (an updated vector may have moved cells) plus the NEW
+      // assignments
+      val oldIdx = spark.read.schema(IndexSchema).parquet(s"$dir/index")
+      val newIdx = VectorOps.ivfPqIndex(changedEmb, prior.cents, prior.books,
+        residual = true)
+      val affectedCells = oldIdx
+        .join(touchedVec, Seq("vec_id"), "left_semi").select("cell")
+        .unionByName(newIdx.select("cell"))
+        .distinct().collect().map(_.getLong(0)).toSeq // bounded: ≤ cells
+      if (affectedCells.nonEmpty) {
+        val mergedIdx = oldIdx.where(col("cell").isin(affectedCells: _*))
+          .join(touchedVec, Seq("vec_id"), "left_anti")
+          .unionByName(newIdx)
+        replacePartitions(s"$dir/index", "cell", mergedIdx,
+          affectedCells.map(_.toString))
+      }
+      mergeBucketed(spark, s"$dir/emb", "vec_id", touchedVec,
+        changedEmb, touchedVecPb)
+      mergeBucketed(spark, s"$dir/vh", "vec_id", touchedVec,
+        newVh.join(touchedVec, Seq("vec_id"), "left_semi"), touchedVecPb)
     }
-    mergeBucketed(spark, s"$dir/emb", "vec_id", touchedVec,
-      changedEmb)
-    mergeBucketed(spark, s"$dir/vh", "vec_id", touchedVec,
-      newVh.join(touchedVec, Seq("vec_id"), "left_semi"))
 
     // ---- lexical delta: docs whose content fingerprint moved ----
     val newDh = dhOf(docs)
@@ -301,26 +309,36 @@ object Retrieval {
     val deletedDoc = cmpD.where(col("doc_id").isNull)
       .select(col("o_id").as("doc_id"))
     val touchedDoc = changedDoc.unionByName(deletedDoc)
-    val changedDocs = docs.join(touchedDoc, Seq("doc_id"), "left_semi")
-    val (tfNew, dlNew) = TextOps.bm25Stats(changedDocs, checkpointDir)
-    mergeBucketed(spark, s"$dir/tf", "doc_id", touchedDoc, tfNew)
-    mergeBucketed(spark, s"$dir/dl", "doc_id", touchedDoc, dlNew)
-    mergeBucketed(spark, s"$dir/dh", "doc_id", touchedDoc,
-      newDh.join(touchedDoc, Seq("doc_id"), "left_semi"))
+    val touchedDocPb = affectedPbsOf(touchedDoc, "doc_id")
+    if (touchedDocPb.nonEmpty) {
+      val changedDocs = docs.join(touchedDoc, Seq("doc_id"), "left_semi")
+      val (tfNew, dlNew) = TextOps.bm25Stats(changedDocs, checkpointDir)
+      mergeBucketed(spark, s"$dir/tf", "doc_id", touchedDoc, tfNew,
+        touchedDocPb)
+      mergeBucketed(spark, s"$dir/dl", "doc_id", touchedDoc, dlNew,
+        touchedDocPb)
+      mergeBucketed(spark, s"$dir/dh", "doc_id", touchedDoc,
+        newDh.join(touchedDoc, Seq("doc_id"), "left_semi"), touchedDocPb)
+    }
 
     load(spark, dir)
   }
 
+  /** The distinct merge buckets a touched-id frame maps to — bounded
+    * driver metadata (≤ [[MergeBuckets]] ints) and doubling as the
+    * delta-emptiness signal, computed ONCE per rebuild side. */
+  private def affectedPbsOf(touched: DataFrame, idCol: String): Seq[Int] =
+    touched.select(pb(idCol).as("pb")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
   /** Merge fresh rows for touched ids into a `pb`-bucketed frame:
-    * affected buckets derive directly from the touched ids (mod
+    * `affected` buckets derive directly from the touched ids (mod
     * arithmetic, no lookup), the old frame is read partition-pruned to
     * them, touched ids are anti-joined out, fresh rows unioned in, and
     * only those bucket directories swap. */
   private def mergeBucketed(spark: SparkSession, frameDir: String,
-      idCol: String, touched: DataFrame, fresh: DataFrame): Unit = {
-    val affected = touched
-      .select(pb(idCol).as("pb")).distinct()
-      .collect().map(_.getInt(0)).toSeq // bounded: ≤ MergeBuckets
+      idCol: String, touched: DataFrame, fresh: DataFrame,
+      affected: Seq[Int]): Unit = {
     if (affected.isEmpty) return
     val old = spark.read.parquet(frameDir)
       .where(col("pb").isin(affected: _*))

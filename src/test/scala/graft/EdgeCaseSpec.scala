@@ -298,4 +298,53 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
   }
 
   private def Tables_envelope = graft.sources.Tables.envelope(spark, sf)
+
+  test("chunking survives empty/one-token docs and hits window boundaries exactly") {
+    val w = TextOps.ChunkWindow
+    val o = TextOps.ChunkOverlap
+    val step = w - o
+    // empty text tokenizes to [""] (split keeps the empty token), one
+    // chunk; a doc of exactly `window` tokens is ONE chunk; window+1
+    // tokens is two, the second holding overlap+1 tokens
+    val boundary = Seq(
+      (10L, ""),
+      (11L, "solo"),
+      (12L, Seq.fill(w)("t").mkString(" ")),
+      (13L, Seq.fill(w + 1)("t").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkDocs(boundary).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    assert(got((10L, 0L)) === ((1L, "")), "empty doc: one empty-token chunk")
+    assert(got((11L, 0L)) === ((1L, "solo")))
+    assert(got.keys.count(_._1 == 12L) == 1, "exact-window doc must be 1 chunk")
+    assert(got((12L, 0L))._1 === w.toLong)
+    assert(got.keys.count(_._1 == 13L) == 2, "window+1 doc must be 2 chunks")
+    assert(got((13L, 1L))._1 === (o + 1).toLong,
+      s"second chunk must carry overlap+1 tokens, got ${got((13L, 1L))._1}")
+    // empty input relation: empty output, schema intact
+    val none = TextOps.chunkDocs(boundary.limit(0))
+    assert(none.count() === 0)
+    assert(none.columns.toSeq ===
+      Seq("doc_id", "chunk_id", "n_tokens", "chunk"))
+  }
+
+  test("edit-distance pairs survive degenerate docs") {
+    // shingle-less docs (empty/one-token) never band, so they can never
+    // reach the Levenshtein confirm; well-formed empty results
+    assert(Dedup.editDupPairs(weirdDocs.select("doc_id", "text"), 0.0)
+      .collect().forall(r => !r.isNullAt(2)))
+    val none = Dedup.editDupPairs(emptyDocs.select("doc_id", "text"), 0.0)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq === Seq("doc_a", "doc_b", "edit_sim"))
+    // identical docs confirm at exactly 1.0 (lev 0)
+    val sess = spark
+    import sess.implicits._
+    val twins = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+    val tp = Dedup.editDupPairs(twins, 0.99).collect()
+    assert(tp.length == 1 && tp(0).getDouble(2) == 1.0)
+  }
 }
