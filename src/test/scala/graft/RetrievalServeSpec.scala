@@ -130,6 +130,11 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     def cellDirs = new java.io.File(s"$live/index").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
     val mtimeBefore = cellDirs.map(d => d.getName -> d.lastModified()).toMap
+    def pbDirs(frame: String) = new java.io.File(s"$live/$frame").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pb=")).toSeq
+    val pbBefore = Seq("emb", "vh", "tf", "dl", "dh")
+      .map(f => f -> pbDirs(f).map(d => d.getName -> d.lastModified()).toMap)
+      .toMap
 
     val rebuilt = Retrieval.rebuild(docs1, emb1, live)
     // codebooks untouched: rebuild NEVER retrains
@@ -162,6 +167,17 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     for (d <- cellDirs if untouched.contains(d.getName))
       assert(d.lastModified() == mtimeBefore(d.getName),
         s"${d.getName} was rewritten by a delta that never touched it")
+
+    // same for the id-bucketed frames: buckets holding no touched id
+    // (touched = ids < 4, [416,424) → pb = id mod 32) must not move
+    val touchedPb = (0L until 4L).map(_ % 32) ++ (416L until 424L).map(_ % 32)
+    for (f <- Seq("emb", "vh", "tf", "dl", "dh");
+        d <- pbDirs(f)
+        if !touchedPb.map(p => s"pb=$p").contains(d.getName)) {
+      assert(pbBefore(f).contains(d.getName), s"$f/${d.getName} appeared")
+      assert(d.lastModified() == pbBefore(f)(d.getName),
+        s"$f/${d.getName} was rewritten by a delta that never touched it")
+    }
 
     // idempotence: re-running the same rebuild is a no-op serve-wise
     val again = Retrieval.rebuild(docs1, emb1, live)
