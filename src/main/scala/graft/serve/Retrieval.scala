@@ -241,9 +241,13 @@ object Retrieval {
     * mid-rebuild can leave a mixed-generation snapshot — rerun the same
     * rebuild to converge (it is idempotent: already-merged partitions
     * diff empty). A deployment that needs all-or-nothing publish uses
-    * [[build]] with `codebooks` pinned instead, at full-rewrite cost. */
+    * [[build]] with `codebooks` pinned instead, at full-rewrite cost.
+    * `afterDenseMerge` is the crash-injection seam the convergence spec
+    * throws from (between the dense and lexical sides — the worst
+    * mixed-generation point). */
   def rebuild(docs: DataFrame, embeddings: DataFrame, dir: String,
-      checkpointDir: Option[String] = None): Retrieval = {
+      checkpointDir: Option[String] = None,
+      afterDenseMerge: () => Unit = () => ()): Retrieval = {
     val spark = docs.sparkSession
     val prior = load(spark, dir)
     require(new java.io.File(s"$dir/dh").isDirectory &&
@@ -296,6 +300,7 @@ object Retrieval {
       mergeBucketed(spark, s"$dir/vh", "vec_id", touchedVec,
         newVh.join(touchedVec, Seq("vec_id"), "left_semi"), touchedVecPb)
     }
+    afterDenseMerge()
 
     // ---- lexical delta: docs whose content fingerprint moved ----
     val newDh = dhOf(docs)

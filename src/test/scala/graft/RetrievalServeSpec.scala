@@ -184,6 +184,40 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(rows(again.search(queries, 5)) === rows(want.search(queries, 5)))
   }
 
+  test("rebuild crash between the dense and lexical merges: rerun converges") {
+    val root = java.nio.file.Files.createTempDirectory("graft-reconv").toString
+    val live = s"$root/snap"
+    val docs0 = docs.where(col("doc_id") < 420)
+    val emb0 = emb.where(col("vec_id") < 420)
+    val prior = Retrieval.build(docs0, emb0, live)
+    val docs1 = docs.where(col("doc_id") < 450)
+      .withColumn("text", when(col("doc_id") < 4,
+        concat(col("text"), lit(" recrawl two"))).otherwise(col("text")))
+    val emb1 = emb.where(col("vec_id") < 450)
+      .withColumn("embedding", when(col("vec_id") < 4,
+        reverse(col("embedding"))).otherwise(col("embedding")))
+
+    // die after the dense side committed but before the lexical side —
+    // the snapshot is now MIXED-GENERATION (new index/emb, old tf/dl)
+    object Crash extends Exception
+    intercept[Crash.type] {
+      Retrieval.rebuild(docs1, emb1, live,
+        afterDenseMerge = () => throw Crash)
+    }
+    // still loadable (every partition directory is a complete
+    // generation), and a rerun of the SAME rebuild converges: the dense
+    // side diffs empty, the lexical side completes
+    val recovered = Retrieval.rebuild(docs1, emb1, live)
+    val want = Retrieval.build(docs1, emb1, s"$root/full",
+      codebooks = Some((prior.cents, prior.books)))
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    for (p <- Seq[HybridOps.Fusion](HybridOps.Rrf, HybridOps.LexicalOnly,
+        HybridOps.DenseOnly))
+      assert(rows(recovered.search(queries, 5, p)) ===
+        rows(want.search(queries, 5, p)),
+        s"post-crash rerun did not converge under $p")
+  }
+
   test("publish crash in the swap window leaves a loadable snapshot") {
     val root = java.nio.file.Files.createTempDirectory("graft-swap").toString
     val live = s"$root/snap"
