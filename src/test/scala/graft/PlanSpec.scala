@@ -268,6 +268,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("chunking plans map-only: no exchange, no join, one scan") {
+    // the scale claim on chunkDocs is that it is pure per-doc column
+    // work — a shuffle or join appearing here means the sequence
+    // explode or the slice picked up a different physical shape
+    val plan = formatted(graft.operators.TextOps.chunkDocs(
+      graft.sources.Tables.documents(spark, psf).select("doc_id", "text")))
+    assert(!plan.contains("Exchange"), s"chunking shuffles:\n$plan")
+    assert(!plan.contains("Join"), s"chunking joins:\n$plan")
+    // formatted explain names each node in the tree AND detail section,
+    // so one physical scan appears exactly twice
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 2, s"expected one corpus scan, got ${scans / 2}:\n$plan")
+  }
+
   test("interval join plans as an equi-join with range filter, never a nested loop") {
     import graft.operators.Analytics
     import org.apache.spark.sql.functions.col
