@@ -16,6 +16,11 @@ case class ImageAsset(asset_id: Long, media: Array[Byte])
 case class ImageMeta(asset_id: Long, format: String, width: Int, height: Int,
     corner_rgb: Int)
 
+/** Perceptual average-hash of a decoded image: 64 bits as a '0'/'1'
+  * string (row-major over the 8×8 grid — a string, not a BIGINT, so no
+  * engine disagrees about bit 63's sign). */
+case class ImagePHash(asset_id: Long, width: Int, height: Int, phash: String)
+
 /** Multimodal column handling (builder brief "Multimodal columns"):
   * image/audio/video as opaque `binary` columns with a typed metadata
   * struct, plus decode / feature-extract / frame-sample stages.
@@ -144,6 +149,23 @@ object MultimodalOps {
     }
   }
 
+  /** Sniff + decode the first image of a payload with the registered
+    * JDK readers; shared by the metadata and perceptual-hash paths. */
+  private def readImage(assetId: Long,
+      media: Array[Byte]): (String, java.awt.image.BufferedImage) = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(media))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no JDK reader for asset $assetId")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        (reader.getFormatName.toLowerCase, reader.read(0))
+      } finally reader.dispose()
+    } finally iis.close()
+  }
+
   /** REAL decode via `javax.imageio` — NOT the stub: the container
     * format is sniffed from the byte stream by the registered readers
     * (PNG signature / "BM" magic), dimensions and the corner pixel come
@@ -156,23 +178,100 @@ object MultimodalOps {
     import spark.implicits._
     assetsDs.mapPartitions { it =>
       it.map { a =>
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(a.media))
-        try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          require(readers.hasNext, s"no JDK reader for asset ${a.asset_id}")
-          val reader = readers.next()
-          try {
-            reader.setInput(iis)
-            val fmt = reader.getFormatName.toLowerCase
-            val img = reader.read(0)
-            ImageMeta(a.asset_id, fmt, img.getWidth, img.getHeight,
-              img.getRGB(0, 0) & 0xffffff)
-          } finally reader.dispose()
-        } finally iis.close()
+        val (fmt, img) = readImage(a.asset_id, a.media)
+        ImageMeta(a.asset_id, fmt, img.getWidth, img.getHeight,
+          img.getRGB(0, 0) & 0xffffff)
       }
     }
   }
+
+  /** Perceptual average-hash (aHash) over the REAL decoded raster — the
+    * image-dedup primitive (near-identical images hash equal; the
+    * text-dedup family's fingerprint step for the pixel modality):
+    * integer luma `(299r + 587g + 114b) / 1000` per pixel, pixels
+    * block-assigned to an 8×8 grid by `ci = x·8/w` (integer division —
+    * no resampling kernel, so no codec/JVM-version variance), and bit
+    * (cj, ci) set iff the cell's mean exceeds the image mean. The
+    * comparison is the EXACT integer cross-multiplication
+    * `cellSum·nAll > allSum·nCell` — no division anywhere, so the m4
+    * oracle re-derives every bit arithmetically from the generator
+    * formula and matching proves decode + DSP end-to-end. Map-only,
+    * per-partition batched; the hash is 64 chars of '0'/'1'
+    * (a BIGINT would hit the cross-engine bit-63 sign trap). */
+  def imagePHash(spark: SparkSession,
+      assetsDs: Dataset[ImageAsset]): Dataset[ImagePHash] = {
+    import spark.implicits._
+    assetsDs.mapPartitions { it =>
+      it.map { a =>
+        val (_, img) = readImage(a.asset_id, a.media)
+        val w = img.getWidth
+        val h = img.getHeight
+        val s = Array.ofDim[Long](8, 8)
+        val n = Array.ofDim[Long](8, 8)
+        var ts = 0L
+        var tn = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val rgb = img.getRGB(x, y)
+          val gray = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          val ci = x * 8 / w
+          val cj = y * 8 / h
+          s(cj)(ci) += gray; n(cj)(ci) += 1; ts += gray; tn += 1
+        }
+        val bits = (for (cj <- 0 until 8; ci <- 0 until 8)
+          yield if (s(cj)(ci) * tn > ts * n(cj)(ci)) '1' else '0').mkString
+        ImagePHash(a.asset_id, w, h, bits)
+      }
+    }
+  }
+
+  /** The m4 oracle: every aHash bit re-derived from integer arithmetic
+    * over `documents` (the generator's pixel formula run through the
+    * same luma/grid/cross-multiplication chain in SQL). */
+  def imagePHashSql: String =
+    s"""WITH px AS (
+       |  SELECT doc_id AS asset_id,
+       |    8 + doc_id % 24 AS w, 8 + (doc_id * 7) % 16 AS h, x, y,
+       |    (299 * (doc_id % 256) + 587 * x + 114 * y) // 1000 AS gray
+       |  FROM documents, generate_series(0, 30) sx(x), generate_series(0, 22) sy(y)
+       |  WHERE x < 8 + doc_id % 24 AND y < 8 + (doc_id * 7) % 16
+       |), cs AS (
+       |  SELECT asset_id, w, h, (y * 8) // h AS cj, (x * 8) // w AS ci,
+       |    SUM(gray) AS s, COUNT(*) AS n
+       |  FROM px GROUP BY asset_id, w, h, cj, ci
+       |), tot AS (
+       |  SELECT asset_id, SUM(s) AS ts, SUM(n) AS tn FROM cs GROUP BY asset_id
+       |), bits AS (
+       |  SELECT c.asset_id, c.w, c.h, c.cj, c.ci,
+       |    CASE WHEN c.s * t.tn > t.ts * c.n THEN '1' ELSE '0' END AS b
+       |  FROM cs c JOIN tot t USING (asset_id)
+       |)
+       |SELECT asset_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  string_agg(b, '' ORDER BY cj, ci) AS phash
+       |FROM bits GROUP BY asset_id, w, h""".stripMargin
+
+  /** Exact perceptual-duplicate groups: assets sharing an aHash collapse
+    * to one row `(phash, n_assets, rep)` — the image analog of
+    * [[Dedup.exactDedup]]'s group view, and the SCALE path for image
+    * dedup (one hash aggregate; no pair join exists to blow up when a
+    * hash bucket holds 10⁵ near-identical crawl images — the boilerplate
+    * clique lesson applied to pixels). Near-dup pairing under a Hamming
+    * radius would band these 64-bit strings exactly like MinHash bands;
+    * the group view is the always-safe first stage. */
+  def phashDupGroups(spark: SparkSession,
+      assetsDs: Dataset[ImageAsset]): DataFrame =
+    imagePHash(spark, assetsDs).toDF()
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_assets"), min("asset_id").as("rep"))
+      .where(col("n_assets") >= 2)
+
+  /** [[phashDupGroups]] oracle — the m4 chain grouped. */
+  def phashDupGroupsSql: String =
+    s"""WITH ph AS (
+       |${imagePHashSql}
+       |)
+       |SELECT phash, count(*) AS n_assets, min(asset_id) AS rep
+       |FROM ph GROUP BY phash HAVING count(*) >= 2""".stripMargin
 
   /** The m3 oracle: every column of the decoded output re-derived from
     * pure integer arithmetic over `documents` — matching means the REAL

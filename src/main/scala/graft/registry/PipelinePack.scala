@@ -903,6 +903,18 @@ object PipelinePack extends QueryPack {
       MultimodalOps.decodeImageMeta(s,
         MultimodalOps.imageAssets(s, Tables.documents(s, dir)))
         .toDF().orderBy("asset_id")),
+    // perceptual hash over the REAL decoded raster (integer luma + 8x8
+    // block means + exact cross-multiplied threshold — every bit
+    // re-derived arithmetically by the oracle), and its dedup-group
+    // view (one hash agg, no pair join — the image-dedup scale path)
+    "m4_image_phash" -> ((s, dir) =>
+      MultimodalOps.imagePHash(s,
+        MultimodalOps.imageAssets(s, Tables.documents(s, dir)))
+        .toDF().orderBy("asset_id")),
+    "m5_phash_groups" -> ((s, dir) =>
+      MultimodalOps.phashDupGroups(s,
+        MultimodalOps.imageAssets(s, Tables.documents(s, dir)))
+        .orderBy("rep")),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1108,6 +1120,10 @@ object PipelinePack extends QueryPack {
       (MultimodalOps.frameSummarySql() + "\nORDER BY asset_id, frame_no"),
     "m3_image_decode" ->
       (MultimodalOps.imageDecodeSql + "\nORDER BY asset_id"),
+    "m4_image_phash" ->
+      (MultimodalOps.imagePHashSql + "\nORDER BY asset_id"),
+    "m5_phash_groups" ->
+      (MultimodalOps.phashDupGroupsSql + "\nORDER BY rep"),
     "x17_minhash_signatures" ->
       (Dedup.minHashSignaturesSql + "\nORDER BY doc_id"),
   )

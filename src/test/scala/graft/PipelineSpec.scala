@@ -1377,4 +1377,38 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       assert(rebuilt == toks(id), s"doc $id does not reconstruct from chunks")
     }
   }
+
+  test("image aHash: bit order, threshold, and constant-image semantics") {
+    val sess = spark
+    import sess.implicits._
+    def png(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val assets = Seq(
+      // top half black, bottom half white: exactly rows of 0s then 1s
+      graft.operators.ImageAsset(1L, png(16, 16,
+        (_, y) => if (y < 8) 0x000000 else 0xffffff)),
+      // the inverse: bits flip
+      graft.operators.ImageAsset(2L, png(16, 16,
+        (_, y) => if (y < 8) 0xffffff else 0x000000)),
+      // constant image: cell mean never EXCEEDS the global mean -> all 0
+      graft.operators.ImageAsset(3L, png(16, 16, (_, _) => 0x808080))
+    ).toDS()
+    val got = MultimodalOps.imagePHash(spark, assets)
+      .collect().map(p => p.asset_id -> p.phash).toMap
+    assert(got(1L) === "0" * 32 + "1" * 32, s"half-split hash: ${got(1L)}")
+    assert(got(2L) === "1" * 32 + "0" * 32)
+    assert(got(3L) === "0" * 64, "constant image must hash all-zero")
+    // dedup groups: identically-rendered images collapse
+    val groups = MultimodalOps.phashDupGroups(spark,
+      MultimodalOps.imageAssets(spark, Tables.documents(spark, sf)))
+      .collect()
+    assert(groups.nonEmpty, "fixture should contain perceptual duplicates")
+    assert(groups.forall(_.getLong(1) >= 2))
+  }
 }
