@@ -21,6 +21,15 @@ case class ImageMeta(asset_id: Long, format: String, width: Int, height: Int,
   * engine disagrees about bit 63's sign). */
 case class ImagePHash(asset_id: Long, width: Int, height: Int, phash: String)
 
+/** An encoded audio asset (a real RIFF/WAVE container holding 16-bit
+  * mono PCM) derived deterministically from a document row. */
+case class AudioAsset(asset_id: Long, media: Array[Byte])
+
+/** Features read back by actually parsing the WAV container: header
+  * fields plus integer-exact signal statistics over the PCM samples. */
+case class AudioFeatures(asset_id: Long, sample_rate: Int, n_samples: Int,
+    peak: Int, energy_ssq: Long, zero_crossings: Int)
+
 /** Multimodal column handling (builder brief "Multimodal columns"):
   * image/audio/video as opaque `binary` columns with a typed metadata
   * struct, plus decode / feature-extract / frame-sample stages.
@@ -284,6 +293,120 @@ object MultimodalOps {
        |  CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
        |  CAST((doc_id % 256) * 65536 AS INT) AS corner_rgb
        |FROM documents""".stripMargin
+
+  // --- real decode: RIFF/WAVE PCM (pure byte-level parsing) ---------------
+
+  /** Sample rate of the generated fixture waveforms. */
+  val WavSampleRate = 8000
+
+  /** Deterministic 16-bit sample `k` of asset `id` — shared, via plain
+    * integer arithmetic, with the m6 oracle SQL. */
+  private[graft] def sampleOf(id: Long, k: Int): Short =
+    ((id * 31 + k.toLong * k * 7) % 65536 - 32768).toShort
+
+  /** Samples per asset (256–383, id-derived — mirrored in the oracle). */
+  private[graft] def nSamplesOf(id: Long): Int = 256 + (id % 128).toInt
+
+  /** REAL encoded audio per document: a RIFF/WAVE container (44-byte
+    * canonical header + 16-bit little-endian mono PCM) — WAV needs no
+    * codec, the container IS the format, so the audio modality gets the
+    * same honest treatment as PNG/BMP: generate real bytes, parse them
+    * back, oracle-check everything the parse reads. Map-only. */
+  def audioAssets(spark: SparkSession, docs: DataFrame): Dataset[AudioAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = nSamplesOf(id)
+        val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1) // PCM
+          .putShort(1) // mono
+          .putInt(WavSampleRate)
+          .putInt(WavSampleRate * 2) // byte rate
+          .putShort(2) // block align
+          .putShort(16) // bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(2 * n)
+        (0 until n).foreach(k => bb.putShort(sampleOf(id, k)))
+        AudioAsset(id, bb.array())
+      }
+    }
+  }
+
+  /** REAL audio feature extraction — parses the actual WAV bytes (RIFF
+    * magic, fmt chunk fields, data chunk) and computes integer-exact
+    * signal statistics: peak |amplitude|, energy as the exact
+    * sum-of-squares (BIGINT — RMS would force a float sqrt into the
+    * cross-engine compare), and zero crossings counted as sign-bit
+    * changes between consecutive samples. Map-only, per-partition
+    * batched; every output column is re-derived arithmetically by the
+    * m6 oracle, so matching proves the encode→parse round trip. */
+  def audioFeatures(spark: SparkSession,
+      assetsDs: Dataset[AudioAsset]): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    assetsDs.mapPartitions { it =>
+      it.map { a =>
+        val bb = java.nio.ByteBuffer.wrap(a.media)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def tag(): String = {
+          val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+        }
+        require(tag() == "RIFF", s"asset ${a.asset_id}: not RIFF")
+        bb.getInt // riff size
+        require(tag() == "WAVE", s"asset ${a.asset_id}: not WAVE")
+        require(tag() == "fmt ", s"asset ${a.asset_id}: fmt chunk missing")
+        require(bb.getInt == 16 && bb.getShort == 1 && bb.getShort == 1,
+          s"asset ${a.asset_id}: not canonical mono PCM")
+        val rate = bb.getInt
+        bb.getInt; bb.getShort // byte rate, block align
+        require(bb.getShort == 16, s"asset ${a.asset_id}: not 16-bit")
+        require(tag() == "data", s"asset ${a.asset_id}: data chunk missing")
+        val n = bb.getInt / 2
+        var peak = 0
+        var ssq = 0L
+        var zc = 0
+        var prevNeg = false
+        (0 until n).foreach { k =>
+          val s = bb.getShort.toInt
+          if (math.abs(s) > peak) peak = math.abs(s)
+          ssq += s.toLong * s
+          val neg = s < 0
+          if (k > 0 && neg != prevNeg) zc += 1
+          prevNeg = neg
+        }
+        AudioFeatures(a.asset_id, rate, n, peak, ssq, zc)
+      }
+    }
+  }
+
+  /** The m6 oracle: the generator's sample formula run through the same
+    * peak/energy/zero-crossing arithmetic in SQL. */
+  def audioFeaturesSql: String =
+    s"""WITH sm AS (
+       |  SELECT doc_id AS asset_id, k,
+       |    ((doc_id * 31 + k * k * 7) % 65536) - 32768 AS s
+       |  FROM documents, generate_series(0, 382) t(k)
+       |  WHERE k < 256 + doc_id % 128
+       |), lg AS (
+       |  SELECT asset_id, s,
+       |    lag(s) OVER (PARTITION BY asset_id ORDER BY k) AS ps
+       |  FROM sm
+       |), st AS (
+       |  SELECT asset_id,
+       |    max(abs(s)) AS peak,
+       |    sum(s * s) AS energy_ssq,
+       |    sum(CASE WHEN (s < 0) <> (ps < 0) THEN 1 ELSE 0 END)
+       |      AS zero_crossings
+       |  FROM lg GROUP BY asset_id
+       |)
+       |SELECT asset_id, $WavSampleRate AS sample_rate,
+       |  CAST(256 + asset_id % 128 AS INT) AS n_samples,
+       |  CAST(peak AS INT) AS peak,
+       |  CAST(energy_ssq AS BIGINT) AS energy_ssq,
+       |  CAST(zero_crossings AS INT) AS zero_crossings
+       |FROM st""".stripMargin
 
   /** DECODE STUB — deterministic fake standing in for codecs the JDK
     * does NOT ship (video/audio); for JDK-supported image formats the

@@ -915,6 +915,12 @@ object PipelinePack extends QueryPack {
       MultimodalOps.phashDupGroups(s,
         MultimodalOps.imageAssets(s, Tables.documents(s, dir)))
         .orderBy("rep")),
+    // REAL audio round trip: generate RIFF/WAVE PCM bytes, parse them
+    // back byte-level, integer-exact signal stats oracle-checked
+    "m6_audio_features" -> ((s, dir) =>
+      MultimodalOps.audioFeatures(s,
+        MultimodalOps.audioAssets(s, Tables.documents(s, dir)))
+        .toDF().orderBy("asset_id")),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1124,6 +1130,8 @@ object PipelinePack extends QueryPack {
       (MultimodalOps.imagePHashSql + "\nORDER BY asset_id"),
     "m5_phash_groups" ->
       (MultimodalOps.phashDupGroupsSql + "\nORDER BY rep"),
+    "m6_audio_features" ->
+      (MultimodalOps.audioFeaturesSql + "\nORDER BY asset_id"),
     "x17_minhash_signatures" ->
       (Dedup.minHashSignaturesSql + "\nORDER BY doc_id"),
   )

@@ -1411,4 +1411,43 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(groups.nonEmpty, "fixture should contain perceptual duplicates")
     assert(groups.forall(_.getLong(1) >= 2))
   }
+
+  test("audio features: hand-built WAV parses exactly; corrupt container fails loud") {
+    val sess = spark
+    import sess.implicits._
+    def wav(samples: Seq[Short], rate: Int = 8000): Array[Byte] = {
+      val n = samples.size
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(2 * n)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val ds = Seq(graft.operators.AudioAsset(7L,
+      wav(Seq[Short](100, -100, 50, -50)))).toDS()
+    val f = MultimodalOps.audioFeatures(spark, ds).collect()(0)
+    assert(f.sample_rate == 8000 && f.n_samples == 4 && f.peak == 100)
+    assert(f.energy_ssq == 25000L, s"ssq ${f.energy_ssq}")
+    assert(f.zero_crossings == 3)
+
+    // corrupt magic must fail loudly, never return garbage features
+    val bad = wav(Seq[Short](1, 2)); bad(0) = 'X'.toByte
+    val ex = intercept[org.apache.spark.SparkException] {
+      MultimodalOps.audioFeatures(spark,
+        Seq(graft.operators.AudioAsset(8L, bad)).toDS()).collect()
+    }
+    assert(ex.getMessage.contains("not RIFF") ||
+      String.valueOf(ex.getCause).contains("not RIFF"))
+
+    // generated fixture assets round-trip (the m6 oracle checks values;
+    // this pins that the WAV bytes are REAL containers the parse reads)
+    val gen = MultimodalOps.audioFeatures(spark,
+      MultimodalOps.audioAssets(spark, Tables.documents(spark, sf)))
+      .collect()
+    assert(gen.nonEmpty && gen.forall(a =>
+      a.sample_rate == 8000 && a.n_samples >= 256 && a.n_samples < 384))
+  }
 }
