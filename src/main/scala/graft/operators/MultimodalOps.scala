@@ -269,8 +269,14 @@ object MultimodalOps {
     * the group view is the always-safe first stage. */
   def phashDupGroups(spark: SparkSession,
       assetsDs: Dataset[ImageAsset]): DataFrame =
-    imagePHash(spark, assetsDs).toDF()
-      .groupBy("phash")
+    phashDupGroupsFrom(imagePHash(spark, assetsDs).toDF())
+
+  /** [[phashDupGroups]] from a precomputed `(asset_id, …, phash)` frame
+    * — the production entry: hashes are computed once per corpus
+    * snapshot (m4's job) and persisted; the group view then never
+    * re-decodes a byte. */
+  def phashDupGroupsFrom(phash: DataFrame): DataFrame =
+    phash.groupBy("phash")
       .agg(count(lit(1)).as("n_assets"), min("asset_id").as("rep"))
       .where(col("n_assets") >= 2)
 
