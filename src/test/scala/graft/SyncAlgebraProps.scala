@@ -352,4 +352,40 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
           .select("doc_id").collect().map(_.getLong(0)).toSet
         got == expect
     }
+
+  property("token-window chunking reconstructs any corpus under any window/overlap") =
+    Prop.forAll(
+      for {
+        w <- Gen.choose(2, 24)
+        o <- Gen.choose(0, w - 1)
+        docs <- Gen.listOfN(6, Gen.choose(0, 60).map(n =>
+          // n tokens of 1-2 chars; n=0 makes the empty doc (tokenizes
+          // to the single empty token — the degenerate floor)
+          (0 until n).map(k => ("a" + (k % 7)).take(1 + k % 2)).mkString(" ")))
+      } yield (w, o, docs)
+    ) { case (w, o, docs) =>
+      val step = w - o
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val toks = df.select(col("doc_id"),
+          graft.operators.TextOps.tokens(col("text")).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toMap
+      val chunks = graft.operators.TextOps.chunkDocs(df, w, o)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .groupBy(_._1)
+      chunks.forall { case (id, cs) =>
+        val sorted = cs.sortBy(_._2).toVector
+        val n = toks(id).size
+        val wantN = math.max((n - o + step - 1) / step, 1)
+        val rebuilt = sorted.flatMap { case (_, cid, _, text) =>
+          val ts = text.split(" ", -1).toVector
+          if (cid == 0) ts else ts.drop(math.min(o, ts.size))
+        }
+        sorted.map(_._2) == sorted.indices.map(_.toLong).toVector &&
+          sorted.size == wantN &&
+          sorted.forall(_._3 <= w) &&
+          rebuilt == toks(id)
+      } && chunks.keySet == toks.keySet
+    }
 }
