@@ -1088,7 +1088,7 @@ object VectorOps {
       ivfCellsWith(embeddings, cents).select("vec_id", "cell"))
     val recon = indexFrame(pqCodesWide(embeddings, bks)
       .select(col("vec_id"), reconOf(col("codes"), bks).as("rv")))
-    val probes = probeFrame(embeddings, e, queryIds, cents, nprobe)
+    val probes = probeFrame(embeddings, queryIds, cents, nprobe)
     // join order is the scale contract: broadcast the probe frame onto
     // `cells` FIRST — a map-only broadcast-hash join that prunes the
     // corpus to the ~nprobe/cells surviving fraction — and only then
@@ -1143,16 +1143,9 @@ object VectorOps {
     * INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (deterministic, cold-session).
     * An RDD-backed relation is outside that rule's reach; the frame is
     * |queries|·nprobe rows either way and still broadcasts. */
-  private def probeFrame(embeddings: DataFrame, e: DataFrame,
-      queryIds: Seq[Long], cents: Seq[Seq[Double]], nprobe: Int): DataFrame = {
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val qvecs = e.where(col("vec_id").isin(queryIds: _*))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
-    val rows = probeRows(qvecs, queryIds, cents, nprobe)
-    spark.createDataset(spark.sparkContext.parallelize(rows, 1))
-      .toDF("query_id", "qv", "cell")
-  }
+  private def probeFrame(embeddings: DataFrame,
+      queryIds: Seq[Long], cents: Seq[Seq[Double]], nprobe: Int): DataFrame =
+    probePlanOf(embeddings, queryIds, cents, nprobe).frame
 
   /** The persistable IVF+PQ index frame `(vec_id, codes, cell)` — ONE
     * artifact carrying both halves of the index (the inverted-file cell
@@ -1195,7 +1188,10 @@ object VectorOps {
 
   /** Build the [[ProbePlan]]: ONE query-vector collect (bounded:
     * |queries| rows), one driver ranking, both outputs derived from the
-    * same probe rows so filter and frame can never disagree. */
+    * same probe rows so filter and frame can never disagree. The frame
+    * is RDD-backed (one partition), NOT a LocalRelation, on purpose —
+    * see [[probeFrame]]'s `ConvertToLocalRelation` note; this is THE
+    * single implementation both it and [[probedCellsOf]] delegate to. */
   def probePlanOf(embeddings: DataFrame, queryIds: Seq[Long],
       cents: Seq[Seq[Double]], nprobe: Int): ProbePlan = {
     val spark = embeddings.sparkSession
@@ -1225,7 +1221,7 @@ object VectorOps {
       probes: Option[DataFrame] = None): DataFrame = {
     val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     val probeDf = probes.getOrElse(
-      probeFrame(embeddings, e, queryIds, cents, nprobe))
+      probeFrame(embeddings, queryIds, cents, nprobe))
     val recon0 = reconOf(col("codes"), books)
     val rv = if (residual) {
       val cv = element_at(centArrayLit(cents), col("cell").cast("int") + 1)
@@ -1245,12 +1241,8 @@ object VectorOps {
     * filter for the cell-partitioned artifact read (bounded driver
     * metadata: ≤ |queries|·nprobe longs). */
   def probedCellsOf(embeddings: DataFrame, queryIds: Seq[Long],
-      cents: Seq[Seq[Double]], nprobe: Int): Seq[Long] = {
-    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
-    val qvecs = e.where(col("vec_id").isin(queryIds: _*))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
-    probeRows(qvecs, queryIds, cents, nprobe).map(_._3).distinct
-  }
+      cents: Seq[Seq[Double]], nprobe: Int): Seq[Long] =
+    probePlanOf(embeddings, queryIds, cents, nprobe).cells
 
   // --- residual PQ (IVFADC, x62) ------------------------------------------
 

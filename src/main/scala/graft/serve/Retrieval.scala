@@ -269,7 +269,12 @@ object Retrieval {
       .select("vec_id")
     val deletedVec = cmpE.where(col("vec_id").isNull)
       .select(col("o_id").as("vec_id"))
-    val touchedVec = changedVec.unionByName(deletedVec)
+    // materialized ([[graft.operators.Dedup.materialize]]): the diff
+    // join feeds FIVE downstream actions (bucket collect, cell collect,
+    // index write, emb + vh merges) — left lazy, each would re-run the
+    // corpus-wide fingerprint diff
+    val touchedVec = graft.operators.Dedup.materialize(
+      changedVec.unionByName(deletedVec), checkpointDir)
     val changedEmb = newE.join(touchedVec, Seq("vec_id"), "left_semi")
 
     // ONE bounded job answers "which buckets, and was there a delta at
@@ -280,10 +285,13 @@ object Retrieval {
     if (touchedVecPb.nonEmpty) {
       // index cells the delta touches: the OLD cells of every touched
       // id (an updated vector may have moved cells) plus the NEW
-      // assignments
+      // assignments. The delta encode is materialized: it feeds both
+      // the cell collect and the index write, and would otherwise run
+      // the PQ folds twice.
       val oldIdx = spark.read.schema(IndexSchema).parquet(s"$dir/index")
-      val newIdx = VectorOps.ivfPqIndex(changedEmb, prior.cents, prior.books,
-        residual = true)
+      val newIdx = graft.operators.Dedup.materialize(
+        VectorOps.ivfPqIndex(changedEmb, prior.cents, prior.books,
+          residual = true), checkpointDir)
       val affectedCells = oldIdx
         .join(touchedVec, Seq("vec_id"), "left_semi").select("cell")
         .unionByName(newIdx.select("cell"))
@@ -313,7 +321,9 @@ object Retrieval {
       .select("doc_id")
     val deletedDoc = cmpD.where(col("doc_id").isNull)
       .select(col("o_id").as("doc_id"))
-    val touchedDoc = changedDoc.unionByName(deletedDoc)
+    // materialized for the same four-consumer reason as touchedVec
+    val touchedDoc = graft.operators.Dedup.materialize(
+      changedDoc.unionByName(deletedDoc), checkpointDir)
     val touchedDocPb = affectedPbsOf(touchedDoc, "doc_id")
     if (touchedDocPb.nonEmpty) {
       val changedDocs = docs.join(touchedDoc, Seq("doc_id"), "left_semi")
@@ -354,11 +364,52 @@ object Retrieval {
     replacePartitions(frameDir, "pb", merged, affected.map(_.toString))
   }
 
+  /** The merge-swapped frames of a snapshot and their partition
+    * columns — the sweep list for [[recoverMergeAsides]]. */
+  private val MergeFrames: Seq[(String, String)] =
+    Seq("index" -> "cell", "emb" -> "pb", "vh" -> "pb", "tf" -> "pb",
+      "dl" -> "pb", "dh" -> "pb")
+
+  /** The per-partition analog of [[recoverAside]]: a crash inside
+    * [[replacePartitions]]'s two-rename window leaves `partCol=<v>`
+    * missing with the OLD content complete under `.aside-<v>-<nonce>`
+    * (dot-prefixed, so readers never see it). Without recovery that
+    * partition's untouched rows would be silently lost forever — and
+    * because the data frames merge BEFORE their fingerprint frames, the
+    * stale fingerprints would keep claiming the lost rows exist, so no
+    * rerun would ever re-detect them. [[load]] sweeps every frame
+    * before anything reads: a stranded aside renames back (newest
+    * nonce wins), asides whose live partition exists (crash landed
+    * between the forward rename and the cleanup) are deleted, and
+    * orphaned `.merge-` staging directories are reclaimed. */
+  private def recoverMergeAsides(dir: String): Unit =
+    MergeFrames.foreach { case (frame, partCol) =>
+      val d = new java.io.File(s"$dir/$frame")
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$frame.merge-"))
+        .foreach(rm)
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith(".aside-"))
+        .groupBy { f =>
+          val rest = f.getName.stripPrefix(".aside-")
+          rest.substring(0, rest.lastIndexOf('-'))
+        }
+        .foreach { case (v, group) =>
+          val live = new java.io.File(d, s"$partCol=$v")
+          val sorted = group.sortBy(
+            _.getName.stripPrefix(s".aside-$v-").toLong)
+          if (!live.exists()) { sorted.last.renameTo(live); () }
+          sorted.foreach(f => if (f.exists() && live.exists()) rm(f))
+        }
+    }
+
   /** Swap exactly the `partCol=<v>` directories of a partitioned frame
     * for their staged replacements — each partition is always one
     * complete generation on disk (rename-aside per partition, the
-    * [[publish]] discipline applied dir-by-dir). A staged partition
-    * that merged to empty deletes the live one (every row gone). */
+    * [[publish]] discipline applied dir-by-dir; a crash in the swap
+    * window is healed by [[recoverMergeAsides]] at the next load). A
+    * staged partition that merged to empty deletes the live one (every
+    * row gone). */
   private def replacePartitions(frameDir: String, partCol: String,
       merged: DataFrame, affected: Seq[String]): Unit = {
     val staged = new java.io.File(s"$frameDir.merge-${System.nanoTime()}")
@@ -444,6 +495,7 @@ object Retrieval {
       recoverAside(dir)
     require(java.nio.file.Files.exists(root.resolve("codebook.txt")),
       s"$dir is not a published retrieval snapshot")
+    recoverMergeAsides(dir) // heal a crashed in-place rebuild before any read
     val cents = readBooks(root.resolve("codebook.txt"))
     val books = readBooks(root.resolve("pqbooks.txt"))
       .grouped(VectorOps.PqSubCentroids).toList

@@ -44,17 +44,23 @@ class StreamingVectorIndex(artifactDir: String,
     "vec_id")
 
   // Fail fast on the reopen hazard: an artifact previously written
-  // WITHOUT cents has emb/codes slices but no ivf slices, so reopening
-  // it with cents would resolve an ivf frame silently missing every
-  // pre-existing vector — candidates would vanish from the IVFADC serve
-  // with no error. (Writing ivf slices for NEW batches can't repair the
-  // old ones: codes are per-doc-local, but serve correctness needs the
-  // whole live corpus in the cell index.)
+  // WITHOUT cents has committed batches (ops slices) with no ivf
+  // slices, so reopening it with cents would resolve an ivf frame
+  // silently missing every pre-existing vector — candidates would
+  // vanish from the IVFADC serve with no error. (Writing ivf slices
+  // for NEW batches can't repair the old ones: codes are per-doc-local,
+  // but serve correctness needs the whole live corpus in the cell
+  // index.) The reference frame is `ops` — written LAST per batch, the
+  // de-facto commit marker — NOT `emb`: a crash between a batch's emb
+  // and ivf writes leaves an UNCOMMITTED batch that the checkpointed
+  // replay rewrites wholesale (overwrite-mode slices), and flagging it
+  // here would permanently brick a legitimately cents-carrying
+  // artifact before that replay could run.
   cents.foreach { _ =>
-    val missing = slices.missingFor("emb", "ivf")
+    val missing = slices.missingFor("ops", "ivf")
     require(missing.isEmpty,
       s"artifact at $artifactDir was written without a coarse codebook: " +
-        s"embedding slices with no matching ivf slice (batch ids " +
+        s"committed batches with no matching ivf slice (batch ids " +
         s"${missing.mkString(", ")}; -1 = the compacted base). Reopen " +
         "without cents for ADC-only serving, or re-index the corpus " +
         "under a cents-carrying handle.")

@@ -218,6 +218,49 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
         s"post-crash rerun did not converge under $p")
   }
 
+  test("a partition-swap crash window heals on load: no silent row loss") {
+    val root = java.nio.file.Files.createTempDirectory("graft-aside").toString
+    val live = s"$root/snap"
+    Retrieval.build(docs, emb, live)
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    val want = rows(Retrieval.load(spark, live).search(queries, 5))
+    assert(want.nonEmpty)
+
+    // simulate dying between replacePartitions' two renames: the live
+    // partition dir is gone, its complete content stranded under the
+    // dot-prefixed aside name (which parquet readers never see)
+    for ((frame, partCol) <- Seq("emb" -> "pb", "tf" -> "pb",
+        "index" -> "cell")) {
+      val d = new java.io.File(s"$live/$frame")
+      val part = d.listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith(s"$partCol="))
+        .minBy(_.getName)
+      val v = part.getName.stripPrefix(s"$partCol=")
+      assert(part.renameTo(new java.io.File(d, s".aside-$v-123456789")))
+    }
+    // without recovery this serve would silently drop every row of the
+    // stranded partitions; load() must rename them back first
+    assert(rows(Retrieval.load(spark, live).search(queries, 5)) === want,
+      "serve after a crashed partition swap lost rows")
+    for ((frame, partCol) <- Seq("emb" -> "pb", "tf" -> "pb",
+        "index" -> "cell")) {
+      val d = new java.io.File(s"$live/$frame")
+      assert(!d.listFiles().exists(_.getName.startsWith(".aside-")),
+        s"$frame: stranded aside not reclaimed")
+    }
+
+    // the other window — forward rename done, aside cleanup missed:
+    // load() deletes the superseded aside and serves the live content
+    val embDir = new java.io.File(s"$live/emb")
+    val somePart = embDir.listFiles()
+      .filter(_.getName.startsWith("pb=")).minBy(_.getName)
+    val v = somePart.getName.stripPrefix("pb=")
+    val stale = new java.io.File(embDir, s".aside-$v-987654321")
+    assert(stale.mkdirs())
+    assert(rows(Retrieval.load(spark, live).search(queries, 5)) === want)
+    assert(!stale.exists(), "superseded aside not deleted")
+  }
+
   test("publish crash in the swap window leaves a loadable snapshot") {
     val root = java.nio.file.Files.createTempDirectory("graft-swap").toString
     val live = s"$root/snap"

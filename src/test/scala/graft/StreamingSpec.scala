@@ -555,6 +555,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "served results changed across graced compactions")
   }
 
+  test("reopening a cents-less vector artifact with cents fails fast; uncommitted batches do not trip it") {
+    import graft.operators.VectorOps
+    val embAll = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val books = VectorOps.pqTrainedCodebooks(embAll)
+    val cents = VectorOps.trainedCentroids(embAll)
+    val root = tmp("reopen-vec").toString
+    // a committed batch written WITHOUT a coarse codebook (no ivf slice)
+    val sv0 = new graft.streaming.StreamingVectorIndex(root, books)
+    sv0.indexBatch(embAll.where(col("vec_id") < 50), 0)
+    val ex = intercept[IllegalArgumentException] {
+      new graft.streaming.StreamingVectorIndex(root, books, Some(cents))
+    }
+    assert(ex.getMessage.contains("without a coarse codebook"),
+      s"wrong failure: ${ex.getMessage}")
+    // an UNCOMMITTED batch (crash before the ops slice landed) must NOT
+    // trip the check: the checkpointed replay will rewrite it wholesale
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$root/ops/gbatch=0"))
+    val sv1 = new graft.streaming.StreamingVectorIndex(root, books, Some(cents))
+    // the replayed batch (same id, overwrite slices) commits WITH its
+    // ivf slice and the IVFADC serve works
+    sv1.indexBatch(embAll.where(col("vec_id") < 50), 0)
+    assert(sv1.ivfTopK(spark, Seq(0L), 3, nprobe = 2).get.count() > 0)
+  }
+
   test("streaming artifact compaction: slices fold to one generation, served results unchanged, stream continues on top") {
     import graft.operators.{TextOps, VectorOps}
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
