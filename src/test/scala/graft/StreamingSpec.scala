@@ -555,6 +555,59 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "served results changed across graced compactions")
   }
 
+  test("streaming image phash: waves of upserts/re-crawls/tombstones serve the batch dup groups") {
+    import graft.operators.{ImageAsset, MultimodalOps}
+    val sess = spark
+    import sess.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def assetsOf(df: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.imageAssets(spark, df)
+    // re-crawled assets carry DIFFERENT pixel content for the same id
+    // (generated from id+5000), so the wave genuinely changes hashes
+    def recrawled(df: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.imageAssets(spark,
+          df.withColumn("doc_id", col("doc_id") + 5000))
+        .map(a => ImageAsset(a.asset_id - 5000, a.media))
+
+    val root = tmp("sphash").toString
+    val sp = new graft.streaming.StreamingPHash(root)
+    // wave 0: ids < 200; wave 1: 200-400 plus a re-crawl of ids < 30;
+    // wave 2: tombstones for [150, 180)
+    sp.indexBatch(assetsOf(docs.where(col("doc_id") < 200)).toDF(), 0)
+    sp.indexBatch(
+      assetsOf(docs.where(col("doc_id") >= 200 && col("doc_id") < 400))
+        .union(recrawled(docs.where(col("doc_id") < 30))).toDF(), 1)
+    sp.indexBatch(
+      docs.where(col("doc_id") >= 150 && col("doc_id") < 180)
+        .select(col("doc_id").as("asset_id"),
+          col("text").cast("binary").as("media"),
+          org.apache.spark.sql.functions.lit(true).as("is_deleted")), 2)
+
+    // reference: the batch build over the LIVE corpus (re-crawled
+    // content for ids < 30, [150,180) gone)
+    val liveAssets = recrawled(docs.where(col("doc_id") < 30)).union(
+      assetsOf(docs.where((col("doc_id") >= 30 && col("doc_id") < 150) ||
+        (col("doc_id") >= 180 && col("doc_id") < 400))))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rep").collect().map(_.toSeq).toSeq
+    val want = rows(MultimodalOps.phashDupGroupsFrom(
+      MultimodalOps.imagePHash(spark, liveAssets).toDF()))
+    assert(want.nonEmpty, "no perceptual duplicates in the live corpus; vacuous")
+    assert(rows(sp.dupGroups(spark).get) === want,
+      "streamed dup groups diverge from the live-corpus batch build")
+    // hashes resolve latest-slice-wins: a re-crawled id's hash is the
+    // NEW content's hash
+    val ph = sp.phashes(spark).get.where(col("asset_id") === 3L)
+      .collect()(0).getString(3)
+    val fresh = MultimodalOps.imagePHash(spark,
+      recrawled(docs.where(col("doc_id") === 3L))).collect()(0).phash
+    assert(ph === fresh, "re-crawled asset serves its OLD hash")
+    // compaction preserves the serve
+    assert(sp.compact(spark, graceMs = 0) == 2)
+    assert(rows(sp.dupGroups(spark).get) === want,
+      "compaction changed the streamed dup groups")
+  }
+
   test("reopening a cents-less vector artifact with cents fails fast; uncommitted batches do not trip it") {
     import graft.operators.VectorOps
     val embAll = Tables.embeddings(spark, sf).select("vec_id", "embedding")
