@@ -1062,7 +1062,6 @@ object VectorOps {
       checkpointDir: Option[String] = None): DataFrame = {
     val cents = centroids.getOrElse(trainedCentroids(embeddings))
     val bks = books.getOrElse(pqTrainedCodebooks(embeddings))
-    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     // the cell list is MATERIALIZED ([[graft.operators.Dedup.materialize]];
     // reliable when `checkpointDir` set) — in production the inverted
     // file is a stored index artifact, not per-query work, and here the
@@ -1219,7 +1218,6 @@ object VectorOps {
       queryIds: Seq[Long], k: Int, nprobe: Int, cents: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]], residual: Boolean = false,
       probes: Option[DataFrame] = None): DataFrame = {
-    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
     val probeDf = probes.getOrElse(
       probeFrame(embeddings, queryIds, cents, nprobe))
     val recon0 = reconOf(col("codes"), books)

@@ -250,6 +250,7 @@ object Retrieval {
       afterDenseMerge: () => Unit = () => ()): Retrieval = {
     val spark = docs.sparkSession
     val prior = load(spark, dir)
+    sweepMergeDebris(dir) // single-writer context: reclaim crashed-merge debris
     require(new java.io.File(s"$dir/dh").isDirectory &&
         new java.io.File(s"$dir/vh").isDirectory,
       s"$dir predates incremental rebuild (no dh/vh fingerprint " +
@@ -370,38 +371,65 @@ object Retrieval {
     Seq("index" -> "cell", "emb" -> "pb", "vh" -> "pb", "tf" -> "pb",
       "dl" -> "pb", "dh" -> "pb")
 
-  /** The per-partition analog of [[recoverAside]]: a crash inside
-    * [[replacePartitions]]'s two-rename window leaves `partCol=<v>`
-    * missing with the OLD content complete under `.aside-<v>-<nonce>`
-    * (dot-prefixed, so readers never see it). Without recovery that
-    * partition's untouched rows would be silently lost forever — and
-    * because the data frames merge BEFORE their fingerprint frames, the
-    * stale fingerprints would keep claiming the lost rows exist, so no
-    * rerun would ever re-detect them. [[load]] sweeps every frame
-    * before anything reads: a stranded aside renames back (newest
-    * nonce wins), asides whose live partition exists (crash landed
-    * between the forward rename and the cleanup) are deleted, and
-    * orphaned `.merge-` staging directories are reclaimed. */
-  private def recoverMergeAsides(dir: String): Unit =
+  /** Parsed `.aside-<v>-<nonce>` entries of a frame dir. Unparseable
+    * names (debris from an interrupted mkdir or a manual copy) are
+    * SKIPPED, never thrown on — a recovery sweep that crashes `load`
+    * over a stray directory would make a healthy snapshot
+    * unserveable. */
+  private def asideEntries(
+      d: java.io.File): Seq[(java.io.File, String, Long)] =
+    Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith(".aside-"))
+      .flatMap { f =>
+        val rest = f.getName.stripPrefix(".aside-")
+        val i = rest.lastIndexOf('-')
+        if (i <= 0) None
+        else scala.util.Try(rest.substring(i + 1).toLong).toOption
+          .map(n => (f, rest.substring(0, i), n))
+      }
+
+  /** READ-side heal, the per-partition analog of [[recoverAside]]: a
+    * crash inside [[replacePartitions]]'s two-rename window leaves
+    * `partCol=<v>` missing with the OLD content complete under
+    * `.aside-<v>-<nonce>` (dot-prefixed, so readers never see it).
+    * Without healing, that partition's untouched rows would be silently
+    * lost — and because data frames merge BEFORE their fingerprint
+    * frames, the stale fingerprints would keep claiming the lost rows
+    * exist, so no rerun would re-detect them. [[load]] restores a
+    * stranded aside (newest nonce wins) and FAILS LOUDLY if the rename
+    * loses (silent row loss is the one unacceptable outcome). It
+    * deletes NOTHING: destructive cleanup belongs to the single-writer
+    * rebuild path ([[sweepMergeDebris]]) — a read-side delete could
+    * race an in-flight rebuild's staging dirs. */
+  private def healMergeAsides(dir: String): Unit =
     MergeFrames.foreach { case (frame, partCol) =>
       val d = new java.io.File(s"$dir/$frame")
-      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith(s"$frame.merge-"))
-        .foreach(rm)
-      Option(d.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.isDirectory && f.getName.startsWith(".aside-"))
-        .groupBy { f =>
-          val rest = f.getName.stripPrefix(".aside-")
-          rest.substring(0, rest.lastIndexOf('-'))
+      asideEntries(d).groupBy(_._2).foreach { case (v, group) =>
+        val live = new java.io.File(d, s"$partCol=$v")
+        if (!live.exists()) {
+          val newest = group.maxBy(_._3)._1
+          require(newest.renameTo(live) || live.exists(),
+            s"stranded partition $frame/$partCol=$v could not be " +
+              s"restored from ${newest.getName}; refusing to serve " +
+              "with silently missing rows")
         }
-        .foreach { case (v, group) =>
-          val live = new java.io.File(d, s"$partCol=$v")
-          val sorted = group.sortBy(
-            _.getName.stripPrefix(s".aside-$v-").toLong)
-          if (!live.exists()) { sorted.last.renameTo(live); () }
-          sorted.foreach(f => if (f.exists() && live.exists()) rm(f))
-        }
+      }
     }
+
+  /** WRITE-side sweep, run from [[rebuild]]'s entry (the documented
+    * single-writer context): heal first, then reclaim superseded
+    * asides (their live partition exists) and orphaned `.merge-`
+    * staging directories left by crashed merges. */
+  private def sweepMergeDebris(dir: String): Unit = {
+    healMergeAsides(dir)
+    val rootFiles = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+    MergeFrames.foreach { case (frame, _) =>
+      rootFiles.filter(f => f.isDirectory &&
+        f.getName.startsWith(s"$frame.merge-")).foreach(rm)
+      asideEntries(new java.io.File(s"$dir/$frame")).foreach(e => rm(e._1))
+    }
+  }
 
   /** Swap exactly the `partCol=<v>` directories of a partitioned frame
     * for their staged replacements — each partition is always one
@@ -420,11 +448,27 @@ object Retrieval {
       val name = s"$partCol=$v"
       val live = new java.io.File(s"$frameDir/$name")
       val next = new java.io.File(staged, name)
-      // dot-prefixed aside: invisible to parquet readers while it lives
-      val aside = new java.io.File(s"$frameDir/.aside-$v-${System.nanoTime()}")
-      val hadOld = live.exists() && live.renameTo(aside)
-      if (next.exists()) { next.renameTo(live); () }
-      if (hadOld) rm(aside)
+      // a concurrent reader's load() can heal the aside back between
+      // the two renames (it sees the microsecond-wide missing-live
+      // window as a crashed merge); the forward rename then fails, so
+      // retry the whole swap — and fail LOUDLY if it keeps losing,
+      // because returning silently would let the fingerprint merges
+      // record rows that were never installed
+      var installed = false
+      var attempts = 0
+      while (!installed && attempts < 3) {
+        attempts += 1
+        // dot-prefixed aside: invisible to parquet readers while it lives
+        val aside =
+          new java.io.File(s"$frameDir/.aside-$v-${System.nanoTime()}")
+        val hadOld = live.exists() && live.renameTo(aside)
+        installed =
+          if (!next.exists()) true // merged to empty: deletion IS the install
+          else next.renameTo(live)
+        if (installed && hadOld) rm(aside)
+      }
+      require(installed,
+        s"could not install $frameDir/$name after $attempts attempts")
     }
     rm(staged)
   }
@@ -495,7 +539,7 @@ object Retrieval {
       recoverAside(dir)
     require(java.nio.file.Files.exists(root.resolve("codebook.txt")),
       s"$dir is not a published retrieval snapshot")
-    recoverMergeAsides(dir) // heal a crashed in-place rebuild before any read
+    healMergeAsides(dir) // heal a crashed in-place rebuild before any read
     val cents = readBooks(root.resolve("codebook.txt"))
     val books = readBooks(root.resolve("pqbooks.txt"))
       .grouped(VectorOps.PqSubCentroids).toList

@@ -44,19 +44,8 @@ class StreamingLexical(artifactDir: String) {
   /** Index all available micro-batches; returns DISTINCT batches run
     * (replays re-invoke `foreachBatch` but must not count twice). */
   def indexAvailable(spark: SparkSession, docsStream: DataFrame,
-      checkpoint: String): Long = {
-    val seen = scala.collection.mutable.Set.empty[Long]
-    val q = docsStream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        indexBatch(batch, batchId)
-        seen.synchronized { seen += batchId; () }
-      }
-      .start()
-    q.awaitTermination()
-    seen.size.toLong
-  }
+      checkpoint: String): Long =
+    SliceIngest.runAvailable(docsStream, checkpoint)(indexBatch)
 
   /** One micro-batch: tokenize the batch's LIVE docs, aggregate their
     * per-doc frames, publish them as this batch's artifact slices, and

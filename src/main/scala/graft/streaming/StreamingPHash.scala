@@ -33,19 +33,8 @@ class StreamingPHash(artifactDir: String) {
   /** Index all available micro-batches of `(asset_id, media
     * [, is_deleted])` rows; returns DISTINCT batches run. */
   def indexAvailable(spark: SparkSession, assetStream: DataFrame,
-      checkpoint: String): Long = {
-    val seen = scala.collection.mutable.Set.empty[Long]
-    val q = assetStream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        indexBatch(batch, batchId)
-        seen.synchronized { seen += batchId; () }
-      }
-      .start()
-    q.awaitTermination()
-    seen.size.toLong
-  }
+      checkpoint: String): Long =
+    SliceIngest.runAvailable(assetStream, checkpoint)(indexBatch)
 
   /** One micro-batch: decode + hash the live assets, record the
     * batch's membership ops. */

@@ -68,19 +68,8 @@ class StreamingVectorIndex(artifactDir: String,
 
   /** Index all available micro-batches; returns DISTINCT batches run. */
   def indexAvailable(spark: SparkSession, embStream: DataFrame,
-      checkpoint: String): Long = {
-    val seen = scala.collection.mutable.Set.empty[Long]
-    val q = embStream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        indexBatch(batch, batchId)
-        seen.synchronized { seen += batchId; () }
-      }
-      .start()
-    q.awaitTermination()
-    seen.size.toLong
-  }
+      checkpoint: String): Long =
+    SliceIngest.runAvailable(embStream, checkpoint)(indexBatch)
 
   /** One micro-batch: append the raw embeddings (kept for exact rerank
     * and downstream reuse) and the map-only PQ encode under the fixed

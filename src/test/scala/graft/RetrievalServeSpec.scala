@@ -249,16 +249,23 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
         s"$frame: stranded aside not reclaimed")
     }
 
-    // the other window — forward rename done, aside cleanup missed:
-    // load() deletes the superseded aside and serves the live content
+    // the other window — forward rename done, aside cleanup missed: a
+    // read-side load IGNORES the superseded aside (dot-prefixed, and
+    // load never deletes — destructive cleanup could race an in-flight
+    // rebuild); the next rebuild's single-writer sweep reclaims it.
+    // Unparseable debris must be skipped, not thrown on.
     val embDir = new java.io.File(s"$live/emb")
     val somePart = embDir.listFiles()
       .filter(_.getName.startsWith("pb=")).minBy(_.getName)
     val v = somePart.getName.stripPrefix("pb=")
     val stale = new java.io.File(embDir, s".aside-$v-987654321")
-    assert(stale.mkdirs())
+    val junk = new java.io.File(embDir, ".aside-7")
+    assert(stale.mkdirs() && junk.mkdirs())
     assert(rows(Retrieval.load(spark, live).search(queries, 5)) === want)
-    assert(!stale.exists(), "superseded aside not deleted")
+    assert(stale.exists(), "read-side load must not delete")
+    Retrieval.rebuild(docs, emb, live) // no-delta refresh runs the sweep
+    assert(!stale.exists(), "superseded aside not reclaimed by rebuild")
+    assert(rows(Retrieval.load(spark, live).search(queries, 5)) === want)
   }
 
   test("publish crash in the swap window leaves a loadable snapshot") {
