@@ -366,7 +366,8 @@ object Retrieval {
   }
 
   /** The merge-swapped frames of a snapshot and their partition
-    * columns — the sweep list for [[recoverMergeAsides]]. */
+    * columns — the sweep list for [[healMergeAsides]] /
+    * [[sweepMergeDebris]]. */
   private val MergeFrames: Seq[(String, String)] =
     Seq("index" -> "cell", "emb" -> "pb", "vh" -> "pb", "tf" -> "pb",
       "dl" -> "pb", "dh" -> "pb")
@@ -404,16 +405,27 @@ object Retrieval {
   private def healMergeAsides(dir: String): Unit =
     MergeFrames.foreach { case (frame, partCol) =>
       val d = new java.io.File(s"$dir/$frame")
-      asideEntries(d).groupBy(_._2).foreach { case (v, group) =>
-        val live = new java.io.File(d, s"$partCol=$v")
-        if (!live.exists()) {
-          val newest = group.maxBy(_._3)._1
-          require(newest.renameTo(live) || live.exists(),
-            s"stranded partition $frame/$partCol=$v could not be " +
-              s"restored from ${newest.getName}; refusing to serve " +
-              "with silently missing rows")
+      def stranded = asideEntries(d).groupBy(_._2).filter { case (v, _) =>
+        !new java.io.File(d, s"$partCol=$v").exists()
+      }
+      // retry with a FRESH listing per attempt: a concurrent rebuild's
+      // swap can invalidate an entry mid-heal (its microsecond-wide
+      // missing-live window looks exactly like a crash) — the retry
+      // either sees the writer's install land or restores a genuinely
+      // stranded aside; only a persistently missing partition fails
+      var attempts = 0
+      while (stranded.nonEmpty && attempts < 3) {
+        attempts += 1
+        stranded.foreach { case (v, group) =>
+          group.maxBy(_._3)._1
+            .renameTo(new java.io.File(d, s"$partCol=$v")); ()
         }
       }
+      val unhealed = stranded.keys
+      require(unhealed.isEmpty,
+        s"stranded partitions in $dir/$frame could not be restored: " +
+          s"${unhealed.map(v => s"$partCol=$v").mkString(", ")}; " +
+          "refusing to serve with silently missing rows")
     }
 
   /** WRITE-side sweep, run from [[rebuild]]'s entry (the documented
@@ -435,7 +447,8 @@ object Retrieval {
     * for their staged replacements — each partition is always one
     * complete generation on disk (rename-aside per partition, the
     * [[publish]] discipline applied dir-by-dir; a crash in the swap
-    * window is healed by [[recoverMergeAsides]] at the next load). A
+    * window is healed by [[healMergeAsides]] at the next load, and the
+    * debris reclaimed by [[sweepMergeDebris]] at the next rebuild). A
     * staged partition that merged to empty deletes the live one (every
     * row gone). */
   private def replacePartitions(frameDir: String, partCol: String,
@@ -463,8 +476,13 @@ object Retrieval {
           new java.io.File(s"$frameDir/.aside-$v-${System.nanoTime()}")
         val hadOld = live.exists() && live.renameTo(aside)
         installed =
-          if (!next.exists()) true // merged to empty: deletion IS the install
-          else next.renameTo(live)
+          if (next.exists()) next.renameTo(live)
+          // merged to empty: the partition being GONE is the install —
+          // checked, not assumed, so a failed aside rename or a
+          // concurrent heal resurrecting it retries and then fails
+          // loudly instead of leaving ghost rows the fingerprint
+          // merges would record as deleted
+          else !live.exists()
         if (installed && hadOld) rm(aside)
       }
       require(installed,

@@ -52,6 +52,42 @@ private[streaming] object ArtifactSlices {
     sliced.join(live(ops, key), Seq(key, "gbatch")).drop("gbatch")
 }
 
+private[streaming] object SliceIngest {
+  /** The shared `AvailableNow`/`foreachBatch` ingest driver every
+    * sliced-artifact index uses (lexical, vector, phash): run
+    * `indexBatch` per micro-batch against the checkpoint, return the
+    * count of DISTINCT batches run (replays re-invoke `foreachBatch`
+    * but must not count twice). One implementation so a fix to the
+    * trigger/replay semantics cannot silently diverge per index. */
+  def runAvailable(stream: DataFrame, checkpoint: String)(
+      indexBatch: (DataFrame, Long) => Unit): Long = {
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        indexBatch(batch, batchId)
+        seen.synchronized { seen += batchId; () }
+      }
+      .start()
+    q.awaitTermination()
+    seen.size.toLong
+  }
+}
+
+
+private[streaming] object SlicedArtifact {
+  /** Default retention for dirs superseded by a compaction pointer
+    * swap. A reader that resolved its frames just BEFORE the swap still
+    * holds plans referencing the old generation + slice paths; deleting
+    * them at the swap would fail that read mid-union
+    * ([[graft.sync.IndexStore.cleanupStaleStages]]'s grace convention,
+    * applied to supersession: age is measured from the swap that made a
+    * dir garbage, not from the dir's mtime, because a months-old slice
+    * can be superseded a millisecond before being read). */
+  val CompactionGraceMs: Long = 10L * 60L * 1000L
+}
+
 /** The gbatch-sliced artifact layout shared by the streaming retrieval
   * indexes: named per-doc frames under `root/<frame>/gbatch=<id>` plus
   * the `ops` membership frame, resolved latest-slice-wins at read, with
@@ -78,41 +114,6 @@ private[streaming] object ArtifactSlices {
   * below the pointed generation's high-water id. A checkpoint replay of
   * a pre-compaction batch rewrites a slice that reads ignore — replay
   * safety survives compaction. */
-private[streaming] object SliceIngest {
-  /** The shared `AvailableNow`/`foreachBatch` ingest driver every
-    * sliced-artifact index uses (lexical, vector, phash): run
-    * `indexBatch` per micro-batch against the checkpoint, return the
-    * count of DISTINCT batches run (replays re-invoke `foreachBatch`
-    * but must not count twice). One implementation so a fix to the
-    * trigger/replay semantics cannot silently diverge per index. */
-  def runAvailable(stream: DataFrame, checkpoint: String)(
-      indexBatch: (DataFrame, Long) => Unit): Long = {
-    val seen = scala.collection.mutable.Set.empty[Long]
-    val q = stream.writeStream
-      .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        indexBatch(batch, batchId)
-        seen.synchronized { seen += batchId; () }
-      }
-      .start()
-    q.awaitTermination()
-    seen.size.toLong
-  }
-}
-
-private[streaming] object SlicedArtifact {
-  /** Default retention for dirs superseded by a compaction pointer
-    * swap. A reader that resolved its frames just BEFORE the swap still
-    * holds plans referencing the old generation + slice paths; deleting
-    * them at the swap would fail that read mid-union
-    * ([[graft.sync.IndexStore.cleanupStaleStages]]'s grace convention,
-    * applied to supersession: age is measured from the swap that made a
-    * dir garbage, not from the dir's mtime, because a months-old slice
-    * can be superseded a millisecond before being read). */
-  val CompactionGraceMs: Long = 10L * 60L * 1000L
-}
-
 private[streaming] final class SlicedArtifact(
     root: String, frames: Seq[String], key: String) {
 

@@ -3,7 +3,6 @@ package graft.streaming
 import graft.operators.TextOps
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming lexical (BM25) indexing: maintain the per-document index
   * frames — `(doc_id, token, tf)` and `(doc_id, dl)` — as a GROWING

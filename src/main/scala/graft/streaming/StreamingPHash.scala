@@ -3,7 +3,6 @@ package graft.streaming
 import graft.operators.{ImageAsset, MultimodalOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming perceptual-image index: each micro-batch decodes its
   * image payloads ONCE and appends their aHash slice, so image

@@ -3,7 +3,6 @@ package graft.streaming
 import graft.operators.VectorOps
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming vector indexing — the dense sibling of
   * [[StreamingLexical]], closing the "hybrid retrieval while the crawl
