@@ -817,6 +817,121 @@ object TextOps {
        |${restrict}QUALIFY rn <= $k""".stripMargin
   }
 
+  /** Merge-rule count of [[bpeMerges]] — 8 learned rules keeps the
+    * unrolled oracle chain bounded; a production tokenizer run raises
+    * this to the vocabulary budget (the loop cost is per-rule, not
+    * per-corpus-row). Single-constant rule: both engines interpolate. */
+  val BpeMerges = 8
+
+  /** Symbol separator of the BPE working state — U+0001, absent from
+    * any corpus text the tokenizer emits, so `sep+a+sep+b+sep →
+    * sep+ab+sep` literal replacement is unambiguous. */
+  private val BpeSep = "\u0001"
+
+  /** BPE-style subword vocabulary induction (Sennrich et al., ACL'16) —
+    * the tokenizer-training step of an LLM data pipeline: learn the
+    * first `k` merge rules over the corpus vocabulary. Each round
+    * counts adjacent-symbol pairs across all words (weighted by word
+    * frequency, overlapping occurrences counted — the standard
+    * convention), merges the most frequent pair corpus-wide
+    * (deterministic tie-break: count DESC, then left/right symbol
+    * ascending), and repeats on the updated symbol sequences. Output:
+    * one row per learned rule `(rank, lhs, rhs, merged, cnt)`.
+    *
+    * Scale shape: the state is one row per DISTINCT word (vocabulary
+    * cardinality, not corpus bytes — the frequency aggregate collapses
+    * the corpus once up front); each round is one map-side-combining
+    * pair aggregate plus a driver collect of exactly ONE row (the
+    * argmax — bounded metadata, the k-means convention), and the merge
+    * application is a map-only literal `replace`. The driver loop is
+    * `k` rounds of that — identical in shape to [[VectorOps
+    * .trainedCentroids]]' Lloyd rounds, and unrolled verbatim in the
+    * oracle so every learned rule is cross-engine verified.
+    *
+    * Mechanics shared with the oracle, step for step: symbols live in a
+    * U+0001-separator-delimited string, pairs
+    * derive by splitting and zipping neighbors, and a merge is the
+    * literal replacement `sep+a+sep+b+sep → sep+ab+sep` — both engines
+    * replace left-to-right non-overlapping, which IS BPE's greedy
+    * within-word merge order ("a a a" under rule (a,a) becomes
+    * "aa a", never "a aa"). */
+  def bpeMerges(docs: DataFrame, k: Int = BpeMerges,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sep = lit(BpeSep)
+    val words = docs.select(explode(tokens(col("text"))).as("word"))
+      .where(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("w"))
+    var st = Dedup.materialize(
+      words.select(col("w"),
+        concat(sep, concat_ws(BpeSep,
+          expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")),
+          sep).as("s")),
+      checkpointDir)
+    val rules = (1 to k).map { r =>
+      val syms = expr(s"filter(split(s, '$BpeSep'), x -> x <> '')")
+      val best = st
+        .select(col("w"), syms.as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("w"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("w")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()(0)
+      val (l, rr, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      st = Dedup.materialize(st.select(col("w"),
+        replace(col("s"),
+          concat(sep, lit(l), sep, lit(rr), sep),
+          concat(sep, lit(l + rr), sep)).as("s")),
+        checkpointDir)
+      (r, l, rr, l + rr, cnt)
+    }
+    rules.toDF("rank", "lhs", "rhs", "merged", "cnt")
+      .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"),
+        col("merged"), col("cnt"))
+  }
+
+  /** [[bpeMerges]] oracle: the same round structure unrolled — per
+    * round, the pair aggregate, a one-row argmax CTE, and the literal
+    * replace applied via a cross join of that single row. */
+  def bpeMergesSql(k: Int = BpeMerges): String = {
+    val rounds = (1 to k).map { r =>
+      s"""py_$r AS (
+         |  SELECT l, r, SUM(w) AS cnt FROM (
+         |    SELECT w, syms[i] AS l, syms[i + 1] AS r
+         |    FROM (SELECT w, list_filter(string_split(s, chr(1)), x -> x <> '') AS syms
+         |          FROM st_${r - 1}),
+         |      UNNEST(range(1, len(syms))) AS t(i)
+         |  ) GROUP BY l, r
+         |), b_$r AS (
+         |  SELECT l, r, cnt FROM py_$r ORDER BY cnt DESC, l, r LIMIT 1
+         |), st_$r AS (
+         |  SELECT w, replace(s, chr(1) || b.l || chr(1) || b.r || chr(1),
+         |    chr(1) || b.l || b.r || chr(1)) AS s
+         |  FROM st_${r - 1}, b_$r b
+         |)""".stripMargin
+    }
+    val out = (1 to k).map(r =>
+      s"SELECT CAST($r AS INT) AS rank, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM b_$r")
+      .mkString("\nUNION ALL\n")
+    graft.operators.VectorOps.materializedCtes(s"""WITH w0 AS (
+       |  SELECT word, count(*) AS w FROM (
+       |    SELECT unnest(${tokensSql("text")}) AS word FROM documents)
+       |  WHERE word <> '' GROUP BY word
+       |), st_0 AS (
+       |  SELECT w, chr(1) ||
+       |    array_to_string(list_transform(range(1, len(word) + 1),
+       |      i -> word[i:i]), chr(1)) || chr(1) AS s
+       |  FROM w0
+       |),
+       |${rounds.mkString(",\n")}
+       |$out""".stripMargin)
+  }
+
   /** Token window / overlap of [[chunkDocs]] — 64/16 suits the fixture
     * doc lengths (most docs yield 1–5 chunks); a RAG deployment tunes
     * them to its embedding model's context. Single-constant rule: both

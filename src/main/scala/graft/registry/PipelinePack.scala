@@ -332,6 +332,13 @@ object PipelinePack extends QueryPack {
     "x72_doc_chunks" -> ((s, dir) =>
       TextOps.chunkDocs(Tables.documents(s, dir))
         .orderBy("doc_id", "chunk_id")),
+    // BPE-style subword vocabulary induction: k merge rules learned
+    // over the word-frequency vocabulary, argmax per round collected as
+    // bounded metadata (the k-means convention), every rule
+    // cross-engine verified by the unrolled oracle
+    "x73_bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(Tables.documents(s, dir))
+        .orderBy("rank")),
     "x3_neardup_dedup" -> ((s, dir) =>
       Dedup.nearDupDedup(Tables.documents(s, dir), DedupJaccard).orderBy("doc_id")),
     // transitive duplicate clusters (large-star/small-star connected
@@ -938,6 +945,8 @@ object PipelinePack extends QueryPack {
       (Dedup.editDupPairsSql(EditSim) + "\nORDER BY doc_a, doc_b"),
     "x72_doc_chunks" ->
       (TextOps.chunkDocsSql() + "\nORDER BY doc_id, chunk_id"),
+    "x73_bpe_merges" ->
+      (TextOps.bpeMergesSql() + "\nORDER BY rank"),
     "x3_neardup_dedup" ->
       (Dedup.nearDupDedupSql(DedupJaccard) + "\nORDER BY doc_id"),
     "x26_dup_clusters" ->

@@ -1450,4 +1450,51 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(gen.nonEmpty && gen.forall(a =>
       a.sample_rate == 8000 && a.n_samples >= 256 && a.n_samples < 384))
   }
+
+  test("BPE merges equal a plain reference implementation, rule for rule") {
+    val sess = spark
+    import sess.implicits._
+    // plain-Scala BPE: same conventions (frequency-weighted overlapping
+    // pair counts, count DESC then lexicographic tie-break, greedy
+    // left-to-right within-word merge)
+    def referenceBpe(corpus: Seq[String], k: Int): Seq[(String, String, Long)] = {
+      var vocab = corpus.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) =>
+          w.map(_.toString).toVector -> g.size.toLong }.toVector
+      (1 to k).map { _ =>
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, w) <- vocab; i <- 0 until syms.size - 1)
+          counts((syms(i), syms(i + 1))) =
+            counts.getOrElse((syms(i), syms(i + 1)), 0L) + w
+        val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+        vocab = vocab.map { case (syms, w) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (out.toVector, w)
+        }
+        (l, r, c)
+      }
+    }
+    val tiny = Seq("low low low lower lower", "newest newest newest widest",
+      "lowest widest widest newest")
+    val want = referenceBpe(tiny.map(_.toLowerCase), 8)
+    val got = TextOps.bpeMerges(
+        tiny.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    assert(got === want, s"engine rules $got diverge from reference $want")
+    // merged column is always lhs+rhs, ranks dense from 1
+    val full = TextOps.bpeMerges(docs.select("doc_id", "text"), 4)
+      .orderBy("rank").collect()
+    assert(full.map(_.getInt(0)).toSeq === Seq(1, 2, 3, 4))
+    assert(full.forall(r => r.getString(3) == r.getString(1) + r.getString(2)))
+    assert(full.map(_.getLong(4)).toSeq.reverse.sorted.reverse ===
+      full.map(_.getLong(4)).toSeq, "pair counts must be non-increasing")
+  }
 }
