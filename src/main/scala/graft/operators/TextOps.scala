@@ -824,8 +824,17 @@ object TextOps {
   val BpeMerges = 8
 
   /** Symbol separator of the BPE working state — U+0001, absent from
-    * any corpus text the tokenizer emits, so `sep+a+sep+b+sep →
-    * sep+ab+sep` literal replacement is unambiguous. */
+    * any corpus text the tokenizer emits. Each symbol is wrapped
+    * INDIVIDUALLY (`sep+sym+sep`, adjacent symbols separated by a
+    * DOUBLE separator): with single shared separators, replacing
+    * `sep+a+sep+b+sep` consumes the boundary separator and a literal
+    * left-to-right replace UNDER-merges consecutive occurrences
+    * ("banana" under rule (a,n) would yield [b, an, a, n, a] instead
+    * of greedy BPE's [b, an, an, a] — Sennrich's reference avoids this
+    * with zero-width regex lookarounds, which DuckDB's RE2 lacks).
+    * With per-symbol wrapping, candidate matches share no characters,
+    * so non-overlapping left-to-right literal replacement IS the
+    * greedy within-word merge order in both engines. */
   private val BpeSep = "\u0001"
 
   /** BPE-style subword vocabulary induction (Sennrich et al., ACL'16) —
@@ -848,13 +857,16 @@ object TextOps {
     * .trainedCentroids]]' Lloyd rounds, and unrolled verbatim in the
     * oracle so every learned rule is cross-engine verified.
     *
-    * Mechanics shared with the oracle, step for step: symbols live in a
-    * U+0001-separator-delimited string, pairs
-    * derive by splitting and zipping neighbors, and a merge is the
-    * literal replacement `sep+a+sep+b+sep → sep+ab+sep` — both engines
-    * replace left-to-right non-overlapping, which IS BPE's greedy
-    * within-word merge order ("a a a" under rule (a,a) becomes
-    * "aa a", never "a aa"). */
+    * Mechanics shared with the oracle, step for step: each symbol
+    * lives individually wrapped as `sep+sym+sep` ([[BpeSep]] explains
+    * why the wrapping — not a shared single separator — is what makes
+    * literal replacement exactly BPE-greedy), pairs derive by
+    * splitting on the separator and zipping non-empty neighbors, and a
+    * merge is the literal replacement
+    * `sep+a+sep + sep+b+sep → sep+ab+sep`. Rules can run out before
+    * `k` on a degenerate corpus (every word one symbol): both engines
+    * then emit the learned prefix — the driver loop stops, the
+    * oracle's empty argmax row empties every later round. */
   def bpeMerges(docs: DataFrame, k: Int = BpeMerges,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
@@ -865,13 +877,15 @@ object TextOps {
       .groupBy("word").agg(count(lit(1)).as("w"))
     var st = Dedup.materialize(
       words.select(col("w"),
-        concat(sep, concat_ws(BpeSep,
-          expr("transform(sequence(1, length(word)), i -> substr(word, i, 1))")),
-          sep).as("s")),
+        expr("concat_ws('', transform(sequence(1, length(word)), " +
+          "i -> concat(chr(1), substr(word, i, 1), chr(1))))").as("s")),
       checkpointDir)
-    val rules = (1 to k).map { r =>
-      val syms = expr(s"filter(split(s, '$BpeSep'), x -> x <> '')")
-      val best = st
+    val rules = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      val syms = expr("filter(split(s, chr(1)), x -> x <> '')")
+      val top = st
         .select(col("w"), syms.as("syms"))
         .where(size(col("syms")) >= 2)
         .select(col("w"), explode(expr(
@@ -881,18 +895,21 @@ object TextOps {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("w")).as("cnt"))
         .orderBy(desc("cnt"), asc("l"), asc("r"))
-        .limit(1).collect()(0)
-      val (l, rr, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      st = Dedup.materialize(st.select(col("w"),
-        replace(col("s"),
-          concat(sep, lit(l), sep, lit(rr), sep),
-          concat(sep, lit(l + rr), sep)).as("s")),
-        checkpointDir)
-      (r, l, rr, l + rr, cnt)
+        .limit(1).collect().headOption
+      top match {
+        case None => exhausted = true // no adjacent pairs left anywhere
+        case Some(best) =>
+          val (l, rr, cnt) =
+            (best.getString(0), best.getString(1), best.getLong(2))
+          st = Dedup.materialize(st.select(col("w"),
+            replace(col("s"),
+              concat(sep, lit(l), sep, sep, lit(rr), sep),
+              concat(sep, lit(l + rr), sep)).as("s")),
+            checkpointDir)
+          rules += ((r, l, rr, l + rr, cnt))
+      }
     }
-    rules.toDF("rank", "lhs", "rhs", "merged", "cnt")
-      .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"),
-        col("merged"), col("cnt"))
+    rules.toSeq.toDF("rank", "lhs", "rhs", "merged", "cnt")
   }
 
   /** [[bpeMerges]] oracle: the same round structure unrolled — per
@@ -910,7 +927,8 @@ object TextOps {
          |), b_$r AS (
          |  SELECT l, r, cnt FROM py_$r ORDER BY cnt DESC, l, r LIMIT 1
          |), st_$r AS (
-         |  SELECT w, replace(s, chr(1) || b.l || chr(1) || b.r || chr(1),
+         |  SELECT w, replace(s,
+         |    chr(1) || b.l || chr(1) || chr(1) || b.r || chr(1),
          |    chr(1) || b.l || b.r || chr(1)) AS s
          |  FROM st_${r - 1}, b_$r b
          |)""".stripMargin
@@ -923,9 +941,8 @@ object TextOps {
        |    SELECT unnest(${tokensSql("text")}) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word
        |), st_0 AS (
-       |  SELECT w, chr(1) ||
-       |    array_to_string(list_transform(range(1, len(word) + 1),
-       |      i -> word[i:i]), chr(1)) || chr(1) AS s
+       |  SELECT w, array_to_string(list_transform(range(1, len(word) + 1),
+       |      i -> chr(1) || word[i:i] || chr(1)), '') AS s
        |  FROM w0
        |),
        |${rounds.mkString(",\n")}

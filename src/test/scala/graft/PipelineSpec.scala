@@ -1461,11 +1461,13 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       var vocab = corpus.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
         .groupBy(identity).map { case (w, g) =>
           w.map(_.toString).toVector -> g.size.toLong }.toVector
-      (1 to k).map { _ =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      (1 to k).foreach { _ =>
         val counts = scala.collection.mutable.Map.empty[(String, String), Long]
         for ((syms, w) <- vocab; i <- 0 until syms.size - 1)
           counts((syms(i), syms(i + 1))) =
             counts.getOrElse((syms(i), syms(i + 1)), 0L) + w
+        if (counts.isEmpty) return out.toSeq // exhausted before k rules
         val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
         vocab = vocab.map { case (syms, w) =>
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1477,18 +1479,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
           }
           (out.toVector, w)
         }
-        (l, r, c)
+        out += ((l, r, c))
       }
+      out.toSeq
     }
-    val tiny = Seq("low low low lower lower", "newest newest newest widest",
-      "lowest widest widest newest")
-    val want = referenceBpe(tiny.map(_.toLowerCase), 8)
-    val got = TextOps.bpeMerges(
-        tiny.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-          .toDF("doc_id", "text"), 8)
-      .orderBy("rank").collect()
-      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
-    assert(got === want, s"engine rules $got diverge from reference $want")
+    // banana/aaaa-class corpora force CONSECUTIVE occurrences of the
+    // learned pair — the case where a shared-separator replace would
+    // under-merge (caught in review; the per-symbol wrapping fixes it)
+    for (corpus <- Seq(
+        Seq("low low low lower lower", "newest newest newest widest",
+          "lowest widest widest newest"),
+        Seq("banana banana banana bandana", "ananas banana nana"),
+        Seq("aaaa aaaa aaaaa baaab", "aa aaa aaaa"))) {
+      val want = referenceBpe(corpus.map(_.toLowerCase), 8)
+      val got = TextOps.bpeMerges(
+          corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text"), 8)
+        .orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toSeq
+      assert(got === want,
+        s"engine rules $got diverge from reference $want on $corpus")
+    }
+    // a corpus that exhausts before k rules: the learned prefix comes
+    // back, no crash ("ab" admits exactly one merge)
+    val short = TextOps.bpeMerges(
+      Seq((0L, "ab ab ab")).toDF("doc_id", "text"), 8).collect()
+    assert(short.length == 1 &&
+      short(0).getString(1) == "a" && short(0).getString(2) == "b")
     // merged column is always lhs+rhs, ranks dense from 1
     val full = TextOps.bpeMerges(docs.select("doc_id", "text"), 4)
       .orderBy("rank").collect()
