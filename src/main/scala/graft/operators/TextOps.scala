@@ -912,10 +912,13 @@ object TextOps {
     rules.toSeq.toDF("rank", "lhs", "rhs", "merged", "cnt")
   }
 
-  /** [[bpeMerges]] oracle: the same round structure unrolled — per
-    * round, the pair aggregate, a one-row argmax CTE, and the literal
-    * replace applied via a cross join of that single row. */
-  def bpeMergesSql(k: Int = BpeMerges): String = {
+  /** The shared training-CTE chain of [[bpeMergesSql]] and
+    * [[bpeEncodeSql]]: `w0` (vocabulary frequencies), `st_0..st_k`
+    * (the wrapped symbol state per round), `py_r`/`b_r` (pair counts
+    * and the one-row argmax per round). Extracted so the encode oracle
+    * applies EXACTLY the rules the training oracle learned — one
+    * definition, no drift. */
+  private def bpeTrainingCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""py_$r AS (
          |  SELECT l, r, SUM(w) AS cnt FROM (
@@ -933,10 +936,7 @@ object TextOps {
          |  FROM st_${r - 1}, b_$r b
          |)""".stripMargin
     }
-    val out = (1 to k).map(r =>
-      s"SELECT CAST($r AS INT) AS rank, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM b_$r")
-      .mkString("\nUNION ALL\n")
-    graft.operators.VectorOps.materializedCtes(s"""WITH w0 AS (
+    s"""w0 AS (
        |  SELECT word, count(*) AS w FROM (
        |    SELECT unnest(${tokensSql("text")}) AS word FROM documents)
        |  WHERE word <> '' GROUP BY word
@@ -945,9 +945,136 @@ object TextOps {
        |      i -> chr(1) || word[i:i] || chr(1)), '') AS s
        |  FROM w0
        |),
-       |${rounds.mkString(",\n")}
+       |${rounds.mkString(",\n")}""".stripMargin
+  }
+
+  /** [[bpeMerges]] oracle: the same round structure unrolled — per
+    * round, the pair aggregate, a one-row argmax CTE, and the literal
+    * replace applied via a cross join of that single row. */
+  def bpeMergesSql(k: Int = BpeMerges): String = {
+    val out = (1 to k).map(r =>
+      s"SELECT CAST($r AS INT) AS rank, l AS lhs, r AS rhs, l || r AS merged, CAST(cnt AS BIGINT) AS cnt FROM b_$r")
+      .mkString("\nUNION ALL\n")
+    graft.operators.VectorOps.materializedCtes(s"""WITH ${bpeTrainingCtes(k)}
        |$out""".stripMargin)
   }
+
+  /** Token-id offset for MERGED symbols: `0x110000`, one past the last
+    * Unicode code point, so `id(merged_r) = 0x110000 + r` can never
+    * collide with a base symbol's id (= its code point — merged
+    * symbols are always ≥ 2 characters, base symbols exactly 1).
+    * Both engines compute base ids with `ascii(sym)` (first-character
+    * code point; symbols are single characters by construction). */
+  val BpeMergedIdOffset: Long = 0x110000L
+
+  /** Apply learned BPE merge rules to the corpus — the ENCODE step
+    * that turns [[bpeMerges]]' vocabulary into the pipeline's actual
+    * token counts (packing, budget selection and shard stats in a real
+    * training pipeline run on tokenizer tokens, not whitespace tokens).
+    *
+    * `rules` is the learned merge table in rank order (lhs, rhs) —
+    * bounded driver metadata (k rows), broadcast into the plan as
+    * literals. Encoding is a map-only fold: each word is wrapped
+    * per-symbol exactly as in training ([[BpeSep]] — per-symbol
+    * wrapping makes literal left-to-right replacement the greedy merge
+    * order), the k replaces apply in rank order, and the surviving
+    * symbols become the token stream. Output per document:
+    * `(doc_id, [extra...], n_bpe_tokens, token_ids_csv)` where ids are
+    * code points for base symbols and [[BpeMergedIdOffset]]` + rank`
+    * for merged ones (first matching rule wins when two rules merge to
+    * the same string).
+    *
+    * Scale shape: zero shuffle — one projection over the corpus scan,
+    * every expression codegen-friendly column work. The rules are k
+    * literals, not a join. */
+  def bpeEncode(docs: DataFrame, rules: Seq[(String, String)],
+      extra: Seq[String] = Nil): DataFrame = {
+    val sep = BpeSep
+    def wrap(w: Column): Column = concat_ws("", transform(
+      sequence(lit(1), length(w)),
+      i => concat(lit(sep), w.substr(i, lit(1)), lit(sep))))
+    def encoded(w: Column): Column = rules.foldLeft(wrap(w)) {
+      case (s, (l, r)) =>
+        replace(s, lit(sep + l + sep + sep + r + sep), lit(sep + l + r + sep))
+    }
+    def wordSyms(w: Column): Column =
+      filter(split(encoded(w), BpeSep), x => x =!= "")
+    // first matching rule wins: build the when-chain outermost = rank 1
+    def idOf(s: Column): Column =
+      rules.zipWithIndex.reverse.foldLeft(ascii(s).cast("long")) {
+        case (els, ((l, r), i)) =>
+          when(s === lit(l + r), lit(BpeMergedIdOffset + i + 1)).otherwise(els)
+      }
+    val cols = col("doc_id") +: extra.map(col)
+    docs.select(cols :+
+        filter(tokens(col("text")), w => w =!= "").as("toks"): _*)
+      .select(cols :+
+        flatten(transform(col("toks"), w => wordSyms(w))).as("syms"): _*)
+      .select(cols ++ Seq(
+        size(col("syms")).cast("long").as("n_bpe_tokens"),
+        array_join(transform(col("syms"), s => idOf(s).cast("string")), ",")
+          .as("token_ids_csv")): _*)
+  }
+
+  /** The encode chain of [[bpeEncodeSql]]/[[bpeEncodePackSql]] shared
+    * verbatim: the training CTEs plus a per-document symbol-stream CTE
+    * `ec(doc_id, lang, syms)`. The learned one-row `b_r` CTEs join in
+    * via `LEFT JOIN ... ON true` and every use NULL-guards with
+    * `coalesce(..., chr(2))` (chr(2) never occurs in the state), so a
+    * corpus that exhausts before k rules no-ops the spare rounds
+    * instead of NULLing the corpus — mirroring the Spark side's
+    * shorter `rules` list. */
+  private def bpeEncodeCtes(k: Int): String = {
+    val joins = (1 to k).map(r => s"LEFT JOIN b_$r bb$r ON true").mkString(" ")
+    val chain = (1 to k).foldLeft(
+      "array_to_string(list_transform(range(1, len(w) + 1), " +
+        "i -> chr(1) || w[i:i] || chr(1)), '')") { (acc, r) =>
+      s"""replace($acc,
+         |      coalesce(chr(1) || bb$r.l || chr(1) || chr(1) || bb$r.r || chr(1), chr(2)),
+         |      coalesce(chr(1) || bb$r.l || bb$r.r || chr(1), chr(2)))""".stripMargin
+    }
+    s"""${bpeTrainingCtes(k)},
+       |dt AS (
+       |  SELECT doc_id, lang, list_filter(${tokensSql("text")}, x -> x <> '') AS toks
+       |  FROM documents
+       |), ec AS (
+       |  SELECT doc_id, lang, flatten(list_transform(toks, w ->
+       |    list_filter(string_split($chain, chr(1)), x -> x <> ''))) AS syms
+       |  FROM dt $joins
+       |)""".stripMargin
+  }
+
+  /** [[bpeEncode]] oracle: the training chain of [[bpeMergesSql]]
+    * (same CTEs — the applied rules ARE the verified learned rules)
+    * plus the per-document replace chain and the id CASE ladder. */
+  def bpeEncodeSql(k: Int = BpeMerges): String = {
+    val joins = (1 to k).map(r => s"LEFT JOIN b_$r bb$r ON true").mkString(" ")
+    val caseId = (1 to k).reverse.foldLeft("CAST(ascii(s) AS BIGINT)") {
+      (els, r) =>
+        s"CASE WHEN s = bb$r.l || bb$r.r " +
+          s"THEN CAST(${BpeMergedIdOffset + r} AS BIGINT) ELSE $els END"
+    }
+    graft.operators.VectorOps.materializedCtes(
+      s"""WITH ${bpeEncodeCtes(k)}
+         |SELECT doc_id, CAST(len(syms) AS BIGINT) AS n_bpe_tokens,
+         |  array_to_string(list_transform(syms, s -> CAST(($caseId) AS VARCHAR)), ',')
+         |    AS token_ids_csv
+         |FROM ec $joins""".stripMargin)
+  }
+
+  /** Token-TRUE sequence packing oracle: [[bpeEncodeSql]]'s count CTE
+    * feeding [[graft.operators.Sampling.packByBudgetSelectSql]] — the
+    * packing a training pipeline actually ships, keyed on the learned
+    * tokenizer's counts instead of whitespace counts. */
+  def bpeEncodePackSql(k: Int = BpeMerges, budget: Long): String =
+    graft.operators.VectorOps.materializedCtes(
+      s"""WITH ${bpeEncodeCtes(k)},
+         |tok AS (
+         |  SELECT doc_id, lang, CAST(len(syms) AS BIGINT) AS n_bpe_tokens FROM ec
+         |)
+         |SELECT doc_id, lang, n_bpe_tokens,
+         |  ${Sampling.packByBudgetSelectSql("lang", "doc_id", "n_bpe_tokens", budget)}
+         |FROM tok""".stripMargin)
 
   /** Token window / overlap of [[chunkDocs]] — 64/16 suits the fixture
     * doc lengths (most docs yield 1–5 chunks); a RAG deployment tunes

@@ -36,6 +36,11 @@ object PipelinePack extends QueryPack {
     * strict, non-empty subset at every fixture scale factor. */
   val SelectBudget = 12000L
 
+  /** Token budget for x76's token-TRUE packing — same order as x24's
+    * whitespace-token budget so pack shapes stay comparable across the
+    * two packings. Single constant, interpolated into both engines. */
+  val BpePackBudget = 512L
+
   /** Fixed lexical query batch for BM25 retrieval (x56) — terms drawn
     * from the fixture vocabulary so every query matches documents at
     * every scale factor. */
@@ -164,6 +169,20 @@ object PipelinePack extends QueryPack {
       "bm25_dl.parquet", "bm25dl")(p =>
       stats._2.write.mode("overwrite").parquet(p))
     (s.read.parquet(tfPath), s.read.parquet(dlPath))
+  }
+
+  /** The learned BPE merge table for a fixture snapshot, artifact-fed
+    * (the codebook convention: a tokenizer is corpus METADATA trained
+    * once per snapshot, not re-learned per encode) and collected in
+    * rank order — k rows of bounded driver metadata that [[TextOps
+    * .bpeEncode]] folds into the plan as literals. */
+  private def bpeRulesFor(s: SparkSession, dir: String): Seq[(String, String)] = {
+    val p = snapshotArtifact(dir, "documents.parquet", "bpe_rules.parquet",
+      "bperules", TextOps.BpeMerges)(path =>
+      TextOps.bpeMerges(Tables.documents(s, dir))
+        .write.mode("overwrite").parquet(path))
+    s.read.parquet(p).orderBy("rank").select("lhs", "rhs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
   }
 
   /** Schema of the persisted IVF+PQ index artifact — THE one
@@ -339,6 +358,25 @@ object PipelinePack extends QueryPack {
     "x73_bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(Tables.documents(s, dir))
         .orderBy("rank")),
+    // the learned tokenizer APPLIED (the step x73's rules feed): encode
+    // every document with the k merge rules — map-only broadcast-rules
+    // fold, zero shuffle; rules are artifact-fed (the x26 convention:
+    // training runs once per snapshot and is measured by x73; this
+    // measures encode). Ids: code point for base symbols,
+    // BpeMergedIdOffset + rank for merged ones.
+    "x74_bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(Tables.documents(s, dir), bpeRulesFor(s, dir))
+        .orderBy("doc_id")),
+    // token-TRUE sequence packing: x24's packing re-keyed on the
+    // learned tokenizer's counts — what a training pipeline actually
+    // batches by. Same first-fit-in-key-order window, real BPE counts.
+    "x76_bpe_packing" -> ((s, dir) =>
+      graft.operators.Sampling.packByBudget(
+        TextOps.bpeEncode(Tables.documents(s, dir), bpeRulesFor(s, dir),
+          extra = Seq("lang"))
+          .select("doc_id", "lang", "n_bpe_tokens"),
+        "lang", "doc_id", "n_bpe_tokens", BpePackBudget)
+        .orderBy("doc_id")),
     "x3_neardup_dedup" -> ((s, dir) =>
       Dedup.nearDupDedup(Tables.documents(s, dir), DedupJaccard).orderBy("doc_id")),
     // transitive duplicate clusters (large-star/small-star connected
@@ -947,6 +985,10 @@ object PipelinePack extends QueryPack {
       (TextOps.chunkDocsSql() + "\nORDER BY doc_id, chunk_id"),
     "x73_bpe_merges" ->
       (TextOps.bpeMergesSql() + "\nORDER BY rank"),
+    "x74_bpe_encode" ->
+      (TextOps.bpeEncodeSql() + "\nORDER BY doc_id"),
+    "x76_bpe_packing" ->
+      (TextOps.bpeEncodePackSql(budget = BpePackBudget) + "\nORDER BY doc_id"),
     "x3_neardup_dedup" ->
       (Dedup.nearDupDedupSql(DedupJaccard) + "\nORDER BY doc_id"),
     "x26_dup_clusters" ->

@@ -1514,4 +1514,54 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(full.map(_.getLong(4)).toSeq.reverse.sorted.reverse ===
       full.map(_.getLong(4)).toSeq, "pair counts must be non-increasing")
   }
+
+  test("BPE encode equals a greedy reference tokenizer, doc for doc") {
+    val sess = spark
+    import sess.implicits._
+    // plain-Scala greedy encode: rules in rank order, left-to-right
+    // within-word merge per rule — the textbook BPE apply step
+    def refEncode(rules: Seq[(String, String)], text: String): Seq[String] =
+      text.toLowerCase.split(" ", -1).filter(_.nonEmpty).toSeq.flatMap { w =>
+        var syms = w.map(_.toString).toVector
+        for ((l, r) <- rules) {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms(i) == l && syms(i + 1) == r) {
+              out += l + r; i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toVector
+        }
+        syms
+      }
+    def refIds(rules: Seq[(String, String)], syms: Seq[String]): Seq[Long] =
+      syms.map { s =>
+        val r = rules.indexWhere { case (l, rr) => l + rr == s }
+        if (r >= 0) TextOps.BpeMergedIdOffset + r + 1
+        else s.codePointAt(0).toLong
+      }
+    for (corpus <- Seq(
+        Seq("low low low lower lower", "newest newest newest widest",
+          "lowest widest widest newest"),
+        Seq("banana banana banana bandana", "ananas banana nana"),
+        Seq("aaaa aaaa aaaaa baaab", "aa aaa aaaa"),
+        Seq("ab ab ab", ""))) { // 1-rule corpus + an EMPTY doc (0 tokens)
+      val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val rules = TextOps.bpeMerges(df, 8).orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      val got = TextOps.bpeEncode(df, rules).orderBy("doc_id").collect()
+      assert(got.length == corpus.size)
+      for ((row, text) <- got.zip(corpus)) {
+        val syms = refEncode(rules, text)
+        assert(row.getLong(1) == syms.size.toLong,
+          s"token count for '$text': got ${row.getLong(1)}, want ${syms.size}")
+        assert(row.getString(2) == refIds(rules, syms).mkString(","),
+          s"ids for '$text' under rules $rules")
+      }
+    }
+    // merged-symbol ids live past every code point: no base collision
+    assert(TextOps.BpeMergedIdOffset == Character.MAX_CODE_POINT + 1)
+  }
 }
