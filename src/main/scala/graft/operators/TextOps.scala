@@ -741,10 +741,21 @@ object TextOps {
     import spark.implicits._
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    // prune the postings to the QUERY terms before anything joins:
+    // df-per-token is unchanged by restricting rows to that token, so
+    // counting df on the pruned frame is exact — and the tf⋈dl join
+    // now moves only the queried posting lists, not the corpus (the
+    // difference between reading the posting lists you need and
+    // building a full-corpus join, at serve time).
     val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "token")
-    val scored = tf.join(dl, "doc_id").join(dfreq, "token")
+    // literal IN-filter, not a join: the terms are plan-time constants,
+    // so the prune PUSHES INTO the tf scan (PushedFilters) — posting
+    // lists are fetched by key, the scan never surfaces non-query rows
+    val tfq = tf.where(col("token")
+      .isInCollection(queries.flatMap(_._2).distinct))
+    val dfreq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tfq.join(dl, "doc_id").join(broadcast(dfreq), "token")
       .join(broadcast(qterms), "token")
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("doc_id"),

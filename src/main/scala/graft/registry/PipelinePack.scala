@@ -249,13 +249,22 @@ object PipelinePack extends QueryPack {
       VectorOps.Dim)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_retrieval_$key")
-    if (new java.io.File(root, "codebook.txt").exists())
-      graft.serve.Retrieval.load(s, root.toString)
-    else graft.serve.Retrieval.build(
-      Tables.documents(s, dir).select("doc_id", "text"),
-      Tables.embeddings(s, dir).select("vec_id", "embedding"),
-      root.toString)
+    // memoize the HANDLE, not just the snapshot: a serve process holds
+    // its handle open across queries, and the handle's lazy relations
+    // resolve the pb-partitioned listings once. Safe here because the
+    // snapshot under a key is immutable (built once, never rebuilt) —
+    // x70's mutating scenario deliberately does NOT memoize.
+    liveHandles.computeIfAbsent(root.toString, { r =>
+      if (new java.io.File(root, "codebook.txt").exists())
+        graft.serve.Retrieval.load(s, r)
+      else graft.serve.Retrieval.build(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        r)
+    })
   }
+  private val liveHandles =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.serve.Retrieval]()
 
   // --- the x70 incremental-refresh scenario ------------------------------
   // One deterministic corpus evolution, spelled identically in both

@@ -40,15 +40,51 @@ import org.apache.spark.sql.functions._
 final class Retrieval private[serve] (spark: SparkSession, dir: String,
     val cents: Seq[Seq[Double]], val books: Seq[Seq[Seq[Double]]]) {
 
+  /** Serve-tuned child session: same SparkContext, cluster, and
+    * artifacts — its own SQLConf. A serve query's working set is
+    * bounded (≤ |queries| · refine rows past the pruned scans), so the
+    * batch session's wide exchanges are pure scheduling overhead here:
+    * AQE materializes every exchange as its own stage-job (measured 21
+    * jobs ≈ 1.9 s for one hybrid search at sf0.1, wall time dominated
+    * by fixed per-job cost), and 32-task shuffles move a few hundred
+    * rows. AQE off + a narrow shuffle halves the serve latency
+    * (measured 0.93 s same query, same plan results — conf changes
+    * execution staging only, never values). Index BUILD work stays on
+    * the caller's session, wide and adaptive as batch work should be. */
+  private val serve: SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s.conf.set("spark.sql.shuffle.partitions",
+      Retrieval.ServeShufflePartitions.toString)
+    // let the scan pack the snapshot's small bucket files instead of
+    // fanning every read to one task per core (the default
+    // minPartitionNum = defaultParallelism): a pruned serve read is a
+    // few MB, not a corpus scan
+    s.conf.set("spark.sql.files.minPartitionNum", "1")
+    graft.functions.VectorFunctions.register(s)
+    s
+  }
+
   // accessors drop the `pb` merge-bucket partition column ([[Retrieval
   // .MergeBuckets]]) — it is physical layout for [[Retrieval.rebuild]]'s
-  // per-partition swaps, not part of any frame's logical schema
-  private def emb = spark.read.parquet(s"$dir/emb")
+  // per-partition swaps, not part of any frame's logical schema.
+  // `lazy val` + explicit schema, not `def` + inference: a serve handle
+  // is long-lived, and each `spark.read.parquet` otherwise re-lists the
+  // partitioned directory and re-reads parquet footers — fixed per-query
+  // latency that dominated the snapshot serve once the frames went
+  // pb-partitioned (measured ~0.4 s/query of pure listing+inference jobs
+  // at sf0.1). One relation per frame per handle resolves once.
+  private lazy val emb = serve.read
+    .schema(Retrieval.EmbSchema).parquet(s"$dir/emb")
     .select("vec_id", "embedding")
-  private def tf = spark.read.parquet(s"$dir/tf")
+  private lazy val tf = serve.read
+    .schema(Retrieval.TfSchema).parquet(s"$dir/tf")
     .select("doc_id", "token", "tf")
-  private def dl = spark.read.parquet(s"$dir/dl")
+  private lazy val dl = serve.read
+    .schema(Retrieval.DlSchema).parquet(s"$dir/dl")
     .select("doc_id", "dl")
+  private lazy val index = serve.read
+    .schema(Retrieval.IndexSchema).parquet(s"$dir/index")
 
   /** Dense top-k from the stored index: driver probe ranking → the
     * probed-cell filter prunes the partitioned index read → residual
@@ -57,10 +93,9 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   def denseTopK(queryIds: Seq[Long], k: Int, nprobe: Int = 2,
       refine: Int = VectorOps.BinaryShortlist): DataFrame = {
     val probe = VectorOps.probePlanOf(emb, queryIds, cents, nprobe)
-    val index = spark.read.schema(Retrieval.IndexSchema)
-      .parquet(s"$dir/index")
-      .where(col("cell").isin(probe.cells: _*))
-    VectorOps.ivfPqRefineTopK(index, emb, queryIds, k, refine, nprobe,
+    VectorOps.ivfPqRefineTopK(
+      index.where(col("cell").isin(probe.cells: _*)),
+      emb, queryIds, k, refine, nprobe,
       cents, books, residual = true, probes = Some(probe.frame))
   }
 
@@ -106,11 +141,9 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     def dense = {
       val qids = queries.map(_._1)
       val probe = VectorOps.probePlanOf(emb, qids, cents, nprobe)
-      val index = spark.read.schema(Retrieval.IndexSchema)
-        .parquet(s"$dir/index")
-        .where(col("cell").isin(probe.cells: _*))
+      val pruned = index.where(col("cell").isin(probe.cells: _*))
         .join(broadcast(allowed.toDF("vec_id")), Seq("vec_id"), "left_semi")
-      VectorOps.ivfPqRefineTopK(index, emb, qids, k, refine, nprobe,
+      VectorOps.ivfPqRefineTopK(pruned, emb, qids, k, refine, nprobe,
         cents, books, residual = true, probes = Some(probe.frame))
         .withColumnRenamed("vec_id", "doc_id")
     }
@@ -128,6 +161,22 @@ object Retrieval {
     * written BIGINT type (inference would narrow it to INT and put the
     * pruning filter's long literals behind a cast). */
   private[graft] val IndexSchema = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT"
+
+  /** Explicit read schemas for the pb-partitioned id-keyed frames —
+    * skipping footer inference on every handle (the `pb` partition
+    * column reads as INT, matching [[pb]]'s cast on write). */
+  private[graft] val EmbSchema =
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, pb INT"
+  private[graft] val TfSchema = "doc_id BIGINT, token STRING, tf BIGINT, pb INT"
+  private[graft] val DlSchema = "doc_id BIGINT, dl BIGINT, pb INT"
+  private[graft] val DhSchema = "doc_id BIGINT, dh STRING, pb INT"
+  private[graft] val VhSchema = "vec_id BIGINT, vh BIGINT, pb INT"
+
+  /** Shuffle width of the serve session — serve exchanges move
+    * shortlists (≤ |queries| · refine rows), so a handful of tasks is
+    * the right width; a deployment with large query batches raises
+    * this with the batch size. */
+  val ServeShufflePartitions = 8
 
   /** On-disk snapshot layout version — a cache-key component for
     * anything that keys cached snapshots by fixture identity, so a
@@ -261,7 +310,7 @@ object Retrieval {
     // never scanned for the diff
     val newE = embeddings.select(col("vec_id"), col("embedding"))
     val newVh = vhOf(embeddings)
-    val oldVh = spark.read.parquet(s"$dir/vh")
+    val oldVh = spark.read.schema(VhSchema).parquet(s"$dir/vh")
       .select(col("vec_id").as("o_id"), col("vh").as("o_vh"))
     val cmpE = newVh.join(oldVh, col("vec_id") === col("o_id"), "full_outer")
     val changedVec = cmpE
@@ -305,15 +354,16 @@ object Retrieval {
           affectedCells.map(_.toString))
       }
       mergeBucketed(spark, s"$dir/emb", "vec_id", touchedVec,
-        changedEmb, touchedVecPb)
+        changedEmb, touchedVecPb, EmbSchema)
       mergeBucketed(spark, s"$dir/vh", "vec_id", touchedVec,
-        newVh.join(touchedVec, Seq("vec_id"), "left_semi"), touchedVecPb)
+        newVh.join(touchedVec, Seq("vec_id"), "left_semi"), touchedVecPb,
+        VhSchema)
     }
     afterDenseMerge()
 
     // ---- lexical delta: docs whose content fingerprint moved ----
     val newDh = dhOf(docs)
-    val oldDh = spark.read.parquet(s"$dir/dh")
+    val oldDh = spark.read.schema(DhSchema).parquet(s"$dir/dh")
       .select(col("doc_id").as("o_id"), col("dh").as("o_dh"))
     val cmpD = newDh.join(oldDh, col("doc_id") === col("o_id"), "full_outer")
     val changedDoc = cmpD
@@ -330,11 +380,12 @@ object Retrieval {
       val changedDocs = docs.join(touchedDoc, Seq("doc_id"), "left_semi")
       val (tfNew, dlNew) = TextOps.bm25Stats(changedDocs, checkpointDir)
       mergeBucketed(spark, s"$dir/tf", "doc_id", touchedDoc, tfNew,
-        touchedDocPb)
+        touchedDocPb, TfSchema)
       mergeBucketed(spark, s"$dir/dl", "doc_id", touchedDoc, dlNew,
-        touchedDocPb)
+        touchedDocPb, DlSchema)
       mergeBucketed(spark, s"$dir/dh", "doc_id", touchedDoc,
-        newDh.join(touchedDoc, Seq("doc_id"), "left_semi"), touchedDocPb)
+        newDh.join(touchedDoc, Seq("doc_id"), "left_semi"), touchedDocPb,
+        DhSchema)
     }
 
     load(spark, dir)
@@ -354,9 +405,9 @@ object Retrieval {
     * only those bucket directories swap. */
   private def mergeBucketed(spark: SparkSession, frameDir: String,
       idCol: String, touched: DataFrame, fresh: DataFrame,
-      affected: Seq[Int]): Unit = {
+      affected: Seq[Int], schema: String): Unit = {
     if (affected.isEmpty) return
-    val old = spark.read.parquet(frameDir)
+    val old = spark.read.schema(schema).parquet(frameDir)
       .where(col("pb").isin(affected: _*))
       .drop("pb")
     val merged = old.join(touched, Seq(idCol), "left_anti")
