@@ -270,7 +270,15 @@ object PipelinePack extends QueryPack {
   // One deterministic corpus evolution, spelled identically in both
   // engines: the PRIOR snapshot holds ids `< 16 OR id % 5 <> 0` (the
   // `< 16` clause keeps the k-means/PQ seed range dense — both trainers
-  // seed from ids [0, 16)); the REFRESH drops `id % 101 = 7`, re-crawls
+  // seed from ids [0, 16)); the REFRESH drops `id % 101 = 23` (23, not
+  // a value under 16: x77 RETRAINS on the refreshed corpus, so the
+  // seed range must stay dense there too), re-crawls
+
+  /** Scenario constants of the corpus evolution — cache-key components
+    * for the x70/x77 snapshot artifacts, so editing the scenario can
+    * never serve a snapshot built under the previous one. */
+  private val RefreshDropMod = 23L
+  private val RefreshRecrawlMod = 97L
   // `id % 97 = 3` (text suffixed, embedding reversed), and thereby adds
   // every `id % 5 = 0, id >= 16` doc the prior snapshot never held.
 
@@ -282,27 +290,27 @@ object PipelinePack extends QueryPack {
       .where(col("vec_id") < 16 || col("vec_id") % 5 =!= 0)
   private def refreshedDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text")
-      .where(col("doc_id") % 101 =!= 7)
-      .withColumn("text", when(col("doc_id") % 97 === 3,
+      .where(col("doc_id") % 101 =!= RefreshDropMod)
+      .withColumn("text", when(col("doc_id") % RefreshRecrawlMod === 3,
         concat(col("text"), lit(" refreshed"))).otherwise(col("text")))
   private def refreshedEmb(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir).select("vec_id", "embedding")
-      .where(col("vec_id") % 101 =!= 7)
-      .withColumn("embedding", when(col("vec_id") % 97 === 3,
+      .where(col("vec_id") % 101 =!= RefreshDropMod)
+      .withColumn("embedding", when(col("vec_id") % RefreshRecrawlMod === 3,
         reverse(col("embedding"))).otherwise(col("embedding")))
 
   private val TrainEmbSql =
     """SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |FROM embeddings WHERE vec_id < 16 OR vec_id % 5 <> 0""".stripMargin
   private val ServeEmbSql =
-    """SELECT vec_id, list_transform(
-      |    CASE WHEN vec_id % 97 = 3 THEN list_reverse(embedding)
+    s"""SELECT vec_id, list_transform(
+      |    CASE WHEN vec_id % $RefreshRecrawlMod = 3 THEN list_reverse(embedding)
       |         ELSE embedding END, x -> CAST(x AS DOUBLE)) AS v
-      |FROM embeddings WHERE vec_id % 101 <> 7""".stripMargin
+      |FROM embeddings WHERE vec_id % 101 <> $RefreshDropMod""".stripMargin
   private val ServeDocsSql =
-    """SELECT doc_id,
-      |  CASE WHEN doc_id % 97 = 3 THEN text || ' refreshed' ELSE text END AS text
-      |FROM documents WHERE doc_id % 101 <> 7""".stripMargin
+    s"""SELECT doc_id,
+      |  CASE WHEN doc_id % $RefreshRecrawlMod = 3 THEN text || ' refreshed' ELSE text END AS text
+      |FROM documents WHERE doc_id % 101 <> $RefreshDropMod""".stripMargin
 
   /** The refreshed snapshot handle: a cached PRIOR build (fixture-keyed
     * like [[retrievalFor]]) brought current by [[graft.serve.Retrieval
@@ -315,6 +323,7 @@ object PipelinePack extends QueryPack {
     val fd = new java.io.File(s"$dir/documents.parquet")
     val key = artifactKey(dir, fe.lastModified(), fe.length(),
       fd.lastModified(), fd.length(), "retrieval_rebuild",
+      RefreshDropMod, RefreshRecrawlMod,
       graft.serve.Retrieval.LayoutVersion,
       VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.PqSubspaces,
       VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
@@ -326,6 +335,38 @@ object PipelinePack extends QueryPack {
         root.toString)
     graft.serve.Retrieval.rebuild(refreshedDocs(s, dir),
       refreshedEmb(s, dir), root.toString)
+  }
+
+  /** The RETRAINED snapshot handle: the prior generation (trained on
+    * the initial corpus, like x70's) migrated by [[graft.serve
+    * .Retrieval.retrain]] on the refreshed corpus — fresh books, full
+    * re-encode, atomic swap over the live dir. Built once per key (the
+    * migration is scheduled maintenance, not per-query work); the
+    * registered serve then gates that a retrained live dir is
+    * bit-identical to a snapshot freshly trained on the current corpus
+    * — the migration contract, end to end. */
+  private def retrainRetrievalFor(s: SparkSession,
+      dir: String): graft.serve.Retrieval = {
+    val fe = new java.io.File(s"$dir/embeddings.parquet")
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    val key = artifactKey(dir, fe.lastModified(), fe.length(),
+      fd.lastModified(), fd.length(), "retrieval_retrain",
+      RefreshDropMod, RefreshRecrawlMod,
+      graft.serve.Retrieval.LayoutVersion,
+      VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.PqSubspaces,
+      VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
+      VectorOps.Dim)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_retrain_$key")
+    liveHandles.computeIfAbsent(root.toString, { r =>
+      if (new java.io.File(root, "codebook.txt").exists())
+        graft.serve.Retrieval.load(s, r)
+      else {
+        graft.serve.Retrieval.build(initialDocs(s, dir), initialEmb(s, dir), r)
+        graft.serve.Retrieval.retrain(refreshedDocs(s, dir),
+          refreshedEmb(s, dir), r)
+      }
+    })
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -342,6 +383,15 @@ object PipelinePack extends QueryPack {
     // and serves the refreshed one, pinning the fixed-book semantics
     "x70_rebuild_search" -> ((s, dir) =>
       rebuildRetrievalFor(s, dir).search(Bm25Queries, 5)
+        .orderBy("query_id", "rn")),
+    // the maintenance path end-to-end: the prior snapshot MIGRATED by
+    // retrain (fresh books on the refreshed corpus, full re-encode,
+    // atomic swap) and served — the oracle trains AND serves on the
+    // refreshed corpus, pinning that a retrained live dir equals a
+    // freshly trained snapshot (x70 gates the fixed-book refresh
+    // between retrains; this gates the retrain itself)
+    "x77_retrain_search" -> ((s, dir) =>
+      retrainRetrievalFor(s, dir).search(Bm25Queries, 5)
         .orderBy("query_id", "rn")),
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
@@ -1173,6 +1223,14 @@ object PipelinePack extends QueryPack {
       (graft.operators.HybridOps.rebuildSearchSql(Bm25Queries, 5,
         r = VectorOps.BinaryShortlist, nprobe = 2,
         TrainEmbSql, ServeEmbSql, ServeDocsSql) +
+        "\nORDER BY query_id, rn"),
+    // retrain: train = serve = the refreshed corpus — the same
+    // fixed-book chain with the training view swapped, which IS the
+    // "retrained live dir == freshly trained snapshot" contract
+    "x77_retrain_search" ->
+      (graft.operators.HybridOps.rebuildSearchSql(Bm25Queries, 5,
+        r = VectorOps.BinaryShortlist, nprobe = 2,
+        ServeEmbSql, ServeEmbSql, ServeDocsSql) +
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),

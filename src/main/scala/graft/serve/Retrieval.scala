@@ -269,6 +269,44 @@ object Retrieval {
     load(spark, dir)
   }
 
+  /** Scheduled-maintenance retrain of a LIVE snapshot — the blue/green
+    * migration [[rebuild]] deliberately never performs. [[rebuild]]
+    * holds codebooks fixed (the right refresh default: codes stay
+    * comparable across deltas, no multi-pass training per publish), so
+    * over months of corpus drift the coarse cells and residual books
+    * describe a distribution that no longer exists and measured recall
+    * decays ([[graft.operators.VectorOps.annRecall]] is the meter).
+    * This is the correction: train FRESH coarse + residual books on
+    * the corpus as it is now, fully re-encode, and swap.
+    *
+    * Mechanics are [[build]]'s — everything stages into a sibling tmp
+    * dir while the old snapshot keeps serving, then the rename-aside
+    * [[publish]] commits the whole new generation atomically (a reader
+    * sees the old snapshot or the new one, never a mix of codes from
+    * two codebook generations — the one invariant a retrain must never
+    * break, since codes are meaningless under the wrong books). The
+    * published snapshot carries fresh dh/vh fingerprints, so the NEXT
+    * [[rebuild]] is incremental against the retrained generation.
+    *
+    * Cost shape at scale: the full train + re-encode + rewrite —
+    * deliberately, that is what a codebook migration IS. Run it on the
+    * maintenance cadence recall measurements dictate, with [[rebuild]]
+    * serving every refresh in between.
+    *
+    * Requires a live snapshot at `dir`: retrain is a migration, not a
+    * first publish — use [[build]] to create a snapshot. */
+  def retrain(docs: DataFrame, embeddings: DataFrame, dir: String,
+      checkpointDir: Option[String] = None): Retrieval = {
+    require(
+      new java.io.File(dir, "codebook.txt").exists() || {
+        recoverAside(dir) // a crashed prior swap still counts as live
+        new java.io.File(dir, "codebook.txt").exists()
+      },
+      s"$dir is not a live retrieval snapshot; retrain migrates an " +
+        "existing publish — use build() for the first one")
+    build(docs, embeddings, dir, checkpointDir)
+  }
+
   /** Incremental snapshot refresh — the fixed-codebook insight applied
     * to batch publish: reuse the PRIOR snapshot's coarse + residual
     * codebooks (no retraining — the multi-pass cost a full [[build]]

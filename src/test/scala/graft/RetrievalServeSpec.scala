@@ -184,6 +184,86 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(rows(again.search(queries, 5)) === rows(want.search(queries, 5)))
   }
 
+  test("codebook retrain migrates a live snapshot: fresh books, recall recovers, next rebuild incremental") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retrain").toString
+    val live = s"$root/snap"
+    val docs0 = docs.where(col("doc_id") < 420)
+    val emb0 = emb.where(col("vec_id") < 420)
+    val prior = Retrieval.build(docs0, emb0, live)
+
+    // drift the distribution out from under the books: EVERY vector
+    // reversed (a layout the old coarse cells and residual books never
+    // saw), plus additions — the months-of-drift scenario compressed
+    val docs1 = docs.where(col("doc_id") < 450)
+    val emb1 = emb.where(col("vec_id") < 450)
+      .withColumn("embedding", reverse(col("embedding")))
+
+    // the steady-state path holds books fixed — consistent, but now
+    // mis-trained relative to the corpus it indexes
+    val stale = Retrieval.rebuild(docs1, emb1, live)
+    assert(stale.cents === prior.cents && stale.books === prior.books)
+
+    val qids = Seq(0L, 1L, 2L)
+    def recallOf(h: Retrieval): Long = {
+      val exact = VectorOps.cosineTopK(emb1, qids, 5)
+        .select("query_id", "vec_id")
+      h.denseTopK(qids, 5).select("query_id", "vec_id")
+        .join(exact, Seq("query_id", "vec_id"), "left_semi").count()
+    }
+    val staleHits = recallOf(stale)
+
+    // the migration: fresh books on the current corpus, full re-encode,
+    // atomic swap over the live dir
+    val retrained = Retrieval.retrain(docs1, emb1, live)
+    assert(retrained.cents !== prior.cents,
+      "retrain kept the stale coarse codebook")
+
+    // retrained live dir ≡ a snapshot freshly trained on this corpus
+    val fresh = Retrieval.build(docs1, emb1, s"$root/fresh")
+    assert(retrained.cents === fresh.cents && retrained.books === fresh.books)
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    for (p <- Seq[HybridOps.Fusion](HybridOps.Rrf, HybridOps.LexicalOnly,
+        HybridOps.DenseOnly))
+      assert(rows(retrained.search(queries, 5, p)) ===
+        rows(fresh.search(queries, 5, p)),
+        s"retrained live dir diverges from a fresh-trained snapshot under $p")
+
+    // recall recovered: books trained on the drifted corpus find the
+    // true neighbors the stale books lost
+    val retrainedHits = recallOf(retrained)
+    assert(retrainedHits > staleHits,
+      s"retrain did not improve recall: stale=$staleHits retrained=$retrainedHits")
+
+    // the retrained publish carries fresh dh/vh: the NEXT rebuild is
+    // incremental again (untouched buckets not rewritten, serve exact)
+    def pbDirs(frame: String) = new java.io.File(s"$live/$frame").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pb=")).toSeq
+    val pbBefore = Seq("emb", "vh", "tf", "dl", "dh")
+      .map(f => f -> pbDirs(f).map(d => d.getName -> d.lastModified()).toMap)
+      .toMap
+    val docs2 = docs1.withColumn("text", when(col("doc_id") < 2,
+      concat(col("text"), lit(" post-retrain crawl"))).otherwise(col("text")))
+    val emb2 = emb1.withColumn("embedding", when(col("vec_id") < 2,
+      reverse(col("embedding"))).otherwise(col("embedding")))
+    val after = Retrieval.rebuild(docs2, emb2, live)
+    assert(after.cents === retrained.cents && after.books === retrained.books,
+      "post-retrain rebuild retrained again")
+    val touchedPb = (0L until 2L).map(p => s"pb=$p").toSet
+    for (f <- Seq("emb", "vh", "tf", "dl", "dh");
+        d <- pbDirs(f) if !touchedPb.contains(d.getName))
+      assert(d.lastModified() == pbBefore(f)(d.getName),
+        s"$f/${d.getName} rewritten by a post-retrain delta that never touched it")
+    val wantAfter = Retrieval.build(docs2, emb2, s"$root/after",
+      codebooks = Some((retrained.cents, retrained.books)))
+    assert(rows(after.search(queries, 5)) === rows(wantAfter.search(queries, 5)))
+
+    // retrain is a migration: refuses a dir that was never published
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.retrain(docs1, emb1, s"$root/never-built")
+    }
+    assert(ex.getMessage.contains("not a live retrieval snapshot"))
+  }
+
   test("rebuild crash between the dense and lexical merges: rerun converges") {
     val root = java.nio.file.Files.createTempDirectory("graft-reconv").toString
     val live = s"$root/snap"
