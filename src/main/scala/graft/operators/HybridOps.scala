@@ -206,6 +206,37 @@ object HybridOps {
        |QUALIFY rn <= $k""".stripMargin)
   }
 
+  /** Oracle for [[graft.serve.Retrieval.searchChunks]]' default serve:
+    * the chunk-ranked, doc-deduped lexical half ([[TextOps
+    * .bm25ChunkTopKSql]]) RRF-fused with the residual-IVFADC dense
+    * half, the fused row carrying the lex half's best chunk_id (−1
+    * where only the dense half surfaced the doc — matching the
+    * handle's attribution coalesce). */
+  def chunkSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
+      r: Int, nprobe: Int): String = {
+    val d = rrfDenom(k)
+    VectorOps.materializedCtes(s"""WITH clex AS (
+       |  SELECT query_id, doc_id, chunk_id, rn
+       |  FROM (${TextOps.bm25ChunkTopKSql(queries, k)})
+       |), cdense AS (
+       |  SELECT query_id, vec_id AS doc_id, rn
+       |  FROM (${VectorOps.ivfPqRefineTopKSql(queries.map(_._1), k, r, nprobe)})
+       |), cfused AS (
+       |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
+       |    coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |    coalesce(l.chunk_id, -1) AS chunk_id,
+       |    coalesce($d // ($RrfK + l.rn), 0) +
+       |      coalesce($d // ($RrfK + r.rn), 0) AS rrf
+       |  FROM clex l FULL OUTER JOIN cdense r
+       |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+       |)
+       |SELECT query_id, doc_id, chunk_id, rrf,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rn
+       |FROM cfused
+       |QUALIFY rn <= $k""".stripMargin)
+  }
+
   /** Oracle for [[graft.serve.Retrieval.rebuild]]'s end-to-end serve
     * (x70): the [[snapshotSearchSql]] fusion where the dense half's
     * codebooks train on the PRIOR corpus only

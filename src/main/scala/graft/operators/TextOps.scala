@@ -1134,10 +1134,17 @@ object TextOps {
     * inclusive list slice `[a : a+window−1]` ≡ Spark's clamped
     * `slice(a, window)`. */
   def chunkDocsSql(window: Int = ChunkWindow,
-      overlap: Int = ChunkOverlap): String = {
+      overlap: Int = ChunkOverlap, docsSql: Option[String] = None): String = {
     val step = window - overlap
-    s"""WITH t AS (
-       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM documents
+    // docsSql swaps the corpus for a derived `(doc_id, text)` SELECT
+    // (the bm25TopKSql convention) — chunk-level oracles over evolved
+    // corpora compose through here instead of duplicating the chunk
+    // arithmetic
+    val (srcCte, srcName) = docsSql
+      .map(d => (s"cdocs_src AS (\n$d\n), ", "cdocs_src"))
+      .getOrElse(("", "documents"))
+    s"""WITH ${srcCte}t AS (
+       |  SELECT doc_id, ${tokensSql("text")} AS toks FROM $srcName
        |), n AS (
        |  SELECT doc_id, toks,
        |    greatest((len(toks) - $overlap + ${step - 1}) // $step, 1) AS nc
@@ -1152,5 +1159,146 @@ object TextOps {
        |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
        |  array_to_string(ct, ' ') AS chunk
        |FROM c""".stripMargin
+  }
+
+  // --- chunk-level BM25 retrieval (x78/x79) -------------------------------
+
+  /** The chunk-level lexical index frames: `(doc_id, chunk_id, token,
+    * tf)` and `(doc_id, chunk_id, dl)` over [[chunkDocs]]' windows —
+    * the index a RAG serve ranks CHUNKS from instead of whole
+    * documents (a long doc's one relevant passage should not be
+    * diluted by the rest of the doc's length, and the caller needs to
+    * know WHICH passage matched). Both frames are PER-DOC local — a
+    * doc's chunk rows depend on its text alone — so the [[bm25Stats]]
+    * incremental-maintenance argument carries over verbatim: a corpus
+    * slice's chunk stats computed in isolation equal its stats within
+    * the full corpus, and [[graft.serve.Retrieval.rebuild]] merges
+    * these by doc-id bucket exactly like tf/dl.
+    *
+    * `ctf` is MATERIALIZED for [[bm25Stats]]' three-consumer reason
+    * (scoring join, `cdl`, df). Chunking itself is the map-only
+    * [[chunkDocs]] pass — the tokenize happens once, inside it. */
+  def chunkBm25Stats(docs: DataFrame, window: Int = ChunkWindow,
+      overlap: Int = ChunkOverlap,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    val tok = chunkDocs(docs, window, overlap)
+      .select(col("doc_id"), col("chunk_id"),
+        explode(tokens(col("chunk"))).as("token"))
+    val ctf = Dedup.materialize(
+      tok.groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf")),
+      checkpointDir)
+    val cdl = ctf.groupBy("doc_id", "chunk_id").agg(sum(col("tf")).as("dl"))
+    (ctf, cdl)
+  }
+
+  /** Chunk-ranked, doc-deduped BM25 top-k from prebuilt chunk index
+    * frames — the production RAG serve shape: score CHUNKS (each chunk
+    * is the BM25 "document": df = chunks containing the term, N =
+    * chunk count, avgdl = mean chunk length), keep each doc's best
+    * chunk (max score, chunk_id ascending on ties — the dedup-to-docs
+    * step, so one long doc can never crowd a result list with its own
+    * passages), then rank docs per query by that best-chunk score.
+    * Output `(query_id, doc_id, chunk_id, score, rn)` — `chunk_id` IS
+    * the attribution a RAG caller feeds to generation.
+    *
+    * Scale shape: [[bm25TopKFrom]]'s exactly — literal IN-prune pushed
+    * into the ctf scan, broadcast query terms / df / 1-row stats,
+    * decimal-grid partials before the per-(query, doc, chunk) sum,
+    * round-before-rank. The extra best-chunk step is a window over
+    * (query, doc) — it ranks only chunks that matched ≥ 1 query term,
+    * posting-list-bounded, never corpus-bounded. */
+  def bm25ChunkTopKFrom(ctf: DataFrame, cdl: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    val spark = ctf.sparkSession
+    import spark.implicits._
+    val stats = cdl.agg(count(lit(1)).as("n_chunks"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "token")
+    val tfq = ctf.where(col("token")
+      .isInCollection(queries.flatMap(_._2).distinct))
+    val dfreq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tfq.join(cdl, Seq("doc_id", "chunk_id"))
+      .join(broadcast(dfreq), "token")
+      .join(broadcast(qterms), "token")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        round(log((col("n_chunks") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * (col("tf") * lit(Bm25K1 + 1))
+          / (col("tf") + lit(Bm25K1) *
+            (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 9)
+          .cast("decimal(18,9)").as("s"))
+    val agg = scored.groupBy("query_id", "doc_id", "chunk_id")
+      .agg(round(sum(col("s")).cast("double"), 6).as("score"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id", "doc_id").orderBy(desc("score"), asc("chunk_id"))
+    val best = agg.withColumn("rc", row_number().over(wBest))
+      .where(col("rc") === 1).drop("rc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+    best.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** [[bm25ChunkTopKFrom]] over a raw corpus — chunk, index, serve in
+    * one plan (the batch/oracle-gated entry; a deployment serves from
+    * [[graft.serve.Retrieval]]'s stored chunk frames instead). */
+  def bm25ChunkTopK(docs: DataFrame, queries: Seq[(Long, Seq[String])],
+      k: Int, window: Int = ChunkWindow, overlap: Int = ChunkOverlap,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val (ctf, cdl) = chunkBm25Stats(docs, window, overlap, checkpointDir)
+    bm25ChunkTopKFrom(ctf, cdl, queries, k)
+  }
+
+  /** [[bm25ChunkTopK]] oracle — [[chunkDocsSql]]'s chunk arithmetic
+    * composed (not duplicated) as the corpus, then [[bm25TopKSql]]'s
+    * scoring chain with (doc, chunk) as the scoring key, the same
+    * best-chunk window, and the same round-before-rank doc ranking. */
+  def bm25ChunkTopKSql(queries: Seq[(Long, Seq[String])], k: Int,
+      window: Int = ChunkWindow, overlap: Int = ChunkOverlap,
+      docsSql: Option[String] = None): String = {
+    val qvals = queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    s"""WITH ck AS (
+       |  SELECT doc_id, chunk_id, chunk
+       |  FROM (${chunkDocsSql(window, overlap, docsSql)})
+       |), ctok AS (
+       |  SELECT doc_id, chunk_id, unnest(${tokensSql("chunk")}) AS token
+       |  FROM ck
+       |), ctf AS (
+       |  SELECT doc_id, chunk_id, token, count(*) AS tf
+       |  FROM ctok GROUP BY doc_id, chunk_id, token
+       |), cdl AS (
+       |  SELECT doc_id, chunk_id, count(*) AS dl
+       |  FROM ctok GROUP BY doc_id, chunk_id
+       |), cstats AS (
+       |  SELECT count(*) AS n_chunks,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM cdl
+       |), cdfreq AS (
+       |  SELECT token, count(*) AS df FROM ctf GROUP BY token
+       |), cq(query_id, token) AS (VALUES $qvals
+       |), cscored AS (
+       |  SELECT cq.query_id, ctf.doc_id, ctf.chunk_id,
+       |    CAST(round(ln((n_chunks - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * ${Bm25K1 + 1})
+       |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 9)
+       |      AS DECIMAL(18,9)) AS s
+       |  FROM ctf JOIN cdl USING (doc_id, chunk_id)
+       |    JOIN cdfreq USING (token) JOIN cq USING (token), cstats
+       |), cagg AS (
+       |  SELECT query_id, doc_id, chunk_id,
+       |    round(CAST(sum(s) AS DOUBLE), 6) AS score
+       |  FROM cscored GROUP BY query_id, doc_id, chunk_id
+       |), cbest AS (
+       |  SELECT query_id, doc_id, chunk_id, score
+       |  FROM cagg
+       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+       |    ORDER BY score DESC, chunk_id) = 1
+       |)
+       |SELECT query_id, doc_id, chunk_id, score,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score DESC, doc_id) AS rn
+       |FROM cbest
+       |QUALIFY rn <= $k""".stripMargin
   }
 }

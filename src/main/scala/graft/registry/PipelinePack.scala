@@ -36,10 +36,15 @@ object PipelinePack extends QueryPack {
     * strict, non-empty subset at every fixture scale factor. */
   val SelectBudget = 12000L
 
-  /** Token budget for x76's token-TRUE packing — same order as x24's
-    * whitespace-token budget so pack shapes stay comparable across the
-    * two packings. Single constant, interpolated into both engines. */
-  val BpePackBudget = 512L
+  /** Sequence-pack token budget shared by x24 (whitespace tokens) and
+    * x76 (BPE tokens) — ONE constant so the comparable-pack-shape claim
+    * between the two packings is enforced by construction, interpolated
+    * into both engines on both queries. */
+  val PackBudget = 512L
+
+  /** x76's token-TRUE packing budget — definitionally x24's, see
+    * [[PackBudget]]. */
+  val BpePackBudget: Long = PackBudget
 
   /** Fixed lexical query batch for BM25 retrieval (x56) — terms drawn
     * from the fixture vocabulary so every query matches documents at
@@ -254,17 +259,29 @@ object PipelinePack extends QueryPack {
     // resolve the pb-partitioned listings once. Safe here because the
     // snapshot under a key is immutable (built once, never rebuilt) —
     // x70's mutating scenario deliberately does NOT memoize.
-    liveHandles.computeIfAbsent(root.toString, { r =>
+    cachedHandle(s, root) { r =>
       if (new java.io.File(root, "codebook.txt").exists())
         graft.serve.Retrieval.load(s, r)
       else graft.serve.Retrieval.build(
         Tables.documents(s, dir).select("doc_id", "text"),
         Tables.embeddings(s, dir).select("vec_id", "embedding"),
         r)
-    })
+    }
   }
   private val liveHandles =
     new java.util.concurrent.ConcurrentHashMap[String, graft.serve.Retrieval]()
+
+  /** Handle memoization keyed by (snapshot path, SparkContext
+    * identity) — a handle's lazy relations bind to the session of the
+    * first call, so a path-only key would hand a later, different (or
+    * restarted) context a handle executing on the stale one. A fresh
+    * context therefore builds/loads its own handle; the snapshot on
+    * disk is still shared. */
+  private def cachedHandle(s: SparkSession, root: java.io.File)(
+      make: String => graft.serve.Retrieval): graft.serve.Retrieval =
+    liveHandles.computeIfAbsent(
+      s"$root#${System.identityHashCode(s.sparkContext)}",
+      _ => make(root.toString))
 
   // --- the x70 incremental-refresh scenario ------------------------------
   // One deterministic corpus evolution, spelled identically in both
@@ -272,15 +289,16 @@ object PipelinePack extends QueryPack {
   // `< 16` clause keeps the k-means/PQ seed range dense — both trainers
   // seed from ids [0, 16)); the REFRESH drops `id % 101 = 23` (23, not
   // a value under 16: x77 RETRAINS on the refreshed corpus, so the
-  // seed range must stay dense there too), re-crawls
+  // seed range must stay dense there too), re-crawls `id % 97 = 3`
+  // (text suffixed, embedding reversed), and thereby adds every
+  // `id % 5 = 0, id >= 16` doc the prior snapshot never held.
 
-  /** Scenario constants of the corpus evolution — cache-key components
-    * for the x70/x77 snapshot artifacts, so editing the scenario can
-    * never serve a snapshot built under the previous one. */
+  /** Scenario constants of the corpus evolution above — cache-key
+    * components for the x70/x77 snapshot artifacts, so editing the
+    * scenario can never serve a snapshot built under the previous
+    * one. */
   private val RefreshDropMod = 23L
   private val RefreshRecrawlMod = 97L
-  // `id % 97 = 3` (text suffixed, embedding reversed), and thereby adds
-  // every `id % 5 = 0, id >= 16` doc the prior snapshot never held.
 
   private def initialDocs(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select("doc_id", "text")
@@ -358,15 +376,23 @@ object PipelinePack extends QueryPack {
       VectorOps.Dim)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_retrain_$key")
-    liveHandles.computeIfAbsent(root.toString, { r =>
-      if (new java.io.File(root, "codebook.txt").exists())
-        graft.serve.Retrieval.load(s, r)
+    // liveness keys on a distinct done-marker written AFTER the
+    // retrain, not on codebook.txt: the initial build also publishes a
+    // codebook, so a crash between build(initial) and retrain would
+    // otherwise leave a live but UN-retrained snapshot that every
+    // later run silently serves. No marker → redo both steps (build
+    // atomically replaces the half-done generation) → mark.
+    cachedHandle(s, root) { r =>
+      val done = new java.io.File(root, "retrain.done")
+      if (done.exists()) graft.serve.Retrieval.load(s, r)
       else {
         graft.serve.Retrieval.build(initialDocs(s, dir), initialEmb(s, dir), r)
-        graft.serve.Retrieval.retrain(refreshedDocs(s, dir),
+        val h = graft.serve.Retrieval.retrain(refreshedDocs(s, dir),
           refreshedEmb(s, dir), r)
+        done.createNewFile() // no-throw if a racing context already marked
+        h
       }
-    })
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -392,6 +418,18 @@ object PipelinePack extends QueryPack {
     // between retrains; this gates the retrain itself)
     "x77_retrain_search" -> ((s, dir) =>
       retrainRetrievalFor(s, dir).search(Bm25Queries, 5)
+        .orderBy("query_id", "rn")),
+    // chunk-ranked, doc-deduped lexical retrieval over the raw corpus:
+    // chunks are the BM25 documents, each doc keeps its best chunk
+    // (the RAG attribution), docs ranked by best-chunk score
+    "x78_chunk_topk" -> ((s, dir) =>
+      TextOps.bm25ChunkTopK(Tables.documents(s, dir), Bm25Queries, 5)
+        .orderBy("query_id", "rn")),
+    // the chunk-level SERVE end-to-end: the snapshot's stored ctf/cdl
+    // chunk index ranks chunks, dedups to docs at fusion with the
+    // stored IVFADC dense half, fused rows carrying the best chunk_id
+    "x79_chunk_search" -> ((s, dir) =>
+      retrievalFor(s, dir).searchChunks(Bm25Queries, 5)
         .orderBy("query_id", "rn")),
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
@@ -990,7 +1028,7 @@ object PipelinePack extends QueryPack {
       val withTokens = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
         size(TextOps.tokens(col("text"))).as("n_tokens"))
       graft.operators.Sampling
-        .packByBudget(withTokens, "lang", "doc_id", "n_tokens", 512L)
+        .packByBudget(withTokens, "lang", "doc_id", "n_tokens", PackBudget)
         .orderBy("doc_id")
     }),
 
@@ -1232,6 +1270,12 @@ object PipelinePack extends QueryPack {
         r = VectorOps.BinaryShortlist, nprobe = 2,
         ServeEmbSql, ServeEmbSql, ServeDocsSql) +
         "\nORDER BY query_id, rn"),
+    "x78_chunk_topk" ->
+      (TextOps.bm25ChunkTopKSql(Bm25Queries, 5) + "\nORDER BY query_id, rn"),
+    "x79_chunk_search" ->
+      (graft.operators.HybridOps.chunkSearchSql(Bm25Queries, 5,
+        r = VectorOps.BinaryShortlist, nprobe = 2) +
+        "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),
     "x69_quality_rank" ->
@@ -1243,7 +1287,7 @@ object PipelinePack extends QueryPack {
     "x24_sequence_packing" -> {
       val t = s"len(${TextOps.tokensSql("text")})"
       s"""SELECT doc_id, lang, $t AS n_tokens,
-         |  ${graft.operators.Sampling.packByBudgetSelectSql("lang", "doc_id", t, 512L)}
+         |  ${graft.operators.Sampling.packByBudgetSelectSql("lang", "doc_id", t, PackBudget)}
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "m1_media_meta" -> (MultimodalOps.mediaMetaSql() + "\nORDER BY asset_id"),

@@ -40,30 +40,14 @@ import org.apache.spark.sql.functions._
 final class Retrieval private[serve] (spark: SparkSession, dir: String,
     val cents: Seq[Seq[Double]], val books: Seq[Seq[Seq[Double]]]) {
 
-  /** Serve-tuned child session: same SparkContext, cluster, and
-    * artifacts — its own SQLConf. A serve query's working set is
-    * bounded (≤ |queries| · refine rows past the pruned scans), so the
-    * batch session's wide exchanges are pure scheduling overhead here:
-    * AQE materializes every exchange as its own stage-job (measured 21
-    * jobs ≈ 1.9 s for one hybrid search at sf0.1, wall time dominated
-    * by fixed per-job cost), and 32-task shuffles move a few hundred
-    * rows. AQE off + a narrow shuffle halves the serve latency
-    * (measured 0.93 s same query, same plan results — conf changes
-    * execution staging only, never values). Index BUILD work stays on
-    * the caller's session, wide and adaptive as batch work should be. */
-  private val serve: SparkSession = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.adaptive.enabled", "false")
-    s.conf.set("spark.sql.shuffle.partitions",
-      Retrieval.ServeShufflePartitions.toString)
-    // let the scan pack the snapshot's small bucket files instead of
-    // fanning every read to one task per core (the default
-    // minPartitionNum = defaultParallelism): a pruned serve read is a
-    // few MB, not a corpus scan
-    s.conf.set("spark.sql.files.minPartitionNum", "1")
-    graft.functions.VectorFunctions.register(s)
-    s
-  }
+  /** Serve-tuned session, shared per SparkContext (see [[Retrieval
+    * .serveSessionFor]] for the tuning rationale) — LAZY, so only a
+    * handle that actually serves resolves it: the handles [[Retrieval
+    * .rebuild]]/[[Retrieval.retrain]] construct internally just to
+    * publish never create a session, and repeated handle construction
+    * cannot accumulate sessions. Index BUILD work stays on the
+    * caller's session, wide and adaptive as batch work should be. */
+  private lazy val serve: SparkSession = Retrieval.serveSessionFor(spark)
 
   // accessors drop the `pb` merge-bucket partition column ([[Retrieval
   // .MergeBuckets]]) — it is physical layout for [[Retrieval.rebuild]]'s
@@ -85,6 +69,12 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     .select("doc_id", "dl")
   private lazy val index = serve.read
     .schema(Retrieval.IndexSchema).parquet(s"$dir/index")
+  private lazy val ctf = serve.read
+    .schema(Retrieval.CtfSchema).parquet(s"$dir/ctf")
+    .select("doc_id", "chunk_id", "token", "tf")
+  private lazy val cdl = serve.read
+    .schema(Retrieval.CdlSchema).parquet(s"$dir/cdl")
+    .select("doc_id", "chunk_id", "dl")
 
   /** Dense top-k from the stored index: driver probe ranking → the
     * probed-cell filter prunes the partitioned index read → residual
@@ -116,6 +106,42 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       case HybridOps.LexicalOnly => lexicalTopK(queries, k)
       case HybridOps.DenseOnly => dense
       case p => HybridOps.fuse(lexicalTopK(queries, k), dense, k, p)
+    }
+  }
+
+  /** Chunk-ranked lexical top-k from the stored chunk frames —
+    * [[TextOps.bm25ChunkTopKFrom]] over `ctf`/`cdl`: chunks scored,
+    * each doc reduced to its best chunk, docs ranked. The chunk_id in
+    * each row is the passage a RAG caller hands to generation. */
+  def chunkLexicalTopK(queries: Seq[(Long, Seq[String])], k: Int): DataFrame =
+    TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, k)
+
+  /** Chunk-level serve — the production RAG shape the doc-level
+    * [[search]] can't express: the LEXICAL half ranks CHUNKS and
+    * dedups to docs at fusion (max-chunk-score per doc, the passage
+    * kept as attribution), the dense half ranks docs from the stored
+    * IVFADC index, and the fused doc list carries each doc's best
+    * chunk_id (−1 where only the dense half surfaced the doc — no
+    * chunk matched a query term, so there is no passage to attribute).
+    *
+    * Scale shape: both halves are the audited serves ([[TextOps
+    * .bm25ChunkTopKFrom]]'s pruned posting reads, [[denseTopK]]'s
+    * partition-pruned probe); fusion and attribution join k-row
+    * lists. */
+  def searchChunks(queries: Seq[(Long, Seq[String])], k: Int,
+      policy: HybridOps.Fusion = HybridOps.Rrf,
+      nprobe: Int = 2): DataFrame = {
+    def dense = denseTopK(queries.map(_._1), k, nprobe)
+      .withColumnRenamed("vec_id", "doc_id")
+    policy match {
+      case HybridOps.LexicalOnly => chunkLexicalTopK(queries, k)
+      case HybridOps.DenseOnly => dense
+      case p =>
+        val lex = chunkLexicalTopK(queries, k)
+        HybridOps.fuse(lex, dense, k, p)
+          .join(lex.select("query_id", "doc_id", "chunk_id"),
+            Seq("query_id", "doc_id"), "left")
+          .withColumn("chunk_id", coalesce(col("chunk_id"), lit(-1L)))
     }
   }
 
@@ -169,6 +195,10 @@ object Retrieval {
     "vec_id BIGINT, embedding ARRAY<FLOAT>, pb INT"
   private[graft] val TfSchema = "doc_id BIGINT, token STRING, tf BIGINT, pb INT"
   private[graft] val DlSchema = "doc_id BIGINT, dl BIGINT, pb INT"
+  private[graft] val CtfSchema =
+    "doc_id BIGINT, chunk_id BIGINT, token STRING, tf BIGINT, pb INT"
+  private[graft] val CdlSchema =
+    "doc_id BIGINT, chunk_id BIGINT, dl BIGINT, pb INT"
   private[graft] val DhSchema = "doc_id BIGINT, dh STRING, pb INT"
   private[graft] val VhSchema = "vec_id BIGINT, vh BIGINT, pb INT"
 
@@ -178,12 +208,43 @@ object Retrieval {
     * this with the batch size. */
   val ServeShufflePartitions = 8
 
+  /** ONE serve-tuned child session per SparkContext, shared by every
+    * handle on that context: same cluster and artifacts, its own
+    * SQLConf. A serve query's working set is bounded (≤ |queries| ·
+    * refine rows past the pruned scans), so the batch session's wide
+    * exchanges are pure scheduling overhead here: AQE materializes
+    * every exchange as its own stage-job (measured 21 jobs ≈ 1.9 s for
+    * one hybrid search at sf0.1, wall time dominated by fixed per-job
+    * cost), and 32-task shuffles move a few hundred rows. AQE off + a
+    * narrow shuffle halves the serve latency (measured 0.93 s same
+    * query, same plan results — conf changes execution staging only,
+    * never values). Keyed by context identity (SparkContext does not
+    * override equals), so a restarted context gets a fresh session
+    * instead of a handle executing on a stopped one; UDFs register
+    * once per created session, not once per handle. */
+  private val serveSessions = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.SparkContext, SparkSession]()
+  private[serve] def serveSessionFor(spark: SparkSession): SparkSession =
+    serveSessions.computeIfAbsent(spark.sparkContext, { _ =>
+      val s = spark.newSession()
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.shuffle.partitions",
+        ServeShufflePartitions.toString)
+      // let the scan pack the snapshot's small bucket files instead of
+      // fanning every read to one task per core (the default
+      // minPartitionNum = defaultParallelism): a pruned serve read is
+      // a few MB, not a corpus scan
+      s.conf.set("spark.sql.files.minPartitionNum", "1")
+      graft.functions.VectorFunctions.register(s)
+      s
+    })
+
   /** On-disk snapshot layout version — a cache-key component for
     * anything that keys cached snapshots by fixture identity, so a
-    * layout change (v2: pb-bucketed frames + dh/vh fingerprints)
-    * invalidates stale caches instead of tripping [[rebuild]]'s
-    * layout check. */
-  val LayoutVersion = 2
+    * layout change (v2: pb-bucketed frames + dh/vh fingerprints;
+    * v3: ctf/cdl chunk-level lexical frames) invalidates stale caches
+    * instead of tripping [[rebuild]]'s layout check. */
+  val LayoutVersion = 3
 
   private def writeBooks(path: java.nio.file.Path,
       rows: Seq[Seq[Double]]): Unit = {
@@ -261,6 +322,14 @@ object Retrieval {
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/tf")
     dl.withColumn("pb", pb("doc_id"))
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/dl")
+    // chunk-level lexical frames (v3): the RAG serve's index. Bucketed
+    // by doc_id — a doc's chunk rows are per-doc local, so they ride
+    // the same dh-diff delta path as tf/dl in [[rebuild]].
+    val (ctf, cdl) = TextOps.chunkBm25Stats(docs, checkpointDir = checkpointDir)
+    ctf.withColumn("pb", pb("doc_id"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/ctf")
+    cdl.withColumn("pb", pb("doc_id"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/cdl")
     dhOf(docs).withColumn("pb", pb("doc_id"))
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/dh")
     vhOf(embeddings).withColumn("pb", pb("vec_id"))
@@ -342,6 +411,10 @@ object Retrieval {
         new java.io.File(s"$dir/vh").isDirectory,
       s"$dir predates incremental rebuild (no dh/vh fingerprint " +
         "frames); publish once with build() to upgrade the layout")
+    require(new java.io.File(s"$dir/ctf").isDirectory &&
+        new java.io.File(s"$dir/cdl").isDirectory,
+      s"$dir predates the v3 chunk-index layout (no ctf/cdl frames); " +
+        "publish once with build() to upgrade the layout")
 
     // ---- dense delta: ids whose vector is new or changed / deleted,
     // detected on the thin stored fingerprints — the float column is
@@ -421,6 +494,15 @@ object Retrieval {
         touchedDocPb, TfSchema)
       mergeBucketed(spark, s"$dir/dl", "doc_id", touchedDoc, dlNew,
         touchedDocPb, DlSchema)
+      // chunk frames: per-doc local like tf/dl, so the SAME dh-diffed
+      // delta re-chunks only the changed docs and touches the same
+      // doc-id buckets
+      val (ctfNew, cdlNew) =
+        TextOps.chunkBm25Stats(changedDocs, checkpointDir = checkpointDir)
+      mergeBucketed(spark, s"$dir/ctf", "doc_id", touchedDoc, ctfNew,
+        touchedDocPb, CtfSchema)
+      mergeBucketed(spark, s"$dir/cdl", "doc_id", touchedDoc, cdlNew,
+        touchedDocPb, CdlSchema)
       mergeBucketed(spark, s"$dir/dh", "doc_id", touchedDoc,
         newDh.join(touchedDoc, Seq("doc_id"), "left_semi"), touchedDocPb,
         DhSchema)
@@ -459,7 +541,7 @@ object Retrieval {
     * [[sweepMergeDebris]]. */
   private val MergeFrames: Seq[(String, String)] =
     Seq("index" -> "cell", "emb" -> "pb", "vh" -> "pb", "tf" -> "pb",
-      "dl" -> "pb", "dh" -> "pb")
+      "dl" -> "pb", "dh" -> "pb", "ctf" -> "pb", "cdl" -> "pb")
 
   /** Parsed `.aside-<v>-<nonce>` entries of a frame dir. Unparseable
     * names (debris from an interrupted mkdir or a manual copy) are

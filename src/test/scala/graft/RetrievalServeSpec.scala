@@ -132,7 +132,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     val mtimeBefore = cellDirs.map(d => d.getName -> d.lastModified()).toMap
     def pbDirs(frame: String) = new java.io.File(s"$live/$frame").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("pb=")).toSeq
-    val pbBefore = Seq("emb", "vh", "tf", "dl", "dh")
+    val pbBefore = Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl")
       .map(f => f -> pbDirs(f).map(d => d.getName -> d.lastModified()).toMap)
       .toMap
 
@@ -150,6 +150,10 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       assert(rows(rebuilt.search(queries, 5, p)) ===
         rows(want.search(queries, 5, p)),
         s"incremental rebuild diverges from the full fixed-codebook build under $p")
+      // the chunk-level serve rides the same merged frames
+      assert(rows(rebuilt.searchChunks(queries, 5, p)) ===
+        rows(want.searchChunks(queries, 5, p)),
+        s"rebuilt chunk serve diverges from the full build under $p")
     }
 
     // delta-only writes: cells holding only untouched vectors must not
@@ -171,7 +175,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     // same for the id-bucketed frames: buckets holding no touched id
     // (touched = ids < 4, [416,424) → pb = id mod 32) must not move
     val touchedPb = (0L until 4L).map(_ % 32) ++ (416L until 424L).map(_ % 32)
-    for (f <- Seq("emb", "vh", "tf", "dl", "dh");
+    for (f <- Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl");
         d <- pbDirs(f)
         if !touchedPb.map(p => s"pb=$p").contains(d.getName)) {
       assert(pbBefore(f).contains(d.getName), s"$f/${d.getName} appeared")
@@ -238,7 +242,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     // incremental again (untouched buckets not rewritten, serve exact)
     def pbDirs(frame: String) = new java.io.File(s"$live/$frame").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("pb=")).toSeq
-    val pbBefore = Seq("emb", "vh", "tf", "dl", "dh")
+    val pbBefore = Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl")
       .map(f => f -> pbDirs(f).map(d => d.getName -> d.lastModified()).toMap)
       .toMap
     val docs2 = docs1.withColumn("text", when(col("doc_id") < 2,
@@ -249,7 +253,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(after.cents === retrained.cents && after.books === retrained.books,
       "post-retrain rebuild retrained again")
     val touchedPb = (0L until 2L).map(p => s"pb=$p").toSet
-    for (f <- Seq("emb", "vh", "tf", "dl", "dh");
+    for (f <- Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl");
         d <- pbDirs(f) if !touchedPb.contains(d.getName))
       assert(d.lastModified() == pbBefore(f)(d.getName),
         s"$f/${d.getName} rewritten by a post-retrain delta that never touched it")
@@ -386,5 +390,52 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       === lexSmall)
     assert(!new java.io.File(root).listFiles()
       .exists(_.getName.startsWith("snap.old-")), "aside not swept")
+  }
+
+  test("chunk serve: stored chunk index equals the in-memory chunk build; fusion carries attribution") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk")
+      .toString + "/snap"
+    val loaded = Retrieval.build(docs, emb, dir)
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+
+    // chunk-lexical half ≡ the one-shot batch chunk build over the
+    // corpus (chunks scored, best chunk per doc, docs ranked)
+    val lexWant = rows(TextOps.bm25ChunkTopK(docs, queries, 5))
+    assert(lexWant.nonEmpty, "chunk-lexical reference empty; vacuous")
+    assert(rows(loaded.chunkLexicalTopK(queries, 5)) === lexWant)
+    assert(rows(loaded.searchChunks(queries, 5, HybridOps.LexicalOnly))
+      === lexWant)
+
+    // the fused doc ranking IS the RRF fusion of the two ranked halves
+    val denseRef = loaded.denseTopK(queries.map(_._1), 5)
+      .withColumnRenamed("vec_id", "doc_id")
+    val fused = loaded.searchChunks(queries, 5)
+    assert(rows(fused.select("query_id", "doc_id", "rrf", "rn")) ===
+      rows(HybridOps.fuse(TextOps.bm25ChunkTopK(docs, queries, 5),
+        denseRef, 5, HybridOps.Rrf)),
+      "chunk fusion ranking diverges from composed RRF of the halves")
+
+    // attribution: a fused row carries the lex half's best chunk for
+    // its doc, or the -1 sentinel when only the dense half surfaced it
+    val lexBest = lexWant.map(r => (r.head, r(1)) -> r(2)).toMap
+    val got = fused.orderBy("query_id", "rn").collect()
+    assert(got.nonEmpty)
+    var denseOnly = 0
+    got.foreach { r =>
+      val key = (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("doc_id")))
+      val ck = r.getLong(r.fieldIndex("chunk_id"))
+      lexBest.get(key) match {
+        case Some(c) => assert(ck === c,
+          s"fused row for $key carries chunk $ck; lex best is $c")
+        case None => denseOnly += 1; assert(ck === -1L,
+          s"dense-only doc $key must carry the -1 sentinel, got $ck")
+      }
+    }
+    // a multi-chunk doc attributes a REAL window index: some doc in
+    // the corpus chunks into >1 window, so chunk ids above 0 exist in
+    // the index (the attribution is not degenerate)
+    val multi = TextOps.chunkDocs(docs).where(col("chunk_id") > 0).count()
+    assert(multi > 0L, "fixture has no multi-chunk docs; attribution vacuous")
   }
 }
