@@ -30,6 +30,11 @@ case class AudioAsset(asset_id: Long, media: Array[Byte])
 case class AudioFeatures(asset_id: Long, sample_rate: Int, n_samples: Int,
     peak: Int, energy_ssq: Long, zero_crossings: Int)
 
+/** Perceptual audio fingerprint: sign-of-frame-energy-delta bits as a
+  * '0'/'1' string (the [[ImagePHash]] string convention — no engine
+  * disagrees about a sign bit). */
+case class AudioFingerprint(asset_id: Long, n_samples: Int, afp: String)
+
 /** Multimodal column handling (builder brief "Multimodal columns"):
   * image/audio/video as opaque `binary` columns with a typed metadata
   * struct, plus decode / feature-extract / frame-sample stages.
@@ -354,22 +359,7 @@ object MultimodalOps {
     import spark.implicits._
     assetsDs.mapPartitions { it =>
       it.map { a =>
-        val bb = java.nio.ByteBuffer.wrap(a.media)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        def tag(): String = {
-          val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
-        }
-        require(tag() == "RIFF", s"asset ${a.asset_id}: not RIFF")
-        bb.getInt // riff size
-        require(tag() == "WAVE", s"asset ${a.asset_id}: not WAVE")
-        require(tag() == "fmt ", s"asset ${a.asset_id}: fmt chunk missing")
-        require(bb.getInt == 16 && bb.getShort == 1 && bb.getShort == 1,
-          s"asset ${a.asset_id}: not canonical mono PCM")
-        val rate = bb.getInt
-        bb.getInt; bb.getShort // byte rate, block align
-        require(bb.getShort == 16, s"asset ${a.asset_id}: not 16-bit")
-        require(tag() == "data", s"asset ${a.asset_id}: data chunk missing")
-        val n = bb.getInt / 2
+        val (rate, n, bb) = parseWavHeader(a)
         var peak = 0
         var ssq = 0L
         var zc = 0
@@ -386,6 +376,108 @@ object MultimodalOps {
       }
     }
   }
+
+  /** Walk the RIFF/WAVE header byte-for-byte (magic, canonical mono
+    * 16-bit PCM fmt chunk, data chunk), failing loudly on anything
+    * non-canonical; returns (sample rate, sample count, buffer
+    * positioned at the first PCM sample). The single parse both
+    * [[audioFeatures]] and [[audioFingerprint]] read through. */
+  private def parseWavHeader(
+      a: AudioAsset): (Int, Int, java.nio.ByteBuffer) = {
+    val bb = java.nio.ByteBuffer.wrap(a.media)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(): String = {
+      val b = new Array[Byte](4); bb.get(b); new String(b, "US-ASCII")
+    }
+    require(tag() == "RIFF", s"asset ${a.asset_id}: not RIFF")
+    bb.getInt // riff size
+    require(tag() == "WAVE", s"asset ${a.asset_id}: not WAVE")
+    require(tag() == "fmt ", s"asset ${a.asset_id}: fmt chunk missing")
+    require(bb.getInt == 16 && bb.getShort == 1 && bb.getShort == 1,
+      s"asset ${a.asset_id}: not canonical mono PCM")
+    val rate = bb.getInt
+    bb.getInt; bb.getShort // byte rate, block align
+    require(bb.getShort == 16, s"asset ${a.asset_id}: not 16-bit")
+    require(tag() == "data", s"asset ${a.asset_id}: data chunk missing")
+    (rate, bb.getInt / 2, bb)
+  }
+
+  /** Fingerprint frame count — 16 frames → a 15-bit delta fingerprint.
+    * Coarse on purpose: a perceptual fingerprint must collide for
+    * similar signals; a deployment raises this (and adds band filters)
+    * to tune selectivity. Single-constant rule: both engines
+    * interpolate. */
+  val AudioFpFrames = 16
+
+  /** Perceptual audio fingerprint over the REAL parsed waveform — the
+    * audio analog of m4's [[imagePHash]], after Haitsma & Kalker's
+    * robust-hash construction: split the signal into
+    * [[AudioFpFrames]] fixed frames, per-frame energy as the exact
+    * sum-of-squares (integer — no float ever enters), one bit per
+    * adjacent frame pair = sign of the energy delta. Amplitude-
+    * scale-robust in the way that matters for dup detection (the bit
+    * is a comparison, not a magnitude), integer-exact, and map-only:
+    * one pass over each asset's samples, frame index by the shared
+    * `k·F/n` integer arithmetic the oracle re-derives. */
+  def audioFingerprint(spark: SparkSession,
+      assetsDs: Dataset[AudioAsset]): Dataset[AudioFingerprint] = {
+    import spark.implicits._
+    assetsDs.mapPartitions { it =>
+      it.map { a =>
+        val (_, n, bb) = parseWavHeader(a)
+        val ssq = new Array[Long](AudioFpFrames)
+        (0 until n).foreach { k =>
+          val s = bb.getShort.toInt
+          ssq(k * AudioFpFrames / n) += s.toLong * s
+        }
+        val bits = (1 until AudioFpFrames)
+          .map(f => if (ssq(f) > ssq(f - 1)) '1' else '0').mkString
+        AudioFingerprint(a.asset_id, n, bits)
+      }
+    }
+  }
+
+  /** Duplicate grouping over a precomputed fingerprint frame — the
+    * audio twin of [[phashDupGroupsFrom]], emitted per-ASSET (each row
+    * carries its group's size and representative) so the frame is the
+    * complete dedup decision table: `n_dups >= 2` filters to dup
+    * groups, `asset_id = rep` selects survivors. One window over the
+    * fingerprint key — a hash-partitioned shuffle of thin rows, no
+    * pair join to blow up on fingerprint cliques. */
+  def audioDupGroupsFrom(fp: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("afp")
+    fp.select(col("asset_id"), col("n_samples"), col("afp"),
+      count(lit(1)).over(w).as("n_dups"),
+      min(col("asset_id")).over(w).as("rep"))
+  }
+
+  /** The m7 oracle: the generator's sample formula through the same
+    * frame-assignment, energy, and sign-delta arithmetic in SQL, then
+    * the same per-asset group window. */
+  def audioDupGroupsSql: String =
+    s"""WITH sm AS (
+       |  SELECT doc_id AS asset_id, k, 256 + doc_id % 128 AS n,
+       |    ((doc_id * 31 + k * k * 7) % 65536) - 32768 AS s
+       |  FROM documents, generate_series(0, 382) t(k)
+       |  WHERE k < 256 + doc_id % 128
+       |), fr AS (
+       |  SELECT asset_id, (k * $AudioFpFrames) // n AS f, sum(s * s) AS e
+       |  FROM sm GROUP BY asset_id, (k * $AudioFpFrames) // n
+       |), dlt AS (
+       |  SELECT asset_id, f, e,
+       |    lag(e) OVER (PARTITION BY asset_id ORDER BY f) AS pe
+       |  FROM fr
+       |), fp AS (
+       |  SELECT asset_id,
+       |    string_agg(CASE WHEN e > pe THEN '1' ELSE '0' END, ''
+       |      ORDER BY f) AS afp
+       |  FROM dlt WHERE f > 0 GROUP BY asset_id
+       |)
+       |SELECT asset_id, CAST(256 + asset_id % 128 AS INT) AS n_samples,
+       |  afp,
+       |  count(*) OVER (PARTITION BY afp) AS n_dups,
+       |  min(asset_id) OVER (PARTITION BY afp) AS rep
+       |FROM fp""".stripMargin
 
   /** The m6 oracle: the generator's sample formula run through the same
     * peak/energy/zero-crossing arithmetic in SQL. */

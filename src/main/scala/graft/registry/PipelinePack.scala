@@ -1070,6 +1070,19 @@ object PipelinePack extends QueryPack {
       MultimodalOps.audioFeatures(s,
         MultimodalOps.audioAssets(s, Tables.documents(s, dir)))
         .toDF().orderBy("asset_id")),
+    // audio dedup closes the modality gap with m5: fingerprints are
+    // computed once per corpus snapshot (artifact-fed, the m5
+    // convention); the group view is one window over the stored frame
+    // and never re-parses a byte
+    "m7_audio_dup_groups" -> ((s, dir) => {
+      val fp = snapshotArtifact(dir, "documents.parquet",
+        "audio_fp.parquet")(
+        p => MultimodalOps.audioFingerprint(s,
+          MultimodalOps.audioAssets(s, Tables.documents(s, dir)))
+          .toDF().write.mode("overwrite").parquet(p))
+      MultimodalOps.audioDupGroupsFrom(s.read.parquet(fp))
+        .orderBy("asset_id")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -1301,6 +1314,8 @@ object PipelinePack extends QueryPack {
       (MultimodalOps.phashDupGroupsSql + "\nORDER BY rep"),
     "m6_audio_features" ->
       (MultimodalOps.audioFeaturesSql + "\nORDER BY asset_id"),
+    "m7_audio_dup_groups" ->
+      (MultimodalOps.audioDupGroupsSql + "\nORDER BY asset_id"),
     "x17_minhash_signatures" ->
       (Dedup.minHashSignaturesSql + "\nORDER BY doc_id"),
   )

@@ -1451,6 +1451,49 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       a.sample_rate == 8000 && a.n_samples >= 256 && a.n_samples < 384))
   }
 
+  test("audio fingerprint: sign-of-energy-delta bits; identical signals group") {
+    val sess = spark
+    import sess.implicits._
+    def wav(samples: Seq[Short], rate: Int = 8000): Array[Byte] = {
+      val n = samples.size
+      val bb = java.nio.ByteBuffer.allocate(44 + 2 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(2 * n)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // 16 samples over 16 frames → one sample per frame, energy = s²:
+    // strictly rising magnitudes → every delta bit 1; falling → every 0
+    val up = (1 to 16).map(_.toShort)
+    val down = (16 to 1 by -1).map(_.toShort)
+    val ds = Seq(
+      graft.operators.AudioAsset(1L, wav(up)),
+      graft.operators.AudioAsset(2L, wav(down)),
+      graft.operators.AudioAsset(3L, wav(up))).toDS()
+    val fp = MultimodalOps.audioFingerprint(spark, ds)
+      .collect().map(f => f.asset_id -> f.afp).toMap
+    assert(fp(1L) === "1" * 15, s"rising energies: ${fp(1L)}")
+    assert(fp(2L) === "0" * 15, s"falling energies: ${fp(2L)}")
+    assert(fp(3L) === fp(1L), "identical signal must fingerprint identically")
+
+    // group view: 1 and 3 collapse (rep = min id), 2 stands alone
+    val g = MultimodalOps.audioDupGroupsFrom(
+      MultimodalOps.audioFingerprint(spark, ds).toDF())
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    assert(g(1L) === ((2L, 1L)) && g(3L) === ((2L, 1L)))
+    assert(g(2L) === ((1L, 2L)))
+
+    // generated fixture assets fingerprint through the REAL parse
+    val gen = MultimodalOps.audioFingerprint(spark,
+      MultimodalOps.audioAssets(spark, Tables.documents(spark, sf)))
+      .collect()
+    assert(gen.nonEmpty && gen.forall(f => f.afp.length == 15 &&
+      f.afp.forall(c => c == '0' || c == '1')))
+  }
+
   test("BPE merges equal a plain reference implementation, rule for rule") {
     val sess = spark
     import sess.implicits._
