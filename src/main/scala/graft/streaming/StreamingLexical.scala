@@ -38,7 +38,8 @@ import org.apache.spark.sql.functions._
   * carried into the streaming index. */
 class StreamingLexical(artifactDir: String) {
 
-  private val slices = new SlicedArtifact(artifactDir, Seq("tf", "dl"), "doc_id")
+  private val slices =
+    new SlicedArtifact(artifactDir, Seq("tf", "dl", "ctf", "cdl"), "doc_id")
 
   /** Index all available micro-batches; returns DISTINCT batches run
     * (replays re-invoke `foreachBatch` but must not count twice). */
@@ -57,6 +58,12 @@ class StreamingLexical(artifactDir: String) {
     val (tf, dl) = TextOps.bm25Stats(docs)
     slices.writeSlice(tf, "tf", batchId)
     slices.writeSlice(dl, "dl", batchId)
+    // chunk-level frames ride the same slice: chunk stats are per-doc
+    // local exactly like tf/dl ([[TextOps.chunkBm25Stats]]), so the
+    // same append/upsert/tombstone algebra maintains the RAG index
+    val (ctf, cdl) = TextOps.chunkBm25Stats(docs)
+    slices.writeSlice(ctf, "ctf", batchId)
+    slices.writeSlice(cdl, "cdl", batchId)
     slices.writeSlice(ArtifactSlices.opsOf(batch, "doc_id"), "ops", batchId)
   }
 
@@ -82,4 +89,14 @@ class StreamingLexical(artifactDir: String) {
     artifact(spark).map { case (tf, dl) =>
       TextOps.bm25TopKFrom(tf, dl, queries, k)
     }
+
+  /** Chunk-ranked, doc-deduped serve from the same artifact — the
+    * streaming twin of [[graft.serve.Retrieval.chunkLexicalTopK]],
+    * through the one batch scoring path
+    * ([[TextOps.bm25ChunkTopKFrom]]), so N indexed batches serve
+    * exactly like the batch chunk build over their concatenation. */
+  def chunkTopK(spark: SparkSession, queries: Seq[(Long, Seq[String])],
+      k: Int): Option[DataFrame] =
+    slices.resolved(spark).map(m =>
+      TextOps.bm25ChunkTopKFrom(m("ctf"), m("cdl"), queries, k))
 }

@@ -298,6 +298,13 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val extra = docsAll.limit(0)
     sl.indexBatch(extra, 2) // empty slice: a no-op batch must not corrupt
     assert(rows(sl.topK(spark, queries, 5).get) === want)
+
+    // the chunk-level frames ride the same slices: the streamed RAG
+    // serve equals the batch chunk build over the concatenated corpus
+    val wantChunk = rows(TextOps.bm25ChunkTopK(docsAll, queries, 5))
+    assert(wantChunk.nonEmpty, "chunk reference empty; test is vacuous")
+    assert(rows(sl.chunkTopK(spark, queries, 5).get) === wantChunk,
+      "streamed chunk ranking diverges from the batch chunk build")
   }
 
   test("streaming vector index: ADC serve from code artifact equals the batch build, replay-safe") {
@@ -606,6 +613,57 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(sp.compact(spark, graceMs = 0) == 2)
     assert(rows(sp.dupGroups(spark).get) === want,
       "compaction changed the streamed dup groups")
+  }
+
+  test("streaming audio fingerprint index: dup view equals the live-corpus batch build") {
+    import graft.operators.{AudioAsset, MultimodalOps}
+    val sess = spark
+    import sess.implicits._
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    def assetsOf(df: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.audioAssets(spark, df)
+    // re-crawled assets carry a DIFFERENT waveform for the same id
+    // (generated from id+5000), so the wave genuinely changes prints
+    def recrawled(df: org.apache.spark.sql.DataFrame) =
+      MultimodalOps.audioAssets(spark,
+          df.withColumn("doc_id", col("doc_id") + 5000))
+        .map(a => AudioAsset(a.asset_id - 5000, a.media))
+
+    val root = tmp("saudiofp").toString
+    val sa = new graft.streaming.StreamingAudioFingerprint(root)
+    // wave 0: ids < 200; wave 1: 200-400 plus a re-crawl of ids < 30;
+    // wave 2: tombstones for [150, 180)
+    sa.indexBatch(assetsOf(docs.where(col("doc_id") < 200)).toDF(), 0)
+    sa.indexBatch(
+      assetsOf(docs.where(col("doc_id") >= 200 && col("doc_id") < 400))
+        .union(recrawled(docs.where(col("doc_id") < 30))).toDF(), 1)
+    sa.indexBatch(
+      docs.where(col("doc_id") >= 150 && col("doc_id") < 180)
+        .select(col("doc_id").as("asset_id"),
+          col("text").cast("binary").as("media"),
+          lit(true).as("is_deleted")), 2)
+
+    val liveAssets = recrawled(docs.where(col("doc_id") < 30)).union(
+      assetsOf(docs.where((col("doc_id") >= 30 && col("doc_id") < 150) ||
+        (col("doc_id") >= 180 && col("doc_id") < 400))))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("asset_id").collect().map(_.toSeq).toSeq
+    val want = rows(MultimodalOps.audioDupGroupsFrom(
+      MultimodalOps.audioFingerprint(spark, liveAssets).toDF()))
+    assert(want.nonEmpty, "live corpus fingerprinted to nothing; vacuous")
+    assert(rows(sa.dupGroups(spark).get) === want,
+      "streamed audio dup view diverges from the live-corpus batch build")
+    // fingerprints resolve latest-slice-wins: a re-crawled id serves
+    // the NEW waveform's print
+    val afp = sa.fingerprints(spark).get.where(col("asset_id") === 3L)
+      .collect()(0).getString(2)
+    val fresh = MultimodalOps.audioFingerprint(spark,
+      recrawled(docs.where(col("doc_id") === 3L))).collect()(0).afp
+    assert(afp === fresh, "re-crawled asset serves its OLD fingerprint")
+    // compaction preserves the serve
+    assert(sa.compact(spark, graceMs = 0) == 2)
+    assert(rows(sa.dupGroups(spark).get) === want,
+      "compaction changed the streamed audio dup view")
   }
 
   test("reopening a cents-less vector artifact with cents fails fast; uncommitted batches do not trip it") {
