@@ -66,6 +66,26 @@ object HybridOps {
     fused.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
 
+  /** [[rrfFuse]] carrying the lexical list's `chunk_id` attribution
+    * column THROUGH the fusion join — one full-outer join total, no
+    * second pass over the lexical subtree (a separate attribution
+    * join-back would recompute the chunk scoring once more per serve).
+    * Dense-only docs get the −1 sentinel. */
+  def rrfFuseChunked(lex: DataFrame, dense: DataFrame, k: Int): DataFrame = {
+    val d = rrfDenom(k)
+    val l = lex.select(col("query_id"), col("doc_id"), col("chunk_id"),
+      col("rn").as("lex_rn"))
+    val r = dense.select(col("query_id"), col("doc_id"), col("rn").as("dense_rn"))
+    val fused = l.join(r, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("chunk_id"), lit(-1L)).as("chunk_id"),
+        (coalesce(lit(d) / (lit(RrfK) + col("lex_rn")), lit(0L)).cast("long") +
+          coalesce(lit(d) / (lit(RrfK) + col("dense_rn")), lit(0L)).cast("long"))
+          .as("rrf"))
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf"), asc("doc_id"))
+    fused.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
   /** Fusion policy of the unified [[search]] surface. `Rrf` is the
     * calibration-free default; `Weighted` keeps score margins;
     * `LexicalOnly`/`DenseOnly` serve one half through the same entry

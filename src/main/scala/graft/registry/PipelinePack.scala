@@ -440,9 +440,18 @@ object PipelinePack extends QueryPack {
     // the OTHER candidate confirm: normalized Levenshtein over the same
     // capped banded candidates — order-sensitive where Jaccard is
     // order-blind; the O(len²) DP runs only on the bounded candidate set
-    "x71_edit_pairs" -> ((s, dir) =>
-      Dedup.editDupPairs(Tables.documents(s, dir), EditSim)
-        .orderBy("doc_a", "doc_b")),
+    "x71_edit_pairs" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      // the codepoint-vs-byte Levenshtein caveat, enforced in CODE:
+      // Spark's levenshtein counts codepoints, DuckDB's counts bytes —
+      // identical iff the corpus is single-byte. A non-ASCII fixture
+      // flavor must fail loudly here, never flip the oracle hash.
+      require(d.where(length(col("text")) =!=
+          octet_length(col("text"))).isEmpty,
+        "x71's cross-engine oracle requires a single-byte corpus " +
+          "(Spark levenshtein counts codepoints, DuckDB counts bytes)")
+      Dedup.editDupPairs(d, EditSim).orderBy("doc_a", "doc_b")
+    }),
     // RAG-style token-window chunking: map-only, no shuffle; chunk ids
     // stable for provenance joins and embedding-id composition
     "x72_doc_chunks" -> ((s, dir) =>

@@ -136,6 +136,10 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     policy match {
       case HybridOps.LexicalOnly => chunkLexicalTopK(queries, k)
       case HybridOps.DenseOnly => dense
+      case HybridOps.Rrf =>
+        // attribution rides the fusion join itself — the lexical
+        // subtree (posting prune + chunk scoring) executes exactly once
+        HybridOps.rrfFuseChunked(chunkLexicalTopK(queries, k), dense, k)
       case p =>
         val lex = chunkLexicalTopK(queries, k)
         HybridOps.fuse(lex, dense, k, p)
