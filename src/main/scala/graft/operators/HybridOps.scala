@@ -257,6 +257,41 @@ object HybridOps {
        |QUALIFY rn <= $k""".stripMargin)
   }
 
+  /** Oracle for the chunk-level serve over a REBUILT snapshot (x80):
+    * [[chunkSearchSql]]'s fusion where the chunk-lexical half chunks
+    * and scores the REFRESHED corpus and the dense half trains its
+    * books on the PRIOR corpus only ([[VectorOps
+    * .ivfPqFixedBookRefineSql]]) — so the incremental ctf/cdl bucket
+    * merge is oracle-gated end-to-end under exactly the fixed-codebook
+    * refresh semantics x70 pins for the doc-level serve. */
+  def rebuildChunkSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
+      r: Int, nprobe: Int, trainEmbSql: String, serveEmbSql: String,
+      serveDocsSql: String): String = {
+    val d = rrfDenom(k)
+    VectorOps.materializedCtes(s"""WITH clex AS (
+       |  SELECT query_id, doc_id, chunk_id, rn
+       |  FROM (${TextOps.bm25ChunkTopKSql(queries, k,
+                  docsSql = Some(serveDocsSql))})
+       |), cdense AS (
+       |  SELECT query_id, vec_id AS doc_id, rn
+       |  FROM (${VectorOps.ivfPqFixedBookRefineSql(queries.map(_._1), k, r,
+                  nprobe, trainEmbSql, serveEmbSql)})
+       |), cfused AS (
+       |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
+       |    coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |    coalesce(l.chunk_id, -1) AS chunk_id,
+       |    coalesce($d // ($RrfK + l.rn), 0) +
+       |      coalesce($d // ($RrfK + r.rn), 0) AS rrf
+       |  FROM clex l FULL OUTER JOIN cdense r
+       |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+       |)
+       |SELECT query_id, doc_id, chunk_id, rrf,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS rn
+       |FROM cfused
+       |QUALIFY rn <= $k""".stripMargin)
+  }
+
   /** Oracle for [[graft.serve.Retrieval.rebuild]]'s end-to-end serve
     * (x70): the [[snapshotSearchSql]] fusion where the dense half's
     * codebooks train on the PRIOR corpus only

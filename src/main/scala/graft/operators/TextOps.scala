@@ -1208,7 +1208,8 @@ object TextOps {
     * (query, doc) — it ranks only chunks that matched ≥ 1 query term,
     * posting-list-bounded, never corpus-bounded. */
   def bm25ChunkTopKFrom(ctf: DataFrame, cdl: DataFrame,
-      queries: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+      queries: Seq[(Long, Seq[String])], k: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
     val spark = ctf.sparkSession
     import spark.implicits._
     val stats = cdl.agg(count(lit(1)).as("n_chunks"),
@@ -1230,9 +1231,16 @@ object TextOps {
           .cast("decimal(18,9)").as("s"))
     val agg = scored.groupBy("query_id", "doc_id", "chunk_id")
       .agg(round(sum(col("s")).cast("double"), 6).as("score"))
+    // metadata filter = doc-candidate restriction BEFORE the ranks,
+    // with GLOBAL df/N/avgdl — the [[bm25TopKFrom]] filter-query
+    // semantics applied at chunk level (all of a filtered-out doc's
+    // chunks drop together; collection statistics never re-weight)
+    val restricted = allowed.fold(agg)(a =>
+      agg.join(broadcast(a.select("doc_id")), Seq("doc_id"), "left_semi")
+        .select("query_id", "doc_id", "chunk_id", "score"))
     val wBest = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id", "doc_id").orderBy(desc("score"), asc("chunk_id"))
-    val best = agg.withColumn("rc", row_number().over(wBest))
+    val best = restricted.withColumn("rc", row_number().over(wBest))
       .where(col("rc") === 1).drop("rc")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))

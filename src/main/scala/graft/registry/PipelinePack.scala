@@ -431,6 +431,14 @@ object PipelinePack extends QueryPack {
     "x79_chunk_search" -> ((s, dir) =>
       retrievalFor(s, dir).searchChunks(Bm25Queries, 5)
         .orderBy("query_id", "rn")),
+    // the chunk serve over the REBUILT snapshot: x70's fixed-codebook
+    // refresh scenario served at chunk level, so the incremental
+    // ctf/cdl bucket merge is oracle-gated end-to-end (not just
+    // spec-gated) — the oracle chunks the refreshed corpus and holds
+    // the dense books to the prior generation
+    "x80_rebuild_chunk_search" -> ((s, dir) =>
+      rebuildRetrievalFor(s, dir).searchChunks(Bm25Queries, 5)
+        .orderBy("query_id", "rn")),
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1297,6 +1305,11 @@ object PipelinePack extends QueryPack {
     "x79_chunk_search" ->
       (graft.operators.HybridOps.chunkSearchSql(Bm25Queries, 5,
         r = VectorOps.BinaryShortlist, nprobe = 2) +
+        "\nORDER BY query_id, rn"),
+    "x80_rebuild_chunk_search" ->
+      (graft.operators.HybridOps.rebuildChunkSearchSql(Bm25Queries, 5,
+        r = VectorOps.BinaryShortlist, nprobe = 2,
+        TrainEmbSql, ServeEmbSql, ServeDocsSql) +
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),

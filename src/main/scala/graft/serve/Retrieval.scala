@@ -149,12 +149,50 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     }
   }
 
+  /** Metadata-filtered chunk-level serve — [[searchFiltered]]'s
+    * pre-filter semantics on the chunk serve: the allowed doc-id frame
+    * restricts candidates on BOTH halves before each rank (all of a
+    * filtered doc's chunks drop together; df/N/avgdl and the probed
+    * cells stay collection-global), then the usual attributed fusion. */
+  def searchChunksFiltered(queries: Seq[(Long, Seq[String])],
+      allowed: DataFrame, k: Int,
+      policy: HybridOps.Fusion = HybridOps.Rrf, nprobe: Int = 2,
+      refine: Int = VectorOps.BinaryShortlist): DataFrame = {
+    def lex = TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, k, Some(allowed))
+    def dense = {
+      val qids = queries.map(_._1)
+      val probe = VectorOps.probePlanOf(emb, qids, cents, nprobe)
+      val pruned = index.where(col("cell").isin(probe.cells: _*))
+        .join(broadcast(allowed.toDF("vec_id")), Seq("vec_id"), "left_semi")
+      VectorOps.ivfPqRefineTopK(pruned, emb, qids, k, refine, nprobe,
+        cents, books, residual = true, probes = Some(probe.frame))
+        .withColumnRenamed("vec_id", "doc_id")
+    }
+    policy match {
+      case HybridOps.LexicalOnly => lex
+      case HybridOps.DenseOnly => dense
+      case HybridOps.Rrf => HybridOps.rrfFuseChunked(lex, dense, k)
+      case p =>
+        val l = lex
+        HybridOps.fuse(l, dense, k, p)
+          .join(l.select("query_id", "doc_id", "chunk_id"),
+            Seq("query_id", "doc_id"), "left")
+          .withColumn("chunk_id", coalesce(col("chunk_id"), lit(-1L)))
+    }
+  }
+
   /** [[search]] over raw query strings — tokenized with the engine's
     * own rule ([[HybridOps.tokenizeQueries]]), so querying can never
     * disagree with indexing on token boundaries. */
   def searchText(queries: Seq[(Long, String)], k: Int,
       policy: HybridOps.Fusion = HybridOps.Rrf, nprobe: Int = 2): DataFrame =
     search(HybridOps.tokenizeQueries(queries), k, policy, nprobe)
+
+  /** [[searchChunks]] over raw query strings — the same tokenizer
+    * symmetry as [[searchText]], for the chunk-level serve. */
+  def searchTextChunks(queries: Seq[(Long, String)], k: Int,
+      policy: HybridOps.Fusion = HybridOps.Rrf, nprobe: Int = 2): DataFrame =
+    searchChunks(HybridOps.tokenizeQueries(queries), k, policy, nprobe)
 
   /** Metadata-filtered serve from the stored artifacts — pre-filter
     * candidates, global stats ([[HybridOps.searchFiltered]]'s

@@ -437,5 +437,26 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     // the index (the attribution is not degenerate)
     val multi = TextOps.chunkDocs(docs).where(col("chunk_id") > 0).count()
     assert(multi > 0L, "fixture has no multi-chunk docs; attribution vacuous")
+
+    // metadata-filtered chunk serve: only allowed docs surface, and
+    // the lexical-only half equals the in-memory restricted chunk rank
+    // (global stats, pre-filter semantics)
+    val allowed = docs.select(col("doc_id")).where(col("doc_id") % 2 === 0)
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val filRows = loaded.searchChunksFiltered(queries, allowed, 5)
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("doc_id")))).toSeq
+    assert(filRows.nonEmpty)
+    assert(filRows.forall { case (_, id) => allowedIds.contains(id) },
+      s"disallowed doc served by the filtered chunk serve: $filRows")
+    val (ctfM, cdlM) = TextOps.chunkBm25Stats(docs)
+    assert(rows(loaded.searchChunksFiltered(queries, allowed, 5,
+      HybridOps.LexicalOnly)) ===
+      rows(TextOps.bm25ChunkTopKFrom(ctfM, cdlM, queries, 5, Some(allowed))))
+
+    // raw-text chunk entry tokenizes with the ENGINE's rule
+    val rawQ = Seq(0L -> "Spark  JOIN", 1L -> "vector table")
+    assert(rows(loaded.searchTextChunks(rawQ, 5)) ===
+      rows(loaded.searchChunks(HybridOps.tokenizeQueries(rawQ), 5)))
   }
 }
