@@ -998,8 +998,11 @@ object TextOps {
     * Scale shape: zero shuffle — one projection over the corpus scan,
     * every expression codegen-friendly column work. The rules are k
     * literals, not a join. */
-  def bpeEncode(docs: DataFrame, rules: Seq[(String, String)],
-      extra: Seq[String] = Nil): DataFrame = {
+  /** The per-document BPE symbol-stream column over `rules` — the one
+    * encode expression [[bpeEncode]] and [[bpeQualityScored]] project
+    * (per-symbol separator wrapping, greedy rule folds, word-boundary
+    * flatten). */
+  private def bpeSymsCol(text: Column, rules: Seq[(String, String)]): Column = {
     val sep = BpeSep
     def wrap(w: Column): Column = concat_ws("", transform(
       sequence(lit(1), length(w)),
@@ -1010,6 +1013,12 @@ object TextOps {
     }
     def wordSyms(w: Column): Column =
       filter(split(encoded(w), BpeSep), x => x =!= "")
+    flatten(transform(filter(tokens(text), w => w =!= ""),
+      w => wordSyms(w)))
+  }
+
+  def bpeEncode(docs: DataFrame, rules: Seq[(String, String)],
+      extra: Seq[String] = Nil): DataFrame = {
     // first matching rule wins: build the when-chain outermost = rank 1
     def idOf(s: Column): Column =
       rules.zipWithIndex.reverse.foldLeft(ascii(s).cast("long")) {
@@ -1017,14 +1026,27 @@ object TextOps {
           when(s === lit(l + r), lit(BpeMergedIdOffset + i + 1)).otherwise(els)
       }
     val cols = col("doc_id") +: extra.map(col)
-    docs.select(cols :+
-        filter(tokens(col("text")), w => w =!= "").as("toks"): _*)
-      .select(cols :+
-        flatten(transform(col("toks"), w => wordSyms(w))).as("syms"): _*)
+    docs.select(cols :+ bpeSymsCol(col("text"), rules).as("syms"): _*)
       .select(cols ++ Seq(
         size(col("syms")).cast("long").as("n_bpe_tokens"),
         array_join(transform(col("syms"), s => idOf(s).cast("string")), ",")
           .as("token_ids_csv")): _*)
+  }
+
+  /** One-pass scored frame for token-TRUE budget selection (x81):
+    * `(doc_id, n_tokens = BPE count, uniq_ratio)`. Both columns derive
+    * from the same text, so ONE map-only projection produces them —
+    * joining [[qualityScore]]'s output with [[bpeEncode]]'s would
+    * shuffle two corpus-wide map outputs by id for columns a single
+    * scan can compute. The ratio arithmetic is [[qualityScore]]'s
+    * exactly. */
+  def bpeQualityScored(docs: DataFrame,
+      rules: Seq[(String, String)]): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(col("doc_id"),
+      size(bpeSymsCol(col("text"), rules)).cast("long").as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")).as("uniq_ratio"))
   }
 
   /** The encode chain of [[bpeEncodeSql]]/[[bpeEncodePackSql]] shared
@@ -1086,6 +1108,40 @@ object TextOps {
          |SELECT doc_id, lang, n_bpe_tokens,
          |  ${Sampling.packByBudgetSelectSql("lang", "doc_id", "n_bpe_tokens", budget)}
          |FROM tok""".stripMargin)
+
+  /** Token-TRUE budget selection oracle: [[graft.operators.Sampling
+    * .selectByTokenBudgetSql]]'s quality prefix window with the budget
+    * unit swapped to the learned tokenizer's counts — quality still
+    * ranks the corpus, BPE tokens meter the budget (what a training
+    * pipeline's token budget actually denominates in). */
+  def bpeBudgetSelectSql(k: Int = BpeMerges, budget: Long): String =
+    graft.operators.VectorOps.materializedCtes(
+      s"""WITH ${bpeEncodeCtes(k)},
+         |bq AS ($qualityScoreSql),
+         |bscored AS (
+         |  SELECT bq.doc_id, CAST(len(ec.syms) AS BIGINT) AS n_tokens,
+         |    bq.uniq_ratio
+         |  FROM bq JOIN ec ON bq.doc_id = ec.doc_id
+         |  WHERE bq.uniq_ratio IS NOT NULL
+         |), bsel AS (
+         |  SELECT doc_id, n_tokens, uniq_ratio,
+         |    sum(n_tokens) OVER (ORDER BY uniq_ratio DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM bscored)
+         |SELECT doc_id, n_tokens, uniq_ratio FROM bsel
+         |WHERE cum <= $budget""".stripMargin)
+
+  /** Token-TRUE shard balance oracle: [[graft.operators.Sampling
+    * .shardStats]]' per-shard report with token mass counted in the
+    * learned tokenizer's units — the skew check a loader actually
+    * cares about is BPE-token mass per shard, not whitespace mass. */
+  def bpeShardStatsSql(k: Int = BpeMerges, nShards: Int): String =
+    graft.operators.VectorOps.materializedCtes(
+      s"""WITH ${bpeEncodeCtes(k)}
+         |SELECT ${hash32Sql("CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(syms)) AS BIGINT) AS n_tokens
+         |FROM ec GROUP BY 1""".stripMargin)
 
   /** Token window / overlap of [[chunkDocs]] — 64/16 suits the fixture
     * doc lengths (most docs yield 1–5 chunks); a RAG deployment tunes

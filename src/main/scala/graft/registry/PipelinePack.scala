@@ -491,6 +491,24 @@ object PipelinePack extends QueryPack {
           .select("doc_id", "lang", "n_bpe_tokens"),
         "lang", "doc_id", "n_bpe_tokens", BpePackBudget)
         .orderBy("doc_id")),
+    // token-TRUE budget selection: x52's quality-ranked greedy select
+    // with the budget metered in the learned tokenizer's counts — the
+    // unit a training run's token budget actually denominates in
+    "x81_bpe_budget_select" -> ((s, dir) =>
+      graft.operators.Sampling.selectScoredByBudget(
+        TextOps.bpeQualityScored(Tables.documents(s, dir),
+            bpeRulesFor(s, dir))
+          .where(col("uniq_ratio").isNotNull),
+        SelectBudget)
+        .orderBy("doc_id")),
+    // token-TRUE shard balance: x55's skew report with token mass in
+    // BPE units (a loader is throttled by real token mass per shard)
+    "x82_bpe_shard_stats" -> ((s, dir) =>
+      graft.operators.Sampling.shardStats(
+        TextOps.bpeEncode(Tables.documents(s, dir), bpeRulesFor(s, dir))
+          .select("doc_id", "n_bpe_tokens"),
+        "doc_id", "n_bpe_tokens", 16)
+        .orderBy("shard")),
     "x3_neardup_dedup" -> ((s, dir) =>
       Dedup.nearDupDedup(Tables.documents(s, dir), DedupJaccard).orderBy("doc_id")),
     // transitive duplicate clusters (large-star/small-star connected
@@ -1256,6 +1274,11 @@ object PipelinePack extends QueryPack {
     "x55_shard_stats" ->
       (graft.operators.Sampling.shardStatsSql("doc_id",
         s"len(${TextOps.tokensSql("text")})", 16) + "\nORDER BY shard"),
+    "x81_bpe_budget_select" ->
+      (TextOps.bpeBudgetSelectSql(budget = SelectBudget) +
+        "\nORDER BY doc_id"),
+    "x82_bpe_shard_stats" ->
+      (TextOps.bpeShardStatsSql(nShards = 16) + "\nORDER BY shard"),
     "x56_bm25_topk" ->
       (TextOps.bm25TopKSql(Bm25Queries, 5) + "\nORDER BY query_id, rn"),
     "x57_hybrid_topk" ->

@@ -329,6 +329,43 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
       Seq("doc_id", "chunk_id", "n_tokens", "chunk"))
   }
 
+  test("chunk retrieval and audio fingerprint on degenerate inputs") {
+    import graft.operators.MultimodalOps
+    val docs = weirdDocs.select("doc_id", "text")
+    // chunk BM25 over empty/one-token/unicode docs: well-formed
+    // (possibly empty) results, never a throw; every doc chunks to
+    // >= 1 window so the index covers the whole weird corpus
+    val (ctf, cdl) = TextOps.chunkBm25Stats(docs)
+    assert(cdl.select("doc_id").distinct().count() === 5)
+    val hit = TextOps.bm25ChunkTopKFrom(ctf, cdl, Seq(0L -> Seq("one")), 5)
+    assert(hit.count() === 1 &&
+      hit.collect()(0).getLong(hit.columns.indexOf("doc_id")) === 2L)
+    // no-term query: empty, well-formed schema
+    val none = TextOps.bm25ChunkTopKFrom(ctf, cdl, Seq(0L -> Seq("zzz")), 5)
+    assert(none.count() === 0)
+    assert(none.columns.toSeq ===
+      Seq("query_id", "doc_id", "chunk_id", "score", "rn"))
+    // empty corpus: zero rows, no divide-by-zero from chunk avgdl
+    val (ectf, ecdl) = TextOps.chunkBm25Stats(emptyDocs.select("doc_id", "text"))
+    assert(TextOps.bm25ChunkTopKFrom(ectf, ecdl,
+      Seq(0L -> Seq("one")), 5).count() === 0)
+    // empty allowed set: filtered chunk rank returns nothing
+    val sess = spark
+    import sess.implicits._
+    val noneAllowed = Seq.empty[Long].toDF("doc_id")
+    assert(TextOps.bm25ChunkTopKFrom(ctf, cdl, Seq(0L -> Seq("one")), 5,
+      Some(noneAllowed)).count() === 0)
+    // audio fingerprint: the dup view over a single asset is that
+    // asset alone (n_dups 1, rep itself); empty input stays empty
+    val one = MultimodalOps.audioAssets(spark, docs.where(col("doc_id") === 2L))
+    val g = MultimodalOps.audioDupGroupsFrom(
+      MultimodalOps.audioFingerprint(spark, one).toDF()).collect()
+    assert(g.length === 1 && g(0).getLong(3) === 1L && g(0).getLong(4) === 2L)
+    assert(MultimodalOps.audioFingerprint(spark,
+      MultimodalOps.audioAssets(spark, emptyDocs.select("doc_id", "text")))
+      .count() === 0)
+  }
+
   test("edit-distance pairs survive degenerate docs") {
     // shingle-less docs (empty/one-token) never band, so they can never
     // reach the Levenshtein confirm; well-formed empty results

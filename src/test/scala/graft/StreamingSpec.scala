@@ -723,13 +723,17 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .withColumn("is_deleted", lit(true))), 2)
     val before = rows(sl.topK(spark, queries, 5).get)
     assert(before.nonEmpty)
+    val beforeChunk = rows(sl.chunkTopK(spark, queries, 5).get)
+    assert(beforeChunk.nonEmpty)
     val hw = sl.compact(spark, graceMs = 0)
     assert(hw == 2, s"high-water batch id: expected 2, got $hw")
     // served results byte-identical; every pre-compaction slice gone;
     // ONE data file per frame regardless of how many batches arrived
     assert(rows(sl.topK(spark, queries, 5).get) === before,
       "compaction changed the served BM25 results")
-    for (f <- Seq("tf", "dl", "ops")) {
+    assert(rows(sl.chunkTopK(spark, queries, 5).get) === beforeChunk,
+      "compaction changed the served chunk results")
+    for (f <- Seq("tf", "dl", "ctf", "cdl", "ops")) {
       assert(sliceDirs(lexRoot, f).isEmpty, s"stale $f slices survive compaction")
       val gen = java.nio.file.Files.readString(
         java.nio.file.Paths.get(lexRoot, "COMPACT")).trim
