@@ -198,19 +198,18 @@ object HybridOps {
        |QUALIFY rn <= $k""".stripMargin
   }
 
-  /** Oracle for the [[graft.serve.Retrieval]] snapshot handle's
-    * default serve: BM25 lexical half fused by RRF with the
-    * residual-IVFADC-plus-refine dense half (the handle's
-    * [[graft.serve.Retrieval.denseTopK]] IS [[VectorOps
-    * .ivfPqRefineTopK]], so its oracle chain composes verbatim). */
-  def snapshotSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
-      r: Int, nprobe: Int): String = {
+  /** The doc-level RRF fusion block shared by [[snapshotSearchSql]]
+    * and [[rebuildSearchSql]]: full-outer join of the two ranked
+    * halves, exact integer RRF, rank + QUALIFY — single-sourced so the
+    * fused arithmetic can never drift between the snapshot and
+    * rebuild oracles. */
+  private def docFusedSql(lexSql: String, denseSql: String, k: Int): String = {
     val d = rrfDenom(k)
     VectorOps.materializedCtes(s"""WITH lex AS (
-       |  SELECT query_id, doc_id, rn FROM (${TextOps.bm25TopKSql(queries, k)})
+       |  SELECT query_id, doc_id, rn FROM ($lexSql)
        |), dense AS (
        |  SELECT query_id, vec_id AS doc_id, rn
-       |  FROM (${VectorOps.ivfPqRefineTopKSql(queries.map(_._1), k, r, nprobe)})
+       |  FROM ($denseSql)
        |), fused AS (
        |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
        |    coalesce(l.doc_id, r.doc_id) AS doc_id,
@@ -226,21 +225,19 @@ object HybridOps {
        |QUALIFY rn <= $k""".stripMargin)
   }
 
-  /** Oracle for [[graft.serve.Retrieval.searchChunks]]' default serve:
-    * the chunk-ranked, doc-deduped lexical half ([[TextOps
-    * .bm25ChunkTopKSql]]) RRF-fused with the residual-IVFADC dense
-    * half, the fused row carrying the lex half's best chunk_id (−1
-    * where only the dense half surfaced the doc — matching the
-    * handle's attribution coalesce). */
-  def chunkSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
-      r: Int, nprobe: Int): String = {
+  /** The chunk-attributed twin of [[docFusedSql]], shared by
+    * [[chunkSearchSql]] and [[rebuildChunkSearchSql]]: attribution
+    * from the lexical side rides the fusion join (−1 sentinel for
+    * dense-only docs), mirroring [[rrfFuseChunked]]. */
+  private def chunkFusedSql(clexSql: String, cdenseSql: String,
+      k: Int): String = {
     val d = rrfDenom(k)
     VectorOps.materializedCtes(s"""WITH clex AS (
        |  SELECT query_id, doc_id, chunk_id, rn
-       |  FROM (${TextOps.bm25ChunkTopKSql(queries, k)})
+       |  FROM ($clexSql)
        |), cdense AS (
        |  SELECT query_id, vec_id AS doc_id, rn
-       |  FROM (${VectorOps.ivfPqRefineTopKSql(queries.map(_._1), k, r, nprobe)})
+       |  FROM ($cdenseSql)
        |), cfused AS (
        |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
        |    coalesce(l.doc_id, r.doc_id) AS doc_id,
@@ -256,6 +253,27 @@ object HybridOps {
        |FROM cfused
        |QUALIFY rn <= $k""".stripMargin)
   }
+
+  /** Oracle for the [[graft.serve.Retrieval]] snapshot handle's
+    * default serve: BM25 lexical half fused by RRF with the
+    * residual-IVFADC-plus-refine dense half (the handle's
+    * [[graft.serve.Retrieval.denseTopK]] IS [[VectorOps
+    * .ivfPqRefineTopK]], so its oracle chain composes verbatim). */
+  def snapshotSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
+      r: Int, nprobe: Int): String =
+    docFusedSql(TextOps.bm25TopKSql(queries, k),
+      VectorOps.ivfPqRefineTopKSql(queries.map(_._1), k, r, nprobe), k)
+
+  /** Oracle for [[graft.serve.Retrieval.searchChunks]]' default serve:
+    * the chunk-ranked, doc-deduped lexical half ([[TextOps
+    * .bm25ChunkTopKSql]]) RRF-fused with the residual-IVFADC dense
+    * half, the fused row carrying the lex half's best chunk_id (−1
+    * where only the dense half surfaced the doc — matching the
+    * handle's attribution coalesce). */
+  def chunkSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
+      r: Int, nprobe: Int): String =
+    chunkFusedSql(TextOps.bm25ChunkTopKSql(queries, k),
+      VectorOps.ivfPqRefineTopKSql(queries.map(_._1), k, r, nprobe), k)
 
   /** Oracle for the chunk-level serve over a REBUILT snapshot (x80):
     * [[chunkSearchSql]]'s fusion where the chunk-lexical half chunks
@@ -266,31 +284,11 @@ object HybridOps {
     * refresh semantics x70 pins for the doc-level serve. */
   def rebuildChunkSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
       r: Int, nprobe: Int, trainEmbSql: String, serveEmbSql: String,
-      serveDocsSql: String): String = {
-    val d = rrfDenom(k)
-    VectorOps.materializedCtes(s"""WITH clex AS (
-       |  SELECT query_id, doc_id, chunk_id, rn
-       |  FROM (${TextOps.bm25ChunkTopKSql(queries, k,
-                  docsSql = Some(serveDocsSql))})
-       |), cdense AS (
-       |  SELECT query_id, vec_id AS doc_id, rn
-       |  FROM (${VectorOps.ivfPqFixedBookRefineSql(queries.map(_._1), k, r,
-                  nprobe, trainEmbSql, serveEmbSql)})
-       |), cfused AS (
-       |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
-       |    coalesce(l.doc_id, r.doc_id) AS doc_id,
-       |    coalesce(l.chunk_id, -1) AS chunk_id,
-       |    coalesce($d // ($RrfK + l.rn), 0) +
-       |      coalesce($d // ($RrfK + r.rn), 0) AS rrf
-       |  FROM clex l FULL OUTER JOIN cdense r
-       |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
-       |)
-       |SELECT query_id, doc_id, chunk_id, rrf,
-       |  row_number() OVER (PARTITION BY query_id
-       |    ORDER BY rrf DESC, doc_id) AS rn
-       |FROM cfused
-       |QUALIFY rn <= $k""".stripMargin)
-  }
+      serveDocsSql: String): String =
+    chunkFusedSql(
+      TextOps.bm25ChunkTopKSql(queries, k, docsSql = Some(serveDocsSql)),
+      VectorOps.ivfPqFixedBookRefineSql(queries.map(_._1), k, r,
+        nprobe, trainEmbSql, serveEmbSql), k)
 
   /** Oracle for [[graft.serve.Retrieval.rebuild]]'s end-to-end serve
     * (x70): the [[snapshotSearchSql]] fusion where the dense half's
@@ -300,29 +298,11 @@ object HybridOps {
     * against exactly the fixed-codebook semantics the handle promises. */
   def rebuildSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
       r: Int, nprobe: Int, trainEmbSql: String, serveEmbSql: String,
-      serveDocsSql: String): String = {
-    val d = rrfDenom(k)
-    VectorOps.materializedCtes(s"""WITH lex AS (
-       |  SELECT query_id, doc_id, rn
-       |  FROM (${TextOps.bm25TopKSql(queries, k, docsSql = Some(serveDocsSql))})
-       |), dense AS (
-       |  SELECT query_id, vec_id AS doc_id, rn
-       |  FROM (${VectorOps.ivfPqFixedBookRefineSql(queries.map(_._1), k, r,
-                  nprobe, trainEmbSql, serveEmbSql)})
-       |), fused AS (
-       |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
-       |    coalesce(l.doc_id, r.doc_id) AS doc_id,
-       |    coalesce($d // ($RrfK + l.rn), 0) +
-       |      coalesce($d // ($RrfK + r.rn), 0) AS rrf
-       |  FROM lex l FULL OUTER JOIN dense r
-       |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
-       |)
-       |SELECT query_id, doc_id, rrf,
-       |  row_number() OVER (PARTITION BY query_id
-       |    ORDER BY rrf DESC, doc_id) AS rn
-       |FROM fused
-       |QUALIFY rn <= $k""".stripMargin)
-  }
+      serveDocsSql: String): String =
+    docFusedSql(
+      TextOps.bm25TopKSql(queries, k, docsSql = Some(serveDocsSql)),
+      VectorOps.ivfPqFixedBookRefineSql(queries.map(_._1), k, r,
+        nprobe, trainEmbSql, serveEmbSql), k)
 
   /** Tokenize raw query strings with the ENGINE'S tokenizer rule —
     * [[TextOps.tokens]] is `split(lower(text), " ")`, and this is that

@@ -428,7 +428,9 @@ object MultimodalOps {
         val ssq = new Array[Long](AudioFpFrames)
         (0 until n).foreach { k =>
           val s = bb.getShort.toInt
-          ssq(k * AudioFpFrames / n) += s.toLong * s
+          // long arithmetic: k * 16 overflows Int for WAVs past 2^27
+          // samples (~47 min at 48 kHz) — the oracle's BIGINT twin
+          ssq((k.toLong * AudioFpFrames / n).toInt) += s.toLong * s
         }
         val bits = (1 until AudioFpFrames)
           .map(f => if (ssq(f) > ssq(f - 1)) '1' else '0').mkString

@@ -387,13 +387,16 @@ object Sampling {
         sum(col(tokensCol)).cast("long").as("n_tokens"))
 
   /** [[shardStats]] oracle skeleton over a FROM-able doc relation
-    * exposing the key and a token-count expression. */
+    * exposing the key and a token-count expression. `from` swaps the
+    * source relation (the docsSql convention), so token-count variants
+    * (x82's BPE units) compose through here instead of re-implementing
+    * the shard-assignment arithmetic. */
   def shardStatsSql(keyExpr: String, tokensExpr: String,
-      nShards: Int): String =
+      nShards: Int, from: String = "documents"): String =
     s"""SELECT ${hash32Sql(s"CAST($keyExpr AS VARCHAR)")} % $nShards AS shard,
        |  count(*) AS n_docs,
        |  CAST(sum($tokensExpr) AS BIGINT) AS n_tokens
-       |FROM documents GROUP BY 1""".stripMargin
+       |FROM $from GROUP BY 1""".stripMargin
 
   /** [[selectByTokenBudget]]'s declarative twin — the global prefix
     * window the operator's histogram plan is proven equal to. */

@@ -734,62 +734,109 @@ object TextOps {
     * not coincidental. Corpus-level df/N/avgdl are derived HERE from
     * the per-doc frames: they are the corpus-dependent part, cheap
     * (one hash agg + a 1-row broadcast) and always current. */
-  def bm25TopKFrom(tf: DataFrame, dl: DataFrame,
-      queries: Seq[(Long, Seq[String])], k: Int,
-      allowed: Option[DataFrame] = None): DataFrame = {
+  /** The ONE BM25 scoring chain every lexical serve ranks through —
+    * doc-level ([[bm25TopKFrom]], key = doc_id) and chunk-level
+    * ([[bm25ChunkTopKFrom]], key = (doc_id, chunk_id)) are the same
+    * arithmetic over a different unit, so the formula, the decimal
+    * grid, and the prune live in exactly one place.
+    *
+    * Postings are pruned to the QUERY terms before anything joins: a
+    * literal IN-filter, not a join — the terms are plan-time
+    * constants, so the prune PUSHES INTO a stored tf scan
+    * (PushedFilters) and the tf⋈dl join moves only the queried
+    * posting lists, never the corpus. df counted on the pruned frame
+    * is exact (restricting rows to a token cannot change that token's
+    * df). Each (query, key, term) partial lands on the 10⁻⁹ decimal
+    * grid BEFORE the per-(query, key) sum (associative — partial-agg
+    * order can't move it); the summed score rounds to 6 dp before any
+    * caller ranks. Returns `(query_id, keyCols…, score)`.
+    *
+    * `allowed` = candidate restriction BEFORE the rank, with GLOBAL
+    * df/N/avgdl — the Lucene filter-query semantics: a filter narrows
+    * candidates, it does not re-weight the collection. (A post-filter
+    * of an unfiltered top-k under-fills; filtering tf itself would
+    * silently change every idf.) */
+  private def bm25AggScores(tf: DataFrame, dl: DataFrame,
+      keyCols: Seq[String], queries: Seq[(Long, Seq[String])],
+      allowed: Option[DataFrame]): DataFrame = {
     val spark = tf.sparkSession
     import spark.implicits._
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // prune the postings to the QUERY terms before anything joins:
-    // df-per-token is unchanged by restricting rows to that token, so
-    // counting df on the pruned frame is exact — and the tf⋈dl join
-    // now moves only the queried posting lists, not the corpus (the
-    // difference between reading the posting lists you need and
-    // building a full-corpus join, at serve time).
     val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "token")
-    // literal IN-filter, not a join: the terms are plan-time constants,
-    // so the prune PUSHES INTO the tf scan (PushedFilters) — posting
-    // lists are fetched by key, the scan never surfaces non-query rows
     val tfq = tf.where(col("token")
       .isInCollection(queries.flatMap(_._2).distinct))
     val dfreq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tfq.join(dl, "doc_id").join(broadcast(dfreq), "token")
+    val scored = tfq.join(dl, keyCols).join(broadcast(dfreq), "token")
       .join(broadcast(qterms), "token")
       .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"),
+      .select((col("query_id") +: keyCols.map(col)) :+
         round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
           * (col("tf") * lit(Bm25K1 + 1))
           / (col("tf") + lit(Bm25K1) *
             (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 9)
-          .cast("decimal(18,9)").as("s"))
-    val agg = scored.groupBy("query_id", "doc_id")
+          .cast("decimal(18,9)").as("s"): _*)
+    val agg = scored.groupBy("query_id", keyCols: _*)
       .agg(round(sum(col("s")).cast("double"), 6).as("score"))
-    // metadata filter = candidate restriction BEFORE the rank, with
-    // GLOBAL df/N/avgdl — the Lucene filter-query semantics: a filter
-    // narrows candidates, it does not re-weight the collection. (A
-    // post-filter of an unfiltered top-k under-fills; filtering tf
-    // itself would silently change every idf.)
-    val restricted = allowed.fold(agg)(a =>
+    allowed.fold(agg)(a =>
       agg.join(broadcast(a.select("doc_id")), Seq("doc_id"), "left_semi")
-        .select("query_id", "doc_id", "score")) // un-front the join key
+        // un-front the join key
+        .select((("query_id" +: keyCols) :+ "score").map(col): _*))
+  }
+
+  def bm25TopKFrom(tf: DataFrame, dl: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      allowed: Option[DataFrame] = None): DataFrame = {
+    val restricted = bm25AggScores(tf, dl, Seq("doc_id"), queries, allowed)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
     restricted.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
 
-  /** [[bm25TopK]] oracle — same constants, same parenthesization, same
-    * decimal grid, same round-before-rank. `allowedSql`: an optional
-    * one-column doc_id subquery restricting candidates before the rank
-    * (global stats, the filter-query semantics above). */
+  /** The scoring CTE chain shared by [[bm25TopKSql]] and
+    * [[bm25ChunkTopKSql]] — the SQL twin of [[bm25AggScores]]'s
+    * single-sourcing: emitted once with CTE-name prefix `p` and
+    * scoring key `keys`, assuming `${p}tf(keys…, token, tf)` and
+    * `${p}dl(keys…, dl)` CTEs precede it; ends with
+    * `${p}agg(query_id, keys…, score)`. Same constants, same
+    * parenthesization, same decimal grid in both emissions by
+    * construction. */
+  private def bm25RankCtesSql(p: String, keys: Seq[String],
+      queries: Seq[(Long, Seq[String])]): String = {
+    val qvals = queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val keyList = keys.mkString(", ")
+    s"""${p}stats AS (
+       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+       |  FROM ${p}dl
+       |), ${p}dfreq AS (
+       |  SELECT token, count(*) AS df FROM ${p}tf GROUP BY token
+       |), ${p}q(query_id, token) AS (VALUES $qvals
+       |), ${p}scored AS (
+       |  SELECT ${p}q.query_id, ${keys.map(c => s"${p}tf.$c").mkString(", ")},
+       |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+       |      * (tf * ${Bm25K1 + 1})
+       |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 9)
+       |      AS DECIMAL(18,9)) AS s
+       |  FROM ${p}tf JOIN ${p}dl USING ($keyList) JOIN ${p}dfreq USING (token)
+       |    JOIN ${p}q USING (token), ${p}stats
+       |), ${p}agg AS (
+       |  SELECT query_id, $keyList,
+       |    round(CAST(sum(s) AS DOUBLE), 6) AS score
+       |  FROM ${p}scored GROUP BY query_id, $keyList
+       |)""".stripMargin
+  }
+
+  /** [[bm25TopK]] oracle — the shared chain ([[bm25RankCtesSql]]) over
+    * doc-keyed tf/dl. `allowedSql`: an optional one-column doc_id
+    * subquery restricting candidates before the rank (global stats,
+    * the filter-query semantics above). */
   def bm25TopKSql(queries: Seq[(Long, Seq[String])], k: Int,
       allowedSql: Option[String] = None,
       docsSql: Option[String] = None): String = {
     val restrict = allowedSql
       .map(a => s"WHERE doc_id IN ($a)\n").getOrElse("")
-    val qvals = queries
-      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
     // docsSql swaps the corpus for a derived `(doc_id, text)` SELECT
     // (the x70 refreshed-corpus serve); absent, the emitted text is
     // byte-identical to the historical generator
@@ -802,25 +849,7 @@ object TextOps {
        |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
        |), dl AS (
        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
-       |), stats AS (
-       |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-       |  FROM dl
-       |), dfreq AS (
-       |  SELECT token, count(*) AS df FROM tf GROUP BY token
-       |), q(query_id, token) AS (VALUES $qvals
-       |), scored AS (
-       |  SELECT q.query_id, tf.doc_id,
-       |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-       |      * (tf * ${Bm25K1 + 1})
-       |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 9)
-       |      AS DECIMAL(18,9)) AS s
-       |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token)
-       |    JOIN q USING (token), stats
-       |), agg AS (
-       |  SELECT query_id, doc_id,
-       |    round(CAST(sum(s) AS DOUBLE), 6) AS score
-       |  FROM scored GROUP BY query_id, doc_id
-       |)
+       |), ${bm25RankCtesSql("", Seq("doc_id"), queries)}
        |SELECT query_id, doc_id, score,
        |  row_number() OVER (PARTITION BY query_id
        |    ORDER BY score DESC, doc_id) AS rn
@@ -1138,10 +1167,8 @@ object TextOps {
   def bpeShardStatsSql(k: Int = BpeMerges, nShards: Int): String =
     graft.operators.VectorOps.materializedCtes(
       s"""WITH ${bpeEncodeCtes(k)}
-         |SELECT ${hash32Sql("CAST(doc_id AS VARCHAR)")} % $nShards AS shard,
-         |  count(*) AS n_docs,
-         |  CAST(sum(len(syms)) AS BIGINT) AS n_tokens
-         |FROM ec GROUP BY 1""".stripMargin)
+         |${Sampling.shardStatsSql("doc_id", "len(syms)", nShards,
+             from = "ec")}""".stripMargin)
 
   /** Token window / overlap of [[chunkDocs]] — 64/16 suits the fixture
     * doc lengths (most docs yield 1–5 chunks); a RAG deployment tunes
@@ -1266,34 +1293,11 @@ object TextOps {
   def bm25ChunkTopKFrom(ctf: DataFrame, cdl: DataFrame,
       queries: Seq[(Long, Seq[String])], k: Int,
       allowed: Option[DataFrame] = None): DataFrame = {
-    val spark = ctf.sparkSession
-    import spark.implicits._
-    val stats = cdl.agg(count(lit(1)).as("n_chunks"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
-      .toDF("query_id", "token")
-    val tfq = ctf.where(col("token")
-      .isInCollection(queries.flatMap(_._2).distinct))
-    val dfreq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tfq.join(cdl, Seq("doc_id", "chunk_id"))
-      .join(broadcast(dfreq), "token")
-      .join(broadcast(qterms), "token")
-      .crossJoin(broadcast(stats))
-      .select(col("query_id"), col("doc_id"), col("chunk_id"),
-        round(log((col("n_chunks") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-          * (col("tf") * lit(Bm25K1 + 1))
-          / (col("tf") + lit(Bm25K1) *
-            (lit(1.0) - lit(Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))), 9)
-          .cast("decimal(18,9)").as("s"))
-    val agg = scored.groupBy("query_id", "doc_id", "chunk_id")
-      .agg(round(sum(col("s")).cast("double"), 6).as("score"))
-    // metadata filter = doc-candidate restriction BEFORE the ranks,
-    // with GLOBAL df/N/avgdl — the [[bm25TopKFrom]] filter-query
-    // semantics applied at chunk level (all of a filtered-out doc's
-    // chunks drop together; collection statistics never re-weight)
-    val restricted = allowed.fold(agg)(a =>
-      agg.join(broadcast(a.select("doc_id")), Seq("doc_id"), "left_semi")
-        .select("query_id", "doc_id", "chunk_id", "score"))
+    // the one scoring chain with chunks as the BM25 unit (df = chunks
+    // containing the term, N = chunk count, avgdl = mean chunk
+    // length); `allowed` drops all of a filtered doc's chunks together
+    val restricted = bm25AggScores(ctf, cdl, Seq("doc_id", "chunk_id"),
+      queries, allowed)
     val wBest = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id", "doc_id").orderBy(desc("score"), asc("chunk_id"))
     val best = restricted.withColumn("rc", row_number().over(wBest))
@@ -1319,9 +1323,7 @@ object TextOps {
     * best-chunk window, and the same round-before-rank doc ranking. */
   def bm25ChunkTopKSql(queries: Seq[(Long, Seq[String])], k: Int,
       window: Int = ChunkWindow, overlap: Int = ChunkOverlap,
-      docsSql: Option[String] = None): String = {
-    val qvals = queries
-      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+      docsSql: Option[String] = None): String =
     s"""WITH ck AS (
        |  SELECT doc_id, chunk_id, chunk
        |  FROM (${chunkDocsSql(window, overlap, docsSql)})
@@ -1334,26 +1336,8 @@ object TextOps {
        |), cdl AS (
        |  SELECT doc_id, chunk_id, count(*) AS dl
        |  FROM ctok GROUP BY doc_id, chunk_id
-       |), cstats AS (
-       |  SELECT count(*) AS n_chunks,
-       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-       |  FROM cdl
-       |), cdfreq AS (
-       |  SELECT token, count(*) AS df FROM ctf GROUP BY token
-       |), cq(query_id, token) AS (VALUES $qvals
-       |), cscored AS (
-       |  SELECT cq.query_id, ctf.doc_id, ctf.chunk_id,
-       |    CAST(round(ln((n_chunks - df + 0.5) / (df + 0.5) + 1.0)
-       |      * (tf * ${Bm25K1 + 1})
-       |      / (tf + $Bm25K1 * (1.0 - $Bm25B + $Bm25B * dl / avgdl)), 9)
-       |      AS DECIMAL(18,9)) AS s
-       |  FROM ctf JOIN cdl USING (doc_id, chunk_id)
-       |    JOIN cdfreq USING (token) JOIN cq USING (token), cstats
-       |), cagg AS (
-       |  SELECT query_id, doc_id, chunk_id,
-       |    round(CAST(sum(s) AS DOUBLE), 6) AS score
-       |  FROM cscored GROUP BY query_id, doc_id, chunk_id
-       |), cbest AS (
+       |), ${bm25RankCtesSql("c", Seq("doc_id", "chunk_id"), queries)},
+       |cbest AS (
        |  SELECT query_id, doc_id, chunk_id, score
        |  FROM cagg
        |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
@@ -1364,5 +1348,4 @@ object TextOps {
        |    ORDER BY score DESC, doc_id) AS rn
        |FROM cbest
        |QUALIFY rn <= $k""".stripMargin
-  }
 }

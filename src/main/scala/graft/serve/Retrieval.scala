@@ -149,6 +149,23 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     }
   }
 
+  /** The filtered dense half shared by [[searchFiltered]] and
+    * [[searchChunksFiltered]]: restrict candidates BEFORE the final
+    * rank by semi-joining the allowed id list onto the probed index
+    * slice, so the filter composes with the partition-pruned read
+    * instead of replacing it; the shortlist widens to `refine` before
+    * the filter, so selective predicates still fill k from the probed
+    * cells. */
+  private def denseTopKAllowed(qids: Seq[Long], allowed: DataFrame,
+      k: Int, nprobe: Int, refine: Int): DataFrame = {
+    val probe = VectorOps.probePlanOf(emb, qids, cents, nprobe)
+    val pruned = index.where(col("cell").isin(probe.cells: _*))
+      .join(broadcast(allowed.toDF("vec_id")), Seq("vec_id"), "left_semi")
+    VectorOps.ivfPqRefineTopK(pruned, emb, qids, k, refine, nprobe,
+      cents, books, residual = true, probes = Some(probe.frame))
+      .withColumnRenamed("vec_id", "doc_id")
+  }
+
   /** Metadata-filtered chunk-level serve — [[searchFiltered]]'s
     * pre-filter semantics on the chunk serve: the allowed doc-id frame
     * restricts candidates on BOTH halves before each rank (all of a
@@ -159,15 +176,7 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       policy: HybridOps.Fusion = HybridOps.Rrf, nprobe: Int = 2,
       refine: Int = VectorOps.BinaryShortlist): DataFrame = {
     def lex = TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, k, Some(allowed))
-    def dense = {
-      val qids = queries.map(_._1)
-      val probe = VectorOps.probePlanOf(emb, qids, cents, nprobe)
-      val pruned = index.where(col("cell").isin(probe.cells: _*))
-        .join(broadcast(allowed.toDF("vec_id")), Seq("vec_id"), "left_semi")
-      VectorOps.ivfPqRefineTopK(pruned, emb, qids, k, refine, nprobe,
-        cents, books, residual = true, probes = Some(probe.frame))
-        .withColumnRenamed("vec_id", "doc_id")
-    }
+    def dense = denseTopKAllowed(queries.map(_._1), allowed, k, nprobe, refine)
     policy match {
       case HybridOps.LexicalOnly => lex
       case HybridOps.DenseOnly => dense
@@ -203,18 +212,7 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       k: Int, policy: HybridOps.Fusion = HybridOps.Rrf,
       nprobe: Int = 2, refine: Int = VectorOps.BinaryShortlist): DataFrame = {
     def lex = TextOps.bm25TopKFrom(tf, dl, queries, k, Some(allowed))
-    // dense pre-filter: restrict candidates BEFORE the final rank. The
-    // shortlist widens to `refine` before the filter, so selective
-    // predicates still fill k from the probed cells.
-    def dense = {
-      val qids = queries.map(_._1)
-      val probe = VectorOps.probePlanOf(emb, qids, cents, nprobe)
-      val pruned = index.where(col("cell").isin(probe.cells: _*))
-        .join(broadcast(allowed.toDF("vec_id")), Seq("vec_id"), "left_semi")
-      VectorOps.ivfPqRefineTopK(pruned, emb, qids, k, refine, nprobe,
-        cents, books, residual = true, probes = Some(probe.frame))
-        .withColumnRenamed("vec_id", "doc_id")
-    }
+    def dense = denseTopKAllowed(queries.map(_._1), allowed, k, nprobe, refine)
     policy match {
       case HybridOps.LexicalOnly => lex
       case HybridOps.DenseOnly => dense

@@ -41,6 +41,25 @@ class StreamingLexical(artifactDir: String) {
   private val slices =
     new SlicedArtifact(artifactDir, Seq("tf", "dl", "ctf", "cdl"), "doc_id")
 
+  // Fail fast on the frame-expansion reopen hazard (the
+  // [[StreamingVectorIndex]] cents convention): an artifact written by
+  // the pre-chunk-index version has committed batches (ops slices)
+  // with no ctf/cdl slices, so reopening it here would either crash
+  // `resolved` or — worse, after one new batch — serve a chunk index
+  // (and its global df/N/avgdl) silently missing every pre-upgrade
+  // document, which compaction would then bake in permanently. Chunk
+  // frames are per-doc local, so new batches can't repair old ones;
+  // the artifact must be rebuilt (or compacted by the old version and
+  // migrated) before this version serves it.
+  locally {
+    val missing = slices.missingFor("ops", "ctf")
+    require(missing.isEmpty,
+      s"artifact at $artifactDir predates the chunk-index frames: " +
+        s"committed batches with no matching ctf slice (batch ids " +
+        s"${missing.mkString(", ")}); re-ingest the corpus with this " +
+        "version instead of reopening the old artifact")
+  }
+
   /** Index all available micro-batches; returns DISTINCT batches run
     * (replays re-invoke `foreachBatch` but must not count twice). */
   def indexAvailable(spark: SparkSession, docsStream: DataFrame,
