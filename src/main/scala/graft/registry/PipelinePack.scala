@@ -522,9 +522,15 @@ object PipelinePack extends QueryPack {
     // unit a training run's token budget actually denominates in
     "x81_bpe_budget_select" -> ((s, dir) =>
       graft.operators.Sampling.selectScoredByBudget(
-        TextOps.bpeQualityScored(Tables.documents(s, dir),
-            bpeRulesFor(s, dir))
-          .where(col("uniq_ratio").isNotNull),
+        // MATERIALIZED (the tf three-consumer convention): the budget
+        // walk evaluates its input three times (histogram collect,
+        // keep-all filter, boundary prefix) and the BPE encode chain
+        // is the expensive part of this scored frame — at corpus
+        // scale that is three tokenize+encode passes for one
+        Dedup.materialize(
+          TextOps.bpeQualityScored(Tables.documents(s, dir),
+              bpeRulesFor(s, dir))
+            .where(col("uniq_ratio").isNotNull), None),
         SelectBudget)
         .orderBy("doc_id")),
     // token-TRUE shard balance: x55's skew report with token mass in

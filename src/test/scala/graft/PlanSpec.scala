@@ -147,6 +147,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"lexical subtree computed more than once ($ctfScans ctf scans):\n$fused")
   }
 
+  test("BPE-scored selection frame is ONE map-only projection: no join, no exchange") {
+    import graft.operators.TextOps
+    val docs = Tables.documents(spark, psf).select("doc_id", "text")
+    val rules = TextOps.bpeMerges(docs).orderBy("rank").select("lhs", "rhs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // count and quality both derive from the same text: the scored
+    // frame must be a single scan with zero joins — the two-map-joined
+    // alternative shuffles the corpus twice for nothing
+    val plan = formatted(TextOps.bpeQualityScored(docs, rules))
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"x81's scored frame must be one map-only projection:\n$plan")
+  }
+
   test("PQ encoding is map-only: literal-codebook folds, no join, no shuffle, no window") {
     val emb = Tables.embeddings(spark, psf)
     val books = VectorOps.pqTrainedCodebooks(emb)
