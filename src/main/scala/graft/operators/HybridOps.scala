@@ -360,21 +360,42 @@ object HybridOps {
     * and the fused score `w·lex + (1−w)·dense` rounds to 6 dp BEFORE
     * ranking (the cosine convention), doc_id tiebreak. Same tiny
     * full-outer-join shape as [[rrfFuse]]. */
+  /** Per-query min-max normalization of a ranked half — `carry` names
+    * extra columns to thread through (the chunk attribution). */
+  private def normed(df: DataFrame, scoreCol: String, as: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val win = Window.partitionBy("query_id")
+    df.select((Seq(col("query_id"), col("doc_id")) ++ carry.map(col)) :+
+      when(max(col(scoreCol)).over(win) === min(col(scoreCol)).over(win),
+        lit(1.0))
+        .otherwise((col(scoreCol) - min(col(scoreCol)).over(win)) /
+          (max(col(scoreCol)).over(win) - min(col(scoreCol)).over(win)))
+        .as(as): _*)
+  }
+
   def weightedFuse(lex: DataFrame, dense: DataFrame, k: Int,
       w: Double = WeightedLexW): DataFrame = {
-    def normed(df: DataFrame, scoreCol: String, as: String): DataFrame = {
-      val win = Window.partitionBy("query_id")
-      df.select(col("query_id"), col("doc_id"),
-        when(max(col(scoreCol)).over(win) === min(col(scoreCol)).over(win),
-          lit(1.0))
-          .otherwise((col(scoreCol) - min(col(scoreCol)).over(win)) /
-            (max(col(scoreCol)).over(win) - min(col(scoreCol)).over(win)))
-          .as(as))
-    }
     val l = normed(lex, "score", "nlex")
     val r = normed(dense, "cosine", "ndense")
     val fused = l.join(r, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
+        round(coalesce(col("nlex"), lit(0.0)) * lit(w) +
+          coalesce(col("ndense"), lit(0.0)) * lit(1.0 - w), 6).as("wscore"))
+    val win = Window.partitionBy("query_id").orderBy(desc("wscore"), asc("doc_id"))
+    fused.withColumn("rn", row_number().over(win)).where(col("rn") <= k)
+  }
+
+  /** [[weightedFuse]] carrying the lexical list's chunk attribution
+    * through the fusion join — the [[rrfFuseChunked]] treatment for
+    * the Weighted policy, so NO chunk-serve policy pays a second pass
+    * over the lexical subtree. Dense-only docs get the −1 sentinel. */
+  def weightedFuseChunked(lex: DataFrame, dense: DataFrame, k: Int,
+      w: Double = WeightedLexW): DataFrame = {
+    val l = normed(lex, "score", "nlex", Seq("chunk_id"))
+    val r = normed(dense, "cosine", "ndense")
+    val fused = l.join(r, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        coalesce(col("chunk_id"), lit(-1L)).as("chunk_id"),
         round(coalesce(col("nlex"), lit(0.0)) * lit(w) +
           coalesce(col("ndense"), lit(0.0)) * lit(1.0 - w), 6).as("wscore"))
     val win = Window.partitionBy("query_id").orderBy(desc("wscore"), asc("doc_id"))

@@ -133,19 +133,17 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       nprobe: Int = 2): DataFrame = {
     def dense = denseTopK(queries.map(_._1), k, nprobe)
       .withColumnRenamed("vec_id", "doc_id")
+    // attribution rides each fusion join itself — the lexical subtree
+    // (posting prune + chunk scoring) executes exactly once per serve
+    // under every policy
     policy match {
       case HybridOps.LexicalOnly => chunkLexicalTopK(queries, k)
       case HybridOps.DenseOnly => dense
       case HybridOps.Rrf =>
-        // attribution rides the fusion join itself — the lexical
-        // subtree (posting prune + chunk scoring) executes exactly once
         HybridOps.rrfFuseChunked(chunkLexicalTopK(queries, k), dense, k)
-      case p =>
-        val lex = chunkLexicalTopK(queries, k)
-        HybridOps.fuse(lex, dense, k, p)
-          .join(lex.select("query_id", "doc_id", "chunk_id"),
-            Seq("query_id", "doc_id"), "left")
-          .withColumn("chunk_id", coalesce(col("chunk_id"), lit(-1L)))
+      case HybridOps.Weighted(w) =>
+        HybridOps.weightedFuseChunked(chunkLexicalTopK(queries, k),
+          dense, k, w)
     }
   }
 
@@ -181,12 +179,8 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       case HybridOps.LexicalOnly => lex
       case HybridOps.DenseOnly => dense
       case HybridOps.Rrf => HybridOps.rrfFuseChunked(lex, dense, k)
-      case p =>
-        val l = lex
-        HybridOps.fuse(l, dense, k, p)
-          .join(l.select("query_id", "doc_id", "chunk_id"),
-            Seq("query_id", "doc_id"), "left")
-          .withColumn("chunk_id", coalesce(col("chunk_id"), lit(-1L)))
+      case HybridOps.Weighted(w) =>
+        HybridOps.weightedFuseChunked(lex, dense, k, w)
     }
   }
 

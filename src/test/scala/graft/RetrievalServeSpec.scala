@@ -415,6 +415,16 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
         denseRef, 5, HybridOps.Rrf)),
       "chunk fusion ranking diverges from composed RRF of the halves")
 
+    // the Weighted policy gets the same one-pass attribution: ranking
+    // equals the composed weighted fusion; chunk ids ride the join
+    val fusedW = loaded.searchChunks(queries, 5, HybridOps.Weighted())
+    assert(rows(fusedW.select("query_id", "doc_id", "wscore", "rn")) ===
+      rows(HybridOps.weightedFuse(TextOps.bm25ChunkTopK(docs, queries, 5),
+        denseRef, 5)),
+      "weighted chunk fusion ranking diverges from the composed halves")
+    assert(fusedW.columns.contains("chunk_id"),
+      "weighted chunk serve dropped the attribution column")
+
     // attribution: a fused row carries the lex half's best chunk for
     // its doc, or the -1 sentinel when only the dense half surfaced it
     val lexBest = lexWant.map(r => (r.head, r(1)) -> r(2)).toMap
