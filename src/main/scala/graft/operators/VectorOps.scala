@@ -114,6 +114,100 @@ object VectorOps {
        |WHERE cosine IS NOT NULL AND NOT isnan(cosine)
        |QUALIFY rn <= $k""".stripMargin
 
+  // --- multi-vector (per-chunk) dense retrieval (x83) ---------------------
+
+  /** Deterministic per-chunk embedding view over the fixtures: chunk
+    * `c` of doc `d` embeds as the doc vector for even `c` and its
+    * reversal for odd `c` — the engine-level stand-in for a
+    * chunk-embedding model (the multimodal derive-from-fixture
+    * convention: the MECHANICS — one vector per chunk, composite
+    * (doc, chunk) key, MaxSim fusion — are what the operator
+    * exercises; a deployment swaps this derivation for real model
+    * output). One map-only chunk pass equi-joined to the embedding
+    * frame by id. */
+  def chunkEmbeddings(docs: DataFrame, embeddings: DataFrame): DataFrame =
+    TextOps.chunkDocs(docs).select("doc_id", "chunk_id")
+      .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
+        "doc_id")
+      .select(col("doc_id"), col("chunk_id"),
+        when(col("chunk_id") % 2 === 1, reverse(col("embedding")))
+          .otherwise(col("embedding")).as("embedding"))
+
+  /** Multi-vector dense retrieval with MaxSim doc fusion — ColBERT-
+    * style late interaction reduced to one vector per chunk: every
+    * chunk vector scores against the query vector (brute cosine, the
+    * x10 exact-baseline convention), each doc keeps its BEST chunk
+    * (max cosine, chunk_id tiebreak — the passage attribution), docs
+    * rank by that best-chunk cosine. The dense twin of
+    * [[TextOps.bm25ChunkTopKFrom]]'s chunk-ranked doc-deduped serve:
+    * a long doc whose one relevant passage the doc-level vector
+    * averages away is found by its chunk vector.
+    *
+    * Scale shape: the query batch broadcasts (corpus scanned once per
+    * batch regardless of |queries|); MaxSim is a window over the
+    * scored (query, doc) chunk rows. Brute scan = the deliberate exact
+    * baseline, priced per-query-batch like [[cosineTopK]]; at corpus
+    * scale the chunk vectors feed the SAME bucketed/coded index family
+    * (a chunk row is just a vector with a composite id). */
+  def multiVectorTopK(chunkEmb: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int): DataFrame = {
+    val ce = chunkEmb.select(col("doc_id"), col("chunk_id"),
+      asDoubles(col("embedding")).as("v"))
+    val q = embeddings.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"),
+        asDoubles(col("embedding")).as("qv"))
+    val scored = ce.crossJoin(broadcast(q))
+      .where(col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .where(!isnan(col("cosine")))
+    val wBest = Window.partitionBy("query_id", "doc_id")
+      .orderBy(desc("cosine"), asc("chunk_id"))
+    val best = scored.withColumn("rc", row_number().over(wBest))
+      .where(col("rc") === 1).drop("rc")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("doc_id"))
+    best.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** [[multiVectorTopK]] oracle over [[chunkEmbeddings]]' derivation —
+    * the chunk CTE joined to embeddings, parity-reversed, the exact
+    * fold-dot cosine chain, the MaxSim window, the doc rank. */
+  def multiVectorTopKSql(queryIds: Seq[Long], k: Int): String =
+    s"""WITH mvck AS (
+       |  SELECT doc_id, chunk_id
+       |  FROM (${TextOps.chunkDocsSql()})
+       |), mvn0 AS (
+       |  SELECT doc_id, chunk_id,
+       |    list_transform(CASE WHEN chunk_id % 2 = 1
+       |      THEN list_reverse(embedding) ELSE embedding END,
+       |      x -> CAST(x AS DOUBLE)) AS v
+       |  FROM mvck JOIN embeddings ON embeddings.vec_id = mvck.doc_id
+       |), mvn AS (
+       |  SELECT doc_id, chunk_id, v, ${normSql("v")} AS nrm FROM mvn0
+       |), mvq0 AS (
+       |  SELECT vec_id AS query_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id IN (${queryIds.mkString(",")})
+       |), mvq AS (
+       |  SELECT query_id, qv, ${normSql("qv")} AS qnrm FROM mvq0
+       |), mvscored AS (
+       |  SELECT mvq.query_id, mvn.doc_id, mvn.chunk_id,
+       |    round(${dotSql("mvq.qv", "mvn.v")} / (mvq.qnrm * mvn.nrm), 6)
+       |      AS cosine
+       |  FROM mvn, mvq
+       |  WHERE mvn.doc_id <> mvq.query_id
+       |), mvbest AS (
+       |  SELECT query_id, doc_id, chunk_id, cosine FROM mvscored
+       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+       |    ORDER BY cosine DESC, chunk_id) = 1
+       |)
+       |SELECT query_id, doc_id, chunk_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, doc_id) AS rn
+       |FROM mvbest
+       |QUALIFY rn <= $k""".stripMargin
+
   // --- random-hyperplane LSH (x11/x12) ------------------------------------
 
   /** Default hyperplane count — sized for the sf fixtures (≤ ~10⁵

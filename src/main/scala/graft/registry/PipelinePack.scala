@@ -698,6 +698,18 @@ object PipelinePack extends QueryPack {
       TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // --- similarity search ----------------------------------------------
+    // multi-vector dense retrieval: one vector per chunk, MaxSim
+    // fusion to docs (best chunk kept as attribution) — the dense twin
+    // of the chunk-lexical serve; chunk vectors derive
+    // deterministically from the fixtures (parity-reversal stand-in
+    // for a chunk-embedding model)
+    "x83_multivector_topk" -> ((s, dir) =>
+      VectorOps.multiVectorTopK(
+        VectorOps.chunkEmbeddings(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          Tables.embeddings(s, dir).select("vec_id", "embedding")),
+        Tables.embeddings(s, dir), QueryVecs, 5)
+        .orderBy("query_id", "rn")),
     "x10_cosine_topk" -> ((s, dir) =>
       VectorOps.cosineTopK(Tables.embeddings(s, dir), QueryVecs, 10)
         .orderBy("query_id", "rn")),
@@ -1202,6 +1214,8 @@ object PipelinePack extends QueryPack {
     "x9_fingerprint" -> (TextOps.fingerprintSql + "\nORDER BY doc_id"),
     "x10_cosine_topk" ->
       (VectorOps.cosineTopKSql(QueryVecs, 10) + "\nORDER BY query_id, rn"),
+    "x83_multivector_topk" ->
+      (VectorOps.multiVectorTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x11_ann_topk" ->
       (VectorOps.annTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x12_embedding_neardup" ->

@@ -1494,6 +1494,49 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       f.afp.forall(c => c == '0' || c == '1')))
   }
 
+  test("multi-vector retrieval: MaxSim dedups to docs, attribution is the argmax chunk") {
+    import graft.operators.VectorOps
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val ce = VectorOps.chunkEmbeddings(docs, emb)
+    // the derivation really is multi-vector: odd chunks carry the
+    // REVERSED doc vector, and multi-chunk docs exist in the fixture
+    assert(ce.where(col("chunk_id") % 2 === 1).count() > 0,
+      "no odd chunks; the reversal path is vacuous")
+    val got = VectorOps.multiVectorTopK(ce, emb, Seq(0L, 1L), 5)
+      .collect()
+    assert(got.nonEmpty)
+    // dedup-to-docs: one row per (query, doc)
+    val keys = got.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(keys.distinct.size === keys.size,
+      "a doc appears more than once per query after MaxSim fusion")
+    // attribution = the argmax chunk, checked INDEPENDENTLY: plain
+    // driver-side fold cosine over every chunk vector of each returned
+    // doc (same sequential accumulation and 6-dp HALF_UP rounding as
+    // the engine), max cosine with chunk_id ascending on ties
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      def nrm(v: Seq[Double]) =
+        math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
+      BigDecimal(dot / (nrm(a) * nrm(b)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val qvs = emb.where(col("vec_id").isin(0L, 1L)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val ceLocal = ce.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(_.toDouble)))
+    got.foreach { r =>
+      val (q, d, c) = (r.getLong(0), r.getLong(1),
+        r.getLong(r.fieldIndex("chunk_id")))
+      val want = ceLocal.filter(_._1 == d)
+        .map(t => (t._2, cos(qvs(q), t._3)))
+        .minBy { case (cid, cosv) => (-cosv, cid) }
+      assert(want._1 === c,
+        s"($q, $d): kept chunk $c is not the MaxSim argmax $want")
+    }
+  }
+
   test("BPE merges equal a plain reference implementation, rule for rule") {
     val sess = spark
     import sess.implicits._
