@@ -304,6 +304,34 @@ object HybridOps {
       VectorOps.ivfPqFixedBookRefineSql(queries.map(_._1), k, r,
         nprobe, trainEmbSql, serveEmbSql), k)
 
+  /** Chunk-level HYBRID retrieval — the full production RAG shape
+    * composed from the two audited chunk-ranked, doc-deduped halves:
+    * [[TextOps.bm25ChunkTopK]] (chunks as the BM25 unit, best chunk
+    * per doc) RRF-fused with [[VectorOps.multiVectorTopK]] (one vector
+    * per chunk, MaxSim per doc), attribution riding the fusion join
+    * ([[rrfFuseChunked]] — the lexical best chunk, −1 where only the
+    * dense half surfaced the doc). Each half's scale shape is
+    * documented on the half; the fusion joins two k-row lists. */
+  def chunkHybridTopK(docs: DataFrame, embeddings: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val lex = TextOps.bm25ChunkTopK(docs, queries, k,
+      checkpointDir = checkpointDir)
+    val dense = VectorOps.multiVectorTopK(
+      VectorOps.chunkEmbeddings(docs, embeddings), embeddings,
+      queries.map(_._1), k)
+    rrfFuseChunked(lex, dense, k)
+  }
+
+  /** [[chunkHybridTopK]] oracle — both halves' oracle chains under the
+    * shared chunk-attributed fusion block. */
+  def chunkHybridTopKSql(queries: Seq[(Long, Seq[String])],
+      k: Int): String =
+    chunkFusedSql(TextOps.bm25ChunkTopKSql(queries, k),
+      s"""SELECT query_id, doc_id AS vec_id, rn
+         |FROM (${VectorOps.multiVectorTopKSql(queries.map(_._1), k)})"""
+        .stripMargin, k)
+
   /** Tokenize raw query strings with the ENGINE'S tokenizer rule —
     * [[TextOps.tokens]] is `split(lower(text), " ")`, and this is that
     * rule applied driver-side to the bounded query batch (split

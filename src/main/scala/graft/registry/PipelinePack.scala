@@ -710,6 +710,15 @@ object PipelinePack extends QueryPack {
           Tables.embeddings(s, dir).select("vec_id", "embedding")),
         Tables.embeddings(s, dir), QueryVecs, 5)
         .orderBy("query_id", "rn")),
+    // the full chunk-level HYBRID: chunk-BM25 and per-chunk MaxSim
+    // dense, both doc-deduped, RRF-fused with lexical attribution —
+    // the two chunk halves composed end-to-end
+    "x84_chunk_hybrid" -> ((s, dir) =>
+      graft.operators.HybridOps.chunkHybridTopK(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        Bm25Queries, 5)
+        .orderBy("query_id", "rn")),
     "x10_cosine_topk" -> ((s, dir) =>
       VectorOps.cosineTopK(Tables.embeddings(s, dir), QueryVecs, 10)
         .orderBy("query_id", "rn")),
@@ -1216,6 +1225,9 @@ object PipelinePack extends QueryPack {
       (VectorOps.cosineTopKSql(QueryVecs, 10) + "\nORDER BY query_id, rn"),
     "x83_multivector_topk" ->
       (VectorOps.multiVectorTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
+    "x84_chunk_hybrid" ->
+      (graft.operators.HybridOps.chunkHybridTopKSql(Bm25Queries, 5) +
+        "\nORDER BY query_id, rn"),
     "x11_ann_topk" ->
       (VectorOps.annTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x12_embedding_neardup" ->
