@@ -125,8 +125,10 @@ object VectorOps {
     * exercises; a deployment swaps this derivation for real model
     * output). One map-only chunk pass equi-joined to the embedding
     * frame by id. */
-  def chunkEmbeddings(docs: DataFrame, embeddings: DataFrame): DataFrame =
-    TextOps.chunkDocs(docs).select("doc_id", "chunk_id")
+  def chunkEmbeddings(docs: DataFrame, embeddings: DataFrame,
+      window: Int = TextOps.ChunkWindow,
+      overlap: Int = TextOps.ChunkOverlap): DataFrame =
+    TextOps.chunkDocs(docs, window, overlap).select("doc_id", "chunk_id")
       .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
         "doc_id")
       .select(col("doc_id"), col("chunk_id"),

@@ -1494,6 +1494,35 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       f.afp.forall(c => c == '0' || c == '1')))
   }
 
+  test("chunk retrieval degenerates to doc retrieval when every doc fits one window") {
+    import graft.operators.VectorOps
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    // window far beyond any fixture doc: one chunk per doc, so chunk
+    // df/N/avgdl ≡ doc df/N/avgdl and MaxSim is the identity — the
+    // chunk serve MUST equal the doc serve exactly, scores included
+    val big = 1 << 20
+    val (ctf, cdl) = TextOps.chunkBm25Stats(docs, window = big, overlap = 0)
+    assert(cdl.where(col("chunk_id") =!= 0L).count() === 0,
+      "degenerate window still split a doc; invariant is vacuous")
+    assert(rows(TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, 5)
+        .select("query_id", "doc_id", "score", "rn")) ===
+      rows(TextOps.bm25TopK(docs, queries, 5)
+        .select("query_id", "doc_id", "score", "rn")),
+      "one-chunk-per-doc chunk BM25 diverges from doc-level BM25")
+    // the dense twin: chunk 0 is even → unreversed, so multi-vector
+    // MaxSim over one-chunk docs IS brute doc-level cosine
+    val ce1 = VectorOps.chunkEmbeddings(docs, emb, window = big, overlap = 0)
+    assert(rows(VectorOps.multiVectorTopK(ce1, emb, Seq(0L, 1L), 5)
+        .select(col("query_id"), col("doc_id").as("vec_id"),
+          col("cosine"), col("rn"))) ===
+      rows(VectorOps.cosineTopK(emb, Seq(0L, 1L), 5)),
+      "one-chunk-per-doc MaxSim diverges from doc-level cosine top-k")
+  }
+
   test("multi-vector retrieval: MaxSim dedups to docs, attribution is the argmax chunk") {
     import graft.operators.VectorOps
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
