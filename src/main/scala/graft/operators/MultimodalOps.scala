@@ -425,6 +425,15 @@ object MultimodalOps {
     assetsDs.mapPartitions { it =>
       it.map { a =>
         val (_, n, bb) = parseWavHeader(a)
+        // fewer samples than frames would leave sample-less frames at
+        // zero energy while the oracle's fr CTE only materializes frames
+        // that RECEIVED samples — lag() would then compare non-adjacent
+        // frames and the fingerprint would silently diverge. Fail loudly
+        // (the header-parse convention) instead of emitting a fingerprint
+        // the oracle cannot reproduce.
+        require(n >= AudioFpFrames,
+          s"asset ${a.asset_id}: $n samples < $AudioFpFrames fingerprint " +
+            "frames — too short to fingerprint")
         val ssq = new Array[Long](AudioFpFrames)
         (0 until n).foreach { k =>
           val s = bb.getShort.toInt

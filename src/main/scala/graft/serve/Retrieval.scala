@@ -258,7 +258,11 @@ object Retrieval {
     * once per created session, not once per handle. */
   private val serveSessions = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.SparkContext, SparkSession]()
-  private[serve] def serveSessionFor(spark: SparkSession): SparkSession =
+  private[serve] def serveSessionFor(spark: SparkSession): SparkSession = {
+    // evict sessions of stopped contexts on the way in — a context-
+    // cycling JVM must not pin dead SparkContext object graphs forever
+    // (the PipelinePack.cachedHandle convention)
+    serveSessions.keySet.removeIf(_.isStopped)
     serveSessions.computeIfAbsent(spark.sparkContext, { _ =>
       val s = spark.newSession()
       s.conf.set("spark.sql.adaptive.enabled", "false")
@@ -272,6 +276,7 @@ object Retrieval {
       graft.functions.VectorFunctions.register(s)
       s
     })
+  }
 
   /** On-disk snapshot layout version — a cache-key component for
     * anything that keys cached snapshots by fixture identity, so a

@@ -129,11 +129,23 @@ private[streaming] final class SlicedArtifact(
     f.delete(); ()
   }
 
+  /** The STORE's clock: the pointer file's mtime as the filesystem
+    * reports it. Supersession stamps and the sweep cutoff both read
+    * THIS clock, never `System.currentTimeMillis()` — so the grace
+    * window holds even when the sweeping writer is a different node
+    * with a skewed wall clock (the compaction sweep's single-writer
+    * CLOCK assumption made structural: whichever writer swaps or
+    * sweeps, all times are mtimes the one shared store assigned). */
+  private def storeNow(): Long =
+    java.nio.file.Files.getLastModifiedTime(pointer).toMillis
+
   /** Record newly superseded dirs for deferred deletion (single-writer
-    * stream: appends don't race). */
+    * stream: appends don't race). Stamped with the store clock — the
+    * pointer was just swapped, so its mtime IS this supersession's
+    * time as the store measured it. */
   private def markStale(dirs: Seq[java.io.File]): Unit =
     if (dirs.nonEmpty) {
-      val now = System.currentTimeMillis()
+      val now = storeNow()
       val lines = dirs.map(d => s"$now\t${d.getAbsolutePath}\n").mkString
       java.nio.file.Files.writeString(staleLog, lines,
         java.nio.file.StandardOpenOption.CREATE,
@@ -142,10 +154,14 @@ private[streaming] final class SlicedArtifact(
     }
 
   /** Delete logged dirs whose supersession age exceeds the grace;
-    * rewrite the log with the survivors (temp + atomic move). */
+    * rewrite the log with the survivors (temp + atomic move). Age is
+    * store-relative: newest-swap mtime minus the entry's swap-time
+    * mtime, both assigned by the store's own filesystem — graceMs = 0
+    * still deletes the just-logged entries eagerly (stamp == cutoff
+    * base), the behavior the replay spec pins. */
   private def sweepStale(graceMs: Long): Unit =
     if (java.nio.file.Files.exists(staleLog)) {
-      val cutoff = System.currentTimeMillis() - graceMs
+      val cutoff = storeNow() - graceMs
       val (due, kept) = java.nio.file.Files.readString(staleLog)
         .split("\n").toSeq.filter(_.nonEmpty)
         .partition(_.split("\t")(0).toLong <= cutoff)

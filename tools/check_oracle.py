@@ -20,6 +20,12 @@ import pandas as pd
 # variant chains) runs 10-16 s depending on load; the failure mode this
 # alarm exists for is the 100-seconds class.
 SLOW_ORACLE_SECS = 30.0
+# HARD budget tripwires — the r9 failure class made a FAILURE, not a
+# flag: one oracle in the 100-seconds class, or a full pass beyond five
+# minutes, exits non-zero so the regression cannot land quietly. The
+# 30 s flag above stays as the early warning.
+HARD_ORACLE_SECS = 100.0
+HARD_TOTAL_SECS = 300.0
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -41,6 +47,8 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     no_oracle = []
     slow_names = []
+    hard_names = []
+    total_secs = 0.0
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
@@ -56,9 +64,12 @@ def main(sf_dir, out_dir):
         except Exception as e:
             status, detail = "ERROR", str(e)[:300]
         secs = time.time() - t0
+        total_secs += secs
         slow = f"  [SLOW ORACLE {secs:.1f}s - gate budget risk]" if secs > SLOW_ORACLE_SECS else ""
         if slow:
             slow_names.append((name, round(secs, 1)))
+        if secs > HARD_ORACLE_SECS:
+            hard_names.append((name, round(secs, 1)))
         if status == "OK":
             n_pass += 1
             print(f"  OK    {name} ({detail}, {secs:.1f}s){slow}")
@@ -68,7 +79,15 @@ def main(sf_dir, out_dir):
     print(f"\n{n_pass} pass, {n_fail} fail; rows-only (no oracle): {no_oracle}")
     if slow_names:
         print(f"SLOW ORACLES (> {SLOW_ORACLE_SECS:.0f}s, budget risk): {slow_names}")
-    return 1 if n_fail else 0
+    budget_fail = False
+    if hard_names:
+        print(f"HARD FAIL: oracle(s) over {HARD_ORACLE_SECS:.0f}s: {hard_names}")
+        budget_fail = True
+    if total_secs > HARD_TOTAL_SECS:
+        print(f"HARD FAIL: full oracle pass {total_secs:.1f}s exceeds "
+              f"{HARD_TOTAL_SECS:.0f}s budget")
+        budget_fail = True
+    return 1 if (n_fail or budget_fail) else 0
 
 def compare(got, want):
     if list(got.columns) != list(want.columns):
