@@ -210,6 +210,191 @@ object VectorOps {
        |FROM mvbest
        |QUALIFY rn <= $k""".stripMargin
 
+  // --- chunk-vector residual IVFADC (x85) ----------------------------------
+
+  /** Stride of the composite chunk key: a chunk vector's id is
+    * `doc_id * ChunkStride + chunk_id`, so the chunk frame rides the
+    * ENTIRE doc-level index family unchanged (one BIGINT id per vector)
+    * and both engines decompose it back with exact integer `DIV`/`%`.
+    * 2²⁰ chunks per doc is far beyond any real chunking (a 64-token
+    * window over a 67M-token doc); the encode asserts the bound instead
+    * of silently colliding. Doc ids stay exact up to 2⁴³ — a corpus
+    * keyed beyond that re-keys docs before chunk indexing (documented,
+    * like every id-space convention here). */
+  val ChunkStride: Long = 1L << 20
+
+  /** The composite id column, overflow-asserted: `assert_true` raises
+    * on a chunk_id at or past the stride rather than aliasing two
+    * chunks onto one key (the fail-loudly convention; the guard is a
+    * never-taken branch in codegen, not a scan). */
+  private def compositeChunkId: Column =
+    when(assert_true(col("chunk_id") < ChunkStride).isNull,
+      col("doc_id") * ChunkStride + col("chunk_id"))
+
+  /** Residual-IVFADC index frame over CHUNK vectors — the scale path
+    * x83's brute MaxSim scan deliberately baselines: [[chunkEmbeddings]]'
+    * `(doc_id, chunk_id, embedding)` rows re-keyed composite and run
+    * through [[ivfPqIndex]] VERBATIM (a chunk row is just a vector with
+    * a composite id), so the output `(vec_id, codes, cell)` writes
+    * `partitionBy(cell)` and serves partition-pruned exactly like the
+    * doc-level index. Books are the snapshot's own coarse + residual
+    * codebooks — chunk vectors live in the doc-vector space, so the
+    * doc-trained books encode them under the same fixed-codebook
+    * contract [[graft.serve.Retrieval.rebuild]] pins. */
+  def chunkIvfPqIndex(chunkEmb: DataFrame, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]]): DataFrame =
+    ivfPqIndex(
+      chunkEmb.select(compositeChunkId.as("vec_id"), col("embedding")),
+      cents, books, residual = true)
+
+  /** Chunk-dense top-k from a stored composite-key chunk index — the
+    * production multi-vector serve: probe-pruned scan (the caller
+    * filters the cell-partitioned artifact to the probed cells, the
+    * x60 device) → residual ADC on the surviving CHUNK codes → MaxSim
+    * (best ADC chunk per doc — the attribution) → docs ranked by that
+    * best-chunk cosine. Same output shape as [[multiVectorTopK]]
+    * (`query_id, doc_id, chunk_id, cosine, rn`), so the exact brute
+    * scan and this indexed serve are recall-comparable row for row.
+    *
+    * Scale shape: ONE corpus-frame join (the broadcast probe attach);
+    * candidate count ∝ nprobe/cells of the CHUNK corpus, bandwidth m
+    * ids per chunk; the MaxSim window runs over probed survivors only,
+    * never the corpus. Queries are DOC-level vectors (`embeddings`),
+    * the [[multiVectorTopK]] convention. */
+  def chunkIvfPqTopKFromIndex(index: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int, nprobe: Int, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      probes: Option[DataFrame] = None): DataFrame = {
+    val probeDf = probes.getOrElse(
+      probeFrame(embeddings, queryIds, cents, nprobe))
+    val cv = element_at(centArrayLit(cents), col("cell").cast("int") + 1)
+      .getField("cv")
+    val rv = zip_with(cv, reconOf(col("codes"), books), (x, y) => x + y)
+    val scored = index.join(broadcast(probeDf), Seq("cell"))
+      .select(col("query_id"),
+        expr(s"vec_id DIV $ChunkStride").as("doc_id"),
+        pmod(col("vec_id"), lit(ChunkStride)).as("chunk_id"),
+        round(cosine(col("qv"), rv), 6).as("cosine"))
+      .where(col("doc_id") =!= col("query_id") && !isnan(col("cosine")))
+    val wBest = Window.partitionBy("query_id", "doc_id")
+      .orderBy(desc("cosine"), asc("chunk_id"))
+    val best = scored.withColumn("rc", row_number().over(wBest))
+      .where(col("rc") === 1).drop("rc")
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("doc_id"))
+    best.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  /** [[chunkIvfPqTopKFromIndex]] oracle, generalized over train/serve
+    * corpora exactly like [[ivfPqFixedBookRefineSql]]: coarse + residual
+    * books train on `trainEmbSql`'s corpus ONLY; the chunk frame derives
+    * from `serveDocsSql`'s docs × `serveEmbSql`'s vectors ([[
+    * chunkEmbeddings]]' parity rule, composite key); chunk vectors are
+    * assigned + residual-encoded under the FIXED books; probes draw the
+    * DOC-level query vectors from the serve corpus; ADC → MaxSim → doc
+    * rank. Defaults = the full fixture on both sides (the x85 chain). */
+  def chunkIvfPqMaxSimSql(queryIds: Seq[Long], k: Int, nprobe: Int,
+      trainEmbSql: String =
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\nFROM embeddings",
+      serveEmbSql: String =
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\nFROM embeddings",
+      serveDocsSql: Option[String] = None,
+      iters: Int = KMeansIters, m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String = {
+    val d = Dim / m
+    val perSub = (0 until m).map { mi =>
+      val a = mi * d + 1
+      val b = (mi + 1) * d
+      s"""cc_$mi AS (
+         |  SELECT s.vec_id, p.cent_id AS code,
+         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |      ${l2sqSql("s.sv", "p.cv", d)}, p.cent_id) AS rn
+         |  FROM (SELECT vec_id, v[$a:$b] AS sv FROM cres) s
+         |  CROSS JOIN (SELECT cent_id, cv FROM pcents WHERE sub = $mi) p
+         |  QUALIFY rn = 1
+         |)""".stripMargin
+    }
+    val ccodes = (0 until m)
+      .map(mi => s"SELECT vec_id, CAST($mi AS INT) AS sub, code FROM cc_$mi")
+      .mkString("ccodes AS (\n", "\n  UNION ALL\n", "\n)")
+    materializedCtes(s"""WITH e AS (
+       |$trainEmbSql
+       |),
+       |${kmeansCtes(NumCentroids, iters)},
+       |cents AS (SELECT cent_id, cv FROM cents$iters),
+       |tassign AS (
+       |  SELECT vec_id, v, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM e CROSS JOIN cents
+       |  QUALIFY rn = 1
+       |), res AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS v
+       |  FROM tassign a JOIN cents c ON c.cent_id = a.cell
+       |),
+       |${pqKmeansCtes(m, ksub, pqIters, src = "res")},
+       |ses AS (
+       |$serveEmbSql
+       |), cke AS (
+       |  SELECT ck.doc_id * $ChunkStride + ck.chunk_id AS vec_id,
+       |    ck.doc_id, ck.chunk_id,
+       |    CASE WHEN ck.chunk_id % 2 = 1 THEN list_reverse(se.v)
+       |         ELSE se.v END AS v
+       |  FROM (SELECT doc_id, chunk_id
+       |        FROM (${graft.operators.TextOps.chunkDocsSql(
+                  docsSql = serveDocsSql)})) ck
+       |  JOIN ses se ON se.vec_id = ck.doc_id
+       |), cassign AS (
+       |  SELECT vec_id, doc_id, chunk_id, v, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM cke CROSS JOIN cents
+       |  QUALIFY rn = 1
+       |), cres AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS v
+       |  FROM cassign a JOIN cents c ON c.cent_id = a.cell
+       |),
+       |${perSub.mkString(",\n")},
+       |$ccodes,
+       |crecon AS (
+       |  SELECT c.vec_id, flatten(list(p.cv ORDER BY c.sub)) AS rv
+       |  FROM ccodes c JOIN pcents p ON p.sub = c.sub AND p.cent_id = c.code
+       |  GROUP BY c.vec_id
+       |), cxhat AS (
+       |  SELECT r.vec_id, a.doc_id, a.chunk_id, a.cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> c.cv[i] + r.rv[i]) AS rv
+       |  FROM crecon r
+       |  JOIN cassign a ON a.vec_id = r.vec_id
+       |  JOIN cents c ON c.cent_id = a.cell
+       |), cprobes AS (
+       |  SELECT q.vec_id AS query_id, q.v AS qv, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      ${dotSql("q.v", "cv")} / (${normSql("q.v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM ses q CROSS JOIN cents
+       |  WHERE q.vec_id IN (${queryIds.mkString(",")})
+       |  QUALIFY rn <= $nprobe
+       |), cscored AS (
+       |  SELECT p.query_id, x.doc_id, x.chunk_id,
+       |    round(${dotSql("p.qv", "x.rv")} /
+       |      (${normSql("p.qv")} * ${normSql("x.rv")}), 6) AS cosine
+       |  FROM cprobes p JOIN cxhat x ON x.cell = p.cell AND x.doc_id <> p.query_id
+       |), cbest AS (
+       |  SELECT query_id, doc_id, chunk_id, cosine FROM cscored
+       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+       |    ORDER BY cosine DESC, chunk_id) = 1
+       |)
+       |SELECT query_id, doc_id, chunk_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, doc_id) AS rn
+       |FROM cbest
+       |QUALIFY rn <= $k""".stripMargin)
+  }
+
   // --- random-hyperplane LSH (x11/x12) ------------------------------------
 
   /** Default hyperplane count — sized for the sf fixtures (≤ ~10⁵

@@ -212,6 +212,29 @@ object PipelinePack extends QueryPack {
       VectorOps.ivfPqIndex(Tables.embeddings(s, dir), cents, books, residual)
         .write.partitionBy("cell").parquet(p))
 
+  /** The cell-partitioned residual-IVFADC index over CHUNK vectors —
+    * the x60 artifact convention applied to the composite-key chunk
+    * frame: built once per (fixture pair, codebook + chunk constants)
+    * key, served with the probed-cell partition-pruned read. Keyed on
+    * BOTH fixture files: chunk vectors derive from docs (the chunk
+    * count) AND embeddings (the vector). */
+  private def chunkIvfPqIndexFor(s: SparkSession, dir: String,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): String = {
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    snapshotArtifact(dir, "embeddings.parquet", "chunk_ivfpq_index.parquet",
+      "chunk_ivfpq", fd.lastModified(), fd.length(),
+      VectorOps.NumCentroids, VectorOps.KMeansIters,
+      VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      VectorOps.KMeansGrid, VectorOps.Dim, VectorOps.ChunkStride,
+      TextOps.ChunkWindow, TextOps.ChunkOverlap)(p =>
+      VectorOps.chunkIvfPqIndex(
+        VectorOps.chunkEmbeddings(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          Tables.embeddings(s, dir).select("vec_id", "embedding")),
+        cents, books)
+        .write.partitionBy("cell").parquet(p))
+  }
+
   /** A per-snapshot parquet artifact under the tmp dir, keyed by
     * (fixture dir, fixture mtime, caller constants) and validated by
     * `_SUCCESS` + atomic rename — the same scheme as x18's signature
@@ -719,6 +742,23 @@ object PipelinePack extends QueryPack {
         Tables.embeddings(s, dir).select("vec_id", "embedding"),
         Bm25Queries, 5)
         .orderBy("query_id", "rn")),
+    // the INDEXED chunk-dense serve — x83's production variant (the
+    // x10 ⟷ x58-x65 relationship at chunk level): chunk vectors encoded
+    // through the residual-IVFADC path under a composite (doc, chunk)
+    // key, served from the cell-partitioned artifact with the
+    // probe-pruned read, MaxSim AFTER the pruned ADC scan
+    "x85_chunk_ivfpq" -> ((s, dir) => {
+      val cents = codebookFor(s, dir)
+      val books = pqResBooksFor(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val path = chunkIvfPqIndexFor(s, dir, cents, books)
+      val probe = VectorOps.probePlanOf(emb, QueryVecs, cents, nprobe = 2)
+      val index = s.read.schema(IvfPqIndexSchema).parquet(path)
+        .where(col("cell").isin(probe.cells: _*))
+      VectorOps.chunkIvfPqTopKFromIndex(index, emb, QueryVecs, 5,
+        nprobe = 2, cents, books, probes = Some(probe.frame))
+        .orderBy("query_id", "rn")
+    }),
     "x10_cosine_topk" -> ((s, dir) =>
       VectorOps.cosineTopK(Tables.embeddings(s, dir), QueryVecs, 10)
         .orderBy("query_id", "rn")),
@@ -1225,6 +1265,9 @@ object PipelinePack extends QueryPack {
       (VectorOps.cosineTopKSql(QueryVecs, 10) + "\nORDER BY query_id, rn"),
     "x83_multivector_topk" ->
       (VectorOps.multiVectorTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
+    "x85_chunk_ivfpq" ->
+      (VectorOps.chunkIvfPqMaxSimSql(QueryVecs, 5, nprobe = 2) +
+        "\nORDER BY query_id, rn"),
     "x84_chunk_hybrid" ->
       (graft.operators.HybridOps.chunkHybridTopKSql(Bm25Queries, 5) +
         "\nORDER BY query_id, rn"),
