@@ -1263,8 +1263,16 @@ object TextOps {
     * [[chunkDocs]] pass — the tokenize happens once, inside it. */
   def chunkBm25Stats(docs: DataFrame, window: Int = ChunkWindow,
       overlap: Int = ChunkOverlap,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) =
+    chunkBm25StatsFrom(chunkDocs(docs, window, overlap), checkpointDir)
+
+  /** [[chunkBm25Stats]] over a PREBUILT chunk frame — the seam that
+    * lets one [[chunkDocs]] pass feed both the lexical chunk index and
+    * the chunk-embedding derivation (the chunk-hybrid and snapshot
+    * builds chunk the corpus exactly once through here). */
+  def chunkBm25StatsFrom(chunks: DataFrame,
       checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
-    val tok = chunkDocs(docs, window, overlap)
+    val tok = chunks
       .select(col("doc_id"), col("chunk_id"),
         explode(tokens(col("chunk"))).as("token"))
     val ctf = Dedup.materialize(

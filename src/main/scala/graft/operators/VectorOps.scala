@@ -128,7 +128,18 @@ object VectorOps {
   def chunkEmbeddings(docs: DataFrame, embeddings: DataFrame,
       window: Int = TextOps.ChunkWindow,
       overlap: Int = TextOps.ChunkOverlap): DataFrame =
-    TextOps.chunkDocs(docs, window, overlap).select("doc_id", "chunk_id")
+    chunkEmbeddingsFrom(TextOps.chunkDocs(docs, window, overlap), embeddings)
+
+  /** [[chunkEmbeddings]] over a PREBUILT chunk frame — shares one
+    * [[TextOps.chunkDocs]] pass with the lexical chunk index instead of
+    * re-chunking the corpus per consumer. This (and every chunk-dense
+    * builder downstream — [[multiVectorTopK]], [[chunkIvfPqIndex]],
+    * [[graft.serve.Retrieval.build]]'s `chunkEmb` parameter) is ALSO
+    * the external-model ingestion seam: a deployment that embeds chunks
+    * with a real model hands any `(doc_id, chunk_id, embedding)` frame
+    * in place of this derivation and nothing downstream changes. */
+  def chunkEmbeddingsFrom(chunks: DataFrame, embeddings: DataFrame): DataFrame =
+    chunks.select("doc_id", "chunk_id")
       .join(embeddings.select(col("vec_id").as("doc_id"), col("embedding")),
         "doc_id")
       .select(col("doc_id"), col("chunk_id"),
