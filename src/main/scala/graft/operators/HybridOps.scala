@@ -66,19 +66,27 @@ object HybridOps {
     fused.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
   }
 
-  /** [[rrfFuse]] carrying the lexical list's `chunk_id` attribution
-    * column THROUGH the fusion join — one full-outer join total, no
-    * second pass over the lexical subtree (a separate attribution
-    * join-back would recompute the chunk scoring once more per serve).
-    * Dense-only docs get the −1 sentinel. */
+  /** [[rrfFuse]] carrying `chunk_id` attribution THROUGH the fusion
+    * join — one full-outer join total, no second pass over either
+    * subtree (a separate attribution join-back would recompute the
+    * chunk scoring once more per serve). The lexical half's best chunk
+    * wins (the passage that matched a query term is the one a RAG
+    * caller wants to show); a dense-only doc carries the DENSE half's
+    * best chunk when that half ranks chunks too (the indexed MaxSim
+    * serve), and the −1 sentinel only when it is doc-level (no chunk
+    * evidence exists anywhere in the plan). */
   def rrfFuseChunked(lex: DataFrame, dense: DataFrame, k: Int): DataFrame = {
     val d = rrfDenom(k)
     val l = lex.select(col("query_id"), col("doc_id"), col("chunk_id"),
       col("rn").as("lex_rn"))
-    val r = dense.select(col("query_id"), col("doc_id"), col("rn").as("dense_rn"))
+    val dChunk = if (dense.columns.contains("chunk_id"))
+      col("chunk_id").as("d_chunk")
+    else lit(null).cast("long").as("d_chunk")
+    val r = dense.select(col("query_id"), col("doc_id"), dChunk,
+      col("rn").as("dense_rn"))
     val fused = l.join(r, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
-        coalesce(col("chunk_id"), lit(-1L)).as("chunk_id"),
+        coalesce(col("chunk_id"), col("d_chunk"), lit(-1L)).as("chunk_id"),
         (coalesce(lit(d) / (lit(RrfK) + col("lex_rn")), lit(0L)).cast("long") +
           coalesce(lit(d) / (lit(RrfK) + col("dense_rn")), lit(0L)).cast("long"))
           .as("rrf"))
@@ -226,9 +234,13 @@ object HybridOps {
   }
 
   /** The chunk-attributed twin of [[docFusedSql]], shared by
-    * [[chunkSearchSql]] and [[rebuildChunkSearchSql]]: attribution
-    * from the lexical side rides the fusion join (−1 sentinel for
-    * dense-only docs), mirroring [[rrfFuseChunked]]. */
+    * [[chunkSearchSql]], [[rebuildChunkSearchSql]] and
+    * [[chunkHybridTopKSql]]: both halves rank chunks and dedup to
+    * docs, so attribution rides the fusion join from EITHER side —
+    * the lexical best chunk wins, the dense best chunk covers
+    * dense-only docs, −1 only if neither half carried one (mirroring
+    * [[rrfFuseChunked]]). `cdenseSql` yields
+    * `(query_id, doc_id, chunk_id, rn)`. */
   private def chunkFusedSql(clexSql: String, cdenseSql: String,
       k: Int): String = {
     val d = rrfDenom(k)
@@ -236,12 +248,12 @@ object HybridOps {
        |  SELECT query_id, doc_id, chunk_id, rn
        |  FROM ($clexSql)
        |), cdense AS (
-       |  SELECT query_id, vec_id AS doc_id, rn
+       |  SELECT query_id, doc_id, chunk_id, rn
        |  FROM ($cdenseSql)
        |), cfused AS (
        |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
        |    coalesce(l.doc_id, r.doc_id) AS doc_id,
-       |    coalesce(l.chunk_id, -1) AS chunk_id,
+       |    coalesce(l.chunk_id, r.chunk_id, -1) AS chunk_id,
        |    coalesce($d // ($RrfK + l.rn), 0) +
        |      coalesce($d // ($RrfK + r.rn), 0) AS rrf
        |  FROM clex l FULL OUTER JOIN cdense r
@@ -266,29 +278,46 @@ object HybridOps {
 
   /** Oracle for [[graft.serve.Retrieval.searchChunks]]' default serve:
     * the chunk-ranked, doc-deduped lexical half ([[TextOps
-    * .bm25ChunkTopKSql]]) RRF-fused with the residual-IVFADC dense
-    * half, the fused row carrying the lex half's best chunk_id (−1
-    * where only the dense half surfaced the doc — matching the
-    * handle's attribution coalesce). */
+    * .bm25ChunkTopKSql]]) RRF-fused with the CHUNK-vector
+    * residual-IVFADC dense half ([[VectorOps.chunkIvfPqMaxSimSql]] —
+    * the stored chunk index's probe-pruned ADC + MaxSim chain, exactly
+    * what the handle's `chunkDenseTopK` serves), the fused row
+    * carrying the lex half's best chunk_id, the dense half's where
+    * only it surfaced the doc. */
   def chunkSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
-      r: Int, nprobe: Int): String =
+      nprobe: Int): String =
     chunkFusedSql(TextOps.bm25ChunkTopKSql(queries, k),
-      VectorOps.ivfPqRefineTopKSql(queries.map(_._1), k, r, nprobe), k)
+      VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe), k)
+
+  /** Oracle for [[graft.serve.Retrieval.searchChunksFiltered]] (x86):
+    * [[chunkSearchSql]]'s fusion with BOTH halves candidate-restricted
+    * to the allowed doc-id list BEFORE their ranks (all of a filtered
+    * doc's chunks drop together) while df/N/avgdl and the probed cells
+    * stay collection-global — the Lucene filter-query semantics the
+    * doc-level [[searchFilteredSql]] pins, at chunk level. */
+  def chunkSearchFilteredSql(queries: Seq[(Long, Seq[String])], k: Int,
+      nprobe: Int, allowedSql: String): String =
+    chunkFusedSql(
+      TextOps.bm25ChunkTopKSql(queries, k, allowedSql = Some(allowedSql)),
+      VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe,
+        allowedSql = Some(allowedSql)), k)
 
   /** Oracle for the chunk-level serve over a REBUILT snapshot (x80):
-    * [[chunkSearchSql]]'s fusion where the chunk-lexical half chunks
-    * and scores the REFRESHED corpus and the dense half trains its
-    * books on the PRIOR corpus only ([[VectorOps
-    * .ivfPqFixedBookRefineSql]]) — so the incremental ctf/cdl bucket
-    * merge is oracle-gated end-to-end under exactly the fixed-codebook
-    * refresh semantics x70 pins for the doc-level serve. */
+    * [[chunkSearchSql]]'s fusion where BOTH halves see the REFRESHED
+    * corpus but the dense half's coarse + residual books train on the
+    * PRIOR corpus only ([[VectorOps.chunkIvfPqMaxSimSql]]'s
+    * train/serve split) — so the incremental ctf/cdl bucket merge AND
+    * the incremental chunk-index cell merge are oracle-gated
+    * end-to-end under exactly the fixed-codebook refresh semantics
+    * x70 pins for the doc-level serve. */
   def rebuildChunkSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
-      r: Int, nprobe: Int, trainEmbSql: String, serveEmbSql: String,
+      nprobe: Int, trainEmbSql: String, serveEmbSql: String,
       serveDocsSql: String): String =
     chunkFusedSql(
       TextOps.bm25ChunkTopKSql(queries, k, docsSql = Some(serveDocsSql)),
-      VectorOps.ivfPqFixedBookRefineSql(queries.map(_._1), k, r,
-        nprobe, trainEmbSql, serveEmbSql), k)
+      VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe,
+        trainEmbSql = trainEmbSql, serveEmbSql = serveEmbSql,
+        serveDocsSql = Some(serveDocsSql)), k)
 
   /** Oracle for [[graft.serve.Retrieval.rebuild]]'s end-to-end serve
     * (x70): the [[snapshotSearchSql]] fusion where the dense half's
@@ -306,31 +335,57 @@ object HybridOps {
 
   /** Chunk-level HYBRID retrieval — the full production RAG shape
     * composed from the two audited chunk-ranked, doc-deduped halves:
-    * [[TextOps.bm25ChunkTopK]] (chunks as the BM25 unit, best chunk
-    * per doc) RRF-fused with [[VectorOps.multiVectorTopK]] (one vector
-    * per chunk, MaxSim per doc), attribution riding the fusion join
-    * ([[rrfFuseChunked]] — the lexical best chunk, −1 where only the
-    * dense half surfaced the doc). Each half's scale shape is
-    * documented on the half; the fusion joins two k-row lists. */
+    * [[TextOps.bm25ChunkTopKFrom]] (chunks as the BM25 unit, best
+    * chunk per doc) RRF-fused with the INDEXED chunk-dense serve
+    * ([[VectorOps.chunkIvfPqTopKFromIndex]] — probe-pruned ADC +
+    * MaxSim over the composite-key chunk index, x85's chain), both
+    * halves fed from ONE [[TextOps.chunkDocs]] pass, attribution
+    * riding the fusion join ([[rrfFuseChunked]] — the lexical best
+    * chunk, the dense best chunk where only that half surfaced the
+    * doc). The brute [[VectorOps.multiVectorTopK]] scan is x83's
+    * labeled exact baseline, deliberately NOT in this serve path.
+    *
+    * `cents`/`books` pin the coarse + residual codebooks (the
+    * fixed-codebook production convention); left None they train on
+    * `embeddings` — deterministically, matching the oracle's training
+    * CTEs. `chunkIndex` substitutes a prebuilt `(vec_id, codes, cell)`
+    * composite-key artifact (the cell-partitioned registry/snapshot
+    * frame) for the inline encode, making the dense half's scan
+    * partition-prunable on disk. */
   def chunkHybridTopK(docs: DataFrame, embeddings: DataFrame,
       queries: Seq[(Long, Seq[String])], k: Int,
+      cents: Option[Seq[Seq[Double]]] = None,
+      books: Option[Seq[Seq[Seq[Double]]]] = None,
+      nprobe: Int = 2,
+      chunkIndex: Option[DataFrame] = None,
       checkpointDir: Option[String] = None): DataFrame = {
-    val lex = TextOps.bm25ChunkTopK(docs, queries, k,
-      checkpointDir = checkpointDir)
-    val dense = VectorOps.multiVectorTopK(
-      VectorOps.chunkEmbeddings(docs, embeddings), embeddings,
-      queries.map(_._1), k)
+    // chunk ONCE: the same chunk frame feeds the lexical index and
+    // (when no prebuilt index is handed in) the chunk-vector encode —
+    // materialized because both subtrees consume it
+    val chunks = graft.operators.Dedup.materialize(
+      TextOps.chunkDocs(docs), checkpointDir)
+    val (ctf, cdl) = TextOps.chunkBm25StatsFrom(chunks, checkpointDir)
+    val lex = TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, k)
+    val cs = cents.getOrElse(VectorOps.trainedCentroids(embeddings))
+    val bks = books.getOrElse(VectorOps.pqResidualCodebooks(embeddings, cs))
+    val index = chunkIndex.getOrElse(VectorOps.chunkIvfPqIndex(
+      VectorOps.chunkEmbeddingsFrom(chunks, embeddings), cs, bks))
+    val probe = VectorOps.probePlanOf(embeddings, queries.map(_._1),
+      cs, nprobe)
+    val dense = VectorOps.chunkIvfPqTopKFromIndex(
+      index.where(col("cell").isin(probe.cells: _*)), embeddings,
+      queries.map(_._1), k, nprobe, cs, bks, probes = Some(probe.frame))
     rrfFuseChunked(lex, dense, k)
   }
 
-  /** [[chunkHybridTopK]] oracle — both halves' oracle chains under the
-    * shared chunk-attributed fusion block. */
+  /** [[chunkHybridTopK]] oracle — the chunk-lexical chain and the
+    * chunk-IVFADC chain (training CTEs included, matching the
+    * train-on-`embeddings` default) under the shared chunk-attributed
+    * fusion block. */
   def chunkHybridTopKSql(queries: Seq[(Long, Seq[String])],
-      k: Int): String =
+      k: Int, nprobe: Int = 2): String =
     chunkFusedSql(TextOps.bm25ChunkTopKSql(queries, k),
-      s"""SELECT query_id, doc_id AS vec_id, rn
-         |FROM (${VectorOps.multiVectorTopKSql(queries.map(_._1), k)})"""
-        .stripMargin, k)
+      VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe), k)
 
   /** Tokenize raw query strings with the ENGINE'S tokenizer rule —
     * [[TextOps.tokens]] is `split(lower(text), " ")`, and this is that
@@ -413,17 +468,22 @@ object HybridOps {
     fused.withColumn("rn", row_number().over(win)).where(col("rn") <= k)
   }
 
-  /** [[weightedFuse]] carrying the lexical list's chunk attribution
-    * through the fusion join — the [[rrfFuseChunked]] treatment for
-    * the Weighted policy, so NO chunk-serve policy pays a second pass
-    * over the lexical subtree. Dense-only docs get the −1 sentinel. */
+  /** [[weightedFuse]] carrying chunk attribution through the fusion
+    * join — the [[rrfFuseChunked]] treatment (lexical best chunk wins,
+    * dense best chunk where only the indexed dense half surfaced the
+    * doc, −1 only under a doc-level dense half) for the Weighted
+    * policy, so NO chunk-serve policy pays a second pass over either
+    * subtree. */
   def weightedFuseChunked(lex: DataFrame, dense: DataFrame, k: Int,
       w: Double = WeightedLexW): DataFrame = {
     val l = normed(lex, "score", "nlex", Seq("chunk_id"))
-    val r = normed(dense, "cosine", "ndense")
+    val dIn = if (dense.columns.contains("chunk_id"))
+      dense.withColumnRenamed("chunk_id", "d_chunk")
+    else dense.withColumn("d_chunk", lit(null).cast("long"))
+    val r = normed(dIn, "cosine", "ndense", Seq("d_chunk"))
     val fused = l.join(r, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
-        coalesce(col("chunk_id"), lit(-1L)).as("chunk_id"),
+        coalesce(col("chunk_id"), col("d_chunk"), lit(-1L)).as("chunk_id"),
         round(coalesce(col("nlex"), lit(0.0)) * lit(w) +
           coalesce(col("ndense"), lit(0.0)) * lit(1.0 - w), 6).as("wscore"))
     val win = Window.partitionBy("query_id").orderBy(desc("wscore"), asc("doc_id"))

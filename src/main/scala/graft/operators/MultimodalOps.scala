@@ -448,6 +448,49 @@ object MultimodalOps {
     }
   }
 
+  /** Ingest-scale twin of [[audioFingerprint]]: SCREEN AND QUARANTINE
+    * instead of throw — the K1 tolerant-sink convention applied to the
+    * fingerprint stage. At deployment scale one short or corrupt asset
+    * must not kill a whole partition's task; this routes assets that
+    * cannot fingerprint (fewer samples than [[AudioFpFrames]], or an
+    * unparseable container) into a `(asset_id, reason)` quarantine
+    * frame while the rest run [[audioFingerprint]]'s exact arithmetic.
+    * The strict variant stays the oracle-gated default: a FIXTURE
+    * asset that cannot fingerprint is a bug, not data, and must fail
+    * loudly.
+    *
+    * The header parses twice (screen + fingerprint) — deliberate:
+    * header-parse is a few dozen byte reads per row, and the
+    * alternative (caching a parsed mid-frame) would hold every
+    * asset's buffer across the partition. */
+  def audioFingerprintScreened(spark: SparkSession,
+      assetsDs: Dataset[AudioAsset])
+      : (Dataset[AudioFingerprint], DataFrame) = {
+    import spark.implicits._
+    // mapPartitions (the audioFingerprint pattern), NOT typed filter:
+    // a Dataset.filter(func) predicate embeds its lambda uncleaned in
+    // the plan, and one referencing this object's parse helper drags
+    // the whole (non-serializable) module into the task binary
+    val quarantined = assetsDs.mapPartitions(it =>
+        it.flatMap(a => Option(fpQuarantineReason(a))
+          .map(r => (a.asset_id, r))))
+      .toDF("asset_id", "reason")
+    val ok = assetsDs.mapPartitions(it =>
+      it.filter(a => fpQuarantineReason(a) == null))
+    (audioFingerprint(spark, ok), quarantined)
+  }
+
+  /** Why an asset cannot fingerprint, or null — the
+    * [[audioFingerprintScreened]] screen, a top-level method so task
+    * closures reference the module statically. */
+  private def fpQuarantineReason(a: AudioAsset): String =
+    scala.util.Try(parseWavHeader(a)) match {
+      case scala.util.Failure(e) => s"unparseable: ${e.getMessage}"
+      case scala.util.Success((_, n, _)) if n < AudioFpFrames =>
+        s"$n samples < $AudioFpFrames fingerprint frames"
+      case _ => null
+    }
+
   /** Duplicate grouping over a precomputed fingerprint frame — the
     * audio twin of [[phashDupGroupsFrom]], emitted per-ASSET (each row
     * carries its group's size and representative) so the frame is the

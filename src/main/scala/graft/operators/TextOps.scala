@@ -1046,19 +1046,24 @@ object TextOps {
       w => wordSyms(w)))
   }
 
+  /** Symbol → token-id ladder shared by [[bpeEncode]] and
+    * [[bpeChunkDocs]]: code points for base symbols,
+    * [[BpeMergedIdOffset]]` + rank` for merged ones — first matching
+    * rule wins (the when-chain builds outermost = rank 1). */
+  private def bpeIdOf(rules: Seq[(String, String)])(s: Column): Column =
+    rules.zipWithIndex.reverse.foldLeft(ascii(s).cast("long")) {
+      case (els, ((l, r), i)) =>
+        when(s === lit(l + r), lit(BpeMergedIdOffset + i + 1)).otherwise(els)
+    }
+
   def bpeEncode(docs: DataFrame, rules: Seq[(String, String)],
       extra: Seq[String] = Nil): DataFrame = {
-    // first matching rule wins: build the when-chain outermost = rank 1
-    def idOf(s: Column): Column =
-      rules.zipWithIndex.reverse.foldLeft(ascii(s).cast("long")) {
-        case (els, ((l, r), i)) =>
-          when(s === lit(l + r), lit(BpeMergedIdOffset + i + 1)).otherwise(els)
-      }
     val cols = col("doc_id") +: extra.map(col)
     docs.select(cols :+ bpeSymsCol(col("text"), rules).as("syms"): _*)
       .select(cols ++ Seq(
         size(col("syms")).cast("long").as("n_bpe_tokens"),
-        array_join(transform(col("syms"), s => idOf(s).cast("string")), ",")
+        array_join(transform(col("syms"),
+          s => bpeIdOf(rules)(s).cast("string")), ",")
           .as("token_ids_csv")): _*)
   }
 
@@ -1122,6 +1127,75 @@ object TextOps {
          |  array_to_string(list_transform(syms, s -> CAST(($caseId) AS VARCHAR)), ',')
          |    AS token_ids_csv
          |FROM ec $joins""".stripMargin)
+  }
+
+  /** BPE-token-TRUE chunking — [[chunkDocs]]' windowing re-metered in
+    * the LEARNED tokenizer's units (x74's symbol stream), the chunking
+    * an embedding/packing pipeline with a real context limit ships:
+    * a context window is a budget in MODEL tokens, and a whitespace
+    * meter over-fills it on subword-heavy text. Each doc's BPE symbol
+    * stream becomes `ceil((n − overlap) / (window − overlap))` windows
+    * (min 1) of up to `window` symbols, consecutive windows sharing
+    * `overlap` symbols; output rows are MODEL-READY —
+    * `(doc_id, chunk_id, n_bpe_tokens, token_ids_csv)` with the same
+    * id space as [[bpeEncode]] — because the consumer of a BPE-metered
+    * chunk is the model/packer, not the lexical index ([[chunkDocs]]
+    * keeps the text-surface role; see the serve matrix note in
+    * SURVEY.md §2.10k).
+    *
+    * Scale shape: [[chunkDocs]]' exactly — one map-only projection
+    * (encode folds + bounded `sequence` explode + array slice per
+    * row), zero shuffle; the rules are k literals, not a join. */
+  def bpeChunkDocs(docs: DataFrame, rules: Seq[(String, String)],
+      window: Int = ChunkWindow, overlap: Int = ChunkOverlap): DataFrame = {
+    require(window > overlap && overlap >= 0,
+      s"window=$window must exceed overlap=$overlap")
+    val step = window - overlap
+    docs.select(col("doc_id"), bpeSymsCol(col("text"), rules).as("syms"))
+      .select(col("doc_id"), col("syms"),
+        greatest(floor((size(col("syms")) - lit(overlap) + lit(step - 1)) /
+          lit(step)).cast("long"), lit(1L)).as("nc"))
+      .select(col("doc_id"), col("syms"),
+        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("syms"), (col("chunk_id") * step + 1).cast("int"),
+          lit(window)).as("cs"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cs")).cast("long").as("n_bpe_tokens"),
+        array_join(transform(col("cs"),
+          s => bpeIdOf(rules)(s).cast("string")), ",").as("token_ids_csv"))
+  }
+
+  /** [[bpeChunkDocs]] oracle: [[bpeEncodeSql]]'s train + encode CTEs
+    * (the applied rules ARE the verified learned rules), then
+    * [[chunkDocsSql]]'s integer window arithmetic over the symbol
+    * list, then the id CASE ladder over each window's symbols. */
+  def bpeChunkDocsSql(k: Int = BpeMerges, window: Int = ChunkWindow,
+      overlap: Int = ChunkOverlap): String = {
+    val step = window - overlap
+    val joins = (1 to k).map(r => s"LEFT JOIN b_$r bb$r ON true").mkString(" ")
+    val caseId = (1 to k).reverse.foldLeft("CAST(ascii(s) AS BIGINT)") {
+      (els, r) =>
+        s"CASE WHEN s = bb$r.l || bb$r.r " +
+          s"THEN CAST(${BpeMergedIdOffset + r} AS BIGINT) ELSE $els END"
+    }
+    graft.operators.VectorOps.materializedCtes(
+      s"""WITH ${bpeEncodeCtes(k)},
+         |bcn AS (
+         |  SELECT doc_id, syms,
+         |    greatest((len(syms) - $overlap + ${step - 1}) // $step, 1) AS nc
+         |  FROM ec
+         |), bcg AS (
+         |  SELECT doc_id, syms, unnest(range(0, nc)) AS chunk_id FROM bcn
+         |), bcc AS (
+         |  SELECT doc_id, chunk_id,
+         |    syms[(chunk_id * $step + 1):(chunk_id * $step + $window)] AS cs
+         |  FROM bcg
+         |)
+         |SELECT doc_id, chunk_id, CAST(len(cs) AS BIGINT) AS n_bpe_tokens,
+         |  array_to_string(list_transform(cs,
+         |    s -> CAST(($caseId) AS VARCHAR)), ',') AS token_ids_csv
+         |FROM bcc $joins""".stripMargin)
   }
 
   /** Token-TRUE sequence packing oracle: [[bpeEncodeSql]]'s count CTE
@@ -1328,10 +1402,16 @@ object TextOps {
   /** [[bm25ChunkTopK]] oracle — [[chunkDocsSql]]'s chunk arithmetic
     * composed (not duplicated) as the corpus, then [[bm25TopKSql]]'s
     * scoring chain with (doc, chunk) as the scoring key, the same
-    * best-chunk window, and the same round-before-rank doc ranking. */
+    * best-chunk window, and the same round-before-rank doc ranking.
+    * `allowedSql` mirrors [[bm25ChunkTopKFrom]]'s pre-filter: all of a
+    * filtered doc's chunks drop BEFORE the ranks, df/N/avgdl stay
+    * collection-global. */
   def bm25ChunkTopKSql(queries: Seq[(Long, Seq[String])], k: Int,
       window: Int = ChunkWindow, overlap: Int = ChunkOverlap,
-      docsSql: Option[String] = None): String =
+      docsSql: Option[String] = None,
+      allowedSql: Option[String] = None): String = {
+    val restrict = allowedSql
+      .map(a => s"  WHERE doc_id IN ($a)\n").getOrElse("")
     s"""WITH ck AS (
        |  SELECT doc_id, chunk_id, chunk
        |  FROM (${chunkDocsSql(window, overlap, docsSql)})
@@ -1348,7 +1428,7 @@ object TextOps {
        |cbest AS (
        |  SELECT query_id, doc_id, chunk_id, score
        |  FROM cagg
-       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+       |$restrict  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
        |    ORDER BY score DESC, chunk_id) = 1
        |)
        |SELECT query_id, doc_id, chunk_id, score,
@@ -1356,4 +1436,5 @@ object TextOps {
        |    ORDER BY score DESC, doc_id) AS rn
        |FROM cbest
        |QUALIFY rn <= $k""".stripMargin
+  }
 }

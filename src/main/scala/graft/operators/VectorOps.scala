@@ -132,10 +132,12 @@ object VectorOps {
 
   /** [[chunkEmbeddings]] over a PREBUILT chunk frame — shares one
     * [[TextOps.chunkDocs]] pass with the lexical chunk index instead of
-    * re-chunking the corpus per consumer. This (and every chunk-dense
-    * builder downstream — [[multiVectorTopK]], [[chunkIvfPqIndex]],
-    * [[graft.serve.Retrieval.build]]'s `chunkEmb` parameter) is ALSO
-    * the external-model ingestion seam: a deployment that embeds chunks
+    * re-chunking the corpus per consumer ([[graft.serve.Retrieval
+    * .build]] and [[HybridOps.chunkHybridTopK]] both chunk exactly once
+    * and feed this plus [[TextOps.chunkBm25StatsFrom]] from the same
+    * frame). This (and every chunk-dense builder downstream —
+    * [[multiVectorTopK]], [[chunkIvfPqIndex]]) is ALSO the
+    * external-model ingestion seam: a deployment that embeds chunks
     * with a real model hands any `(doc_id, chunk_id, embedding)` frame
     * in place of this derivation and nothing downstream changes. */
   def chunkEmbeddingsFrom(chunks: DataFrame, embeddings: DataFrame): DataFrame =
@@ -235,11 +237,17 @@ object VectorOps {
   val ChunkStride: Long = 1L << 20
 
   /** The composite id column, overflow-asserted: `assert_true` raises
-    * on a chunk_id at or past the stride rather than aliasing two
-    * chunks onto one key (the fail-loudly convention; the guard is a
-    * never-taken branch in codegen, not a scan). */
+    * on any (doc, chunk) pair outside the documented id space — a
+    * negative chunk_id (reachable through the external-model ingestion
+    * seam, which accepts any caller-supplied chunk frame) or one
+    * at/past the stride would silently alias onto another doc's key
+    * range, and a doc_id negative or past 2⁴³ would overflow the
+    * multiply. Raise instead of aliasing (the fail-loudly convention;
+    * the guard is a never-taken branch in codegen, not a scan). */
   private def compositeChunkId: Column =
-    when(assert_true(col("chunk_id") < ChunkStride).isNull,
+    when(assert_true(
+      col("chunk_id") >= 0 && col("chunk_id") < ChunkStride &&
+        col("doc_id") >= 0 && col("doc_id") < (1L << 43)).isNull,
       col("doc_id") * ChunkStride + col("chunk_id"))
 
   /** Residual-IVFADC index frame over CHUNK vectors — the scale path
@@ -309,8 +317,15 @@ object VectorOps {
       serveEmbSql: String =
         "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\nFROM embeddings",
       serveDocsSql: Option[String] = None,
+      allowedSql: Option[String] = None,
       iters: Int = KMeansIters, m: Int = PqSubspaces,
       ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String = {
+    // pre-filter semantics, the [[graft.serve.Retrieval]] filtered
+    // serve's: the allowed doc-id list restricts candidates BEFORE the
+    // MaxSim/rank (all of a filtered doc's chunks drop together); the
+    // probed cells stay collection-global
+    val restrict = allowedSql
+      .map(a => s" AND x.doc_id IN ($a)").getOrElse("")
     val d = Dim / m
     val perSub = (0 until m).map { mi =>
       val a = mi * d + 1
@@ -392,7 +407,7 @@ object VectorOps {
        |  SELECT p.query_id, x.doc_id, x.chunk_id,
        |    round(${dotSql("p.qv", "x.rv")} /
        |      (${normSql("p.qv")} * ${normSql("x.rv")}), 6) AS cosine
-       |  FROM cprobes p JOIN cxhat x ON x.cell = p.cell AND x.doc_id <> p.query_id
+       |  FROM cprobes p JOIN cxhat x ON x.cell = p.cell AND x.doc_id <> p.query_id$restrict
        |), cbest AS (
        |  SELECT query_id, doc_id, chunk_id, cosine FROM cscored
        |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
@@ -2266,12 +2281,20 @@ object VectorOps {
 
   // --- ANN recall harness (x44) -------------------------------------------
 
-  /** Names of the approximate variants [[annRecall]] evaluates, in
-    * report order. Shared with the oracle generator so the two can
-    * never list different methods. */
+  /** Names of the DOC-level approximate variants [[annRecall]]
+    * evaluates (each scored against the exact brute-force
+    * [[cosineTopK]] baseline), in report order. Shared with the oracle
+    * generator so the two can never list different methods. */
   val RecallMethods: Seq[String] =
     Seq("binary", "ivf", "ivfpq", "ivfpq_res", "lsh", "multiprobe", "pq",
       "prefix", "quantized")
+
+  /** The CHUNK-level variant's method tag: [[chunkIvfPqTopKFromIndex]]'s
+    * doc-level output scored against its OWN exact baseline —
+    * [[multiVectorTopK]]'s brute MaxSim (x83), not [[cosineTopK]]: the
+    * chunk index answers the multi-vector task, so its recall is
+    * meaningful only against the exact answer to that task. */
+  val ChunkRecallMethod: String = "chunk_ivfpq"
 
   /** ANN index-quality harness: recall@k of every approximate variant
     * against the exact brute-force top-k, per query — THE acceptance
@@ -2290,11 +2313,13 @@ object VectorOps {
   def annRecall(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
       centroids: Option[Seq[Seq[Double]]] = None,
       books: Option[Seq[Seq[Seq[Double]]]] = None,
-      resBooks: Option[Seq[Seq[Seq[Double]]]] = None): DataFrame = {
+      resBooks: Option[Seq[Seq[Seq[Double]]]] = None,
+      docs: Option[DataFrame] = None,
+      chunkIndex: Option[DataFrame] = None): DataFrame = {
     def side(method: String, df: DataFrame): DataFrame =
       df.select(lit(method).as("method"), col("query_id"), col("vec_id"))
     val exact = cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id")
-    val approx =
+    val docApprox =
       side("ivf", ivfTopK(embeddings, queryIds, k, nprobe = 2, centroids))
         .unionByName(side("ivfpq",
           ivfPqTopK(embeddings, queryIds, k, nprobe = 2, centroids, books)))
@@ -2307,14 +2332,42 @@ object VectorOps {
         .unionByName(side("quantized", annTopKQuantized(embeddings, queryIds, k)))
         .unionByName(side("binary", binaryTopK(embeddings, queryIds, k)))
         .unionByName(side("prefix", prefixTopK(embeddings, queryIds, k)))
+    // each doc-level variant scores against the exact cosine baseline;
+    // the chunk variant (when `docs` supplies the chunkable corpus)
+    // scores against ITS exact task answer — x83's brute MaxSim — so
+    // the one number that justifies serving from the chunk index is a
+    // like-for-like recall, not a cross-task coincidence
+    val exactTagged = exact
+      .select(explode(array(RecallMethods.map(lit): _*)).as("method"),
+        col("query_id"), col("vec_id"))
+    val (approx, exactAll) = docs match {
+      case None => (docApprox, exactTagged)
+      case Some(d) =>
+        val cs = centroids.getOrElse(trainedCentroids(embeddings))
+        val rb = resBooks.getOrElse(pqResidualCodebooks(embeddings, cs))
+        val idx = chunkIndex.getOrElse(
+          chunkIvfPqIndex(chunkEmbeddings(d, embeddings), cs, rb))
+        val probe = probePlanOf(embeddings, queryIds, cs, nprobe = 2)
+        val chunkApprox = chunkIvfPqTopKFromIndex(
+          idx.where(col("cell").isin(probe.cells: _*)), embeddings,
+          queryIds, k, nprobe = 2, cs, rb, probes = Some(probe.frame))
+          .select(lit(ChunkRecallMethod).as("method"), col("query_id"),
+            col("doc_id").as("vec_id"))
+        val chunkExact = multiVectorTopK(chunkEmbeddings(d, embeddings),
+          embeddings, queryIds, k)
+          .select(lit(ChunkRecallMethod).as("method"), col("query_id"),
+            col("doc_id").as("vec_id"))
+        (docApprox.unionByName(chunkApprox),
+          exactTagged.unionByName(chunkExact))
+    }
     val hits = approx
-      .join(exact.withColumn("hit", lit(1L)), Seq("query_id", "vec_id"), "left")
+      .join(exactAll.withColumn("hit", lit(1L)),
+        Seq("method", "query_id", "vec_id"), "left")
       .groupBy("method", "query_id")
       .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
     // grid guarantees a row even for a variant that returned nothing
-    val grid = exact.groupBy("query_id").agg(count(lit(1)).as("exact_n"))
-      .select(col("query_id"), col("exact_n"),
-        explode(array(RecallMethods.map(lit): _*)).as("method"))
+    val grid = exactAll.groupBy("method", "query_id")
+      .agg(count(lit(1)).as("exact_n"))
     grid.join(hits, Seq("method", "query_id"), "left")
       .select(col("method"), col("query_id"), col("exact_n"),
         coalesce(col("hits"), lit(0L)).as("hits"),
@@ -2323,7 +2376,9 @@ object VectorOps {
 
   /** [[annRecall]] oracle: each variant's own oracle SQL embedded as a
     * CTE-bearing subquery, unioned under its method tag, then the same
-    * grid/hits arithmetic. */
+    * grid/hits arithmetic. The chunk variant carries its own exact
+    * baseline (the brute-MaxSim chain) into the tagged-exact union,
+    * mirroring [[annRecall]]'s per-method baselines. */
   def annRecallSql(queryIds: Seq[Long], k: Int): String = {
     val variantSql = Map(
       "ivf" -> ivfTopKSql(queryIds, k, nprobe = 2),
@@ -2335,31 +2390,44 @@ object VectorOps {
       "quantized" -> annTopKQuantizedSql(queryIds, k),
       "binary" -> binaryTopKSql(queryIds, k),
       "prefix" -> prefixTopKSql(queryIds, k))
-    val unions = RecallMethods.map { m =>
+    val unions = (RecallMethods.map { m =>
       s"  SELECT '$m' AS method, query_id, vec_id FROM (\n${variantSql(m)}\n  )"
-    }.mkString("\n  UNION ALL\n")
+    } :+
+      s"""  SELECT '$ChunkRecallMethod' AS method, query_id, doc_id AS vec_id
+         |  FROM (
+         |${chunkIvfPqMaxSimSql(queryIds, k, nprobe = 2)}
+         |  )""".stripMargin)
+      .mkString("\n  UNION ALL\n")
     materializedCtes(s"""WITH exact AS (
        |  SELECT query_id, vec_id FROM (
        |${cosineTopKSql(queryIds, k)}
        |  )
+       |), cexact AS (
+       |  SELECT query_id, doc_id AS vec_id FROM (
+       |${multiVectorTopKSql(queryIds, k)}
+       |  )
        |), approx AS (
        |$unions
+       |), extag AS (
+       |  SELECT m.method, e.query_id, e.vec_id
+       |  FROM (SELECT unnest([${RecallMethods.map("'" + _ + "'").mkString(", ")}]) AS method) m
+       |  CROSS JOIN exact e
+       |  UNION ALL
+       |  SELECT '$ChunkRecallMethod' AS method, query_id, vec_id FROM cexact
        |), ex_n AS (
-       |  SELECT query_id, count(*) AS exact_n FROM exact GROUP BY query_id
+       |  SELECT method, query_id, count(*) AS exact_n
+       |  FROM extag GROUP BY method, query_id
        |), hits AS (
        |  SELECT a.method, a.query_id, count(e.vec_id) AS hits
-       |  FROM approx a LEFT JOIN exact e
-       |    ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+       |  FROM approx a LEFT JOIN extag e
+       |    ON e.method = a.method AND e.query_id = a.query_id
+       |      AND e.vec_id = a.vec_id
        |  GROUP BY a.method, a.query_id
-       |), grid AS (
-       |  SELECT m.method, x.query_id, x.exact_n
-       |  FROM (SELECT unnest([${RecallMethods.map("'" + _ + "'").mkString(", ")}]) AS method) m
-       |  CROSS JOIN ex_n x
        |), rpt AS (
        |  SELECT g.method, g.query_id, g.exact_n,
        |    CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
        |    round(coalesce(h.hits, 0) / g.exact_n, 6) AS recall
-       |  FROM grid g LEFT JOIN hits h
+       |  FROM ex_n g LEFT JOIN hits h
        |    ON h.method = g.method AND h.query_id = g.query_id
        |)
        |SELECT method, query_id, exact_n, hits, recall FROM rpt""".stripMargin)

@@ -480,6 +480,16 @@ object PipelinePack extends QueryPack {
     "x80_rebuild_chunk_search" -> ((s, dir) =>
       rebuildRetrievalFor(s, dir).searchChunks(Bm25Queries, 5)
         .orderBy("query_id", "rn")),
+    // metadata-filtered chunk serve: the allowed doc-id frame
+    // restricts BOTH chunk-ranked halves before their ranks (a
+    // filtered doc's chunks all drop together; stats and probed cells
+    // stay collection-global) — the production "search within this
+    // collection/tenant" RAG shape, previously spec-only
+    "x86_chunk_search_filtered" -> ((s, dir) =>
+      retrievalFor(s, dir).searchChunksFiltered(Bm25Queries,
+        Tables.documents(s, dir).select("doc_id")
+          .where(col("doc_id") % 3 === 0), 5)
+        .orderBy("query_id", "rn")),
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -530,6 +540,13 @@ object PipelinePack extends QueryPack {
     "x74_bpe_encode" -> ((s, dir) =>
       TextOps.bpeEncode(Tables.documents(s, dir), bpeRulesFor(s, dir))
         .orderBy("doc_id")),
+    // BPE-token-TRUE chunking: x72's windows re-metered in the learned
+    // tokenizer's units, emitting model-ready id windows — the context
+    // budget a real embedding/packing stage actually enforces (fills
+    // the registry's x75 slot; see the SURVEY §2.10k serve-matrix note)
+    "x75_bpe_chunks" -> ((s, dir) =>
+      TextOps.bpeChunkDocs(Tables.documents(s, dir), bpeRulesFor(s, dir))
+        .orderBy("doc_id", "chunk_id")),
     // token-TRUE sequence packing: x24's packing re-keyed on the
     // learned tokenizer's counts — what a training pipeline actually
     // batches by. Same first-fit-in-key-order window, real BPE counts.
@@ -721,9 +738,12 @@ object PipelinePack extends QueryPack {
       TextOps.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // --- similarity search ----------------------------------------------
-    // multi-vector dense retrieval: one vector per chunk, MaxSim
-    // fusion to docs (best chunk kept as attribution) — the dense twin
-    // of the chunk-lexical serve; chunk vectors derive
+    // multi-vector dense retrieval, the LABELED EXACT BASELINE of the
+    // chunk-dense family (the x10 ⟷ x58-x65 relationship at chunk
+    // level): one vector per chunk, brute MaxSim fusion to docs (best
+    // chunk kept as attribution). Production serves run x85's indexed
+    // chain; this brute scan exists to gate it (x44's chunk_ivfpq
+    // recall row scores against THIS). Chunk vectors derive
     // deterministically from the fixtures (parity-reversal stand-in
     // for a chunk-embedding model)
     "x83_multivector_topk" -> ((s, dir) =>
@@ -733,15 +753,21 @@ object PipelinePack extends QueryPack {
           Tables.embeddings(s, dir).select("vec_id", "embedding")),
         Tables.embeddings(s, dir), QueryVecs, 5)
         .orderBy("query_id", "rn")),
-    // the full chunk-level HYBRID: chunk-BM25 and per-chunk MaxSim
-    // dense, both doc-deduped, RRF-fused with lexical attribution —
-    // the two chunk halves composed end-to-end
-    "x84_chunk_hybrid" -> ((s, dir) =>
+    // the full chunk-level HYBRID: chunk-BM25 fused with the INDEXED
+    // chunk-dense MaxSim serve (x85's probe-pruned ADC chain over the
+    // cached cell-partitioned artifact), both doc-deduped, attribution
+    // from either half — the production RAG serve composed end-to-end
+    "x84_chunk_hybrid" -> ((s, dir) => {
+      val cents = codebookFor(s, dir)
+      val books = pqResBooksFor(s, dir)
+      val path = chunkIvfPqIndexFor(s, dir, cents, books)
       graft.operators.HybridOps.chunkHybridTopK(
         Tables.documents(s, dir).select("doc_id", "text"),
         Tables.embeddings(s, dir).select("vec_id", "embedding"),
-        Bm25Queries, 5)
-        .orderBy("query_id", "rn")),
+        Bm25Queries, 5, cents = Some(cents), books = Some(books),
+        chunkIndex = Some(s.read.schema(IvfPqIndexSchema).parquet(path)))
+        .orderBy("query_id", "rn")
+    }),
     // the INDEXED chunk-dense serve — x83's production variant (the
     // x10 ⟷ x58-x65 relationship at chunk level): chunk vectors encoded
     // through the residual-IVFADC path under a composite (doc, chunk)
@@ -816,13 +842,22 @@ object PipelinePack extends QueryPack {
         centroids = Some(codebookFor(s, dir)))
         .orderBy("cell")),
     // recall@k of every ANN variant vs the exact top-k — the index
-    // acceptance metric; IVF side fed from the same codebook artifact
-    "x44_ann_recall" -> ((s, dir) =>
+    // acceptance metric; IVF side fed from the same codebook artifact.
+    // The chunk_ivfpq row scores the stored chunk index's doc-level
+    // output against x83's exact brute MaxSim — the number that
+    // justifies serving multi-vector queries from the index
+    "x44_ann_recall" -> ((s, dir) => {
+      val cents = codebookFor(s, dir)
+      val resBooks = pqResBooksFor(s, dir)
+      val cpath = chunkIvfPqIndexFor(s, dir, cents, resBooks)
       VectorOps.annRecall(Tables.embeddings(s, dir), QueryVecs, 5,
-        centroids = Some(codebookFor(s, dir)),
+        centroids = Some(cents),
         books = Some(pqBooksFor(s, dir)),
-        resBooks = Some(pqResBooksFor(s, dir)))
-        .orderBy("method", "query_id")),
+        resBooks = Some(resBooks),
+        docs = Some(Tables.documents(s, dir).select("doc_id", "text")),
+        chunkIndex = Some(s.read.schema(IvfPqIndexSchema).parquet(cpath)))
+        .orderBy("method", "query_id")
+    }),
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
         .orderBy("lang", "rank")),
@@ -1228,6 +1263,8 @@ object PipelinePack extends QueryPack {
       (TextOps.bpeMergesSql() + "\nORDER BY rank"),
     "x74_bpe_encode" ->
       (TextOps.bpeEncodeSql() + "\nORDER BY doc_id"),
+    "x75_bpe_chunks" ->
+      (TextOps.bpeChunkDocsSql() + "\nORDER BY doc_id, chunk_id"),
     "x76_bpe_packing" ->
       (TextOps.bpeEncodePackSql(budget = BpePackBudget) + "\nORDER BY doc_id"),
     "x3_neardup_dedup" ->
@@ -1431,12 +1468,16 @@ object PipelinePack extends QueryPack {
       (TextOps.bm25ChunkTopKSql(Bm25Queries, 5) + "\nORDER BY query_id, rn"),
     "x79_chunk_search" ->
       (graft.operators.HybridOps.chunkSearchSql(Bm25Queries, 5,
-        r = VectorOps.BinaryShortlist, nprobe = 2) +
+        nprobe = 2) +
         "\nORDER BY query_id, rn"),
     "x80_rebuild_chunk_search" ->
       (graft.operators.HybridOps.rebuildChunkSearchSql(Bm25Queries, 5,
-        r = VectorOps.BinaryShortlist, nprobe = 2,
-        TrainEmbSql, ServeEmbSql, ServeDocsSql) +
+        nprobe = 2, TrainEmbSql, ServeEmbSql, ServeDocsSql) +
+        "\nORDER BY query_id, rn"),
+    "x86_chunk_search_filtered" ->
+      (graft.operators.HybridOps.chunkSearchFilteredSql(Bm25Queries, 5,
+        nprobe = 2,
+        "SELECT doc_id FROM documents WHERE doc_id % 3 = 0") +
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),

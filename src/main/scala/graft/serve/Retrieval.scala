@@ -20,9 +20,14 @@ import org.apache.spark.sql.functions._
   *  - `index/` — the residual IVFADC frame `(vec_id, codes, cell)`
   *    written `partitionBy(cell)`, so a probed serve read
   *    PARTITION-PRUNES to ~nprobe/cells of the files;
+  *  - `cindex/` — the CHUNK-vector residual IVFADC frame under the
+  *    composite `(doc·2²⁰+chunk)` key, same cell-partitioned layout,
+  *    serving the multi-vector MaxSim half of the chunk-level serve;
   *  - `emb/` — the float column, read only for query-vector lookup and
   *    the bounded exact rerank (never scanned as stage 1);
-  *  - `tf/` / `dl/` — the lexical index frames BM25 serves from.
+  *  - `tf/` / `dl/` — the lexical index frames BM25 serves from;
+  *  - `ctf/` / `cdl/` — their chunk-level twins, the RAG passage
+  *    index.
   *
   * Publish is atomic: everything stages into a sibling tmp directory
   * and a rename-aside swap commits it (the [[graft.sync.IndexStore]]
@@ -75,6 +80,8 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   private lazy val cdl = serve.read
     .schema(Retrieval.CdlSchema).parquet(s"$dir/cdl")
     .select("doc_id", "chunk_id", "dl")
+  private lazy val cindex = serve.read
+    .schema(Retrieval.IndexSchema).parquet(s"$dir/cindex")
 
   /** Dense top-k from the stored index: driver probe ranking → the
     * probed-cell filter prunes the partitioned index read → residual
@@ -116,26 +123,44 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   def chunkLexicalTopK(queries: Seq[(Long, Seq[String])], k: Int): DataFrame =
     TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, k)
 
+  /** Chunk-DENSE top-k from the stored composite-key chunk index
+    * (layout v4's `cindex/`): driver probe ranking → the probed-cell
+    * filter partition-prunes the cell-partitioned chunk-code read →
+    * residual ADC on the surviving CHUNK codes → MaxSim (best chunk
+    * per doc, the attribution) → docs ranked by best-chunk cosine.
+    * The production multi-vector serve — candidates ∝ nprobe/cells of
+    * the CHUNK corpus, never a per-chunk corpus scan (the brute
+    * [[VectorOps.multiVectorTopK]] is the labeled exact baseline this
+    * path's recall is measured against — `chunk_ivfpq` in
+    * [[VectorOps.annRecall]]). */
+  def chunkDenseTopK(queryIds: Seq[Long], k: Int,
+      nprobe: Int = 2): DataFrame = {
+    val probe = VectorOps.probePlanOf(emb, queryIds, cents, nprobe)
+    VectorOps.chunkIvfPqTopKFromIndex(
+      cindex.where(col("cell").isin(probe.cells: _*)),
+      emb, queryIds, k, nprobe, cents, books, probes = Some(probe.frame))
+  }
+
   /** Chunk-level serve — the production RAG shape the doc-level
     * [[search]] can't express: the LEXICAL half ranks CHUNKS and
     * dedups to docs at fusion (max-chunk-score per doc, the passage
-    * kept as attribution), the dense half ranks docs from the stored
-    * IVFADC index, and the fused doc list carries each doc's best
-    * chunk_id (−1 where only the dense half surfaced the doc — no
-    * chunk matched a query term, so there is no passage to attribute).
+    * kept as attribution), the DENSE half ranks docs from the stored
+    * CHUNK index ([[chunkDenseTopK]] — per-chunk vectors, MaxSim), and
+    * the fused doc list carries each doc's best chunk_id: the lexical
+    * half's where a chunk matched a query term, the dense half's ADC
+    * best chunk otherwise — every served doc names a passage.
     *
     * Scale shape: both halves are the audited serves ([[TextOps
-    * .bm25ChunkTopKFrom]]'s pruned posting reads, [[denseTopK]]'s
-    * partition-pruned probe); fusion and attribution join k-row
-    * lists. */
+    * .bm25ChunkTopKFrom]]'s pruned posting reads, [[chunkDenseTopK]]'s
+    * partition-pruned probe over the chunk cells); fusion and
+    * attribution join k-row lists. */
   def searchChunks(queries: Seq[(Long, Seq[String])], k: Int,
       policy: HybridOps.Fusion = HybridOps.Rrf,
       nprobe: Int = 2): DataFrame = {
-    def dense = denseTopK(queries.map(_._1), k, nprobe)
-      .withColumnRenamed("vec_id", "doc_id")
-    // attribution rides each fusion join itself — the lexical subtree
-    // (posting prune + chunk scoring) executes exactly once per serve
-    // under every policy
+    def dense = chunkDenseTopK(queries.map(_._1), k, nprobe)
+    // attribution rides each fusion join itself — each half's subtree
+    // (posting prune + chunk scoring; pruned ADC + MaxSim) executes
+    // exactly once per serve under every policy
     policy match {
       case HybridOps.LexicalOnly => chunkLexicalTopK(queries, k)
       case HybridOps.DenseOnly => dense
@@ -164,17 +189,35 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       .withColumnRenamed("vec_id", "doc_id")
   }
 
+  /** The filtered chunk-dense half of [[searchChunksFiltered]]: the
+    * allowed doc-id list semi-joins onto the PROBED chunk-index slice
+    * on the decomposed composite key (all of a filtered doc's chunks
+    * drop together), so the filter composes with the partition-pruned
+    * read instead of replacing it — the [[denseTopKAllowed]] shape at
+    * chunk level. */
+  private def chunkDenseTopKAllowed(qids: Seq[Long], allowed: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    val probe = VectorOps.probePlanOf(emb, qids, cents, nprobe)
+    val pruned = cindex.where(col("cell").isin(probe.cells: _*))
+      .join(broadcast(allowed.toDF("a_id")),
+        expr(s"vec_id DIV ${VectorOps.ChunkStride}") === col("a_id"),
+        "left_semi")
+    VectorOps.chunkIvfPqTopKFromIndex(pruned, emb, qids, k, nprobe,
+      cents, books, probes = Some(probe.frame))
+  }
+
   /** Metadata-filtered chunk-level serve — [[searchFiltered]]'s
     * pre-filter semantics on the chunk serve: the allowed doc-id frame
     * restricts candidates on BOTH halves before each rank (all of a
     * filtered doc's chunks drop together; df/N/avgdl and the probed
-    * cells stay collection-global), then the usual attributed fusion. */
+    * cells stay collection-global), then the usual attributed fusion
+    * over the two chunk-ranked halves. */
   def searchChunksFiltered(queries: Seq[(Long, Seq[String])],
       allowed: DataFrame, k: Int,
-      policy: HybridOps.Fusion = HybridOps.Rrf, nprobe: Int = 2,
-      refine: Int = VectorOps.BinaryShortlist): DataFrame = {
+      policy: HybridOps.Fusion = HybridOps.Rrf,
+      nprobe: Int = 2): DataFrame = {
     def lex = TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, k, Some(allowed))
-    def dense = denseTopKAllowed(queries.map(_._1), allowed, k, nprobe, refine)
+    def dense = chunkDenseTopKAllowed(queries.map(_._1), allowed, k, nprobe)
     policy match {
       case HybridOps.LexicalOnly => lex
       case HybridOps.DenseOnly => dense
@@ -281,9 +324,10 @@ object Retrieval {
   /** On-disk snapshot layout version — a cache-key component for
     * anything that keys cached snapshots by fixture identity, so a
     * layout change (v2: pb-bucketed frames + dh/vh fingerprints;
-    * v3: ctf/cdl chunk-level lexical frames) invalidates stale caches
-    * instead of tripping [[rebuild]]'s layout check. */
-  val LayoutVersion = 3
+    * v3: ctf/cdl chunk-level lexical frames; v4: the cell-partitioned
+    * composite-key chunk-vector IVFADC frame `cindex/`) invalidates
+    * stale caches instead of tripping [[load]]'s layout check. */
+  val LayoutVersion = 4
 
   private def writeBooks(path: java.nio.file.Path,
       rows: Seq[Seq[Double]]): Unit = {
@@ -361,14 +405,25 @@ object Retrieval {
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/tf")
     dl.withColumn("pb", pb("doc_id"))
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/dl")
-    // chunk-level lexical frames (v3): the RAG serve's index. Bucketed
-    // by doc_id — a doc's chunk rows are per-doc local, so they ride
-    // the same dh-diff delta path as tf/dl in [[rebuild]].
-    val (ctf, cdl) = TextOps.chunkBm25Stats(docs, checkpointDir = checkpointDir)
+    // chunk-level frames (v3 ctf/cdl + v4 cindex): the RAG serve's
+    // indexes. The corpus is chunked exactly ONCE — the same
+    // materialized chunk frame feeds the lexical chunk stats and the
+    // chunk-vector encode. ctf/cdl bucket by doc_id (a doc's chunk
+    // rows are per-doc local, so they ride the same dh-diff delta path
+    // as tf/dl in [[rebuild]]); cindex is the composite-key residual
+    // IVFADC frame written partitionBy(cell), so the chunk-dense serve
+    // partition-prunes exactly like the doc-level index.
+    val chunks = graft.operators.Dedup.materialize(
+      TextOps.chunkDocs(docs), checkpointDir)
+    val (ctf, cdl) = TextOps.chunkBm25StatsFrom(chunks, checkpointDir)
     ctf.withColumn("pb", pb("doc_id"))
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/ctf")
     cdl.withColumn("pb", pb("doc_id"))
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/cdl")
+    VectorOps.chunkIvfPqIndex(
+      VectorOps.chunkEmbeddingsFrom(chunks, embeddings), cents, books)
+      .write.partitionBy("cell").mode(SaveMode.Overwrite)
+      .parquet(s"$staged/cindex")
     dhOf(docs).withColumn("pb", pb("doc_id"))
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/dh")
     vhOf(embeddings).withColumn("pb", pb("vec_id"))
@@ -450,10 +505,8 @@ object Retrieval {
         new java.io.File(s"$dir/vh").isDirectory,
       s"$dir predates incremental rebuild (no dh/vh fingerprint " +
         "frames); publish once with build() to upgrade the layout")
-    require(new java.io.File(s"$dir/ctf").isDirectory &&
-        new java.io.File(s"$dir/cdl").isDirectory,
-      s"$dir predates the v3 chunk-index layout (no ctf/cdl frames); " +
-        "publish once with build() to upgrade the layout")
+    // ctf/cdl/cindex presence is [[load]]'s layout guard — `prior`
+    // above already enforced it with the upgrade message.
 
     // ---- dense delta: ids whose vector is new or changed / deleted,
     // detected on the thin stored fingerprints — the float column is
@@ -547,6 +600,48 @@ object Retrieval {
         DhSchema)
     }
 
+    // ---- chunk-vector delta: a doc's chunk vectors change when its
+    // TEXT changes (chunk boundaries and the parity derivation shift)
+    // OR its VECTOR changes (every chunk vector derives from it) — the
+    // union of the two fingerprint deltas already in hand; no third
+    // corpus diff runs. Deletes drop all of a doc's chunk rows via the
+    // same composite-key anti-join. Merge is cell-partitioned like the
+    // doc index: old cells of the touched docs' chunk rows plus the
+    // fresh assignments, swapped per partition.
+    if (touchedVecPb.nonEmpty || touchedDocPb.nonEmpty) {
+      val touchedChunkDoc = graft.operators.Dedup.materialize(
+        touchedVec.toDF("doc_id").unionByName(touchedDoc).distinct(),
+        checkpointDir)
+      val docIdOfVec = expr(s"vec_id DIV ${VectorOps.ChunkStride}")
+      val changedChunkDocs =
+        docs.join(touchedChunkDoc, Seq("doc_id"), "left_semi")
+      val changedChunkEmb = embeddings
+        .join(touchedChunkDoc.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")
+      // materialized: feeds the cell collect AND the cindex write, and
+      // would otherwise run the chunk encode twice
+      val newCIdx = graft.operators.Dedup.materialize(
+        VectorOps.chunkIvfPqIndex(
+          VectorOps.chunkEmbeddingsFrom(
+            TextOps.chunkDocs(changedChunkDocs), changedChunkEmb),
+          prior.cents, prior.books), checkpointDir)
+      val oldCIdx = spark.read.schema(IndexSchema).parquet(s"$dir/cindex")
+      val affectedCCells = oldCIdx
+        .join(touchedChunkDoc, docIdOfVec === touchedChunkDoc("doc_id"),
+          "left_semi")
+        .select("cell")
+        .unionByName(newCIdx.select("cell"))
+        .distinct().collect().map(_.getLong(0)).toSeq // bounded: ≤ cells
+      if (affectedCCells.nonEmpty) {
+        val mergedCIdx = oldCIdx.where(col("cell").isin(affectedCCells: _*))
+          .join(touchedChunkDoc, docIdOfVec === touchedChunkDoc("doc_id"),
+            "left_anti")
+          .unionByName(newCIdx)
+        replacePartitions(s"$dir/cindex", "cell", mergedCIdx,
+          affectedCCells.map(_.toString))
+      }
+    }
+
     load(spark, dir)
   }
 
@@ -579,8 +674,8 @@ object Retrieval {
     * columns — the sweep list for [[healMergeAsides]] /
     * [[sweepMergeDebris]]. */
   private val MergeFrames: Seq[(String, String)] =
-    Seq("index" -> "cell", "emb" -> "pb", "vh" -> "pb", "tf" -> "pb",
-      "dl" -> "pb", "dh" -> "pb", "ctf" -> "pb", "cdl" -> "pb")
+    Seq("index" -> "cell", "cindex" -> "cell", "emb" -> "pb", "vh" -> "pb",
+      "tf" -> "pb", "dl" -> "pb", "dh" -> "pb", "ctf" -> "pb", "cdl" -> "pb")
 
   /** Parsed `.aside-<v>-<nonce>` entries of a frame dir. Unparseable
     * names (debris from an interrupted mkdir or a manual copy) are
@@ -767,6 +862,15 @@ object Retrieval {
       recoverAside(dir)
     require(java.nio.file.Files.exists(root.resolve("codebook.txt")),
       s"$dir is not a published retrieval snapshot")
+    // layout guard at LOAD, not lazily at first chunk serve: an old
+    // snapshot would otherwise fail deep in a query plan with a raw
+    // "Path does not exist" instead of naming the fix
+    val missing = Seq("ctf", "cdl", "cindex")
+      .filterNot(f => new java.io.File(s"$dir/$f").isDirectory)
+    require(missing.isEmpty,
+      s"$dir predates the v$LayoutVersion chunk-index layout (missing " +
+        s"${missing.mkString(", ")}); publish once with build() to " +
+        "upgrade the layout")
     healMergeAsides(dir) // heal a crashed in-place rebuild before any read
     val cents = readBooks(root.resolve("codebook.txt"))
     val books = readBooks(root.resolve("pqbooks.txt"))

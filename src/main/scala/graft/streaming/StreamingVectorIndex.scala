@@ -33,13 +33,34 @@ import org.apache.spark.sql.functions._
   * each batch ALSO appends the residual-encoded `(vec_id, codes, cell)`
   * index slice ([[VectorOps.ivfPqIndex]], map-only under the fixed
   * codebooks), and [[ivfTopK]] serves the probe-pruned IVFADC path from
-  * the growing artifact — streamed ingestion, batch-identical serve. */
+  * the growing artifact — streamed ingestion, batch-identical serve.
+  *
+  * With `chunked = true` (requires `cents`; batches must carry a
+  * `text` column beside the embedding), each batch ALSO appends the
+  * composite-key CHUNK-vector index slice ([[VectorOps
+  * .chunkIvfPqIndex]] over the batch's own chunk frame — chunk rows
+  * are per-doc local, so slice isolation ≡ full-corpus encoding), and
+  * [[chunkIvfTopK]] serves the probe-pruned MaxSim path a batch
+  * snapshot's `cindex` serves (x85's chain). The slice stores the
+  * PARENT doc id in the resolution key column and the composite id
+  * beside it — so latest-slice-wins resolution drops ALL of a
+  * superseded doc's chunk rows, including chunks the new version no
+  * longer has (a shortened doc's stale tail chunks cannot survive a
+  * composite-key resolution, which would only supersede ids that
+  * reappear). */
 class StreamingVectorIndex(artifactDir: String,
     books: Seq[Seq[Seq[Double]]],
-    cents: Option[Seq[Seq[Double]]] = None) {
+    cents: Option[Seq[Seq[Double]]] = None,
+    chunked: Boolean = false) {
+
+  require(!chunked || cents.isDefined,
+    "chunked streaming indexing needs the coarse codebook: the chunk " +
+      "index IS the cell-partitioned IVFADC frame (pass cents)")
 
   private val slices = new SlicedArtifact(artifactDir,
-    Seq("emb", "codes") ++ (if (cents.isDefined) Seq("ivf") else Seq.empty),
+    Seq("emb", "codes") ++
+      (if (cents.isDefined) Seq("ivf") else Seq.empty) ++
+      (if (chunked) Seq("civf") else Seq.empty),
     "vec_id")
 
   // Fail fast on the reopen hazard: an artifact previously written
@@ -64,6 +85,17 @@ class StreamingVectorIndex(artifactDir: String,
         "without cents for ADC-only serving, or re-index the corpus " +
         "under a cents-carrying handle.")
   }
+  // the same reopen hazard, chunk flavor: committed batches without
+  // civf slices would silently vanish from the chunk-dense serve
+  if (chunked) {
+    val missing = slices.missingFor("ops", "civf")
+    require(missing.isEmpty,
+      s"artifact at $artifactDir was written without chunk indexing: " +
+        s"committed batches with no matching civf slice (batch ids " +
+        s"${missing.mkString(", ")}; -1 = the compacted base). Reopen " +
+        "with chunked = false, or re-index the corpus under a chunked " +
+        "handle.")
+  }
 
   /** Index all available micro-batches; returns DISTINCT batches run. */
   def indexAvailable(spark: SparkSession, embStream: DataFrame,
@@ -74,14 +106,30 @@ class StreamingVectorIndex(artifactDir: String,
     * and downstream reuse) and the map-only PQ encode under the fixed
     * books. */
   private[graft] def indexBatch(batch: DataFrame, batchId: Long): Unit = {
-    val vecs = batch.where(!ArtifactSlices.deletedCol(batch))
-      .select("vec_id", "embedding")
+    val live = batch.where(!ArtifactSlices.deletedCol(batch))
+    val vecs = live.select("vec_id", "embedding")
     slices.writeSlice(vecs, "emb", batchId)
     slices.writeSlice(
       VectorOps.pqCodesWide(vecs, books).select("vec_id", "codes"),
       "codes", batchId)
     cents.foreach(cs => slices.writeSlice(
       VectorOps.ivfPqIndex(vecs, cs, books, residual = true), "ivf", batchId))
+    if (chunked) {
+      // the batch's own chunk frame: chunk rows are per-doc local, so
+      // this slice equals the full-corpus encode restricted to the
+      // batch's docs. The RESOLUTION key column carries the parent doc
+      // id; the composite id rides beside it (see class doc).
+      val docs = live.select(col("vec_id").as("doc_id"), col("text"))
+      val cs = cents.get
+      slices.writeSlice(
+        VectorOps.chunkIvfPqIndex(
+          VectorOps.chunkEmbeddingsFrom(
+            graft.operators.TextOps.chunkDocs(docs), vecs), cs, books)
+          .select(col("vec_id").as("cvec_id"), col("codes"), col("cell"))
+          .withColumn("vec_id",
+            expr(s"cvec_id DIV ${VectorOps.ChunkStride}")),
+        "civf", batchId)
+    }
     slices.writeSlice(ArtifactSlices.opsOf(batch, "vec_id"), "ops", batchId)
   }
 
@@ -129,5 +177,26 @@ class StreamingVectorIndex(artifactDir: String,
           emb, queryIds, k, nprobe, cs, books, residual = true,
           probes = Some(probe.frame))
       }
+    }
+
+  /** Probe-pruned chunk-dense MaxSim top-k from the streamed
+    * composite-key chunk-code artifact (requires `chunked`) — the SAME
+    * [[VectorOps.chunkIvfPqTopKFromIndex]] path a batch snapshot's
+    * `cindex` serves (x85), so streamed chunk-dense ≡ batch is
+    * structural: resolution re-exposes the composite id the serve
+    * decomposes, the probed-cell filter prunes the candidate frame
+    * before the one broadcast join. */
+  def chunkIvfTopK(spark: SparkSession, queryIds: Seq[Long], k: Int,
+      nprobe: Int): Option[DataFrame] =
+    if (!chunked) None
+    else slices.resolved(spark).map { m =>
+      val cs = cents.get
+      val emb = m("emb")
+      val cidx = m("civf")
+        .select(col("cvec_id").as("vec_id"), col("codes"), col("cell"))
+      val probe = VectorOps.probePlanOf(emb, queryIds, cs, nprobe)
+      VectorOps.chunkIvfPqTopKFromIndex(
+        cidx.where(col("cell").isin(probe.cells: _*)),
+        emb, queryIds, k, nprobe, cs, books, probes = Some(probe.frame))
     }
 }

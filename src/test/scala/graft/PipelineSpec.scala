@@ -1492,6 +1492,31 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       .collect()
     assert(gen.nonEmpty && gen.forall(f => f.afp.length == 15 &&
       f.afp.forall(c => c == '0' || c == '1')))
+
+    // ingest-scale screen: a too-short asset and a corrupt container
+    // QUARANTINE (K1 tolerant-sink convention) instead of killing the
+    // task; the good assets fingerprint bit-identically to the strict
+    // path
+    val short = graft.operators.AudioAsset(9L, wav((1 to 8).map(_.toShort)))
+    val corrupt = graft.operators.AudioAsset(10L, Array[Byte](1, 2, 3))
+    val mixed = Seq(graft.operators.AudioAsset(1L, wav(up)),
+      short, corrupt).toDS()
+    val (okFp, quar) =
+      MultimodalOps.audioFingerprintScreened(spark, mixed)
+    val okRows = okFp.collect()
+    assert(okRows.map(_.asset_id).toSet === Set(1L))
+    assert(okRows.head.afp === fp(1L),
+      "screened path diverged from the strict fingerprint arithmetic")
+    val qRows = quar.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(qRows.keySet === Set(9L, 10L), s"quarantine set: $qRows")
+    assert(qRows(9L).contains("8 samples <"), qRows(9L))
+    assert(qRows(10L).startsWith("unparseable"), qRows(10L))
+    // the strict path still fails loudly on the same input — the
+    // fixture-gate convention is unchanged
+    assertThrows[org.apache.spark.SparkException] {
+      MultimodalOps.audioFingerprint(spark, Seq(short).toDS()).collect()
+    }
   }
 
   test("chunk retrieval degenerates to doc retrieval when every doc fits one window") {

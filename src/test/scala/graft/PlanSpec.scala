@@ -145,6 +145,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val ctfScans = "/ctf".r.findAllIn(fused).size
     assert(ctfScans <= 2,
       s"lexical subtree computed more than once ($ctfScans ctf scans):\n$fused")
+    // the chunk-DENSE half serves from the stored cindex with the
+    // probed-cell PARTITION prune — at corpus scale the scan cost must
+    // be ∝ nprobe/cells of the chunk corpus; the brute per-chunk scan
+    // is x83's labeled baseline, never the serve plan
+    assert(fused.contains("cindex"),
+      s"chunk serve does not read the stored chunk index:\n$fused")
+    assert("cell#\\d+L? IN ".r.findFirstIn(fused).nonEmpty ||
+      fused.contains("cell IN ("),
+      s"probed-cell filter must prune the cindex read:\n$fused")
   }
 
   test("BPE-scored selection frame is ONE map-only projection: no join, no exchange") {

@@ -117,19 +117,31 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
 
     // the refreshed corpus — a SMALL delta (so some of the 16 cells are
     // provably untouched): ids < 4 re-crawled (new text) AND
-    // re-embedded, [416,420) dropped, [420,424) added
+    // re-embedded, [4,8) text-ONLY edits, [8,12) vector-ONLY
+    // re-embeds (the two one-sided deltas pin that the chunk index
+    // merges on the UNION of the fingerprint diffs — a text edit moves
+    // chunk vectors without touching vh, a re-embed moves them without
+    // touching dh), [416,420) dropped, [420,424) added
     def refresh(d: org.apache.spark.sql.DataFrame, id: String) =
       d.where(col(id) < 424 && !(col(id) >= 416 && col(id) < 420))
     val docs1 = refresh(docs, "doc_id")
       .withColumn("text", when(col("doc_id") < 4,
-        concat(col("text"), lit(" refreshed crawl"))).otherwise(col("text")))
+        concat(col("text"), lit(" refreshed crawl")))
+        .when(col("doc_id") >= 4 && col("doc_id") < 8,
+          concat(col("text"), lit(" text only edit")))
+        .otherwise(col("text")))
     val emb1 = refresh(emb, "vec_id")
-      .withColumn("embedding", when(col("vec_id") < 4,
+      .withColumn("embedding", when(col("vec_id") < 4 ||
+          (col("vec_id") >= 8 && col("vec_id") < 12),
         reverse(col("embedding"))).otherwise(col("embedding")))
 
-    def cellDirs = new java.io.File(s"$live/index").listFiles()
+    def cellDirsOf(frame: String) = new java.io.File(s"$live/$frame")
+      .listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("cell=")).toSeq
+    def cellDirs = cellDirsOf("index")
     val mtimeBefore = cellDirs.map(d => d.getName -> d.lastModified()).toMap
+    val cMtimeBefore = cellDirsOf("cindex")
+      .map(d => d.getName -> d.lastModified()).toMap
     def pbDirs(frame: String) = new java.io.File(s"$live/$frame").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("pb=")).toSeq
     val pbBefore = Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl")
@@ -162,9 +174,11 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     def cellsOf(e: org.apache.spark.sql.DataFrame) = graft.operators.VectorOps
       .ivfPqIndex(e, prior.cents, prior.books, residual = true)
       .select("cell").distinct().collect().map("cell=" + _.getLong(0)).toSet
+    def vecTouched(id: org.apache.spark.sql.Column) =
+      id < 4 || (id >= 8 && id < 12)
     val touchedCells =
-      cellsOf(emb0.where(col("vec_id") < 4 || col("vec_id") >= 416)) ++
-      cellsOf(emb1.where(col("vec_id") < 4 || col("vec_id") >= 420))
+      cellsOf(emb0.where(vecTouched(col("vec_id")) || col("vec_id") >= 416)) ++
+      cellsOf(emb1.where(vecTouched(col("vec_id")) || col("vec_id") >= 420))
     val untouched = mtimeBefore.keySet -- touchedCells
     assert(untouched.nonEmpty,
       "every cell touched; the delta-only assertion is vacuous")
@@ -172,9 +186,29 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       assert(d.lastModified() == mtimeBefore(d.getName),
         s"${d.getName} was rewritten by a delta that never touched it")
 
+    // chunk-index cells: touched docs are the UNION of the text and
+    // vector deltas (ids < 12, [416,424)); chunk cells outside their
+    // old+new assignments must not move
+    def cCellsOf(d: org.apache.spark.sql.DataFrame,
+        e: org.apache.spark.sql.DataFrame) = graft.operators.VectorOps
+      .chunkIvfPqIndex(graft.operators.VectorOps.chunkEmbeddings(d, e),
+        prior.cents, prior.books)
+      .select("cell").distinct().collect().map("cell=" + _.getLong(0)).toSet
+    val touchedCCells =
+      cCellsOf(docs0.where(col("doc_id") < 12 || col("doc_id") >= 416),
+        emb0.where(col("vec_id") < 12 || col("vec_id") >= 416)) ++
+      cCellsOf(docs1.where(col("doc_id") < 12 || col("doc_id") >= 420),
+        emb1.where(col("vec_id") < 12 || col("vec_id") >= 420))
+    val cUntouched = cMtimeBefore.keySet -- touchedCCells
+    assert(cUntouched.nonEmpty,
+      "every chunk cell touched; the cindex delta assertion is vacuous")
+    for (d <- cellDirsOf("cindex") if cUntouched.contains(d.getName))
+      assert(d.lastModified() == cMtimeBefore(d.getName),
+        s"cindex/${d.getName} was rewritten by a delta that never touched it")
+
     // same for the id-bucketed frames: buckets holding no touched id
-    // (touched = ids < 4, [416,424) → pb = id mod 32) must not move
-    val touchedPb = (0L until 4L).map(_ % 32) ++ (416L until 424L).map(_ % 32)
+    // (touched = ids < 12, [416,424) → pb = id mod 32) must not move
+    val touchedPb = (0L until 12L).map(_ % 32) ++ (416L until 424L).map(_ % 32)
     for (f <- Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl");
         d <- pbDirs(f)
         if !touchedPb.map(p => s"pb=$p").contains(d.getName)) {
@@ -407,8 +441,8 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       === lexWant)
 
     // the fused doc ranking IS the RRF fusion of the two ranked halves
-    val denseRef = loaded.denseTopK(queries.map(_._1), 5)
-      .withColumnRenamed("vec_id", "doc_id")
+    // — the dense half now the stored CHUNK index's MaxSim serve
+    val denseRef = loaded.chunkDenseTopK(queries.map(_._1), 5)
     val fused = loaded.searchChunks(queries, 5)
     assert(rows(fused.select("query_id", "doc_id", "rrf", "rn")) ===
       rows(HybridOps.fuse(TextOps.bm25ChunkTopK(docs, queries, 5),
@@ -426,8 +460,15 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       "weighted chunk serve dropped the attribution column")
 
     // attribution: a fused row carries the lex half's best chunk for
-    // its doc, or the -1 sentinel when only the dense half surfaced it
+    // its doc, or the DENSE half's ADC best chunk when only the dense
+    // half surfaced it — every served doc names a passage now that
+    // both halves rank chunks
     val lexBest = lexWant.map(r => (r.head, r(1)) -> r(2)).toMap
+    val denseBest = denseRef.collect().map { r =>
+      (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("doc_id"))) ->
+        r.getLong(r.fieldIndex("chunk_id"))
+    }.toMap
     val got = fused.orderBy("query_id", "rn").collect()
     assert(got.nonEmpty)
     var denseOnly = 0
@@ -438,8 +479,9 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       lexBest.get(key) match {
         case Some(c) => assert(ck === c,
           s"fused row for $key carries chunk $ck; lex best is $c")
-        case None => denseOnly += 1; assert(ck === -1L,
-          s"dense-only doc $key must carry the -1 sentinel, got $ck")
+        case None => denseOnly += 1; assert(ck === denseBest(key),
+          s"dense-only doc $key must carry the dense best chunk " +
+            s"${denseBest(key)}, got $ck")
       }
     }
     // a multi-chunk doc attributes a REAL window index: some doc in

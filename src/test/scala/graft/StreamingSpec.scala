@@ -528,6 +528,89 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "compaction changed the streamed IVFADC serve")
   }
 
+  test("streaming chunk IVFADC: streamed chunk-code slices serve MaxSim equal to the batch cindex build") {
+    import graft.operators.{TextOps, VectorOps}
+    val fn = org.apache.spark.sql.functions
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    val embAll = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val joined = docsAll
+      .join(embAll, col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("text"), col("embedding"))
+    val cents = VectorOps.trainedCentroids(embAll)
+    val books = VectorOps.pqResidualCodebooks(embAll, cents)
+    val sv = new graft.streaming.StreamingVectorIndex(
+      tmp("scivf-art").toString, books, Some(cents), chunked = true)
+    // the stale-tail case must be NON-vacuous: some re-crawled doc had
+    // more than one chunk before the shrink
+    assert(TextOps.chunkDocs(docsAll.where(col("doc_id") < 30))
+      .where(col("chunk_id") > 0).count() > 0,
+      "no multi-chunk doc among ids < 30; the shrink case is vacuous")
+    // re-crawl docs < 30: SHORT text (chunk count shrinks to 1 — the
+    // superseded tail chunks must vanish even though their composite
+    // ids never reappear; parent-key resolution is what drops them)
+    // and flipped vectors (cell assignments move)
+    val recrawl = joined.where(col("vec_id") < 30)
+      .withColumn("text", lit("tiny recrawl"))
+      .withColumn("embedding", fn.transform(col("embedding"), x => -x))
+    sv.indexBatch(joined.where(col("vec_id") < 200)
+      .withColumn("is_deleted", lit(false)), 0)
+    sv.indexBatch(joined.where(col("vec_id") >= 200 && col("vec_id") < 400)
+      .unionByName(recrawl).withColumn("is_deleted", lit(false)), 1)
+    sv.indexBatch(joined.where(col("vec_id") >= 100 && col("vec_id") < 150)
+      .withColumn("is_deleted", lit(true)), 2)
+    val liveJoined = recrawl
+      .unionByName(joined.where(col("vec_id") >= 30 && col("vec_id") < 100))
+      .unionByName(joined.where(col("vec_id") >= 150 && col("vec_id") < 400))
+    val liveDocs = liveJoined.select(col("vec_id").as("doc_id"), col("text"))
+    val liveEmb = liveJoined.select("vec_id", "embedding")
+    val queryIds = Seq(0L, 60L, 170L)
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    val got = rows(sv.chunkIvfTopK(spark, queryIds, 5, nprobe = 2).get)
+    // independent batch reference: the one-shot cindex build over the
+    // live corpus under the same fixed codebooks, served identically
+    val probe = VectorOps.probePlanOf(liveEmb, queryIds, cents, 2)
+    val batchIdx = VectorOps.chunkIvfPqIndex(
+      VectorOps.chunkEmbeddingsFrom(TextOps.chunkDocs(liveDocs), liveEmb),
+      cents, books)
+    val want = rows(VectorOps.chunkIvfPqTopKFromIndex(
+      batchIdx.where(col("cell").isin(probe.cells: _*)), liveEmb,
+      queryIds, 5, 2, cents, books, Some(probe.frame)))
+    assert(want.nonEmpty, "batch chunk-index reference empty; vacuous")
+    assert(got === want,
+      "streamed chunk-dense serve diverges from the batch cindex build")
+    // tombstoned docs' chunks are really gone from the pruned surface
+    val wide = sv.chunkIvfTopK(spark, queryIds, 5000, nprobe = cents.size)
+      .get.cache()
+    assert(wide.where(col("doc_id") >= 100 && col("doc_id") < 150)
+      .count() == 0, "tombstoned doc's chunks served")
+    // shrunk docs attribute only their LIVE chunk (stale tails gone)
+    assert(wide.where(col("doc_id") < 30 && col("chunk_id") > 0)
+      .count() == 0, "stale tail chunk of a shrunk doc survived")
+    wide.unpersist()
+    // replay safety and compaction both preserve the serve
+    sv.indexBatch(joined.where(col("vec_id") >= 200 && col("vec_id") < 400)
+      .unionByName(recrawl).withColumn("is_deleted", lit(false)), 1)
+    assert(rows(sv.chunkIvfTopK(spark, queryIds, 5, nprobe = 2).get) === want,
+      "streamed chunk serve diverged after batch replay")
+    sv.compact(spark)
+    assert(rows(sv.chunkIvfTopK(spark, queryIds, 5, nprobe = 2).get) === want,
+      "compaction changed the streamed chunk serve")
+    // reopen hazard, chunk flavor: a chunked handle over an artifact
+    // committed without civf slices fails loudly at construction
+    val plainRoot = tmp("scivf-plain").toString
+    val plain = new graft.streaming.StreamingVectorIndex(
+      plainRoot, books, Some(cents))
+    plain.indexBatch(joined.where(col("vec_id") < 50)
+      .withColumn("is_deleted", lit(false)), 0)
+    val ex = intercept[IllegalArgumentException] {
+      new graft.streaming.StreamingVectorIndex(
+        plainRoot, books, Some(cents), chunked = true)
+    }
+    assert(ex.getMessage.contains("without chunk indexing"),
+      s"wrong failure: ${ex.getMessage}")
+  }
+
   test("compaction grace: a reader resolved before the swap still reads; a later sweep reclaims") {
     import graft.operators.TextOps
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
