@@ -329,6 +329,44 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
       Seq("doc_id", "chunk_id", "n_tokens", "chunk"))
   }
 
+  test("BPE chunking: window boundaries in SYMBOL units, merged ids, degenerate docs") {
+    val w = TextOps.ChunkWindow
+    val o = TextOps.ChunkOverlap
+    // one learned rule so merged-symbol ids are exercised; single-char
+    // words elsewhere keep 1 word = 1 symbol, making the boundary
+    // arithmetic readable in SYMBOL units (the meter under test)
+    val rules = Seq(("a", "b"))
+    val docs = Seq(
+      (1L, ""),                                // no symbols at all
+      (2L, "ab"),                              // one MERGED symbol
+      (3L, Seq.fill(w)("x").mkString(" ")),    // exactly window symbols
+      (4L, Seq.fill(w + 1)("x").mkString(" ")) // window+1 → 2 windows
+    ).toDF("doc_id", "text")
+    val got = TextOps.bpeChunkDocs(docs, rules).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getString(3)))
+      .toMap
+    // empty text filters to ZERO symbols (unlike chunkDocs, whose
+    // tokenizer keeps the empty token for text-surface fidelity): one
+    // zero-length model window, not a phantom token
+    assert(got((1L, 0L)) === ((0L, "")), "empty doc: one empty id window")
+    assert(got((2L, 0L)) ===
+      ((1L, (TextOps.BpeMergedIdOffset + 1).toString)),
+      "merged pair must encode as offset + rank")
+    assert(got.keys.count(_._1 == 3L) == 1, "exact-window doc: 1 window")
+    assert(got((3L, 0L))._1 === w.toLong)
+    assert(got((3L, 0L))._2 ===
+      Seq.fill(w)('x'.toInt.toString).mkString(","),
+      "base symbols must encode as code points")
+    assert(got.keys.count(_._1 == 4L) == 2, "window+1 doc: 2 windows")
+    assert(got((4L, 1L))._1 === (o + 1).toLong,
+      s"second window must carry overlap+1 symbols, got ${got((4L, 1L))._1}")
+    // no rules at all: every symbol is a single char, ids are ASCII
+    val plain = TextOps.bpeChunkDocs(docs.where(col("doc_id") === 2L), Nil)
+      .collect()
+    assert(plain.length === 1 &&
+      plain(0).getString(3) === s"${'a'.toInt},${'b'.toInt}")
+  }
+
   test("chunk retrieval and audio fingerprint on degenerate inputs") {
     import graft.operators.MultimodalOps
     val docs = weirdDocs.select("doc_id", "text")

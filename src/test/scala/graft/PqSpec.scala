@@ -216,6 +216,58 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       "probe attach is not a broadcast hash join")
   }
 
+  test("cell-partitioned CHUNK index: probed read scans only probed partitions; stored serve ≡ in-memory serve") {
+    // the x85/cindex twin of the doc-level artifact proof: the chunk
+    // corpus is bigger (one row per chunk), so the partition prune
+    // matters MORE here — scan metrics must show only probed cells read
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-civf").toString
+    val cents = VectorOps.trainedCentroids(emb)
+    val resBooks = VectorOps.pqResidualCodebooks(emb, cents)
+    val cidx = VectorOps.chunkIvfPqIndex(
+      VectorOps.chunkEmbeddings(docs, emb), cents, resBooks)
+    cidx.write.partitionBy("cell").parquet(s"$dir/cidx")
+    val queryIds = Seq(0L, 1L, 2L)
+    val probe = VectorOps.probePlanOf(emb, queryIds, cents, nprobe = 2)
+    val schema = "vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT"
+    val pruned = spark.read.schema(schema).parquet(s"$dir/cidx")
+      .where(col("cell").isin(probe.cells: _*))
+    val n = pruned.collect().length.toLong
+    val produced = pruned.queryExecution.executedPlan.collectLeaves()
+      .map(_.metrics("numOutputRows").value).sum
+    val perCell = spark.read.schema(schema).parquet(s"$dir/cidx")
+      .groupBy("cell").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = probe.cells.map(perCell.getOrElse(_, 0L)).sum
+    assert(expect > 0 && expect < perCell.values.sum,
+      "probes not selective on this fixture; test is vacuous")
+    assert(n === expect)
+    assert(produced === expect,
+      s"chunk scan produced $produced rows — unprobed partitions were " +
+        s"read (probed cells hold $expect)")
+    // stored-artifact MaxSim serve ≡ the same chain over the in-memory
+    // chunk-code frame (same probe ranking, same ADC, same windows)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4))).toSet
+    val fromIdx = VectorOps.chunkIvfPqTopKFromIndex(pruned, emb,
+      queryIds, 5, nprobe = 2, cents, resBooks, Some(probe.frame))
+    val inMem = VectorOps.chunkIvfPqTopKFromIndex(
+      cidx.where(col("cell").isin(probe.cells: _*)), emb,
+      queryIds, 5, nprobe = 2, cents, resBooks, Some(probe.frame))
+    assert(rows(fromIdx).nonEmpty && rows(fromIdx) === rows(inMem))
+    // plan shape: exactly ONE join — the broadcast probe attach; the
+    // chunk-code frame never joins another corpus-sized frame, and
+    // MaxSim is windows over probed survivors, not a join-back
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val joins = fromIdx.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.size === 1,
+      s"expected one join in the chunk artifact serve:\n${fromIdx.queryExecution.optimizedPlan}")
+    assert(fromIdx.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "chunk probe attach is not a broadcast hash join")
+  }
+
   test("PQ beats nothing it shouldn't: reconstructed self-cosine is high on real vectors") {
     // the compression sanity floor: a 64-dim vector reconstructed from
     // 8 sub-centroids should still point mostly the same way — mean
