@@ -365,17 +365,43 @@ object HybridOps {
     val chunks = graft.operators.Dedup.materialize(
       TextOps.chunkDocs(docs), checkpointDir)
     val (ctf, cdl) = TextOps.chunkBm25StatsFrom(chunks, checkpointDir)
-    val lex = TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, k)
     val cs = cents.getOrElse(VectorOps.trainedCentroids(embeddings))
     val bks = books.getOrElse(VectorOps.pqResidualCodebooks(embeddings, cs))
     val index = chunkIndex.getOrElse(VectorOps.chunkIvfPqIndex(
       VectorOps.chunkEmbeddingsFrom(chunks, embeddings), cs, bks))
-    val probe = VectorOps.probePlanOf(embeddings, queries.map(_._1),
-      cs, nprobe)
-    val dense = VectorOps.chunkIvfPqTopKFromIndex(
-      index.where(col("cell").isin(probe.cells: _*)), embeddings,
-      queries.map(_._1), k, nprobe, cs, bks, probes = Some(probe.frame))
-    rrfFuseChunked(lex, dense, k)
+    chunkHybridTopKFrom(ctf, cdl, index, embeddings, queries, k, cs, bks,
+      nprobe)
+  }
+
+  /** Artifact-fed chunk-level hybrid — [[chunkHybridTopK]]'s serve
+    * composition over PREBUILT frames: a stored/streamed chunk-lexical
+    * index (`ctf`/`cdl` — [[graft.serve.Retrieval]]'s v3 frames or
+    * [[graft.streaming.StreamingLexical]]'s resolved artifact) and a
+    * composite-key chunk-code frame (the snapshot's `cindex` or
+    * [[graft.streaming.StreamingVectorIndex]]'s resolved `civf`). The
+    * [[searchFrom]] convention at chunk level: scoring and fusion are
+    * the one batch code path, so batch and streamed chunk-hybrid
+    * serves stay equivalence-comparable row for row. */
+  def chunkHybridTopKFrom(ctf: DataFrame, cdl: DataFrame,
+      chunkIndex: DataFrame, embeddings: DataFrame,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      nprobe: Int = 2, policy: Fusion = Rrf): DataFrame = {
+    def lex = TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, k)
+    def dense = {
+      val probe = VectorOps.probePlanOf(embeddings, queries.map(_._1),
+        cents, nprobe)
+      VectorOps.chunkIvfPqTopKFromIndex(
+        chunkIndex.where(col("cell").isin(probe.cells: _*)), embeddings,
+        queries.map(_._1), k, nprobe, cents, books,
+        probes = Some(probe.frame))
+    }
+    policy match {
+      case LexicalOnly => lex
+      case DenseOnly => dense
+      case Rrf => rrfFuseChunked(lex, dense, k)
+      case Weighted(w) => weightedFuseChunked(lex, dense, k, w)
+    }
   }
 
   /** [[chunkHybridTopK]] oracle — the chunk-lexical chain and the

@@ -92,6 +92,13 @@ class StreamingLexical(artifactDir: String) {
   def artifact(spark: SparkSession): Option[(DataFrame, DataFrame)] =
     slices.resolved(spark).map(m => (m("tf"), m("dl")))
 
+  /** The accumulated CHUNK-level index frames `(ctf, cdl)` resolved to
+    * the live corpus — the chunk twin of [[artifact]], the frames
+    * [[graft.operators.HybridOps.chunkHybridTopKFrom]] and
+    * [[graft.operators.TextOps.bm25ChunkTopKFrom]] consume. */
+  def chunkArtifact(spark: SparkSession): Option[(DataFrame, DataFrame)] =
+    slices.resolved(spark).map(m => (m("ctf"), m("cdl")))
+
   /** Fold the accumulated slices into one compacted generation
     * ([[SlicedArtifact.compact]]): serve cost stops growing with batch
     * count, served results are unchanged, and the stream keeps indexing

@@ -188,15 +188,24 @@ class StreamingVectorIndex(artifactDir: String,
     * before the one broadcast join. */
   def chunkIvfTopK(spark: SparkSession, queryIds: Seq[Long], k: Int,
       nprobe: Int): Option[DataFrame] =
-    if (!chunked) None
-    else slices.resolved(spark).map { m =>
-      val cs = cents.get
-      val emb = m("emb")
-      val cidx = m("civf")
-        .select(col("cvec_id").as("vec_id"), col("codes"), col("cell"))
-      val probe = VectorOps.probePlanOf(emb, queryIds, cs, nprobe)
-      VectorOps.chunkIvfPqTopKFromIndex(
-        cidx.where(col("cell").isin(probe.cells: _*)),
-        emb, queryIds, k, nprobe, cs, books, probes = Some(probe.frame))
+    chunkArtifact(spark).flatMap { cidx =>
+      slices.resolved(spark).map { m =>
+        val cs = cents.get
+        val emb = m("emb")
+        val probe = VectorOps.probePlanOf(emb, queryIds, cs, nprobe)
+        VectorOps.chunkIvfPqTopKFromIndex(
+          cidx.where(col("cell").isin(probe.cells: _*)),
+          emb, queryIds, k, nprobe, cs, books, probes = Some(probe.frame))
+      }
     }
+
+  /** The resolved composite-key chunk-code frame `(vec_id, codes,
+    * cell)` (requires `chunked`) — the streamed twin of a snapshot's
+    * `cindex`, consumable by [[graft.operators.HybridOps
+    * .chunkHybridTopKFrom]] beside [[StreamingLexical.chunkArtifact]]
+    * for the full crawl-time chunk-hybrid serve. */
+  def chunkArtifact(spark: SparkSession): Option[DataFrame] =
+    if (!chunked) None
+    else slices.resolved(spark).map(m => m("civf")
+      .select(col("cvec_id").as("vec_id"), col("codes"), col("cell")))
 }

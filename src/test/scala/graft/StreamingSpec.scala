@@ -596,6 +596,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     sv.compact(spark)
     assert(rows(sv.chunkIvfTopK(spark, queryIds, 5, nprobe = 2).get) === want,
       "compaction changed the streamed chunk serve")
+
+    // the full crawl-time CHUNK HYBRID: the streamed chunk-lexical
+    // artifact and the streamed chunk-code artifact composed through
+    // the one batch seam must equal the batch chunk hybrid over the
+    // live corpus under the same fixed codebooks
+    val sl = new graft.streaming.StreamingLexical(tmp("scivf-lex").toString)
+    def asDocs(df: DataFrame, deleted: Boolean) =
+      df.select(col("vec_id").as("doc_id"), col("text"),
+        lit(deleted).as("is_deleted"))
+    sl.indexBatch(asDocs(joined.where(col("vec_id") < 200), false), 0)
+    sl.indexBatch(asDocs(joined.where(col("vec_id") >= 200 &&
+      col("vec_id") < 400).unionByName(recrawl), false), 1)
+    sl.indexBatch(asDocs(joined.where(col("vec_id") >= 100 &&
+      col("vec_id") < 150), true), 2)
+    val (ctfA, cdlA) = sl.chunkArtifact(spark).get
+    val queries = Seq(0L -> Seq("spark", "join"), 60L -> Seq("vector", "table"))
+    val hGot = rows(graft.operators.HybridOps.chunkHybridTopKFrom(
+      ctfA, cdlA, sv.chunkArtifact(spark).get, sv.artifact(spark).get._1,
+      queries, 5, cents, books))
+    val hWant = rows(graft.operators.HybridOps.chunkHybridTopK(
+      liveDocs, liveEmb, queries, 5, Some(cents), Some(books)))
+    assert(hWant.nonEmpty, "batch chunk-hybrid reference empty; vacuous")
+    assert(hGot === hWant,
+      "streamed chunk hybrid diverges from the batch chunk hybrid")
     // reopen hazard, chunk flavor: a chunked handle over an artifact
     // committed without civf slices fails loudly at construction
     val plainRoot = tmp("scivf-plain").toString
