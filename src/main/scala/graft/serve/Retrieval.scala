@@ -558,9 +558,11 @@ object Retrieval {
       }
       mergeBucketed(spark, s"$dir/emb", "vec_id", touchedVec,
         changedEmb, touchedVecPb, EmbSchema)
-      mergeBucketed(spark, s"$dir/vh", "vec_id", touchedVec,
-        newVh.join(touchedVec, Seq("vec_id"), "left_semi"), touchedVecPb,
-        VhSchema)
+      // vh does NOT merge here: the vector fingerprint certifies the
+      // chunk index too (a re-embedded doc's chunk vectors re-encode
+      // from the vh diff), so it merges only after cindex — a crash
+      // anywhere in between leaves the fingerprint stale and the rerun
+      // re-detects the full delta (the merge-before-fingerprint rule).
     }
     afterDenseMerge()
 
@@ -595,9 +597,9 @@ object Retrieval {
         touchedDocPb, CtfSchema)
       mergeBucketed(spark, s"$dir/cdl", "doc_id", touchedDoc, cdlNew,
         touchedDocPb, CdlSchema)
-      mergeBucketed(spark, s"$dir/dh", "doc_id", touchedDoc,
-        newDh.join(touchedDoc, Seq("doc_id"), "left_semi"), touchedDocPb,
-        DhSchema)
+      // dh merges after cindex, with vh — same certify-last rule: the
+      // doc fingerprint also certifies the chunk index (a text edit
+      // moves chunk boundaries), so it must not commit before cindex.
     }
 
     // ---- chunk-vector delta: a doc's chunk vectors change when its
@@ -641,6 +643,20 @@ object Retrieval {
           affectedCCells.map(_.toString))
       }
     }
+
+    // ---- fingerprints LAST: vh/dh certify every data frame above
+    // (including cindex, which depends on BOTH); committing them only
+    // after all data merges makes any crash re-detectable — a rerun
+    // sees the stale fingerprints, recomputes the same delta, and the
+    // per-partition merges are idempotent.
+    if (touchedVecPb.nonEmpty)
+      mergeBucketed(spark, s"$dir/vh", "vec_id", touchedVec,
+        newVh.join(touchedVec, Seq("vec_id"), "left_semi"), touchedVecPb,
+        VhSchema)
+    if (touchedDocPb.nonEmpty)
+      mergeBucketed(spark, s"$dir/dh", "doc_id", touchedDoc,
+        newDh.join(touchedDoc, Seq("doc_id"), "left_semi"), touchedDocPb,
+        DhSchema)
 
     load(spark, dir)
   }

@@ -308,32 +308,53 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     val docs0 = docs.where(col("doc_id") < 420)
     val emb0 = emb.where(col("vec_id") < 420)
     val prior = Retrieval.build(docs0, emb0, live)
+    // ids < 4: text AND vector re-crawled; [4,8): vector-ONLY re-embed
+    // — the case that catches a fingerprint committed before the chunk
+    // index it certifies (an early vh merge would leave the rerun with
+    // an empty vector delta and those docs' chunk codes stale forever)
     val docs1 = docs.where(col("doc_id") < 450)
       .withColumn("text", when(col("doc_id") < 4,
         concat(col("text"), lit(" recrawl two"))).otherwise(col("text")))
     val emb1 = emb.where(col("vec_id") < 450)
-      .withColumn("embedding", when(col("vec_id") < 4,
+      .withColumn("embedding", when(col("vec_id") < 8,
         reverse(col("embedding"))).otherwise(col("embedding")))
 
     // die after the dense side committed but before the lexical side —
-    // the snapshot is now MIXED-GENERATION (new index/emb, old tf/dl)
+    // the snapshot is now MIXED-GENERATION (new index/emb, old tf/dl,
+    // old cindex, and crucially STALE vh/dh: fingerprints commit last)
     object Crash extends Exception
     intercept[Crash.type] {
       Retrieval.rebuild(docs1, emb1, live,
         afterDenseMerge = () => throw Crash)
     }
     // still loadable (every partition directory is a complete
-    // generation), and a rerun of the SAME rebuild converges: the dense
-    // side diffs empty, the lexical side completes
+    // generation), and a rerun of the SAME rebuild converges: the
+    // stale fingerprints re-detect the full delta, every data merge is
+    // idempotent
     val recovered = Retrieval.rebuild(docs1, emb1, live)
     val want = Retrieval.build(docs1, emb1, s"$root/full",
       codebooks = Some((prior.cents, prior.books)))
     val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
     for (p <- Seq[HybridOps.Fusion](HybridOps.Rrf, HybridOps.LexicalOnly,
-        HybridOps.DenseOnly))
+        HybridOps.DenseOnly)) {
       assert(rows(recovered.search(queries, 5, p)) ===
         rows(want.search(queries, 5, p)),
         s"post-crash rerun did not converge under $p")
+      assert(rows(recovered.searchChunks(queries, 5, p)) ===
+        rows(want.searchChunks(queries, 5, p)),
+        s"post-crash chunk serve did not converge under $p")
+    }
+    // airtight, not just top-k-visible: the converged chunk index is
+    // ROW-IDENTICAL to the full fixed-codebook build's (deterministic
+    // encode, so set equality is exact) — a vector-only doc whose
+    // chunk codes stayed stale would differ here even if no query
+    // surfaces it
+    def cindexRows(d: String) = spark.read
+      .schema("vec_id BIGINT, codes ARRAY<BIGINT>, cell BIGINT")
+      .parquet(s"$d/cindex").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toSet
+    assert(cindexRows(live) === cindexRows(s"$root/full"),
+      "post-crash chunk index diverges from the full build")
   }
 
   test("a partition-swap crash window heals on load: no silent row loss") {
