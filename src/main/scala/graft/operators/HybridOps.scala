@@ -75,15 +75,22 @@ object HybridOps {
     * best chunk when that half ranks chunks too (the indexed MaxSim
     * serve), and the −1 sentinel only when it is doc-level (no chunk
     * evidence exists anywhere in the plan). */
+  /** The dense half's chunk attribution as a `d_chunk` column — the
+    * ONE adapter both chunked fusions share: a chunk-ranked dense
+    * frame (the indexed MaxSim serve) contributes its best chunk, a
+    * doc-level one contributes NULL so the lexical chunk / −1 coalesce
+    * chain decides. */
+  private def withDenseChunk(dense: DataFrame): DataFrame =
+    if (dense.columns.contains("chunk_id"))
+      dense.withColumnRenamed("chunk_id", "d_chunk")
+    else dense.withColumn("d_chunk", lit(null).cast("long"))
+
   def rrfFuseChunked(lex: DataFrame, dense: DataFrame, k: Int): DataFrame = {
     val d = rrfDenom(k)
     val l = lex.select(col("query_id"), col("doc_id"), col("chunk_id"),
       col("rn").as("lex_rn"))
-    val dChunk = if (dense.columns.contains("chunk_id"))
-      col("chunk_id").as("d_chunk")
-    else lit(null).cast("long").as("d_chunk")
-    val r = dense.select(col("query_id"), col("doc_id"), dChunk,
-      col("rn").as("dense_rn"))
+    val r = withDenseChunk(dense).select(col("query_id"), col("doc_id"),
+      col("d_chunk"), col("rn").as("dense_rn"))
     val fused = l.join(r, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("chunk_id"), col("d_chunk"), lit(-1L)).as("chunk_id"),
@@ -503,10 +510,7 @@ object HybridOps {
   def weightedFuseChunked(lex: DataFrame, dense: DataFrame, k: Int,
       w: Double = WeightedLexW): DataFrame = {
     val l = normed(lex, "score", "nlex", Seq("chunk_id"))
-    val dIn = if (dense.columns.contains("chunk_id"))
-      dense.withColumnRenamed("chunk_id", "d_chunk")
-    else dense.withColumn("d_chunk", lit(null).cast("long"))
-    val r = normed(dIn, "cosine", "ndense", Seq("d_chunk"))
+    val r = normed(withDenseChunk(dense), "cosine", "ndense", Seq("d_chunk"))
     val fused = l.join(r, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"),
         coalesce(col("chunk_id"), col("d_chunk"), lit(-1L)).as("chunk_id"),

@@ -1147,24 +1147,14 @@ object TextOps {
     * (encode folds + bounded `sequence` explode + array slice per
     * row), zero shuffle; the rules are k literals, not a join. */
   def bpeChunkDocs(docs: DataFrame, rules: Seq[(String, String)],
-      window: Int = ChunkWindow, overlap: Int = ChunkOverlap): DataFrame = {
-    require(window > overlap && overlap >= 0,
-      s"window=$window must exceed overlap=$overlap")
-    val step = window - overlap
-    docs.select(col("doc_id"), bpeSymsCol(col("text"), rules).as("syms"))
-      .select(col("doc_id"), col("syms"),
-        greatest(floor((size(col("syms")) - lit(overlap) + lit(step - 1)) /
-          lit(step)).cast("long"), lit(1L)).as("nc"))
-      .select(col("doc_id"), col("syms"),
-        explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
-      .select(col("doc_id"), col("chunk_id"),
-        slice(col("syms"), (col("chunk_id") * step + 1).cast("int"),
-          lit(window)).as("cs"))
+      window: Int = ChunkWindow, overlap: Int = ChunkOverlap): DataFrame =
+    windowSlices(
+      docs.select(col("doc_id"), bpeSymsCol(col("text"), rules).as("t")),
+      col("t"), window, overlap)
       .select(col("doc_id"), col("chunk_id"),
         size(col("cs")).cast("long").as("n_bpe_tokens"),
         array_join(transform(col("cs"),
           s => bpeIdOf(rules)(s).cast("string")), ",").as("token_ids_csv"))
-  }
 
   /** [[bpeChunkDocs]] oracle: [[bpeEncodeSql]]'s train + encode CTEs
     * (the applied rules ARE the verified learned rules), then
@@ -1172,7 +1162,6 @@ object TextOps {
     * list, then the id CASE ladder over each window's symbols. */
   def bpeChunkDocsSql(k: Int = BpeMerges, window: Int = ChunkWindow,
       overlap: Int = ChunkOverlap): String = {
-    val step = window - overlap
     val joins = (1 to k).map(r => s"LEFT JOIN b_$r bb$r ON true").mkString(" ")
     val caseId = (1 to k).reverse.foldLeft("CAST(ascii(s) AS BIGINT)") {
       (els, r) =>
@@ -1181,17 +1170,7 @@ object TextOps {
     }
     graft.operators.VectorOps.materializedCtes(
       s"""WITH ${bpeEncodeCtes(k)},
-         |bcn AS (
-         |  SELECT doc_id, syms,
-         |    greatest((len(syms) - $overlap + ${step - 1}) // $step, 1) AS nc
-         |  FROM ec
-         |), bcg AS (
-         |  SELECT doc_id, syms, unnest(range(0, nc)) AS chunk_id FROM bcn
-         |), bcc AS (
-         |  SELECT doc_id, chunk_id,
-         |    syms[(chunk_id * $step + 1):(chunk_id * $step + $window)] AS cs
-         |  FROM bcg
-         |)
+         |${windowSlicesSql("bc", "ec", "syms", window, overlap)}
          |SELECT doc_id, chunk_id, CAST(len(cs) AS BIGINT) AS n_bpe_tokens,
          |  array_to_string(list_transform(cs,
          |    s -> CAST(($caseId) AS VARCHAR)), ',') AS token_ids_csv
@@ -1267,24 +1246,56 @@ object TextOps {
     * rows land embedding-ready for [[graft.serve.Retrieval.build]]'s
     * corpus or the streaming indexes (chunk_id composes into the vec_id
     * space as `doc_id * maxChunks + chunk_id`). */
-  def chunkDocs(docs: DataFrame, window: Int = ChunkWindow,
-      overlap: Int = ChunkOverlap): DataFrame = {
+  /** THE window arithmetic, shared by [[chunkDocs]] (whitespace meter)
+    * and [[bpeChunkDocs]] (learned-token meter): explode a per-doc
+    * element list into `ceil((n − overlap) / step)` windows (min 1) of
+    * up to `window` elements, consecutive windows sharing `overlap`.
+    * Output `(doc_id, chunk_id, cs)` with `cs` the window's slice —
+    * one implementation (and one SQL twin, [[windowSlicesSql]]) so the
+    * two meters and their oracles can never drift on a boundary. */
+  private def windowSlices(src: DataFrame, listCol: Column,
+      window: Int, overlap: Int): DataFrame = {
     require(window > overlap && overlap >= 0,
       s"window=$window must exceed overlap=$overlap")
     val step = window - overlap
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        greatest(floor((size(col("toks")) - lit(overlap) + lit(step - 1)) /
+    src.select(col("doc_id"), listCol.as("xs"))
+      .select(col("doc_id"), col("xs"),
+        greatest(floor((size(col("xs")) - lit(overlap) + lit(step - 1)) /
           lit(step)).cast("long"), lit(1L)).as("nc"))
-      .select(col("doc_id"), col("toks"),
+      .select(col("doc_id"), col("xs"),
         explode(sequence(lit(0L), col("nc") - 1)).as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
-        slice(col("toks"), (col("chunk_id") * step + 1).cast("int"),
-          lit(window)).as("ct"))
-      .select(col("doc_id"), col("chunk_id"),
-        size(col("ct")).cast("long").as("n_tokens"),
-        array_join(col("ct"), " ").as("chunk"))
+        slice(col("xs"), (col("chunk_id") * step + 1).cast("int"),
+          lit(window)).as("cs"))
   }
+
+  /** [[windowSlices]]' oracle twin: the window CTEs over a preceding
+    * `srcName(doc_id, $listCol)` relation, ending in
+    * `${p}c(doc_id, chunk_id, cs)` — DuckDB's inclusive list slice
+    * `[a : a+window−1]` ≡ Spark's clamped `slice(a, window)`. */
+  private def windowSlicesSql(p: String, srcName: String, listCol: String,
+      window: Int, overlap: Int): String = {
+    val step = window - overlap
+    s"""${p}n AS (
+       |  SELECT doc_id, $listCol AS xs,
+       |    greatest((len($listCol) - $overlap + ${step - 1}) // $step, 1) AS nc
+       |  FROM $srcName
+       |), ${p}g AS (
+       |  SELECT doc_id, xs, unnest(range(0, nc)) AS chunk_id FROM ${p}n
+       |), ${p}c AS (
+       |  SELECT doc_id, chunk_id,
+       |    xs[(chunk_id * $step + 1):(chunk_id * $step + $window)] AS cs
+       |  FROM ${p}g
+       |)""".stripMargin
+  }
+
+  def chunkDocs(docs: DataFrame, window: Int = ChunkWindow,
+      overlap: Int = ChunkOverlap): DataFrame =
+    windowSlices(docs.select(col("doc_id"), tokens(col("text")).as("t")),
+      col("t"), window, overlap)
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cs")).cast("long").as("n_tokens"),
+        array_join(col("cs"), " ").as("chunk"))
 
   /** [[chunkDocs]] oracle — same integer chunk-count arithmetic
     * (`(n − overlap + step − 1) // step`, floored at 1), DuckDB's
@@ -1292,7 +1303,6 @@ object TextOps {
     * `slice(a, window)`. */
   def chunkDocsSql(window: Int = ChunkWindow,
       overlap: Int = ChunkOverlap, docsSql: Option[String] = None): String = {
-    val step = window - overlap
     // docsSql swaps the corpus for a derived `(doc_id, text)` SELECT
     // (the bm25TopKSql convention) — chunk-level oracles over evolved
     // corpora compose through here instead of duplicating the chunk
@@ -1302,19 +1312,9 @@ object TextOps {
       .getOrElse(("", "documents"))
     s"""WITH ${srcCte}t AS (
        |  SELECT doc_id, ${tokensSql("text")} AS toks FROM $srcName
-       |), n AS (
-       |  SELECT doc_id, toks,
-       |    greatest((len(toks) - $overlap + ${step - 1}) // $step, 1) AS nc
-       |  FROM t
-       |), g AS (
-       |  SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_id FROM n
-       |), c AS (
-       |  SELECT doc_id, chunk_id,
-       |    toks[(chunk_id * $step + 1):(chunk_id * $step + $window)] AS ct
-       |  FROM g
-       |)
-       |SELECT doc_id, chunk_id, CAST(len(ct) AS BIGINT) AS n_tokens,
-       |  array_to_string(ct, ' ') AS chunk
+       |), ${windowSlicesSql("", "t", "toks", window, overlap)}
+       |SELECT doc_id, chunk_id, CAST(len(cs) AS BIGINT) AS n_tokens,
+       |  array_to_string(cs, ' ') AS chunk
        |FROM c""".stripMargin
   }
 

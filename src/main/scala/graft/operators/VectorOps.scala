@@ -280,27 +280,87 @@ object VectorOps {
     * ids per chunk; the MaxSim window runs over probed survivors only,
     * never the corpus. Queries are DOC-level vectors (`embeddings`),
     * the [[multiVectorTopK]] convention. */
-  def chunkIvfPqTopKFromIndex(index: DataFrame, embeddings: DataFrame,
-      queryIds: Seq[Long], k: Int, nprobe: Int, cents: Seq[Seq[Double]],
+  /** The probe-pruned residual-ADC scoring shared by
+    * [[chunkIvfPqTopKFromIndex]] and [[chunkIvfPqRefineTopK]]'s stage
+    * 1: broadcast probe attach, composite-key decomposition, ADC
+    * cosine — `(query_id, doc_id, chunk_id, cosine)`, self-matches and
+    * NaNs screened. */
+  private def chunkAdcScored(index: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], nprobe: Int, cents: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]],
-      probes: Option[DataFrame] = None): DataFrame = {
+      probes: Option[DataFrame]): DataFrame = {
     val probeDf = probes.getOrElse(
       probeFrame(embeddings, queryIds, cents, nprobe))
     val cv = element_at(centArrayLit(cents), col("cell").cast("int") + 1)
       .getField("cv")
     val rv = zip_with(cv, reconOf(col("codes"), books), (x, y) => x + y)
-    val scored = index.join(broadcast(probeDf), Seq("cell"))
+    index.join(broadcast(probeDf), Seq("cell"))
       .select(col("query_id"),
         expr(s"vec_id DIV $ChunkStride").as("doc_id"),
         pmod(col("vec_id"), lit(ChunkStride)).as("chunk_id"),
         round(cosine(col("qv"), rv), 6).as("cosine"))
       .where(col("doc_id") =!= col("query_id") && !isnan(col("cosine")))
+  }
+
+  /** Best chunk per (query, doc), then docs ranked by that best-chunk
+    * cosine — the MaxSim + rank tail shared by every chunk-dense
+    * serve. */
+  private def maxSimRanked(scored: DataFrame, k: Int): DataFrame = {
     val wBest = Window.partitionBy("query_id", "doc_id")
       .orderBy(desc("cosine"), asc("chunk_id"))
     val best = scored.withColumn("rc", row_number().over(wBest))
       .where(col("rc") === 1).drop("rc")
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("doc_id"))
     best.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+  }
+
+  def chunkIvfPqTopKFromIndex(index: DataFrame, embeddings: DataFrame,
+      queryIds: Seq[Long], k: Int, nprobe: Int, cents: Seq[Seq[Double]],
+      books: Seq[Seq[Seq[Double]]],
+      probes: Option[DataFrame] = None): DataFrame =
+    maxSimRanked(
+      chunkAdcScored(index, embeddings, queryIds, nprobe, cents, books,
+        probes), k)
+
+  /** Two-stage CHUNK refine — [[ivfPqRefineTopK]]'s production shape
+    * (Jégou PAMI'11 §V re-ranking) at chunk level: stage 1 pulls an
+    * ADC shortlist of `r > k` CHUNKS per query from the probe-pruned
+    * composite-key index (codes-only bandwidth), stage 2 re-scores
+    * ONLY those r·|queries| chunk vectors exactly against the chunk
+    * float column, and MaxSim + doc rank run over the exact scores.
+    * Corrects quantization-induced rank inversions near the cut —
+    * including WITHIN a doc (the ADC best chunk can be the wrong
+    * passage; the exact rerank fixes the attribution too).
+    *
+    * `chunkEmb` is the full-precision `(doc_id, chunk_id, embedding)`
+    * frame ([[chunkEmbeddings]]' derivation or the external-model
+    * ingestion seam); the broadcast shortlist turns the rerank into
+    * one scan of it joined map-side — bounded lookups at corpus
+    * scale, never a per-chunk candidate scan. Recall ceiling is stage
+    * 1's candidate set (measured beside the plain ADC serve in
+    * [[annRecall]]). */
+  def chunkIvfPqRefineTopK(index: DataFrame, chunkEmb: DataFrame,
+      embeddings: DataFrame, queryIds: Seq[Long], k: Int, r: Int,
+      nprobe: Int, cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      probes: Option[DataFrame] = None): DataFrame = {
+    require(r >= k, s"shortlist r=$r must be >= k=$k")
+    val scored = chunkAdcScored(index, embeddings, queryIds, nprobe,
+      cents, books, probes)
+    val wS = Window.partitionBy("query_id")
+      .orderBy(desc("cosine"), asc("doc_id"), asc("chunk_id"))
+    val short = scored.withColumn("rs", row_number().over(wS))
+      .where(col("rs") <= r).select("query_id", "doc_id", "chunk_id")
+    val ce = chunkEmb.select(col("doc_id"), col("chunk_id"),
+      asDoubles(col("embedding")).as("v"))
+    val q = embeddings.where(col("vec_id").isin(queryIds.distinct: _*))
+      .select(col("vec_id").as("query_id"),
+        asDoubles(col("embedding")).as("qv"))
+    val exact = ce.join(broadcast(short), Seq("doc_id", "chunk_id"))
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("doc_id"), col("chunk_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .where(!isnan(col("cosine")))
+    maxSimRanked(exact, k)
   }
 
   /** [[chunkIvfPqTopKFromIndex]] oracle, generalized over train/serve
@@ -318,6 +378,7 @@ object VectorOps {
         "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\nFROM embeddings",
       serveDocsSql: Option[String] = None,
       allowedSql: Option[String] = None,
+      refine: Option[Int] = None,
       iters: Int = KMeansIters, m: Int = PqSubspaces,
       ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String = {
     // pre-filter semantics, the [[graft.serve.Retrieval]] filtered
@@ -326,6 +387,30 @@ object VectorOps {
     // probed cells stay collection-global
     val restrict = allowedSql
       .map(a => s" AND x.doc_id IN ($a)").getOrElse("")
+    // refine Some(r): [[chunkIvfPqRefineTopK]]'s two-stage tail — the
+    // ADC shortlist of r chunks per query re-scored EXACTLY against
+    // the serve corpus's chunk vectors (cke) before MaxSim/rank
+    val (maxSimSrc, refineCtes) = refine match {
+      case None => ("cscored", "")
+      case Some(r) => ("crfx",
+        s""", crfs AS (
+           |  SELECT query_id, doc_id, chunk_id FROM cscored
+           |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+           |  QUALIFY row_number() OVER (PARTITION BY query_id
+           |    ORDER BY cosine DESC, doc_id, chunk_id) <= $r
+           |), crfq AS (
+           |  SELECT vec_id AS query_id, v AS qv FROM ses
+           |  WHERE vec_id IN (${queryIds.mkString(",")})
+           |), crfx AS (
+           |  SELECT s.query_id, s.doc_id, s.chunk_id,
+           |    round(${dotSql("crfq.qv", "ck2.v")} /
+           |      (${normSql("crfq.qv")} * ${normSql("ck2.v")}), 6) AS cosine
+           |  FROM crfs s
+           |  JOIN cke ck2 ON ck2.doc_id = s.doc_id
+           |    AND ck2.chunk_id = s.chunk_id
+           |  JOIN crfq ON crfq.query_id = s.query_id
+           |)""".stripMargin)
+    }
     val d = Dim / m
     val perSub = (0 until m).map { mi =>
       val a = mi * d + 1
@@ -408,8 +493,8 @@ object VectorOps {
        |    round(${dotSql("p.qv", "x.rv")} /
        |      (${normSql("p.qv")} * ${normSql("x.rv")}), 6) AS cosine
        |  FROM cprobes p JOIN cxhat x ON x.cell = p.cell AND x.doc_id <> p.query_id$restrict
-       |), cbest AS (
-       |  SELECT query_id, doc_id, chunk_id, cosine FROM cscored
+       |)$refineCtes, cbest AS (
+       |  SELECT query_id, doc_id, chunk_id, cosine FROM $maxSimSrc
        |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
        |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
        |    ORDER BY cosine DESC, chunk_id) = 1
@@ -2289,12 +2374,16 @@ object VectorOps {
     Seq("binary", "ivf", "ivfpq", "ivfpq_res", "lsh", "multiprobe", "pq",
       "prefix", "quantized")
 
-  /** The CHUNK-level variant's method tag: [[chunkIvfPqTopKFromIndex]]'s
-    * doc-level output scored against its OWN exact baseline —
+  /** The CHUNK-level variants' method tags: [[chunkIvfPqTopKFromIndex]]
+    * (plain ADC) and [[chunkIvfPqRefineTopK]] (exact-reranked
+    * shortlist), each scored against their OWN exact baseline —
     * [[multiVectorTopK]]'s brute MaxSim (x83), not [[cosineTopK]]: the
     * chunk index answers the multi-vector task, so its recall is
     * meaningful only against the exact answer to that task. */
   val ChunkRecallMethod: String = "chunk_ivfpq"
+  val ChunkRefineRecallMethod: String = "chunk_ivfpq_refine"
+  private val ChunkRecallMethods = Seq(ChunkRecallMethod,
+    ChunkRefineRecallMethod)
 
   /** ANN index-quality harness: recall@k of every approximate variant
     * against the exact brute-force top-k, per query — THE acceptance
@@ -2345,19 +2434,23 @@ object VectorOps {
       case Some(d) =>
         val cs = centroids.getOrElse(trainedCentroids(embeddings))
         val rb = resBooks.getOrElse(pqResidualCodebooks(embeddings, cs))
-        val idx = chunkIndex.getOrElse(
-          chunkIvfPqIndex(chunkEmbeddings(d, embeddings), cs, rb))
+        val cEmb = chunkEmbeddings(d, embeddings)
+        val idx = chunkIndex.getOrElse(chunkIvfPqIndex(cEmb, cs, rb))
         val probe = probePlanOf(embeddings, queryIds, cs, nprobe = 2)
-        val chunkApprox = chunkIvfPqTopKFromIndex(
-          idx.where(col("cell").isin(probe.cells: _*)), embeddings,
+        val pruned = idx.where(col("cell").isin(probe.cells: _*))
+        val chunkApprox = chunkIvfPqTopKFromIndex(pruned, embeddings,
           queryIds, k, nprobe = 2, cs, rb, probes = Some(probe.frame))
           .select(lit(ChunkRecallMethod).as("method"), col("query_id"),
             col("doc_id").as("vec_id"))
-        val chunkExact = multiVectorTopK(chunkEmbeddings(d, embeddings),
-          embeddings, queryIds, k)
-          .select(lit(ChunkRecallMethod).as("method"), col("query_id"),
-            col("doc_id").as("vec_id"))
-        (docApprox.unionByName(chunkApprox),
+        val chunkRefine = chunkIvfPqRefineTopK(pruned, cEmb, embeddings,
+          queryIds, k, r = BinaryShortlist, nprobe = 2, cs, rb,
+          probes = Some(probe.frame))
+          .select(lit(ChunkRefineRecallMethod).as("method"),
+            col("query_id"), col("doc_id").as("vec_id"))
+        val chunkExact = multiVectorTopK(cEmb, embeddings, queryIds, k)
+          .select(explode(array(ChunkRecallMethods.map(lit): _*))
+            .as("method"), col("query_id"), col("doc_id").as("vec_id"))
+        (docApprox.unionByName(chunkApprox).unionByName(chunkRefine),
           exactTagged.unionByName(chunkExact))
     }
     val hits = approx
@@ -2392,11 +2485,16 @@ object VectorOps {
       "prefix" -> prefixTopKSql(queryIds, k))
     val unions = (RecallMethods.map { m =>
       s"  SELECT '$m' AS method, query_id, vec_id FROM (\n${variantSql(m)}\n  )"
-    } :+
+    } ++ Seq(
       s"""  SELECT '$ChunkRecallMethod' AS method, query_id, doc_id AS vec_id
          |  FROM (
          |${chunkIvfPqMaxSimSql(queryIds, k, nprobe = 2)}
-         |  )""".stripMargin)
+         |  )""".stripMargin,
+      s"""  SELECT '$ChunkRefineRecallMethod' AS method, query_id, doc_id AS vec_id
+         |  FROM (
+         |${chunkIvfPqMaxSimSql(queryIds, k, nprobe = 2,
+             refine = Some(BinaryShortlist))}
+         |  )""".stripMargin))
       .mkString("\n  UNION ALL\n")
     materializedCtes(s"""WITH exact AS (
        |  SELECT query_id, vec_id FROM (
@@ -2413,7 +2511,9 @@ object VectorOps {
        |  FROM (SELECT unnest([${RecallMethods.map("'" + _ + "'").mkString(", ")}]) AS method) m
        |  CROSS JOIN exact e
        |  UNION ALL
-       |  SELECT '$ChunkRecallMethod' AS method, query_id, vec_id FROM cexact
+       |  SELECT m2.method, c.query_id, c.vec_id
+       |  FROM (SELECT unnest([${ChunkRecallMethods.map("'" + _ + "'").mkString(", ")}]) AS method) m2
+       |  CROSS JOIN cexact c
        |), ex_n AS (
        |  SELECT method, query_id, count(*) AS exact_n
        |  FROM extag GROUP BY method, query_id

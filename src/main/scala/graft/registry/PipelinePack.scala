@@ -785,6 +785,25 @@ object PipelinePack extends QueryPack {
         nprobe = 2, cents, books, probes = Some(probe.frame))
         .orderBy("query_id", "rn")
     }),
+    // two-stage CHUNK refine — x63's production re-ranking shape at
+    // chunk level: ADC shortlist of 20 chunks per query from the
+    // probe-pruned composite-key index, exact rerank of only those
+    // chunk vectors, MaxSim + doc rank over the exact scores
+    "x87_chunk_refine" -> ((s, dir) => {
+      val cents = codebookFor(s, dir)
+      val books = pqResBooksFor(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      val path = chunkIvfPqIndexFor(s, dir, cents, books)
+      val probe = VectorOps.probePlanOf(emb, QueryVecs, cents, nprobe = 2)
+      val index = s.read.schema(IvfPqIndexSchema).parquet(path)
+        .where(col("cell").isin(probe.cells: _*))
+      val chunkEmb = VectorOps.chunkEmbeddings(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        emb.select("vec_id", "embedding"))
+      VectorOps.chunkIvfPqRefineTopK(index, chunkEmb, emb, QueryVecs, 5,
+        r = 20, nprobe = 2, cents, books, probes = Some(probe.frame))
+        .orderBy("query_id", "rn")
+    }),
     "x10_cosine_topk" -> ((s, dir) =>
       VectorOps.cosineTopK(Tables.embeddings(s, dir), QueryVecs, 10)
         .orderBy("query_id", "rn")),
@@ -1304,6 +1323,10 @@ object PipelinePack extends QueryPack {
       (VectorOps.multiVectorTopKSql(QueryVecs, 5) + "\nORDER BY query_id, rn"),
     "x85_chunk_ivfpq" ->
       (VectorOps.chunkIvfPqMaxSimSql(QueryVecs, 5, nprobe = 2) +
+        "\nORDER BY query_id, rn"),
+    "x87_chunk_refine" ->
+      (VectorOps.chunkIvfPqMaxSimSql(QueryVecs, 5, nprobe = 2,
+        refine = Some(20)) +
         "\nORDER BY query_id, rn"),
     "x84_chunk_hybrid" ->
       (graft.operators.HybridOps.chunkHybridTopKSql(Bm25Queries, 5) +

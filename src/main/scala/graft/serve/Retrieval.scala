@@ -74,14 +74,32 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     .select("doc_id", "dl")
   private lazy val index = serve.read
     .schema(Retrieval.IndexSchema).parquet(s"$dir/index")
-  private lazy val ctf = serve.read
-    .schema(Retrieval.CtfSchema).parquet(s"$dir/ctf")
-    .select("doc_id", "chunk_id", "token", "tf")
-  private lazy val cdl = serve.read
-    .schema(Retrieval.CdlSchema).parquet(s"$dir/cdl")
-    .select("doc_id", "chunk_id", "dl")
-  private lazy val cindex = serve.read
-    .schema(Retrieval.IndexSchema).parquet(s"$dir/cindex")
+  // chunk-frame accessors guard the layout AT THE CHUNK ENTRY, not in
+  // load(): a pre-v4 snapshot keeps serving every doc-level query
+  // during its migration window (search/searchFiltered need nothing
+  // from these frames), and the first CHUNK serve fails with the
+  // upgrade message instead of a raw missing-path error mid-plan.
+  private def requireChunkLayout(): Unit = {
+    val missing = Retrieval.missingChunkFrames(dir)
+    require(missing.isEmpty,
+      s"$dir predates the v${Retrieval.LayoutVersion} chunk-index " +
+        s"layout (missing ${missing.mkString(", ")}); publish once with " +
+        "build() to upgrade — doc-level serves remain available meanwhile")
+  }
+  private lazy val ctf = {
+    requireChunkLayout()
+    serve.read.schema(Retrieval.CtfSchema).parquet(s"$dir/ctf")
+      .select("doc_id", "chunk_id", "token", "tf")
+  }
+  private lazy val cdl = {
+    requireChunkLayout()
+    serve.read.schema(Retrieval.CdlSchema).parquet(s"$dir/cdl")
+      .select("doc_id", "chunk_id", "dl")
+  }
+  private lazy val cindex = {
+    requireChunkLayout()
+    serve.read.schema(Retrieval.IndexSchema).parquet(s"$dir/cindex")
+  }
 
   /** Dense top-k from the stored index: driver probe ranking → the
     * probed-cell filter prunes the partitioned index read → residual
@@ -343,6 +361,13 @@ object Retrieval {
       .map(_.split(",").toSeq
         .map(b => java.lang.Double.longBitsToDouble(b.toLong)))
 
+  /** The v4 chunk frames a snapshot directory is missing (empty =
+    * fully current layout) — shared by the handle's chunk-entry guard
+    * and [[rebuild]]'s pre-merge check. */
+  private[serve] def missingChunkFrames(dir: String): Seq[String] =
+    Seq("ctf", "cdl", "cindex")
+      .filterNot(f => new java.io.File(s"$dir/$f").isDirectory)
+
   /** Merge-bucket count for the id-keyed frames (emb/tf/dl/dh): each is
     * written `partitionBy("pb")` with `pb = vec_id|doc_id mod this`, so
     * [[rebuild]] can rewrite only the buckets a delta touches (the
@@ -505,8 +530,13 @@ object Retrieval {
         new java.io.File(s"$dir/vh").isDirectory,
       s"$dir predates incremental rebuild (no dh/vh fingerprint " +
         "frames); publish once with build() to upgrade the layout")
-    // ctf/cdl/cindex presence is [[load]]'s layout guard — `prior`
-    // above already enforced it with the upgrade message.
+    // rebuild merges the chunk frames, so unlike load() it MUST hold
+    // the full v4 layout before any merge runs
+    val missingChunk = missingChunkFrames(dir)
+    require(missingChunk.isEmpty,
+      s"$dir predates the v$LayoutVersion chunk-index layout (missing " +
+        s"${missingChunk.mkString(", ")}); publish once with build() to " +
+        "upgrade the layout")
 
     // ---- dense delta: ids whose vector is new or changed / deleted,
     // detected on the thin stored fingerprints — the float column is
@@ -878,15 +908,10 @@ object Retrieval {
       recoverAside(dir)
     require(java.nio.file.Files.exists(root.resolve("codebook.txt")),
       s"$dir is not a published retrieval snapshot")
-    // layout guard at LOAD, not lazily at first chunk serve: an old
-    // snapshot would otherwise fail deep in a query plan with a raw
-    // "Path does not exist" instead of naming the fix
-    val missing = Seq("ctf", "cdl", "cindex")
-      .filterNot(f => new java.io.File(s"$dir/$f").isDirectory)
-    require(missing.isEmpty,
-      s"$dir predates the v$LayoutVersion chunk-index layout (missing " +
-        s"${missing.mkString(", ")}); publish once with build() to " +
-        "upgrade the layout")
+    // NO layout guard here: a pre-v4 snapshot must keep serving its
+    // doc-level queries; the chunk accessors and rebuild() carry the
+    // guard with the upgrade message (availability over strictness
+    // during a layout migration).
     healMergeAsides(dir) // heal a crashed in-place rebuild before any read
     val cents = readBooks(root.resolve("codebook.txt"))
     val books = readBooks(root.resolve("pqbooks.txt"))

@@ -188,16 +188,25 @@ class StreamingVectorIndex(artifactDir: String,
     * before the one broadcast join. */
   def chunkIvfTopK(spark: SparkSession, queryIds: Seq[Long], k: Int,
       nprobe: Int): Option[DataFrame] =
-    chunkArtifact(spark).flatMap { cidx =>
-      slices.resolved(spark).map { m =>
-        val cs = cents.get
-        val emb = m("emb")
-        val probe = VectorOps.probePlanOf(emb, queryIds, cs, nprobe)
-        VectorOps.chunkIvfPqTopKFromIndex(
-          cidx.where(col("cell").isin(probe.cells: _*)),
-          emb, queryIds, k, nprobe, cs, books, probes = Some(probe.frame))
-      }
+    // ONE resolution for both frames: separate resolved() calls would
+    // pay the slice listing twice AND could straddle a compaction
+    // pointer swap, serving the chunk codes and the query vectors from
+    // different artifact generations within one query
+    if (!chunked) None
+    else slices.resolved(spark).map { m =>
+      val cs = cents.get
+      val emb = m("emb")
+      val cidx = civfAsIndex(m("civf"))
+      val probe = VectorOps.probePlanOf(emb, queryIds, cs, nprobe)
+      VectorOps.chunkIvfPqTopKFromIndex(
+        cidx.where(col("cell").isin(probe.cells: _*)),
+        emb, queryIds, k, nprobe, cs, books, probes = Some(probe.frame))
     }
+
+  /** Re-expose the composite id a resolved `civf` slice stores beside
+    * its parent-doc resolution key (see the class doc). */
+  private def civfAsIndex(civf: DataFrame): DataFrame =
+    civf.select(col("cvec_id").as("vec_id"), col("codes"), col("cell"))
 
   /** The resolved composite-key chunk-code frame `(vec_id, codes,
     * cell)` (requires `chunked`) — the streamed twin of a snapshot's
@@ -206,6 +215,5 @@ class StreamingVectorIndex(artifactDir: String,
     * for the full crawl-time chunk-hybrid serve. */
   def chunkArtifact(spark: SparkSession): Option[DataFrame] =
     if (!chunked) None
-    else slices.resolved(spark).map(m => m("civf")
-      .select(col("cvec_id").as("vec_id"), col("codes"), col("cell")))
+    else slices.resolved(spark).map(m => civfAsIndex(m("civf")))
 }
