@@ -371,6 +371,29 @@ object VectorOps {
     * assigned + residual-encoded under the FIXED books; probes draw the
     * DOC-level query vectors from the serve corpus; ADC → MaxSim → doc
     * rank. Defaults = the full fixture on both sides (the x85 chain). */
+  /** [[chunkIvfPqRefineTopK]]'s two-stage oracle tail: the ADC
+    * shortlist of `r` chunks per query re-scored EXACTLY against the
+    * serve corpus's chunk vectors (`cke`) — appended after `cscored`
+    * by [[chunkIvfPqMaxSimSql]] and [[chunkRecallPairSql]]. */
+  private def chunkRefineCtesSql(queryIds: Seq[Long], r: Int): String =
+    s""", crfs AS (
+       |  SELECT query_id, doc_id, chunk_id FROM cscored
+       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, doc_id, chunk_id) <= $r
+       |), crfq AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM ses
+       |  WHERE vec_id IN (${queryIds.mkString(",")})
+       |), crfx AS (
+       |  SELECT s.query_id, s.doc_id, s.chunk_id,
+       |    round(${dotSql("crfq.qv", "ck2.v")} /
+       |      (${normSql("crfq.qv")} * ${normSql("ck2.v")}), 6) AS cosine
+       |  FROM crfs s
+       |  JOIN cke ck2 ON ck2.doc_id = s.doc_id
+       |    AND ck2.chunk_id = s.chunk_id
+       |  JOIN crfq ON crfq.query_id = s.query_id
+       |)""".stripMargin
+
   def chunkIvfPqMaxSimSql(queryIds: Seq[Long], k: Int, nprobe: Int,
       trainEmbSql: String =
         "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\nFROM embeddings",
@@ -381,36 +404,72 @@ object VectorOps {
       refine: Option[Int] = None,
       iters: Int = KMeansIters, m: Int = PqSubspaces,
       ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String = {
+    val (maxSimSrc, refineCtes) = refine match {
+      case None => ("cscored", "")
+      case Some(r) => ("crfx", chunkRefineCtesSql(queryIds, r))
+    }
+    materializedCtes(s"""WITH ${chunkAdcChainSql(queryIds, nprobe,
+        trainEmbSql, serveEmbSql, serveDocsSql, allowedSql, iters, m,
+        ksub, pqIters)}$refineCtes, cbest AS (
+       |  SELECT query_id, doc_id, chunk_id, cosine FROM $maxSimSrc
+       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+       |    ORDER BY cosine DESC, chunk_id) = 1
+       |)
+       |SELECT query_id, doc_id, chunk_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, doc_id) AS rn
+       |FROM cbest
+       |QUALIFY rn <= $k""".stripMargin)
+  }
+
+  /** BOTH chunk variants (plain ADC and refine) ranked off ONE shared
+    * train→encode→probe chain, tagged by method — [[annRecallSql]]'s
+    * chunk block: embedding the two as independent subqueries would
+    * make DuckDB materialize the identical training chain twice per
+    * gate run. */
+  private[graft] def chunkRecallPairSql(queryIds: Seq[Long], k: Int,
+      nprobe: Int, r: Int): String =
+    materializedCtes(s"""WITH ${chunkAdcChainSql(queryIds, nprobe,
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\nFROM embeddings",
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\nFROM embeddings",
+        None, None, KMeansIters, PqSubspaces, PqSubCentroids,
+        PqIters)}${chunkRefineCtesSql(queryIds, r)}, pbst AS (
+       |  SELECT query_id, doc_id, chunk_id, cosine FROM cscored
+       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+       |    ORDER BY cosine DESC, chunk_id) = 1
+       |), rbst AS (
+       |  SELECT query_id, doc_id, chunk_id, cosine FROM crfx
+       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+       |    ORDER BY cosine DESC, chunk_id) = 1
+       |)
+       |SELECT '$ChunkRecallMethod' AS method, query_id, doc_id AS vec_id
+       |FROM (SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+       |  FROM pbst)
+       |WHERE rn <= $k
+       |UNION ALL
+       |SELECT '$ChunkRefineRecallMethod' AS method, query_id, doc_id AS vec_id
+       |FROM (SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+       |  FROM rbst)
+       |WHERE rn <= $k""".stripMargin)
+
+  /** The shared train → residual-book → chunk-encode → probe → ADC CTE
+    * chain, ending at `cscored` (no WITH prefix) — single-sourced for
+    * [[chunkIvfPqMaxSimSql]] and [[chunkRecallPairSql]]. */
+  private def chunkAdcChainSql(queryIds: Seq[Long], nprobe: Int,
+      trainEmbSql: String, serveEmbSql: String,
+      serveDocsSql: Option[String], allowedSql: Option[String],
+      iters: Int, m: Int, ksub: Int, pqIters: Int): String = {
     // pre-filter semantics, the [[graft.serve.Retrieval]] filtered
     // serve's: the allowed doc-id list restricts candidates BEFORE the
     // MaxSim/rank (all of a filtered doc's chunks drop together); the
     // probed cells stay collection-global
     val restrict = allowedSql
       .map(a => s" AND x.doc_id IN ($a)").getOrElse("")
-    // refine Some(r): [[chunkIvfPqRefineTopK]]'s two-stage tail — the
-    // ADC shortlist of r chunks per query re-scored EXACTLY against
-    // the serve corpus's chunk vectors (cke) before MaxSim/rank
-    val (maxSimSrc, refineCtes) = refine match {
-      case None => ("cscored", "")
-      case Some(r) => ("crfx",
-        s""", crfs AS (
-           |  SELECT query_id, doc_id, chunk_id FROM cscored
-           |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
-           |  QUALIFY row_number() OVER (PARTITION BY query_id
-           |    ORDER BY cosine DESC, doc_id, chunk_id) <= $r
-           |), crfq AS (
-           |  SELECT vec_id AS query_id, v AS qv FROM ses
-           |  WHERE vec_id IN (${queryIds.mkString(",")})
-           |), crfx AS (
-           |  SELECT s.query_id, s.doc_id, s.chunk_id,
-           |    round(${dotSql("crfq.qv", "ck2.v")} /
-           |      (${normSql("crfq.qv")} * ${normSql("ck2.v")}), 6) AS cosine
-           |  FROM crfs s
-           |  JOIN cke ck2 ON ck2.doc_id = s.doc_id
-           |    AND ck2.chunk_id = s.chunk_id
-           |  JOIN crfq ON crfq.query_id = s.query_id
-           |)""".stripMargin)
-    }
     val d = Dim / m
     val perSub = (0 until m).map { mi =>
       val a = mi * d + 1
@@ -427,7 +486,7 @@ object VectorOps {
     val ccodes = (0 until m)
       .map(mi => s"SELECT vec_id, CAST($mi AS INT) AS sub, code FROM cc_$mi")
       .mkString("ccodes AS (\n", "\n  UNION ALL\n", "\n)")
-    materializedCtes(s"""WITH e AS (
+    s"""e AS (
        |$trainEmbSql
        |),
        |${kmeansCtes(NumCentroids, iters)},
@@ -493,17 +552,7 @@ object VectorOps {
        |    round(${dotSql("p.qv", "x.rv")} /
        |      (${normSql("p.qv")} * ${normSql("x.rv")}), 6) AS cosine
        |  FROM cprobes p JOIN cxhat x ON x.cell = p.cell AND x.doc_id <> p.query_id$restrict
-       |)$refineCtes, cbest AS (
-       |  SELECT query_id, doc_id, chunk_id, cosine FROM $maxSimSrc
-       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
-       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
-       |    ORDER BY cosine DESC, chunk_id) = 1
-       |)
-       |SELECT query_id, doc_id, chunk_id, cosine,
-       |  row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cosine DESC, doc_id) AS rn
-       |FROM cbest
-       |QUALIFY rn <= $k""".stripMargin)
+       |)""".stripMargin
   }
 
   // --- random-hyperplane LSH (x11/x12) ------------------------------------
@@ -2485,16 +2534,13 @@ object VectorOps {
       "prefix" -> prefixTopKSql(queryIds, k))
     val unions = (RecallMethods.map { m =>
       s"  SELECT '$m' AS method, query_id, vec_id FROM (\n${variantSql(m)}\n  )"
-    } ++ Seq(
-      s"""  SELECT '$ChunkRecallMethod' AS method, query_id, doc_id AS vec_id
-         |  FROM (
-         |${chunkIvfPqMaxSimSql(queryIds, k, nprobe = 2)}
-         |  )""".stripMargin,
-      s"""  SELECT '$ChunkRefineRecallMethod' AS method, query_id, doc_id AS vec_id
-         |  FROM (
-         |${chunkIvfPqMaxSimSql(queryIds, k, nprobe = 2,
-             refine = Some(BinaryShortlist))}
-         |  )""".stripMargin))
+    } :+
+      // BOTH chunk variants off one shared chain (the training CTEs
+      // are the expensive part; two independent subqueries would
+      // materialize them twice)
+      s"""  SELECT method, query_id, vec_id FROM (
+         |${chunkRecallPairSql(queryIds, k, nprobe = 2, r = BinaryShortlist)}
+         |  )""".stripMargin)
       .mkString("\n  UNION ALL\n")
     materializedCtes(s"""WITH exact AS (
        |  SELECT query_id, vec_id FROM (
