@@ -268,6 +268,36 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       "chunk probe attach is not a broadcast hash join")
   }
 
+  test("chunk refine lifts MaxSim recall over plain ADC at sf0.01 (the x87 claim, measured)") {
+    // deterministic at a fixed fixture (no randomness anywhere in the
+    // chain), so this pins the refine-justifies-its-cost claim the
+    // same way the doc-level refine test pins x63's — r14 measurement:
+    // adc 0.33, refine 0.67 over x44's 3 queries; 6 queries here
+    val e01 = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val d01 = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val cents = VectorOps.trainedCentroids(e01)
+    val rb = VectorOps.pqResidualCodebooks(e01, cents)
+    val cEmb = VectorOps.chunkEmbeddings(d01, e01)
+    val idx = VectorOps.chunkIvfPqIndex(cEmb, cents, rb)
+    val qs = Seq(0L, 1L, 2L, 3L, 4L, 5L)
+    val probe = VectorOps.probePlanOf(e01, qs, cents, nprobe = 2)
+    val pruned = idx.where(col("cell").isin(probe.cells: _*))
+    def docSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = docSet(VectorOps.multiVectorTopK(cEmb, e01, qs, 5))
+    val plain = docSet(VectorOps.chunkIvfPqTopKFromIndex(pruned, e01,
+      qs, 5, nprobe = 2, cents, rb, Some(probe.frame)))
+    val refined = docSet(VectorOps.chunkIvfPqRefineTopK(pruned, cEmb,
+      e01, qs, 5, r = 20, nprobe = 2, cents, rb, Some(probe.frame)))
+    val rPlain = plain.count(exact.contains).toDouble / exact.size
+    val rRef = refined.count(exact.contains).toDouble / exact.size
+    info(f"sf0.01 chunk recall@5: adc $rPlain%.3f refine $rRef%.3f")
+    assert(rRef >= rPlain,
+      f"exact rerank lowered chunk recall: $rRef%.3f < $rPlain%.3f")
+  }
+
   test("PQ beats nothing it shouldn't: reconstructed self-cosine is high on real vectors") {
     // the compression sanity floor: a 64-dim vector reconstructed from
     // 8 sub-centroids should still point mostly the same way — mean
