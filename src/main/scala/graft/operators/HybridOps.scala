@@ -292,9 +292,10 @@ object HybridOps {
     * carrying the lex half's best chunk_id, the dense half's where
     * only it surfaced the doc. */
   def chunkSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
-      nprobe: Int): String =
+      nprobe: Int, refine: Option[Int] = None): String =
     chunkFusedSql(TextOps.bm25ChunkTopKSql(queries, k),
-      VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe), k)
+      VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe,
+        refine = refine), k)
 
   /** Oracle for [[graft.serve.Retrieval.searchChunksFiltered]] (x86):
     * [[chunkSearchSql]]'s fusion with BOTH halves candidate-restricted

@@ -480,6 +480,14 @@ object PipelinePack extends QueryPack {
     "x80_rebuild_chunk_search" -> ((s, dir) =>
       rebuildRetrievalFor(s, dir).searchChunks(Bm25Queries, 5)
         .orderBy("query_id", "rn")),
+    // the chunk serve under the REFINE policy: the snapshot's stored
+    // full-precision chunk column (v5's cemb) reranks the ADC
+    // shortlist exactly before MaxSim — the recall knob x44 prices
+    // (0.33 → 0.67 @5 at sf0.01), served end-to-end from the handle
+    "x88_chunk_refine_search" -> ((s, dir) =>
+      retrievalFor(s, dir).searchChunks(Bm25Queries, 5,
+        refine = Some(20))
+        .orderBy("query_id", "rn")),
     // metadata-filtered chunk serve: the allowed doc-id frame
     // restricts BOTH chunk-ranked halves before their ranks (a
     // filtered doc's chunks all drop together; stats and probed cells
@@ -1501,6 +1509,10 @@ object PipelinePack extends QueryPack {
       (graft.operators.HybridOps.chunkSearchFilteredSql(Bm25Queries, 5,
         nprobe = 2,
         "SELECT doc_id FROM documents WHERE doc_id % 3 = 0") +
+        "\nORDER BY query_id, rn"),
+    "x88_chunk_refine_search" ->
+      (graft.operators.HybridOps.chunkSearchSql(Bm25Queries, 5,
+        nprobe = 2, refine = Some(20)) +
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),

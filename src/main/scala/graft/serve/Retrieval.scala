@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   *  - `cindex/` — the CHUNK-vector residual IVFADC frame under the
   *    composite `(doc·2²⁰+chunk)` key, same cell-partitioned layout,
   *    serving the multi-vector MaxSim half of the chunk-level serve;
+  *  - `cemb/` — the full-precision chunk vectors (v5), read only for
+  *    the chunk refine's bounded shortlist rerank; when the snapshot
+  *    was built from caller-supplied chunk embeddings this frame IS
+  *    the durable copy of the external model's output;
   *  - `emb/` — the float column, read only for query-vector lookup and
   *    the bounded exact rerank (never scanned as stage 1);
   *  - `tf/` / `dl/` — the lexical index frames BM25 serves from;
@@ -100,6 +104,11 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     requireChunkLayout()
     serve.read.schema(Retrieval.IndexSchema).parquet(s"$dir/cindex")
   }
+  private lazy val cemb = {
+    requireChunkLayout()
+    serve.read.schema(Retrieval.CembSchema).parquet(s"$dir/cemb")
+      .select("doc_id", "chunk_id", "embedding")
+  }
 
   /** Dense top-k from the stored index: driver probe ranking → the
     * probed-cell filter prunes the partitioned index read → residual
@@ -151,12 +160,22 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * [[VectorOps.multiVectorTopK]] is the labeled exact baseline this
     * path's recall is measured against — `chunk_ivfpq` in
     * [[VectorOps.annRecall]]). */
-  def chunkDenseTopK(queryIds: Seq[Long], k: Int,
-      nprobe: Int = 2): DataFrame = {
+  def chunkDenseTopK(queryIds: Seq[Long], k: Int, nprobe: Int = 2,
+      refine: Option[Int] = None): DataFrame = {
     val probe = VectorOps.probePlanOf(emb, queryIds, cents, nprobe)
-    VectorOps.chunkIvfPqTopKFromIndex(
-      cindex.where(col("cell").isin(probe.cells: _*)),
-      emb, queryIds, k, nprobe, cents, books, probes = Some(probe.frame))
+    val pruned = cindex.where(col("cell").isin(probe.cells: _*))
+    refine match {
+      // two-stage serve: ADC shortlist of r chunks, exact rerank
+      // against the stored full-precision chunk column (layout v5's
+      // cemb — the external-model frame when the snapshot was built
+      // with caller-supplied chunk vectors), MaxSim over exact scores.
+      // x44's chunk rows price the trade: refine DOUBLED recall@5 at
+      // r·|q| bounded float reads in the r14 measurement.
+      case Some(r) => VectorOps.chunkIvfPqRefineTopK(pruned, cemb, emb,
+        queryIds, k, r, nprobe, cents, books, probes = Some(probe.frame))
+      case None => VectorOps.chunkIvfPqTopKFromIndex(pruned, emb,
+        queryIds, k, nprobe, cents, books, probes = Some(probe.frame))
+    }
   }
 
   /** Chunk-level serve — the production RAG shape the doc-level
@@ -174,8 +193,8 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * attribution join k-row lists. */
   def searchChunks(queries: Seq[(Long, Seq[String])], k: Int,
       policy: HybridOps.Fusion = HybridOps.Rrf,
-      nprobe: Int = 2): DataFrame = {
-    def dense = chunkDenseTopK(queries.map(_._1), k, nprobe)
+      nprobe: Int = 2, refine: Option[Int] = None): DataFrame = {
+    def dense = chunkDenseTopK(queries.map(_._1), k, nprobe, refine)
     // attribution rides each fusion join itself — each half's subtree
     // (posting prune + chunk scoring; pruned ADC + MaxSim) executes
     // exactly once per serve under every policy
@@ -214,14 +233,20 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * read instead of replacing it — the [[denseTopKAllowed]] shape at
     * chunk level. */
   private def chunkDenseTopKAllowed(qids: Seq[Long], allowed: DataFrame,
-      k: Int, nprobe: Int): DataFrame = {
+      k: Int, nprobe: Int, refine: Option[Int]): DataFrame = {
     val probe = VectorOps.probePlanOf(emb, qids, cents, nprobe)
     val pruned = cindex.where(col("cell").isin(probe.cells: _*))
       .join(broadcast(allowed.toDF("a_id")),
         expr(s"vec_id DIV ${VectorOps.ChunkStride}") === col("a_id"),
         "left_semi")
-    VectorOps.chunkIvfPqTopKFromIndex(pruned, emb, qids, k, nprobe,
-      cents, books, probes = Some(probe.frame))
+    refine match {
+      // the shortlist draws from the ALLOWED-filtered probed slice, so
+      // the exact rerank needs no second filter
+      case Some(r) => VectorOps.chunkIvfPqRefineTopK(pruned, cemb, emb,
+        qids, k, r, nprobe, cents, books, probes = Some(probe.frame))
+      case None => VectorOps.chunkIvfPqTopKFromIndex(pruned, emb, qids,
+        k, nprobe, cents, books, probes = Some(probe.frame))
+    }
   }
 
   /** Metadata-filtered chunk-level serve — [[searchFiltered]]'s
@@ -233,9 +258,10 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   def searchChunksFiltered(queries: Seq[(Long, Seq[String])],
       allowed: DataFrame, k: Int,
       policy: HybridOps.Fusion = HybridOps.Rrf,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = 2, refine: Option[Int] = None): DataFrame = {
     def lex = TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, k, Some(allowed))
-    def dense = chunkDenseTopKAllowed(queries.map(_._1), allowed, k, nprobe)
+    def dense = chunkDenseTopKAllowed(queries.map(_._1), allowed, k,
+      nprobe, refine)
     policy match {
       case HybridOps.LexicalOnly => lex
       case HybridOps.DenseOnly => dense
@@ -255,8 +281,10 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   /** [[searchChunks]] over raw query strings — the same tokenizer
     * symmetry as [[searchText]], for the chunk-level serve. */
   def searchTextChunks(queries: Seq[(Long, String)], k: Int,
-      policy: HybridOps.Fusion = HybridOps.Rrf, nprobe: Int = 2): DataFrame =
-    searchChunks(HybridOps.tokenizeQueries(queries), k, policy, nprobe)
+      policy: HybridOps.Fusion = HybridOps.Rrf, nprobe: Int = 2,
+      refine: Option[Int] = None): DataFrame =
+    searchChunks(HybridOps.tokenizeQueries(queries), k, policy, nprobe,
+      refine)
 
   /** Metadata-filtered serve from the stored artifacts — pre-filter
     * candidates, global stats ([[HybridOps.searchFiltered]]'s
@@ -294,6 +322,8 @@ object Retrieval {
     "doc_id BIGINT, chunk_id BIGINT, token STRING, tf BIGINT, pb INT"
   private[graft] val CdlSchema =
     "doc_id BIGINT, chunk_id BIGINT, dl BIGINT, pb INT"
+  private[graft] val CembSchema =
+    "doc_id BIGINT, chunk_id BIGINT, embedding ARRAY<FLOAT>, pb INT"
   private[graft] val DhSchema = "doc_id BIGINT, dh STRING, pb INT"
   private[graft] val VhSchema = "vec_id BIGINT, vh BIGINT, pb INT"
 
@@ -343,9 +373,11 @@ object Retrieval {
     * anything that keys cached snapshots by fixture identity, so a
     * layout change (v2: pb-bucketed frames + dh/vh fingerprints;
     * v3: ctf/cdl chunk-level lexical frames; v4: the cell-partitioned
-    * composite-key chunk-vector IVFADC frame `cindex/`) invalidates
-    * stale caches instead of tripping [[load]]'s layout check. */
-  val LayoutVersion = 4
+    * composite-key chunk-vector IVFADC frame `cindex/`; v5: the
+    * full-precision chunk-vector frame `cemb/` the refine serve
+    * reranks against) invalidates stale caches instead of tripping
+    * the chunk-entry layout check. */
+  val LayoutVersion = 5
 
   private def writeBooks(path: java.nio.file.Path,
       rows: Seq[Seq[Double]]): Unit = {
@@ -365,7 +397,7 @@ object Retrieval {
     * fully current layout) — shared by the handle's chunk-entry guard
     * and [[rebuild]]'s pre-merge check. */
   private[serve] def missingChunkFrames(dir: String): Seq[String] =
-    Seq("ctf", "cdl", "cindex")
+    Seq("ctf", "cdl", "cindex", "cemb")
       .filterNot(f => new java.io.File(s"$dir/$f").isDirectory)
 
   /** Merge-bucket count for the id-keyed frames (emb/tf/dl/dh): each is
@@ -410,8 +442,8 @@ object Retrieval {
     * delta-proportional encode/write. */
   def build(docs: DataFrame, embeddings: DataFrame, dir: String,
       checkpointDir: Option[String] = None,
-      codebooks: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None)
-      : Retrieval = {
+      codebooks: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None,
+      chunkEmb: Option[DataFrame] = None): Retrieval = {
     val spark = docs.sparkSession
     val staged = new java.io.File(s"$dir.tmp-${System.nanoTime()}")
     val (cents, books) = codebooks.getOrElse {
@@ -445,8 +477,23 @@ object Retrieval {
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/ctf")
     cdl.withColumn("pb", pb("doc_id"))
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/cdl")
-    VectorOps.chunkIvfPqIndex(
-      VectorOps.chunkEmbeddingsFrom(chunks, embeddings), cents, books)
+    // chunk vectors: `chunkEmb` is THE external-model ingestion seam
+    // made durable — a deployment that embeds chunks with a real model
+    // hands its `(doc_id, chunk_id, embedding)` frame here (chunk_ids
+    // must agree with the engine chunking that built ctf/cdl above);
+    // absent, the engine derivation applies. The FULL-PRECISION column
+    // persists as v5's `cemb` (doc-id-bucketed like its lexical
+    // twins), so the refine serve reranks against stored floats —
+    // bounded lookups at serve, and the only copy of real-model chunk
+    // vectors the snapshot ever needs. Materialized: it feeds both the
+    // cemb write and the cindex encode.
+    val cEmb = graft.operators.Dedup.materialize(
+      chunkEmb.getOrElse(
+        VectorOps.chunkEmbeddingsFrom(chunks, embeddings)), checkpointDir)
+    cEmb.select(col("doc_id"), col("chunk_id"), col("embedding"))
+      .withColumn("pb", pb("doc_id"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/cemb")
+    VectorOps.chunkIvfPqIndex(cEmb, cents, books)
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$staged/cindex")
     dhOf(docs).withColumn("pb", pb("doc_id"))
@@ -522,7 +569,8 @@ object Retrieval {
     * mixed-generation point). */
   def rebuild(docs: DataFrame, embeddings: DataFrame, dir: String,
       checkpointDir: Option[String] = None,
-      afterDenseMerge: () => Unit = () => ()): Retrieval = {
+      afterDenseMerge: () => Unit = () => (),
+      chunkEmb: Option[DataFrame] = None): Retrieval = {
     val spark = docs.sparkSession
     val prior = load(spark, dir)
     sweepMergeDebris(dir) // single-writer context: reclaim crashed-merge debris
@@ -650,13 +698,25 @@ object Retrieval {
       val changedChunkEmb = embeddings
         .join(touchedChunkDoc.select(col("doc_id").as("vec_id")),
           Seq("vec_id"), "left_semi")
+      // the chunk-vector delta: `chunkEmb` (the full NEW chunk frame,
+      // [[build]]'s external-model seam) restricted to the touched
+      // docs, or the engine derivation over them — materialized
+      // because it feeds the cemb merge AND the cindex encode
+      val cembDelta = graft.operators.Dedup.materialize(
+        chunkEmb
+          .map(_.join(touchedChunkDoc, Seq("doc_id"), "left_semi")
+            .select("doc_id", "chunk_id", "embedding"))
+          .getOrElse(VectorOps.chunkEmbeddingsFrom(
+            TextOps.chunkDocs(changedChunkDocs), changedChunkEmb)),
+        checkpointDir)
+      val touchedChunkPb = affectedPbsOf(touchedChunkDoc, "doc_id")
+      mergeBucketed(spark, s"$dir/cemb", "doc_id", touchedChunkDoc,
+        cembDelta, touchedChunkPb, CembSchema)
       // materialized: feeds the cell collect AND the cindex write, and
       // would otherwise run the chunk encode twice
       val newCIdx = graft.operators.Dedup.materialize(
-        VectorOps.chunkIvfPqIndex(
-          VectorOps.chunkEmbeddingsFrom(
-            TextOps.chunkDocs(changedChunkDocs), changedChunkEmb),
-          prior.cents, prior.books), checkpointDir)
+        VectorOps.chunkIvfPqIndex(cembDelta, prior.cents, prior.books),
+        checkpointDir)
       val oldCIdx = spark.read.schema(IndexSchema).parquet(s"$dir/cindex")
       val affectedCCells = oldCIdx
         .join(touchedChunkDoc, docIdOfVec === touchedChunkDoc("doc_id"),
@@ -721,7 +781,8 @@ object Retrieval {
     * [[sweepMergeDebris]]. */
   private val MergeFrames: Seq[(String, String)] =
     Seq("index" -> "cell", "cindex" -> "cell", "emb" -> "pb", "vh" -> "pb",
-      "tf" -> "pb", "dl" -> "pb", "dh" -> "pb", "ctf" -> "pb", "cdl" -> "pb")
+      "tf" -> "pb", "dl" -> "pb", "dh" -> "pb", "ctf" -> "pb",
+      "cdl" -> "pb", "cemb" -> "pb")
 
   /** Parsed `.aside-<v>-<nonce>` entries of a frame dir. Unparseable
     * names (debris from an interrupted mkdir or a manual copy) are

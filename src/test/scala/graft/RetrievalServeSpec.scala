@@ -144,7 +144,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       .map(d => d.getName -> d.lastModified()).toMap
     def pbDirs(frame: String) = new java.io.File(s"$live/$frame").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("pb=")).toSeq
-    val pbBefore = Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl")
+    val pbBefore = Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl", "cemb")
       .map(f => f -> pbDirs(f).map(d => d.getName -> d.lastModified()).toMap)
       .toMap
 
@@ -167,6 +167,13 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
         rows(want.searchChunks(queries, 5, p)),
         s"rebuilt chunk serve diverges from the full build under $p")
     }
+    // refine serve over the REBUILT snapshot: the merged cemb frame
+    // (text-only AND vector-only deltas both move chunk vectors)
+    // reranks identically to the full build's
+    assert(rows(rebuilt.searchChunks(queries, 5, HybridOps.Rrf, 2,
+        Some(8))) ===
+      rows(want.searchChunks(queries, 5, HybridOps.Rrf, 2, Some(8))),
+      "rebuilt refine chunk serve diverges from the full build")
 
     // delta-only writes: cells holding only untouched vectors must not
     // have been rewritten. Touched = old cells of changed/deleted ids
@@ -209,7 +216,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     // same for the id-bucketed frames: buckets holding no touched id
     // (touched = ids < 12, [416,424) → pb = id mod 32) must not move
     val touchedPb = (0L until 12L).map(_ % 32) ++ (416L until 424L).map(_ % 32)
-    for (f <- Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl");
+    for (f <- Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl", "cemb");
         d <- pbDirs(f)
         if !touchedPb.map(p => s"pb=$p").contains(d.getName)) {
       assert(pbBefore(f).contains(d.getName), s"$f/${d.getName} appeared")
@@ -276,7 +283,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     // incremental again (untouched buckets not rewritten, serve exact)
     def pbDirs(frame: String) = new java.io.File(s"$live/$frame").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("pb=")).toSeq
-    val pbBefore = Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl")
+    val pbBefore = Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl", "cemb")
       .map(f => f -> pbDirs(f).map(d => d.getName -> d.lastModified()).toMap)
       .toMap
     val docs2 = docs1.withColumn("text", when(col("doc_id") < 2,
@@ -287,7 +294,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(after.cents === retrained.cents && after.books === retrained.books,
       "post-retrain rebuild retrained again")
     val touchedPb = (0L until 2L).map(p => s"pb=$p").toSet
-    for (f <- Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl");
+    for (f <- Seq("emb", "vh", "tf", "dl", "dh", "ctf", "cdl", "cemb");
         d <- pbDirs(f) if !touchedPb.contains(d.getName))
       assert(d.lastModified() == pbBefore(f)(d.getName),
         s"$f/${d.getName} rewritten by a post-retrain delta that never touched it")
@@ -510,6 +517,33 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     // the index (the attribution is not degenerate)
     val multi = TextOps.chunkDocs(docs).where(col("chunk_id") > 0).count()
     assert(multi > 0L, "fixture has no multi-chunk docs; attribution vacuous")
+
+    // REFINE serve (v5): the handle's two-stage chunk-dense rides the
+    // stored full-precision cemb frame, and the fused refine serve is
+    // the composed fusion of the halves
+    val denseR = loaded.chunkDenseTopK(queries.map(_._1), 5,
+      refine = Some(8))
+    val fusedR = loaded.searchChunks(queries, 5, refine = Some(8))
+    assert(rows(fusedR) ===
+      rows(HybridOps.rrfFuseChunked(
+        TextOps.bm25ChunkTopK(docs, queries, 5), denseR, 5)),
+      "refine chunk serve diverges from the composed fusion")
+    // the exact rerank must actually change SOMETHING vs plain ADC on
+    // this fixture, or the refine path is vacuously equal
+    assert(rows(denseR) !==
+      rows(loaded.chunkDenseTopK(queries.map(_._1), 5)),
+      "refine indistinguishable from plain ADC here; assertions vacuous")
+
+    // the external-model seam, durable: a snapshot built from a
+    // CALLER-SUPPLIED chunk frame (here: the engine derivation handed
+    // in explicitly) serves bit-identically through every chunk path
+    val dirX = java.nio.file.Files.createTempDirectory("graft-chunkx")
+      .toString + "/snap"
+    val ext = Retrieval.build(docs, emb, dirX,
+      chunkEmb = Some(graft.operators.VectorOps.chunkEmbeddings(docs, emb)))
+    assert(rows(ext.searchChunks(queries, 5, refine = Some(8))) ===
+      rows(fusedR),
+      "externally-supplied chunk frame diverges from the engine derivation")
 
     // metadata-filtered chunk serve: only allowed docs surface, and
     // the lexical-only half equals the in-memory restricted chunk rank
