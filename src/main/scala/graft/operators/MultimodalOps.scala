@@ -422,30 +422,33 @@ object MultimodalOps {
   def audioFingerprint(spark: SparkSession,
       assetsDs: Dataset[AudioAsset]): Dataset[AudioFingerprint] = {
     import spark.implicits._
-    assetsDs.mapPartitions { it =>
-      it.map { a =>
-        val (_, n, bb) = parseWavHeader(a)
-        // fewer samples than frames would leave sample-less frames at
-        // zero energy while the oracle's fr CTE only materializes frames
-        // that RECEIVED samples — lag() would then compare non-adjacent
-        // frames and the fingerprint would silently diverge. Fail loudly
-        // (the header-parse convention) instead of emitting a fingerprint
-        // the oracle cannot reproduce.
-        require(n >= AudioFpFrames,
-          s"asset ${a.asset_id}: $n samples < $AudioFpFrames fingerprint " +
-            "frames — too short to fingerprint")
-        val ssq = new Array[Long](AudioFpFrames)
-        (0 until n).foreach { k =>
-          val s = bb.getShort.toInt
-          // long arithmetic: k * 16 overflows Int for WAVs past 2^27
-          // samples (~47 min at 48 kHz) — the oracle's BIGINT twin
-          ssq((k.toLong * AudioFpFrames / n).toInt) += s.toLong * s
-        }
-        val bits = (1 until AudioFpFrames)
-          .map(f => if (ssq(f) > ssq(f - 1)) '1' else '0').mkString
-        AudioFingerprint(a.asset_id, n, bits)
-      }
+    assetsDs.mapPartitions(it => it.map(fpOf))
+  }
+
+  /** One asset's fingerprint — the per-row arithmetic shared by
+    * [[audioFingerprint]] and [[audioFingerprintScreened]], top-level
+    * so task closures reference the module statically. */
+  private def fpOf(a: AudioAsset): AudioFingerprint = {
+    val (_, n, bb) = parseWavHeader(a)
+    // fewer samples than frames would leave sample-less frames at
+    // zero energy while the oracle's fr CTE only materializes frames
+    // that RECEIVED samples — lag() would then compare non-adjacent
+    // frames and the fingerprint would silently diverge. Fail loudly
+    // (the header-parse convention) instead of emitting a fingerprint
+    // the oracle cannot reproduce.
+    require(n >= AudioFpFrames,
+      s"asset ${a.asset_id}: $n samples < $AudioFpFrames fingerprint " +
+        "frames — too short to fingerprint")
+    val ssq = new Array[Long](AudioFpFrames)
+    (0 until n).foreach { k =>
+      val s = bb.getShort.toInt
+      // long arithmetic: k * 16 overflows Int for WAVs past 2^27
+      // samples (~47 min at 48 kHz) — the oracle's BIGINT twin
+      ssq((k.toLong * AudioFpFrames / n).toInt) += s.toLong * s
     }
+    val bits = (1 until AudioFpFrames)
+      .map(f => if (ssq(f) > ssq(f - 1)) '1' else '0').mkString
+    AudioFingerprint(a.asset_id, n, bits)
   }
 
   /** Ingest-scale twin of [[audioFingerprint]]: SCREEN AND QUARANTINE
@@ -459,26 +462,45 @@ object MultimodalOps {
     * asset that cannot fingerprint is a bug, not data, and must fail
     * loudly.
     *
-    * The header parses twice (screen + fingerprint) — deliberate:
-    * header-parse is a few dozen byte reads per row, and the
-    * alternative (caching a parsed mid-frame) would hold every
-    * asset's buffer across the partition. */
+    * ONE pass over the source: each row is screened AND fingerprinted
+    * in a single tagged `mapPartitions`, the tagged frame is
+    * materialized ([[Dedup.materialize]]), and both outputs are filters
+    * over it — so the source's media bytes are read and header-parsed
+    * exactly once per asset, and a non-deterministic or recomputed
+    * upstream can never land an asset in both frames or neither
+    * (the two-output single-read contract a tolerant ingest sink
+    * needs; an earlier draft ran two independent screening passes). */
   def audioFingerprintScreened(spark: SparkSession,
-      assetsDs: Dataset[AudioAsset])
+      assetsDs: Dataset[AudioAsset],
+      checkpointDir: Option[String] = None)
       : (Dataset[AudioFingerprint], DataFrame) = {
     import spark.implicits._
     // mapPartitions (the audioFingerprint pattern), NOT typed filter:
     // a Dataset.filter(func) predicate embeds its lambda uncleaned in
     // the plan, and one referencing this object's parse helper drags
     // the whole (non-serializable) module into the task binary
-    val quarantined = assetsDs.mapPartitions(it =>
-        it.flatMap(a => Option(fpQuarantineReason(a))
-          .map(r => (a.asset_id, r))))
-      .toDF("asset_id", "reason")
-    val ok = assetsDs.mapPartitions(it =>
-      it.filter(a => fpQuarantineReason(a) == null))
-    (audioFingerprint(spark, ok), quarantined)
+    val tagged = graft.operators.Dedup.materialize(
+      assetsDs.mapPartitions(it => it.map(screenedFpRow))
+        .toDF("asset_id", "n_samples", "afp", "reason"),
+      checkpointDir)
+    val ok = tagged.where(col("reason").isNull)
+      .select(col("asset_id"), col("n_samples"), col("afp"))
+      .as[AudioFingerprint]
+    (ok, tagged.where(col("reason").isNotNull).select("asset_id", "reason"))
   }
+
+  /** One asset screened and (when clean) fingerprinted — the single
+    * per-row pass behind [[audioFingerprintScreened]]: quarantined
+    * rows carry the reason and placeholder fingerprint fields, clean
+    * rows [[audioFingerprint]]'s exact arithmetic and a null reason.
+    * Top-level so task closures reference the module statically. */
+  private def screenedFpRow(a: AudioAsset): (Long, Int, String, String) =
+    fpQuarantineReason(a) match {
+      case null =>
+        val fp = fpOf(a)
+        (fp.asset_id, fp.n_samples, fp.afp, null)
+      case reason => (a.asset_id, 0, null, reason)
+    }
 
   /** Why an asset cannot fingerprint, or null — the
     * [[audioFingerprintScreened]] screen, a top-level method so task

@@ -83,29 +83,34 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   // during its migration window (search/searchFiltered need nothing
   // from these frames), and the first CHUNK serve fails with the
   // upgrade message instead of a raw missing-path error mid-plan.
-  private def requireChunkLayout(): Unit = {
-    val missing = Retrieval.missingChunkFrames(dir)
-    require(missing.isEmpty,
+  // PER FRAME, not all-four: each accessor checks only the directory
+  // it actually reads, so a v3 snapshot keeps serving its lexical
+  // chunk queries (ctf/cdl exist) through the cindex/cemb migration
+  // window, and a v4 snapshot keeps serving plain (non-refine) chunk
+  // queries that never read cemb — the same availability-over-
+  // strictness rule load() applies to the doc-level frames.
+  private def requireChunkFrame(frame: String): Unit =
+    require(new java.io.File(s"$dir/$frame").isDirectory,
       s"$dir predates the v${Retrieval.LayoutVersion} chunk-index " +
-        s"layout (missing ${missing.mkString(", ")}); publish once with " +
-        "build() to upgrade — doc-level serves remain available meanwhile")
-  }
+        s"layout (missing $frame/); publish once with build() to " +
+        "upgrade — serves not reading this frame remain available " +
+        "meanwhile")
   private lazy val ctf = {
-    requireChunkLayout()
+    requireChunkFrame("ctf")
     serve.read.schema(Retrieval.CtfSchema).parquet(s"$dir/ctf")
       .select("doc_id", "chunk_id", "token", "tf")
   }
   private lazy val cdl = {
-    requireChunkLayout()
+    requireChunkFrame("cdl")
     serve.read.schema(Retrieval.CdlSchema).parquet(s"$dir/cdl")
       .select("doc_id", "chunk_id", "dl")
   }
   private lazy val cindex = {
-    requireChunkLayout()
+    requireChunkFrame("cindex")
     serve.read.schema(Retrieval.IndexSchema).parquet(s"$dir/cindex")
   }
   private lazy val cemb = {
-    requireChunkLayout()
+    requireChunkFrame("cemb")
     serve.read.schema(Retrieval.CembSchema).parquet(s"$dir/cemb")
       .select("doc_id", "chunk_id", "embedding")
   }
@@ -400,6 +405,47 @@ object Retrieval {
     Seq("ctf", "cdl", "cindex", "cemb")
       .filterNot(f => new java.io.File(s"$dir/$f").isDirectory)
 
+  /** Chunk-vector provenance marker file + its two values — written by
+    * [[build]] beside the codebooks, consulted by [[rebuild]] and
+    * [[retrain]] before any chunk-frame merge. */
+  private val CembSourceFile = "cembsource.txt"
+  private val CembExternal = "external"
+  private val CembDerived = "derived"
+
+  /** The snapshot's recorded chunk-vector provenance; a missing marker
+    * (pre-provenance layout) reads as derived — the only provenance an
+    * old snapshot can hold, since the marker ships with the same build
+    * that made `chunkEmb` durable. */
+  private def cembSourceOf(dir: String): String = {
+    val f = java.nio.file.Paths.get(dir, CembSourceFile)
+    if (java.nio.file.Files.exists(f))
+      java.nio.file.Files.readString(f).trim
+    else CembDerived
+  }
+
+  /** Refuse a refresh whose `chunkEmb` argument disagrees with the
+    * snapshot's recorded chunk-vector provenance — EITHER direction
+    * silently mixes vector generations in cemb/cindex (touched docs on
+    * one derivation, untouched on the other) and the refine serve
+    * would rerank against inconsistent floats with no error anywhere.
+    * Switching provenance is a full [[build]] (every chunk row
+    * rewritten), never an incremental merge. */
+  private def requireCembSourceMatch(dir: String, verb: String,
+      chunkEmb: Option[DataFrame]): Unit = {
+    val external = cembSourceOf(dir) == CembExternal
+    require(!external || chunkEmb.isDefined,
+      s"$dir was built with caller-supplied (external-model) chunk " +
+        s"embeddings; $verb(chunkEmb = ...) is required — omitting it " +
+        "would replace touched docs' cemb/cindex rows with the engine " +
+        "parity derivation and the refine serve would rerank against " +
+        "mixed vector generations")
+    require(external || chunkEmb.isEmpty,
+      s"$dir holds engine-derived chunk embeddings; $verb(chunkEmb = " +
+        "...) would leave untouched docs on the derivation while " +
+        "touched docs take external vectors — switch provenance with a " +
+        "full build(chunkEmb = ...) instead")
+  }
+
   /** Merge-bucket count for the id-keyed frames (emb/tf/dl/dh): each is
     * written `partitionBy("pb")` with `pb = vec_id|doc_id mod this`, so
     * [[rebuild]] can rewrite only the buckets a delta touches (the
@@ -452,6 +498,15 @@ object Retrieval {
     }
     writeBooks(staged.toPath.resolve("codebook.txt"), cents)
     writeBooks(staged.toPath.resolve("pqbooks.txt"), books.flatten)
+    // chunk-vector PROVENANCE marker: records whether cemb/cindex hold
+    // caller-supplied (external-model) vectors or the engine parity
+    // derivation, so [[rebuild]]/[[retrain]] can refuse a refresh that
+    // would silently mix the two generations (the fail-loudly layout
+    // convention; a missing marker on a pre-v5 snapshot reads as
+    // derived, which is the only thing such a snapshot can hold)
+    java.nio.file.Files.writeString(
+      staged.toPath.resolve(CembSourceFile),
+      if (chunkEmb.isDefined) CembExternal else CembDerived)
     VectorOps.ivfPqIndex(embeddings, cents, books, residual = true)
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$staged/index")
@@ -531,7 +586,8 @@ object Retrieval {
     * Requires a live snapshot at `dir`: retrain is a migration, not a
     * first publish — use [[build]] to create a snapshot. */
   def retrain(docs: DataFrame, embeddings: DataFrame, dir: String,
-      checkpointDir: Option[String] = None): Retrieval = {
+      checkpointDir: Option[String] = None,
+      chunkEmb: Option[DataFrame] = None): Retrieval = {
     require(
       new java.io.File(dir, "codebook.txt").exists() || {
         recoverAside(dir) // a crashed prior swap still counts as live
@@ -539,7 +595,16 @@ object Retrieval {
       },
       s"$dir is not a live retrieval snapshot; retrain migrates an " +
         "existing publish — use build() for the first one")
-    build(docs, embeddings, dir, checkpointDir)
+    // a retrain rewrites every chunk row, so provenance can legally
+    // SWITCH to external here — but an external snapshot retrained
+    // without fresh external vectors would silently replace real-model
+    // output with the parity derivation, the one-way hazard to refuse
+    require(cembSourceOf(dir) != CembExternal || chunkEmb.isDefined,
+      s"$dir was built with caller-supplied (external-model) chunk " +
+        "embeddings; retrain(chunkEmb = ...) is required — omitting it " +
+        "would silently replace the real-model chunk vectors with the " +
+        "engine parity derivation")
+    build(docs, embeddings, dir, checkpointDir, chunkEmb = chunkEmb)
   }
 
   /** Incremental snapshot refresh — the fixed-codebook insight applied
@@ -585,6 +650,7 @@ object Retrieval {
       s"$dir predates the v$LayoutVersion chunk-index layout (missing " +
         s"${missingChunk.mkString(", ")}); publish once with build() to " +
         "upgrade the layout")
+    requireCembSourceMatch(dir, "rebuild", chunkEmb)
 
     // ---- dense delta: ids whose vector is new or changed / deleted,
     // detected on the thin stored fingerprints — the float column is

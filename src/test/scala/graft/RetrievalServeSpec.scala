@@ -566,4 +566,67 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(rows(loaded.searchTextChunks(rawQ, 5)) ===
       rows(loaded.searchChunks(HybridOps.tokenizeQueries(rawQ), 5)))
   }
+
+  test("chunk-vector provenance marker: refresh cannot mix external and derived generations") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cembsrc").toString
+    val d = docs.where(col("doc_id") < 60)
+    val e = emb.where(col("vec_id") < 60)
+    val ce = VectorOps.chunkEmbeddings(d, e)
+
+    // an EXTERNAL snapshot refuses a chunkEmb-less refresh on both
+    // maintenance paths — the silent-degradation hazard the marker
+    // exists to close — and accepts the matching one
+    val ext = s"$root/ext"
+    Retrieval.build(d, e, ext, chunkEmb = Some(ce))
+    val exMsgR = intercept[IllegalArgumentException] {
+      Retrieval.rebuild(d, e, ext)
+    }.getMessage
+    assert(exMsgR.contains("caller-supplied"), exMsgR)
+    val exMsgT = intercept[IllegalArgumentException] {
+      Retrieval.retrain(d, e, ext)
+    }.getMessage
+    assert(exMsgT.contains("caller-supplied"), exMsgT)
+    Retrieval.rebuild(d, e, ext, chunkEmb = Some(ce)) // matching: fine
+
+    // a DERIVED snapshot refuses an external incremental merge (the
+    // opposite mix) — provenance switches are a full build
+    val der = s"$root/der"
+    Retrieval.build(d, e, der)
+    val deMsg = intercept[IllegalArgumentException] {
+      Retrieval.rebuild(d, e, der, chunkEmb = Some(ce))
+    }.getMessage
+    assert(deMsg.contains("full build"), deMsg)
+    Retrieval.rebuild(d, e, der) // matching: fine
+    // retrain MAY switch a derived snapshot to external (full rewrite)
+    Retrieval.retrain(d, e, der, chunkEmb = Some(ce))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(der, "cembsource.txt")).trim === "external")
+  }
+
+  test("per-frame chunk guard: a snapshot missing only cemb still serves every non-refine chunk query") {
+    val root = java.nio.file.Files.createTempDirectory("graft-frameguard").toString
+    val d = docs.where(col("doc_id") < 60)
+    val e = emb.where(col("vec_id") < 60)
+    val dir = s"$root/snap"
+    Retrieval.build(d, e, dir)
+    val want = rows(Retrieval.load(spark, dir)
+      .searchChunks(Seq(0L -> Seq("spark", "join")), 5))
+
+    // simulate a v4 snapshot mid-migration: cemb/ absent
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(s"$dir/cemb"))
+    val h = Retrieval.load(spark, dir)
+    // plain ADC chunk serve never reads cemb — must keep serving
+    assert(rows(h.searchChunks(Seq(0L -> Seq("spark", "join")), 5)) === want)
+    // only the refine path (the one reader of cemb) fails, with the
+    // upgrade message naming the missing frame
+    val msg = intercept[IllegalArgumentException] {
+      h.searchChunks(Seq(0L -> Seq("spark", "join")), 5, refine = Some(8))
+        .collect()
+    }.getMessage
+    assert(msg.contains("cemb"), msg)
+  }
 }

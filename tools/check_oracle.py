@@ -61,6 +61,12 @@ def main(sf_dir, out_dir):
         # own overhead (the driver loads Spark results separately), and
         # counting them made a green run on a slow/loaded VM hard-fail
         # with no real oracle regression (r13 note: VM-to-VM drift)
+        # secs initialized BEFORE the try so a failure raised after the
+        # DuckDB query already ran (e.g. inside compare) keeps the
+        # measured execution time: a slow oracle must not escape the
+        # budget total or the SLOW ORACLE warning just because its
+        # comparison errored
+        secs = 0.0
         try:
             got = norm(pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(f"{d}/*.parquet"))], ignore_index=True))
             t0 = time.time()
@@ -68,7 +74,6 @@ def main(sf_dir, out_dir):
             secs = time.time() - t0
             status, detail = compare(got, want)
         except Exception as e:
-            secs = 0.0
             status, detail = "ERROR", str(e)[:300]
         total_secs += secs
         slow = f"  [SLOW ORACLE {secs:.1f}s - gate budget risk]" if secs > SLOW_ORACLE_SECS else ""
