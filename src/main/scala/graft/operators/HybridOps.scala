@@ -304,11 +304,12 @@ object HybridOps {
     * stay collection-global — the Lucene filter-query semantics the
     * doc-level [[searchFilteredSql]] pins, at chunk level. */
   def chunkSearchFilteredSql(queries: Seq[(Long, Seq[String])], k: Int,
-      nprobe: Int, allowedSql: String): String =
+      nprobe: Int, allowedSql: String,
+      refine: Option[Int] = None): String =
     chunkFusedSql(
       TextOps.bm25ChunkTopKSql(queries, k, allowedSql = Some(allowedSql)),
       VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe,
-        allowedSql = Some(allowedSql)), k)
+        allowedSql = Some(allowedSql), refine = refine), k)
 
   /** Oracle for the chunk-level serve over a REBUILT snapshot (x80):
     * [[chunkSearchSql]]'s fusion where BOTH halves see the REFRESHED

@@ -498,6 +498,17 @@ object PipelinePack extends QueryPack {
         Tables.documents(s, dir).select("doc_id")
           .where(col("doc_id") % 3 === 0), 5)
         .orderBy("query_id", "rn")),
+    // filtered AND refined — the production RAG query ("search within
+    // this tenant, exact-reranked"): x86's pre-filter composed with
+    // x88's two-stage refine, the shortlist drawn from the
+    // allowed-filtered probed slice and reranked against the stored
+    // full-precision cemb frame. The one user-reachable chunk-serve
+    // combination that previously had no oracle row.
+    "x89_chunk_refine_filtered" -> ((s, dir) =>
+      retrievalFor(s, dir).searchChunksFiltered(Bm25Queries,
+        Tables.documents(s, dir).select("doc_id")
+          .where(col("doc_id") % 3 === 0), 5, refine = Some(20))
+        .orderBy("query_id", "rn")),
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1513,6 +1524,12 @@ object PipelinePack extends QueryPack {
     "x88_chunk_refine_search" ->
       (graft.operators.HybridOps.chunkSearchSql(Bm25Queries, 5,
         nprobe = 2, refine = Some(20)) +
+        "\nORDER BY query_id, rn"),
+    "x89_chunk_refine_filtered" ->
+      (graft.operators.HybridOps.chunkSearchFilteredSql(Bm25Queries, 5,
+        nprobe = 2,
+        "SELECT doc_id FROM documents WHERE doc_id % 3 = 0",
+        refine = Some(20)) +
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),
