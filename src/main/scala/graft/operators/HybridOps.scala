@@ -311,6 +311,53 @@ object HybridOps {
       VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe,
         allowedSql = Some(allowedSql), refine = refine), k)
 
+  /** Oracle for the BPE-METERED chunk hybrid (x90): both halves rank
+    * model-context-true windows — the lexical half over BPE-SYMBOL
+    * chunk stats with the queries encoded to symbols IN SQL through
+    * the same learned rules ([[TextOps.bpeChunkLexCtesSql]]), the
+    * dense half the residual-IVFADC chunk chain keyed by the SAME
+    * window CTE (`bcc` — the chunk-once convention in SQL), fused
+    * under the standard chunk-attributed RRF tail.
+    *
+    * ONE WITH scope on purpose: the two-subquery [[chunkFusedSql]]
+    * shape re-materializes each half's training chains per reference
+    * (measured 30 s vs 8 s for this query's oracle at sf0.01) —
+    * sharing the BPE encode, the window slices, and the k-means/PQ
+    * chains across the halves is what makes the oracle affordable. */
+  def bpeChunkHybridSql(queries: Seq[(Long, Seq[String])], k: Int,
+      nprobe: Int): String = {
+    val d = rrfDenom(k)
+    VectorOps.materializedCtes(
+      s"""WITH ${TextOps.bpeChunkLexCtesSql(queries, k)},
+         |${VectorOps.chunkAdcChainSql(queries.map(_._1), nprobe,
+             chunkIdsSql = Some("SELECT doc_id, chunk_id FROM bcc"))},
+         |dbest AS (
+         |  SELECT query_id, doc_id, chunk_id, cosine FROM cscored
+         |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+         |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+         |    ORDER BY cosine DESC, chunk_id) = 1
+         |), cdense AS (
+         |  SELECT query_id, doc_id, chunk_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, doc_id) AS rn
+         |  FROM dbest
+         |  QUALIFY rn <= $k
+         |), cfused AS (
+         |  SELECT coalesce(l.query_id, r.query_id) AS query_id,
+         |    coalesce(l.doc_id, r.doc_id) AS doc_id,
+         |    coalesce(l.chunk_id, r.chunk_id, -1) AS chunk_id,
+         |    coalesce($d // ($RrfK + l.rn), 0) +
+         |      coalesce($d // ($RrfK + r.rn), 0) AS rrf
+         |  FROM clex l FULL OUTER JOIN cdense r
+         |    ON l.query_id = r.query_id AND l.doc_id = r.doc_id
+         |)
+         |SELECT query_id, doc_id, chunk_id, rrf,
+         |  row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf DESC, doc_id) AS rn
+         |FROM cfused
+         |QUALIFY rn <= $k""".stripMargin)
+  }
+
   /** Oracle for the chunk-level serve over a REBUILT snapshot (x80):
     * [[chunkSearchSql]]'s fusion where BOTH halves see the REFRESHED
     * corpus but the dense half's coarse + residual books train on the

@@ -152,14 +152,37 @@ object MultimodalOps {
     import spark.implicits._
     docs.select(col("doc_id")).as[Long].mapPartitions { it =>
       it.map { id =>
-        val (w, h) = dimsFor(id)
-        val img = new java.awt.image.BufferedImage(w, h,
-          java.awt.image.BufferedImage.TYPE_INT_RGB)
-        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixelRgb(id, x, y))
-        val out = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, if (id % 2 == 0) "png" else "bmp", out)
-        ImageAsset(id, out.toByteArray)
+        ImageAsset(id, encodeRaster(id, if (id % 2 == 0) "png" else "bmp"))
       }
+    }
+  }
+
+  /** The deterministic fixture raster of asset `id`, encoded with a
+    * named JDK writer — shared by the PNG/BMP generator above and the
+    * JPEG generator below. */
+  private def encodeRaster(id: Long, format: String): Array[Byte] = {
+    val (w, h) = dimsFor(id)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixelRgb(id, x, y))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** REAL JPEG bytes per document — the most common crawl image format,
+    * encoded from the same deterministic raster with the JDK's lossy
+    * JPEG writer (ships in `javax.imageio` like PNG/BMP). Pixel values
+    * do NOT round-trip (DCT quantization — which is why JPEG assets
+    * get their own decode query instead of joining m3's pixel-checked
+    * rows): container format and dimensions DO, and those are exactly
+    * the columns the m8 oracle checks; the raster is still really
+    * decompressed (spec-pinned: the decoded corner lands within a
+    * quantization tolerance of the encoded value). */
+  def jpegAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map(id => ImageAsset(id, encodeRaster(id, "jpg")))
     }
   }
 
@@ -303,6 +326,17 @@ object MultimodalOps {
        |  CAST(8 + doc_id % 24 AS INT) AS width,
        |  CAST(8 + (doc_id * 7) % 16 AS INT) AS height,
        |  CAST((doc_id % 256) * 65536 AS INT) AS corner_rgb
+       |FROM documents""".stripMargin
+
+  /** The m8 oracle: the JPEG decode's PARSE-DERIVED columns re-derived
+    * from the generator formulas — format sniffed by the real reader,
+    * dimensions preserved exactly by the codec; pixel columns are
+    * deliberately absent (JPEG is lossy — a pixel oracle would be
+    * asserting DCT arithmetic DuckDB cannot reproduce). */
+  def jpegDecodeSql: String =
+    s"""SELECT doc_id AS asset_id, 'jpeg' AS format,
+       |  CAST(8 + doc_id % 24 AS INT) AS width,
+       |  CAST(8 + (doc_id * 7) % 16 AS INT) AS height
        |FROM documents""".stripMargin
 
   // --- real decode: RIFF/WAVE PCM (pure byte-level parsing) ---------------

@@ -803,17 +803,24 @@ object TextOps {
     * parenthesization, same decimal grid in both emissions by
     * construction. */
   private def bm25RankCtesSql(p: String, keys: Seq[String],
-      queries: Seq[(Long, Seq[String])]): String = {
+      queries: Seq[(Long, Seq[String])],
+      // swaps the literal query-term VALUES for a derived
+      // `(query_id, token)` SELECT — the seam the BPE-symbol serve
+      // (x90) threads its in-SQL query encode through, so the oracle's
+      // query tokens derive from the SAME learned rules as its index
+      qSql: Option[String] = None): String = {
     val qvals = queries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val qCte = qSql
+      .map(s => s"${p}q AS (\n$s\n")
+      .getOrElse(s"${p}q(query_id, token) AS (VALUES $qvals\n")
     val keyList = keys.mkString(", ")
     s"""${p}stats AS (
        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
        |  FROM ${p}dl
        |), ${p}dfreq AS (
        |  SELECT token, count(*) AS df FROM ${p}tf GROUP BY token
-       |), ${p}q(query_id, token) AS (VALUES $qvals
-       |), ${p}scored AS (
+       |), $qCte), ${p}scored AS (
        |  SELECT ${p}q.query_id, ${keys.map(c => s"${p}tf.$c").mkString(", ")},
        |    CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
        |      * (tf * ${Bm25K1 + 1})
@@ -1091,25 +1098,32 @@ object TextOps {
     * corpus that exhausts before k rules no-ops the spare rounds
     * instead of NULLing the corpus — mirroring the Spark side's
     * shorter `rules` list. */
-  private def bpeEncodeCtes(k: Int): String = {
-    val joins = (1 to k).map(r => s"LEFT JOIN b_$r bb$r ON true").mkString(" ")
-    val chain = (1 to k).foldLeft(
+  /** The learned-rule join list (`LEFT JOIN b_r bbr ON true`) and the
+    * per-word encode-chain expression over a variable/column named `w`
+    * — the two snippets every SQL-side encode of ANYTHING (corpus
+    * docs, query terms) composes from, factored so the folds can never
+    * drift. */
+  private def bpeRuleJoinsSql(k: Int): String =
+    (1 to k).map(r => s"LEFT JOIN b_$r bb$r ON true").mkString(" ")
+  private def bpeWordChainSql(k: Int): String =
+    (1 to k).foldLeft(
       "array_to_string(list_transform(range(1, len(w) + 1), " +
         "i -> chr(1) || w[i:i] || chr(1)), '')") { (acc, r) =>
       s"""replace($acc,
          |      coalesce(chr(1) || bb$r.l || chr(1) || chr(1) || bb$r.r || chr(1), chr(2)),
          |      coalesce(chr(1) || bb$r.l || bb$r.r || chr(1), chr(2)))""".stripMargin
     }
+
+  private def bpeEncodeCtes(k: Int): String =
     s"""${bpeTrainingCtes(k)},
        |dt AS (
        |  SELECT doc_id, lang, list_filter(${tokensSql("text")}, x -> x <> '') AS toks
        |  FROM documents
        |), ec AS (
        |  SELECT doc_id, lang, flatten(list_transform(toks, w ->
-       |    list_filter(string_split($chain, chr(1)), x -> x <> ''))) AS syms
-       |  FROM dt $joins
+       |    list_filter(string_split(${bpeWordChainSql(k)}, chr(1)), x -> x <> ''))) AS syms
+       |  FROM dt ${bpeRuleJoinsSql(k)}
        |)""".stripMargin
-  }
 
   /** [[bpeEncode]] oracle: the training chain of [[bpeMergesSql]]
     * (same CTEs — the applied rules ARE the verified learned rules)
@@ -1148,13 +1162,157 @@ object TextOps {
     * row), zero shuffle; the rules are k literals, not a join. */
   def bpeChunkDocs(docs: DataFrame, rules: Seq[(String, String)],
       window: Int = ChunkWindow, overlap: Int = ChunkOverlap): DataFrame =
-    windowSlices(
-      docs.select(col("doc_id"), bpeSymsCol(col("text"), rules).as("t")),
-      col("t"), window, overlap)
+    bpeChunkSlices(docs, rules, window, overlap)
       .select(col("doc_id"), col("chunk_id"),
         size(col("cs")).cast("long").as("n_bpe_tokens"),
         array_join(transform(col("cs"),
           s => bpeIdOf(rules)(s).cast("string")), ",").as("token_ids_csv"))
+
+  /** The shared BPE-window slice frame `(doc_id, chunk_id, cs)` (cs =
+    * the window's SYMBOL list) behind [[bpeChunkDocs]],
+    * [[bpeChunkIds]] and [[bpeChunkBm25Stats]] — one encode + window
+    * pass, three projections. */
+  private def bpeChunkSlices(docs: DataFrame, rules: Seq[(String, String)],
+      window: Int, overlap: Int): DataFrame =
+    windowSlices(
+      docs.select(col("doc_id"), bpeSymsCol(col("text"), rules).as("t")),
+      col("t"), window, overlap)
+
+  /** Just the BPE-window keys `(doc_id, chunk_id)` — what the
+    * chunk-vector derivation needs to build a model-context-true chunk
+    * index ([[graft.operators.VectorOps.chunkEmbeddingsFrom]] keys
+    * vectors by (doc, window); this hands it BPE windows without
+    * paying [[bpeChunkDocs]]' id-ladder projection). */
+  def bpeChunkIds(docs: DataFrame, rules: Seq[(String, String)],
+      window: Int = BpeChunkWindow,
+      overlap: Int = BpeChunkOverlap): DataFrame =
+    bpeChunkSlices(docs, rules, window, overlap).select("doc_id", "chunk_id")
+
+  /** Chunk-level lexical index over BPE-METERED windows — the
+    * [[chunkBm25Stats]] frames with the chunk unit swapped to the
+    * model-context-true window and the token unit to the learned
+    * tokenizer's SYMBOLS: `(doc_id, chunk_id, token = symbol, tf)` and
+    * `(doc_id, chunk_id, dl = window symbol count)`. Subword symbols
+    * as the lexical unit is the standard trick for matching quality on
+    * morphology-rich text, and it is forced here anyway: a BPE window
+    * is a span of the symbol stream, not of the text surface. Queries
+    * against this index encode with the SAME rules
+    * ([[bpeEncodeTerms]]), the tokenize-with-the-engine's-rule
+    * symmetry at the subword level.
+    *
+    * Scale shape: [[chunkBm25Stats]]' exactly — map-only encode +
+    * window explode, then the tf/dl aggregates; per-doc local, so the
+    * bucket-merge incremental-maintenance argument carries over. */
+  def bpeChunkBm25Stats(docs: DataFrame, rules: Seq[(String, String)],
+      window: Int = BpeChunkWindow, overlap: Int = BpeChunkOverlap,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
+    val tok = bpeChunkSlices(docs, rules, window, overlap)
+      .select(col("doc_id"), col("chunk_id"), explode(col("cs")).as("token"))
+    val ctf = Dedup.materialize(
+      tok.groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf")),
+      checkpointDir)
+    val cdl = ctf.groupBy("doc_id", "chunk_id").agg(sum(col("tf")).as("dl"))
+    (ctf, cdl)
+  }
+
+  /** Driver-side BPE encode of bounded query terms — the EXACT mirror
+    * of [[bpeSymsCol]]'s column fold (same per-symbol separator
+    * wrapping, same greedy rank-order replaces, same split), applied
+    * to a query batch the way [[graft.operators.HybridOps
+    * .tokenizeQueries]] applies the whitespace rule: querying a
+    * BPE-symbol index can never disagree with indexing on symbol
+    * boundaries. Java's `String.replace` and Spark's `replace` both
+    * substitute every non-overlapping occurrence left-to-right, so the
+    * two folds are literally the same computation (spec-pinned against
+    * the column output over the fixture vocabulary). */
+  def bpeEncodeTerms(terms: Seq[String],
+      rules: Seq[(String, String)]): Seq[String] =
+    terms.filter(_.nonEmpty).flatMap { w =>
+      val wrapped = w.map(c => s"$BpeSep$c$BpeSep").mkString
+      val enc = rules.foldLeft(wrapped) { case (s, (l, r)) =>
+        s.replace(s"$BpeSep$l$BpeSep$BpeSep$r$BpeSep", s"$BpeSep$l$r$BpeSep")
+      }
+      enc.split(BpeSep).filter(_.nonEmpty).toSeq
+    }
+
+  /** Symbol window / overlap of the BPE-metered chunk INDEX (x90) —
+    * distinct from [[ChunkWindow]] on purpose: a model context is
+    * budgeted in SUBWORD tokens, which run ~4-6× denser than
+    * whitespace tokens on this corpus (8 learned rules leave most
+    * symbols single characters), so the symbol window is 4× the word
+    * window — textually comparable spans, and the chunk-vector corpus
+    * stays index-sized instead of exploding 6×. Single-constant rule:
+    * both engines interpolate. */
+  val BpeChunkWindow = 256
+  val BpeChunkOverlap = 64
+
+  /** The BPE-window lexical CTE list (no WITH prefix), ending at
+    * `clex(query_id, doc_id, chunk_id, score, rn)` with `rn <= k`
+    * applied — single-sourced for [[bpeChunkBm25TopKSql]] and the
+    * fused [[graft.operators.HybridOps.bpeChunkHybridSql]], whose
+    * dense half SHARES the `bcc` window CTE emitted here (the
+    * chunk-once convention in SQL). Queries carry RAW whitespace
+    * terms: they encode to symbols IN SQL through the same learned
+    * one-row rule CTEs the index encodes with ([[bpeWordChainSql]]
+    * over the term column), so the engine's driver-side
+    * [[bpeEncodeTerms]] query encode is itself oracle-gated. */
+  private[operators] def bpeChunkLexCtesSql(
+      queries: Seq[(Long, Seq[String])], k: Int,
+      kRules: Int = BpeMerges, window: Int = BpeChunkWindow,
+      overlap: Int = BpeChunkOverlap): String = {
+    val qvals = queries
+      .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val qEncodeSql =
+      s"""  SELECT query_id,
+         |    unnest(list_filter(string_split(${bpeWordChainSql(kRules)},
+         |      chr(1)), x -> x <> '')) AS token
+         |  FROM (VALUES $qvals) cq0(query_id, w) ${bpeRuleJoinsSql(kRules)}
+         |  WHERE w <> ''""".stripMargin
+    s"""${bpeEncodeCtes(kRules)},
+       |${windowSlicesSql("bc", "ec", "syms", window, overlap)},
+       |ltok AS (
+       |  SELECT doc_id, chunk_id, unnest(cs) AS token FROM bcc
+       |), ltf AS (
+       |  SELECT doc_id, chunk_id, token, count(*) AS tf
+       |  FROM ltok GROUP BY doc_id, chunk_id, token
+       |), ldl AS (
+       |  SELECT doc_id, chunk_id, count(*) AS dl
+       |  FROM ltok GROUP BY doc_id, chunk_id
+       |), ${bm25RankCtesSql("l", Seq("doc_id", "chunk_id"), queries,
+            qSql = Some(qEncodeSql))},
+       |lbest AS (
+       |  SELECT query_id, doc_id, chunk_id, score
+       |  FROM lagg
+       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+       |    ORDER BY score DESC, chunk_id) = 1
+       |), clex AS (
+       |  SELECT query_id, doc_id, chunk_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, doc_id) AS rn
+       |  FROM lbest
+       |  QUALIFY rn <= $k
+       |)""".stripMargin
+  }
+
+  /** [[bpeChunkBm25Stats]] + [[bm25ChunkTopKFrom]] oracle — the
+    * BPE-window twin of [[bm25ChunkTopKSql]], thin wrapper over
+    * [[bpeChunkLexCtesSql]]. */
+  def bpeChunkBm25TopKSql(queries: Seq[(Long, Seq[String])], k: Int,
+      kRules: Int = BpeMerges, window: Int = BpeChunkWindow,
+      overlap: Int = BpeChunkOverlap): String =
+    graft.operators.VectorOps.materializedCtes(
+      s"""WITH ${bpeChunkLexCtesSql(queries, k, kRules, window, overlap)}
+         |SELECT query_id, doc_id, chunk_id, score, rn FROM clex""".stripMargin)
+
+  /** The BPE-window keys as a standalone subquery `(doc_id,
+    * chunk_id)` — [[bpeChunkIds]]' oracle twin, composed into the
+    * chunk-dense chain via [[graft.operators.VectorOps
+    * .chunkIvfPqMaxSimSql]]'s `chunkIdsSql` seam. */
+  def bpeChunkIdsSql(kRules: Int = BpeMerges, window: Int = BpeChunkWindow,
+      overlap: Int = BpeChunkOverlap): String =
+    s"""WITH ${bpeEncodeCtes(kRules)},
+       |${windowSlicesSql("bc", "ec", "syms", window, overlap)}
+       |SELECT doc_id, chunk_id FROM bcc""".stripMargin
 
   /** [[bpeChunkDocs]] oracle: [[bpeEncodeSql]]'s train + encode CTEs
     * (the applied rules ARE the verified learned rules), then

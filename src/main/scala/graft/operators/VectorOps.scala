@@ -402,6 +402,7 @@ object VectorOps {
       serveDocsSql: Option[String] = None,
       allowedSql: Option[String] = None,
       refine: Option[Int] = None,
+      chunkIdsSql: Option[String] = None,
       iters: Int = KMeansIters, m: Int = PqSubspaces,
       ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String = {
     val (maxSimSrc, refineCtes) = refine match {
@@ -410,7 +411,7 @@ object VectorOps {
     }
     materializedCtes(s"""WITH ${chunkAdcChainSql(queryIds, nprobe,
         trainEmbSql, serveEmbSql, serveDocsSql, allowedSql, iters, m,
-        ksub, pqIters)}$refineCtes, cbest AS (
+        ksub, pqIters, chunkIdsSql)}$refineCtes, cbest AS (
        |  SELECT query_id, doc_id, chunk_id, cosine FROM $maxSimSrc
        |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
        |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
@@ -460,10 +461,19 @@ object VectorOps {
   /** The shared train → residual-book → chunk-encode → probe → ADC CTE
     * chain, ending at `cscored` (no WITH prefix) — single-sourced for
     * [[chunkIvfPqMaxSimSql]] and [[chunkRecallPairSql]]. */
-  private def chunkAdcChainSql(queryIds: Seq[Long], nprobe: Int,
-      trainEmbSql: String, serveEmbSql: String,
-      serveDocsSql: Option[String], allowedSql: Option[String],
-      iters: Int, m: Int, ksub: Int, pqIters: Int): String = {
+  private[operators] def chunkAdcChainSql(queryIds: Seq[Long], nprobe: Int,
+      trainEmbSql: String =
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\nFROM embeddings",
+      serveEmbSql: String =
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v\nFROM embeddings",
+      serveDocsSql: Option[String] = None,
+      allowedSql: Option[String] = None,
+      iters: Int = KMeansIters, m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters,
+      // swaps the chunk-key source for a derived `(doc_id, chunk_id)`
+      // SELECT (e.g. BPE-metered windows — [[graft.operators.TextOps
+      // .bpeChunkIdsSql]]); absent = the whitespace-window default
+      chunkIdsSql: Option[String] = None): String = {
     // pre-filter semantics, the [[graft.serve.Retrieval]] filtered
     // serve's: the allowed doc-id list restricts candidates BEFORE the
     // MaxSim/rank (all of a filtered doc's chunks drop together); the
@@ -512,8 +522,9 @@ object VectorOps {
        |    CASE WHEN ck.chunk_id % 2 = 1 THEN list_reverse(se.v)
        |         ELSE se.v END AS v
        |  FROM (SELECT doc_id, chunk_id
-       |        FROM (${graft.operators.TextOps.chunkDocsSql(
-                  docsSql = serveDocsSql)})) ck
+       |        FROM (${chunkIdsSql.getOrElse(
+                  graft.operators.TextOps.chunkDocsSql(
+                    docsSql = serveDocsSql))})) ck
        |  JOIN ses se ON se.vec_id = ck.doc_id
        |), cassign AS (
        |  SELECT vec_id, doc_id, chunk_id, v, cent_id AS cell,
@@ -1557,6 +1568,16 @@ object VectorOps {
   private[graft] def probeRows(qvecs: Map[Long, Seq[Double]],
       queryIds: Seq[Long], cents: Seq[Seq[Double]],
       nprobe: Int): Seq[(Long, Seq[Double], Long)] =
+    probeRowsRanked(qvecs, queryIds, cents, nprobe)
+      .map { case (qid, qv, cell, _) => (qid, qv, cell) }
+
+  /** [[probeRows]] keeping each probed cell's RANK (1 = best) — the
+    * [[recallCurve]] harness scores once at the widest nprobe and
+    * derives every narrower setting by `prn <= nprobe` filter, so the
+    * sweep pays one ADC join instead of one per grid point. */
+  private[graft] def probeRowsRanked(qvecs: Map[Long, Seq[Double]],
+      queryIds: Seq[Long], cents: Seq[Seq[Double]],
+      nprobe: Int): Seq[(Long, Seq[Double], Long, Int)] =
     queryIds.distinct.filter(qvecs.contains).flatMap { qid =>
       val qv = qvecs(qid)
       val ranked = cents.zipWithIndex.map { case (cv, ci) =>
@@ -1571,7 +1592,7 @@ object VectorOps {
         else if (cosA != cosB) cosA > cosB
         else cellA < cellB
       }.take(nprobe)
-      ranked.map { case (cell, _) => (qid, qv, cell) }
+      ranked.zipWithIndex.map { case ((cell, _), i) => (qid, qv, cell, i + 1) }
     }
 
   /** The probe rows as a broadcastable frame. RDD-backed (one
@@ -1960,6 +1981,18 @@ object VectorOps {
     * final k at the fixture scale (the refine convention; a corpus
     * deployment tunes r against measured recall like nprobe). */
   val BinaryShortlist = 20
+
+  /** DEFAULT refine shortlist of the IVFADC snapshot serves
+    * ([[graft.serve.Retrieval.denseTopK]] / `searchFiltered`) — set
+    * from the [[recallCurve]] measurement (x91, 50-query sample,
+    * sf0.1), not guessed: r is the serve's strong knob (doc refine
+    * recall@5 at nprobe=2 measured 0.252 / 0.356 / 0.448 for
+    * r=10/20/40; chunk 0.216 / 0.336 / 0.444) while widening probes
+    * buys ~0.03-0.05 per DOUBLING of scan cost — (nprobe=2, r=40)
+    * matches (nprobe=8, r=20) at a quarter of the probed bandwidth.
+    * Raising r costs only r·|queries| bounded float lookups, so 40 is
+    * the right default; deployments retune against their own curve. */
+  val RefineShortlist = 40
 
   /** Sign-bit sketch: one bit per dimension (`v[i] > 0`), packed into a
     * single BIGINT — 64 dims fit EXACTLY in one long, so the index
@@ -2577,5 +2610,435 @@ object VectorOps {
        |    ON h.method = g.method AND h.query_id = g.query_id
        |)
        |SELECT method, query_id, exact_n, hits, recall FROM rpt""".stripMargin)
+  }
+
+  // --- serve-knob tuning curve (x91) ---------------------------------------
+
+  /** The nprobe sweep [[recallCurve]] measures — every serve entry's
+    * probe-width knob ([[graft.serve.Retrieval.denseTopK]] /
+    * `chunkDenseTopK`), from the cheapest setting to half the
+    * [[NumCentroids]] cells. */
+  val CurveNprobes: Seq[Int] = Seq(1, 2, 4, 8)
+
+  /** The refine-shortlist sweep — the serves' second knob
+    * ([[BinaryShortlist]]'s 20 sits mid-grid on purpose). */
+  val CurveRefines: Seq[Int] = Seq(10, 20, 40)
+
+  /** The four serve shapes the curve prices, with their family tag
+    * (which exact baseline scores them) — single-sourced so the engine
+    * grid, the oracle grid, and the output rows can never disagree. */
+  private def curveGrid(nprobes: Seq[Int], refines: Seq[Int])
+      : Seq[(String, String, Int, Int)] =
+    nprobes.map(np => ("doc_adc", "doc", np, 0)) ++
+      (for (np <- nprobes; r <- refines) yield ("doc_refine", "doc", np, r)) ++
+      nprobes.map(np => ("chunk_adc", "chunk", np, 0)) ++
+      (for (np <- nprobes; r <- refines) yield ("chunk_refine", "chunk", np, r))
+
+  /** Serve-knob TUNING CURVE — recall@k of every (nprobe × refine)
+    * grid point of the four production serve shapes (doc-level ADC,
+    * doc-level two-stage refine, chunk-level ADC MaxSim, chunk-level
+    * refine), each family scored against ITS exact baseline
+    * ([[cosineTopK]]; [[multiVectorTopK]]'s brute MaxSim), aggregated
+    * over a WIDE deterministic query sample. [[annRecall]] (x44)
+    * cross-checks every variant's mechanics per query at the shipped
+    * setting; this is the complementary measurement — the sample is
+    * big enough that the recall digits mean something, and the grid is
+    * what a deployment consults to SET nprobe/r instead of guessing
+    * (the numbers behind [[graft.serve.Retrieval]]'s defaults).
+    *
+    * One ADC scoring pass serves the whole grid: probes rank once at
+    * `max(nprobes)` keeping each cell's probe RANK, the scored frames
+    * carry `(prn, adc, exact)` per candidate, and every grid point is
+    * pure window arithmetic over the two materialized frames —
+    * `prn <= nprobe` reproduces the narrower probe sets exactly, and
+    * the exact cosine attaches once per candidate instead of once per
+    * grid point. Combo selection mirrors the serve paths' exact
+    * ordering rules ([[ivfPqRefineTopK]], [[chunkIvfPqRefineTopK]]),
+    * so a grid point's recall IS the recall of the corresponding serve
+    * call.
+    *
+    * Scale shape: an evaluation harness (|queries| ≪ corpus), run per
+    * snapshot next to [[ivfCellStats]]: the exact baselines are the
+    * priced brute scans, the ADC side is ONE probe join at the widest
+    * setting, and everything after is windows over ≤ |queries| ·
+    * (probed candidates) rows. */
+  def recallCurve(embeddings: DataFrame, docs: DataFrame,
+      queryIds: Seq[Long], k: Int,
+      nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
+      centroids: Option[Seq[Seq[Double]]] = None,
+      resBooks: Option[Seq[Seq[Seq[Double]]]] = None,
+      docIndex: Option[DataFrame] = None,
+      chunkIndex: Option[DataFrame] = None,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(refines.forall(_ >= k), s"every refine r must be >= k=$k")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = centroids.getOrElse(trainedCentroids(embeddings))
+    val books = resBooks.getOrElse(pqResidualCodebooks(embeddings, cents))
+    val maxNp = nprobes.max
+
+    // ONE ranked probe frame at the widest setting (rank = prn)
+    val e = embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
+    val qvecs = e.where(col("vec_id").isin(queryIds.distinct: _*))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    val pRows = probeRowsRanked(qvecs, queryIds, cents, maxNp)
+    val probe = spark.createDataset(spark.sparkContext.parallelize(pRows, 1))
+      .toDF("query_id", "qv", "cell", "prn")
+    val probedCells = pRows.map(_._3).distinct
+    val q = e.where(col("vec_id").isin(queryIds.distinct: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("qv2"))
+    val cv = element_at(centArrayLit(cents), col("cell").cast("int") + 1)
+      .getField("cv")
+    val rv = zip_with(cv, reconOf(col("codes"), books), (x, y) => x + y)
+
+    // doc family: ADC + attached exact cosine per probed candidate
+    val dIdx = docIndex.getOrElse(
+      ivfPqIndex(embeddings, cents, books, residual = true))
+    val dAdc = dIdx.where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probe), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("prn"),
+        round(cosine(col("qv"), rv), 6).as("adc"))
+      .where(!isnan(col("adc")))
+    val dBoth = Dedup.materialize(
+      dAdc.join(e, "vec_id").join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"), col("prn"), col("adc"),
+          round(cosine(col("qv2"), col("v")), 6).as("exact")),
+      checkpointDir)
+    val dEx = cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id")
+
+    // chunk family: the composite-key index's ADC + exact per candidate
+    val cEmb = Dedup.materialize(
+      chunkEmbeddingsFrom(TextOps.chunkDocs(docs), embeddings),
+      checkpointDir)
+    val cIdx = chunkIndex.getOrElse(chunkIvfPqIndex(cEmb, cents, books))
+    val cAdc = cIdx.where(col("cell").isin(probedCells: _*))
+      .join(broadcast(probe), Seq("cell"))
+      .select(col("query_id"),
+        expr(s"vec_id DIV $ChunkStride").as("doc_id"),
+        pmod(col("vec_id"), lit(ChunkStride)).as("chunk_id"), col("prn"),
+        round(cosine(col("qv"), rv), 6).as("adc"))
+      .where(col("doc_id") =!= col("query_id") && !isnan(col("adc")))
+    val ce = cEmb.select(col("doc_id"), col("chunk_id"),
+      asDoubles(col("embedding")).as("v"))
+    val cBoth = Dedup.materialize(
+      cAdc.join(ce, Seq("doc_id", "chunk_id")).join(broadcast(q), "query_id")
+        .select(col("query_id"), col("doc_id"), col("chunk_id"),
+          col("prn"), col("adc"),
+          round(cosine(col("qv2"), col("v")), 6).as("exact")),
+      checkpointDir)
+    val cEx = multiVectorTopK(cEmb, embeddings, queryIds, k)
+      .select("query_id", "doc_id")
+
+    // grid points: window arithmetic over the two frames, each
+    // mirroring its serve path's exact ordering rules
+    def docAdcTopK(np: Int): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
+      dBoth.where(col("prn") <= np)
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select(lit("doc_adc").as("method"), lit("doc").as("fam"),
+          lit(np).as("nprobe"), lit(0).as("r"),
+          col("query_id"), col("vec_id").as("id"))
+    }
+    def docRefineTopK(np: Int, r: Int): DataFrame = {
+      val wS = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
+      val wK = Window.partitionBy("query_id").orderBy(desc("exact"), asc("vec_id"))
+      dBoth.where(col("prn") <= np)
+        .withColumn("rs", row_number().over(wS)).where(col("rs") <= r)
+        .where(!isnan(col("exact")))
+        .withColumn("rn", row_number().over(wK)).where(col("rn") <= k)
+        .select(lit("doc_refine").as("method"), lit("doc").as("fam"),
+          lit(np).as("nprobe"), lit(r).as("r"),
+          col("query_id"), col("vec_id").as("id"))
+    }
+    def chunkAdcTopK(np: Int): DataFrame = {
+      val wB = Window.partitionBy("query_id", "doc_id")
+        .orderBy(desc("adc"), asc("chunk_id"))
+      val wK = Window.partitionBy("query_id").orderBy(desc("adc"), asc("doc_id"))
+      cBoth.where(col("prn") <= np)
+        .withColumn("rc", row_number().over(wB)).where(col("rc") === 1)
+        .withColumn("rn", row_number().over(wK)).where(col("rn") <= k)
+        .select(lit("chunk_adc").as("method"), lit("chunk").as("fam"),
+          lit(np).as("nprobe"), lit(0).as("r"),
+          col("query_id"), col("doc_id").as("id"))
+    }
+    def chunkRefineTopK(np: Int, r: Int): DataFrame = {
+      val wS = Window.partitionBy("query_id")
+        .orderBy(desc("adc"), asc("doc_id"), asc("chunk_id"))
+      val wB = Window.partitionBy("query_id", "doc_id")
+        .orderBy(desc("exact"), asc("chunk_id"))
+      val wK = Window.partitionBy("query_id").orderBy(desc("exact"), asc("doc_id"))
+      cBoth.where(col("prn") <= np)
+        .withColumn("rs", row_number().over(wS)).where(col("rs") <= r)
+        .where(!isnan(col("exact")))
+        .withColumn("rc", row_number().over(wB)).where(col("rc") === 1)
+        .withColumn("rn", row_number().over(wK)).where(col("rn") <= k)
+        .select(lit("chunk_refine").as("method"), lit("chunk").as("fam"),
+          lit(np).as("nprobe"), lit(r).as("r"),
+          col("query_id"), col("doc_id").as("id"))
+    }
+    val combos = curveGrid(nprobes, refines)
+    val approx = combos.map {
+      case ("doc_adc", _, np, _) => docAdcTopK(np)
+      case ("doc_refine", _, np, r) => docRefineTopK(np, r)
+      case ("chunk_adc", _, np, _) => chunkAdcTopK(np)
+      case (_, _, np, r) => chunkRefineTopK(np, r)
+    }.reduce(_ unionByName _)
+
+    // score: hits against each family's exact set, aggregated over the
+    // sample; the literal grid guarantees a row per grid point even if
+    // a setting returned nothing
+    val exTag = dEx.select(lit("doc").as("fam"), col("query_id"),
+        col("vec_id").as("id"))
+      .unionByName(cEx.select(lit("chunk").as("fam"), col("query_id"),
+        col("doc_id").as("id")))
+    val hits = approx
+      .join(exTag.withColumn("hit", lit(1L)), Seq("fam", "query_id", "id"),
+        "left")
+      .groupBy("method", "fam", "nprobe", "r")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+    val exN = exTag.groupBy("fam").agg(count(lit(1)).as("exact_n"))
+    val grid = spark.createDataset(
+        spark.sparkContext.parallelize(combos, 1))
+      .toDF("method", "fam", "nprobe", "r")
+    grid.join(exN, "fam")
+      .join(hits, Seq("method", "fam", "nprobe", "r"), "left")
+      .select(col("method"), col("nprobe"), col("r"), col("exact_n"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("exact_n"), 6).as("recall"))
+  }
+
+  /** [[recallCurve]] oracle: ONE shared train → encode → ranked-probe
+    * chain (coarse k-means, residual books, doc codes, chunk codes —
+    * the expensive CTEs run once for the whole grid), scored frames
+    * carrying `(prn, adc, exact)`, the two exact baselines, and every
+    * grid point as window arithmetic UNION'd under its tag — the same
+    * one-pass-many-filters shape as the engine side. */
+  def recallCurveSql(queryIds: Seq[Long], k: Int,
+      nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
+      iters: Int = KMeansIters, m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String = {
+    val maxNp = nprobes.max
+    val d = Dim / m
+    val perSub = (0 until m).map { mi =>
+      val a = mi * d + 1
+      val b = (mi + 1) * d
+      s"""cc_$mi AS (
+         |  SELECT s.vec_id, p.cent_id AS code,
+         |    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+         |      ${l2sqSql("s.sv", "p.cv", d)}, p.cent_id) AS rn
+         |  FROM (SELECT vec_id, v[$a:$b] AS sv FROM cres) s
+         |  CROSS JOIN (SELECT cent_id, cv FROM pcents WHERE sub = $mi) p
+         |  QUALIFY rn = 1
+         |)""".stripMargin
+    }
+    val ccodes = (0 until m)
+      .map(mi => s"SELECT vec_id, CAST($mi AS INT) AS sub, code FROM cc_$mi")
+      .mkString("ccodes AS (\n", "\n  UNION ALL\n", "\n)")
+    val comboSelects = curveGrid(nprobes, refines).map {
+      case ("doc_adc", fam, np, _) =>
+        s"""  SELECT 'doc_adc' AS method, '$fam' AS fam, $np AS nprobe,
+           |    0 AS r, query_id, vec_id AS id
+           |  FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rn
+           |    FROM dboth WHERE prn <= $np
+           |  ) WHERE rn <= $k""".stripMargin
+      case ("doc_refine", fam, np, r) =>
+        s"""  SELECT 'doc_refine' AS method, '$fam' AS fam, $np AS nprobe,
+           |    $r AS r, query_id, vec_id AS id
+           |  FROM (
+           |    SELECT query_id, vec_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY exact DESC, vec_id) AS rn
+           |    FROM (
+           |      SELECT query_id, vec_id, exact, row_number() OVER (
+           |        PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rs
+           |      FROM dboth WHERE prn <= $np
+           |    ) WHERE rs <= $r AND NOT isnan(exact)
+           |  ) WHERE rn <= $k""".stripMargin
+      case ("chunk_adc", fam, np, _) =>
+        s"""  SELECT 'chunk_adc' AS method, '$fam' AS fam, $np AS nprobe,
+           |    0 AS r, query_id, doc_id AS id
+           |  FROM (
+           |    SELECT query_id, doc_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY adc DESC, doc_id) AS rn
+           |    FROM (
+           |      SELECT query_id, doc_id, adc, row_number() OVER (
+           |        PARTITION BY query_id, doc_id
+           |        ORDER BY adc DESC, chunk_id) AS rc
+           |      FROM cboth WHERE prn <= $np
+           |    ) WHERE rc = 1
+           |  ) WHERE rn <= $k""".stripMargin
+      case (_, fam, np, r) =>
+        s"""  SELECT 'chunk_refine' AS method, '$fam' AS fam, $np AS nprobe,
+           |    $r AS r, query_id, doc_id AS id
+           |  FROM (
+           |    SELECT query_id, doc_id, row_number() OVER (
+           |      PARTITION BY query_id ORDER BY exact DESC, doc_id) AS rn
+           |    FROM (
+           |      SELECT query_id, doc_id, exact, row_number() OVER (
+           |        PARTITION BY query_id, doc_id
+           |        ORDER BY exact DESC, chunk_id) AS rc
+           |      FROM (
+           |        SELECT query_id, doc_id, chunk_id, exact, row_number() OVER (
+           |          PARTITION BY query_id
+           |          ORDER BY adc DESC, doc_id, chunk_id) AS rs
+           |        FROM cboth WHERE prn <= $np
+           |      ) WHERE rs <= $r AND NOT isnan(exact)
+           |    ) WHERE rc = 1
+           |  ) WHERE rn <= $k""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val gridValues = curveGrid(nprobes, refines)
+      .map { case (mth, fam, np, r) => s"('$mth', '$fam', $np, $r)" }
+      .mkString(", ")
+    materializedCtes(s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |${kmeansCtes(NumCentroids, iters)},
+       |cents AS (SELECT cent_id, cv FROM cents$iters),
+       |tassign AS (
+       |  SELECT vec_id, v, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM e CROSS JOIN cents
+       |  QUALIFY rn = 1
+       |), res AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS v
+       |  FROM tassign a JOIN cents c ON c.cent_id = a.cell
+       |),
+       |${pqKmeansCtes(m, ksub, pqIters, src = "res")},
+       |drec AS (
+       |  SELECT c.vec_id, flatten(list(p.cv ORDER BY c.sub)) AS rv
+       |  FROM pcodes c JOIN pcents p ON p.sub = c.sub AND p.cent_id = c.code
+       |  GROUP BY c.vec_id
+       |), dxhat AS (
+       |  SELECT r.vec_id, a.cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> c.cv[i] + r.rv[i]) AS rv
+       |  FROM drec r
+       |  JOIN tassign a ON a.vec_id = r.vec_id
+       |  JOIN cents c ON c.cent_id = a.cell
+       |), qv AS (
+       |  SELECT vec_id AS query_id, v AS qv FROM e
+       |  WHERE vec_id IN (${queryIds.mkString(",")})
+       |), qprobes AS (
+       |  SELECT q.query_id, q.qv, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+       |      ${dotSql("q.qv", "cv")} / (${normSql("q.qv")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS prn
+       |  FROM qv q CROSS JOIN cents
+       |  QUALIFY prn <= $maxNp
+       |), dscored AS (
+       |  SELECT p.query_id, x.vec_id, p.prn,
+       |    round(${dotSql("p.qv", "x.rv")} /
+       |      (${normSql("p.qv")} * ${normSql("x.rv")}), 6) AS adc
+       |  FROM qprobes p JOIN dxhat x
+       |    ON x.cell = p.cell AND x.vec_id <> p.query_id
+       |), dboth AS (
+       |  SELECT s.query_id, s.vec_id, s.prn, s.adc,
+       |    round(${dotSql("q.qv", "e2.v")} /
+       |      (${normSql("q.qv")} * ${normSql("e2.v")}), 6) AS exact
+       |  FROM dscored s
+       |  JOIN e e2 ON e2.vec_id = s.vec_id
+       |  JOIN qv q ON q.query_id = s.query_id
+       |  WHERE s.adc IS NOT NULL AND NOT isnan(s.adc)
+       |), dex0 AS (
+       |  SELECT q.query_id, c.vec_id,
+       |    round(${dotSql("q.qv", "c.v")} /
+       |      (${normSql("q.qv")} * ${normSql("c.v")}), 6) AS cosine
+       |  FROM qv q JOIN e c ON c.vec_id <> q.query_id
+       |), dex AS (
+       |  SELECT query_id, vec_id FROM dex0
+       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, vec_id) <= $k
+       |), cke AS (
+       |  SELECT ck.doc_id * $ChunkStride + ck.chunk_id AS vec_id,
+       |    ck.doc_id, ck.chunk_id,
+       |    CASE WHEN ck.chunk_id % 2 = 1 THEN list_reverse(se.v)
+       |         ELSE se.v END AS v
+       |  FROM (SELECT doc_id, chunk_id
+       |        FROM (${graft.operators.TextOps.chunkDocsSql()})) ck
+       |  JOIN e se ON se.vec_id = ck.doc_id
+       |), cassign AS (
+       |  SELECT vec_id, doc_id, chunk_id, v, cent_id AS cell,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY
+       |      ${dotSql("v", "cv")} / (${normSql("v")} * ${normSql("cv")}) DESC,
+       |      cent_id) AS rn
+       |  FROM cke CROSS JOIN cents
+       |  QUALIFY rn = 1
+       |), cres AS (
+       |  SELECT a.vec_id,
+       |    list_transform(range(1, ${Dim + 1}), i -> a.v[i] - c.cv[i]) AS v
+       |  FROM cassign a JOIN cents c ON c.cent_id = a.cell
+       |),
+       |${perSub.mkString(",\n")},
+       |$ccodes,
+       |crecon AS (
+       |  SELECT c.vec_id, flatten(list(p.cv ORDER BY c.sub)) AS rv
+       |  FROM ccodes c JOIN pcents p ON p.sub = c.sub AND p.cent_id = c.code
+       |  GROUP BY c.vec_id
+       |), cxhat AS (
+       |  SELECT r.vec_id, a.doc_id, a.chunk_id, a.cell,
+       |    list_transform(range(1, ${Dim + 1}), i -> c.cv[i] + r.rv[i]) AS rv
+       |  FROM crecon r
+       |  JOIN cassign a ON a.vec_id = r.vec_id
+       |  JOIN cents c ON c.cent_id = a.cell
+       |), cscored AS (
+       |  SELECT p.query_id, x.doc_id, x.chunk_id, p.prn,
+       |    round(${dotSql("p.qv", "x.rv")} /
+       |      (${normSql("p.qv")} * ${normSql("x.rv")}), 6) AS adc
+       |  FROM qprobes p JOIN cxhat x
+       |    ON x.cell = p.cell AND x.doc_id <> p.query_id
+       |), cboth AS (
+       |  SELECT s.query_id, s.doc_id, s.chunk_id, s.prn, s.adc,
+       |    round(${dotSql("q.qv", "ck2.v")} /
+       |      (${normSql("q.qv")} * ${normSql("ck2.v")}), 6) AS exact
+       |  FROM cscored s
+       |  JOIN cke ck2 ON ck2.doc_id = s.doc_id AND ck2.chunk_id = s.chunk_id
+       |  JOIN qv q ON q.query_id = s.query_id
+       |  WHERE s.adc IS NOT NULL AND NOT isnan(s.adc)
+       |), cbs AS (
+       |  SELECT q.query_id, c.doc_id, c.chunk_id,
+       |    round(${dotSql("q.qv", "c.v")} /
+       |      (${normSql("q.qv")} * ${normSql("c.v")}), 6) AS cosine
+       |  FROM cke c CROSS JOIN qv q
+       |  WHERE c.doc_id <> q.query_id
+       |), cbbest AS (
+       |  SELECT query_id, doc_id, cosine FROM cbs
+       |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
+       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+       |    ORDER BY cosine DESC, chunk_id) = 1
+       |), cex AS (
+       |  SELECT query_id, doc_id FROM cbbest
+       |  QUALIFY row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine DESC, doc_id) <= $k
+       |), approx AS (
+       |$comboSelects
+       |), extag AS (
+       |  SELECT 'doc' AS fam, query_id, vec_id AS id FROM dex
+       |  UNION ALL
+       |  SELECT 'chunk' AS fam, query_id, doc_id AS id FROM cex
+       |), exn AS (
+       |  SELECT fam, count(*) AS exact_n FROM extag GROUP BY fam
+       |), ahits AS (
+       |  SELECT a.method, a.fam, a.nprobe, a.r, count(e.id) AS hits
+       |  FROM approx a LEFT JOIN extag e
+       |    ON e.fam = a.fam AND e.query_id = a.query_id AND e.id = a.id
+       |  GROUP BY a.method, a.fam, a.nprobe, a.r
+       |), grid AS (
+       |  SELECT * FROM (VALUES $gridValues) g(method, fam, nprobe, r)
+       |), rpt AS (
+       |  SELECT g.method, g.nprobe, g.r, x.exact_n,
+       |    CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       |    round(coalesce(h.hits, 0) / x.exact_n, 6) AS recall
+       |  FROM grid g
+       |  JOIN exn x ON x.fam = g.fam
+       |  LEFT JOIN ahits h ON h.method = g.method AND h.nprobe = g.nprobe
+       |    AND h.r = g.r
+       |)
+       |SELECT method, nprobe, r, exact_n, hits, recall FROM rpt""".stripMargin)
   }
 }

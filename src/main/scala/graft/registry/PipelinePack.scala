@@ -19,6 +19,13 @@ object PipelinePack extends QueryPack {
   /** Fixed ANN/top-k probe queries. */
   val QueryVecs = Seq(0L, 1L, 2L)
 
+  /** The recall-curve query sample (x91): 50 deterministic query ids —
+    * wide enough that the per-grid-point recall digits are
+    * statistically meaningful where [[QueryVecs]]' 3-query x44 rows
+    * are mechanics checks ("treat bands, not digits"). Every fixture
+    * scale has vec_ids 0..499, so the sample is stable across sf. */
+  val CurveQueryIds: Seq[Long] = 0L until 50L
+
   val MinCosine = 0.2
 
   /** Confirmed edit-similarity floor for x71 (1 − lev/maxlen ≥ this) —
@@ -230,6 +237,34 @@ object PipelinePack extends QueryPack {
       VectorOps.chunkIvfPqIndex(
         VectorOps.chunkEmbeddings(
           Tables.documents(s, dir).select("doc_id", "text"),
+          Tables.embeddings(s, dir).select("vec_id", "embedding")),
+        cents, books)
+        .write.partitionBy("cell").parquet(p))
+  }
+
+  /** The BPE-metered twin of [[chunkIvfPqIndexFor]]: the
+    * cell-partitioned residual-IVFADC frame over chunk vectors keyed
+    * by the LEARNED tokenizer's windows ([[TextOps.bpeChunkIds]]), so
+    * the model-context-true chunk serve (x90) reads a probed,
+    * partition-pruned artifact exactly like the whitespace-window
+    * serve. Keyed additionally on the BPE constants — a rule-count
+    * change moves every window boundary. */
+  private def bpeChunkIvfPqIndexFor(s: SparkSession, dir: String,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): String = {
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    snapshotArtifact(dir, "embeddings.parquet",
+      "bpe_chunk_ivfpq_index.parquet",
+      "bpe_chunk_ivfpq", fd.lastModified(), fd.length(),
+      VectorOps.NumCentroids, VectorOps.KMeansIters,
+      VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      VectorOps.KMeansGrid, VectorOps.Dim, VectorOps.ChunkStride,
+      TextOps.BpeChunkWindow, TextOps.BpeChunkOverlap,
+      TextOps.BpeMerges)(p =>
+      VectorOps.chunkIvfPqIndex(
+        VectorOps.chunkEmbeddingsFrom(
+          TextOps.bpeChunkIds(
+            Tables.documents(s, dir).select("doc_id", "text"),
+            bpeRulesFor(s, dir)),
           Tables.embeddings(s, dir).select("vec_id", "embedding")),
         cents, books)
         .write.partitionBy("cell").parquet(p))
@@ -482,11 +517,13 @@ object PipelinePack extends QueryPack {
         .orderBy("query_id", "rn")),
     // the chunk serve under the REFINE policy: the snapshot's stored
     // full-precision chunk column (v5's cemb) reranks the ADC
-    // shortlist exactly before MaxSim — the recall knob x44 prices
-    // (0.33 → 0.67 @5 at sf0.01), served end-to-end from the handle
+    // shortlist exactly before MaxSim — the recall knob the x91 curve
+    // prices (chunk recall@5 at nprobe=2: 0.136 ADC vs 0.444 refined
+    // at the shipped r), served end-to-end from the handle at the
+    // curve-justified default shortlist
     "x88_chunk_refine_search" -> ((s, dir) =>
       retrievalFor(s, dir).searchChunks(Bm25Queries, 5,
-        refine = Some(20))
+        refine = Some(VectorOps.RefineShortlist))
         .orderBy("query_id", "rn")),
     // metadata-filtered chunk serve: the allowed doc-id frame
     // restricts BOTH chunk-ranked halves before their ranks (a
@@ -507,7 +544,8 @@ object PipelinePack extends QueryPack {
     "x89_chunk_refine_filtered" -> ((s, dir) =>
       retrievalFor(s, dir).searchChunksFiltered(Bm25Queries,
         Tables.documents(s, dir).select("doc_id")
-          .where(col("doc_id") % 3 === 0), 5, refine = Some(20))
+          .where(col("doc_id") % 3 === 0), 5,
+        refine = Some(VectorOps.RefineShortlist))
         .orderBy("query_id", "rn")),
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
@@ -592,6 +630,31 @@ object PipelinePack extends QueryPack {
             .where(col("uniq_ratio").isNotNull), None),
         SelectBudget)
         .orderBy("doc_id")),
+    // the MODEL-CONTEXT-TRUE chunk hybrid: both halves rank BPE-metered
+    // windows (the budget a real embedding model's context enforces) —
+    // the lexical half over BPE-SYMBOL chunk stats with the queries
+    // encoded by the same learned rules (the tokenizer symmetry at
+    // subword level), the dense half over chunk vectors keyed by the
+    // same windows, served probe-pruned from the cell-partitioned
+    // artifact. Closes the serve-matrix split where chunk serves
+    // metered whitespace tokens while packing/budget/shard (x76/x81/
+    // x82) metered learned units.
+    "x90_bpe_chunk_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val rules = bpeRulesFor(s, dir)
+      val cents = codebookFor(s, dir)
+      val books = pqResBooksFor(s, dir)
+      val path = bpeChunkIvfPqIndexFor(s, dir, cents, books)
+      val bq = Bm25Queries.map { case (id, ts) =>
+        id -> TextOps.bpeEncodeTerms(ts, rules)
+      }
+      val (ctf, cdl) = TextOps.bpeChunkBm25Stats(docs, rules)
+      graft.operators.HybridOps.chunkHybridTopKFrom(ctf, cdl,
+        s.read.schema(IvfPqIndexSchema).parquet(path),
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        bq, 5, cents, books)
+        .orderBy("query_id", "rn")
+    }),
     // token-TRUE shard balance: x55's skew report with token mass in
     // BPE units (a loader is throttled by real token mass per shard)
     "x82_bpe_shard_stats" -> ((s, dir) =>
@@ -895,6 +958,25 @@ object PipelinePack extends QueryPack {
         docs = Some(Tables.documents(s, dir).select("doc_id", "text")),
         chunkIndex = Some(s.read.schema(IvfPqIndexSchema).parquet(cpath)))
         .orderBy("method", "query_id")
+    }),
+    // the serve-knob TUNING CURVE: recall@5 of every (nprobe × refine)
+    // grid point of the four production serve shapes over a 50-query
+    // sample — x44 checks each variant's mechanics per query at the
+    // shipped setting; this is the measurement the Retrieval defaults
+    // (nprobe=2, refine=20) are justified against. One ADC pass at
+    // nprobe=8 serves the whole grid (prn-filter derivation)
+    "x91_recall_curve" -> ((s, dir) => {
+      val cents = codebookFor(s, dir)
+      val resBooks = pqResBooksFor(s, dir)
+      val dpath = ivfPqIndexFor(s, dir, cents, resBooks, residual = true)
+      val cpath = chunkIvfPqIndexFor(s, dir, cents, resBooks)
+      VectorOps.recallCurve(Tables.embeddings(s, dir),
+        Tables.documents(s, dir).select("doc_id", "text"),
+        CurveQueryIds, 5,
+        centroids = Some(cents), resBooks = Some(resBooks),
+        docIndex = Some(s.read.schema(IvfPqIndexSchema).parquet(dpath)),
+        chunkIndex = Some(s.read.schema(IvfPqIndexSchema).parquet(cpath)))
+        .orderBy("method", "nprobe", "r")
     }),
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
@@ -1265,6 +1347,17 @@ object PipelinePack extends QueryPack {
           .toDF().write.mode("overwrite").parquet(p))
       MultimodalOps.phashDupGroupsFrom(s.read.parquet(ph)).orderBy("rep")
     }),
+    // REAL JPEG round trip — the most common crawl image format,
+    // through the SAME sniff-and-decode reader path as m3's PNG/BMP:
+    // the oracle checks the parse-derived columns (format, dims);
+    // pixel columns are deliberately absent (JPEG is lossy), and the
+    // real decompression is spec-pinned by a quantization-tolerance
+    // corner probe
+    "m8_jpeg_decode" -> ((s, dir) =>
+      MultimodalOps.decodeImageMeta(s,
+        MultimodalOps.jpegAssets(s, Tables.documents(s, dir)))
+        .toDF().select("asset_id", "format", "width", "height")
+        .orderBy("asset_id")),
     // REAL audio round trip: generate RIFF/WAVE PCM bytes, parse them
     // back byte-level, integer-exact signal stats oracle-checked
     "m6_audio_features" -> ((s, dir) =>
@@ -1491,11 +1584,11 @@ object PipelinePack extends QueryPack {
         "\nORDER BY query_id, rn"),
     "x67_snapshot_search" ->
       (graft.operators.HybridOps.snapshotSearchSql(Bm25Queries, 5,
-        r = VectorOps.BinaryShortlist, nprobe = 2) +
+        r = VectorOps.RefineShortlist, nprobe = 2) +
         "\nORDER BY query_id, rn"),
     "x70_rebuild_search" ->
       (graft.operators.HybridOps.rebuildSearchSql(Bm25Queries, 5,
-        r = VectorOps.BinaryShortlist, nprobe = 2,
+        r = VectorOps.RefineShortlist, nprobe = 2,
         TrainEmbSql, ServeEmbSql, ServeDocsSql) +
         "\nORDER BY query_id, rn"),
     // retrain: train = serve = the refreshed corpus — the same
@@ -1503,7 +1596,7 @@ object PipelinePack extends QueryPack {
     // "retrained live dir == freshly trained snapshot" contract
     "x77_retrain_search" ->
       (graft.operators.HybridOps.rebuildSearchSql(Bm25Queries, 5,
-        r = VectorOps.BinaryShortlist, nprobe = 2,
+        r = VectorOps.RefineShortlist, nprobe = 2,
         ServeEmbSql, ServeEmbSql, ServeDocsSql) +
         "\nORDER BY query_id, rn"),
     "x78_chunk_topk" ->
@@ -1523,13 +1616,20 @@ object PipelinePack extends QueryPack {
         "\nORDER BY query_id, rn"),
     "x88_chunk_refine_search" ->
       (graft.operators.HybridOps.chunkSearchSql(Bm25Queries, 5,
-        nprobe = 2, refine = Some(20)) +
+        nprobe = 2, refine = Some(VectorOps.RefineShortlist)) +
         "\nORDER BY query_id, rn"),
     "x89_chunk_refine_filtered" ->
       (graft.operators.HybridOps.chunkSearchFilteredSql(Bm25Queries, 5,
         nprobe = 2,
         "SELECT doc_id FROM documents WHERE doc_id % 3 = 0",
-        refine = Some(20)) +
+        refine = Some(VectorOps.RefineShortlist)) +
+        "\nORDER BY query_id, rn"),
+    "x91_recall_curve" ->
+      (VectorOps.recallCurveSql(CurveQueryIds, 5) +
+        "\nORDER BY method, nprobe, r"),
+    "x90_bpe_chunk_search" ->
+      (graft.operators.HybridOps.bpeChunkHybridSql(Bm25Queries, 5,
+        nprobe = 2) +
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),
@@ -1550,6 +1650,8 @@ object PipelinePack extends QueryPack {
       (MultimodalOps.frameSummarySql() + "\nORDER BY asset_id, frame_no"),
     "m3_image_decode" ->
       (MultimodalOps.imageDecodeSql + "\nORDER BY asset_id"),
+    "m8_jpeg_decode" ->
+      (MultimodalOps.jpegDecodeSql + "\nORDER BY asset_id"),
     "m4_image_phash" ->
       (MultimodalOps.imagePHashSql + "\nORDER BY asset_id"),
     "m5_phash_groups" ->

@@ -118,9 +118,14 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   /** Dense top-k from the stored index: driver probe ranking → the
     * probed-cell filter prunes the partitioned index read → residual
     * ADC on survivors → exact rerank of the `refine` shortlist against
-    * the float column (bounded lookups, not a scan). */
+    * the float column (bounded lookups, not a scan). Defaults are the
+    * x91-curve-justified pair ([[VectorOps.RefineShortlist]]'s
+    * scaladoc has the measured numbers): nprobe=2 because probe
+    * widening buys little recall per doubling of scan cost, r=40
+    * because the refine shortlist is the strong knob at bounded float
+    * reads. */
   def denseTopK(queryIds: Seq[Long], k: Int, nprobe: Int = 2,
-      refine: Int = VectorOps.BinaryShortlist): DataFrame = {
+      refine: Int = VectorOps.RefineShortlist): DataFrame = {
     val probe = VectorOps.probePlanOf(emb, queryIds, cents, nprobe)
     VectorOps.ivfPqRefineTopK(
       index.where(col("cell").isin(probe.cells: _*)),
@@ -174,8 +179,12 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       // against the stored full-precision chunk column (layout v5's
       // cemb — the external-model frame when the snapshot was built
       // with caller-supplied chunk vectors), MaxSim over exact scores.
-      // x44's chunk rows price the trade: refine DOUBLED recall@5 at
-      // r·|q| bounded float reads in the r14 measurement.
+      // The x91 tuning curve prices the trade (50-query sample,
+      // sf0.1): chunk recall@5 at nprobe=2 is 0.136 plain ADC vs
+      // 0.216/0.336/0.444 refined at r=10/20/40 — refine is the
+      // strong knob, at r·|q| bounded float reads. The default stays
+      // None (no cemb reads) for cost; a RAG deployment passes
+      // Some(VectorOps.RefineShortlist).
       case Some(r) => VectorOps.chunkIvfPqRefineTopK(pruned, cemb, emb,
         queryIds, k, r, nprobe, cents, books, probes = Some(probe.frame))
       case None => VectorOps.chunkIvfPqTopKFromIndex(pruned, emb,
@@ -276,6 +285,63 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     }
   }
 
+  /** Snapshot-health report for the CHUNK artifacts — the ANALYZE
+    * surface a 100 TB operator consults before retuning nprobe or
+    * scheduling a compaction, closing the observability gap between
+    * [[graft.sync.IndexStore.stats]] / [[graft.operators.VectorOps
+    * .ivfCellStats]] (store + doc-level IVF) and the chunk frames
+    * nothing reported on: one row per live partition of `cindex/`
+    * (cell-partitioned chunk codes) and `cemb/` (doc-id-bucketed
+    * full-precision chunk vectors) with its ROW count, FILE count and
+    * BYTES on disk. Cell skew reads directly off the cindex rows
+    * (a hot cell degrades every probe that hits it); file counts and
+    * bytes surface rebuild churn (per-partition merge swaps rewrite
+    * whole partitions, but many small incremental generations show up
+    * here as file fragmentation — the compaction trigger).
+    *
+    * Scale shape: the filesystem side is a bounded driver listing
+    * (≤ cells + [[Retrieval.MergeBuckets]] directories); the row side
+    * scans ONLY each frame's partition column (column-pruned — the
+    * codes and float columns are never read). */
+  def chunkArtifactStats(): DataFrame = {
+    requireChunkFrame("cindex")
+    requireChunkFrame("cemb")
+    import org.apache.spark.sql.types._
+    val fsRows = Seq("cindex" -> "cell", "cemb" -> "pb").flatMap {
+      case (frame, partCol) =>
+        val d = new java.io.File(s"$dir/$frame")
+        Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
+          .map { pd =>
+            val files = Option(pd.listFiles())
+              .getOrElse(Array.empty[java.io.File])
+              .filter(f => f.isFile && !f.getName.startsWith(".") &&
+                !f.getName.startsWith("_"))
+            org.apache.spark.sql.Row(frame, pd.getName,
+              files.length, files.map(_.length()).sum)
+          }
+    }
+    val fsSchema = StructType(Seq(StructField("frame", StringType),
+      StructField("part", StringType), StructField("files", IntegerType),
+      StructField("bytes", LongType)))
+    val fs = serve.createDataFrame(
+      serve.sparkContext.parallelize(fsRows, 1), fsSchema)
+    // row counts off the partition column alone — explicit re-reads
+    // (not the accessors) because the logical frames drop pb on purpose
+    val rows = serve.read.schema(Retrieval.IndexSchema)
+      .parquet(s"$dir/cindex")
+      .groupBy(concat(lit("cell="), col("cell")).as("part"))
+      .agg(count(lit(1)).as("rows")).withColumn("frame", lit("cindex"))
+      .unionByName(serve.read.schema(Retrieval.CembSchema)
+        .parquet(s"$dir/cemb")
+        .groupBy(concat(lit("pb="), col("pb")).as("part"))
+        .agg(count(lit(1)).as("rows")).withColumn("frame", lit("cemb")))
+    fs.join(rows, Seq("frame", "part"), "left")
+      .select(col("frame"), col("part"),
+        coalesce(col("rows"), lit(0L)).as("rows"),
+        col("files"), col("bytes"))
+  }
+
   /** [[search]] over raw query strings — tokenized with the engine's
     * own rule ([[HybridOps.tokenizeQueries]]), so querying can never
     * disagree with indexing on token boundaries. */
@@ -298,7 +364,7 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * partition-pruned read instead of replacing it. */
   def searchFiltered(queries: Seq[(Long, Seq[String])], allowed: DataFrame,
       k: Int, policy: HybridOps.Fusion = HybridOps.Rrf,
-      nprobe: Int = 2, refine: Int = VectorOps.BinaryShortlist): DataFrame = {
+      nprobe: Int = 2, refine: Int = VectorOps.RefineShortlist): DataFrame = {
     def lex = TextOps.bm25TopKFrom(tf, dl, queries, k, Some(allowed))
     def dense = denseTopKAllowed(queries.map(_._1), allowed, k, nprobe, refine)
     policy match {

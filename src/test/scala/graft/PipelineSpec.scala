@@ -1209,6 +1209,29 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         assert((img.getRGB(x, y) & 0xffffff) === MultimodalOps.pixelRgb(id, x, y),
           s"asset $id pixel ($x,$y)")
     }
+
+    // JPEG (m8): sniffed format + exact dimensions through the same
+    // reader path; pixels are LOSSY, so the pin is a quantization
+    // tolerance on the decoded corner — close enough to prove the
+    // raster was really decompressed (a header-only sniff would read
+    // no pixel at all), loose enough for DCT rounding
+    val jgot = MultimodalOps.decodeImageMeta(spark,
+      MultimodalOps.jpegAssets(spark, docs)).collect()
+    assert(jgot.length === docs.count())
+    jgot.foreach { m =>
+      val (w, h) = MultimodalOps.dimsFor(m.asset_id)
+      assert(m.format === "jpeg", s"asset ${m.asset_id}: ${m.format}")
+      assert(m.width === w && m.height === h,
+        s"asset ${m.asset_id}: ${m.width}x${m.height} != ${w}x$h")
+      val want = MultimodalOps.pixelRgb(m.asset_id, 0, 0)
+      def chan(v: Int, s: Int) = (v >> s) & 0xff
+      Seq(16, 8, 0).foreach { s =>
+        assert(math.abs(chan(m.corner_rgb, s) - chan(want, s)) <= 48,
+          s"asset ${m.asset_id}: corner channel>>$s " +
+            s"${chan(m.corner_rgb, s)} vs encoded ${chan(want, s)} — " +
+            "beyond JPEG quantization tolerance")
+      }
+    }
   }
 
   test("pair-graph PageRank: matches a driver reference on a toy graph, conserves mass, partition-independent") {
@@ -1703,5 +1726,40 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
     // merged-symbol ids live past every code point: no base collision
     assert(TextOps.BpeMergedIdOffset == Character.MAX_CODE_POINT + 1)
+  }
+
+  test("driver-side BPE query encode mirrors the engine's column fold symbol for symbol") {
+    val sess = spark
+    import sess.implicits._
+    // fixture-trained rules (the ones the x90 serve queries through),
+    // plus a hand-built rule set exercising repeats and chained merges
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val fixtureRules = TextOps.bpeMerges(docs).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val tinyRules = TextOps.bpeMerges(
+      Seq((0L, "banana banana banana bandana scan scan scan")).toDF(
+        "doc_id", "text"), 8).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val terms = Seq("spark", "join", "vector", "table", "window", "batch",
+      "scan", "banana", "bandana", "scanscan", "aa", "")
+    for (rules <- Seq(fixtureRules, tinyRules)) {
+      // engine truth: each term as a one-word doc through the COLUMN
+      // fold — bpeChunkBm25Stats' ctf multiset per doc is exactly that
+      // term's symbol multiset (one short window per term)
+      val termDocs = terms.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val (ctf, _) = TextOps.bpeChunkBm25Stats(termDocs, rules)
+      val engine = ctf.collect()
+        .groupBy(_.getLong(0))
+        .map { case (id, rows) =>
+          id -> rows.map(r => r.getString(2) -> r.getLong(3)).toMap }
+      terms.zipWithIndex.foreach { case (t, i) =>
+        val driver = TextOps.bpeEncodeTerms(Seq(t), rules)
+          .groupBy(identity).map { case (s, o) => s -> o.size.toLong }
+        val got = engine.getOrElse(i.toLong, Map.empty[String, Long])
+        assert(driver === got,
+          s"term '$t' under rules $rules: driver $driver vs engine $got")
+      }
+    }
   }
 }

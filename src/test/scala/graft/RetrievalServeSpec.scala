@@ -44,7 +44,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     val probed = VectorOps.probedCellsOf(emb, queryIds, built.cents, 2)
     val denseWant = rows(VectorOps.ivfPqRefineTopK(
       idx.where(col("cell").isin(probed: _*)), emb, queryIds, 5,
-      VectorOps.BinaryShortlist, 2, built.cents, built.books,
+      VectorOps.RefineShortlist, 2, built.cents, built.books,
       residual = true))
     assert(denseWant.nonEmpty, "dense reference empty; test is vacuous")
     assert(rows(loaded.denseTopK(queryIds, 5)) === denseWant)
@@ -52,7 +52,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     // fused search ≡ an INDEPENDENT composition of in-memory halves
     val denseRef = VectorOps.ivfPqRefineTopK(
       idx.where(col("cell").isin(probed: _*)), emb, queryIds, 5,
-      VectorOps.BinaryShortlist, 2, built.cents, built.books,
+      VectorOps.RefineShortlist, 2, built.cents, built.books,
       residual = true).withColumnRenamed("vec_id", "doc_id")
     for (p <- Seq[HybridOps.Fusion](HybridOps.Rrf, HybridOps.Weighted())) {
       val want = rows(HybridOps.fuse(
@@ -601,6 +601,40 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     Retrieval.retrain(d, e, der, chunkEmb = Some(ce))
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(der, "cembsource.txt")).trim === "external")
+  }
+
+  test("chunk-artifact stats: per-partition rows/files/bytes agree with the frames on disk") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cstats").toString
+    val d = docs.where(col("doc_id") < 80)
+    val e = emb.where(col("vec_id") < 80)
+    val dir = s"$root/snap"
+    val h = Retrieval.build(d, e, dir)
+    def check(): Unit = {
+      val st = h.chunkArtifactStats().collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getInt(3), r.getLong(4)))).toMap
+      assert(st.nonEmpty)
+      // every live partition dir is reported, with >=1 file and >0 bytes
+      st.foreach { case ((f, p), (rows, files, bytes)) =>
+        assert(files >= 1 && bytes > 0L, s"$f/$p: $files files, $bytes bytes")
+        assert(rows > 0L, s"$f/$p reports zero rows")
+      }
+      // row totals equal the frames' true counts (cell skew is readable
+      // straight off the cindex rows)
+      val cindexN = spark.read.parquet(s"$dir/cindex").count()
+      val cembN = spark.read.parquet(s"$dir/cemb").count()
+      assert(st.collect { case (("cindex", _), (r, _, _)) => r }.sum === cindexN)
+      assert(st.collect { case (("cemb", _), (r, _, _)) => r }.sum === cembN)
+      // chunk codes and chunk floats describe the same corpus
+      assert(cindexN === cembN)
+    }
+    check()
+    // a delta rebuild rewrites only touched partitions; the report must
+    // stay consistent with the merged frames
+    val d2 = d.withColumn("text", when(col("doc_id") < 3,
+      concat(col("text"), lit(" churn"))).otherwise(col("text")))
+    Retrieval.rebuild(d2, e, dir)
+    check()
   }
 
   test("per-frame chunk guard: a snapshot missing only cemb still serves every non-refine chunk query") {
