@@ -342,6 +342,51 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
         col("files"), col("bytes"))
   }
 
+  /** The ACTION [[chunkArtifactStats]]'s file counts trigger —
+    * compaction of fragmented snapshot partitions: every partition of
+    * every merge-swapped frame holding more than
+    * `maxFilesPerPartition` data files is rewritten (rows unchanged)
+    * to a single file via the same per-partition staged swap
+    * [[Retrieval.rebuild]] merges through, so the crash contract is
+    * identical (each partition is always one complete generation; a
+    * crashed swap heals on the next load). Fragmentation comes from
+    * [[Retrieval.build]] itself — a wide build writes one file per
+    * task per partition value — and from external tooling; rebuild's
+    * swaps already consolidate the partitions they touch.
+    *
+    * Single-writer maintenance (the rebuild contract). Returns the
+    * `(frame, partition)` pairs rewritten — empty means the snapshot
+    * was already compact. Cost ∝ the fragmented partitions' bytes
+    * only; untouched partitions are never read. */
+  def compact(maxFilesPerPartition: Int = 1): Seq[(String, String)] = {
+    require(maxFilesPerPartition >= 1,
+      s"maxFilesPerPartition=$maxFilesPerPartition must be >= 1")
+    Retrieval.healMergeAsides(dir)
+    Retrieval.MergeFrames.flatMap { case (frame, partCol) =>
+      val frameDir = new java.io.File(s"$dir/$frame")
+      val fragmented = Option(frameDir.listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
+        .filter { pd =>
+          Option(pd.listFiles()).getOrElse(Array.empty[java.io.File])
+            .count(f => f.isFile && !f.getName.startsWith(".") &&
+              !f.getName.startsWith("_")) > maxFilesPerPartition
+        }
+        .map(_.getName.stripPrefix(partCol + "="))
+      if (fragmented.isEmpty) Nil
+      else {
+        // IN-list via expr so the literals coerce to the partition
+        // column's type (cell BIGINT / pb INT) and the read prunes
+        val rows = spark.read
+          .schema(Retrieval.frameSchemas(frame)).parquet(frameDir.toString)
+          .where(expr(s"$partCol IN (${fragmented.mkString(",")})"))
+        Retrieval.replacePartitions(frameDir.toString, partCol, rows,
+          fragmented)
+        fragmented.map(v => frame -> s"$partCol=$v")
+      }
+    }
+  }
+
   /** [[search]] over raw query strings — tokenized with the engine's
     * own rule ([[HybridOps.tokenizeQueries]]), so querying can never
     * disagree with indexing on token boundaries. */
@@ -910,11 +955,21 @@ object Retrieval {
 
   /** The merge-swapped frames of a snapshot and their partition
     * columns — the sweep list for [[healMergeAsides]] /
-    * [[sweepMergeDebris]]. */
+    * [[sweepMergeDebris]], and the compaction list for
+    * [[Retrieval.compact]]. */
   private val MergeFrames: Seq[(String, String)] =
     Seq("index" -> "cell", "cindex" -> "cell", "emb" -> "pb", "vh" -> "pb",
       "tf" -> "pb", "dl" -> "pb", "dh" -> "pb", "ctf" -> "pb",
       "cdl" -> "pb", "cemb" -> "pb")
+
+  /** Explicit read schema per merge frame — [[Retrieval.compact]]'s
+    * rewrite reads each frame with its written schema (the same
+    * no-inference rule as the serve accessors). */
+  private val frameSchemas: Map[String, String] = Map(
+    "index" -> IndexSchema, "cindex" -> IndexSchema,
+    "emb" -> EmbSchema, "vh" -> VhSchema, "tf" -> TfSchema,
+    "dl" -> DlSchema, "dh" -> DhSchema, "ctf" -> CtfSchema,
+    "cdl" -> CdlSchema, "cemb" -> CembSchema)
 
   /** Parsed `.aside-<v>-<nonce>` entries of a frame dir. Unparseable
     * names (debris from an interrupted mkdir or a manual copy) are

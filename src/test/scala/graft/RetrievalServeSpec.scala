@@ -637,6 +637,44 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     check()
   }
 
+  test("compact rewrites fragmented partitions to single files without changing a row") {
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // a WIDE build writes one file per task per partition value — the
+    // fragmentation compact exists for; force it with explicit input
+    // parallelism so the test holds under any suite session width
+    val d = docs.where(col("doc_id") < 80).repartition(4)
+    val e = emb.where(col("vec_id") < 80).repartition(4)
+    val dir = s"$root/snap"
+    val h = Retrieval.build(d, e, dir)
+    def fileCounts(): Map[(String, String), Int] =
+      h.chunkArtifactStats().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getInt(3)).toMap
+    val before = fileCounts()
+    val fragmented = before.filter(_._2 > 1).keySet
+    assert(fragmented.nonEmpty,
+      "wide build produced no fragmented partition; compact test vacuous")
+    val queries = Seq(0L -> Seq("spark", "join"))
+    val serveBefore = rows(h.searchChunks(queries, 5, refine = Some(8)))
+    val cindexBefore = spark.read.parquet(s"$dir/cindex")
+      .collect().map(_.toSeq).sortBy(_.toString)
+
+    val rewritten = h.compact().toSet
+    // exactly the fragmented chunk partitions were rewritten (compact
+    // covers every merge frame; the chunk stats see the chunk ones)
+    assert(fragmented.map { case (f, p) => (f, p) }
+      .forall(fp => rewritten.contains(fp)),
+      s"fragmented $fragmented not all rewritten: $rewritten")
+    val after = fileCounts()
+    assert(after.values.forall(_ == 1), s"still fragmented: $after")
+    // rows and serves are bit-identical; only the file layout changed
+    assert(spark.read.parquet(s"$dir/cindex")
+      .collect().map(_.toSeq).sortBy(_.toString) === cindexBefore)
+    assert(rows(Retrieval.load(spark, dir)
+      .searchChunks(queries, 5, refine = Some(8))) === serveBefore)
+    // idempotent: a second compact finds nothing to do
+    assert(h.compact().isEmpty)
+  }
+
   test("per-frame chunk guard: a snapshot missing only cemb still serves every non-refine chunk query") {
     val root = java.nio.file.Files.createTempDirectory("graft-frameguard").toString
     val d = docs.where(col("doc_id") < 60)
