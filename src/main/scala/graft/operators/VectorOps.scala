@@ -2670,11 +2670,34 @@ object VectorOps {
       docIndex: Option[DataFrame] = None,
       chunkIndex: Option[DataFrame] = None,
       checkpointDir: Option[String] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainedCentroids(embeddings))
+    val books = resBooks.getOrElse(pqResidualCodebooks(embeddings, cents))
+    val cEmb = Dedup.materialize(
+      chunkEmbeddingsFrom(TextOps.chunkDocs(docs), embeddings),
+      checkpointDir)
+    recallCurveFrom(embeddings, cEmb,
+      docIndex.getOrElse(ivfPqIndex(embeddings, cents, books,
+        residual = true)),
+      chunkIndex.getOrElse(chunkIvfPqIndex(cEmb, cents, books)),
+      cents, books, queryIds, k, nprobes, refines, checkpointDir)
+  }
+
+  /** [[recallCurve]] over PREBUILT frames — the form a LIVE snapshot
+    * meters itself with ([[graft.serve.Retrieval.measureRecall]]):
+    * `chunkEmb` is the full-precision chunk frame (the stored `cemb/`
+    * — on an external-model snapshot, the real vectors the derivation
+    * cannot reproduce), `docIndex`/`chunkIndex` the stored
+    * cell-partitioned code frames, `cents`/`books` the loaded
+    * codebooks. */
+  def recallCurveFrom(embeddings: DataFrame, chunkEmb: DataFrame,
+      docIndex: DataFrame, chunkIndex: DataFrame,
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      queryIds: Seq[Long], k: Int,
+      nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(refines.forall(_ >= k), s"every refine r must be >= k=$k")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val cents = centroids.getOrElse(trainedCentroids(embeddings))
-    val books = resBooks.getOrElse(pqResidualCodebooks(embeddings, cents))
     val maxNp = nprobes.max
 
     // ONE ranked probe frame at the widest setting (rank = prn)
@@ -2692,8 +2715,7 @@ object VectorOps {
     val rv = zip_with(cv, reconOf(col("codes"), books), (x, y) => x + y)
 
     // doc family: ADC + attached exact cosine per probed candidate
-    val dIdx = docIndex.getOrElse(
-      ivfPqIndex(embeddings, cents, books, residual = true))
+    val dIdx = docIndex
     val dAdc = dIdx.where(col("cell").isin(probedCells: _*))
       .join(broadcast(probe), Seq("cell"))
       .where(col("vec_id") =!= col("query_id"))
@@ -2708,10 +2730,8 @@ object VectorOps {
     val dEx = cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id")
 
     // chunk family: the composite-key index's ADC + exact per candidate
-    val cEmb = Dedup.materialize(
-      chunkEmbeddingsFrom(TextOps.chunkDocs(docs), embeddings),
-      checkpointDir)
-    val cIdx = chunkIndex.getOrElse(chunkIvfPqIndex(cEmb, cents, books))
+    val cEmb = chunkEmb
+    val cIdx = chunkIndex
     val cAdc = cIdx.where(col("cell").isin(probedCells: _*))
       .join(broadcast(probe), Seq("cell"))
       .select(col("query_id"),

@@ -342,6 +342,24 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
         col("files"), col("bytes"))
   }
 
+  /** The retrain-cadence METER, one call on the live handle —
+    * [[VectorOps.recallCurveFrom]] over THIS snapshot's stored
+    * artifacts: queries and both exact baselines read the stored float
+    * columns (`emb/`, `cemb/` — on an external-model snapshot, the
+    * real chunk vectors the engine derivation cannot reproduce), the
+    * approximate sides the stored cell-partitioned code frames under
+    * the loaded codebooks. As the corpus drifts away from the
+    * generation the books were trained on, these recall rows decay —
+    * the measurement [[Retrieval.retrain]]'s scaladoc says should
+    * dictate the retrain schedule, now one call instead of a hand-
+    * wired harness. Output: one row per (serve shape × nprobe × r)
+    * grid point with recall@k over the query sample. */
+  def measureRecall(queryIds: Seq[Long], k: Int,
+      nprobes: Seq[Int] = VectorOps.CurveNprobes,
+      refines: Seq[Int] = VectorOps.CurveRefines): DataFrame =
+    VectorOps.recallCurveFrom(emb, cemb, index, cindex,
+      cents, books, queryIds, k, nprobes, refines)
+
   /** The ACTION [[chunkArtifactStats]]'s file counts trigger —
     * compaction of fragmented snapshot partitions: every partition of
     * every merge-swapped frame holding more than

@@ -637,6 +637,36 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     check()
   }
 
+  test("measureRecall: the handle's curve over stored artifacts equals the operator-level curve") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mrec").toString
+    val d = docs.where(col("doc_id") < 80)
+    val e = emb.where(col("vec_id") < 80)
+    val h = Retrieval.build(d, e, s"$root/snap")
+    val qids = (0L until 10L).toSeq
+    val got = h.measureRecall(qids, 3, nprobes = Seq(1, 2),
+        refines = Seq(5, 10))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // operator-level curve under the SAME loaded books: the stored
+    // index/cemb frames are row-identical to a fresh encode, so the
+    // two paths must produce the same grid bit for bit
+    val want = graft.operators.VectorOps.recallCurve(e, d, qids, 3,
+        nprobes = Seq(1, 2), refines = Seq(5, 10),
+        centroids = Some(h.cents), resBooks = Some(h.books))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(got.nonEmpty && got === want)
+    // sanity on the shape: at each nprobe, refine never loses to ADC
+    // within a family (the rerank reorders a superset of information)
+    val byKey = got.map(r => (r(0), r(1), r(2)) -> r(5)).toMap
+    Seq(1, 2).foreach { np =>
+      Seq("doc", "chunk").foreach { fam =>
+        val adc = byKey((s"${fam}_adc", np, 0)).asInstanceOf[Double]
+        val ref = byKey((s"${fam}_refine", np, 10)).asInstanceOf[Double]
+        assert(ref >= adc - 1e-9,
+          s"$fam refine@10 $ref below ADC $adc at nprobe=$np")
+      }
+    }
+  }
+
   test("compact rewrites fragmented partitions to single files without changing a row") {
     val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
     // a WIDE build writes one file per task per partition value — the
