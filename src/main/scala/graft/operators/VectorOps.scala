@@ -2473,6 +2473,10 @@ object VectorOps {
     * recall@5" claims mean). One row per (method, query): the exact
     * neighbor count, how many the variant recovered, and the ratio.
     * Consulted next to [[ivfCellStats]] before tuning planes/nprobe.
+    * This is the per-variant MECHANICS check over a small fixed query
+    * set; the statistically-wide measurement that sets the serve
+    * defaults is [[recallCurve]] (x91 — 50-query sample, full
+    * nprobe × refine grid).
     *
     * Scale shape: this is an EVALUATION harness, run over a sampled
     * query set (|queries| ≪ corpus), not a per-corpus-row op. The

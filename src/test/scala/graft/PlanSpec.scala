@@ -156,6 +156,48 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"probed-cell filter must prune the cindex read:\n$fused")
   }
 
+  test("BPE chunk serve (x90's shape): token prune reaches the stored postings, probed cells prune the bpe chunk index") {
+    import graft.operators.{HybridOps, TextOps}
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-planbpe")
+      .toString
+    val docs = Tables.documents(spark, psf).where(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val emb = Tables.embeddings(spark, psf).where(col("vec_id") < 200)
+      .select("vec_id", "embedding")
+    val rules = TextOps.bpeMerges(docs).orderBy("rank").select("lhs", "rhs")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val (ctf, cdl) = TextOps.bpeChunkBm25Stats(docs, rules)
+    ctf.write.parquet(s"$root/bpe_ctf")
+    cdl.write.parquet(s"$root/bpe_cdl")
+    val cents = VectorOps.trainedCentroids(emb)
+    val books = VectorOps.pqResidualCodebooks(emb, cents)
+    VectorOps.chunkIvfPqIndex(
+      VectorOps.chunkEmbeddingsFrom(TextOps.bpeChunkIds(docs, rules), emb),
+      cents, books)
+      .write.partitionBy("cell").parquet(s"$root/bpe_cindex")
+    val bq = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+      .map { case (id, ts) => id -> TextOps.bpeEncodeTerms(ts, rules) }
+    val fused = HybridOps.chunkHybridTopKFrom(
+      spark.read.parquet(s"$root/bpe_ctf"),
+      spark.read.parquet(s"$root/bpe_cdl"),
+      spark.read.schema(graft.serve.Retrieval.IndexSchema)
+        .parquet(s"$root/bpe_cindex"),
+      emb, bq, 5, cents, books)
+      .queryExecution.executedPlan.toString
+    // same contract as the whitespace chunk serve: SYMBOL postings
+    // fetched by pushed IN-filter, chunk-code read pruned to the
+    // probed cells, keyed fusion, no cartesian
+    assert(!fused.contains("CartesianProduct"), s"cartesian:\n$fused")
+    assert(fused.contains("In(token"),
+      s"symbol prune not pushed into the stored bpe postings:\n$fused")
+    assert(fused.contains("bpe_cindex"),
+      s"serve does not read the stored bpe chunk index:\n$fused")
+    assert("cell#\\d+L? IN ".r.findFirstIn(fused).nonEmpty ||
+      fused.contains("cell IN ("),
+      s"probed-cell filter must prune the bpe_cindex read:\n$fused")
+  }
+
   test("BPE-scored selection frame is ONE map-only projection: no join, no exchange") {
     import graft.operators.TextOps
     val docs = Tables.documents(spark, psf).select("doc_id", "text")
