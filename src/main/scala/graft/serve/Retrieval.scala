@@ -356,9 +356,24 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * grid point with recall@k over the query sample. */
   def measureRecall(queryIds: Seq[Long], k: Int,
       nprobes: Seq[Int] = VectorOps.CurveNprobes,
-      refines: Seq[Int] = VectorOps.CurveRefines): DataFrame =
-    VectorOps.recallCurveFrom(emb, cemb, index, cindex,
+      refines: Seq[Int] = VectorOps.CurveRefines): DataFrame = {
+    // maintenance work runs on the CALLER's batch session (the build/
+    // rebuild convention), not the narrow serve session: the curve's
+    // exact baselines are deliberate brute scans, exactly the work the
+    // serve session's fixed 8-task shuffles are wrong for
+    require(new java.io.File(s"$dir/cemb").isDirectory,
+      s"$dir predates the v${Retrieval.LayoutVersion} chunk-index " +
+        "layout (missing cemb/); publish once with build() to upgrade")
+    def read(frame: String, schema: String) =
+      spark.read.schema(schema).parquet(s"$dir/$frame")
+    VectorOps.recallCurveFrom(
+      read("emb", Retrieval.EmbSchema).select("vec_id", "embedding"),
+      read("cemb", Retrieval.CembSchema)
+        .select("doc_id", "chunk_id", "embedding"),
+      read("index", Retrieval.IndexSchema),
+      read("cindex", Retrieval.IndexSchema),
       cents, books, queryIds, k, nprobes, refines)
+  }
 
   /** The ACTION [[chunkArtifactStats]]'s file counts trigger —
     * compaction of fragmented snapshot partitions: every partition of
