@@ -325,14 +325,22 @@ object HybridOps {
     * sharing the BPE encode, the window slices, and the k-means/PQ
     * chains across the halves is what makes the oracle affordable. */
   def bpeChunkHybridSql(queries: Seq[(Long, Seq[String])], k: Int,
-      nprobe: Int): String = {
+      nprobe: Int, refine: Option[Int] = None): String = {
     val d = rrfDenom(k)
+    // refine composes in the SAME scope: the shortlist/rerank CTEs
+    // ([[VectorOps.chunkRefineCtesSql]], leading-comma convention)
+    // reference cscored/cke/ses, all defined by the shared chain
+    val (denseSrc, refineCtes) = refine match {
+      case None => ("cscored", "")
+      case Some(r) => ("crfx", VectorOps.chunkRefineCtesSql(
+        queries.map(_._1), r))
+    }
     VectorOps.materializedCtes(
       s"""WITH ${TextOps.bpeChunkLexCtesSql(queries, k)},
          |${VectorOps.chunkAdcChainSql(queries.map(_._1), nprobe,
-             chunkIdsSql = Some("SELECT doc_id, chunk_id FROM bcc"))},
-         |dbest AS (
-         |  SELECT query_id, doc_id, chunk_id, cosine FROM cscored
+             chunkIdsSql = Some("SELECT doc_id, chunk_id FROM bcc"))
+           }$refineCtes, dbest AS (
+         |  SELECT query_id, doc_id, chunk_id, cosine FROM $denseSrc
          |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
          |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
          |    ORDER BY cosine DESC, chunk_id) = 1

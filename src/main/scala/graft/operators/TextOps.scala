@@ -1171,9 +1171,14 @@ object TextOps {
   /** The shared BPE-window slice frame `(doc_id, chunk_id, cs)` (cs =
     * the window's SYMBOL list) behind [[bpeChunkDocs]],
     * [[bpeChunkIds]] and [[bpeChunkBm25Stats]] — one encode + window
-    * pass, three projections. */
-  private def bpeChunkSlices(docs: DataFrame, rules: Seq[(String, String)],
-      window: Int, overlap: Int): DataFrame =
+    * pass, three projections. PUBLIC as the chunk-once seam for
+    * builders that feed several consumers from one materialized pass
+    * (the [[chunkBm25StatsFrom]] convention at the BPE meter —
+    * [[graft.serve.Retrieval.build]] derives the subword postings AND
+    * the chunk-vector keys from one slice frame). */
+  def bpeChunkSlices(docs: DataFrame, rules: Seq[(String, String)],
+      window: Int = BpeChunkWindow,
+      overlap: Int = BpeChunkOverlap): DataFrame =
     windowSlices(
       docs.select(col("doc_id"), bpeSymsCol(col("text"), rules).as("t")),
       col("t"), window, overlap)
@@ -1205,8 +1210,16 @@ object TextOps {
     * bucket-merge incremental-maintenance argument carries over. */
   def bpeChunkBm25Stats(docs: DataFrame, rules: Seq[(String, String)],
       window: Int = BpeChunkWindow, overlap: Int = BpeChunkOverlap,
+      checkpointDir: Option[String] = None): (DataFrame, DataFrame) =
+    bpeChunkBm25StatsFrom(bpeChunkSlices(docs, rules, window, overlap),
+      checkpointDir)
+
+  /** [[bpeChunkBm25Stats]] over a PREBUILT slice frame — the seam that
+    * lets one [[bpeChunkSlices]] pass feed both the subword postings
+    * and the chunk-vector derivation (the chunk-once convention). */
+  def bpeChunkBm25StatsFrom(slices: DataFrame,
       checkpointDir: Option[String] = None): (DataFrame, DataFrame) = {
-    val tok = bpeChunkSlices(docs, rules, window, overlap)
+    val tok = slices
       .select(col("doc_id"), col("chunk_id"), explode(col("cs")).as("token"))
     val ctf = Dedup.materialize(
       tok.groupBy("doc_id", "chunk_id", "token").agg(count(lit(1)).as("tf")),

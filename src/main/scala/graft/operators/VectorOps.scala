@@ -375,7 +375,7 @@ object VectorOps {
     * shortlist of `r` chunks per query re-scored EXACTLY against the
     * serve corpus's chunk vectors (`cke`) — appended after `cscored`
     * by [[chunkIvfPqMaxSimSql]] and [[chunkRecallPairSql]]. */
-  private def chunkRefineCtesSql(queryIds: Seq[Long], r: Int): String =
+  private[operators] def chunkRefineCtesSql(queryIds: Seq[Long], r: Int): String =
     s""", crfs AS (
        |  SELECT query_id, doc_id, chunk_id FROM cscored
        |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)

@@ -547,6 +547,15 @@ object PipelinePack extends QueryPack {
           .where(col("doc_id") % 3 === 0), 5,
         refine = Some(VectorOps.RefineShortlist))
         .orderBy("query_id", "rn")),
+    // the model-context-true chunk serve FROM THE SNAPSHOT HANDLE
+    // (v6): x90's composition served off the published bctf/bcdl/
+    // bcindex/bcemb frames and the snapshot's fixed bperules.txt, with
+    // the two-stage exact rerank against the stored BPE chunk floats —
+    // the full production RAG serve in model units, one handle call
+    "x92_bpe_snapshot_search" -> ((s, dir) =>
+      retrievalFor(s, dir).searchBpeChunks(Bm25Queries, 5,
+        refine = Some(VectorOps.RefineShortlist))
+        .orderBy("query_id", "rn")),
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1643,6 +1652,10 @@ object PipelinePack extends QueryPack {
     "x90_bpe_chunk_search" ->
       (graft.operators.HybridOps.bpeChunkHybridSql(Bm25Queries, 5,
         nprobe = 2) +
+        "\nORDER BY query_id, rn"),
+    "x92_bpe_snapshot_search" ->
+      (graft.operators.HybridOps.bpeChunkHybridSql(Bm25Queries, 5,
+        nprobe = 2, refine = Some(VectorOps.RefineShortlist)) +
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),

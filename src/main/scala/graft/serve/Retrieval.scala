@@ -114,6 +114,34 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     serve.read.schema(Retrieval.CembSchema).parquet(s"$dir/cemb")
       .select("doc_id", "chunk_id", "embedding")
   }
+  // the BPE-metered twins (v6) — same schemas, window unit = the
+  // snapshot's fixed subword rules
+  private lazy val bctf = {
+    requireChunkFrame("bctf")
+    serve.read.schema(Retrieval.CtfSchema).parquet(s"$dir/bctf")
+      .select("doc_id", "chunk_id", "token", "tf")
+  }
+  private lazy val bcdl = {
+    requireChunkFrame("bcdl")
+    serve.read.schema(Retrieval.CdlSchema).parquet(s"$dir/bcdl")
+      .select("doc_id", "chunk_id", "dl")
+  }
+  private lazy val bcindex = {
+    requireChunkFrame("bcindex")
+    serve.read.schema(Retrieval.IndexSchema).parquet(s"$dir/bcindex")
+  }
+  private lazy val bcemb = {
+    requireChunkFrame("bcemb")
+    serve.read.schema(Retrieval.CembSchema).parquet(s"$dir/bcemb")
+      .select("doc_id", "chunk_id", "embedding")
+  }
+
+  /** The snapshot's FIXED BPE merge rules (v6's `bperules.txt`) —
+    * trained once at [[Retrieval.build]], reused by every refresh and
+    * every query encode, so indexing and querying can never disagree
+    * on subword boundaries. Lazy: doc-level and whitespace-chunk
+    * serves on a pre-v6 snapshot never touch it. */
+  lazy val bpeRules: Seq[(String, String)] = Retrieval.readRules(dir)
 
   /** Dense top-k from the stored index: driver probe ranking → the
     * probed-cell filter prunes the partitioned index read → residual
@@ -307,19 +335,27 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     requireChunkFrame("cindex")
     requireChunkFrame("cemb")
     import org.apache.spark.sql.types._
-    val fsRows = Seq("cindex" -> "cell", "cemb" -> "pb").flatMap {
-      case (frame, partCol) =>
-        val d = new java.io.File(s"$dir/$frame")
-        Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
-          .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
-          .map { pd =>
-            val files = Option(pd.listFiles())
-              .getOrElse(Array.empty[java.io.File])
-              .filter(f => f.isFile && !f.getName.startsWith(".") &&
-                !f.getName.startsWith("_"))
-            org.apache.spark.sql.Row(frame, pd.getName,
-              files.length, files.map(_.length()).sum)
-          }
+    // PRESENT chunk frames only — a v5 snapshot keeps its stats
+    // surface for the frames it has (the per-frame guard convention);
+    // the two requires above pin the v4/v5 floor this method shipped
+    // with
+    val frames = Seq("cindex" -> ("cell", Retrieval.IndexSchema),
+      "cemb" -> ("pb", Retrieval.CembSchema),
+      "bcindex" -> ("cell", Retrieval.IndexSchema),
+      "bcemb" -> ("pb", Retrieval.CembSchema))
+      .filter { case (f, _) => new java.io.File(s"$dir/$f").isDirectory }
+    val fsRows = frames.flatMap { case (frame, (partCol, _)) =>
+      val d = new java.io.File(s"$dir/$frame")
+      Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(partCol + "="))
+        .map { pd =>
+          val files = Option(pd.listFiles())
+            .getOrElse(Array.empty[java.io.File])
+            .filter(f => f.isFile && !f.getName.startsWith(".") &&
+              !f.getName.startsWith("_"))
+          org.apache.spark.sql.Row(frame, pd.getName,
+            files.length, files.map(_.length()).sum)
+        }
     }
     val fsSchema = StructType(Seq(StructField("frame", StringType),
       StructField("part", StringType), StructField("files", IntegerType),
@@ -328,14 +364,11 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       serve.sparkContext.parallelize(fsRows, 1), fsSchema)
     // row counts off the partition column alone — explicit re-reads
     // (not the accessors) because the logical frames drop pb on purpose
-    val rows = serve.read.schema(Retrieval.IndexSchema)
-      .parquet(s"$dir/cindex")
-      .groupBy(concat(lit("cell="), col("cell")).as("part"))
-      .agg(count(lit(1)).as("rows")).withColumn("frame", lit("cindex"))
-      .unionByName(serve.read.schema(Retrieval.CembSchema)
-        .parquet(s"$dir/cemb")
-        .groupBy(concat(lit("pb="), col("pb")).as("part"))
-        .agg(count(lit(1)).as("rows")).withColumn("frame", lit("cemb")))
+    val rows = frames.map { case (frame, (partCol, schema)) =>
+      serve.read.schema(schema).parquet(s"$dir/$frame")
+        .groupBy(concat(lit(partCol + "="), col(partCol)).as("part"))
+        .agg(count(lit(1)).as("rows")).withColumn("frame", lit(frame))
+    }.reduce(_ unionByName _)
     fs.join(rows, Seq("frame", "part"), "left")
       .select(col("frame"), col("part"),
         coalesce(col("rows"), lit(0L)).as("rows"),
@@ -417,6 +450,51 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
           fragmented)
         fragmented.map(v => frame -> s"$partCol=$v")
       }
+    }
+  }
+
+  /** BPE-window chunk-DENSE top-k — [[chunkDenseTopK]] over the v6
+    * frames: same probe-pruned composite-key ADC → MaxSim chain, the
+    * chunk unit swapped to the snapshot's model-context-true windows;
+    * `refine` reranks the shortlist against the stored `bcemb/`
+    * floats. */
+  def bpeChunkDenseTopK(queryIds: Seq[Long], k: Int, nprobe: Int = 2,
+      refine: Option[Int] = None): DataFrame = {
+    val probe = VectorOps.probePlanOf(emb, queryIds, cents, nprobe)
+    val pruned = bcindex.where(col("cell").isin(probe.cells: _*))
+    refine match {
+      case Some(r) => VectorOps.chunkIvfPqRefineTopK(pruned, bcemb, emb,
+        queryIds, k, r, nprobe, cents, books, probes = Some(probe.frame))
+      case None => VectorOps.chunkIvfPqTopKFromIndex(pruned, emb,
+        queryIds, k, nprobe, cents, books, probes = Some(probe.frame))
+    }
+  }
+
+  /** The MODEL-CONTEXT-TRUE chunk serve (v6) — [[searchChunks]] with
+    * both halves metered in the snapshot's fixed subword rules: the
+    * lexical half ranks BPE-window SYMBOL postings (`bctf`/`bcdl`)
+    * with the query terms encoded by the SAME rules driver-side
+    * ([[TextOps.bpeEncodeTerms]] — the tokenizer symmetry at subword
+    * level), the dense half is [[bpeChunkDenseTopK]], and the fused
+    * doc list carries each doc's best BPE window as the attribution —
+    * the passage a RAG caller hands to a model whose context budget is
+    * denominated in these exact units. `queries` carry plain
+    * whitespace terms (the [[search]] convention); encoding is the
+    * serve's job. */
+  def searchBpeChunks(queries: Seq[(Long, Seq[String])], k: Int,
+      policy: HybridOps.Fusion = HybridOps.Rrf,
+      nprobe: Int = 2, refine: Option[Int] = None): DataFrame = {
+    val bq = queries.map { case (id, ts) =>
+      id -> TextOps.bpeEncodeTerms(ts, bpeRules)
+    }
+    def lex = TextOps.bm25ChunkTopKFrom(bctf, bcdl, bq, k)
+    def dense = bpeChunkDenseTopK(queries.map(_._1), k, nprobe, refine)
+    policy match {
+      case HybridOps.LexicalOnly => lex
+      case HybridOps.DenseOnly => dense
+      case HybridOps.Rrf => HybridOps.rrfFuseChunked(lex, dense, k)
+      case HybridOps.Weighted(w) =>
+        HybridOps.weightedFuseChunked(lex, dense, k, w)
     }
   }
 
@@ -524,9 +602,12 @@ object Retrieval {
     * v3: ctf/cdl chunk-level lexical frames; v4: the cell-partitioned
     * composite-key chunk-vector IVFADC frame `cindex/`; v5: the
     * full-precision chunk-vector frame `cemb/` the refine serve
-    * reranks against) invalidates stale caches instead of tripping
-    * the chunk-entry layout check. */
-  val LayoutVersion = 5
+    * reranks against; v6: the BPE-METERED chunk frames — `bperules.txt`
+    * (the snapshot's fixed tokenizer), subword postings `bctf/`/`bcdl/`,
+    * the BPE-window chunk-vector index `bcindex/` and its
+    * full-precision twin `bcemb/`) invalidates stale caches instead of
+    * tripping the chunk-entry layout check. */
+  val LayoutVersion = 6
 
   private def writeBooks(path: java.nio.file.Path,
       rows: Seq[Seq[Double]]): Unit = {
@@ -542,12 +623,44 @@ object Retrieval {
       .map(_.split(",").toSeq
         .map(b => java.lang.Double.longBitsToDouble(b.toLong)))
 
-  /** The v4 chunk frames a snapshot directory is missing (empty =
-    * fully current layout) — shared by the handle's chunk-entry guard
-    * and [[rebuild]]'s pre-merge check. */
+  /** The chunk frames a snapshot directory is missing (empty = fully
+    * current layout) — [[rebuild]]'s pre-merge check (it merges every
+    * one of these, so it needs the full v6 layout; the serve accessors
+    * guard PER FRAME instead, keeping older snapshots serving what
+    * they can). */
   private[serve] def missingChunkFrames(dir: String): Seq[String] =
-    Seq("ctf", "cdl", "cindex", "cemb")
-      .filterNot(f => new java.io.File(s"$dir/$f").isDirectory)
+    (Seq("ctf", "cdl", "cindex", "cemb", "bctf", "bcdl", "bcindex",
+      "bcemb").filterNot(f => new java.io.File(s"$dir/$f").isDirectory)) ++
+      (if (new java.io.File(dir, BpeRulesFile).exists()) Nil
+       else Seq(BpeRulesFile))
+
+  /** The snapshot's fixed BPE merge table (v6) — trained once at
+    * [[build]], held FIXED across every [[rebuild]] exactly like the
+    * vector codebooks: a refresh that re-learned the tokenizer would
+    * move every window boundary and silently re-chunk the whole
+    * corpus. Symbols are joined with the encode separator (U+0001),
+    * which no symbol can contain (the encode itself splits on it). */
+  private val BpeRulesFile = "bperules.txt"
+  private val RuleSep = "\u0001"
+  private def writeRules(path: java.nio.file.Path,
+      rules: Seq[(String, String)]): Unit = {
+    java.nio.file.Files.createDirectories(path.getParent)
+    java.nio.file.Files.writeString(path,
+      rules.map { case (l, r) => s"$l$RuleSep$r" }.mkString("\n"))
+    ()
+  }
+  private[serve] def readRules(dir: String): Seq[(String, String)] = {
+    val p = java.nio.file.Paths.get(dir, BpeRulesFile)
+    require(java.nio.file.Files.exists(p),
+      s"$dir predates the v$LayoutVersion BPE chunk layout (missing " +
+        s"$BpeRulesFile); publish once with build() to upgrade")
+    val s = java.nio.file.Files.readString(p)
+    if (s.isEmpty) Nil
+    else s.split("\n", -1).toSeq.map { line =>
+      val i = line.indexOf(RuleSep)
+      (line.substring(0, i), line.substring(i + 1))
+    }
+  }
 
   /** Chunk-vector provenance marker file + its two values — written by
     * [[build]] beside the codebooks, consulted by [[rebuild]] and
@@ -633,7 +746,8 @@ object Retrieval {
   def build(docs: DataFrame, embeddings: DataFrame, dir: String,
       checkpointDir: Option[String] = None,
       codebooks: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None,
-      chunkEmb: Option[DataFrame] = None): Retrieval = {
+      chunkEmb: Option[DataFrame] = None,
+      bpeRules: Option[Seq[(String, String)]] = None): Retrieval = {
     val spark = docs.sparkSession
     val staged = new java.io.File(s"$dir.tmp-${System.nanoTime()}")
     val (cents, books) = codebooks.getOrElse {
@@ -695,6 +809,37 @@ object Retrieval {
     VectorOps.chunkIvfPqIndex(cEmb, cents, books)
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$staged/cindex")
+    // BPE-METERED chunk frames (v6) — the snapshot's model-context-
+    // true chunking: the tokenizer is trained here (or pinned via
+    // `bpeRules` — the codebook convention applied to merge rules) and
+    // FIXED for the snapshot's life in `bperules.txt`; windows meter
+    // in learned subword units; the subword postings (bctf/bcdl) and
+    // the window-keyed chunk-vector index + full-precision twin
+    // (bcindex/bcemb) all derive from ONE materialized slice pass.
+    // BPE chunk vectors are always the ENGINE derivation: an
+    // external-model deployment's model-true windows arrive through
+    // the `chunkEmb` seam above (its chunk_ids ARE its model's
+    // chunking); these frames serve derivation-based deployments.
+    val rules = bpeRules.getOrElse(
+      TextOps.bpeMerges(docs).orderBy("rank").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+    writeRules(staged.toPath.resolve(BpeRulesFile), rules)
+    val bSlices = graft.operators.Dedup.materialize(
+      TextOps.bpeChunkSlices(docs, rules), checkpointDir)
+    val (bctf, bcdl) = TextOps.bpeChunkBm25StatsFrom(bSlices, checkpointDir)
+    bctf.withColumn("pb", pb("doc_id"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/bctf")
+    bcdl.withColumn("pb", pb("doc_id"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/bcdl")
+    val bEmb = graft.operators.Dedup.materialize(
+      VectorOps.chunkEmbeddingsFrom(bSlices.select("doc_id", "chunk_id"),
+        embeddings), checkpointDir)
+    bEmb.select(col("doc_id"), col("chunk_id"), col("embedding"))
+      .withColumn("pb", pb("doc_id"))
+      .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/bcemb")
+    VectorOps.chunkIvfPqIndex(bEmb, cents, books)
+      .write.partitionBy("cell").mode(SaveMode.Overwrite)
+      .parquet(s"$staged/bcindex")
     dhOf(docs).withColumn("pb", pb("doc_id"))
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/dh")
     vhOf(embeddings).withColumn("pb", pb("vec_id"))
@@ -795,6 +940,10 @@ object Retrieval {
         s"${missingChunk.mkString(", ")}); publish once with build() to " +
         "upgrade the layout")
     requireCembSourceMatch(dir, "rebuild", chunkEmb)
+    // the snapshot's tokenizer is FIXED for its life (the codebook
+    // convention): every refresh re-chunks its delta under the SAME
+    // rules, or window boundaries would silently move corpus-wide
+    val rules = readRules(dir)
 
     // ---- dense delta: ids whose vector is new or changed / deleted,
     // detected on the thin stored fingerprints — the float column is
@@ -885,6 +1034,16 @@ object Retrieval {
         touchedDocPb, CtfSchema)
       mergeBucketed(spark, s"$dir/cdl", "doc_id", touchedDoc, cdlNew,
         touchedDocPb, CdlSchema)
+      // BPE subword postings: per-doc local like ctf/cdl, re-encoded
+      // under the snapshot's FIXED rules over the same dh-diffed delta
+      val (bctfNew, bcdlNew) = TextOps.bpeChunkBm25StatsFrom(
+        graft.operators.Dedup.materialize(
+          TextOps.bpeChunkSlices(changedDocs, rules), checkpointDir),
+        checkpointDir)
+      mergeBucketed(spark, s"$dir/bctf", "doc_id", touchedDoc, bctfNew,
+        touchedDocPb, CtfSchema)
+      mergeBucketed(spark, s"$dir/bcdl", "doc_id", touchedDoc, bcdlNew,
+        touchedDocPb, CdlSchema)
       // dh merges after cindex, with vh — same certify-last rule: the
       // doc fingerprint also certifies the chunk index (a text edit
       // moves chunk boundaries), so it must not commit before cindex.
@@ -942,6 +1101,35 @@ object Retrieval {
         replacePartitions(s"$dir/cindex", "cell", mergedCIdx,
           affectedCCells.map(_.toString))
       }
+      // the BPE-window chunk-vector twins (v6): same delta (text moves
+      // window boundaries, a re-embed moves every window vector), same
+      // merge shapes — bucketed floats, cell-swapped codes — under the
+      // snapshot's FIXED rules and books. Always the engine
+      // derivation ([[build]]'s v6 note).
+      val bcembDelta = graft.operators.Dedup.materialize(
+        VectorOps.chunkEmbeddingsFrom(
+          TextOps.bpeChunkIds(changedChunkDocs, rules), changedChunkEmb),
+        checkpointDir)
+      mergeBucketed(spark, s"$dir/bcemb", "doc_id", touchedChunkDoc,
+        bcembDelta, touchedChunkPb, CembSchema)
+      val newBCIdx = graft.operators.Dedup.materialize(
+        VectorOps.chunkIvfPqIndex(bcembDelta, prior.cents, prior.books),
+        checkpointDir)
+      val oldBCIdx = spark.read.schema(IndexSchema).parquet(s"$dir/bcindex")
+      val affectedBCells = oldBCIdx
+        .join(touchedChunkDoc, docIdOfVec === touchedChunkDoc("doc_id"),
+          "left_semi")
+        .select("cell")
+        .unionByName(newBCIdx.select("cell"))
+        .distinct().collect().map(_.getLong(0)).toSeq // bounded: ≤ cells
+      if (affectedBCells.nonEmpty) {
+        val mergedBCIdx = oldBCIdx.where(col("cell").isin(affectedBCells: _*))
+          .join(touchedChunkDoc, docIdOfVec === touchedChunkDoc("doc_id"),
+            "left_anti")
+          .unionByName(newBCIdx)
+        replacePartitions(s"$dir/bcindex", "cell", mergedBCIdx,
+          affectedBCells.map(_.toString))
+      }
     }
 
     // ---- fingerprints LAST: vh/dh certify every data frame above
@@ -991,18 +1179,22 @@ object Retrieval {
     * [[sweepMergeDebris]], and the compaction list for
     * [[Retrieval.compact]]. */
   private val MergeFrames: Seq[(String, String)] =
-    Seq("index" -> "cell", "cindex" -> "cell", "emb" -> "pb", "vh" -> "pb",
+    Seq("index" -> "cell", "cindex" -> "cell", "bcindex" -> "cell",
+      "emb" -> "pb", "vh" -> "pb",
       "tf" -> "pb", "dl" -> "pb", "dh" -> "pb", "ctf" -> "pb",
-      "cdl" -> "pb", "cemb" -> "pb")
+      "cdl" -> "pb", "cemb" -> "pb", "bctf" -> "pb", "bcdl" -> "pb",
+      "bcemb" -> "pb")
 
   /** Explicit read schema per merge frame — [[Retrieval.compact]]'s
     * rewrite reads each frame with its written schema (the same
     * no-inference rule as the serve accessors). */
   private val frameSchemas: Map[String, String] = Map(
     "index" -> IndexSchema, "cindex" -> IndexSchema,
+    "bcindex" -> IndexSchema,
     "emb" -> EmbSchema, "vh" -> VhSchema, "tf" -> TfSchema,
     "dl" -> DlSchema, "dh" -> DhSchema, "ctf" -> CtfSchema,
-    "cdl" -> CdlSchema, "cemb" -> CembSchema)
+    "cdl" -> CdlSchema, "cemb" -> CembSchema, "bctf" -> CtfSchema,
+    "bcdl" -> CdlSchema, "bcemb" -> CembSchema)
 
   /** Parsed `.aside-<v>-<nonce>` entries of a frame dir. Unparseable
     * names (debris from an interrupted mkdir or a manual copy) are

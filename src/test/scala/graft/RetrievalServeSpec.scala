@@ -637,6 +637,70 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     check()
   }
 
+  test("BPE chunk serve (v6): snapshot equals the operator composition; rules stay fixed across rebuild") {
+    import graft.operators.VectorOps
+    val root = java.nio.file.Files.createTempDirectory("graft-bpesnap").toString
+    val d = docs.where(col("doc_id") < 80)
+    val e = emb.where(col("vec_id") < 80)
+    val dir = s"$root/snap"
+    val h = Retrieval.build(d, e, dir)
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    val qids = queries.map(_._1)
+
+    // the snapshot serve ≡ an INDEPENDENT operator-level composition
+    // over frames built from the same corpus under the LOADED rules +
+    // books (the searchChunks equivalence contract at the BPE meter)
+    val rules = h.bpeRules
+    assert(rules.nonEmpty, "fixture learned no merge rules; test vacuous")
+    val bq = queries.map { case (id, ts) =>
+      id -> TextOps.bpeEncodeTerms(ts, rules)
+    }
+    val slices = TextOps.bpeChunkSlices(d, rules)
+    val (bctf, bcdl) = TextOps.bpeChunkBm25StatsFrom(slices)
+    val bEmb = VectorOps.chunkEmbeddingsFrom(
+      slices.select("doc_id", "chunk_id"), e)
+    val idx = VectorOps.chunkIvfPqIndex(bEmb, h.cents, h.books)
+    val probe = VectorOps.probePlanOf(e, qids, h.cents, 2)
+    def composed(refine: Option[Int]) = {
+      val pruned = idx.where(col("cell").isin(probe.cells: _*))
+      val dense = refine match {
+        case Some(r) => VectorOps.chunkIvfPqRefineTopK(pruned, bEmb, e,
+          qids, 5, r, 2, h.cents, h.books, probes = Some(probe.frame))
+        case None => VectorOps.chunkIvfPqTopKFromIndex(pruned, e, qids,
+          5, 2, h.cents, h.books, probes = Some(probe.frame))
+      }
+      HybridOps.rrfFuseChunked(
+        TextOps.bm25ChunkTopKFrom(bctf, bcdl, bq, 5), dense, 5)
+    }
+    assert(rows(h.searchBpeChunks(queries, 5)) === rows(composed(None)))
+    assert(rows(h.searchBpeChunks(queries, 5, refine = Some(8))) ===
+      rows(composed(Some(8))))
+    // refine actually changes something on this fixture
+    assert(rows(h.searchBpeChunks(queries, 5, refine = Some(8))) !==
+      rows(h.searchBpeChunks(queries, 5)),
+      "BPE refine indistinguishable from ADC here; assertions vacuous")
+
+    // rebuild: the tokenizer stays FIXED (rules file byte-identical),
+    // the delta re-chunks under it, and the refreshed serve equals a
+    // FULL build pinned to the same books AND rules on the new corpus
+    val rulesBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "bperules.txt")).toSeq
+    val d2 = d.withColumn("text", when(col("doc_id") < 3,
+      concat(col("text"), lit(" bpe churn"))).otherwise(col("text")))
+    Retrieval.rebuild(d2, e, dir)
+    assert(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "bperules.txt")).toSeq === rulesBytes,
+      "rebuild must never retrain the tokenizer")
+    val fullDir = s"$root/full"
+    Retrieval.build(d2, e, fullDir,
+      codebooks = Some((h.cents, h.books)), bpeRules = Some(rules))
+    assert(rows(Retrieval.load(spark, dir)
+        .searchBpeChunks(queries, 5, refine = Some(8))) ===
+      rows(Retrieval.load(spark, fullDir)
+        .searchBpeChunks(queries, 5, refine = Some(8))),
+      "incremental BPE refresh diverges from the fixed-rules full build")
+  }
+
   test("measureRecall: the handle's curve over stored artifacts equals the operator-level curve") {
     val root = java.nio.file.Files.createTempDirectory("graft-mrec").toString
     val d = docs.where(col("doc_id") < 80)
