@@ -325,19 +325,24 @@ object HybridOps {
     * sharing the BPE encode, the window slices, and the k-means/PQ
     * chains across the halves is what makes the oracle affordable. */
   def bpeChunkHybridSql(queries: Seq[(Long, Seq[String])], k: Int,
-      nprobe: Int, refine: Option[Int] = None): String = {
+      nprobe: Int, refine: Option[Int] = None,
+      allowedSql: Option[String] = None): String = {
     val d = rrfDenom(k)
     // refine composes in the SAME scope: the shortlist/rerank CTEs
     // ([[VectorOps.chunkRefineCtesSql]], leading-comma convention)
-    // reference cscored/cke/ses, all defined by the shared chain
+    // reference cscored/cke/ses, all defined by the shared chain;
+    // `allowedSql` restricts BOTH halves before their ranks (the x86
+    // pre-filter semantics at the BPE meter)
     val (denseSrc, refineCtes) = refine match {
       case None => ("cscored", "")
       case Some(r) => ("crfx", VectorOps.chunkRefineCtesSql(
         queries.map(_._1), r))
     }
     VectorOps.materializedCtes(
-      s"""WITH ${TextOps.bpeChunkLexCtesSql(queries, k)},
+      s"""WITH ${TextOps.bpeChunkLexCtesSql(queries, k,
+             allowedSql = allowedSql)},
          |${VectorOps.chunkAdcChainSql(queries.map(_._1), nprobe,
+             allowedSql = allowedSql,
              chunkIdsSql = Some("SELECT doc_id, chunk_id FROM bcc"))
            }$refineCtes, dbest AS (
          |  SELECT query_id, doc_id, chunk_id, cosine FROM $denseSrc

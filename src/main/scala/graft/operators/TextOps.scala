@@ -1272,7 +1272,13 @@ object TextOps {
   private[operators] def bpeChunkLexCtesSql(
       queries: Seq[(Long, Seq[String])], k: Int,
       kRules: Int = BpeMerges, window: Int = BpeChunkWindow,
-      overlap: Int = BpeChunkOverlap): String = {
+      overlap: Int = BpeChunkOverlap,
+      allowedSql: Option[String] = None): String = {
+    // pre-filter semantics ([[bm25ChunkTopKSql]]'s restrict placement):
+    // all of a filtered doc's windows drop BEFORE the ranks, subword
+    // df/N/avgdl stay collection-global
+    val restrict = allowedSql
+      .map(a => s"  WHERE doc_id IN ($a)\n").getOrElse("")
     val qvals = queries
       .flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }.mkString(", ")
     val qEncodeSql =
@@ -1296,7 +1302,7 @@ object TextOps {
        |lbest AS (
        |  SELECT query_id, doc_id, chunk_id, score
        |  FROM lagg
-       |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
+       |$restrict  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
        |    ORDER BY score DESC, chunk_id) = 1
        |), clex AS (
        |  SELECT query_id, doc_id, chunk_id, score,

@@ -556,6 +556,16 @@ object PipelinePack extends QueryPack {
       retrievalFor(s, dir).searchBpeChunks(Bm25Queries, 5,
         refine = Some(VectorOps.RefineShortlist))
         .orderBy("query_id", "rn")),
+    // filtered AND refined at the BPE meter — the tenant-scoped
+    // model-context RAG query, completing the chunk-serve matrix
+    // (x86/x89 are its whitespace twins): allowed ids restrict both
+    // halves before their ranks, composing with the partition prune
+    "x93_bpe_chunk_filtered" -> ((s, dir) =>
+      retrievalFor(s, dir).searchBpeChunksFiltered(Bm25Queries,
+        Tables.documents(s, dir).select("doc_id")
+          .where(col("doc_id") % 3 === 0), 5,
+        refine = Some(VectorOps.RefineShortlist))
+        .orderBy("query_id", "rn")),
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1656,6 +1666,12 @@ object PipelinePack extends QueryPack {
     "x92_bpe_snapshot_search" ->
       (graft.operators.HybridOps.bpeChunkHybridSql(Bm25Queries, 5,
         nprobe = 2, refine = Some(VectorOps.RefineShortlist)) +
+        "\nORDER BY query_id, rn"),
+    "x93_bpe_chunk_filtered" ->
+      (graft.operators.HybridOps.bpeChunkHybridSql(Bm25Queries, 5,
+        nprobe = 2, refine = Some(VectorOps.RefineShortlist),
+        allowedSql =
+          Some("SELECT doc_id FROM documents WHERE doc_id % 3 = 0")) +
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),

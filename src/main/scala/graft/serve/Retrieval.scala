@@ -498,6 +498,45 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     }
   }
 
+  /** Metadata-filtered model-context-true chunk serve —
+    * [[searchChunksFiltered]]'s pre-filter semantics at the BPE meter:
+    * the allowed doc-id frame restricts BOTH halves before each rank
+    * (a filtered doc's BPE windows all drop together; subword df/N/
+    * avgdl and the probed cells stay collection-global), the dense
+    * half semi-joining the allowed list onto the probed `bcindex`
+    * slice on the decomposed composite key so the filter COMPOSES
+    * with the partition prune. */
+  def searchBpeChunksFiltered(queries: Seq[(Long, Seq[String])],
+      allowed: DataFrame, k: Int,
+      policy: HybridOps.Fusion = HybridOps.Rrf,
+      nprobe: Int = 2, refine: Option[Int] = None): DataFrame = {
+    val bq = queries.map { case (id, ts) =>
+      id -> TextOps.bpeEncodeTerms(ts, bpeRules)
+    }
+    def lex = TextOps.bm25ChunkTopKFrom(bctf, bcdl, bq, k, Some(allowed))
+    def dense = {
+      val qids = queries.map(_._1)
+      val probe = VectorOps.probePlanOf(emb, qids, cents, nprobe)
+      val pruned = bcindex.where(col("cell").isin(probe.cells: _*))
+        .join(broadcast(allowed.toDF("a_id")),
+          expr(s"vec_id DIV ${VectorOps.ChunkStride}") === col("a_id"),
+          "left_semi")
+      refine match {
+        case Some(r) => VectorOps.chunkIvfPqRefineTopK(pruned, bcemb, emb,
+          qids, k, r, nprobe, cents, books, probes = Some(probe.frame))
+        case None => VectorOps.chunkIvfPqTopKFromIndex(pruned, emb, qids,
+          k, nprobe, cents, books, probes = Some(probe.frame))
+      }
+    }
+    policy match {
+      case HybridOps.LexicalOnly => lex
+      case HybridOps.DenseOnly => dense
+      case HybridOps.Rrf => HybridOps.rrfFuseChunked(lex, dense, k)
+      case HybridOps.Weighted(w) =>
+        HybridOps.weightedFuseChunked(lex, dense, k, w)
+    }
+  }
+
   /** [[search]] over raw query strings — tokenized with the engine's
     * own rule ([[HybridOps.tokenizeQueries]]), so querying can never
     * disagree with indexing on token boundaries. */

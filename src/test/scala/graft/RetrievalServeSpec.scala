@@ -680,6 +680,21 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       rows(h.searchBpeChunks(queries, 5)),
       "BPE refine indistinguishable from ADC here; assertions vacuous")
 
+    // filtered serve at the BPE meter: only allowed docs surface, and
+    // the lexical-only policy equals the operator-level restricted rank
+    val allowed = d.select(col("doc_id")).where(col("doc_id") % 2 === 0)
+    val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+    val filRows = h.searchBpeChunksFiltered(queries, allowed, 5,
+        refine = Some(8))
+      .collect().map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("doc_id")))).toSeq
+    assert(filRows.nonEmpty &&
+      filRows.forall { case (_, id) => allowedIds.contains(id) },
+      s"disallowed doc served by the filtered BPE serve: $filRows")
+    assert(rows(h.searchBpeChunksFiltered(queries, allowed, 5,
+        HybridOps.LexicalOnly)) ===
+      rows(TextOps.bm25ChunkTopKFrom(bctf, bcdl, bq, 5, Some(allowed))))
+
     // rebuild: the tokenizer stays FIXED (rules file byte-identical),
     // the delta re-chunks under it, and the refreshed serve equals a
     // FULL build pinned to the same books AND rules on the new corpus
