@@ -1236,12 +1236,19 @@ object TextOps {
     * BPE-symbol index can never disagree with indexing on symbol
     * boundaries. Java's `String.replace` and Spark's `replace` both
     * substitute every non-overlapping occurrence left-to-right, so the
-    * two folds are literally the same computation (spec-pinned against
-    * the column output over the fixture vocabulary). */
+    * two folds are the same computation (spec-pinned against the
+    * column output over the fixture vocabulary, non-BMP included).
+    * The initial wrap is per Unicode CODE POINT, not UTF-16 code unit
+    * — [[bpeSymsCol]] wraps via Spark `substr`/`length` and the oracle
+    * via DuckDB `w[i:i]`, both code-point-indexed, so a per-Char wrap
+    * would split surrogate pairs on non-BMP query text into symbols
+    * the index never contains (silent recall loss). */
   def bpeEncodeTerms(terms: Seq[String],
       rules: Seq[(String, String)]): Seq[String] =
     terms.filter(_.nonEmpty).flatMap { w =>
-      val wrapped = w.map(c => s"$BpeSep$c$BpeSep").mkString
+      val wrapped = w.codePoints().toArray
+        .map(cp => s"$BpeSep${new String(Character.toChars(cp))}$BpeSep")
+        .mkString
       val enc = rules.foldLeft(wrapped) { case (s, (l, r)) =>
         s.replace(s"$BpeSep$l$BpeSep$BpeSep$r$BpeSep", s"$BpeSep$l$r$BpeSep")
       }

@@ -995,8 +995,12 @@ object PipelinePack extends QueryPack {
     // grid point of the four production serve shapes over a 50-query
     // sample — x44 checks each variant's mechanics per query at the
     // shipped setting; this is the measurement the Retrieval defaults
-    // (nprobe=2, refine=20) are justified against. One ADC pass at
-    // nprobe=8 serves the whole grid (prn-filter derivation)
+    // (nprobe=2, refine=40) are justified against: doc-refine recall@5
+    // at nprobe=2 ran 0.252/0.356/0.448 for r=10/20/40 (chunk
+    // 0.216/0.336/0.444), so r=40 matches (nprobe=8, r=20) at a
+    // quarter of the probed bandwidth (VectorOps.RefineShortlist).
+    // One ADC pass at nprobe=8 serves the whole grid (prn-filter
+    // derivation)
     "x91_recall_curve" -> ((s, dir) => {
       val cents = codebookFor(s, dir)
       val resBooks = pqResBooksFor(s, dir)

@@ -332,18 +332,22 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * scans ONLY each frame's partition column (column-pruned — the
     * codes and float columns are never read). */
   def chunkArtifactStats(): DataFrame = {
-    requireChunkFrame("cindex")
-    requireChunkFrame("cemb")
     import org.apache.spark.sql.types._
-    // PRESENT chunk frames only — a v5 snapshot keeps its stats
-    // surface for the frames it has (the per-frame guard convention);
-    // the two requires above pin the v4/v5 floor this method shipped
-    // with
+    // PRESENT chunk frames only — the per-frame availability rule all
+    // the way down: a snapshot reports on whichever of the four chunk
+    // frames it holds (a v4 snapshot with cindex but no cemb keeps the
+    // stats surface for the frame it has); only a snapshot with NO
+    // chunk frame at all has nothing to report on and gets the
+    // upgrade message
     val frames = Seq("cindex" -> ("cell", Retrieval.IndexSchema),
       "cemb" -> ("pb", Retrieval.CembSchema),
       "bcindex" -> ("cell", Retrieval.IndexSchema),
       "bcemb" -> ("pb", Retrieval.CembSchema))
       .filter { case (f, _) => new java.io.File(s"$dir/$f").isDirectory }
+    require(frames.nonEmpty,
+      s"$dir holds none of the chunk frames (cindex/, cemb/, " +
+        s"bcindex/, bcemb/) — it predates the v${Retrieval.LayoutVersion}" +
+        " chunk-index layout; publish once with build() to upgrade")
     val fsRows = frames.flatMap { case (frame, (partCol, _)) =>
       val d = new java.io.File(s"$dir/$frame")
       Option(d.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
@@ -393,10 +397,13 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     // maintenance work runs on the CALLER's batch session (the build/
     // rebuild convention), not the narrow serve session: the curve's
     // exact baselines are deliberate brute scans, exactly the work the
-    // serve session's fixed 8-task shuffles are wrong for
-    require(new java.io.File(s"$dir/cemb").isDirectory,
-      s"$dir predates the v${Retrieval.LayoutVersion} chunk-index " +
-        "layout (missing cemb/); publish once with build() to upgrade")
+    // serve session's fixed 8-task shuffles are wrong for.
+    // The curve reads BOTH v4+ chunk frames (cemb floats for the exact
+    // baseline, cindex codes for the approximate side) — guard each so
+    // a partial snapshot fails with the named frame and the upgrade
+    // path, not a raw missing-path error mid-plan
+    requireChunkFrame("cemb")
+    requireChunkFrame("cindex")
     def read(frame: String, schema: String) =
       spark.read.schema(schema).parquet(s"$dir/$frame")
     VectorOps.recallCurveFrom(
@@ -708,15 +715,17 @@ object Retrieval {
   private val CembExternal = "external"
   private val CembDerived = "derived"
 
-  /** The snapshot's recorded chunk-vector provenance; a missing marker
-    * (pre-provenance layout) reads as derived — the only provenance an
-    * old snapshot can hold, since the marker ships with the same build
-    * that made `chunkEmb` durable. */
-  private def cembSourceOf(dir: String): String = {
+  /** The snapshot's recorded chunk-vector provenance; `None` means the
+    * marker is missing. A missing marker is NOT evidence of derivation:
+    * the `chunkEmb` seam predates the marker (layout v5), so a
+    * markerless snapshot holding `cemb/` may carry either provenance —
+    * callers must treat `None` as indeterminate whenever chunk vectors
+    * exist to degrade, never default it to derived. */
+  private def cembSourceOf(dir: String): Option[String] = {
     val f = java.nio.file.Paths.get(dir, CembSourceFile)
     if (java.nio.file.Files.exists(f))
-      java.nio.file.Files.readString(f).trim
-    else CembDerived
+      Some(java.nio.file.Files.readString(f).trim)
+    else None
   }
 
   /** Refuse a refresh whose `chunkEmb` argument disagrees with the
@@ -728,7 +737,11 @@ object Retrieval {
     * rewritten), never an incremental merge. */
   private def requireCembSourceMatch(dir: String, verb: String,
       chunkEmb: Option[DataFrame]): Unit = {
-    val external = cembSourceOf(dir) == CembExternal
+    // an incremental refresh can only reach here on a full v6 layout
+    // (marker ships with the same build), so a missing marker means
+    // someone deleted it — indeterminate, refuse rather than guess
+    requireCembKnownOrAbsent(dir, verb)
+    val external = cembSourceOf(dir).contains(CembExternal)
     require(!external || chunkEmb.isDefined,
       s"$dir was built with caller-supplied (external-model) chunk " +
         s"embeddings; $verb(chunkEmb = ...) is required — omitting it " +
@@ -741,6 +754,25 @@ object Retrieval {
         "touched docs take external vectors — switch provenance with a " +
         "full build(chunkEmb = ...) instead")
   }
+
+  /** Refuse any chunk-frame refresh on a snapshot whose chunk-vector
+    * provenance is INDETERMINATE: `cemb/` exists (there are real chunk
+    * vectors to degrade) but `cembsource.txt` does not (the seam
+    * predates the marker — a markerless v5 snapshot may hold EITHER
+    * external-model or derived vectors, and guessing 'derived' is
+    * exactly the silent-degradation hazard the guard exists to stop).
+    * A snapshot with no `cemb/` has nothing to degrade and passes. The
+    * only exit is a full [[build]], which records provenance. */
+  private def requireCembKnownOrAbsent(dir: String, verb: String): Unit =
+    require(cembSourceOf(dir).isDefined ||
+        !new java.io.File(dir, "cemb").isDirectory,
+      s"$dir holds chunk embeddings (cemb/) but no $CembSourceFile " +
+        "provenance marker (pre-provenance layout) — whether they are " +
+        s"external-model or engine-derived is indeterminate, so $verb " +
+        "refuses rather than risk silently replacing real-model chunk " +
+        "vectors with the parity derivation; record provenance with a " +
+        "full build() (pass chunkEmb = ... iff the vectors are " +
+        "external), then refresh incrementally")
 
   /** Merge-bucket count for the id-keyed frames (emb/tf/dl/dh): each is
     * written `partitionBy("pb")` with `pb = vec_id|doc_id mod this`, so
@@ -926,8 +958,13 @@ object Retrieval {
     // a retrain rewrites every chunk row, so provenance can legally
     // SWITCH to external here — but an external snapshot retrained
     // without fresh external vectors would silently replace real-model
-    // output with the parity derivation, the one-way hazard to refuse
-    require(cembSourceOf(dir) != CembExternal || chunkEmb.isDefined,
+    // output with the parity derivation, the one-way hazard to refuse.
+    // A markerless snapshot holding cemb/ is the same hazard in
+    // disguise (pre-provenance v5 external snapshots exist), so an
+    // indeterminate marker refuses too — unless the caller supplies
+    // chunkEmb, which makes the outcome explicit either way
+    if (chunkEmb.isEmpty) requireCembKnownOrAbsent(dir, "retrain")
+    require(!cembSourceOf(dir).contains(CembExternal) || chunkEmb.isDefined,
       s"$dir was built with caller-supplied (external-model) chunk " +
         "embeddings; retrain(chunkEmb = ...) is required — omitting it " +
         "would silently replace the real-model chunk vectors with the " +

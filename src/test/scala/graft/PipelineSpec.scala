@@ -1740,8 +1740,13 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       Seq((0L, "banana banana banana bandana scan scan scan")).toDF(
         "doc_id", "text"), 8).orderBy("rank").collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
+    // non-BMP terms (surrogate pairs in UTF-16) pin the driver fold to
+    // CODE POINTS: the column fold wraps per code point (UTF8String
+    // substr/length), so a per-Char driver wrap would split 𝄞 into two
+    // symbols the index never holds — silent lexical recall loss
     val terms = Seq("spark", "join", "vector", "table", "window", "batch",
-      "scan", "banana", "bandana", "scanscan", "aa", "")
+      "scan", "banana", "bandana", "scanscan", "aa", "",
+      "𝄞clef", "a𝄞b", "😀😀")
     for (rules <- Seq(fixtureRules, tinyRules)) {
       // engine truth: each term as a one-word doc through the COLUMN
       // fold — bpeChunkBm25Stats' ctf multiset per doc is exactly that

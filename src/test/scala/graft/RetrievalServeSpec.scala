@@ -601,6 +601,30 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     Retrieval.retrain(d, e, der, chunkEmb = Some(ce))
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(der, "cembsource.txt")).trim === "external")
+
+    // a MARKERLESS snapshot holding cemb/ (the pre-provenance v5
+    // layout — the chunkEmb seam predates the marker) is INDETERMINATE,
+    // not derived: a chunkEmb-less retrain would silently replace what
+    // may be real-model vectors with the parity derivation, so it
+    // refuses until provenance is recorded or made explicit
+    val unk = s"$root/unk"
+    Retrieval.build(d, e, unk, chunkEmb = Some(ce))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(unk, "cembsource.txt"))
+    val unkMsg = intercept[IllegalArgumentException] {
+      Retrieval.retrain(d, e, unk)
+    }.getMessage
+    assert(unkMsg.contains("indeterminate"), unkMsg)
+    // an EXPLICIT chunkEmb makes the outcome unambiguous (external) —
+    // that retrain is legal and records provenance for the next round
+    Retrieval.retrain(d, e, unk, chunkEmb = Some(ce))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(unk, "cembsource.txt")).trim === "external")
+    // ...after which the marker is back and a derivation retrain still
+    // refuses (external snapshots never silently degrade)
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.retrain(d, e, unk)
+    }.getMessage.contains("caller-supplied"))
   }
 
   test("chunk-artifact stats: per-partition rows/files/bytes agree with the frames on disk") {
@@ -635,6 +659,29 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       concat(col("text"), lit(" churn"))).otherwise(col("text")))
     Retrieval.rebuild(d2, e, dir)
     check()
+
+    // per-frame availability all the way down: a partial snapshot
+    // keeps the stats surface for whichever chunk frames it holds
+    def rmrf(sub: String): Unit =
+      new scala.reflect.io.Directory(new java.io.File(s"$dir/$sub"))
+        .deleteRecursively()
+    def frames(): Set[String] = h.chunkArtifactStats().collect()
+      .map(_.getString(0)).toSet
+    rmrf("bcindex"); rmrf("bcemb") // simulate a v5 snapshot
+    assert(frames() === Set("cindex", "cemb"))
+    rmrf("cemb") // v4: cindex but no cemb — stats must survive
+    assert(frames() === Set("cindex"))
+    // ...while measureRecall (which READS cemb) refuses naming the
+    // missing frame, not a raw path error mid-plan
+    val mrMsg = intercept[IllegalArgumentException] {
+      h.measureRecall(Seq(0L, 1L), 5)
+    }.getMessage
+    assert(mrMsg.contains("cemb"), mrMsg)
+    rmrf("cindex") // no chunk frame at all: the upgrade message
+    val stMsg = intercept[IllegalArgumentException] {
+      h.chunkArtifactStats()
+    }.getMessage
+    assert(stMsg.contains("build()"), stMsg)
   }
 
   test("BPE chunk serve (v6): snapshot equals the operator composition; rules stay fixed across rebuild") {
