@@ -795,7 +795,20 @@ object VectorOps {
 
   // --- IVF (inverted-file) ANN (x13) --------------------------------------
 
-  val NumCentroids = 16
+  /** Default coarse-codebook size, sized k ≈ √n for the 500–2,000
+    * vector fixtures (√500 ≈ 22, √2000 ≈ 45) and RAISED from the
+    * original 16 on the [[codebookCurve]] (x94) evidence: at the
+    * shipped serve point (nprobe=2, r=40) doc-refine recall@5 measured
+    * 0.448 → 0.628 → 0.840 for 16 → 32 → 64 cells on the 2,000-vector
+    * fixture (sf0.1; 0.524 → 0.628 → 0.696 on the 500-vector sf0.001)
+    * — the codebook axis moves the recall CEILING where nprobe/r only
+    * trade along it, and the lift comes at a SMALLER scan fraction per
+    * probe. 32 is the √n bracket midpoint across the fixtures (64
+    * over-cells the 500-vector fixtures to ~8 members/cell while
+    * √2000 ≈ 45 keeps rewarding more cells at sf0.1 — exactly the
+    * k ≈ √n shape). A deployment re-sizes by its own x94 sweep:
+    * cells ~ √n, probe fraction read off the curve. */
+  val NumCentroids = 32
 
   /** Fixed Lloyd iteration count for the trained codebook. Fixed — not
     * convergence-tested — so the oracle can unroll the same number of
@@ -1985,13 +1998,14 @@ object VectorOps {
   /** DEFAULT refine shortlist of the IVFADC snapshot serves
     * ([[graft.serve.Retrieval.denseTopK]] / `searchFiltered`) — set
     * from the [[recallCurve]] measurement (x91, 50-query sample,
-    * sf0.1), not guessed: r is the serve's strong knob (doc refine
-    * recall@5 at nprobe=2 measured 0.252 / 0.356 / 0.448 for
-    * r=10/20/40; chunk 0.216 / 0.336 / 0.444) while widening probes
-    * buys ~0.03-0.05 per DOUBLING of scan cost — (nprobe=2, r=40)
-    * matches (nprobe=8, r=20) at a quarter of the probed bandwidth.
-    * Raising r costs only r·|queries| bounded float lookups, so 40 is
-    * the right default; deployments retune against their own curve. */
+    * sf0.1, [[NumCentroids]]=32 cells), not guessed: r is the serve's
+    * strong knob (doc refine recall@5 at nprobe=2 measured
+    * 0.352 / 0.500 / 0.628 for r=10/20/40; chunk 0.304 / 0.428 /
+    * 0.564) while widening probes buys ~0.02-0.06 per DOUBLING of
+    * scan cost — (nprobe=2, r=40) BEATS (nprobe=8, r=20) (0.628 vs
+    * 0.544) at a quarter of the probed bandwidth. Raising r costs only
+    * r·|queries| bounded float lookups, so 40 is the right default;
+    * deployments retune against their own curve. */
   val RefineShortlist = 40
 
   /** Sign-bit sketch: one bit per dimension (`v[i] > 0`), packed into a
@@ -2620,13 +2634,23 @@ object VectorOps {
 
   /** The nprobe sweep [[recallCurve]] measures — every serve entry's
     * probe-width knob ([[graft.serve.Retrieval.denseTopK]] /
-    * `chunkDenseTopK`), from the cheapest setting to half the
-    * [[NumCentroids]] cells. */
+    * `chunkDenseTopK`), from the cheapest setting to a quarter of the
+    * [[NumCentroids]] cells (scan fraction 1/32 … 1/4). */
   val CurveNprobes: Seq[Int] = Seq(1, 2, 4, 8)
 
   /** The refine-shortlist sweep — the serves' second knob
     * ([[BinaryShortlist]]'s 20 sits mid-grid on purpose). */
   val CurveRefines: Seq[Int] = Seq(10, 20, 40)
+
+  /** The codebook-size sweep [[codebookCurve]] measures (x94) — the
+    * INDEX knob, distinct from the two serve knobs: coarse cell count
+    * brackets the k ≈ √n scale guidance for the fixtures (√500 ≈ 22,
+    * √2000 ≈ 45), so the curve shows whether finer cells buy recall at
+    * a held scan fraction the way [[NumCentroids]]' scaladoc promises.
+    * Compare at FIXED nprobe/cells ratio across rows, not fixed nprobe
+    * — nprobe=2 of 16 cells scans 4× the corpus share of nprobe=2 of
+    * 64. */
+  val CurveCells: Seq[Int] = Seq(16, 32, 64)
 
   /** The four serve shapes the curve prices, with their family tag
     * (which exact baseline scores them) — single-sourced so the engine
@@ -2698,7 +2722,9 @@ object VectorOps {
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
       queryIds: Seq[Long], k: Int,
       nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      docExact: Option[DataFrame] = None,
+      chunkExact: Option[DataFrame] = None): DataFrame = {
     require(refines.forall(_ >= k), s"every refine r must be >= k=$k")
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -2731,7 +2757,10 @@ object VectorOps {
         .select(col("query_id"), col("vec_id"), col("prn"), col("adc"),
           round(cosine(col("qv2"), col("v")), 6).as("exact")),
       checkpointDir)
-    val dEx = cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id")
+    // the exact baselines are codebook-INDEPENDENT — a multi-codebook
+    // sweep ([[codebookCurve]]) computes each once and passes it in
+    val dEx = docExact.getOrElse(
+      cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id"))
 
     // chunk family: the composite-key index's ADC + exact per candidate
     val cEmb = chunkEmb
@@ -2751,8 +2780,9 @@ object VectorOps {
           col("prn"), col("adc"),
           round(cosine(col("qv2"), col("v")), 6).as("exact")),
       checkpointDir)
-    val cEx = multiVectorTopK(cEmb, embeddings, queryIds, k)
-      .select("query_id", "doc_id")
+    val cEx = chunkExact.getOrElse(
+      multiVectorTopK(cEmb, embeddings, queryIds, k)
+        .select("query_id", "doc_id"))
 
     // grid points: window arithmetic over the two frames, each
     // mirroring its serve path's exact ordering rules
@@ -2832,6 +2862,79 @@ object VectorOps {
         round(coalesce(col("hits"), lit(0L)) / col("exact_n"), 6).as("recall"))
   }
 
+  /** Codebook-size TUNING CURVE (x94) — [[recallCurveFrom]] swept over
+    * coarse centroid counts: for each cell count a fresh codebook +
+    * residual books train and both indexes re-encode (that is what the
+    * knob COSTS — a codebook migration, [[graft.serve.Retrieval
+    * .retrain]]), then the same (nprobe × refine) grid scores against
+    * the SHARED exact baselines (computed once — they are codebook-
+    * independent). Output adds a leading `cells` column to the
+    * [[recallCurve]] row shape.
+    *
+    * This is the measurement behind [[NumCentroids]]' k ≈ √n scale
+    * guidance: nprobe/cells is the scan fraction, so reading the curve
+    * at a HELD fraction (e.g. 2/16 vs 8/64) shows what finer cells buy
+    * at equal probed bandwidth, while a held nprobe column shows the
+    * recall cost of keeping probe width while shrinking the fraction.
+    *
+    * Scale shape: |cells| independent train+encode chains over the
+    * corpus (each the priced [[ivfPqIndex]] build) + ONE pair of brute
+    * baselines + per-grid-point window arithmetic — an offline harness
+    * run at retrain-evaluation cadence, never in a serve path. */
+  def codebookCurve(embeddings: DataFrame, docs: DataFrame,
+      queryIds: Seq[Long], k: Int,
+      cells: Seq[Int] = CurveCells,
+      nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
+      checkpointDir: Option[String] = None,
+      trainedFor: Option[Int => (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] =
+        None): DataFrame = {
+    require(cells.nonEmpty && cells.distinct == cells,
+      s"cells must be non-empty and distinct: $cells")
+    val cEmb = Dedup.materialize(
+      chunkEmbeddingsFrom(TextOps.chunkDocs(docs), embeddings),
+      checkpointDir)
+    val dEx = Dedup.materialize(
+      cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id"),
+      checkpointDir)
+    val cEx = Dedup.materialize(
+      multiVectorTopK(cEmb, embeddings, queryIds, k)
+        .select("query_id", "doc_id"),
+      checkpointDir)
+    val train = trainedFor.getOrElse { kc: Int =>
+      val cs = trainedCentroids(embeddings, kc)
+      (cs, pqResidualCodebooks(embeddings, cs))
+    }
+    cells.map { kc =>
+      val (cents, books) = train(kc)
+      recallCurveFrom(embeddings, cEmb,
+        ivfPqIndex(embeddings, cents, books, residual = true),
+        chunkIvfPqIndex(cEmb, cents, books),
+        cents, books, queryIds, k, nprobes, refines, checkpointDir,
+        docExact = Some(dEx), chunkExact = Some(cEx))
+        .select(lit(kc).as("cells"), col("*"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[codebookCurve]] oracle: one full [[recallCurveSql]] train →
+    * encode → score chain PER cell count, each in its own
+    * (MATERIALIZED) WITH scope, UNION ALL'd under its `cells` literal.
+    * Nothing is shared across counts on purpose — a different coarse
+    * codebook changes residuals, books, codes and probes alike, so the
+    * chains are genuinely independent; the shared-baseline saving the
+    * engine side makes is skipped here for scope hygiene (the brute
+    * baselines are the cheap part of the chain at fixture scale). */
+  def codebookCurveSql(queryIds: Seq[Long], k: Int,
+      cells: Seq[Int] = CurveCells,
+      nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
+      iters: Int = KMeansIters, m: Int = PqSubspaces,
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String =
+    cells.map { kc =>
+      s"""SELECT $kc AS cells, q.* FROM (
+         |${recallCurveSql(queryIds, k, nprobes, refines, iters, m, ksub,
+              pqIters, kc)}
+         |) q""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** [[recallCurve]] oracle: ONE shared train → encode → ranked-probe
     * chain (coarse k-means, residual books, doc codes, chunk codes —
     * the expensive CTEs run once for the whole grid), scored frames
@@ -2841,7 +2944,8 @@ object VectorOps {
   def recallCurveSql(queryIds: Seq[Long], k: Int,
       nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
       iters: Int = KMeansIters, m: Int = PqSubspaces,
-      ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String = {
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters,
+      cells: Int = NumCentroids): String = {
     val maxNp = nprobes.max
     val d = Dim / m
     val perSub = (0 until m).map { mi =>
@@ -2919,7 +3023,7 @@ object VectorOps {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |),
-       |${kmeansCtes(NumCentroids, iters)},
+       |${kmeansCtes(cells, iters)},
        |cents AS (SELECT cent_id, cv FROM cents$iters),
        |tassign AS (
        |  SELECT vec_id, v, cent_id AS cell,

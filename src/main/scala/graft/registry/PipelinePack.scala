@@ -84,10 +84,11 @@ object PipelinePack extends QueryPack {
       .digest(parts.mkString("\u0000").getBytes("UTF-8"))
       .take(12).map("%02x".format(_)).mkString
 
-  private def codebookFor(s: SparkSession, dir: String): Seq[Seq[Double]] = {
+  private def codebookFor(s: SparkSession, dir: String,
+      cells: Int = VectorOps.NumCentroids): Seq[Seq[Double]] = {
     val fx = new java.io.File(s"$dir/embeddings.parquet")
     val key = artifactKey(dir, fx.lastModified(), fx.length(),
-      VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.KMeansGrid,
+      cells, VectorOps.KMeansIters, VectorOps.KMeansGrid,
       VectorOps.Dim)
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_codebook_$key.txt")
@@ -97,7 +98,7 @@ object PipelinePack extends QueryPack {
         .map(b => java.lang.Double.longBitsToDouble(b.toLong))).toList
       finally src.close()
     } else {
-      val cents = VectorOps.trainedCentroids(Tables.embeddings(s, dir))
+      val cents = VectorOps.trainedCentroids(Tables.embeddings(s, dir), cells)
       val tmp = new java.io.File(f.getParentFile, s"${f.getName}.tmp.${System.nanoTime()}")
       java.nio.file.Files.writeString(tmp.toPath,
         cents.map(_.map(java.lang.Double.doubleToLongBits).mkString(",")).mkString("\n"))
@@ -139,10 +140,11 @@ object PipelinePack extends QueryPack {
     * on v − centroid(cell) under the snapshot's coarse codebook
     * (IVFADC; [[VectorOps.pqResidualCodebooks]]). Keyed by BOTH constant
     * sets — the residual frame depends on the coarse books too. */
-  private def pqResBooksFor(s: SparkSession, dir: String): Seq[Seq[Seq[Double]]] = {
+  private def pqResBooksFor(s: SparkSession, dir: String,
+      cells: Int = VectorOps.NumCentroids): Seq[Seq[Seq[Double]]] = {
     val fx = new java.io.File(s"$dir/embeddings.parquet")
     val key = artifactKey(dir, fx.lastModified(), fx.length(), "pqres",
-      VectorOps.NumCentroids, VectorOps.KMeansIters,
+      cells, VectorOps.KMeansIters,
       VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
       VectorOps.KMeansGrid, VectorOps.Dim)
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -155,7 +157,7 @@ object PipelinePack extends QueryPack {
       finally src.close()
     } else {
       val books = VectorOps.pqResidualCodebooks(
-        Tables.embeddings(s, dir), codebookFor(s, dir))
+        Tables.embeddings(s, dir), codebookFor(s, dir, cells))
       val tmp = new java.io.File(f.getParentFile,
         s"${f.getName}.tmp.${System.nanoTime()}")
       java.nio.file.Files.writeString(tmp.toPath,
@@ -995,9 +997,9 @@ object PipelinePack extends QueryPack {
     // grid point of the four production serve shapes over a 50-query
     // sample — x44 checks each variant's mechanics per query at the
     // shipped setting; this is the measurement the Retrieval defaults
-    // (nprobe=2, refine=40) are justified against: doc-refine recall@5
-    // at nprobe=2 ran 0.252/0.356/0.448 for r=10/20/40 (chunk
-    // 0.216/0.336/0.444), so r=40 matches (nprobe=8, r=20) at a
+    // (nprobe=2, refine=40) are justified against: at 32 cells doc-
+    // refine recall@5 at nprobe=2 ran 0.352/0.500/0.628 for r=10/20/40
+    // (chunk 0.304/0.428/0.564), so r=40 beats (nprobe=8, r=20) at a
     // quarter of the probed bandwidth (VectorOps.RefineShortlist).
     // One ADC pass at nprobe=8 serves the whole grid (prn-filter
     // derivation)
@@ -1014,6 +1016,21 @@ object PipelinePack extends QueryPack {
         chunkIndex = Some(s.read.schema(IvfPqIndexSchema).parquet(cpath)))
         .orderBy("method", "nprobe", "r")
     }),
+    // the INDEX-knob TUNING CURVE: the x91 grid swept over coarse
+    // codebook size (cells ∈ CurveCells, bracketing k ≈ √n for the
+    // fixtures) — the axis that moves the recall CEILING where
+    // nprobe/r only trade along it. Each cell count trains its own
+    // codebook + residual books (cached per (fixture, cells) key, the
+    // x60 artifact convention) and re-encodes both indexes — priced as
+    // a retrain, run at retrain-evaluation cadence. The exact
+    // baselines are computed once and shared (codebook-independent)
+    "x94_codebook_curve" -> ((s, dir) =>
+      VectorOps.codebookCurve(Tables.embeddings(s, dir),
+        Tables.documents(s, dir).select("doc_id", "text"),
+        CurveQueryIds, 5, refines = Seq(VectorOps.RefineShortlist),
+        trainedFor = Some((kc: Int) =>
+          (codebookFor(s, dir, kc), pqResBooksFor(s, dir, kc))))
+        .orderBy("cells", "method", "nprobe", "r")),
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
         .orderBy("lang", "rank")),
@@ -1663,6 +1680,10 @@ object PipelinePack extends QueryPack {
     "x91_recall_curve" ->
       (VectorOps.recallCurveSql(CurveQueryIds, 5) +
         "\nORDER BY method, nprobe, r"),
+    "x94_codebook_curve" ->
+      (VectorOps.codebookCurveSql(CurveQueryIds, 5,
+        refines = Seq(VectorOps.RefineShortlist)) +
+        "\nORDER BY cells, method, nprobe, r"),
     "x90_bpe_chunk_search" ->
       (graft.operators.HybridOps.bpeChunkHybridSql(Bm25Queries, 5,
         nprobe = 2) +

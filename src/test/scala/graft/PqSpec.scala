@@ -137,9 +137,14 @@ class PqSpec extends AnyFunSuite with SparkSpec {
         Some(VectorOps.pqResidualCodebooks(e01, cents)))
       .groupBy("method").agg(avg("recall").as("r"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(rec("ivfpq_res") >= rec("ivfpq"),
+    // compare with a ulp cushion: the recalls are per-query fractions
+    // averaged in double, so two genuinely EQUAL rates (e.g. 11/30 on
+    // both sides at 32 cells) can differ in the last bit from the
+    // partial-aggregate summation order alone
+    val eps = 1e-9
+    assert(rec("ivfpq_res") >= rec("ivfpq") - eps,
       s"residual encoding lowered recall at sf0.01: $rec")
-    assert(rec("ivfpq_res") >= rec("pq"),
+    assert(rec("ivfpq_res") >= rec("pq") - eps,
       s"assembled residual index trails plain PQ at sf0.01: $rec")
     // two-stage refine reorders the shortlist by exact cosine — its
     // recall can only meet or beat stage 1's (same candidate ceiling,

@@ -635,6 +635,93 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"wrong failure: ${ex.getMessage}")
   }
 
+  test("streaming BPE chunk index: streamed v6 slices serve equal to the batch snapshot rebuild over the same delta") {
+    import graft.operators.{HybridOps, TextOps, VectorOps}
+    import graft.serve.Retrieval
+    val fn = org.apache.spark.sql.functions
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    val embAll = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val joined = docsAll
+      .join(embAll, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text"), col("embedding"))
+
+    // batch snapshot over corpus v1 — ITS trained rules/cents/books are
+    // the fixed constants the stream must run under (the codebook
+    // convention at all three codebooks)
+    val v1 = joined.where(col("doc_id") < 200)
+    val snapDir = tmp("sbpe-snap").toString + "/snap"
+    val snap = Retrieval.build(
+      v1.select("doc_id", "text"),
+      v1.select(col("doc_id").as("vec_id"), col("embedding")), snapDir)
+    val rules = snap.bpeRules
+    assert(rules.nonEmpty, "fixture learned no merge rules; test vacuous")
+
+    // the shrink case must be NON-vacuous: some re-crawled doc had
+    // more than one BPE window before the re-crawl
+    assert(TextOps.bpeChunkSlices(
+        docsAll.where(col("doc_id") < 30), rules)
+      .where(col("chunk_id") > 0).count() > 0,
+      "no multi-window doc among ids < 30; the shrink case is vacuous")
+
+    // stream the same corpus + delta: v1, then new docs 200-400 plus a
+    // shrinking/flipping re-crawl of ids < 30, then tombstones 100-150
+    val sb = new graft.streaming.StreamingBpeChunkIndex(
+      tmp("sbpe-art").toString, rules, snap.cents, snap.books)
+    val recrawl = joined.where(col("doc_id") < 30)
+      .withColumn("text", lit("tiny recrawl"))
+      .withColumn("embedding", fn.transform(col("embedding"), x => -x))
+    sb.indexBatch(v1.withColumn("is_deleted", lit(false)), 0)
+    sb.indexBatch(joined.where(col("doc_id") >= 200 && col("doc_id") < 400)
+      .unionByName(recrawl).withColumn("is_deleted", lit(false)), 1)
+    sb.indexBatch(joined.where(col("doc_id") >= 100 && col("doc_id") < 150)
+      .withColumn("is_deleted", lit(true)), 2)
+
+    // batch reference: rebuild() of the SAME snapshot over the same
+    // delta (incremental merge under the stored rules + books)
+    val live = recrawl
+      .unionByName(joined.where(col("doc_id") >= 30 && col("doc_id") < 100))
+      .unionByName(joined.where(col("doc_id") >= 150 && col("doc_id") < 400))
+    val reb = Retrieval.rebuild(live.select("doc_id", "text"),
+      live.select(col("doc_id").as("vec_id"), col("embedding")), snapDir)
+
+    val queries = Seq(0L -> Seq("spark", "join"), 60L -> Seq("vector", "table"))
+    def rows(df: DataFrame) =
+      df.orderBy("query_id", "rn").collect().map(_.toSeq).toSeq
+    // every serve shape the snapshot offers at the BPE meter
+    for ((policy, refine) <- Seq(
+        (HybridOps.LexicalOnly, None), (HybridOps.DenseOnly, None),
+        (HybridOps.Rrf, None), (HybridOps.Rrf, Some(8)))) {
+      val got = rows(sb.searchBpeChunks(spark, queries, 5, policy,
+        nprobe = 2, refine = refine).get)
+      val want = rows(reb.searchBpeChunks(queries, 5, policy,
+        nprobe = 2, refine = refine))
+      assert(want.nonEmpty, s"batch reference empty for $policy; vacuous")
+      assert(got === want,
+        s"streamed BPE serve diverges from the snapshot rebuild: $policy refine=$refine")
+    }
+
+    // tombstoned and shrunk docs are really gone from the frame surface
+    val (bctfA, _, bcidxA, _) = sb.artifact(spark).get
+    assert(bctfA.where(col("doc_id") >= 100 && col("doc_id") < 150)
+      .count() == 0, "tombstoned doc's subword postings served")
+    assert(bcidxA
+      .where(expr(s"vec_id DIV ${VectorOps.ChunkStride}") < 30 &&
+        pmod(col("vec_id"), lit(VectorOps.ChunkStride)) > 0)
+      .count() == 0, "stale tail window of a shrunk doc survived")
+
+    // replay safety and compaction both preserve the serve
+    val want2 = rows(reb.searchBpeChunks(queries, 5, refine = Some(8)))
+    sb.indexBatch(joined.where(col("doc_id") >= 200 && col("doc_id") < 400)
+      .unionByName(recrawl).withColumn("is_deleted", lit(false)), 1)
+    assert(rows(sb.searchBpeChunks(spark, queries, 5,
+      refine = Some(8)).get) === want2,
+      "streamed BPE serve diverged after batch replay")
+    sb.compact(spark)
+    assert(rows(sb.searchBpeChunks(spark, queries, 5,
+      refine = Some(8)).get) === want2,
+      "compaction changed the streamed BPE serve")
+  }
+
   test("compaction grace: a reader resolved before the swap still reads; a later sweep reclaims") {
     import graft.operators.TextOps
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
