@@ -763,6 +763,86 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       "incremental BPE refresh diverges from the fixed-rules full build")
   }
 
+  test("BPE at a production-shaped vocabulary: 64 rules train, encode and serve correctly") {
+    // the tokenizer family must not silently assume the toy k=8: this
+    // is the one dimension production changes by orders of magnitude.
+    // The unrolled per-rule ORACLE chain deliberately stays at k=8
+    // (64 unrolled rounds would be an oracle stress test, not a
+    // correctness gate); correctness here rides the rules-PINNED path:
+    // build(bpeRules = ...) + the driver/column encode symmetry.
+    val d = docs.where(col("doc_id") < 120)
+    val t0 = System.nanoTime()
+    val rules = TextOps.bpeMerges(docs, 64).orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val trainSecs = (System.nanoTime() - t0) / 1e9
+    // the fixture vocabulary supports the full ladder (no early
+    // exhaustion), ranks dense from 1, merges well-formed
+    assert(rules.size === 64, s"learned ${rules.size} rules, wanted 64")
+    info(f"64-rule training: $trainSecs%.1f s " +
+      f"(${trainSecs / 64}%.3f s/rule; one bounded argmax round each)")
+
+    // encode symmetry at 64 rules: driver fold ≡ column fold, symbol
+    // for symbol, including chained merges the 8-rule table never
+    // reaches and non-BMP code points
+    val terms = Seq("spark", "join", "vector", "table", "window",
+      "partition", "aggregate", "banana", "a𝄞b", "")
+    val termDocs = { import spark.implicits._
+      terms.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text") }
+    val (tctf, _) = TextOps.bpeChunkBm25Stats(termDocs, rules)
+    val engine = tctf.collect().groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.map(r => r.getString(2) -> r.getLong(3)).toMap }
+    terms.zipWithIndex.foreach { case (t, i) =>
+      val driver = TextOps.bpeEncodeTerms(Seq(t), rules)
+        .groupBy(identity).map { case (s, o) => s -> o.size.toLong }
+      assert(driver === engine.getOrElse(i.toLong, Map.empty[String, Long]),
+        s"64-rule encode mismatch on '$t'")
+    }
+
+    // vocabulary closure: every symbol the 64-rule encode emits over
+    // the corpus is a single code point or one of the 64 merged
+    // strings — the greedy fold can't invent out-of-vocab symbols
+    val vocab = rules.map { case (l, r) => l + r }.toSet
+    val emitted = TextOps.bpeChunkBm25Stats(d, rules)._1
+      .select("token").distinct().collect().map(_.getString(0)).toSeq
+    assert(emitted.nonEmpty)
+    val oov = emitted.filterNot(s =>
+      s.codePointCount(0, s.length) == 1 || vocab.contains(s))
+    assert(oov.isEmpty, s"out-of-vocabulary symbols emitted: $oov")
+    // ...and the deeper table is actually USED: some emitted symbol
+    // comes from a rule past the toy 8 (else this test is vacuous)
+    val deepVocab = rules.drop(8).map { case (l, r) => l + r }.toSet
+    assert(emitted.exists(deepVocab.contains),
+      "no symbol from rules 9..64 ever emitted; vocabulary too shallow")
+
+    // serve under the pinned 64-rule table: the snapshot trains
+    // nothing (rules arrive like pinned codebooks), stores the table
+    // verbatim, and both BPE serve halves equal the operator-level
+    // composition under the SAME rules
+    val root = java.nio.file.Files.createTempDirectory("graft-bpe64").toString
+    val e = emb.where(col("vec_id") < 120)
+    val h = Retrieval.build(d, e, s"$root/snap", bpeRules = Some(rules))
+    assert(h.bpeRules === rules, "snapshot did not store the pinned rules")
+    val queries = Seq(0L -> Seq("spark", "join"), 1L -> Seq("vector", "table"))
+    val bq = queries.map { case (id, ts) =>
+      id -> TextOps.bpeEncodeTerms(ts, rules)
+    }
+    val (bctf, bcdl) = TextOps.bpeChunkBm25Stats(d, rules)
+    assert(rows(h.searchBpeChunks(queries, 5, HybridOps.LexicalOnly)) ===
+      rows(TextOps.bm25ChunkTopKFrom(bctf, bcdl, bq, 5)),
+      "64-rule lexical BPE serve diverges from the operator composition")
+    val hyb = h.searchBpeChunks(queries, 5, refine = Some(8))
+    assert(rows(hyb).nonEmpty, "64-rule hybrid BPE serve returned nothing")
+    // a refresh under the stored table keeps the rules FIXED (the
+    // codebook convention, independent of table size)
+    Retrieval.rebuild(d.withColumn("text",
+        when(col("doc_id") === 0, lit("churned text")).otherwise(col("text"))),
+      e, s"$root/snap")
+    assert(Retrieval.load(spark, s"$root/snap").bpeRules === rules,
+      "rebuild re-learned the 64-rule table")
+  }
+
   test("measureRecall: the handle's curve over stored artifacts equals the operator-level curve") {
     val root = java.nio.file.Files.createTempDirectory("graft-mrec").toString
     val d = docs.where(col("doc_id") < 80)
