@@ -2887,7 +2887,9 @@ object VectorOps {
       nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
       checkpointDir: Option[String] = None,
       trainedFor: Option[Int => (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] =
-        None): DataFrame = {
+        None,
+      indexesFor: Option[Int => (DataFrame, DataFrame)] = None)
+      : DataFrame = {
     require(cells.nonEmpty && cells.distinct == cells,
       s"cells must be non-empty and distinct: $cells")
     val cEmb = Dedup.materialize(
@@ -2906,9 +2908,13 @@ object VectorOps {
     }
     cells.map { kc =>
       val (cents, books) = train(kc)
-      recallCurveFrom(embeddings, cEmb,
-        ivfPqIndex(embeddings, cents, books, residual = true),
-        chunkIvfPqIndex(cEmb, cents, books),
+      // `indexesFor` is the per-(fixture, cells) ARTIFACT seam (the
+      // x60 convention): a cached caller serves the sweep's codes from
+      // stored cell-partitioned frames instead of re-encoding per run
+      val (docIdx, chunkIdx) = indexesFor.map(_(kc)).getOrElse(
+        (ivfPqIndex(embeddings, cents, books, residual = true),
+          chunkIvfPqIndex(cEmb, cents, books)))
+      recallCurveFrom(embeddings, cEmb, docIdx, chunkIdx,
         cents, books, queryIds, k, nprobes, refines, checkpointDir,
         docExact = Some(dEx), chunkExact = Some(cEx))
         .select(lit(kc).as("cells"), col("*"))

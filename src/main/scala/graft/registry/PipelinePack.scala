@@ -212,10 +212,13 @@ object PipelinePack extends QueryPack {
     * cost is ∝ nprobe/cells — the IVF promise made physical on disk. */
   private def ivfPqIndexFor(s: SparkSession, dir: String,
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
-      residual: Boolean): String =
+      residual: Boolean,
+      cells: Int = VectorOps.NumCentroids): String =
     snapshotArtifact(dir, "embeddings.parquet",
-      if (residual) "ivfpq_res_index.parquet" else "ivfpq_index.parquet",
-      "ivfpq_index", residual, VectorOps.NumCentroids, VectorOps.KMeansIters,
+      if (cells == VectorOps.NumCentroids) {
+        if (residual) "ivfpq_res_index.parquet" else "ivfpq_index.parquet"
+      } else s"ivfpq_${if (residual) "res_" else ""}index_k$cells.parquet",
+      "ivfpq_index", residual, cells, VectorOps.KMeansIters,
       VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
       VectorOps.KMeansGrid, VectorOps.Dim)(p =>
       VectorOps.ivfPqIndex(Tables.embeddings(s, dir), cents, books, residual)
@@ -228,11 +231,14 @@ object PipelinePack extends QueryPack {
     * BOTH fixture files: chunk vectors derive from docs (the chunk
     * count) AND embeddings (the vector). */
   private def chunkIvfPqIndexFor(s: SparkSession, dir: String,
-      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]]): String = {
+      cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
+      cells: Int = VectorOps.NumCentroids): String = {
     val fd = new java.io.File(s"$dir/documents.parquet")
-    snapshotArtifact(dir, "embeddings.parquet", "chunk_ivfpq_index.parquet",
+    snapshotArtifact(dir, "embeddings.parquet",
+      if (cells == VectorOps.NumCentroids) "chunk_ivfpq_index.parquet"
+      else s"chunk_ivfpq_index_k$cells.parquet",
       "chunk_ivfpq", fd.lastModified(), fd.length(),
-      VectorOps.NumCentroids, VectorOps.KMeansIters,
+      cells, VectorOps.KMeansIters,
       VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
       VectorOps.KMeansGrid, VectorOps.Dim, VectorOps.ChunkStride,
       TextOps.ChunkWindow, TextOps.ChunkOverlap)(p =>
@@ -1029,7 +1035,15 @@ object PipelinePack extends QueryPack {
         Tables.documents(s, dir).select("doc_id", "text"),
         CurveQueryIds, 5, refines = Seq(VectorOps.RefineShortlist),
         trainedFor = Some((kc: Int) =>
-          (codebookFor(s, dir, kc), pqResBooksFor(s, dir, kc))))
+          (codebookFor(s, dir, kc), pqResBooksFor(s, dir, kc))),
+        indexesFor = Some { (kc: Int) =>
+          val cents = codebookFor(s, dir, kc)
+          val books = pqResBooksFor(s, dir, kc)
+          (s.read.schema(IvfPqIndexSchema).parquet(
+            ivfPqIndexFor(s, dir, cents, books, residual = true, kc)),
+            s.read.schema(IvfPqIndexSchema).parquet(
+              chunkIvfPqIndexFor(s, dir, cents, books, kc)))
+        })
         .orderBy("cells", "method", "nprobe", "r")),
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)

@@ -460,6 +460,54 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     }
   }
 
+  /** The MAINTENANCE RUNBOOK, one call — what a 100 TB operator runs
+    * on a cadence instead of hand-wiring three scaladocs together:
+    *
+    *  1. **Heal**: crashed per-partition merge swaps recover first
+    *     (the rebuild/compact crash contract's idempotent converge).
+    *  2. **Compact** ([[chunkArtifactStats]]' file counts are the
+    *     trigger, [[compact]] the action): every merge-swapped
+    *     partition holding more than `maxFilesPerPartition` data files
+    *     rewrites to one file — cost ∝ fragmented bytes, rows
+    *     unchanged. Fragmentation accrues from wide builds and
+    *     external tooling; rebuild's swaps already consolidate what
+    *     they touch.
+    *  3. **Meter recall** ([[measureRecall]] at the SHIPPED serve
+    *     point — nprobe=2, r=[[VectorOps.RefineShortlist]], the x91
+    *     grid point the serve defaults are justified against): as the
+    *     corpus drifts from the generation the codebooks were trained
+    *     on, these numbers decay. When the doc-refine or chunk-refine
+    *     recall@k drops below `recallFloor`, the report recommends
+    *     [[Retrieval.retrain]] — the codebook migration [[Retrieval
+    *     .rebuild]] deliberately never performs.
+    *
+    * The report carries the numbers, the action taken, and the
+    * recommendation; retrain itself needs the full corpus frames, so
+    * it stays a separate, deliberate call. `recallFloor` is
+    * deployment policy — size it against the snapshot's own curve
+    * ([[measureRecall]]'s full grid, or the x94 codebook sweep when
+    * considering a cell-count change), e.g. "alert at 80% of the
+    * recall the curve measured at publish time".
+    *
+    * Scale shape: heal + compact are bounded driver listings plus
+    * rewrites of fragmented partitions only; the meter is the priced
+    * brute-baseline harness over |queryIds| queries (run it on the
+    * batch session at maintenance cadence, never in a serve path). */
+  def maintain(queryIds: Seq[Long], k: Int = 5,
+      maxFilesPerPartition: Int = 1,
+      recallFloor: Double = 0.0): Retrieval.MaintenanceReport = {
+    val compacted = compact(maxFilesPerPartition) // heals asides first
+    val shipped = measureRecall(queryIds, k,
+        nprobes = Seq(2), refines = Seq(VectorOps.RefineShortlist))
+      .collect()
+      .map(r => r.getString(r.fieldIndex("method")) ->
+        r.getDouble(r.fieldIndex("recall"))).toMap
+    val doc = shipped("doc_refine")
+    val chunk = shipped("chunk_refine")
+    Retrieval.MaintenanceReport(compacted, doc, chunk, recallFloor,
+      retrainRecommended = doc < recallFloor || chunk < recallFloor)
+  }
+
   /** BPE-window chunk-DENSE top-k — [[chunkDenseTopK]] over the v6
     * frames: same probe-pruned composite-key ADC → MaxSim chain, the
     * chunk unit swapped to the snapshot's model-context-true windows;
@@ -578,6 +626,20 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
 }
 
 object Retrieval {
+
+  /** What one [[Retrieval!.maintain maintain]] pass did and measured:
+    * the `(frame, partition)` pairs compacted (empty = already
+    * compact), recall@k of the two refine serves at the SHIPPED grid
+    * point, the caller's floor, and whether either serve fell below it
+    * (the [[retrain]] trigger — the one action maintain recommends but
+    * never takes, since a codebook migration needs the full corpus and
+    * an operator's intent). */
+  final case class MaintenanceReport(
+      compacted: Seq[(String, String)],
+      docRefineRecall: Double,
+      chunkRefineRecall: Double,
+      recallFloor: Double,
+      retrainRecommended: Boolean)
 
   /** Explicit read schema so the `cell` PARTITION column keeps its
     * written BIGINT type (inference would narrow it to INT and put the

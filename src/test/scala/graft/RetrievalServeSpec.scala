@@ -911,6 +911,37 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(h.compact().isEmpty)
   }
 
+  test("maintain: one pass compacts, meters shipped-point recall, and flags retrain against the floor") {
+    val root = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    val d = docs.where(col("doc_id") < 80).repartition(4)
+    val e = emb.where(col("vec_id") < 80).repartition(4)
+    val h = Retrieval.build(d, e, s"$root/snap")
+    val qids = (0L until 10L).toSeq
+    // independent reference for the meter: measureRecall at the same
+    // shipped grid point
+    val want = h.measureRecall(qids, 3, nprobes = Seq(2),
+        refines = Seq(VectorOps.RefineShortlist))
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+
+    val rep = h.maintain(qids, 3)
+    // the wide build fragmented at least one partition; maintain's
+    // compact pass rewrote it (same trigger/action as compact())
+    assert(rep.compacted.nonEmpty,
+      "wide build produced nothing to compact; maintain test is weak")
+    assert(rep.docRefineRecall === want("doc_refine"))
+    assert(rep.chunkRefineRecall === want("chunk_refine"))
+    // default floor 0.0 never recommends; an impossible floor always
+    // does — the boundary an operator sizes from the snapshot's curve
+    assert(!rep.retrainRecommended)
+    val rep2 = h.maintain(qids, 3, recallFloor = 1.1)
+    assert(rep2.retrainRecommended)
+    assert(rep2.compacted.isEmpty, "second maintain found new fragments")
+    // the pass changed no serve result
+    val queries = Seq(0L -> Seq("spark", "join"))
+    assert(rows(Retrieval.load(spark, s"$root/snap")
+      .searchChunks(queries, 5, refine = Some(8))).nonEmpty)
+  }
+
   test("per-frame chunk guard: a snapshot missing only cemb still serves every non-refine chunk query") {
     val root = java.nio.file.Files.createTempDirectory("graft-frameguard").toString
     val d = docs.where(col("doc_id") < 60)
