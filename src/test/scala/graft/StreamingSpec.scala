@@ -665,8 +665,9 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
     // stream the same corpus + delta: v1, then new docs 200-400 plus a
     // shrinking/flipping re-crawl of ids < 30, then tombstones 100-150
+    val artDir = tmp("sbpe-art").toString
     val sb = new graft.streaming.StreamingBpeChunkIndex(
-      tmp("sbpe-art").toString, rules, snap.cents, snap.books)
+      artDir, rules, snap.cents, snap.books)
     val recrawl = joined.where(col("doc_id") < 30)
       .withColumn("text", lit("tiny recrawl"))
       .withColumn("embedding", fn.transform(col("embedding"), x => -x))
@@ -720,6 +721,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(rows(sb.searchBpeChunks(spark, queries, 5,
       refine = Some(8)).get) === want2,
       "compaction changed the streamed BPE serve")
+
+    // the pinned-constants guard: reopening under the SAME constants
+    // is fine; different rules (or codebooks) refuse at construction —
+    // generation mixing across slices must never be silent
+    new graft.streaming.StreamingBpeChunkIndex(
+      artDir, rules, snap.cents, snap.books) // same: fine
+    val ex = intercept[IllegalArgumentException] {
+      new graft.streaming.StreamingBpeChunkIndex(
+        artDir, rules.take(rules.size - 1), snap.cents, snap.books)
+    }
+    assert(ex.getMessage.contains("different BPE"),
+      s"wrong failure: ${ex.getMessage}")
   }
 
   test("compaction grace: a reader resolved before the swap still reads; a later sweep reclaims") {
