@@ -390,28 +390,40 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * the measurement [[Retrieval.retrain]]'s scaladoc says should
     * dictate the retrain schedule, now one call instead of a hand-
     * wired harness. Output: one row per (serve shape × nprobe × r)
-    * grid point with recall@k over the query sample. */
+    * grid point with recall@k over the query sample.
+    *
+    * `bpeWindows = true` meters the MODEL-CONTEXT-TRUE chunk serve
+    * instead: the chunk family reads the v6 `bcemb`/`bcindex` frames,
+    * so its `chunk_adc`/`chunk_refine` rows are the recall of
+    * [[bpeChunkDenseTopK]] (x90/x92's dense half) against the brute
+    * MaxSim baseline over the SAME BPE windows — the production RAG
+    * serve is metered at its own window unit, not approximated by the
+    * whitespace twin's numbers. The doc-family rows are meter-
+    * independent (doc vectors know no windows). */
   def measureRecall(queryIds: Seq[Long], k: Int,
       nprobes: Seq[Int] = VectorOps.CurveNprobes,
-      refines: Seq[Int] = VectorOps.CurveRefines): DataFrame = {
+      refines: Seq[Int] = VectorOps.CurveRefines,
+      bpeWindows: Boolean = false): DataFrame = {
     // maintenance work runs on the CALLER's batch session (the build/
     // rebuild convention), not the narrow serve session: the curve's
     // exact baselines are deliberate brute scans, exactly the work the
     // serve session's fixed 8-task shuffles are wrong for.
-    // The curve reads BOTH v4+ chunk frames (cemb floats for the exact
-    // baseline, cindex codes for the approximate side) — guard each so
+    // The curve reads BOTH chunk frames of its meter (floats for the
+    // exact baseline, codes for the approximate side) — guard each so
     // a partial snapshot fails with the named frame and the upgrade
     // path, not a raw missing-path error mid-plan
-    requireChunkFrame("cemb")
-    requireChunkFrame("cindex")
+    val (embFrame, idxFrame) =
+      if (bpeWindows) ("bcemb", "bcindex") else ("cemb", "cindex")
+    requireChunkFrame(embFrame)
+    requireChunkFrame(idxFrame)
     def read(frame: String, schema: String) =
       spark.read.schema(schema).parquet(s"$dir/$frame")
     VectorOps.recallCurveFrom(
       read("emb", Retrieval.EmbSchema).select("vec_id", "embedding"),
-      read("cemb", Retrieval.CembSchema)
+      read(embFrame, Retrieval.CembSchema)
         .select("doc_id", "chunk_id", "embedding"),
       read("index", Retrieval.IndexSchema),
-      read("cindex", Retrieval.IndexSchema),
+      read(idxFrame, Retrieval.IndexSchema),
       cents, books, queryIds, k, nprobes, refines)
   }
 
@@ -496,16 +508,30 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   def maintain(queryIds: Seq[Long], k: Int = 5,
       maxFilesPerPartition: Int = 1,
       recallFloor: Double = 0.0): Retrieval.MaintenanceReport = {
+    def shippedPoint(bpe: Boolean): Map[String, Double] =
+      measureRecall(queryIds, k, nprobes = Seq(2),
+          refines = Seq(VectorOps.RefineShortlist), bpeWindows = bpe)
+        .collect()
+        .map(r => r.getString(r.fieldIndex("method")) ->
+          r.getDouble(r.fieldIndex("recall"))).toMap
     val compacted = compact(maxFilesPerPartition) // heals asides first
-    val shipped = measureRecall(queryIds, k,
-        nprobes = Seq(2), refines = Seq(VectorOps.RefineShortlist))
-      .collect()
-      .map(r => r.getString(r.fieldIndex("method")) ->
-        r.getDouble(r.fieldIndex("recall"))).toMap
-    val doc = shipped("doc_refine")
-    val chunk = shipped("chunk_refine")
-    Retrieval.MaintenanceReport(compacted, doc, chunk, recallFloor,
-      retrainRecommended = doc < recallFloor || chunk < recallFloor)
+    val ws = shippedPoint(bpe = false)
+    // the v6 BPE chunk serve is metered at its OWN window unit when the
+    // snapshot holds the frames (a v5 snapshot keeps the rest of the
+    // runbook — the per-frame availability rule); the doc family of
+    // the second pass duplicates the first's, the price of the shared
+    // curve seam at maintenance cadence
+    val bpeChunk =
+      if (new java.io.File(s"$dir/bcindex").isDirectory &&
+          new java.io.File(s"$dir/bcemb").isDirectory)
+        Some(shippedPoint(bpe = true)("chunk_refine"))
+      else None
+    val doc = ws("doc_refine")
+    val chunk = ws("chunk_refine")
+    Retrieval.MaintenanceReport(compacted, doc, chunk, bpeChunk,
+      recallFloor,
+      retrainRecommended = doc < recallFloor || chunk < recallFloor ||
+        bpeChunk.exists(_ < recallFloor))
   }
 
   /** BPE-window chunk-DENSE top-k — [[chunkDenseTopK]] over the v6
@@ -629,8 +655,10 @@ object Retrieval {
 
   /** What one [[Retrieval!.maintain maintain]] pass did and measured:
     * the `(frame, partition)` pairs compacted (empty = already
-    * compact), recall@k of the two refine serves at the SHIPPED grid
-    * point, the caller's floor, and whether either serve fell below it
+    * compact), recall@k of the refine serves at the SHIPPED grid
+    * point (the BPE chunk serve metered at its own window unit when
+    * the snapshot holds the v6 frames; None on a pre-v6 snapshot),
+    * the caller's floor, and whether any metered serve fell below it
     * (the [[retrain]] trigger — the one action maintain recommends but
     * never takes, since a codebook migration needs the full corpus and
     * an operator's intent). */
@@ -638,6 +666,7 @@ object Retrieval {
       compacted: Seq[(String, String)],
       docRefineRecall: Double,
       chunkRefineRecall: Double,
+      bpeChunkRefineRecall: Option[Double],
       recallFloor: Double,
       retrainRecommended: Boolean)
 

@@ -860,6 +860,26 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
         centroids = Some(h.cents), resBooks = Some(h.books))
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(got.nonEmpty && got === want)
+    // the BPE meter: the chunk family reads the v6 frames, so the
+    // curve equals the operator-level curve over an independent
+    // bcemb/bcindex build under the LOADED rules + books (the doc
+    // family is meter-independent)
+    val gotBpe = h.measureRecall(qids, 3, nprobes = Seq(1, 2),
+        refines = Seq(5, 10), bpeWindows = true)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val bEmb = graft.operators.VectorOps.chunkEmbeddingsFrom(
+      TextOps.bpeChunkSlices(d, h.bpeRules).select("doc_id", "chunk_id"),
+      e)
+    val wantBpe = graft.operators.VectorOps.recallCurveFrom(
+        e, bEmb,
+        graft.operators.VectorOps.ivfPqIndex(e, h.cents, h.books,
+          residual = true),
+        graft.operators.VectorOps.chunkIvfPqIndex(bEmb, h.cents, h.books),
+        h.cents, h.books, qids, 3, Seq(1, 2), Seq(5, 10))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(gotBpe.nonEmpty && gotBpe === wantBpe,
+      "BPE-meter curve diverges from the operator-level twin")
+
     // sanity on the shape: at each nprobe, refine never loses to ADC
     // within a family (the rerank reorders a superset of information)
     val byKey = got.map(r => (r(0), r(1), r(2)) -> r(5)).toMap
@@ -923,6 +943,10 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
         refines = Seq(VectorOps.RefineShortlist))
       .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
 
+    val wantBpe = h.measureRecall(qids, 3, nprobes = Seq(2),
+        refines = Seq(VectorOps.RefineShortlist), bpeWindows = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(5)).toMap
+
     val rep = h.maintain(qids, 3)
     // the wide build fragmented at least one partition; maintain's
     // compact pass rewrote it (same trigger/action as compact())
@@ -930,6 +954,10 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       "wide build produced nothing to compact; maintain test is weak")
     assert(rep.docRefineRecall === want("doc_refine"))
     assert(rep.chunkRefineRecall === want("chunk_refine"))
+    // the v6 snapshot meters the BPE chunk serve at its own window
+    // unit; the doc family is meter-independent (same rows both runs)
+    assert(rep.bpeChunkRefineRecall === Some(wantBpe("chunk_refine")))
+    assert(wantBpe("doc_refine") === want("doc_refine"))
     // default floor 0.0 never recommends; an impossible floor always
     // does — the boundary an operator sizes from the snapshot's curve
     assert(!rep.retrainRecommended)
