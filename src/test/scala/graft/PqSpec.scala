@@ -303,6 +303,36 @@ class PqSpec extends AnyFunSuite with SparkSpec {
       f"exact rerank lowered chunk recall: $rRef%.3f < $rPlain%.3f")
   }
 
+  test("more cells lift recall at the shipped serve point (the x94 claim, measured)") {
+    // the codebook axis moves the recall CEILING where nprobe/refine
+    // only trade along it — the measurement NumCentroids=32 was set
+    // from. sf0.01 (500 vectors): deterministic training + fixed
+    // queries, so the ordering is exact, not statistical (measured
+    // doc_refine@(np=2, r=40): 0.512 → 0.640 → 0.680 for 16/32/64).
+    val e01 = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val d01 = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    // the full 50-query sample the x94 gate measures with — recall@5
+    // over 20 queries is a 100-sample statistic and the 64-cell point
+    // visibly wobbles under it (observed 0.72/0.81/0.65)
+    val curve = VectorOps.codebookCurve(e01, d01, (0L until 50L).toSeq, 5,
+        cells = Seq(16, 32, 64), nprobes = Seq(2),
+        refines = Seq(VectorOps.RefineShortlist))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1)) ->
+        r.getDouble(r.fieldIndex("recall"))).toMap
+    for (m <- Seq("doc_refine", "chunk_refine")) {
+      val (r16, r32, r64) = (curve((16, m)), curve((32, m)), curve((64, m)))
+      assert(r32 >= r16 && r64 >= r32,
+        s"$m recall not monotone in cells at the shipped point: " +
+          s"$r16 / $r32 / $r64")
+      // the lift is real, not a last-bit tie — the reason the default
+      // moved (a flat curve here would mean the knob buys nothing)
+      assert(r64 > r16 + 0.05,
+        s"$m recall barely moves across a 4x cell sweep: $r16 -> $r64")
+    }
+  }
+
   test("PQ beats nothing it shouldn't: reconstructed self-cosine is high on real vectors") {
     // the compression sanity floor: a 64-dim vector reconstructed from
     // 8 sub-centroids should still point mostly the same way — mean
