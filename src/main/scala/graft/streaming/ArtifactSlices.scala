@@ -77,6 +77,43 @@ private[streaming] object SliceIngest {
 
 
 private[streaming] object SlicedArtifact {
+
+  /** Pin a digest of an index's FIXED constants (codebooks, merge
+    * rules) in the artifact root at first open; refuse any reopen
+    * under a different digest. Reopening a slice store with changed
+    * constants would silently mix generations across slices — codes
+    * under the wrong books, windows under the wrong rules — with no
+    * error anywhere; changing constants is a re-index into a fresh
+    * dir. Write-if-absent: a pre-guard artifact gets pinned to the
+    * FIRST handle that reopens it (the best a digest added after the
+    * fact can do — it cannot reconstruct what wrote the old slices). */
+  def pinConstants(root: String, parts: Iterator[String],
+      what: String, fileName: String = "CONSTANTS"): Unit = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach { s =>
+      md.update(s.getBytes("UTF-8")); md.update(0.toByte)
+    }
+    val digest = md.digest().map("%02x".format(_)).mkString
+    val f = java.nio.file.Paths.get(root, fileName)
+    if (java.nio.file.Files.exists(f)) {
+      val stored = java.nio.file.Files.readString(f).trim
+      require(stored == digest,
+        s"artifact at $root was written under different $what (stored " +
+          s"constants digest $stored, this handle $digest) — reopening " +
+          "would mix generations across slices; re-index into a fresh " +
+          "artifact dir to change them")
+    } else {
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f, digest)
+      ()
+    }
+  }
+
+  /** [[pinConstants]] part stream for nested double structures —
+    * IEEE-754 bit patterns, order-preserving. */
+  def doubleParts(dss: Seq[Double]*): Iterator[String] =
+    dss.iterator.flatMap(_.iterator)
+      .map(d => java.lang.Double.doubleToLongBits(d).toString)
   /** Default retention for dirs superseded by a compaction pointer
     * swap. A reader that resolved its frames just BEFORE the swap still
     * holds plans referencing the old generation + slice paths; deleting

@@ -52,39 +52,17 @@ class StreamingBpeChunkIndex(artifactDir: String,
     Seq("emb", "bctf", "bcdl", "bcivf", "bcemb"), "doc_id")
 
   // The "fixed constructor constants" convention made STRUCTURAL: the
-  // artifact pins a fingerprint of (rules, cents, books) at first open
-  // and every reopen must match — reopening under different constants
+  // artifact pins a digest of (rules, cents, books) at first open and
+  // every reopen must match — reopening under different constants
   // would silently mix window boundaries / symbol identities / code
   // meanings across slice generations with no error anywhere (the
   // snapshot side persists bperules.txt + the codebooks for exactly
   // this reason; a slice store can pin the digest). Changing any of
   // the three is a full re-index under a fresh artifact dir.
-  locally {
-    val digest = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      def upd(s: String): Unit = { md.update(s.getBytes("UTF-8")); md.update(0.toByte) }
-      rules.foreach { case (l, r) => upd(l); upd(r) }
-      cents.flatten.foreach(d =>
-        upd(java.lang.Double.doubleToLongBits(d).toString))
-      books.flatten.flatten.foreach(d =>
-        upd(java.lang.Double.doubleToLongBits(d).toString))
-      md.digest().map("%02x".format(_)).mkString
-    }
-    val f = java.nio.file.Paths.get(artifactDir, "CONSTANTS")
-    if (java.nio.file.Files.exists(f)) {
-      val stored = java.nio.file.Files.readString(f).trim
-      require(stored == digest,
-        s"artifact at $artifactDir was written under different BPE " +
-          "rules / codebooks (stored constants digest " +
-          s"$stored, this handle $digest) — reopening would mix window " +
-          "boundaries and code generations across slices; re-index " +
-          "into a fresh artifact dir to change any of the three")
-    } else {
-      java.nio.file.Files.createDirectories(f.getParent)
-      java.nio.file.Files.writeString(f, digest)
-      ()
-    }
-  }
+  SlicedArtifact.pinConstants(artifactDir,
+    rules.iterator.flatMap { case (l, r) => Iterator(l, r) } ++
+      SlicedArtifact.doubleParts(cents.flatten, books.flatten.flatten),
+    "BPE rules / codebooks")
 
   /** Index all available micro-batches; returns DISTINCT batches run. */
   def indexAvailable(spark: SparkSession, docStream: DataFrame,

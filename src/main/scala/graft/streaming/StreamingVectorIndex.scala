@@ -63,6 +63,7 @@ class StreamingVectorIndex(artifactDir: String,
       (if (chunked) Seq("civf") else Seq.empty),
     "vec_id")
 
+
   // Fail fast on the reopen hazard: an artifact previously written
   // WITHOUT cents has committed batches (ops slices) with no ivf
   // slices, so reopening it with cents would resolve an ivf frame
@@ -96,6 +97,23 @@ class StreamingVectorIndex(artifactDir: String,
         "with chunked = false, or re-index the corpus under a chunked " +
         "handle.")
   }
+  // Pinned-constants guard (the [[StreamingBpeChunkIndex]] convention,
+  // retrofitted): codes are meaningless under the wrong books and
+  // cells under the wrong coarse codebook, so a reopen under different
+  // constants refuses instead of silently mixing generations across
+  // slices. Write-if-absent — a pre-guard artifact pins to its first
+  // reopening handle. AFTER the frame-presence checks: a frame-shape
+  // mismatch (cents-less artifact reopened chunked/cents-carrying)
+  // gets its specific expansion-hazard message, not the generic
+  // digest one. The coarse codebook pins in its OWN file: a
+  // cents-carrying artifact legally reopens cents-less for ADC-only
+  // serving (it never reads ivf/civf then), so the cents digest is
+  // checked only by handles that will.
+  SlicedArtifact.pinConstants(artifactDir,
+    SlicedArtifact.doubleParts(books.flatten.flatten), "PQ books")
+  cents.foreach(cs => SlicedArtifact.pinConstants(artifactDir,
+    SlicedArtifact.doubleParts(cs.flatten), "coarse codebook",
+    "CONSTANTS_IVF"))
 
   /** Index all available micro-batches; returns DISTINCT batches run. */
   def indexAvailable(spark: SparkSession, embStream: DataFrame,

@@ -899,6 +899,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // ivf slice and the IVFADC serve works
     sv1.indexBatch(embAll.where(col("vec_id") < 50), 0)
     assert(sv1.ivfTopK(spark, Seq(0L), 3, nprobe = 2).get.count() > 0)
+
+    // pinned-constants guard: same books reopen fine (above); DIFFERENT
+    // books refuse — codes are meaningless under the wrong codebooks
+    val exB = intercept[IllegalArgumentException] {
+      new graft.streaming.StreamingVectorIndex(root,
+        books.map(_.map(_.map(_ + 1.0))))
+    }
+    assert(exB.getMessage.contains("different PQ books"),
+      s"wrong failure: ${exB.getMessage}")
+    // ...a different coarse codebook refuses too, while an ADC-only
+    // (cents-less) reopen of this cents-carrying artifact stays legal
+    val exC = intercept[IllegalArgumentException] {
+      new graft.streaming.StreamingVectorIndex(root, books,
+        Some(cents.map(_.map(_ + 1.0))))
+    }
+    assert(exC.getMessage.contains("different coarse codebook"),
+      s"wrong failure: ${exC.getMessage}")
+    new graft.streaming.StreamingVectorIndex(root, books) // ADC-only: fine
   }
 
   test("streaming artifact compaction: slices fold to one generation, served results unchanged, stream continues on top") {
