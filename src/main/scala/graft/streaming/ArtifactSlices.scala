@@ -86,28 +86,72 @@ private[streaming] object SlicedArtifact {
     * error anywhere; changing constants is a re-index into a fresh
     * dir. Write-if-absent: a pre-guard artifact gets pinned to the
     * FIRST handle that reopens it (the best a digest added after the
-    * fact can do — it cannot reconstruct what wrote the old slices). */
+    * fact can do — it cannot reconstruct what wrote the old slices).
+    *
+    * Injectivity: each part enters the digest stream LENGTH-PREFIXED
+    * (byte count + ':' + bytes), so two part sequences with the same
+    * concatenation but different boundaries — a rule string containing
+    * the old NUL separator, a double moved across a section boundary —
+    * hash differently; [[section]] additionally leads each constant
+    * group with its label and shape counts so structurally different
+    * configurations with coinciding flat values cannot alias.
+    *
+    * Crash/race safety: the first pin stages the digest to a dot-tmp
+    * sibling and commits it as a hard LINK — atomic, and unlike a
+    * POSIX rename it FAILS if the file already exists — so no reader
+    * ever sees a truncated digest, an installed pin can never be
+    * silently replaced, and of two concurrent first-opens under
+    * DIFFERENT constants exactly the loser of the link race falls
+    * through to the compare and refuses (both proceeding is the
+    * generation mix this guard exists to stop). A stored value that
+    * is not 64 hex chars is reported as corruption, not as a
+    * constants mismatch. */
   def pinConstants(root: String, parts: Iterator[String],
       what: String, fileName: String = "CONSTANTS"): Unit = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
     parts.foreach { s =>
-      md.update(s.getBytes("UTF-8")); md.update(0.toByte)
+      val bytes = s.getBytes("UTF-8")
+      md.update(s"${bytes.length}:".getBytes("UTF-8"))
+      md.update(bytes)
     }
     val digest = md.digest().map("%02x".format(_)).mkString
     val f = java.nio.file.Paths.get(root, fileName)
-    if (java.nio.file.Files.exists(f)) {
-      val stored = java.nio.file.Files.readString(f).trim
-      require(stored == digest,
-        s"artifact at $root was written under different $what (stored " +
-          s"constants digest $stored, this handle $digest) — reopening " +
-          "would mix generations across slices; re-index into a fresh " +
-          "artifact dir to change them")
-    } else {
+    if (!java.nio.file.Files.exists(f)) {
       java.nio.file.Files.createDirectories(f.getParent)
-      java.nio.file.Files.writeString(f, digest)
-      ()
+      val tmp = f.resolveSibling(s".$fileName.tmp-${System.nanoTime()}")
+      java.nio.file.Files.writeString(tmp, digest)
+      try java.nio.file.Files.createLink(f, tmp)
+      catch {
+        // lost a concurrent first-pin race: the winner's digest is in
+        // place — fall through to the compare below, like any reopen
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp); ()
+      }
     }
+    val stored = java.nio.file.Files.readString(f).trim
+    require(stored.matches("[0-9a-f]{64}"),
+      s"constants digest file $f is corrupt (not a SHA-256 hex string: " +
+        s"'$stored') — a crashed pre-guard writer or manual edit; " +
+        "delete the file to re-pin this handle's constants, after " +
+        "confirming the slices were written under them")
+    require(stored == digest,
+      s"artifact at $root was written under different $what (stored " +
+        s"constants digest $stored, this handle $digest) — reopening " +
+        "would mix generations across slices; re-index into a fresh " +
+        "artifact dir to change them")
   }
+
+  /** A labeled, shape-prefixed constant group for [[pinConstants]]:
+    * the group's label, its shape counts (e.g. number of rules; cells
+    * × dims; books × sub-centroids × dims), then the parts. Distinct
+    * configurations whose flat part streams coincide (a value moved
+    * across a group boundary, different row shapes over the same flat
+    * values) get distinct digests because the labels and counts
+    * disagree. */
+  def section(label: String, shape: Seq[Int],
+      parts: Iterator[String]): Iterator[String] =
+    Iterator(s"#$label", shape.mkString("x")) ++ parts
 
   /** [[pinConstants]] part stream for nested double structures —
     * IEEE-754 bit patterns, order-preserving. */

@@ -60,8 +60,15 @@ class StreamingBpeChunkIndex(artifactDir: String,
   // this reason; a slice store can pin the digest). Changing any of
   // the three is a full re-index under a fresh artifact dir.
   SlicedArtifact.pinConstants(artifactDir,
-    rules.iterator.flatMap { case (l, r) => Iterator(l, r) } ++
-      SlicedArtifact.doubleParts(cents.flatten, books.flatten.flatten),
+    SlicedArtifact.section("rules", Seq(rules.size),
+      rules.iterator.flatMap { case (l, r) => Iterator(l, r) }) ++
+      SlicedArtifact.section("cents",
+        Seq(cents.size, cents.headOption.map(_.size).getOrElse(0)),
+        SlicedArtifact.doubleParts(cents.flatten)) ++
+      SlicedArtifact.section("books",
+        Seq(books.size, books.headOption.map(_.size).getOrElse(0),
+          books.headOption.flatMap(_.headOption).map(_.size).getOrElse(0)),
+        SlicedArtifact.doubleParts(books.flatten.flatten)),
     "BPE rules / codebooks")
 
   /** Index all available micro-batches; returns DISTINCT batches run. */

@@ -110,9 +110,14 @@ class StreamingVectorIndex(artifactDir: String,
   // serving (it never reads ivf/civf then), so the cents digest is
   // checked only by handles that will.
   SlicedArtifact.pinConstants(artifactDir,
-    SlicedArtifact.doubleParts(books.flatten.flatten), "PQ books")
+    SlicedArtifact.section("books",
+      Seq(books.size, books.headOption.map(_.size).getOrElse(0),
+        books.headOption.flatMap(_.headOption).map(_.size).getOrElse(0)),
+      SlicedArtifact.doubleParts(books.flatten.flatten)), "PQ books")
   cents.foreach(cs => SlicedArtifact.pinConstants(artifactDir,
-    SlicedArtifact.doubleParts(cs.flatten), "coarse codebook",
+    SlicedArtifact.section("cents",
+      Seq(cs.size, cs.headOption.map(_.size).getOrElse(0)),
+      SlicedArtifact.doubleParts(cs.flatten)), "coarse codebook",
     "CONSTANTS_IVF"))
 
   /** Index all available micro-batches; returns DISTINCT batches run. */
