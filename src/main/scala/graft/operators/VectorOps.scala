@@ -2662,6 +2662,10 @@ object VectorOps {
       nprobes.map(np => ("chunk_adc", "chunk", np, 0)) ++
       (for (np <- nprobes; r <- refines) yield ("chunk_refine", "chunk", np, r))
 
+  /** The two curve families and the frames each one needs — [[
+    * recallCurveFrom]]'s `families` values. */
+  val CurveFamilies: Seq[String] = Seq("doc", "chunk")
+
   /** Serve-knob TUNING CURVE — recall@k of every (nprobe × refine)
     * grid point of the four production serve shapes (doc-level ADC,
     * doc-level two-stage refine, chunk-level ADC MaxSim, chunk-level
@@ -2717,15 +2721,26 @@ object VectorOps {
     * cannot reproduce), `docIndex`/`chunkIndex` the stored
     * cell-partitioned code frames, `cents`/`books` the loaded
     * codebooks. */
-  def recallCurveFrom(embeddings: DataFrame, chunkEmb: DataFrame,
-      docIndex: DataFrame, chunkIndex: DataFrame,
+  def recallCurveFrom(embeddings: DataFrame, chunkEmb: => DataFrame,
+      docIndex: => DataFrame, chunkIndex: => DataFrame,
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
       queryIds: Seq[Long], k: Int,
       nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
       checkpointDir: Option[String] = None,
       docExact: Option[DataFrame] = None,
-      chunkExact: Option[DataFrame] = None): DataFrame = {
+      chunkExact: Option[DataFrame] = None,
+      families: Seq[String] = CurveFamilies): DataFrame = {
     require(refines.forall(_ >= k), s"every refine r must be >= k=$k")
+    // `families` restricts the meter to the requested side(s): a BPE
+    // maintenance pass that only needs the chunk family must not pay
+    // the brute doc baseline it just computed in the whitespace pass
+    // (each family's frames are BY-NAME parameters, never even read
+    // when its family is absent — a pre-chunk-layout snapshot can
+    // meter its doc serve). The grid, both exact baselines, and the
+    // scored frames all derive from the same filtered family list, so
+    // a skipped family contributes zero jobs and zero rows.
+    require(families.nonEmpty && families.forall(CurveFamilies.contains),
+      s"families must be a non-empty subset of $CurveFamilies: $families")
     val spark = embeddings.sparkSession
     import spark.implicits._
     val maxNp = nprobes.max
@@ -2744,51 +2759,59 @@ object VectorOps {
       .getField("cv")
     val rv = zip_with(cv, reconOf(col("codes"), books), (x, y) => x + y)
 
+    val wantDoc = families.contains("doc")
+    val wantChunk = families.contains("chunk")
+
     // doc family: ADC + attached exact cosine per probed candidate
-    val dIdx = docIndex
-    val dAdc = dIdx.where(col("cell").isin(probedCells: _*))
-      .join(broadcast(probe), Seq("cell"))
-      .where(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"), col("prn"),
-        round(cosine(col("qv"), rv), 6).as("adc"))
-      .where(!isnan(col("adc")))
-    val dBoth = Dedup.materialize(
-      dAdc.join(e, "vec_id").join(broadcast(q), "query_id")
-        .select(col("query_id"), col("vec_id"), col("prn"), col("adc"),
-          round(cosine(col("qv2"), col("v")), 6).as("exact")),
-      checkpointDir)
+    val dBoth = if (!wantDoc) None else Some {
+      val dAdc = docIndex.where(col("cell").isin(probedCells: _*))
+        .join(broadcast(probe), Seq("cell"))
+        .where(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"), col("prn"),
+          round(cosine(col("qv"), rv), 6).as("adc"))
+        .where(!isnan(col("adc")))
+      Dedup.materialize(
+        dAdc.join(e, "vec_id").join(broadcast(q), "query_id")
+          .select(col("query_id"), col("vec_id"), col("prn"), col("adc"),
+            round(cosine(col("qv2"), col("v")), 6).as("exact")),
+        checkpointDir)
+    }
     // the exact baselines are codebook-INDEPENDENT — a multi-codebook
     // sweep ([[codebookCurve]]) computes each once and passes it in
-    val dEx = docExact.getOrElse(
-      cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id"))
+    val dEx = if (!wantDoc) None else Some(docExact.getOrElse(
+      cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id")))
 
     // chunk family: the composite-key index's ADC + exact per candidate
-    val cEmb = chunkEmb
-    val cIdx = chunkIndex
-    val cAdc = cIdx.where(col("cell").isin(probedCells: _*))
-      .join(broadcast(probe), Seq("cell"))
-      .select(col("query_id"),
-        expr(s"vec_id DIV $ChunkStride").as("doc_id"),
-        pmod(col("vec_id"), lit(ChunkStride)).as("chunk_id"), col("prn"),
-        round(cosine(col("qv"), rv), 6).as("adc"))
-      .where(col("doc_id") =!= col("query_id") && !isnan(col("adc")))
-    val ce = cEmb.select(col("doc_id"), col("chunk_id"),
-      asDoubles(col("embedding")).as("v"))
-    val cBoth = Dedup.materialize(
-      cAdc.join(ce, Seq("doc_id", "chunk_id")).join(broadcast(q), "query_id")
-        .select(col("query_id"), col("doc_id"), col("chunk_id"),
-          col("prn"), col("adc"),
-          round(cosine(col("qv2"), col("v")), 6).as("exact")),
-      checkpointDir)
-    val cEx = chunkExact.getOrElse(
-      multiVectorTopK(cEmb, embeddings, queryIds, k)
-        .select("query_id", "doc_id"))
+    val chunkSide = if (!wantChunk) None else Some {
+      val cEmb = chunkEmb
+      val cAdc = chunkIndex.where(col("cell").isin(probedCells: _*))
+        .join(broadcast(probe), Seq("cell"))
+        .select(col("query_id"),
+          expr(s"vec_id DIV $ChunkStride").as("doc_id"),
+          pmod(col("vec_id"), lit(ChunkStride)).as("chunk_id"), col("prn"),
+          round(cosine(col("qv"), rv), 6).as("adc"))
+        .where(col("doc_id") =!= col("query_id") && !isnan(col("adc")))
+      val ce = cEmb.select(col("doc_id"), col("chunk_id"),
+        asDoubles(col("embedding")).as("v"))
+      val cBoth = Dedup.materialize(
+        cAdc.join(ce, Seq("doc_id", "chunk_id")).join(broadcast(q), "query_id")
+          .select(col("query_id"), col("doc_id"), col("chunk_id"),
+            col("prn"), col("adc"),
+            round(cosine(col("qv2"), col("v")), 6).as("exact")),
+        checkpointDir)
+      val cEx = chunkExact.getOrElse(
+        multiVectorTopK(cEmb, embeddings, queryIds, k)
+          .select("query_id", "doc_id"))
+      (cBoth, cEx)
+    }
+    val cBoth = chunkSide.map(_._1)
+    val cEx = chunkSide.map(_._2)
 
     // grid points: window arithmetic over the two frames, each
     // mirroring its serve path's exact ordering rules
     def docAdcTopK(np: Int): DataFrame = {
       val w = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
-      dBoth.where(col("prn") <= np)
+      dBoth.get.where(col("prn") <= np)
         .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
         .select(lit("doc_adc").as("method"), lit("doc").as("fam"),
           lit(np).as("nprobe"), lit(0).as("r"),
@@ -2797,7 +2820,7 @@ object VectorOps {
     def docRefineTopK(np: Int, r: Int): DataFrame = {
       val wS = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
       val wK = Window.partitionBy("query_id").orderBy(desc("exact"), asc("vec_id"))
-      dBoth.where(col("prn") <= np)
+      dBoth.get.where(col("prn") <= np)
         .withColumn("rs", row_number().over(wS)).where(col("rs") <= r)
         .where(!isnan(col("exact")))
         .withColumn("rn", row_number().over(wK)).where(col("rn") <= k)
@@ -2809,7 +2832,7 @@ object VectorOps {
       val wB = Window.partitionBy("query_id", "doc_id")
         .orderBy(desc("adc"), asc("chunk_id"))
       val wK = Window.partitionBy("query_id").orderBy(desc("adc"), asc("doc_id"))
-      cBoth.where(col("prn") <= np)
+      cBoth.get.where(col("prn") <= np)
         .withColumn("rc", row_number().over(wB)).where(col("rc") === 1)
         .withColumn("rn", row_number().over(wK)).where(col("rn") <= k)
         .select(lit("chunk_adc").as("method"), lit("chunk").as("fam"),
@@ -2822,7 +2845,7 @@ object VectorOps {
       val wB = Window.partitionBy("query_id", "doc_id")
         .orderBy(desc("exact"), asc("chunk_id"))
       val wK = Window.partitionBy("query_id").orderBy(desc("exact"), asc("doc_id"))
-      cBoth.where(col("prn") <= np)
+      cBoth.get.where(col("prn") <= np)
         .withColumn("rs", row_number().over(wS)).where(col("rs") <= r)
         .where(!isnan(col("exact")))
         .withColumn("rc", row_number().over(wB)).where(col("rc") === 1)
@@ -2832,6 +2855,7 @@ object VectorOps {
           col("query_id"), col("doc_id").as("id"))
     }
     val combos = curveGrid(nprobes, refines)
+      .filter { case (_, fam, _, _) => families.contains(fam) }
     val approx = combos.map {
       case ("doc_adc", _, np, _) => docAdcTopK(np)
       case ("doc_refine", _, np, r) => docRefineTopK(np, r)
@@ -2842,10 +2866,11 @@ object VectorOps {
     // score: hits against each family's exact set, aggregated over the
     // sample; the literal grid guarantees a row per grid point even if
     // a setting returned nothing
-    val exTag = dEx.select(lit("doc").as("fam"), col("query_id"),
-        col("vec_id").as("id"))
-      .unionByName(cEx.select(lit("chunk").as("fam"), col("query_id"),
-        col("doc_id").as("id")))
+    val exTag = (dEx.map(_.select(lit("doc").as("fam"), col("query_id"),
+        col("vec_id").as("id"))).toSeq ++
+      cEx.map(_.select(lit("chunk").as("fam"), col("query_id"),
+        col("doc_id").as("id"))).toSeq)
+      .reduce(_ unionByName _)
     val hits = approx
       .join(exTag.withColumn("hit", lit(1L)), Seq("fam", "query_id", "id"),
         "left")

@@ -403,19 +403,27 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   def measureRecall(queryIds: Seq[Long], k: Int,
       nprobes: Seq[Int] = VectorOps.CurveNprobes,
       refines: Seq[Int] = VectorOps.CurveRefines,
-      bpeWindows: Boolean = false): DataFrame = {
+      bpeWindows: Boolean = false,
+      families: Seq[String] = VectorOps.CurveFamilies): DataFrame = {
     // maintenance work runs on the CALLER's batch session (the build/
     // rebuild convention), not the narrow serve session: the curve's
     // exact baselines are deliberate brute scans, exactly the work the
     // serve session's fixed 8-task shuffles are wrong for.
-    // The curve reads BOTH chunk frames of its meter (floats for the
-    // exact baseline, codes for the approximate side) — guard each so
-    // a partial snapshot fails with the named frame and the upgrade
-    // path, not a raw missing-path error mid-plan
+    // `families` scopes the meter: a chunk-only pass skips the brute
+    // doc baseline entirely (maintain()'s BPE pass re-used to compute
+    // it redundantly), and a doc-only pass never touches the chunk
+    // frames — so a pre-chunk-layout snapshot can still meter its doc
+    // serve. When the chunk family IS requested, the curve reads BOTH
+    // chunk frames of its meter (floats for the exact baseline, codes
+    // for the approximate side) — guard each so a partial snapshot
+    // fails with the named frame and the upgrade path, not a raw
+    // missing-path error mid-plan
     val (embFrame, idxFrame) =
       if (bpeWindows) ("bcemb", "bcindex") else ("cemb", "cindex")
-    requireChunkFrame(embFrame)
-    requireChunkFrame(idxFrame)
+    if (families.contains("chunk")) {
+      requireChunkFrame(embFrame)
+      requireChunkFrame(idxFrame)
+    }
     def read(frame: String, schema: String) =
       spark.read.schema(schema).parquet(s"$dir/$frame")
     VectorOps.recallCurveFrom(
@@ -424,7 +432,8 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
         .select("doc_id", "chunk_id", "embedding"),
       read("index", Retrieval.IndexSchema),
       read(idxFrame, Retrieval.IndexSchema),
-      cents, books, queryIds, k, nprobes, refines)
+      cents, books, queryIds, k, nprobes, refines,
+      families = families)
   }
 
   /** The ACTION [[chunkArtifactStats]]'s file counts trigger —
@@ -507,31 +516,59 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * batch session at maintenance cadence, never in a serve path). */
   def maintain(queryIds: Seq[Long], k: Int = 5,
       maxFilesPerPartition: Int = 1,
-      recallFloor: Double = 0.0): Retrieval.MaintenanceReport = {
-    def shippedPoint(bpe: Boolean): Map[String, Double] =
-      measureRecall(queryIds, k, nprobes = Seq(2),
-          refines = Seq(VectorOps.RefineShortlist), bpeWindows = bpe)
-        .collect()
+      recallFloor: Double = 0.0,
+      servePointFloor: Option[Double] = None): Retrieval.MaintenanceReport = {
+    def frameDir(f: String) = new java.io.File(s"$dir/$f").isDirectory
+    // when serve-point selection is requested the meter runs the FULL
+    // (nprobe × refine) grid once — the shipped-point numbers read off
+    // the same frame, and the cheapest qualifying point comes from it;
+    // otherwise only the shipped grid point is priced (the cadence
+    // default)
+    val (nps, rs) = servePointFloor match {
+      case Some(_) => (VectorOps.CurveNprobes, VectorOps.CurveRefines)
+      case None => (Seq(2), Seq(VectorOps.RefineShortlist))
+    }
+    def meter(bpe: Boolean, families: Seq[String]): DataFrame =
+      measureRecall(queryIds, k, nprobes = nps, refines = rs,
+        bpeWindows = bpe, families = families)
+    def shipped(curve: Array[org.apache.spark.sql.Row]): Map[String, Double] =
+      curve.filter(r => r.getInt(r.fieldIndex("nprobe")) == 2 &&
+          (r.getInt(r.fieldIndex("r")) == VectorOps.RefineShortlist ||
+            r.getInt(r.fieldIndex("r")) == 0))
         .map(r => r.getString(r.fieldIndex("method")) ->
           r.getDouble(r.fieldIndex("recall"))).toMap
     val compacted = compact(maxFilesPerPartition) // heals asides first
-    val ws = shippedPoint(bpe = false)
-    // the v6 BPE chunk serve is metered at its OWN window unit when the
-    // snapshot holds the frames (a v5 snapshot keeps the rest of the
-    // runbook — the per-frame availability rule); the doc family of
-    // the second pass duplicates the first's, the price of the shared
-    // curve seam at maintenance cadence
+    // meter only the families whose frames this snapshot holds (the
+    // per-frame availability rule: a pre-chunk snapshot keeps the heal
+    // + compact steps and its doc meter); the whitespace pass carries
+    // the doc family, the BPE pass is CHUNK-ONLY — the brute doc
+    // baseline computes exactly once per maintain() call
+    val hasChunk = frameDir("cindex") && frameDir("cemb")
+    val wsFams = Seq("doc") ++ (if (hasChunk) Seq("chunk") else Nil)
+    val wsCurve = meter(bpe = false, wsFams).collect()
+    val ws = shipped(wsCurve)
     val bpeChunk =
-      if (new java.io.File(s"$dir/bcindex").isDirectory &&
-          new java.io.File(s"$dir/bcemb").isDirectory)
-        Some(shippedPoint(bpe = true)("chunk_refine"))
+      if (frameDir("bcindex") && frameDir("bcemb"))
+        Some(shipped(meter(bpe = true, Seq("chunk")).collect())("chunk_refine"))
       else None
     val doc = ws("doc_refine")
-    val chunk = ws("chunk_refine")
+    val chunk = if (hasChunk) Some(ws("chunk_refine")) else None
+    // cheapest grid point meeting the serve floor, from the SAME
+    // measured rows (the doc-refine family — the primary serve the
+    // shipped defaults are justified against)
+    val servePoint = servePointFloor.flatMap { floor =>
+      Retrieval.cheapestServePointOf(
+        wsCurve.toSeq.map(r => (r.getString(r.fieldIndex("method")),
+          r.getInt(r.fieldIndex("nprobe")), r.getInt(r.fieldIndex("r")),
+          r.getDouble(r.fieldIndex("recall")))),
+        "doc_refine", floor,
+        corpusN = emb.count(), cells = cents.size)
+    }
     Retrieval.MaintenanceReport(compacted, doc, chunk, bpeChunk,
       recallFloor,
-      retrainRecommended = doc < recallFloor || chunk < recallFloor ||
-        bpeChunk.exists(_ < recallFloor))
+      retrainRecommended = doc < recallFloor ||
+        chunk.exists(_ < recallFloor) || bpeChunk.exists(_ < recallFloor),
+      servePoint = servePoint)
   }
 
   /** BPE-window chunk-DENSE top-k — [[chunkDenseTopK]] over the v6
@@ -656,19 +693,71 @@ object Retrieval {
   /** What one [[Retrieval!.maintain maintain]] pass did and measured:
     * the `(frame, partition)` pairs compacted (empty = already
     * compact), recall@k of the refine serves at the SHIPPED grid
-    * point (the BPE chunk serve metered at its own window unit when
-    * the snapshot holds the v6 frames; None on a pre-v6 snapshot),
-    * the caller's floor, and whether any metered serve fell below it
-    * (the [[retrain]] trigger — the one action maintain recommends but
-    * never takes, since a codebook migration needs the full corpus and
-    * an operator's intent). */
+    * point — each chunk meter present only when the snapshot holds its
+    * frames (the per-frame availability rule: a pre-v5 snapshot still
+    * heals, compacts, and meters its doc serve; a pre-v6 one skips
+    * only the BPE meter) — the caller's floor, whether any metered
+    * serve fell below it (the [[retrain]] trigger — the one action
+    * maintain recommends but never takes, since a codebook migration
+    * needs the full corpus and an operator's intent), and, when a
+    * serve floor was passed, the cheapest measured (nprobe, r) grid
+    * point meeting it ([[cheapestServePointOf]]). */
   final case class MaintenanceReport(
       compacted: Seq[(String, String)],
       docRefineRecall: Double,
-      chunkRefineRecall: Double,
+      chunkRefineRecall: Option[Double],
       bpeChunkRefineRecall: Option[Double],
       recallFloor: Double,
-      retrainRecommended: Boolean)
+      retrainRecommended: Boolean,
+      servePoint: Option[ServePoint] = None)
+
+  /** One measured serve setting and its cost under the serve-read
+    * model: `bytesPerQuery` = ADC codes scanned (nprobe/cells of the
+    * corpus × one byte-ish code per subspace) + refine float reads
+    * (r vectors × Dim × 4 bytes) — the two bandwidth terms the x91
+    * scaladoc trades ("r=40 beats (nprobe=8, r=20) at a quarter of the
+    * probed bandwidth"), made one comparable number. */
+  final case class ServePoint(method: String, nprobe: Int, r: Int,
+      recall: Double, bytesPerQuery: Double)
+
+  /** The serve-read cost of a grid point — see [[ServePoint]]. */
+  private[graft] def servePointCost(nprobe: Int, r: Int, corpusN: Long,
+      cells: Int): Double =
+    nprobe.toDouble / cells * corpusN * VectorOps.PqSubspaces +
+      r.toDouble * VectorOps.Dim * 4
+
+  /** Pick the CHEAPEST measured grid point of `method` whose recall
+    * meets `floor` — the serve-point selection a deployment runs over
+    * a [[Retrieval!.measureRecall measureRecall]] (or x91) frame
+    * instead of eyeballing the grid: ties on cost break to the higher
+    * recall, then to the smaller (nprobe, r) pair for determinism.
+    * None when no measured point reaches the floor (the curve says the
+    * floor needs a retrain or a codebook migration, not a knob turn).
+    * `corpusN`/`cells` size the scan-fraction term of the cost model
+    * ([[servePointCost]]) — pass the LIVE corpus count and the
+    * snapshot's trained cell count. */
+  def cheapestServePoint(curve: org.apache.spark.sql.DataFrame,
+      method: String, floor: Double, corpusN: Long,
+      cells: Int): Option[ServePoint] =
+    cheapestServePointOf(
+      curve.select("method", "nprobe", "r", "recall").collect().toSeq
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2),
+          r.getDouble(3))),
+      method, floor, corpusN, cells)
+
+  /** [[cheapestServePoint]] over already-collected curve rows
+    * `(method, nprobe, r, recall)`. */
+  def cheapestServePointOf(rows: Seq[(String, Int, Int, Double)],
+      method: String, floor: Double, corpusN: Long,
+      cells: Int): Option[ServePoint] = {
+    require(cells > 0, s"cells=$cells must be positive")
+    rows.filter(p => p._1 == method && p._4 >= floor)
+      .map { case (m, np, r, rec) =>
+        ServePoint(m, np, r, rec, servePointCost(np, r, corpusN, cells))
+      }
+      .sortBy(p => (p.bytesPerQuery, -p.recall, p.nprobe, p.r))
+      .headOption
+  }
 
   /** Explicit read schema so the `cell` PARTITION column keeps its
     * written BIGINT type (inference would narrow it to INT and put the

@@ -953,7 +953,7 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(rep.compacted.nonEmpty,
       "wide build produced nothing to compact; maintain test is weak")
     assert(rep.docRefineRecall === want("doc_refine"))
-    assert(rep.chunkRefineRecall === want("chunk_refine"))
+    assert(rep.chunkRefineRecall === Some(want("chunk_refine")))
     // the v6 snapshot meters the BPE chunk serve at its own window
     // unit; the doc family is meter-independent (same rows both runs)
     assert(rep.bpeChunkRefineRecall === Some(wantBpe("chunk_refine")))
@@ -968,6 +968,152 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     val queries = Seq(0L -> Seq("spark", "join"))
     assert(rows(Retrieval.load(spark, s"$root/snap")
       .searchChunks(queries, 5, refine = Some(8))).nonEmpty)
+
+    // serve-point selection: with a floor the meter runs the full grid
+    // once and the report carries the cheapest qualifying point — it
+    // must agree with cheapestServePoint over an independently measured
+    // full-grid frame, meet the floor, and cost no more than the
+    // shipped point (which qualifies by construction at this floor)
+    val floor = rep.docRefineRecall
+    val rep3 = h.maintain(qids, 3, servePointFloor = Some(floor))
+    val sp = rep3.servePoint.getOrElse(
+      fail("no serve point at a floor the shipped point meets"))
+    assert(sp.method == "doc_refine" && sp.recall >= floor)
+    val n = e.count()
+    assert(sp.bytesPerQuery <=
+      graft.serve.Retrieval.servePointCost(2, VectorOps.RefineShortlist,
+        n, h.cents.size) + 1e-9)
+    val independent = Retrieval.cheapestServePoint(
+      h.measureRecall(qids, 3), "doc_refine", floor, n, h.cents.size)
+    assert(independent === rep3.servePoint,
+      "maintain's serve point diverges from the standalone selector")
+    // shipped-point recalls read off the full-grid pass unchanged
+    assert(rep3.docRefineRecall === rep.docRefineRecall)
+    assert(rep3.chunkRefineRecall === rep.chunkRefineRecall)
+  }
+
+  test("cheapestServePointOf: corpus-scale cost picks the documented shipped point at floor 0.6") {
+    // the measured sf0.1 x91 doc-refine column at nprobe=2
+    // (0.352/0.500/0.628 for r=10/20/40 — PipelinePack's x91 note);
+    // wider-probe rows are representative fill with higher recall, the
+    // shape every measured curve has shown
+    val curve = Seq(
+      ("doc_refine", 1, 40, 0.55),
+      ("doc_refine", 2, 10, 0.352), ("doc_refine", 2, 20, 0.500),
+      ("doc_refine", 2, 40, 0.628),
+      ("doc_refine", 4, 20, 0.70), ("doc_refine", 4, 40, 0.74),
+      ("doc_refine", 8, 20, 0.75), ("doc_refine", 8, 40, 0.82),
+      ("doc_adc", 8, 0, 0.40))
+    // at corpus scale the scan-fraction term dominates: probe widening
+    // costs ~n/cells code reads per step while refine costs r·Dim·4
+    // bytes — exactly the "quarter of the probed bandwidth" trade the
+    // shipped default was justified by, so floor 0.6 lands on (2, 40)
+    val n = 1_000_000_000L
+    val cells = 31623 // ≈ √n, the adaptive shape
+    val got = graft.serve.Retrieval.cheapestServePointOf(
+      curve, "doc_refine", 0.6, n, cells).get
+    assert((got.nprobe, got.r) === ((2, 40)), s"picked $got")
+    assert(got.recall === 0.628)
+    // a higher floor moves along the curve to the cheapest qualifier...
+    val hi = graft.serve.Retrieval.cheapestServePointOf(
+      curve, "doc_refine", 0.75, n, cells).get
+    assert((hi.nprobe, hi.r) === ((8, 20)), s"picked $hi")
+    // ...an unreachable floor returns None (retrain territory, not a
+    // knob turn), and other methods' rows never leak into the pick
+    assert(graft.serve.Retrieval.cheapestServePointOf(
+      curve, "doc_refine", 0.9, n, cells).isEmpty)
+    assert(graft.serve.Retrieval.cheapestServePointOf(
+      curve, "doc_adc", 0.39, n, cells).get.r === 0)
+    // at FIXTURE scale the refine term competes: on the real sf0.01
+    // grid (2,20) ties (2,40) at equal recall and wins on cost — the
+    // same selector, the n-dependence is the point of the model
+    val tiny = graft.serve.Retrieval.cheapestServePointOf(
+      Seq(("doc_refine", 2, 20, 0.640), ("doc_refine", 2, 40, 0.640)),
+      "doc_refine", 0.6, 500L, 32).get
+    assert((tiny.nprobe, tiny.r) === ((2, 20)), s"picked $tiny")
+  }
+
+  test("measureRecall families: a scoped pass meters only its family and skips the other's brute baseline") {
+    val root = java.nio.file.Files.createTempDirectory("graft-fams").toString
+    val d = docs.where(col("doc_id") < 60)
+    val e = emb.where(col("vec_id") < 60)
+    val h = Retrieval.build(d, e, s"$root/snap")
+    val qids = (0L until 6L).toSeq
+
+    def jobsOf(tag: String)(body: => Unit): Int = {
+      spark.sparkContext.setJobGroup(tag, tag, false)
+      try body finally spark.sparkContext.clearJobGroup()
+      // the status store fills asynchronously — poll until stable
+      var prev = -1
+      var cur = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+      var waited = 0
+      while ((cur != prev || cur == 0) && waited < 5000) {
+        Thread.sleep(200); waited += 200
+        prev = cur
+        cur = spark.sparkContext.statusTracker.getJobIdsForGroup(tag).length
+      }
+      cur
+    }
+
+    // row scoping: each family's rows and no other's
+    val chunkOnly = h.measureRecall(qids, 3, nprobes = Seq(2),
+      refines = Seq(VectorOps.RefineShortlist), families = Seq("chunk"))
+      .collect()
+    assert(chunkOnly.nonEmpty &&
+      chunkOnly.forall(_.getString(0).startsWith("chunk_")))
+    val docOnly = h.measureRecall(qids, 3, nprobes = Seq(2),
+      refines = Seq(VectorOps.RefineShortlist), families = Seq("doc"))
+      .collect()
+    assert(docOnly.nonEmpty &&
+      docOnly.forall(_.getString(0).startsWith("doc_")))
+
+    // job scoping: the chunk-only pass must run strictly fewer jobs
+    // than the full pass — the skipped work IS the brute doc baseline
+    // maintain()'s BPE pass used to recompute
+    val jBoth = jobsOf("meter-both") {
+      h.measureRecall(qids, 3, nprobes = Seq(2),
+        refines = Seq(VectorOps.RefineShortlist)).collect(); ()
+    }
+    val jChunk = jobsOf("meter-chunk") {
+      h.measureRecall(qids, 3, nprobes = Seq(2),
+        refines = Seq(VectorOps.RefineShortlist),
+        families = Seq("chunk")).collect(); ()
+    }
+    assert(jChunk < jBoth, s"chunk-only ran $jChunk jobs vs $jBoth full")
+
+    // the scoped rows equal the full pass's rows of that family —
+    // scoping changes cost, never values
+    val both = h.measureRecall(qids, 3, nprobes = Seq(2),
+      refines = Seq(VectorOps.RefineShortlist)).collect()
+    assert(chunkOnly.map(_.toSeq).toSet ===
+      both.filter(_.getString(0).startsWith("chunk_")).map(_.toSeq).toSet)
+    assert(docOnly.map(_.toSeq).toSet ===
+      both.filter(_.getString(0).startsWith("doc_")).map(_.toSeq).toSet)
+  }
+
+  test("maintain on a pre-chunk-layout snapshot: heal and compact still run, doc meter reports, chunk meters degrade to None") {
+    val root = java.nio.file.Files.createTempDirectory("graft-prev5").toString
+    val d = docs.where(col("doc_id") < 60).repartition(4)
+    val e = emb.where(col("vec_id") < 60).repartition(4)
+    val dir = s"$root/snap"
+    Retrieval.build(d, e, dir)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    // simulate a pre-v5 snapshot: no chunk-vector frames at all
+    Seq("cemb", "cindex", "bcemb", "bcindex")
+      .foreach(f => rm(new java.io.File(s"$dir/$f")))
+    val h = Retrieval.load(spark, dir)
+    val rep = h.maintain((0L until 6L).toSeq, 3)
+    // the runbook survived the old layout: compact ran (wide build
+    // fragmentation) and the doc meter reported; the chunk meters are
+    // None instead of the whole call throwing away heal + compact
+    assert(rep.compacted.nonEmpty, "compact skipped on a v4 snapshot")
+    assert(rep.docRefineRecall >= 0.0 && rep.docRefineRecall <= 1.0)
+    assert(rep.chunkRefineRecall.isEmpty)
+    assert(rep.bpeChunkRefineRecall.isEmpty)
+    assert(!rep.retrainRecommended)
   }
 
   test("per-frame chunk guard: a snapshot missing only cemb still serves every non-refine chunk query") {
