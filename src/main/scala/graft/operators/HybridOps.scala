@@ -279,9 +279,11 @@ object HybridOps {
     * [[graft.serve.Retrieval.denseTopK]] IS [[VectorOps
     * .ivfPqRefineTopK]], so its oracle chain composes verbatim). */
   def snapshotSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
-      r: Int, nprobe: Int): String =
+      r: Int, nprobe: Int,
+      cellsSql: String = VectorOps.NumCentroids.toString): String =
     docFusedSql(TextOps.bm25TopKSql(queries, k),
-      VectorOps.ivfPqRefineTopKSql(queries.map(_._1), k, r, nprobe), k)
+      VectorOps.ivfPqRefineTopKSql(queries.map(_._1), k, r, nprobe,
+        cellsSql = cellsSql), k)
 
   /** Oracle for [[graft.serve.Retrieval.searchChunks]]' default serve:
     * the chunk-ranked, doc-deduped lexical half ([[TextOps
@@ -292,10 +294,11 @@ object HybridOps {
     * carrying the lex half's best chunk_id, the dense half's where
     * only it surfaced the doc. */
   def chunkSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
-      nprobe: Int, refine: Option[Int] = None): String =
+      nprobe: Int, refine: Option[Int] = None,
+      cellsSql: String = VectorOps.NumCentroids.toString): String =
     chunkFusedSql(TextOps.bm25ChunkTopKSql(queries, k),
       VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe,
-        refine = refine), k)
+        refine = refine, cellsSql = cellsSql), k)
 
   /** Oracle for [[graft.serve.Retrieval.searchChunksFiltered]] (x86):
     * [[chunkSearchSql]]'s fusion with BOTH halves candidate-restricted
@@ -305,11 +308,13 @@ object HybridOps {
     * doc-level [[searchFilteredSql]] pins, at chunk level. */
   def chunkSearchFilteredSql(queries: Seq[(Long, Seq[String])], k: Int,
       nprobe: Int, allowedSql: String,
-      refine: Option[Int] = None): String =
+      refine: Option[Int] = None,
+      cellsSql: String = VectorOps.NumCentroids.toString): String =
     chunkFusedSql(
       TextOps.bm25ChunkTopKSql(queries, k, allowedSql = Some(allowedSql)),
       VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe,
-        allowedSql = Some(allowedSql), refine = refine), k)
+        allowedSql = Some(allowedSql), refine = refine,
+        cellsSql = cellsSql), k)
 
   /** Oracle for the BPE-METERED chunk hybrid (x90): both halves rank
     * model-context-true windows — the lexical half over BPE-SYMBOL
@@ -326,7 +331,8 @@ object HybridOps {
     * chains across the halves is what makes the oracle affordable. */
   def bpeChunkHybridSql(queries: Seq[(Long, Seq[String])], k: Int,
       nprobe: Int, refine: Option[Int] = None,
-      allowedSql: Option[String] = None): String = {
+      allowedSql: Option[String] = None,
+      cellsSql: String = VectorOps.NumCentroids.toString): String = {
     val d = rrfDenom(k)
     // refine composes in the SAME scope: the shortlist/rerank CTEs
     // ([[VectorOps.chunkRefineCtesSql]], leading-comma convention)
@@ -343,7 +349,8 @@ object HybridOps {
              allowedSql = allowedSql)},
          |${VectorOps.chunkAdcChainSql(queries.map(_._1), nprobe,
              allowedSql = allowedSql,
-             chunkIdsSql = Some("SELECT doc_id, chunk_id FROM bcc"))
+             chunkIdsSql = Some("SELECT doc_id, chunk_id FROM bcc"),
+             cellsSql = cellsSql)
            }$refineCtes, dbest AS (
          |  SELECT query_id, doc_id, chunk_id, cosine FROM $denseSrc
          |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
@@ -381,12 +388,13 @@ object HybridOps {
     * x70 pins for the doc-level serve. */
   def rebuildChunkSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
       nprobe: Int, trainEmbSql: String, serveEmbSql: String,
-      serveDocsSql: String): String =
+      serveDocsSql: String,
+      cellsSql: String = VectorOps.NumCentroids.toString): String =
     chunkFusedSql(
       TextOps.bm25ChunkTopKSql(queries, k, docsSql = Some(serveDocsSql)),
       VectorOps.chunkIvfPqMaxSimSql(queries.map(_._1), k, nprobe,
         trainEmbSql = trainEmbSql, serveEmbSql = serveEmbSql,
-        serveDocsSql = Some(serveDocsSql)), k)
+        serveDocsSql = Some(serveDocsSql), cellsSql = cellsSql), k)
 
   /** Oracle for [[graft.serve.Retrieval.rebuild]]'s end-to-end serve
     * (x70): the [[snapshotSearchSql]] fusion where the dense half's
@@ -396,11 +404,12 @@ object HybridOps {
     * against exactly the fixed-codebook semantics the handle promises. */
   def rebuildSearchSql(queries: Seq[(Long, Seq[String])], k: Int,
       r: Int, nprobe: Int, trainEmbSql: String, serveEmbSql: String,
-      serveDocsSql: String): String =
+      serveDocsSql: String,
+      cellsSql: String = VectorOps.NumCentroids.toString): String =
     docFusedSql(
       TextOps.bm25TopKSql(queries, k, docsSql = Some(serveDocsSql)),
       VectorOps.ivfPqFixedBookRefineSql(queries.map(_._1), k, r,
-        nprobe, trainEmbSql, serveEmbSql), k)
+        nprobe, trainEmbSql, serveEmbSql, cellsSql = cellsSql), k)
 
   /** Chunk-level HYBRID retrieval — the full production RAG shape
     * composed from the two audited chunk-ranked, doc-deduped halves:

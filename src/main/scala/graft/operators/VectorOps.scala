@@ -404,14 +404,15 @@ object VectorOps {
       refine: Option[Int] = None,
       chunkIdsSql: Option[String] = None,
       iters: Int = KMeansIters, m: Int = PqSubspaces,
-      ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String = {
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters,
+      cellsSql: String = NumCentroids.toString): String = {
     val (maxSimSrc, refineCtes) = refine match {
       case None => ("cscored", "")
       case Some(r) => ("crfx", chunkRefineCtesSql(queryIds, r))
     }
     materializedCtes(s"""WITH ${chunkAdcChainSql(queryIds, nprobe,
         trainEmbSql, serveEmbSql, serveDocsSql, allowedSql, iters, m,
-        ksub, pqIters, chunkIdsSql)}$refineCtes, cbest AS (
+        ksub, pqIters, chunkIdsSql, cellsSql)}$refineCtes, cbest AS (
        |  SELECT query_id, doc_id, chunk_id, cosine FROM $maxSimSrc
        |  WHERE cosine IS NOT NULL AND NOT isnan(cosine)
        |  QUALIFY row_number() OVER (PARTITION BY query_id, doc_id
@@ -473,7 +474,11 @@ object VectorOps {
       // swaps the chunk-key source for a derived `(doc_id, chunk_id)`
       // SELECT (e.g. BPE-metered windows — [[graft.operators.TextOps
       // .bpeChunkIdsSql]]); absent = the whitespace-window default
-      chunkIdsSql: Option[String] = None): String = {
+      chunkIdsSql: Option[String] = None,
+      // cell-count SQL expression — [[adaptiveCellsSql]] for snapshot
+      // chains (the engine sized cells from the corpus count), a
+      // literal for fixed-codebook artifact chains
+      cellsSql: String = NumCentroids.toString): String = {
     // pre-filter semantics, the [[graft.serve.Retrieval]] filtered
     // serve's: the allowed doc-id list restricts candidates BEFORE the
     // MaxSim/rank (all of a filtered doc's chunks drop together); the
@@ -499,7 +504,7 @@ object VectorOps {
     s"""e AS (
        |$trainEmbSql
        |),
-       |${kmeansCtes(NumCentroids, iters)},
+       |${kmeansCtes(cellsSql, iters)},
        |cents AS (SELECT cent_id, cv FROM cents$iters),
        |tassign AS (
        |  SELECT vec_id, v, cent_id AS cell,
@@ -810,6 +815,30 @@ object VectorOps {
     * cells ~ √n, probe fraction read off the curve. */
   val NumCentroids = 32
 
+  /** Cell count derived from the corpus size — the k ≈ √n guidance the
+    * x94 codebook curve MEASURED (recall@5 at the shipped serve point
+    * ran 0.448 → 0.628 → 0.840 for 16 → 32 → 64 cells on the
+    * 2,000-vector fixture) turned into the behavior a build gets by
+    * default: [[graft.serve.Retrieval.build]]/`retrain` size their
+    * coarse codebook with this instead of baking [[NumCentroids]], so
+    * a 10⁹-vector corpus trains ~31,623 cells without the operator
+    * knowing to override anything, and the trained count persists with
+    * the codebook (cells = the stored centroid rows). Clamped to
+    * [16, 65536]: below 16 cells probe pruning stops paying for its
+    * bookkeeping; above 65,536 the probe ranking's driver fold and the
+    * codebook-as-literal plan payload need the hierarchical-codebook
+    * treatment this engine doesn't ship. Exactly mirrored by
+    * [[adaptiveCellsSql]] (round = half-up on a positive double in
+    * both engines; √n of an integer can never land exactly on .5). */
+  def adaptiveCells(n: Long): Int =
+    math.max(16L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
+
+  /** [[adaptiveCells]] as a DuckDB scalar subquery over the train CTE,
+    * so an oracle chain derives the SAME cell count from the same
+    * corpus the engine counted. */
+  def adaptiveCellsSql(src: String = "e"): String =
+    s"(SELECT GREATEST(16, LEAST(65536, CAST(round(sqrt(count(*))) AS BIGINT))) FROM $src)"
+
   /** Fixed Lloyd iteration count for the trained codebook. Fixed — not
     * convergence-tested — so the oracle can unroll the same number of
     * rounds and the training cost is known up front: `KMeansIters`
@@ -952,8 +981,10 @@ object VectorOps {
     * requires an `e(vec_id, v)` CTE in scope. Mirrors
     * [[trainedCentroids]] step for step — grid floor, exact BIGINT sum,
     * (sum → double)/n/grid — so both engines derive bit-identical
-    * codebooks. */
-  private def kmeansCtes(k: Int, iters: Int, src: String = "e"): String = {
+    * codebooks. `k` is a SQL expression: a literal for the
+    * fixed-codebook chains, [[adaptiveCellsSql]] for the snapshot
+    * chains whose engine side sizes cells from the corpus count. */
+  private def kmeansCtes(k: String, iters: Int, src: String = "e"): String = {
     val init =
       s"""cents0 AS (
          |  SELECT vec_id AS cent_id, v AS cv FROM $src WHERE vec_id < $k
@@ -1014,7 +1045,7 @@ object VectorOps {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |),
-       |${kmeansCtes(NumCentroids, iters)},
+       |${kmeansCtes(NumCentroids.toString, iters)},
        |cents AS (SELECT cent_id, cv FROM cents$iters),
        |assign AS (
        |  SELECT vec_id, v, cent_id AS cell,
@@ -1041,7 +1072,7 @@ object VectorOps {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |),
-       |${kmeansCtes(NumCentroids, iters)},
+       |${kmeansCtes(NumCentroids.toString, iters)},
        |cents AS (SELECT cent_id, cv FROM cents$iters),
        |assign AS (
        |  SELECT vec_id, v, cent_id AS cell,
@@ -1765,12 +1796,13 @@ object VectorOps {
     * adding the coarse centroid back. */
   def ivfPqResidualTopKSql(queryIds: Seq[Long], k: Int, nprobe: Int,
       iters: Int = KMeansIters, m: Int = PqSubspaces,
-      ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String =
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters,
+      cellsSql: String = NumCentroids.toString): String =
     materializedCtes(s"""WITH e AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |),
-       |${kmeansCtes(NumCentroids, iters)},
+       |${kmeansCtes(cellsSql, iters)},
        |cents AS (SELECT cent_id, cv FROM cents$iters),
        |assign AS (
        |  SELECT vec_id, v, cent_id AS cell,
@@ -1852,10 +1884,10 @@ object VectorOps {
     * derived shortlist subquery (its own WITH scope — the x44 embedding
     * convention), exact re-scoring against the raw vectors, re-rank. */
   def ivfPqRefineTopKSql(queryIds: Seq[Long], k: Int, r: Int,
-      nprobe: Int): String =
+      nprobe: Int, cellsSql: String = NumCentroids.toString): String =
     materializedCtes(s"""WITH rshort AS (
        |  SELECT query_id, vec_id FROM (
-       |${ivfPqResidualTopKSql(queryIds, r, nprobe)}
+       |${ivfPqResidualTopKSql(queryIds, r, nprobe, cellsSql = cellsSql)}
        |  )
        |), re AS (
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1890,7 +1922,8 @@ object VectorOps {
   def ivfPqFixedBookRefineSql(queryIds: Seq[Long], k: Int, r: Int,
       nprobe: Int, trainSql: String, serveSql: String,
       iters: Int = KMeansIters, m: Int = PqSubspaces,
-      ksub: Int = PqSubCentroids, pqIters: Int = PqIters): String = {
+      ksub: Int = PqSubCentroids, pqIters: Int = PqIters,
+      cellsSql: String = NumCentroids.toString): String = {
     val d = Dim / m
     val perSub = (0 until m).map { mi =>
       val a = mi * d + 1
@@ -1910,7 +1943,7 @@ object VectorOps {
     materializedCtes(s"""WITH e AS (
        |$trainSql
        |),
-       |${kmeansCtes(NumCentroids, iters)},
+       |${kmeansCtes(cellsSql, iters)},
        |cents AS (SELECT cent_id, cv FROM cents$iters),
        |tassign AS (
        |  SELECT vec_id, v, cent_id AS cell,
@@ -2190,7 +2223,7 @@ object VectorOps {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |),
-       |${kmeansCtes(NumCentroids, iters)},
+       |${kmeansCtes(NumCentroids.toString, iters)},
        |cents AS (SELECT cent_id, cv FROM cents$iters),
        |assign AS (
        |  SELECT vec_id, cent_id AS cell,
@@ -2966,6 +2999,93 @@ object VectorOps {
          |) q""".stripMargin
     }.mkString("\nUNION ALL\n")
 
+  /** The PQ-SUBSPACE sweep [[pqSubspacesCurve]] measures (x95) — the
+    * CODE-BUDGET knob, the third index axis after the two serve knobs
+    * (x91) and the coarse cell count (x94): `m` sub-codes per vector IS
+    * the stored bytes per vector, and it bounds ADC reconstruction
+    * error exactly the way the cell count bounds probe recall. The
+    * sweep brackets the shipped [[PqSubspaces]] = 8 by halving and
+    * doubling (Dim = 64 divides all three). */
+  val CurveSubspaces: Seq[Int] = Seq(4, 8, 16)
+
+  /** PQ-subspace TUNING CURVE (x95) — [[recallCurveFrom]] swept over
+    * the subspace count at a FIXED coarse codebook: the cells (and the
+    * probe geometry with them) hold still while the residual books
+    * retrain per `m` and both indexes re-encode — that re-encode is
+    * what the knob COSTS, a code migration at held cell layout (cheaper
+    * than x94's full retrain: the coarse codebook survives). The same
+    * (nprobe × refine) grid scores against the SHARED exact baselines
+    * (codebook- and code-independent, computed once). Output adds a
+    * leading `m` column to the [[recallCurve]] row shape.
+    *
+    * Reading the curve: rows at equal (nprobe, r) isolate what doubling
+    * the per-vector code budget buys in recall; the ADC rows show the
+    * raw distortion effect, the refine rows whether the shortlist
+    * already absorbs it at the shipped serve point.
+    *
+    * Scale shape: |ms| independent book-train + encode chains + ONE
+    * pair of brute baselines + window arithmetic per grid point — the
+    * x94 harness pattern on the second axis, an offline evaluation run
+    * at retune cadence, never in a serve path. */
+  def pqSubspacesCurve(embeddings: DataFrame, docs: DataFrame,
+      queryIds: Seq[Long], k: Int,
+      ms: Seq[Int] = CurveSubspaces,
+      nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
+      checkpointDir: Option[String] = None,
+      centroids: Option[Seq[Seq[Double]]] = None,
+      trainedFor: Option[Int => Seq[Seq[Seq[Double]]]] = None,
+      indexesFor: Option[Int => (DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    require(ms.nonEmpty && ms.distinct == ms,
+      s"ms must be non-empty and distinct: $ms")
+    require(ms.forall(m => Dim % m == 0),
+      s"every m must divide Dim=$Dim: $ms")
+    val cents = centroids.getOrElse(trainedCentroids(embeddings))
+    val cEmb = Dedup.materialize(
+      chunkEmbeddingsFrom(TextOps.chunkDocs(docs), embeddings),
+      checkpointDir)
+    val dEx = Dedup.materialize(
+      cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id"),
+      checkpointDir)
+    val cEx = Dedup.materialize(
+      multiVectorTopK(cEmb, embeddings, queryIds, k)
+        .select("query_id", "doc_id"),
+      checkpointDir)
+    val train = trainedFor.getOrElse { m: Int =>
+      pqResidualCodebooks(embeddings, cents, m)
+    }
+    ms.map { m =>
+      val books = train(m)
+      // `indexesFor` is the per-(fixture, m) ARTIFACT seam (the x94
+      // convention): a cached caller serves the sweep's codes from
+      // stored cell-partitioned frames instead of re-encoding per run
+      val (docIdx, chunkIdx) = indexesFor.map(_(m)).getOrElse(
+        (ivfPqIndex(embeddings, cents, books, residual = true),
+          chunkIvfPqIndex(cEmb, cents, books)))
+      recallCurveFrom(embeddings, cEmb, docIdx, chunkIdx,
+        cents, books, queryIds, k, nprobes, refines, checkpointDir,
+        docExact = Some(dEx), chunkExact = Some(cEx))
+        .select(lit(m).as("m"), col("*"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[pqSubspacesCurve]] oracle — the [[codebookCurveSql]] pattern on
+    * the m axis: one full [[recallCurveSql]] chain per subspace count
+    * (the coarse k-means re-derives identically in each scope — scope
+    * hygiene over sharing, the codebook-sweep convention), UNION ALL'd
+    * under its `m` literal. */
+  def pqSubspacesCurveSql(queryIds: Seq[Long], k: Int,
+      ms: Seq[Int] = CurveSubspaces,
+      nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
+      iters: Int = KMeansIters, ksub: Int = PqSubCentroids,
+      pqIters: Int = PqIters, cells: Int = NumCentroids): String =
+    ms.map { m =>
+      s"""SELECT $m AS m, q.* FROM (
+         |${recallCurveSql(queryIds, k, nprobes, refines, iters, m, ksub,
+              pqIters, cells)}
+         |) q""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** [[recallCurve]] oracle: ONE shared train → encode → ranked-probe
     * chain (coarse k-means, residual books, doc codes, chunk codes —
     * the expensive CTEs run once for the whole grid), scored frames
@@ -3054,7 +3174,7 @@ object VectorOps {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM embeddings
        |),
-       |${kmeansCtes(cells, iters)},
+       |${kmeansCtes(cells.toString, iters)},
        |cents AS (SELECT cent_id, cv FROM cents$iters),
        |tassign AS (
        |  SELECT vec_id, v, cent_id AS cell,

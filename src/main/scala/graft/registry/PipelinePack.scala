@@ -141,11 +141,12 @@ object PipelinePack extends QueryPack {
     * (IVFADC; [[VectorOps.pqResidualCodebooks]]). Keyed by BOTH constant
     * sets — the residual frame depends on the coarse books too. */
   private def pqResBooksFor(s: SparkSession, dir: String,
-      cells: Int = VectorOps.NumCentroids): Seq[Seq[Seq[Double]]] = {
+      cells: Int = VectorOps.NumCentroids,
+      m: Int = VectorOps.PqSubspaces): Seq[Seq[Seq[Double]]] = {
     val fx = new java.io.File(s"$dir/embeddings.parquet")
     val key = artifactKey(dir, fx.lastModified(), fx.length(), "pqres",
       cells, VectorOps.KMeansIters,
-      VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      m, VectorOps.PqSubCentroids, VectorOps.PqIters,
       VectorOps.KMeansGrid, VectorOps.Dim)
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_pqresbooks_$key.txt")
@@ -157,7 +158,7 @@ object PipelinePack extends QueryPack {
       finally src.close()
     } else {
       val books = VectorOps.pqResidualCodebooks(
-        Tables.embeddings(s, dir), codebookFor(s, dir, cells))
+        Tables.embeddings(s, dir), codebookFor(s, dir, cells), m)
       val tmp = new java.io.File(f.getParentFile,
         s"${f.getName}.tmp.${System.nanoTime()}")
       java.nio.file.Files.writeString(tmp.toPath,
@@ -213,13 +214,14 @@ object PipelinePack extends QueryPack {
   private def ivfPqIndexFor(s: SparkSession, dir: String,
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
       residual: Boolean,
-      cells: Int = VectorOps.NumCentroids): String =
+      cells: Int = VectorOps.NumCentroids,
+      m: Int = VectorOps.PqSubspaces): String =
     snapshotArtifact(dir, "embeddings.parquet",
-      if (cells == VectorOps.NumCentroids) {
+      if (cells == VectorOps.NumCentroids && m == VectorOps.PqSubspaces) {
         if (residual) "ivfpq_res_index.parquet" else "ivfpq_index.parquet"
-      } else s"ivfpq_${if (residual) "res_" else ""}index_k$cells.parquet",
+      } else s"ivfpq_${if (residual) "res_" else ""}index_k${cells}_m$m.parquet",
       "ivfpq_index", residual, cells, VectorOps.KMeansIters,
-      VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      m, VectorOps.PqSubCentroids, VectorOps.PqIters,
       VectorOps.KMeansGrid, VectorOps.Dim)(p =>
       VectorOps.ivfPqIndex(Tables.embeddings(s, dir), cents, books, residual)
         .write.partitionBy("cell").parquet(p))
@@ -232,14 +234,16 @@ object PipelinePack extends QueryPack {
     * count) AND embeddings (the vector). */
   private def chunkIvfPqIndexFor(s: SparkSession, dir: String,
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
-      cells: Int = VectorOps.NumCentroids): String = {
+      cells: Int = VectorOps.NumCentroids,
+      m: Int = VectorOps.PqSubspaces): String = {
     val fd = new java.io.File(s"$dir/documents.parquet")
     snapshotArtifact(dir, "embeddings.parquet",
-      if (cells == VectorOps.NumCentroids) "chunk_ivfpq_index.parquet"
-      else s"chunk_ivfpq_index_k$cells.parquet",
+      if (cells == VectorOps.NumCentroids && m == VectorOps.PqSubspaces)
+        "chunk_ivfpq_index.parquet"
+      else s"chunk_ivfpq_index_k${cells}_m$m.parquet",
       "chunk_ivfpq", fd.lastModified(), fd.length(),
       cells, VectorOps.KMeansIters,
-      VectorOps.PqSubspaces, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      m, VectorOps.PqSubCentroids, VectorOps.PqIters,
       VectorOps.KMeansGrid, VectorOps.Dim, VectorOps.ChunkStride,
       TextOps.ChunkWindow, TextOps.ChunkOverlap)(p =>
       VectorOps.chunkIvfPqIndex(
@@ -315,7 +319,7 @@ object PipelinePack extends QueryPack {
     val key = artifactKey(dir, fe.lastModified(), fe.length(),
       fd.lastModified(), fd.length(), "retrieval",
       graft.serve.Retrieval.LayoutVersion,
-      VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.PqSubspaces,
+      "cells-adaptive", VectorOps.KMeansIters, VectorOps.PqSubspaces,
       VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
       VectorOps.Dim)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -414,7 +418,7 @@ object PipelinePack extends QueryPack {
       fd.lastModified(), fd.length(), "retrieval_rebuild",
       RefreshDropMod, RefreshRecrawlMod,
       graft.serve.Retrieval.LayoutVersion,
-      VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.PqSubspaces,
+      "cells-adaptive", VectorOps.KMeansIters, VectorOps.PqSubspaces,
       VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
       VectorOps.Dim)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -442,7 +446,7 @@ object PipelinePack extends QueryPack {
       fd.lastModified(), fd.length(), "retrieval_retrain",
       RefreshDropMod, RefreshRecrawlMod,
       graft.serve.Retrieval.LayoutVersion,
-      VectorOps.NumCentroids, VectorOps.KMeansIters, VectorOps.PqSubspaces,
+      "cells-adaptive", VectorOps.KMeansIters, VectorOps.PqSubspaces,
       VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
       VectorOps.Dim)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -478,6 +482,55 @@ object PipelinePack extends QueryPack {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private val singleByteValidated =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** The STREAM-BUILT v6 chunk artifact for a fixture (x96): the
+    * snapshot handle's FIXED constants (rules + codebooks — the
+    * streamed index's constructor contract) replayed through
+    * [[graft.streaming.StreamingBpeChunkIndex]] as three micro-batch
+    * slices plus a compaction, built once per key. The registered
+    * serve then gates that a stream-accumulated artifact answers the
+    * production BPE chunk query IDENTICALLY to the batch snapshot
+    * (x92's oracle, verbatim) — the spec pins streamed ≡ rebuild at
+    * the frame level; this prices and hash-checks the serve itself.
+    * Liveness keys on a done-marker written AFTER the batches + the
+    * compaction (a crashed partial build replays: same batch ids
+    * overwrite their slices — the checkpoint-replay contract). */
+  private def streamedBpeIndexFor(s: SparkSession, dir: String)
+      : graft.streaming.StreamingBpeChunkIndex = {
+    val h = retrievalFor(s, dir)
+    val fe = new java.io.File(s"$dir/embeddings.parquet")
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    val key = artifactKey(dir, fe.lastModified(), fe.length(),
+      fd.lastModified(), fd.length(), "streambpe",
+      graft.serve.Retrieval.LayoutVersion, "cells-adaptive",
+      VectorOps.KMeansIters, VectorOps.PqSubspaces,
+      VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
+      VectorOps.Dim, TextOps.BpeMerges, TextOps.BpeChunkWindow,
+      TextOps.BpeChunkOverlap)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_streambpe_$key")
+    root.mkdirs()
+    val idx = new graft.streaming.StreamingBpeChunkIndex(root.toString,
+      h.bpeRules, h.cents, h.books)
+    val done = new java.io.File(root, "STREAM_DONE")
+    if (!done.exists())
+      rootLocks.computeIfAbsent(root.toString, _ => new Object).synchronized {
+        if (!done.exists()) {
+          val joined = Tables.documents(s, dir).select("doc_id", "text")
+            .join(Tables.embeddings(s, dir)
+              .select(col("vec_id").as("doc_id"), col("embedding")),
+              Seq("doc_id"))
+          idx.indexBatch(joined.where(col("doc_id") < 150), 0)
+          idx.indexBatch(
+            joined.where(col("doc_id") >= 150 && col("doc_id") < 300), 1)
+          idx.indexBatch(joined.where(col("doc_id") >= 300), 2)
+          idx.compact(s)
+          done.createNewFile()
+          ()
+        }
+      }
+    idx
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the deployment surface end-to-end: one handle over the published
@@ -568,6 +621,17 @@ object PipelinePack extends QueryPack {
     // model-context RAG query, completing the chunk-serve matrix
     // (x86/x89 are its whitespace twins): allowed ids restrict both
     // halves before their ranks, composing with the partition prune
+    // the STREAMED twin of x92: the same production BPE chunk query
+    // served from a stream-accumulated sliced artifact (three
+    // micro-batches + compaction) under the snapshot's fixed constants
+    // — streamed ≡ batch, priced and hash-gated at the serve (the spec
+    // pins it at the frame level; the oracle is x92's verbatim)
+    "x96_streamed_bpe_search" -> ((s, dir) =>
+      streamedBpeIndexFor(s, dir)
+        .searchBpeChunks(s, Bm25Queries, 5, nprobe = 2,
+          refine = Some(VectorOps.RefineShortlist))
+        .getOrElse(sys.error("streamed BPE artifact empty"))
+        .orderBy("query_id", "rn")),
     "x93_bpe_chunk_filtered" -> ((s, dir) =>
       retrievalFor(s, dir).searchBpeChunksFiltered(Bm25Queries,
         Tables.documents(s, dir).select("doc_id")
@@ -1045,6 +1109,29 @@ object PipelinePack extends QueryPack {
               chunkIvfPqIndexFor(s, dir, cents, books, kc)))
         })
         .orderBy("cells", "method", "nprobe", "r")),
+    // the CODE-BUDGET tuning curve: the x91 grid swept over PQ subspace
+    // count m ∈ {4, 8, 16} at the FIXED 32-cell codebook — the third
+    // index axis (x91 = serve knobs, x94 = cell count, x95 = bytes per
+    // vector). The coarse codebook is shared across the sweep (cells
+    // don't move when m does); per m the residual books retrain and
+    // both indexes re-encode from cached per-(fixture, m) artifacts.
+    // Exact baselines computed once (code-independent)
+    "x95_pq_curve" -> ((s, dir) => {
+      val cents = codebookFor(s, dir)
+      VectorOps.pqSubspacesCurve(Tables.embeddings(s, dir),
+        Tables.documents(s, dir).select("doc_id", "text"),
+        CurveQueryIds, 5, refines = Seq(VectorOps.RefineShortlist),
+        centroids = Some(cents),
+        trainedFor = Some((m: Int) => pqResBooksFor(s, dir, m = m)),
+        indexesFor = Some { (m: Int) =>
+          val books = pqResBooksFor(s, dir, m = m)
+          (s.read.schema(IvfPqIndexSchema).parquet(
+            ivfPqIndexFor(s, dir, cents, books, residual = true, m = m)),
+            s.read.schema(IvfPqIndexSchema).parquet(
+              chunkIvfPqIndexFor(s, dir, cents, books, m = m)))
+        })
+        .orderBy("m", "method", "nprobe", "r")
+    }),
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
         .orderBy("lang", "rank")),
@@ -1651,12 +1738,14 @@ object PipelinePack extends QueryPack {
         "\nORDER BY query_id, rn"),
     "x67_snapshot_search" ->
       (graft.operators.HybridOps.snapshotSearchSql(Bm25Queries, 5,
-        r = VectorOps.RefineShortlist, nprobe = 2) +
+        r = VectorOps.RefineShortlist, nprobe = 2,
+        cellsSql = VectorOps.adaptiveCellsSql()) +
         "\nORDER BY query_id, rn"),
     "x70_rebuild_search" ->
       (graft.operators.HybridOps.rebuildSearchSql(Bm25Queries, 5,
         r = VectorOps.RefineShortlist, nprobe = 2,
-        TrainEmbSql, ServeEmbSql, ServeDocsSql) +
+        TrainEmbSql, ServeEmbSql, ServeDocsSql,
+        cellsSql = VectorOps.adaptiveCellsSql()) +
         "\nORDER BY query_id, rn"),
     // retrain: train = serve = the refreshed corpus — the same
     // fixed-book chain with the training view swapped, which IS the
@@ -1664,32 +1753,37 @@ object PipelinePack extends QueryPack {
     "x77_retrain_search" ->
       (graft.operators.HybridOps.rebuildSearchSql(Bm25Queries, 5,
         r = VectorOps.RefineShortlist, nprobe = 2,
-        ServeEmbSql, ServeEmbSql, ServeDocsSql) +
+        ServeEmbSql, ServeEmbSql, ServeDocsSql,
+        cellsSql = VectorOps.adaptiveCellsSql()) +
         "\nORDER BY query_id, rn"),
     "x78_chunk_topk" ->
       (TextOps.bm25ChunkTopKSql(Bm25Queries, 5) + "\nORDER BY query_id, rn"),
     "x79_chunk_search" ->
       (graft.operators.HybridOps.chunkSearchSql(Bm25Queries, 5,
-        nprobe = 2) +
+        nprobe = 2, cellsSql = VectorOps.adaptiveCellsSql()) +
         "\nORDER BY query_id, rn"),
     "x80_rebuild_chunk_search" ->
       (graft.operators.HybridOps.rebuildChunkSearchSql(Bm25Queries, 5,
-        nprobe = 2, TrainEmbSql, ServeEmbSql, ServeDocsSql) +
+        nprobe = 2, TrainEmbSql, ServeEmbSql, ServeDocsSql,
+        cellsSql = VectorOps.adaptiveCellsSql()) +
         "\nORDER BY query_id, rn"),
     "x86_chunk_search_filtered" ->
       (graft.operators.HybridOps.chunkSearchFilteredSql(Bm25Queries, 5,
         nprobe = 2,
-        "SELECT doc_id FROM documents WHERE doc_id % 3 = 0") +
+        "SELECT doc_id FROM documents WHERE doc_id % 3 = 0",
+        cellsSql = VectorOps.adaptiveCellsSql()) +
         "\nORDER BY query_id, rn"),
     "x88_chunk_refine_search" ->
       (graft.operators.HybridOps.chunkSearchSql(Bm25Queries, 5,
-        nprobe = 2, refine = Some(VectorOps.RefineShortlist)) +
+        nprobe = 2, refine = Some(VectorOps.RefineShortlist),
+        cellsSql = VectorOps.adaptiveCellsSql()) +
         "\nORDER BY query_id, rn"),
     "x89_chunk_refine_filtered" ->
       (graft.operators.HybridOps.chunkSearchFilteredSql(Bm25Queries, 5,
         nprobe = 2,
         "SELECT doc_id FROM documents WHERE doc_id % 3 = 0",
-        refine = Some(VectorOps.RefineShortlist)) +
+        refine = Some(VectorOps.RefineShortlist),
+        cellsSql = VectorOps.adaptiveCellsSql()) +
         "\nORDER BY query_id, rn"),
     "x91_recall_curve" ->
       (VectorOps.recallCurveSql(CurveQueryIds, 5) +
@@ -1698,19 +1792,33 @@ object PipelinePack extends QueryPack {
       (VectorOps.codebookCurveSql(CurveQueryIds, 5,
         refines = Seq(VectorOps.RefineShortlist)) +
         "\nORDER BY cells, method, nprobe, r"),
+    "x95_pq_curve" ->
+      (VectorOps.pqSubspacesCurveSql(CurveQueryIds, 5,
+        refines = Seq(VectorOps.RefineShortlist)) +
+        "\nORDER BY m, method, nprobe, r"),
+    // deliberately x92's oracle verbatim: the streamed artifact's serve
+    // must be indistinguishable from the batch snapshot's (the x48/x43
+    // convention applied to the v6 serve)
+    "x96_streamed_bpe_search" ->
+      (graft.operators.HybridOps.bpeChunkHybridSql(Bm25Queries, 5,
+        nprobe = 2, refine = Some(VectorOps.RefineShortlist),
+        cellsSql = VectorOps.adaptiveCellsSql()) +
+        "\nORDER BY query_id, rn"),
     "x90_bpe_chunk_search" ->
       (graft.operators.HybridOps.bpeChunkHybridSql(Bm25Queries, 5,
         nprobe = 2) +
         "\nORDER BY query_id, rn"),
     "x92_bpe_snapshot_search" ->
       (graft.operators.HybridOps.bpeChunkHybridSql(Bm25Queries, 5,
-        nprobe = 2, refine = Some(VectorOps.RefineShortlist)) +
+        nprobe = 2, refine = Some(VectorOps.RefineShortlist),
+        cellsSql = VectorOps.adaptiveCellsSql()) +
         "\nORDER BY query_id, rn"),
     "x93_bpe_chunk_filtered" ->
       (graft.operators.HybridOps.bpeChunkHybridSql(Bm25Queries, 5,
         nprobe = 2, refine = Some(VectorOps.RefineShortlist),
         allowedSql =
-          Some("SELECT doc_id FROM documents WHERE doc_id % 3 = 0")) +
+          Some("SELECT doc_id FROM documents WHERE doc_id % 3 = 0"),
+        cellsSql = VectorOps.adaptiveCellsSql()) +
         "\nORDER BY query_id, rn"),
     "x68_pair_pagerank" ->
       (Dedup.pairGraphRankSql(PairJaccard) + "\nORDER BY doc_id"),

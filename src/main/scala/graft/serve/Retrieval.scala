@@ -564,11 +564,31 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
         "doc_refine", floor,
         corpusN = emb.count(), cells = cents.size)
     }
+    // cell-count drift: the trained codebook sized cells ≈ √n for the
+    // corpus it was trained on ([[Retrieval.build]]'s adaptive sizing);
+    // when the LIVE count drifts ≥4× from that trained k² the cell
+    // geometry is off by ≥2× from the measured k ≈ √n shape (the x94
+    // curve) and a retrain — which re-derives cells from the corpus as
+    // it is now — is the recommended migration. The count is the emb
+    // frame's metadata-cheap row count; clamped recommendations that
+    // land back on the trained count (tiny corpora at the 16-cell
+    // floor) recommend nothing.
+    val trainedCells = cents.size
+    val liveVectors = emb.count()
+    val recommendedCells = VectorOps.adaptiveCells(liveVectors)
+    val k2 = trainedCells.toLong * trainedCells
+    val cellDrift =
+      (liveVectors >= 4L * k2 || 4L * liveVectors <= k2) &&
+        recommendedCells != trainedCells
     Retrieval.MaintenanceReport(compacted, doc, chunk, bpeChunk,
       recallFloor,
       retrainRecommended = doc < recallFloor ||
         chunk.exists(_ < recallFloor) || bpeChunk.exists(_ < recallFloor),
-      servePoint = servePoint)
+      servePoint = servePoint,
+      trainedCells = trainedCells,
+      liveVectors = liveVectors,
+      recommendedCells = recommendedCells,
+      cellMigrationRecommended = cellDrift)
   }
 
   /** BPE-window chunk-DENSE top-k — [[chunkDenseTopK]] over the v6
@@ -709,7 +729,16 @@ object Retrieval {
       bpeChunkRefineRecall: Option[Double],
       recallFloor: Double,
       retrainRecommended: Boolean,
-      servePoint: Option[ServePoint] = None)
+      servePoint: Option[ServePoint] = None,
+      // cell-count drift (the x94 k ≈ √n shape): the snapshot's trained
+      // cell count, the live corpus count, what [[VectorOps
+      // .adaptiveCells]] would size for it, and whether the ≥4×-from-k²
+      // drift rule recommends a cell migration (a [[retrain]], which
+      // re-derives cells from the corpus as it is now)
+      trainedCells: Int = 0,
+      liveVectors: Long = 0L,
+      recommendedCells: Int = 0,
+      cellMigrationRecommended: Boolean = false)
 
   /** One measured serve setting and its cost under the serve-read
     * model: `bytesPerQuery` = ADC codes scanned (nprobe/cells of the
@@ -993,16 +1022,31 @@ object Retrieval {
     * codes comparable across snapshots; the same fixed-codebook rule the
     * streaming index enforces by constructor). [[rebuild]] is this
     * applied automatically with the PRIOR snapshot's books plus
-    * delta-proportional encode/write. */
+    * delta-proportional encode/write.
+    *
+    * The coarse codebook is sized from the CORPUS COUNT by default
+    * ([[VectorOps.adaptiveCells]] — cells ≈ √n, the shape the x94
+    * codebook curve measured), so a build gets the scale-right cell
+    * count without the operator knowing the knob exists; the trained
+    * count persists with the codebook (`codebook.txt`'s rows) and
+    * every loaded handle serves under it. `cells` overrides the
+    * derivation (a deployment tuning against its own x94 sweep);
+    * meaningless with `codebooks` (their rows ARE the cells) — passing
+    * both refuses. */
   def build(docs: DataFrame, embeddings: DataFrame, dir: String,
       checkpointDir: Option[String] = None,
       codebooks: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None,
       chunkEmb: Option[DataFrame] = None,
-      bpeRules: Option[Seq[(String, String)]] = None): Retrieval = {
+      bpeRules: Option[Seq[(String, String)]] = None,
+      cells: Option[Int] = None): Retrieval = {
     val spark = docs.sparkSession
+    require(cells.isEmpty || codebooks.isEmpty,
+      "cells sizes the codebook this build TRAINS; with codebooks " +
+        "pinned their row count is the cell count — pass one, not both")
     val staged = new java.io.File(s"$dir.tmp-${System.nanoTime()}")
     val (cents, books) = codebooks.getOrElse {
-      val cs = VectorOps.trainedCentroids(embeddings)
+      val kc = cells.getOrElse(VectorOps.adaptiveCells(embeddings.count()))
+      val cs = VectorOps.trainedCentroids(embeddings, kc)
       (cs, VectorOps.pqResidualCodebooks(embeddings, cs))
     }
     writeBooks(staged.toPath.resolve("codebook.txt"), cents)
@@ -1127,7 +1171,8 @@ object Retrieval {
     * first publish — use [[build]] to create a snapshot. */
   def retrain(docs: DataFrame, embeddings: DataFrame, dir: String,
       checkpointDir: Option[String] = None,
-      chunkEmb: Option[DataFrame] = None): Retrieval = {
+      chunkEmb: Option[DataFrame] = None,
+      cells: Option[Int] = None): Retrieval = {
     require(
       new java.io.File(dir, "codebook.txt").exists() || {
         recoverAside(dir) // a crashed prior swap still counts as live
@@ -1149,7 +1194,11 @@ object Retrieval {
         "embeddings; retrain(chunkEmb = ...) is required — omitting it " +
         "would silently replace the real-model chunk vectors with the " +
         "engine parity derivation")
-    build(docs, embeddings, dir, checkpointDir, chunkEmb = chunkEmb)
+    // cells re-derive from the corpus AS IT IS NOW by default (the
+    // [[build]] adaptive sizing) — a retrain after corpus growth IS
+    // the cell migration maintain()'s drift check recommends
+    build(docs, embeddings, dir, checkpointDir, chunkEmb = chunkEmb,
+      cells = cells)
   }
 
   /** Incremental snapshot refresh — the fixed-codebook insight applied

@@ -1116,6 +1116,53 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(!rep.retrainRecommended)
   }
 
+  test("adaptive cell count: build sizes cells ≈ √n and persists them; maintain recommends migration on ≥4× drift; retrain re-derives") {
+    // the derivation and its clamps (mirrored bit-for-bit by
+    // adaptiveCellsSql — round of √integer can't land on .5)
+    assert(VectorOps.adaptiveCells(500) === 22)
+    assert(VectorOps.adaptiveCells(2000) === 45) // the sf0.1 build's pick
+    assert(VectorOps.adaptiveCells(4) === 16) // clamp floor
+    assert(VectorOps.adaptiveCells(10_000_000_000L) === 65536) // ceiling
+    val root = java.nio.file.Files.createTempDirectory("graft-acell").toString
+    val qids = (0L until 4L).toSeq
+
+    // a build over the 500-vector fixture trains √500 ≈ 22 cells and
+    // the count round-trips through the persisted codebook
+    val h = Retrieval.build(docs, emb, s"$root/snap")
+    assert(h.cents.size === 22)
+    assert(Retrieval.load(spark, s"$root/snap").cents.size === 22)
+    // no drift: 500 sits inside [22²/4, 4·22²]
+    val rep = h.maintain(qids, 3)
+    assert(rep.trainedCells === 22 && rep.liveVectors === 500L)
+    assert(rep.recommendedCells === 22)
+    assert(!rep.cellMigrationRecommended)
+
+    // a snapshot pinned to a 4-cell codebook has outgrown its trained
+    // k² by 4×+ over the same corpus: maintain recommends the
+    // migration, sized ≈ √n — exactly what a retrain would train
+    val cents4 = VectorOps.trainedCentroids(emb, 4)
+    val books4 = VectorOps.pqResidualCodebooks(emb, cents4)
+    val h4 = Retrieval.build(docs, emb, s"$root/snap4",
+      codebooks = Some((cents4, books4)))
+    val rep4 = h4.maintain(qids, 3)
+    assert(rep4.trainedCells === 4)
+    assert(rep4.cellMigrationRecommended && rep4.recommendedCells === 22)
+    // retrain IS the migration: it re-derives cells from the corpus as
+    // it is now, so the 4-cell snapshot comes back at 22
+    val hr = Retrieval.retrain(docs, emb, s"$root/snap4")
+    assert(hr.cents.size === 22)
+    assert(!hr.maintain(qids, 3).cellMigrationRecommended)
+
+    // explicit cells override the derivation; cells + codebooks refuse
+    val h8 = Retrieval.build(docs, emb, s"$root/snap8", cells = Some(8))
+    assert(h8.cents.size === 8)
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.build(docs, emb, s"$root/bad",
+        codebooks = Some((cents4, books4)), cells = Some(8))
+    }
+    assert(ex.getMessage.contains("not both"), s"wrong failure: $ex")
+  }
+
   test("per-frame chunk guard: a snapshot missing only cemb still serves every non-refine chunk query") {
     val root = java.nio.file.Files.createTempDirectory("graft-frameguard").toString
     val d = docs.where(col("doc_id") < 60)
