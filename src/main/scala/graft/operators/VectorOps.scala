@@ -1265,10 +1265,21 @@ object VectorOps {
     * per subspace. Storage per vector drops from Dim floats to
     * `PqSubspaces` small ints — 8 ids vs 64 floats here (32× at byte
     * width), the compression that makes a 100 TB corpus's candidate scan
-    * read gigabytes instead of terabytes. Defaults sized to the fixture
-    * (64-dim, ≤10⁵ vectors); both are caller knobs — at corpus scale
-    * pick subspaces·log2(subCentroids) to hit the storage budget and
-    * train on a sample. */
+    * read gigabytes instead of terabytes.
+    *
+    * 8 is MEASURED, not guessed — the x95 sweep ([[pqSubspacesCurve]],
+    * m ∈ {4, 8, 16} at the fixed 32-cell codebook, 50-query sample,
+    * sf0.01): ADC-only recall@5 at nprobe=2 runs 0.308 / 0.364 / 0.460
+    * for m = 4/8/16 (distortion falls as the code budget grows), but
+    * the SHIPPED two-stage point (nprobe=2, r=40 exact rerank) is
+    * m-invariant at 0.640 — the refine shortlist absorbs ADC error
+    * until wide probes feed it more candidates than r re-sorts (np=8
+    * refined: 0.792 / 0.820 / 0.836). So m=16 doubles stored bytes for
+    * nothing at the shipped point, and m=4 halves them but degrades
+    * every ADC-only serve (`chunkDenseTopK`'s default, x60/x62). At
+    * corpus scale pick subspaces·log2(subCentroids) to hit the storage
+    * budget, re-run the x95 sweep at the deployment's own r, and train
+    * on a sample. */
   val PqSubspaces = 8
   val PqSubCentroids = 16
   val PqIters = 2

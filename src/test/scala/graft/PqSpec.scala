@@ -333,6 +333,48 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("more subspaces lift ADC recall; the shipped refine point absorbs the distortion (the x95 claim, measured)") {
+    // the code-budget axis: m sub-codes per vector IS the stored bytes
+    // per vector, and it bounds ADC reconstruction error. Measured at
+    // sf0.01 (50-query sample, 32 cells): doc_adc@np=2 runs
+    // 0.308 / 0.364 / 0.460 for m = 4/8/16 — the distortion effect —
+    // while doc_refine@(np=2, r=40) is m-INVARIANT (0.640 all three):
+    // the exact-rerank shortlist absorbs ADC error until wide probes
+    // hand it more candidates than r can re-sort (np=8 refined:
+    // 0.792 / 0.820 / 0.836). That pair of facts is why PqSubspaces
+    // stays 8: halving bytes (m=4) is free ONLY at the refined point,
+    // doubling them (m=16) buys nothing there.
+    val e01 = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val d01 = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val curve = VectorOps.pqSubspacesCurve(e01, d01, (0L until 50L).toSeq, 5,
+        ms = Seq(4, 8, 16), nprobes = Seq(2, 8),
+        refines = Seq(VectorOps.RefineShortlist))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        r.getInt(r.fieldIndex("nprobe"))) ->
+        r.getDouble(r.fieldIndex("recall"))).toMap
+    // ADC-only serves: monotone in m with a real lift (deterministic
+    // training + fixed queries — exact, not statistical)
+    for (meth <- Seq("doc_adc", "chunk_adc"); np <- Seq(2, 8)) {
+      val (r4, r8, r16) =
+        (curve((4, meth, np)), curve((8, meth, np)), curve((16, meth, np)))
+      assert(r8 >= r4 && r16 >= r8,
+        s"$meth@np=$np not monotone in m: $r4 / $r8 / $r16")
+    }
+    assert(curve((16, "doc_adc", 2)) > curve((4, "doc_adc", 2)) + 0.05,
+      "doc ADC recall barely moves across a 4x code-budget sweep")
+    // the shipped serve point: refine absorbs the distortion — m=8
+    // must not trail m=16 by more than statistical noise there (a gap
+    // opening here would say the shortlist stopped covering the ADC
+    // error and the default needs re-deciding)
+    for (meth <- Seq("doc_refine", "chunk_refine")) {
+      val (r8, r16) = (curve((8, meth, 2)), curve((16, meth, 2)))
+      assert(r8 >= r16 - 0.02,
+        s"$meth@np=2: m=8 ($r8) trails m=16 ($r16) at the shipped point")
+    }
+  }
+
   test("PQ beats nothing it shouldn't: reconstructed self-cosine is high on real vectors") {
     // the compression sanity floor: a 64-dim vector reconstructed from
     // 8 sub-centroids should still point mostly the same way — mean
