@@ -1279,7 +1279,18 @@ object VectorOps {
     * every ADC-only serve (`chunkDenseTopK`'s default, x60/x62). At
     * corpus scale pick subspaces·log2(subCentroids) to hit the storage
     * budget, re-run the x95 sweep at the deployment's own r, and train
-    * on a sample. */
+    * on a sample.
+    *
+    * 16 sub-centroids is MEASURED too — the x97 sweep ([[pqKsubCurve]],
+    * ksub ∈ {8, 16, 32} at fixed 32 cells / m=8, same sample): ADC-only
+    * doc recall@5 at nprobe=2 runs 0.332 / 0.364 / 0.384 for ksub =
+    * 8/16/32 (chunk 0.260 / 0.268 / 0.316) — resolution buys recall at
+    * log2(ksub) BITS per code, the cheap axis — while the shipped
+    * refined point is ksub-INVARIANT (doc 0.640, chunk 0.600 at both 16
+    * and 32): the shortlist absorbs the quantization error here exactly
+    * as it absorbs the m axis's. So ksub=32 adds a bit per code plus
+    * double the codebook metadata for nothing at the shipped point, and
+    * ksub=8 saves a bit but degrades every ADC-only serve. */
   val PqSubspaces = 8
   val PqSubCentroids = 16
   val PqIters = 2
@@ -3093,6 +3104,97 @@ object VectorOps {
     ms.map { m =>
       s"""SELECT $m AS m, q.* FROM (
          |${recallCurveSql(queryIds, k, nprobes, refines, iters, m, ksub,
+              pqIters, cells)}
+         |) q""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  /** The SUB-CENTROID sweep [[pqKsubCurve]] measures (x97) — the
+    * CODE-RESOLUTION knob, the last index axis (x91 = serve knobs,
+    * x94 = cell count, x95 = bytes per vector, x97 = values per byte):
+    * `ksub` entries per sub-codebook set how finely each stored
+    * sub-code resolves its subvector, at a storage cost of
+    * log2(ksub) BITS per code (vs x95's whole extra CODES) and a
+    * codebook-metadata cost of ksub rows per subspace. The sweep
+    * brackets the shipped [[PqSubCentroids]] = 16 by halving and
+    * doubling. */
+  val CurveSubCentroids: Seq[Int] = Seq(8, 16, 32)
+
+  /** PQ sub-centroid TUNING CURVE (x97) — [[recallCurveFrom]] swept
+    * over the per-subspace codebook size at FIXED coarse codebook and
+    * FIXED subspace count: the cells and the code COUNT hold still
+    * while each `ksub` retrains the residual books and re-encodes both
+    * indexes — the same migration x95 prices (held cell layout, the
+    * coarse codebook survives), but the byte cost moves by BITS per
+    * code (log2(ksub)) instead of whole codes, the cheaper axis to buy
+    * resolution on when the storage budget is tight. The same
+    * (nprobe × refine) grid scores against the SHARED exact baselines
+    * (code-independent, computed once). Output adds a leading `ksub`
+    * column to the [[recallCurve]] row shape.
+    *
+    * Reading the curve: rows at equal (nprobe, r) isolate what doubling
+    * per-code resolution buys in ADC recall; dividing each row's recall
+    * lift by its stored bits (m·log2(ksub) — 24/32/40 here vs the x95
+    * sweep's 16/32/64) says which axis buys recall cheaper per byte at
+    * the deployment's storage budget.
+    *
+    * Scale shape: |ksubs| independent book-train + encode chains + ONE
+    * pair of brute baselines + window arithmetic per grid point — the
+    * x94/x95 harness pattern on the third axis, an offline evaluation
+    * run at retune cadence, never in a serve path. */
+  def pqKsubCurve(embeddings: DataFrame, docs: DataFrame,
+      queryIds: Seq[Long], k: Int,
+      ksubs: Seq[Int] = CurveSubCentroids,
+      nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
+      checkpointDir: Option[String] = None,
+      centroids: Option[Seq[Seq[Double]]] = None,
+      trainedFor: Option[Int => Seq[Seq[Seq[Double]]]] = None,
+      indexesFor: Option[Int => (DataFrame, DataFrame)] = None)
+      : DataFrame = {
+    require(ksubs.nonEmpty && ksubs.distinct == ksubs,
+      s"ksubs must be non-empty and distinct: $ksubs")
+    require(ksubs.forall(_ >= 2), s"every ksub must be >= 2: $ksubs")
+    val cents = centroids.getOrElse(trainedCentroids(embeddings))
+    val cEmb = Dedup.materialize(
+      chunkEmbeddingsFrom(TextOps.chunkDocs(docs), embeddings),
+      checkpointDir)
+    val dEx = Dedup.materialize(
+      cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id"),
+      checkpointDir)
+    val cEx = Dedup.materialize(
+      multiVectorTopK(cEmb, embeddings, queryIds, k)
+        .select("query_id", "doc_id"),
+      checkpointDir)
+    val train = trainedFor.getOrElse { ks: Int =>
+      pqResidualCodebooks(embeddings, cents, ksub = ks)
+    }
+    ksubs.map { ks =>
+      val books = train(ks)
+      // `indexesFor` is the per-(fixture, ksub) ARTIFACT seam (the
+      // x94/x95 convention): a cached caller serves the sweep's codes
+      // from stored cell-partitioned frames instead of re-encoding
+      val (docIdx, chunkIdx) = indexesFor.map(_(ks)).getOrElse(
+        (ivfPqIndex(embeddings, cents, books, residual = true),
+          chunkIvfPqIndex(cEmb, cents, books)))
+      recallCurveFrom(embeddings, cEmb, docIdx, chunkIdx,
+        cents, books, queryIds, k, nprobes, refines, checkpointDir,
+        docExact = Some(dEx), chunkExact = Some(cEx))
+        .select(lit(ks).as("ksub"), col("*"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[pqKsubCurve]] oracle — the [[pqSubspacesCurveSql]] pattern on
+    * the ksub axis: one full [[recallCurveSql]] chain per sub-centroid
+    * count (the coarse k-means re-derives identically in each scope —
+    * scope hygiene over sharing, the codebook-sweep convention),
+    * UNION ALL'd under its `ksub` literal. */
+  def pqKsubCurveSql(queryIds: Seq[Long], k: Int,
+      ksubs: Seq[Int] = CurveSubCentroids,
+      nprobes: Seq[Int] = CurveNprobes, refines: Seq[Int] = CurveRefines,
+      iters: Int = KMeansIters, m: Int = PqSubspaces,
+      pqIters: Int = PqIters, cells: Int = NumCentroids): String =
+    ksubs.map { ks =>
+      s"""SELECT $ks AS ksub, q.* FROM (
+         |${recallCurveSql(queryIds, k, nprobes, refines, iters, m, ks,
               pqIters, cells)}
          |) q""".stripMargin
     }.mkString("\nUNION ALL\n")

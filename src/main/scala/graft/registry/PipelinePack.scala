@@ -142,11 +142,12 @@ object PipelinePack extends QueryPack {
     * sets — the residual frame depends on the coarse books too. */
   private def pqResBooksFor(s: SparkSession, dir: String,
       cells: Int = VectorOps.NumCentroids,
-      m: Int = VectorOps.PqSubspaces): Seq[Seq[Seq[Double]]] = {
+      m: Int = VectorOps.PqSubspaces,
+      ksub: Int = VectorOps.PqSubCentroids): Seq[Seq[Seq[Double]]] = {
     val fx = new java.io.File(s"$dir/embeddings.parquet")
     val key = artifactKey(dir, fx.lastModified(), fx.length(), "pqres",
       cells, VectorOps.KMeansIters,
-      m, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      m, ksub, VectorOps.PqIters,
       VectorOps.KMeansGrid, VectorOps.Dim)
     val f = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_pqresbooks_$key.txt")
@@ -154,11 +155,11 @@ object PipelinePack extends QueryPack {
       val src = scala.io.Source.fromFile(f)
       try src.getLines().map(_.split(",").toSeq
         .map(b => java.lang.Double.longBitsToDouble(b.toLong))).toList
-        .grouped(VectorOps.PqSubCentroids).toList
+        .grouped(ksub).toList
       finally src.close()
     } else {
       val books = VectorOps.pqResidualCodebooks(
-        Tables.embeddings(s, dir), codebookFor(s, dir, cells), m)
+        Tables.embeddings(s, dir), codebookFor(s, dir, cells), m, ksub)
       val tmp = new java.io.File(f.getParentFile,
         s"${f.getName}.tmp.${System.nanoTime()}")
       java.nio.file.Files.writeString(tmp.toPath,
@@ -215,13 +216,16 @@ object PipelinePack extends QueryPack {
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
       residual: Boolean,
       cells: Int = VectorOps.NumCentroids,
-      m: Int = VectorOps.PqSubspaces): String =
+      m: Int = VectorOps.PqSubspaces,
+      ksub: Int = VectorOps.PqSubCentroids): String =
     snapshotArtifact(dir, "embeddings.parquet",
-      if (cells == VectorOps.NumCentroids && m == VectorOps.PqSubspaces) {
+      if (cells == VectorOps.NumCentroids && m == VectorOps.PqSubspaces &&
+          ksub == VectorOps.PqSubCentroids) {
         if (residual) "ivfpq_res_index.parquet" else "ivfpq_index.parquet"
-      } else s"ivfpq_${if (residual) "res_" else ""}index_k${cells}_m$m.parquet",
+      } else s"ivfpq_${if (residual) "res_" else ""}index" +
+        s"_k${cells}_m${m}_ks$ksub.parquet",
       "ivfpq_index", residual, cells, VectorOps.KMeansIters,
-      m, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      m, ksub, VectorOps.PqIters,
       VectorOps.KMeansGrid, VectorOps.Dim)(p =>
       VectorOps.ivfPqIndex(Tables.embeddings(s, dir), cents, books, residual)
         .write.partitionBy("cell").parquet(p))
@@ -235,15 +239,17 @@ object PipelinePack extends QueryPack {
   private def chunkIvfPqIndexFor(s: SparkSession, dir: String,
       cents: Seq[Seq[Double]], books: Seq[Seq[Seq[Double]]],
       cells: Int = VectorOps.NumCentroids,
-      m: Int = VectorOps.PqSubspaces): String = {
+      m: Int = VectorOps.PqSubspaces,
+      ksub: Int = VectorOps.PqSubCentroids): String = {
     val fd = new java.io.File(s"$dir/documents.parquet")
     snapshotArtifact(dir, "embeddings.parquet",
-      if (cells == VectorOps.NumCentroids && m == VectorOps.PqSubspaces)
+      if (cells == VectorOps.NumCentroids && m == VectorOps.PqSubspaces &&
+          ksub == VectorOps.PqSubCentroids)
         "chunk_ivfpq_index.parquet"
-      else s"chunk_ivfpq_index_k${cells}_m$m.parquet",
+      else s"chunk_ivfpq_index_k${cells}_m${m}_ks$ksub.parquet",
       "chunk_ivfpq", fd.lastModified(), fd.length(),
       cells, VectorOps.KMeansIters,
-      m, VectorOps.PqSubCentroids, VectorOps.PqIters,
+      m, ksub, VectorOps.PqIters,
       VectorOps.KMeansGrid, VectorOps.Dim, VectorOps.ChunkStride,
       TextOps.ChunkWindow, TextOps.ChunkOverlap)(p =>
       VectorOps.chunkIvfPqIndex(
@@ -1132,6 +1138,32 @@ object PipelinePack extends QueryPack {
         })
         .orderBy("m", "method", "nprobe", "r")
     }),
+    // the CODE-RESOLUTION tuning curve: the x91 grid swept over PQ
+    // sub-centroid count ksub ∈ {8, 16, 32} at FIXED cells and FIXED
+    // m — the last index axis (x91 = serve knobs, x94 = cell count,
+    // x95 = codes per vector, x97 = values per code). Cheaper to buy
+    // recall here than on the m axis when storage is tight: doubling
+    // ksub adds one BIT per code (m·log2(ksub) stored bits) where
+    // doubling m adds whole codes. Coarse codebook shared across the
+    // sweep; per ksub the residual books retrain and both indexes
+    // re-encode from cached per-(fixture, ksub) artifacts. Exact
+    // baselines computed once (code-independent)
+    "x97_ksub_curve" -> ((s, dir) => {
+      val cents = codebookFor(s, dir)
+      VectorOps.pqKsubCurve(Tables.embeddings(s, dir),
+        Tables.documents(s, dir).select("doc_id", "text"),
+        CurveQueryIds, 5, refines = Seq(VectorOps.RefineShortlist),
+        centroids = Some(cents),
+        trainedFor = Some((ks: Int) => pqResBooksFor(s, dir, ksub = ks)),
+        indexesFor = Some { (ks: Int) =>
+          val books = pqResBooksFor(s, dir, ksub = ks)
+          (s.read.schema(IvfPqIndexSchema).parquet(
+            ivfPqIndexFor(s, dir, cents, books, residual = true, ksub = ks)),
+            s.read.schema(IvfPqIndexSchema).parquet(
+              chunkIvfPqIndexFor(s, dir, cents, books, ksub = ks)))
+        })
+        .orderBy("ksub", "method", "nprobe", "r")
+    }),
     "x14_top_tokens" -> ((s, dir) =>
       graft.functions.TopTokens.langTopTokens(Tables.documents(s, dir), 5)
         .orderBy("lang", "rank")),
@@ -1796,6 +1828,10 @@ object PipelinePack extends QueryPack {
       (VectorOps.pqSubspacesCurveSql(CurveQueryIds, 5,
         refines = Seq(VectorOps.RefineShortlist)) +
         "\nORDER BY m, method, nprobe, r"),
+    "x97_ksub_curve" ->
+      (VectorOps.pqKsubCurveSql(CurveQueryIds, 5,
+        refines = Seq(VectorOps.RefineShortlist)) +
+        "\nORDER BY ksub, method, nprobe, r"),
     // deliberately x92's oracle verbatim: the streamed artifact's serve
     // must be indistinguishable from the batch snapshot's (the x48/x43
     // convention applied to the v6 serve)

@@ -375,6 +375,44 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("finer sub-codebooks lift ADC recall; the shipped refine point absorbs the distortion (the x97 claim, measured)") {
+    // the code-RESOLUTION axis: ksub entries per sub-codebook set how
+    // finely each stored code resolves its subvector at log2(ksub)
+    // BITS per code — the cheap sibling of x95's whole-code axis.
+    // Deterministic training + fixed queries, so orderings are exact,
+    // not statistical.
+    val e01 = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val d01 = graft.sources.Tables.documents(spark, "/root/testdata/sf0.01")
+      .select("doc_id", "text")
+    val curve = VectorOps.pqKsubCurve(e01, d01, (0L until 50L).toSeq, 5,
+        ksubs = Seq(8, 16, 32), nprobes = Seq(2, 8),
+        refines = Seq(VectorOps.RefineShortlist))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        r.getInt(r.fieldIndex("nprobe"))) ->
+        r.getDouble(r.fieldIndex("recall"))).toMap
+    for (meth <- Seq("doc_adc", "chunk_adc"); np <- Seq(2, 8)) {
+      val (r8, r16, r32) =
+        (curve((8, meth, np)), curve((16, meth, np)), curve((32, meth, np)))
+      info(f"$meth@np=$np: ksub 8/16/32 -> $r8%.3f / $r16%.3f / $r32%.3f")
+      assert(r16 >= r8 && r32 >= r16,
+        s"$meth@np=$np not monotone in ksub: $r8 / $r16 / $r32")
+    }
+    assert(curve((32, "doc_adc", 2)) > curve((8, "doc_adc", 2)) + 0.02,
+      "doc ADC recall barely moves across a 4x sub-centroid sweep")
+    // the shipped serve point: refine absorbs the distortion — ksub=16
+    // must not trail ksub=32 by more than statistical noise there (the
+    // x95 device on the resolution axis: a gap opening here says the
+    // shortlist stopped covering ADC error and the default needs
+    // re-deciding)
+    for (meth <- Seq("doc_refine", "chunk_refine")) {
+      val (r16, r32) = (curve((16, meth, 2)), curve((32, meth, 2)))
+      info(f"$meth@np=2: ksub 16/32 -> $r16%.3f / $r32%.3f")
+      assert(r16 >= r32 - 0.02,
+        s"$meth@np=2: ksub=16 ($r16) trails ksub=32 ($r32) at the shipped point")
+    }
+  }
+
   test("PQ beats nothing it shouldn't: reconstructed self-cosine is high on real vectors") {
     // the compression sanity floor: a 64-dim vector reconstructed from
     // 8 sub-centroids should still point mostly the same way — mean
