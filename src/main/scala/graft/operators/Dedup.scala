@@ -1499,4 +1499,151 @@ object Dedup {
        |FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
        |GROUP BY doc_a, doc_b
        |HAVING shared >= $minShared""".stripMargin
+
+  // --- Bloom ingest screen (x98) ------------------------------------------
+
+  /** Bloom geometry for the fixture-scale gate query: 2^16 bits / 5
+    * hashes holds the false-positive rate near (1−e^(−5n/65536))^5 —
+    * ≈0.2% at the sf0.1 corpus (~6k keys), ≈0 at sf0.001. At corpus
+    * scale size bits from the key count instead ([[adaptiveBloomBits]]
+    * — ~10 bits/key keeps FP ≈1% at any n). */
+  val BloomMBits: Int = 1 << 16
+  val BloomHashes: Int = 5
+
+  /** Bits for a ~1% false-positive Bloom filter over `n` keys: the
+    * next power of two ≥ 10·n (10 bits/key with [[BloomHashes]] = 5
+    * hashes gives FP ≈ 0.9%), floored at 2^10. Powers of two keep the
+    * position modulo cheap and the geometry stable under small count
+    * drift — the [[graft.operators.VectorOps.adaptiveCells]] shape on
+    * the dedup axis. */
+  def adaptiveBloomBits(n: Long): Int = {
+    val want = math.max(1L << 10, 10L * math.max(n, 1L))
+    // one flat frame holds ~10^8 keys at 10 bits/key; beyond that,
+    // shard the filter by a key prefix (each shard its own frame,
+    // screened by an equi-join on the shard id) — same answer, no
+    // single bit array to outgrow
+    require(want <= (1L << 30), s"bloom over $n keys needs sharding")
+    (java.lang.Long.highestOneBit(want - 1) << 1).toInt
+  }
+
+  /** Position of hash `i` of a content key in an `mbits`-bit Bloom
+    * filter: the first 8 md5 hex digits of "i:key" as a BIGINT, modulo
+    * mbits — the repo's cross-engine hash recipe, so the oracle's
+    * DuckDB filter is bit-identical. Non-negative by construction (the
+    * 32-bit value needs no pmod). */
+  private def bloomPos(key: Column, i: Int, mbits: Int): Column =
+    conv(substring(md5(concat_ws(":", lit(i.toString), key)), 1, 8), 16, 10)
+      .cast("long") % mbits
+
+  private def bloomPosSql(key: String, i: String, mbits: Int): String =
+    s"('0x' || substr(md5(CAST($i AS VARCHAR) || ':' || $key), 1, 8))::BIGINT % $mbits"
+
+  /** The Bloom BIT ARRAY over a `content_key` frame, as ≤ mbits/32
+    * `(word, bits)` rows — 32-bit words in a BIGINT so the per-bit
+    * shift never touches the sign bit in either engine. One map-side
+    * partial-combining hash aggregate over the corpus (explode is
+    * khash rows per key, map-local); the result is index METADATA,
+    * fixed-size regardless of corpus rows — persist it per snapshot
+    * (the codebook convention) and every later ingest screens against
+    * it without ever scanning or joining the corpus again. THE
+    * membership sketch for "have I seen this content before" at
+    * 100 TB: an anti-join against 10^11 stored keys shuffles the
+    * increment against the full key set; this frame is 10·n BITS
+    * (~2 GB per 10^9 keys as parquet rows), equi-joined or broadcast.
+    * Deterministic (md5 positions, no RNG), so two builds of the same
+    * corpus are row-identical and the oracle can replay it in SQL. */
+  def bloomBits(keys: DataFrame, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): DataFrame = {
+    require(mbits >= 32 && (mbits & (mbits - 1)) == 0,
+      s"mbits must be a power of two >= 32: $mbits")
+    require(khash >= 1 && khash <= 16, s"khash out of range: $khash")
+    keys.select(explode(array((0 until khash).map(i =>
+        bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
+      .select(expr("pos DIV 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+      .groupBy("word").agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** Screen an increment's `(doc_id, content_key)` rows against a
+    * stored Bloom frame: `maybe_seen` = every one of the key's khash
+    * bits is set. No false negatives by construction (an inserted
+    * key's bits are all set); false positives are the sized-for rate
+    * and DETERMINISTIC (same positions both engines — the gate
+    * hash-checks them, not just the guarantee). Plan: khash lookup
+    * rows per increment doc, equi-joined to the ≤ mbits/32-row bloom
+    * frame (broadcast at any practical size), then a partial-combining
+    * bool_and — the increment never joins the corpus. */
+  def bloomScreen(increment: DataFrame, bloom: DataFrame,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame =
+    increment.select(col("doc_id"), col("content_key"),
+        explode(array((0 until khash).map(i =>
+          bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
+      .select(col("doc_id"), col("content_key"),
+        expr("pos DIV 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+      .join(broadcast(bloom), Seq("word"), "left")
+      .groupBy("doc_id", "content_key")
+      .agg(expr("bool_and(coalesce(bits, CAST(0 AS BIGINT)) & mask <> 0)")
+        .as("maybe_seen"))
+
+  /** The INGEST SCREEN (x98): which increment documents' content was
+    * definitely never in the corpus — [[exactDedup]]'s question asked
+    * the way a 100 TB ingest must ask it, against the corpus's Bloom
+    * frame instead of the corpus. Output per increment doc:
+    * `maybe_seen` (the Bloom verdict), `exact_seen` (the ground truth,
+    * computed here so the gate checks BOTH the no-false-negative
+    * guarantee and the exact false-positive set — deterministic
+    * positions make even the FPs reproducible), and `false_pos`
+    * (= maybe_seen ∧ ¬exact_seen, the sized-for rate made visible).
+    * In production the exact twin is the SPOT-CHECK run at audit
+    * cadence; the screen itself never touches the corpus. */
+  def ingestScreen(corpus: DataFrame, increment: DataFrame,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
+    val ck = corpus.select(md5(normText(col("text"))).as("content_key"))
+    val ik = increment.select(col("doc_id"),
+      md5(normText(col("text"))).as("content_key"))
+    val screened = bloomScreen(ik, bloomBits(ck, mbits, khash), mbits, khash)
+    val seen = ck.distinct().withColumn("exact_seen", lit(true))
+    screened.join(broadcast(seen), Seq("content_key"), "left")
+      .select(col("doc_id"), col("maybe_seen"),
+        coalesce(col("exact_seen"), lit(false)).as("exact_seen"),
+        (col("maybe_seen") &&
+          !coalesce(col("exact_seen"), lit(false))).as("false_pos"))
+  }
+
+  /** [[ingestScreen]] oracle: the bloom frame replayed in SQL —
+    * corpus keys × khash hash positions, bit-OR'd into the same
+    * 32-bit-word rows, then the increment's positions LEFT JOIN'd
+    * against it with the same all-bits-set test. */
+  def ingestScreenSql(corpusPred: String, incPred: String,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): String =
+    s"""WITH ck AS (
+       |  SELECT md5(${normTextSql("text")}) AS k
+       |  FROM documents WHERE $corpusPred
+       |), bloom AS (
+       |  SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+       |  FROM (
+       |    SELECT ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM ck, range(0, $khash) r(i)
+       |  ) GROUP BY word
+       |), ik AS (
+       |  SELECT doc_id, md5(${normTextSql("text")}) AS k
+       |  FROM documents WHERE $incPred
+       |), lk AS (
+       |  SELECT doc_id, k, pos // 32 AS word,
+       |    1::BIGINT << CAST(pos % 32 AS INT) AS mask
+       |  FROM (
+       |    SELECT doc_id, k, ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM ik, range(0, $khash) r(i)
+       |  )
+       |), screened AS (
+       |  SELECT doc_id, k,
+       |    bool_and((coalesce(b.bits, 0) & mask) <> 0) AS maybe_seen
+       |  FROM lk LEFT JOIN bloom b USING (word)
+       |  GROUP BY doc_id, k
+       |)
+       |SELECT s.doc_id, s.maybe_seen,
+       |  (s.k IN (SELECT k FROM ck)) AS exact_seen,
+       |  (s.maybe_seen AND s.k NOT IN (SELECT k FROM ck)) AS false_pos
+       |FROM screened s""".stripMargin
 }

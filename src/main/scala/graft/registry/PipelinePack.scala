@@ -647,6 +647,19 @@ object PipelinePack extends QueryPack {
     // --- dedup -----------------------------------------------------------
     "x1_exact_dedup" -> ((s, dir) =>
       Dedup.exactDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+    // the Bloom INGEST SCREEN: "was this content ever in the corpus",
+    // answered from the corpus's fixed-size bit-array frame (built
+    // once per snapshot; here inline) instead of an anti-join against
+    // the corpus — x1's question at ingest cost. Both the
+    // no-false-negative guarantee AND the exact (deterministic)
+    // false-positive set are hash-gated; doc_id % 3 splits the fixture
+    // into corpus vs increment (the x54/x86 convention)
+    "x98_bloom_screen" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      Dedup.ingestScreen(d.where(col("doc_id") % 3 =!= 0),
+        d.where(col("doc_id") % 3 === 0))
+        .orderBy("doc_id")
+    }),
     "x2_minhash_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard)
         .orderBy("doc_a", "doc_b")),
@@ -1570,6 +1583,9 @@ object PipelinePack extends QueryPack {
 
   def oracle: Map[String, String] = Map(
     "x1_exact_dedup" -> (Dedup.exactDedupSql + "\nORDER BY doc_id"),
+    "x98_bloom_screen" ->
+      (Dedup.ingestScreenSql("doc_id % 3 != 0", "doc_id % 3 = 0") +
+        "\nORDER BY doc_id"),
     "x2_minhash_pairs" ->
       (Dedup.nearDupPairsSql(PairJaccard) + "\nORDER BY doc_a, doc_b"),
     "x71_edit_pairs" ->

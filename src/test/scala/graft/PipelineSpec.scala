@@ -1767,4 +1767,58 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       }
     }
   }
+
+  test("bloom ingest screen: no false negatives ever, FP rate inside the sized-for bound") {
+    // the guarantee the screen exists for: an inserted key's bits are
+    // all set, so exact_seen ⊆ maybe_seen — on EVERY split, not just
+    // the gate's. Two splits exercise both dup-rich and dup-poor
+    // increments.
+    for (m <- Seq(2, 3)) {
+      val rows = Dedup.ingestScreen(docs.where(col("doc_id") % m =!= 0),
+          docs.where(col("doc_id") % m === 0)).collect()
+      assert(rows.nonEmpty)
+      val fn = rows.filter(r => r.getBoolean(2) && !r.getBoolean(1))
+      assert(fn.isEmpty,
+        s"bloom false negative(s) at split %$m: ${fn.take(3).mkString(";")}")
+      // FP bound: (1 - e^(-kn/m))^k with n = corpus keys — assert at
+      // 4x the analytic rate (deterministic hashes aren't independent,
+      // but 4x headroom over the expectation catches a broken mix —
+      // e.g. all khash positions colliding — without flaking)
+      val n = docs.where(col("doc_id") % m =!= 0)
+        .select(md5(TextOps.normText(col("text")))).distinct().count()
+      val k = Dedup.BloomHashes
+      val p = math.pow(1 - math.exp(-k.toDouble * n / Dedup.BloomMBits), k)
+      val newRows = rows.filter(r => !r.getBoolean(2))
+      val fp = newRows.count(_.getBoolean(3)).toDouble / math.max(newRows.size, 1)
+      info(f"split %%$m: n=$n analytic FP $p%.5f observed $fp%.5f")
+      assert(fp <= math.max(4 * p, 0.02),
+        f"bloom FP rate $fp%.4f over 4x the sized-for $p%.4f")
+    }
+  }
+
+  test("bloom geometry: adaptive sizing is next-pow2 of 10 bits/key; screen never joins the corpus") {
+    assert(Dedup.adaptiveBloomBits(0) == 1024)
+    assert(Dedup.adaptiveBloomBits(100) == 1024)
+    assert(Dedup.adaptiveBloomBits(103) == 2048) // 1030 bits > 1024
+    assert(Dedup.adaptiveBloomBits(1L << 20) == (1 << 24)) // 10*2^20 -> 2^24
+    assertThrows[IllegalArgumentException](
+      Dedup.adaptiveBloomBits(1L << 31)) // needs sharding, says so
+    // the scale claim made of the plan: the screen's only join input
+    // besides the increment is the bloom frame (bounded by mbits/32
+    // rows) — the corpus reaches the plan ONLY through the one
+    // bit-array aggregate, never a per-increment-row join. The exact
+    // twin inside ingestScreen joins broadcast(distinct corpus KEYS) —
+    // the audit path — so the screen-only plan is what's asserted.
+    val ik = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), md5(TextOps.normText(col("text"))).as("content_key"))
+    val bloom = Dedup.bloomBits(
+      docs.where(col("doc_id") % 3 =!= 0)
+        .select(md5(TextOps.normText(col("text"))).as("content_key")))
+    assert(bloom.count() <= Dedup.BloomMBits / 32)
+    val plan = Dedup.bloomScreen(ik, bloom)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bloom screen's word join is not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
