@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.operators.{Dedup, TextOps}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming Bloom ingest screen — [[graft.operators.Dedup.ingestScreen]]'s
+  * online twin, and [[StreamingDedup]]'s exact-key sibling: screen a
+  * document stream for "was this content ever accepted before" against
+  * a GROWING fixed-size bit-array artifact, never against the corpus.
+  * Each micro-batch:
+  *
+  *  1. keys its docs (md5 of normalized text — [[graft.operators.Dedup
+  *     .exactDedup]]'s content key);
+  *  2. screens them against the bloom state accumulated by STRICTLY
+  *     earlier batches ([[graft.operators.Dedup.bloomScreen]] — khash
+  *     position rows per doc, broadcast word join, never a corpus
+  *     scan);
+  *  3. accepts each definitely-new key's lowest-doc_id row (within a
+  *     batch the keys are in hand, so the inner screen is exact —
+  *     greedy-sequential arrival order, the [[StreamingDedup]]
+  *     policy);
+  *  4. appends the accepted keys' [[graft.operators.Dedup.bloomBits]]
+  *     as this batch's slice and writes verdicts
+  *     `(doc_id, content_key, maybe_seen, accepted)`.
+  *
+  * The artifact IS the state (executor memory flat at any stream
+  * length), and the merge is bitwise OR — associative, commutative,
+  * IDEMPOTENT — so any subset of slices folds into one row per word in
+  * any order: the read-side fold ([[stateBits]]) costs ≤ mbits/32 rows
+  * regardless of batch count, a replayed batch's overwritten slice can
+  * never corrupt the union, and offline compaction (when file count
+  * matters) is the same one-line OR-fold. Contrast [[SlicedArtifact]]'s
+  * latest-wins resolution: bloom needs none of it, BECAUSE it cannot
+  * delete — clearing a key's bits would erase other keys' evidence, so
+  * removing corpus content is a re-screen into a fresh artifact, and
+  * the pinned geometry guard below enforces the fresh-dir convention
+  * exactly as the codebook pins do for the vector stores.
+  *
+  * Semantics: a `maybe_seen` false positive rejects a genuinely new
+  * doc at the sized-for rate — the deterministic trade an ingest
+  * pre-screen makes (position hashes are md5-derived, so a replay or a
+  * different cluster reaches the identical verdict; the x98 gate
+  * hash-checks even the false-positive set). */
+class StreamingBloom(artifactDir: String, outDir: String,
+    mbits: Int = Dedup.BloomMBits, khash: Int = Dedup.BloomHashes) {
+
+  // changed geometry relocates every key's bit positions: reopening an
+  // artifact under different (mbits, khash) would OR incompatible
+  // generations with no error anywhere — the slice stores' constants
+  // hazard, same guard
+  SlicedArtifact.pinConstants(artifactDir,
+    SlicedArtifact.section("bloomgeom", Seq(mbits, khash), Iterator.empty),
+    "bloom geometry (mbits, khash)")
+
+  private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
+  private def bloomRoot = s"$artifactDir/bloom"
+
+  /** Run to completion of available data; returns DISTINCT micro-batches
+    * run (checkpoint replays re-invoke `foreachBatch` but must not
+    * double-count — the [[StreamingDedup]] convention). */
+  def screenAvailable(spark: SparkSession, docsStream: DataFrame,
+      checkpoint: String): Long = {
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val q = docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        screenBatch(batch, batchId)
+        seen.synchronized { seen += batchId; () }
+      }
+      .start()
+    q.awaitTermination()
+    seen.size.toLong
+  }
+
+  /** One micro-batch of the greedy-sequential policy (the unit the spec
+    * replays in batch mode). Reads only strictly-earlier slices: a
+    * checkpoint replay must re-screen against exactly the state it
+    * originally saw — its own leftover slice would flip every replayed
+    * accepted doc to maybe_seen. */
+  private[graft] def screenBatch(batch: DataFrame, batchId: Long): Unit = {
+    val keyed = batch.select(col("doc_id"),
+      md5(TextOps.normText(col("text"))).as("content_key"))
+    val screened = stateBits(batch.sparkSession, before = Some(batchId)) match {
+      case Some(bloom) => Dedup.bloomScreen(keyed, bloom, mbits, khash)
+      case None => keyed.select(col("doc_id"), col("content_key"),
+        lit(false).as("maybe_seen"))
+    }
+    val w = Window.partitionBy("content_key").orderBy("doc_id")
+    val verdicts = screened
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("content_key"), col("maybe_seen"),
+        (!col("maybe_seen") && col("rn") === 1).as("accepted"))
+      .persist()
+    try {
+      verdicts.write.mode(SaveMode.Overwrite).parquet(slice(outDir, batchId))
+      Dedup.bloomBits(verdicts.where(col("accepted")).select("content_key"),
+          mbits, khash)
+        .write.mode(SaveMode.Overwrite).parquet(slice(bloomRoot, batchId))
+    } finally verdicts.unpersist()
+  }
+
+  /** The bloom state as ONE `(word, bits)` row per set word: the
+    * OR-fold of every slice (strictly below `before` when given —
+    * the replay view). None before any batch wrote. */
+  def stateBits(spark: SparkSession, before: Option[Long] = None)
+      : Option[DataFrame] = {
+    val d = new java.io.File(bloomRoot)
+    if (!d.isDirectory) None
+    else {
+      val all = spark.read.parquet(bloomRoot)
+      val scoped = before.map(b => all.where(col("gbatch") < b)).getOrElse(all)
+      Some(scoped.groupBy("word").agg(expr("bit_or(bits)").as("bits")))
+    }
+  }
+
+  /** All verdicts written so far. */
+  def verdicts(spark: SparkSession): Option[DataFrame] = {
+    val d = new java.io.File(outDir)
+    if (!d.isDirectory) None
+    else Some(spark.read.parquet(outDir).drop("gbatch"))
+  }
+}

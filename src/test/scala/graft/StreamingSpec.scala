@@ -1541,4 +1541,91 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .orderBy("bucket", "event_type").collect().toSeq
     assert(got === want)
   }
+
+  test("streaming bloom screen: state is the accepted keys' filter, verdicts match a batch replay, geometry pinned") {
+    import graft.operators.{Dedup, TextOps}
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    val cut = 250L
+    // slice 2 RE-PRESENTS some slice-1 content under fresh ids (a
+    // re-crawl): the fixture plants near-dups, not cross-id exact
+    // dups, so the cross-batch path needs them planted
+    val slices = Seq(docsAll.where(col("doc_id") < cut),
+      docsAll.where(col("doc_id") >= cut)
+        .unionByName(docsAll.where(col("doc_id") < 30)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))))
+    val src = tmp("sbloom-src")
+    slices.zipWithIndex.foreach { case (s, i) =>
+      val stage = tmp(s"sbloom-slice$i")
+      s.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(f"slice_$i%03d.parquet"))
+    }
+    val artDir = tmp("sbloom-art").toString
+    val sb = new graft.streaming.StreamingBloom(artDir, tmp("sbloom-out").toString)
+    val schema = spark.read.parquet(src.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val batches = sb.screenAvailable(spark, stream, tmp("sbloom-ckpt").toString)
+    assert(batches >= 2, s"expected one batch per slice, got $batches")
+    val got = sb.verdicts(spark).get.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+
+    // batch replay of the same greedy-sequential policy, bloom verdicts
+    // included (the screen is deterministic, so FPs replay identically)
+    var acc: Option[DataFrame] = None
+    var accFirst: Set[String] = Set.empty
+    val want = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    for (s <- slices) {
+      val keyed = s.select(col("doc_id"),
+        md5(TextOps.normText(col("text"))).as("content_key"))
+      val screened = acc match {
+        case Some(keys) => Dedup.bloomScreen(keyed, Dedup.bloomBits(keys))
+        case None => keyed.select(col("doc_id"), col("content_key"),
+          lit(false).as("maybe_seen"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("content_key").orderBy("doc_id")
+      val verdicts = screened.withColumn("rn", row_number().over(w))
+        .select(col("doc_id"), col("content_key"), col("maybe_seen"),
+          (!col("maybe_seen") && col("rn") === 1).as("accepted")).cache()
+      want ++= verdicts.collect().map(_.toSeq)
+      val newKeys = verdicts.where(col("accepted")).select("content_key")
+      acc = Some(acc.map(_.unionByName(newKeys)).getOrElse(newKeys).cache())
+      if (accFirst.isEmpty)
+        accFirst = newKeys.collect().map(_.getString(0)).toSet
+    }
+    assert(got.nonEmpty &&
+      got === want.sortBy(_(0).asInstanceOf[Long]).toSeq,
+      "streaming bloom end state diverges from the batch replay")
+    // the filter guarantee, asserted directly on the streamed verdicts:
+    // every slice-2 doc whose key was accepted by slice 1 MUST be
+    // flagged maybe_seen — no false negatives across batches, ever
+    val fn = got.filter(r => r(0).asInstanceOf[Long] >= cut &&
+      accFirst.contains(r(1).asInstanceOf[String]) &&
+      !r(2).asInstanceOf[Boolean])
+    assert(fn.isEmpty,
+      s"bloom false negatives in streamed verdicts: ${fn.take(3)}")
+    // and that check is non-vacuous: slice 2 re-sees slice-1 content
+    assert(got.exists(r => r(0).asInstanceOf[Long] >= cut &&
+      accFirst.contains(r(1).asInstanceOf[String])),
+      "no slice-2 doc repeats slice-1 content; cross-batch path untested")
+    // the state IS the accepted keys' filter, exactly
+    val stateRows = sb.stateBits(spark).get.orderBy("word")
+      .collect().map(_.toSeq).toSeq
+    val wantBits = Dedup.bloomBits(acc.get.distinct()).orderBy("word")
+      .collect().map(_.toSeq).toSeq
+    assert(stateRows === wantBits,
+      "streamed bloom state diverges from bloomBits over the accepted keys")
+    // non-vacuity: something was rejected across batches
+    assert(got.exists(r => r(2).asInstanceOf[Boolean]),
+      "no cross-batch duplicate flagged; test is vacuous")
+    // reopening under different geometry refuses (the pinned-constants
+    // guard on the bloom axis)
+    val e = intercept[IllegalArgumentException](
+      new graft.streaming.StreamingBloom(artDir, tmp("sbloom-out2").toString,
+        mbits = Dedup.BloomMBits * 2))
+    assert(e.getMessage.contains("different bloom geometry"),
+      s"wrong refusal message: ${e.getMessage}")
+  }
 }
