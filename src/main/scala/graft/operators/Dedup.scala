@@ -1611,11 +1611,62 @@ object Dedup {
           !coalesce(col("exact_seen"), lit(false))).as("false_pos"))
   }
 
+  /** [[adaptiveBloomBits]] in SQL — identical integer arithmetic:
+    * next power of two via the bit length of (want − 1), never a
+    * floating log2 (exact at every boundary, the [[adaptiveBloomBits]]
+    * `highestOneBit` mirror). */
+  def adaptiveBloomBitsSql(countSql: String): String =
+    s"(1::BIGINT << length(format('{:b}', GREATEST(1024, 10 * ($countSql)) - 1)))"
+
+  /** Oracle for [[graft.serve.Retrieval.screenIngest]] (x99): the
+    * snapshot's ingest filter replayed in SQL — the corpus is ALL of
+    * `documents` (what the registry snapshot indexes), the key is the
+    * snapshot fingerprint `md5(text)` EXACT (the dh column, not the
+    * normalized dedup key), and mbits derives from the corpus count in
+    * SQL exactly as [[adaptiveBloomBits]] does on the handle, so the
+    * same oracle string is correct at every fixture scale. `incSql`
+    * selects the increment's `(doc_id, text)`. */
+  def snapshotScreenSql(incSql: String,
+      khash: Int = BloomHashes): String = {
+    def pos(key: String) =
+      s"('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || $key), 1, 8))::BIGINT" +
+        s" % (SELECT m FROM mb)"
+    s"""WITH mb AS (
+       |  SELECT ${adaptiveBloomBitsSql("SELECT count(*) FROM documents")} AS m
+       |), ck AS (
+       |  SELECT md5(text) AS k FROM documents
+       |), bloom AS (
+       |  SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+       |  FROM (SELECT ${pos("k")} AS pos FROM ck, range(0, $khash) r(i))
+       |  GROUP BY word
+       |), ik AS (
+       |$incSql
+       |), ikk AS (
+       |  SELECT doc_id, md5(text) AS content_key FROM ik
+       |), lk AS (
+       |  SELECT doc_id, content_key, pos // 32 AS word,
+       |    1::BIGINT << CAST(pos % 32 AS INT) AS mask
+       |  FROM (
+       |    SELECT doc_id, content_key, ${pos("content_key")} AS pos
+       |    FROM ikk, range(0, $khash) r(i)
+       |  )
+       |)
+       |SELECT doc_id, content_key,
+       |  bool_and((coalesce(b.bits, 0) & mask) <> 0) AS maybe_seen
+       |FROM lk LEFT JOIN bloom b USING (word)
+       |GROUP BY doc_id, content_key""".stripMargin
+  }
+
   /** [[ingestScreen]] oracle: the bloom frame replayed in SQL —
     * corpus keys × khash hash positions, bit-OR'd into the same
     * 32-bit-word rows, then the increment's positions LEFT JOIN'd
-    * against it with the same all-bits-set test. */
-  def ingestScreenSql(corpusPred: String, incPred: String,
+    * against it with the same all-bits-set test. `incSql` selects the
+    * increment's `(doc_id, text)` — a full SELECT, not a predicate,
+    * because a meaningful increment RE-PRESENTS some corpus content
+    * under new doc_ids (the fixtures carry no cross-id exact dups
+    * below sf0.1, so a plain row split would leave `exact_seen`
+    * vacuously false). */
+  def ingestScreenSql(corpusPred: String, incSql: String,
       mbits: Int = BloomMBits, khash: Int = BloomHashes): String =
     s"""WITH ck AS (
        |  SELECT md5(${normTextSql("text")}) AS k
@@ -1626,9 +1677,10 @@ object Dedup {
        |    SELECT ${bloomPosSql("k", "i", mbits)} AS pos
        |    FROM ck, range(0, $khash) r(i)
        |  ) GROUP BY word
+       |), ikraw AS (
+       |$incSql
        |), ik AS (
-       |  SELECT doc_id, md5(${normTextSql("text")}) AS k
-       |  FROM documents WHERE $incPred
+       |  SELECT doc_id, md5(${normTextSql("text")}) AS k FROM ikraw
        |), lk AS (
        |  SELECT doc_id, k, pos // 32 AS word,
        |    1::BIGINT << CAST(pos % 32 AS INT) AS mask

@@ -652,13 +652,34 @@ object PipelinePack extends QueryPack {
     // once per snapshot; here inline) instead of an anti-join against
     // the corpus — x1's question at ingest cost. Both the
     // no-false-negative guarantee AND the exact (deterministic)
-    // false-positive set are hash-gated; doc_id % 3 splits the fixture
-    // into corpus vs increment (the x54/x86 convention)
+    // false-positive set are hash-gated. doc_id % 3 splits corpus vs
+    // genuinely-new increment (the x54/x86 convention), and corpus
+    // docs RE-PRESENTED under shifted ids join the increment — the
+    // re-crawl rows that make exact_seen/maybe_seen non-vacuous at
+    // every SF (the fixtures plant near-dups, not cross-id exact dups)
     "x98_bloom_screen" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
-      Dedup.ingestScreen(d.where(col("doc_id") % 3 =!= 0),
-        d.where(col("doc_id") % 3 === 0))
+      val inc = d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 3 =!= 0 &&
+            col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.ingestScreen(d.where(col("doc_id") % 3 =!= 0), inc)
         .orderBy("doc_id")
+    }),
+    // the SNAPSHOT ingest screen: the deployment handle's own filter
+    // (derived from its dh fingerprint frame, sized adaptively from
+    // the corpus count) gate-checked end-to-end — half the increment
+    // re-presents indexed content verbatim (must all flag), half is
+    // salted never-indexed text (passes at the sized-for FP rate, and
+    // the FPs are deterministic, so they hash-check too)
+    "x99_snapshot_screen" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val inc = d.where(col("doc_id") % 2 === 0).unionByName(
+        d.where(col("doc_id") % 2 === 1).select(col("doc_id"),
+          concat(col("text"), lit(" fresh "),
+            col("doc_id").cast("string")).as("text")))
+      retrievalFor(s, dir).screenIngest(inc).orderBy("doc_id")
     }),
     "x2_minhash_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard)
@@ -1584,7 +1605,18 @@ object PipelinePack extends QueryPack {
   def oracle: Map[String, String] = Map(
     "x1_exact_dedup" -> (Dedup.exactDedupSql + "\nORDER BY doc_id"),
     "x98_bloom_screen" ->
-      (Dedup.ingestScreenSql("doc_id % 3 != 0", "doc_id % 3 = 0") +
+      (Dedup.ingestScreenSql("doc_id % 3 != 0",
+        """  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin) +
+        "\nORDER BY doc_id"),
+    "x99_snapshot_screen" ->
+      (Dedup.snapshotScreenSql(
+        """  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+          |  UNION ALL
+          |  SELECT doc_id, text || ' fresh ' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 2 = 1""".stripMargin) +
         "\nORDER BY doc_id"),
     "x2_minhash_pairs" ->
       (Dedup.nearDupPairsSql(PairJaccard) + "\nORDER BY doc_a, doc_b"),

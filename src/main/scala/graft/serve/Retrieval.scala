@@ -143,6 +143,50 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * serves on a pre-v6 snapshot never touch it. */
   lazy val bpeRules: Seq[(String, String)] = Retrieval.readRules(dir)
 
+  /** The snapshot's ingest Bloom filter, derived lazily from the `dh`
+    * fingerprint frame (each doc's `md5(text)` — maintained by every
+    * [[Retrieval.rebuild]], so it is ALWAYS the live corpus, deletes
+    * included; deriving rather than persisting is what keeps a filter
+    * that cannot un-set bits correct under deletes) and materialized on
+    * the handle: ≤ mbits/32 rows pinned, sized by [[graft.operators
+    * .Dedup.adaptiveBloomBits]] from the corpus count. One thin-column
+    * aggregate per handle, then every [[screenIngest]] call is
+    * corpus-free. localCheckpoint, NOT cache(): a cached plan is keyed
+    * by its canonicalized form, so after a [[Retrieval.rebuild]] the
+    * NEW handle's identical-looking dh scan would silently alias the
+    * old handle's pre-rebuild cache entry and serve a stale filter —
+    * the checkpoint's frozen lineage is keyed by RDD identity and
+    * cannot alias across handles. */
+  private lazy val ingestBloom: (DataFrame, Int) = {
+    require(new java.io.File(s"$dir/dh").isDirectory,
+      s"$dir has no dh fingerprint frame (predates incremental " +
+        "rebuild); publish once with build() to upgrade — serves not " +
+        "reading it remain available meanwhile")
+    val keys = serve.read.schema(Retrieval.DhSchema).parquet(s"$dir/dh")
+      .select(col("dh").as("content_key"))
+    val mbits = graft.operators.Dedup.adaptiveBloomBits(keys.count())
+    (graft.operators.Dedup.materialize(
+      graft.operators.Dedup.bloomBits(keys, mbits), None), mbits)
+  }
+
+  /** Ingest pre-screen ([[graft.operators.Dedup.ingestScreen]]'s
+    * snapshot serve): which of `docs` were definitely never in THIS
+    * snapshot's corpus — `maybe_seen = false` is a guarantee (no false
+    * negatives), `true` is "seen, at the sized-for false-positive
+    * rate". The key is the snapshot's own fingerprint, `md5(text)`
+    * EXACT — not the normalized x98 dedup key: the question a snapshot
+    * answers is "is this exact content indexed", and it must match
+    * what `dh` certifies. Cost per call: khash position rows per doc
+    * against the cached broadcast-size bloom frame; the corpus is
+    * never read. */
+  def screenIngest(docs: DataFrame): DataFrame = {
+    val (bloom, mbits) = ingestBloom
+    graft.operators.Dedup.bloomScreen(
+      docs.select(col("doc_id"), md5(col("text")).as("content_key")),
+      bloom, mbits)
+      .select("doc_id", "content_key", "maybe_seen")
+  }
+
   /** Dense top-k from the stored index: driver probe ranking → the
     * probed-cell filter prunes the partitioned index read → residual
     * ADC on survivors → exact rerank of the `refine` shortlist against

@@ -1770,13 +1770,20 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
 
   test("bloom ingest screen: no false negatives ever, FP rate inside the sized-for bound") {
     // the guarantee the screen exists for: an inserted key's bits are
-    // all set, so exact_seen ⊆ maybe_seen — on EVERY split, not just
-    // the gate's. Two splits exercise both dup-rich and dup-poor
-    // increments.
+    // all set, so exact_seen ⊆ maybe_seen — on EVERY split. The fixture
+    // plants near-dups, not cross-id exact dups, so each increment
+    // RE-PRESENTS some corpus docs under shifted ids (a re-crawl) to
+    // make the guarantee check non-vacuous.
     for (m <- Seq(2, 3)) {
-      val rows = Dedup.ingestScreen(docs.where(col("doc_id") % m =!= 0),
-          docs.where(col("doc_id") % m === 0)).collect()
+      val corpus = docs.where(col("doc_id") % m =!= 0)
+      val inc = docs.where(col("doc_id") % m === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(corpus.orderBy("doc_id").limit(40)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val rows = Dedup.ingestScreen(corpus, inc).collect()
       assert(rows.nonEmpty)
+      assert(rows.count(_.getBoolean(2)) >= 40,
+        "no re-presented content in the increment; FN check is vacuous")
       val fn = rows.filter(r => r.getBoolean(2) && !r.getBoolean(1))
       assert(fn.isEmpty,
         s"bloom false negative(s) at split %$m: ${fn.take(3).mkString(";")}")

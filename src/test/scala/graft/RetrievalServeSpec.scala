@@ -107,6 +107,49 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(rows(reloaded.lexicalTopK(queries, 5)) === lexSmall)
   }
 
+  test("screenIngest: snapshot content always flagged, fresh content passes, deletes leave the filter") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bloomserve")
+      .toString
+    val live = s"$root/snap"
+    val docs0 = docs.where(col("doc_id") < 400)
+    val emb0 = emb.where(col("vec_id") < 400)
+    val built = Retrieval.build(docs0, emb0, live)
+    // the guarantee: every indexed doc re-presented VERBATIM is
+    // maybe_seen — the filter admits no false negatives, ever
+    val re = built.screenIngest(docs0).collect()
+    assert(re.nonEmpty && re.forall(_.getBoolean(2)),
+      "snapshot content not flagged by its own ingest filter")
+    // definitely-new content passes at the sized-for rate (adaptive
+    // bits ≈ 10/key → analytic FP ≈ 0.1% here; 5% is the broken-mix
+    // alarm threshold, not the expectation)
+    val fresh = docs.where(col("doc_id") < 64)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" never indexed "), col("doc_id")).as("text"))
+    val fr = built.screenIngest(fresh).collect()
+    val fp = fr.count(_.getBoolean(2)).toDouble / fr.length
+    assert(fp <= 0.05, f"fresh-content FP rate $fp%.3f")
+    // deletes: the filter derives from the REBUILT dh frame, so a
+    // dropped doc's content screens as never-seen on the new handle —
+    // the property a persisted OR-merged bloom could not have. Pick a
+    // doc whose text is UNIQUE in the corpus (the fixture plants exact
+    // dups; a shared text would legitimately stay flagged).
+    val uniq = docs0.groupBy(md5(col("text")).as("k"))
+      .agg(count(lit(1)).as("c"), min("doc_id").as("doc_id"))
+      .where(col("c") === 1).orderBy("doc_id")
+      .select("doc_id").limit(1).collect()(0).getLong(0)
+    val rebuilt = Retrieval.rebuild(
+      docs0.where(col("doc_id") =!= uniq), emb0, live)
+    val gone = rebuilt.screenIngest(docs0.where(col("doc_id") === uniq))
+      .collect()
+    assert(gone.length == 1 && !gone(0).getBoolean(2),
+      "deleted content still flagged — filter not re-derived from dh")
+    // and surviving content stays flagged on the new handle
+    val kept = rebuilt.screenIngest(
+      docs0.where(col("doc_id") =!= uniq).limit(50)).collect()
+    assert(kept.nonEmpty && kept.forall(_.getBoolean(2)),
+      "surviving content lost from the rebuilt filter")
+  }
+
   test("incremental rebuild: same serve as a fixed-codebook full build, delta-only writes") {
     val root = java.nio.file.Files.createTempDirectory("graft-rebuild").toString
     val live = s"$root/snap"
