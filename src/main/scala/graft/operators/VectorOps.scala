@@ -2756,17 +2756,26 @@ object VectorOps {
       resBooks: Option[Seq[Seq[Seq[Double]]]] = None,
       docIndex: Option[DataFrame] = None,
       chunkIndex: Option[DataFrame] = None,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      chunkEmb: Option[DataFrame] = None,
+      docExact: Option[DataFrame] = None,
+      chunkExact: Option[DataFrame] = None): DataFrame = {
     val cents = centroids.getOrElse(trainedCentroids(embeddings))
     val books = resBooks.getOrElse(pqResidualCodebooks(embeddings, cents))
-    val cEmb = Dedup.materialize(
+    // `chunkEmb`/`docExact`/`chunkExact` are the per-fixture ARTIFACT
+    // seams: the derivation and the brute baselines are
+    // codebook-independent, so a repeated tuning run (the bench, a
+    // retune cadence) reads them from stored frames instead of paying
+    // the derivation + two brute scans per invocation
+    val cEmb = chunkEmb.getOrElse(Dedup.materialize(
       chunkEmbeddingsFrom(TextOps.chunkDocs(docs), embeddings),
-      checkpointDir)
+      checkpointDir))
     recallCurveFrom(embeddings, cEmb,
       docIndex.getOrElse(ivfPqIndex(embeddings, cents, books,
         residual = true)),
       chunkIndex.getOrElse(chunkIvfPqIndex(cEmb, cents, books)),
-      cents, books, queryIds, k, nprobes, refines, checkpointDir)
+      cents, books, queryIds, k, nprobes, refines, checkpointDir,
+      docExact = docExact, chunkExact = chunkExact)
   }
 
   /** [[recallCurve]] over PREBUILT frames — the form a LIVE snapshot
@@ -2968,20 +2977,23 @@ object VectorOps {
       checkpointDir: Option[String] = None,
       trainedFor: Option[Int => (Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] =
         None,
-      indexesFor: Option[Int => (DataFrame, DataFrame)] = None)
+      indexesFor: Option[Int => (DataFrame, DataFrame)] = None,
+      chunkEmb: Option[DataFrame] = None,
+      docExact: Option[DataFrame] = None,
+      chunkExact: Option[DataFrame] = None)
       : DataFrame = {
     require(cells.nonEmpty && cells.distinct == cells,
       s"cells must be non-empty and distinct: $cells")
-    val cEmb = Dedup.materialize(
+    val cEmb = chunkEmb.getOrElse(Dedup.materialize(
       chunkEmbeddingsFrom(TextOps.chunkDocs(docs), embeddings),
-      checkpointDir)
-    val dEx = Dedup.materialize(
+      checkpointDir))
+    val dEx = docExact.getOrElse(Dedup.materialize(
       cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id"),
-      checkpointDir)
-    val cEx = Dedup.materialize(
+      checkpointDir))
+    val cEx = chunkExact.getOrElse(Dedup.materialize(
       multiVectorTopK(cEmb, embeddings, queryIds, k)
         .select("query_id", "doc_id"),
-      checkpointDir)
+      checkpointDir))
     val train = trainedFor.getOrElse { kc: Int =>
       val cs = trainedCentroids(embeddings, kc)
       (cs, pqResidualCodebooks(embeddings, cs))
@@ -3056,23 +3068,26 @@ object VectorOps {
       checkpointDir: Option[String] = None,
       centroids: Option[Seq[Seq[Double]]] = None,
       trainedFor: Option[Int => Seq[Seq[Seq[Double]]]] = None,
-      indexesFor: Option[Int => (DataFrame, DataFrame)] = None)
+      indexesFor: Option[Int => (DataFrame, DataFrame)] = None,
+      chunkEmb: Option[DataFrame] = None,
+      docExact: Option[DataFrame] = None,
+      chunkExact: Option[DataFrame] = None)
       : DataFrame = {
     require(ms.nonEmpty && ms.distinct == ms,
       s"ms must be non-empty and distinct: $ms")
     require(ms.forall(m => Dim % m == 0),
       s"every m must divide Dim=$Dim: $ms")
     val cents = centroids.getOrElse(trainedCentroids(embeddings))
-    val cEmb = Dedup.materialize(
+    val cEmb = chunkEmb.getOrElse(Dedup.materialize(
       chunkEmbeddingsFrom(TextOps.chunkDocs(docs), embeddings),
-      checkpointDir)
-    val dEx = Dedup.materialize(
+      checkpointDir))
+    val dEx = docExact.getOrElse(Dedup.materialize(
       cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id"),
-      checkpointDir)
-    val cEx = Dedup.materialize(
+      checkpointDir))
+    val cEx = chunkExact.getOrElse(Dedup.materialize(
       multiVectorTopK(cEmb, embeddings, queryIds, k)
         .select("query_id", "doc_id"),
-      checkpointDir)
+      checkpointDir))
     val train = trainedFor.getOrElse { m: Int =>
       pqResidualCodebooks(embeddings, cents, m)
     }
@@ -3148,22 +3163,25 @@ object VectorOps {
       checkpointDir: Option[String] = None,
       centroids: Option[Seq[Seq[Double]]] = None,
       trainedFor: Option[Int => Seq[Seq[Seq[Double]]]] = None,
-      indexesFor: Option[Int => (DataFrame, DataFrame)] = None)
+      indexesFor: Option[Int => (DataFrame, DataFrame)] = None,
+      chunkEmb: Option[DataFrame] = None,
+      docExact: Option[DataFrame] = None,
+      chunkExact: Option[DataFrame] = None)
       : DataFrame = {
     require(ksubs.nonEmpty && ksubs.distinct == ksubs,
       s"ksubs must be non-empty and distinct: $ksubs")
     require(ksubs.forall(_ >= 2), s"every ksub must be >= 2: $ksubs")
     val cents = centroids.getOrElse(trainedCentroids(embeddings))
-    val cEmb = Dedup.materialize(
+    val cEmb = chunkEmb.getOrElse(Dedup.materialize(
       chunkEmbeddingsFrom(TextOps.chunkDocs(docs), embeddings),
-      checkpointDir)
-    val dEx = Dedup.materialize(
+      checkpointDir))
+    val dEx = docExact.getOrElse(Dedup.materialize(
       cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id"),
-      checkpointDir)
-    val cEx = Dedup.materialize(
+      checkpointDir))
+    val cEx = chunkExact.getOrElse(Dedup.materialize(
       multiVectorTopK(cEmb, embeddings, queryIds, k)
         .select("query_id", "doc_id"),
-      checkpointDir)
+      checkpointDir))
     val train = trainedFor.getOrElse { ks: Int =>
       pqResidualCodebooks(embeddings, cents, ksub = ks)
     }

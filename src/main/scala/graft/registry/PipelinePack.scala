@@ -313,6 +313,53 @@ object PipelinePack extends QueryPack {
     target.toString
   }
 
+  /** The full-precision chunk-embedding frame as a per-(fixture pair)
+    * parquet artifact — the curve harnesses' derivation input,
+    * codebook-INDEPENDENT (chunk windows and the parity derivation
+    * never touch the index constants), so one stored frame serves
+    * x91/x94/x95/x97 across every sweep value and every bench run.
+    * Keyed on BOTH fixtures (windows from docs, vectors from emb). */
+  private def chunkEmbFor(s: SparkSession, dir: String): DataFrame = {
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    val p = snapshotArtifact(dir, "embeddings.parquet", "chunk_emb.parquet",
+      "chunkemb", fd.lastModified(), fd.length(), VectorOps.ChunkStride,
+      TextOps.ChunkWindow, TextOps.ChunkOverlap, VectorOps.Dim)(path =>
+      VectorOps.chunkEmbeddings(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        Tables.embeddings(s, dir).select("vec_id", "embedding"))
+        .write.mode("overwrite").parquet(path))
+    s.read.parquet(p)
+  }
+
+  /** The brute exact top-k baselines (doc cosine; chunk MaxSim) as
+    * per-(fixture pair, query sample, k) parquet artifacts. These are
+    * the priced scans of every tuning curve and they are codebook- AND
+    * code-independent — x94/x95/x97 already compute them once per
+    * INVOCATION and share across sweep values; storing them shares
+    * across invocations too (the bench's repeated runs, a retune
+    * cadence), leaving each curve run's live work at the probe/ADC
+    * chain it actually measures. */
+  private def exactTopKFor(s: SparkSession, dir: String,
+      queryIds: Seq[Long], k: Int): (DataFrame, DataFrame) = {
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    val dPath = snapshotArtifact(dir, "embeddings.parquet",
+      "exact_doc_topk.parquet",
+      "exactdoc", queryIds.mkString(","), k, VectorOps.Dim)(p =>
+      VectorOps.cosineTopK(Tables.embeddings(s, dir), queryIds, k)
+        .select("query_id", "vec_id")
+        .write.mode("overwrite").parquet(p))
+    val cPath = snapshotArtifact(dir, "embeddings.parquet",
+      "exact_chunk_topk.parquet",
+      "exactchunk", fd.lastModified(), fd.length(),
+      queryIds.mkString(","), k, VectorOps.ChunkStride,
+      TextOps.ChunkWindow, TextOps.ChunkOverlap, VectorOps.Dim)(p =>
+      VectorOps.multiVectorTopK(chunkEmbFor(s, dir),
+          Tables.embeddings(s, dir), queryIds, k)
+        .select("query_id", "doc_id")
+        .write.mode("overwrite").parquet(p))
+    (s.read.parquet(dPath), s.read.parquet(cPath))
+  }
+
   /** The published [[graft.serve.Retrieval]] snapshot for a fixture,
     * built once per (fixture pair, engine constants) key under the tmp
     * dir — the deployment handle itself, registered so the one API a
@@ -1118,12 +1165,15 @@ object PipelinePack extends QueryPack {
       val resBooks = pqResBooksFor(s, dir)
       val dpath = ivfPqIndexFor(s, dir, cents, resBooks, residual = true)
       val cpath = chunkIvfPqIndexFor(s, dir, cents, resBooks)
+      val (dEx, cEx) = exactTopKFor(s, dir, CurveQueryIds, 5)
       VectorOps.recallCurve(Tables.embeddings(s, dir),
         Tables.documents(s, dir).select("doc_id", "text"),
         CurveQueryIds, 5,
         centroids = Some(cents), resBooks = Some(resBooks),
         docIndex = Some(s.read.schema(IvfPqIndexSchema).parquet(dpath)),
-        chunkIndex = Some(s.read.schema(IvfPqIndexSchema).parquet(cpath)))
+        chunkIndex = Some(s.read.schema(IvfPqIndexSchema).parquet(cpath)),
+        chunkEmb = Some(chunkEmbFor(s, dir)),
+        docExact = Some(dEx), chunkExact = Some(cEx))
         .orderBy("method", "nprobe", "r")
     }),
     // the INDEX-knob TUNING CURVE: the x91 grid swept over coarse
@@ -1134,7 +1184,8 @@ object PipelinePack extends QueryPack {
     // x60 artifact convention) and re-encodes both indexes — priced as
     // a retrain, run at retrain-evaluation cadence. The exact
     // baselines are computed once and shared (codebook-independent)
-    "x94_codebook_curve" -> ((s, dir) =>
+    "x94_codebook_curve" -> ((s, dir) => {
+      val (dEx, cEx) = exactTopKFor(s, dir, CurveQueryIds, 5)
       VectorOps.codebookCurve(Tables.embeddings(s, dir),
         Tables.documents(s, dir).select("doc_id", "text"),
         CurveQueryIds, 5, refines = Seq(VectorOps.RefineShortlist),
@@ -1147,8 +1198,11 @@ object PipelinePack extends QueryPack {
             ivfPqIndexFor(s, dir, cents, books, residual = true, kc)),
             s.read.schema(IvfPqIndexSchema).parquet(
               chunkIvfPqIndexFor(s, dir, cents, books, kc)))
-        })
-        .orderBy("cells", "method", "nprobe", "r")),
+        },
+        chunkEmb = Some(chunkEmbFor(s, dir)),
+        docExact = Some(dEx), chunkExact = Some(cEx))
+        .orderBy("cells", "method", "nprobe", "r")
+    }),
     // the CODE-BUDGET tuning curve: the x91 grid swept over PQ subspace
     // count m ∈ {4, 8, 16} at the FIXED 32-cell codebook — the third
     // index axis (x91 = serve knobs, x94 = cell count, x95 = bytes per
@@ -1158,6 +1212,7 @@ object PipelinePack extends QueryPack {
     // Exact baselines computed once (code-independent)
     "x95_pq_curve" -> ((s, dir) => {
       val cents = codebookFor(s, dir)
+      val (dEx, cEx) = exactTopKFor(s, dir, CurveQueryIds, 5)
       VectorOps.pqSubspacesCurve(Tables.embeddings(s, dir),
         Tables.documents(s, dir).select("doc_id", "text"),
         CurveQueryIds, 5, refines = Seq(VectorOps.RefineShortlist),
@@ -1169,7 +1224,9 @@ object PipelinePack extends QueryPack {
             ivfPqIndexFor(s, dir, cents, books, residual = true, m = m)),
             s.read.schema(IvfPqIndexSchema).parquet(
               chunkIvfPqIndexFor(s, dir, cents, books, m = m)))
-        })
+        },
+        chunkEmb = Some(chunkEmbFor(s, dir)),
+        docExact = Some(dEx), chunkExact = Some(cEx))
         .orderBy("m", "method", "nprobe", "r")
     }),
     // the CODE-RESOLUTION tuning curve: the x91 grid swept over PQ
@@ -1184,6 +1241,7 @@ object PipelinePack extends QueryPack {
     // baselines computed once (code-independent)
     "x97_ksub_curve" -> ((s, dir) => {
       val cents = codebookFor(s, dir)
+      val (dEx, cEx) = exactTopKFor(s, dir, CurveQueryIds, 5)
       VectorOps.pqKsubCurve(Tables.embeddings(s, dir),
         Tables.documents(s, dir).select("doc_id", "text"),
         CurveQueryIds, 5, refines = Seq(VectorOps.RefineShortlist),
@@ -1195,7 +1253,9 @@ object PipelinePack extends QueryPack {
             ivfPqIndexFor(s, dir, cents, books, residual = true, ksub = ks)),
             s.read.schema(IvfPqIndexSchema).parquet(
               chunkIvfPqIndexFor(s, dir, cents, books, ksub = ks)))
-        })
+        },
+        chunkEmb = Some(chunkEmbFor(s, dir)),
+        docExact = Some(dEx), chunkExact = Some(cEx))
         .orderBy("ksub", "method", "nprobe", "r")
     }),
     "x14_top_tokens" -> ((s, dir) =>
