@@ -422,4 +422,34 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
     val tp = Dedup.editDupPairs(twins, 0.99).collect()
     assert(tp.length == 1 && tp(0).getDouble(2) == 1.0)
   }
+
+  test("bloom screen on degenerate inputs: empty corpus, empty-string text, within-increment dups, bad geometry") {
+    // empty corpus: the filter holds zero set bits, so EVERYTHING is
+    // definitely-new — never a throw, never a spurious maybe_seen
+    val empty = emptyDocs.select("doc_id", "text")
+    val inc = weirdDocs.select("doc_id", "text")
+    val r0 = Dedup.ingestScreen(empty, inc).collect()
+    assert(r0.length == 5 && r0.forall(r => !r.getBoolean(1)),
+      "empty-corpus screen flagged something")
+    // empty-string text is a legal content key (md5 of "") — doc 1
+    // must flag when the corpus holds an empty doc
+    val r1 = Dedup.ingestScreen(inc, inc).collect()
+    assert(r1.length == 5 && r1.forall(_.getBoolean(1)),
+      "identical corpus/increment must flag every doc (incl. empty text)")
+    assert(r1.forall(_.getBoolean(2)) && r1.forall(r => !r.getBoolean(3)),
+      "exact twin disagrees on the identity screen")
+    // within-increment duplicates: same key rows agree on the verdict
+    val dup = inc.unionByName(
+      inc.select((col("doc_id") + 10L).as("doc_id"), col("text")))
+    val r2 = Dedup.ingestScreen(empty, dup).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(r2.size == 10 && r2.values.forall(_ == false))
+    // geometry guards say what is wrong
+    assertThrows[IllegalArgumentException](
+      Dedup.bloomBits(inc.select(md5(col("text")).as("content_key")),
+        mbits = 1000)) // not a power of two
+    assertThrows[IllegalArgumentException](
+      Dedup.bloomBits(inc.select(md5(col("text")).as("content_key")),
+        khash = 0))
+  }
 }
