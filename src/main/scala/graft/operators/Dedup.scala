@@ -1611,6 +1611,36 @@ object Dedup {
           !coalesce(col("exact_seen"), lit(false))).as("false_pos"))
   }
 
+  /** Observability for a Bloom frame: set-bit count, fill ratio, the
+    * standard cardinality estimate n̂ = −(m/k)·ln(1 − fill) (the
+    * maximum-likelihood inversion of the expected fill curve — exact
+    * in expectation for ideal hashes, so the spec pins a tolerance,
+    * not equality), and the implied false-positive rate fill^k (what
+    * the filter delivers NOW, as opposed to what it was sized for). */
+  final case class BloomStats(mbits: Int, khash: Int, setBits: Long,
+      fillRatio: Double, estimatedKeys: Long, impliedFpRate: Double)
+
+  /** Compute [[BloomStats]] from a stored `(word, bits)` frame — one
+    * bounded aggregate (≤ mbits/32 rows; `bit_count` per word, summed).
+    * A filter past HALF full is past re-indexing time: FP = fill^k
+    * compounds fast beyond it (0.5^5 ≈ 3%, 0.7^5 ≈ 17%), and bits
+    * cannot be un-set, so the fix is a fresh, larger (or sharded)
+    * artifact — the [[graft.serve.Retrieval]] cell-drift rule on the
+    * dedup axis. */
+  def bloomStats(bloom: DataFrame, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): BloomStats = {
+    val set = bloom.agg(sum(expr("bit_count(bits)"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val fill = set.toDouble / mbits
+    val est =
+      if (set == 0L) 0L
+      else if (fill >= 1.0) Long.MaxValue
+      else math.round(-(mbits.toDouble / khash) * math.log1p(-fill))
+    BloomStats(mbits, khash, set, fill, est, math.pow(fill, khash))
+  }
+
   /** [[adaptiveBloomBits]] in SQL — identical integer arithmetic:
     * next power of two via the bit length of (want − 1), never a
     * floating log2 (exact at every boundary, the [[adaptiveBloomBits]]

@@ -123,4 +123,20 @@ class StreamingBloom(artifactDir: String, outDir: String,
     if (!d.isDirectory) None
     else Some(spark.read.parquet(outDir).drop("gbatch"))
   }
+
+  /** The maintenance check on the bloom axis — [[graft.operators.Dedup
+    * .bloomStats]] over the OR-folded state, plus the HALF-FULL rule: a
+    * stream that outgrows its construction-time geometry degrades
+    * SILENTLY (FP = fill^khash rejects ever more genuinely-new docs,
+    * and no verdict ever errors), so past fill 0.5 the report
+    * recommends re-screening into a fresh, larger (or sharded)
+    * artifact — the only fix a structure that cannot un-set bits
+    * admits, the [[graft.serve.Retrieval]] cell-drift convention.
+    * None before any batch wrote. */
+  def stats(spark: SparkSession)
+      : Option[(Dedup.BloomStats, Boolean)] =
+    stateBits(spark).map { bits =>
+      val st = Dedup.bloomStats(bits, mbits, khash)
+      (st, st.fillRatio > 0.5)
+    }
 }

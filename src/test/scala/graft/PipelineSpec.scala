@@ -1803,6 +1803,30 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bloom stats: cardinality estimate tracks the true key count; the half-full rule fires on an outgrown filter") {
+    val keys = docs.select(md5(TextOps.normText(col("text"))).as("content_key"))
+    val n = keys.distinct().count()
+    val st = Dedup.bloomStats(Dedup.bloomBits(keys))
+    // the ML inversion of the fill curve: exact in expectation, so a
+    // 10% band (plus integer slack on tiny counts) is the right pin —
+    // a broken bit_count or a mis-scaled fill would miss by far more
+    assert(math.abs(st.estimatedKeys - n) <= math.max(0.1 * n, 3),
+      s"estimated ${st.estimatedKeys} vs true $n distinct keys")
+    assert(st.setBits > 0 && st.setBits <= Dedup.BloomHashes * n,
+      "set-bit count outside [1, k*n]")
+    assert(st.impliedFpRate < 0.01,
+      f"right-sized filter implies FP ${st.impliedFpRate}%.4f")
+    // outgrown geometry: the same corpus crammed into 64 bits is past
+    // half full and the implied FP says so — the silent-degradation
+    // signal the half-full rule exists for
+    val tiny = Dedup.bloomStats(Dedup.bloomBits(keys, 64, 2), 64, 2)
+    assert(tiny.fillRatio > 0.5 && tiny.impliedFpRate > 0.25,
+      s"outgrown filter not flagged: $tiny")
+    // empty frame: zero everything, no throw
+    val zero = Dedup.bloomStats(Dedup.bloomBits(keys.limit(0)))
+    assert(zero.setBits == 0L && zero.estimatedKeys == 0L)
+  }
+
   test("bloom geometry: adaptive sizing is next-pow2 of 10 bits/key; screen never joins the corpus") {
     assert(Dedup.adaptiveBloomBits(0) == 1024)
     assert(Dedup.adaptiveBloomBits(100) == 1024)

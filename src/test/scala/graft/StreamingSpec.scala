@@ -1620,6 +1620,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // non-vacuity: something was rejected across batches
     assert(got.exists(r => r(2).asInstanceOf[Boolean]),
       "no cross-batch duplicate flagged; test is vacuous")
+    // the maintenance stats over the streamed state: the cardinality
+    // estimate tracks the accepted-key count, and a right-sized filter
+    // is nowhere near the half-full rule
+    val nAccepted = acc.get.distinct().count()
+    val (bst, resize) = sb.stats(spark).get
+    assert(math.abs(bst.estimatedKeys - nAccepted) <=
+      math.max(0.1 * nAccepted, 3),
+      s"streamed estimate ${bst.estimatedKeys} vs $nAccepted accepted keys")
+    assert(!resize, s"right-sized streamed filter flagged for resize: $bst")
     // reopening under different geometry refuses (the pinned-constants
     // guard on the bloom axis)
     val e = intercept[IllegalArgumentException](
