@@ -1641,6 +1641,116 @@ object Dedup {
     BloomStats(mbits, khash, set, fill, est, math.pow(fill, khash))
   }
 
+  /** Shard of a content key for the SHARDED filter — a hash from a
+    * distinct namespace ("s:key") so shard routing is independent of
+    * every bit position. */
+  private def bloomShard(key: Column, shards: Int): Column =
+    conv(substring(md5(concat_ws(":", lit("s"), key)), 1, 8), 16, 10)
+      .cast("long") % shards
+
+  private def bloomShardSql(key: String, shards: Int): String =
+    s"('0x' || substr(md5('s:' || $key), 1, 8))::BIGINT % $shards"
+
+  /** The SHARDED Bloom frame `(shard, word, bits)` — the scale path
+    * [[adaptiveBloomBits]]'s refusal points at: one flat bit array
+    * tops out near 10^8 keys, so a 10^11-key corpus routes each key to
+    * `hash(key) mod shards` and sizes EACH shard's array for n/shards
+    * keys. Same one map-side aggregate; total size is still ~10·n bits,
+    * but no single array to outgrow, shards rebuild independently
+    * (re-screen ONE shard's keys, not the corpus), and the screen join
+    * key gains the shard id — an equi-join the planner broadcasts when
+    * the frame fits and shuffles when it doesn't, which is the point. */
+  def shardedBloomBits(keys: DataFrame, shards: Int,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    require(mbits >= 32 && (mbits & (mbits - 1)) == 0,
+      s"mbits must be a power of two >= 32: $mbits")
+    require(khash >= 1 && khash <= 16, s"khash out of range: $khash")
+    keys.select(bloomShard(col("content_key"), shards).as("shard"),
+        explode(array((0 until khash).map(i =>
+          bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
+      .select(col("shard"), expr("pos DIV 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+      .groupBy("shard", "word").agg(expr("bit_or(mask)").as("bits"))
+  }
+
+  /** [[bloomScreen]] against a sharded frame: the same khash lookup
+    * rows per doc, routed to the key's shard and equi-joined on
+    * `(shard, word)`. No broadcast hint on purpose — the sharded form
+    * exists for frames past broadcast size; the planner still
+    * broadcasts small ones on its own. */
+  def shardedBloomScreen(increment: DataFrame, bloom: DataFrame,
+      shards: Int, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): DataFrame =
+    increment.select(col("doc_id"), col("content_key"),
+        bloomShard(col("content_key"), shards).as("shard"),
+        explode(array((0 until khash).map(i =>
+          bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
+      .select(col("doc_id"), col("content_key"), col("shard"),
+        expr("pos DIV 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
+      .join(bloom, Seq("shard", "word"), "left")
+      .groupBy("doc_id", "content_key")
+      .agg(expr("bool_and(coalesce(bits, CAST(0 AS BIGINT)) & mask <> 0)")
+        .as("maybe_seen"))
+
+  /** [[ingestScreen]]'s sharded twin (x100) — same output contract
+    * (maybe_seen / exact_seen / false_pos), the filter sharded. */
+  def ingestScreenSharded(corpus: DataFrame, increment: DataFrame,
+      shards: Int, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): DataFrame = {
+    val ck = corpus.select(md5(normText(col("text"))).as("content_key"))
+    val ik = increment.select(col("doc_id"),
+      md5(normText(col("text"))).as("content_key"))
+    val screened = shardedBloomScreen(ik,
+      shardedBloomBits(ck, shards, mbits, khash), shards, mbits, khash)
+    val seen = ck.distinct().withColumn("exact_seen", lit(true))
+    screened.join(broadcast(seen), Seq("content_key"), "left")
+      .select(col("doc_id"), col("maybe_seen"),
+        coalesce(col("exact_seen"), lit(false)).as("exact_seen"),
+        (col("maybe_seen") &&
+          !coalesce(col("exact_seen"), lit(false))).as("false_pos"))
+  }
+
+  /** [[ingestScreenSharded]] oracle — [[ingestScreenSql]] with the
+    * shard id carried through build and lookup. */
+  def ingestScreenShardedSql(corpusPred: String, incSql: String,
+      shards: Int, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): String =
+    s"""WITH ck AS (
+       |  SELECT md5(${normTextSql("text")}) AS k
+       |  FROM documents WHERE $corpusPred
+       |), bloom AS (
+       |  SELECT shard, pos // 32 AS word,
+       |    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+       |  FROM (
+       |    SELECT ${bloomShardSql("k", shards)} AS shard,
+       |      ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM ck, range(0, $khash) r(i)
+       |  ) GROUP BY shard, word
+       |), ikraw AS (
+       |$incSql
+       |), ik AS (
+       |  SELECT doc_id, md5(${normTextSql("text")}) AS k FROM ikraw
+       |), lk AS (
+       |  SELECT doc_id, k, ${bloomShardSql("k", shards)} AS shard,
+       |    pos // 32 AS word,
+       |    1::BIGINT << CAST(pos % 32 AS INT) AS mask
+       |  FROM (
+       |    SELECT doc_id, k, ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM ik, range(0, $khash) r(i)
+       |  )
+       |), screened AS (
+       |  SELECT doc_id, k,
+       |    bool_and((coalesce(b.bits, 0) & mask) <> 0) AS maybe_seen
+       |  FROM lk LEFT JOIN bloom b USING (shard, word)
+       |  GROUP BY doc_id, k
+       |)
+       |SELECT s.doc_id, s.maybe_seen,
+       |  (s.k IN (SELECT k FROM ck)) AS exact_seen,
+       |  (s.maybe_seen AND s.k NOT IN (SELECT k FROM ck)) AS false_pos
+       |FROM screened s""".stripMargin
+
   /** [[adaptiveBloomBits]] in SQL — identical integer arithmetic:
     * next power of two via the bit length of (want − 1), never a
     * floating log2 (exact at every boundary, the [[adaptiveBloomBits]]

@@ -829,7 +829,16 @@ object VectorOps {
     * codebook-as-literal plan payload need the hierarchical-codebook
     * treatment this engine doesn't ship. Exactly mirrored by
     * [[adaptiveCellsSql]] (round = half-up on a positive double in
-    * both engines; √n of an integer can never land exactly on .5). */
+    * both engines; √n of an integer can never land exactly on .5).
+    *
+    * The CHUNK index shares the doc-level codebook deliberately, even
+    * though its row count is ~windows-per-doc × n and k ≈ √n would
+    * size it finer: one codebook means one probe ranking per query
+    * (both families prune on the same cells), one artifact to
+    * maintain/pin, and shared residual books. What finer cells would
+    * buy the chunk family is MEASURED, not assumed — the x94 curve
+    * sweeps both families across cell counts; read its `chunk_*` rows
+    * before splitting the codebooks at a deployment's scale. */
   def adaptiveCells(n: Long): Int =
     math.max(16L, math.min(65536L, math.round(math.sqrt(n.toDouble)))).toInt
 

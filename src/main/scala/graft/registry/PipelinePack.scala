@@ -714,6 +714,23 @@ object PipelinePack extends QueryPack {
       Dedup.ingestScreen(d.where(col("doc_id") % 3 =!= 0), inc)
         .orderBy("doc_id")
     }),
+    // the SHARDED twin of x98 — the scale path adaptiveBloomBits'
+    // refusal points at: one flat bit array tops out near 10^8 keys,
+    // so each key routes to hash(key) mod shards and each shard holds
+    // its own array. Same increment shape, same guarantees, the screen
+    // join keyed on (shard, word) — an equi-join the planner
+    // broadcasts only while the frame fits
+    "x100_sharded_screen" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val inc = d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 3 =!= 0 &&
+            col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.ingestScreenSharded(d.where(col("doc_id") % 3 =!= 0), inc,
+        shards = 4, mbits = 1 << 14)
+        .orderBy("doc_id")
+    }),
     // the SNAPSHOT ingest screen: the deployment handle's own filter
     // (derived from its dh fingerprint frame, sized adaptively from
     // the corpus count) gate-checked end-to-end — half the increment
@@ -1670,6 +1687,14 @@ object PipelinePack extends QueryPack {
           |  UNION ALL
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
           |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin) +
+        "\nORDER BY doc_id"),
+    "x100_sharded_screen" ->
+      (Dedup.ingestScreenShardedSql("doc_id % 3 != 0",
+        """  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin,
+        shards = 4, mbits = 1 << 14) +
         "\nORDER BY doc_id"),
     "x99_snapshot_screen" ->
       (Dedup.snapshotScreenSql(

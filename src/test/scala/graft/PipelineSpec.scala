@@ -1827,6 +1827,36 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(zero.setBits == 0L && zero.estimatedKeys == 0L)
   }
 
+  test("sharded bloom: shards=1 is the flat filter exactly; sharded verdicts keep the guarantee") {
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val inc = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.orderBy("doc_id").limit(40)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // shards=1 routes every key to shard 0 with UNCHANGED positions —
+    // the sharded screen must be row-identical to the flat one (the
+    // degenerate-form equivalence that pins the routing adds nothing)
+    val flat = Dedup.ingestScreen(corpus, inc)
+      .collect().map(_.toSeq).sortBy(_(0).asInstanceOf[Long]).toSeq
+    val one = Dedup.ingestScreenSharded(corpus, inc, shards = 1)
+      .collect().map(_.toSeq).sortBy(_(0).asInstanceOf[Long]).toSeq
+    assert(one === flat, "shards=1 diverges from the flat filter")
+    // shards=4: the guarantee holds (re-presented content all flags;
+    // FPs stay bounded) even though per-shard bit patterns differ
+    val sh4 = Dedup.ingestScreenSharded(corpus, inc, shards = 4,
+      mbits = 1 << 14).collect()
+    val fn4 = sh4.filter(r => r.getBoolean(2) && !r.getBoolean(1))
+    assert(fn4.isEmpty, s"sharded false negatives: ${fn4.take(3).mkString(";")}")
+    assert(sh4.count(_.getBoolean(2)) >= 40, "no re-presented rows; vacuous")
+    val new4 = sh4.filter(r => !r.getBoolean(2))
+    val fp4 = new4.count(_.getBoolean(3)).toDouble / math.max(new4.length, 1)
+    assert(fp4 <= 0.02, f"sharded FP rate $fp4%.4f")
+    // frame bound: at most shards * mbits/32 word rows, ever
+    assert(Dedup.shardedBloomBits(
+        corpus.select(md5(TextOps.normText(col("text"))).as("content_key")),
+        shards = 4, mbits = 1 << 14).count() <= 4L * (1 << 14) / 32)
+  }
+
   test("bloom geometry: adaptive sizing is next-pow2 of 10 bits/key; screen never joins the corpus") {
     assert(Dedup.adaptiveBloomBits(0) == 1024)
     assert(Dedup.adaptiveBloomBits(100) == 1024)
