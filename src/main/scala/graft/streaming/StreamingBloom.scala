@@ -124,6 +124,40 @@ class StreamingBloom(artifactDir: String, outDir: String,
     else Some(spark.read.parquet(outDir).drop("gbatch"))
   }
 
+  /** The half-full rule's EXECUTOR — [[graft.serve.Retrieval.retrain]]'s
+    * role on the bloom axis: fold every ACCEPTED key recorded in the
+    * verdicts into a fresh artifact at the new geometry and return its
+    * handle. The filter itself holds no keys (bits are one-way), but
+    * the verdict frames do — `(content_key, accepted)` per doc — so a
+    * resize never needs the corpus, only the screen's own output. The
+    * new artifact starts as one slice (batch 0 of its life); the old
+    * one stays intact for any reader mid-serve, retired by the caller
+    * when the cutover completes (the blue/green convention). Refuses a
+    * target that already holds slices — re-screening INTO a live
+    * artifact would double-count its keys' history.
+    *
+    * The inherited fold lands at slice `gbatch=-1`: strictly earlier
+    * than every micro-batch id the new stream will ever produce, so
+    * batch 0's screen sees the full history and no replay can ever
+    * overwrite it. */
+  def rebuildInto(spark: SparkSession, newArtifactDir: String,
+      newOutDir: String, newMbits: Int = Dedup.BloomMBits,
+      newKhash: Int = Dedup.BloomHashes): StreamingBloom = {
+    val v = verdicts(spark).getOrElse(
+      throw new IllegalStateException(
+        s"$outDir holds no verdicts; nothing to rebuild from"))
+    require(!new java.io.File(s"$newArtifactDir/bloom").isDirectory,
+      s"$newArtifactDir already holds bloom slices — rebuild targets a " +
+        "fresh artifact dir (the pinned-geometry fresh-dir convention)")
+    val next = new StreamingBloom(newArtifactDir, newOutDir,
+      newMbits, newKhash)
+    Dedup.bloomBits(v.where(col("accepted")).select("content_key"),
+        newMbits, newKhash)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$newArtifactDir/bloom/gbatch=-1")
+    next
+  }
+
   /** The maintenance check on the bloom axis — [[graft.operators.Dedup
     * .bloomStats]] over the OR-folded state, plus the HALF-FULL rule: a
     * stream that outgrows its construction-time geometry degrades

@@ -1636,5 +1636,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         mbits = Dedup.BloomMBits * 2))
     assert(e.getMessage.contains("different bloom geometry"),
       s"wrong refusal message: ${e.getMessage}")
+    // the half-full rule's executor: rebuild into doubled geometry from
+    // the verdicts alone (the filter holds no keys; the verdicts do).
+    // The inherited fold lands at gbatch=-1, so the new stream's batch
+    // 0 already screens against the full history.
+    val next = sb.rebuildInto(spark, tmp("sbloom-art2").toString,
+      tmp("sbloom-outN").toString, newMbits = Dedup.BloomMBits * 2)
+    val (bst2, resize2) = next.stats(spark).get
+    assert(bst2.mbits == Dedup.BloomMBits * 2 && !resize2)
+    assert(math.abs(bst2.estimatedKeys - nAccepted) <=
+      math.max(0.1 * nAccepted, 3),
+      s"rebuilt estimate ${bst2.estimatedKeys} vs $nAccepted")
+    next.screenBatch(docsAll.where(col("doc_id") < 30), 0L)
+    val reVerd = next.verdicts(spark).get.collect()
+    assert(reVerd.length == 30 && reVerd.forall(_.getBoolean(2)),
+      "rebuilt filter lost accepted history (batch 0 cannot see gbatch=-1)")
+    // a live target refuses — re-screening into existing slices would
+    // double-count their history
+    val e2 = intercept[IllegalArgumentException](
+      sb.rebuildInto(spark, artDir, tmp("sbloom-outX").toString))
+    assert(e2.getMessage.contains("fresh artifact dir"))
   }
 }
