@@ -1603,13 +1603,27 @@ object Dedup {
     val ik = increment.select(col("doc_id"),
       md5(normText(col("text"))).as("content_key"))
     val screened = bloomScreen(ik, bloomBits(ck, mbits, khash), mbits, khash)
-    val seen = ck.distinct().withColumn("exact_seen", lit(true))
-    screened.join(broadcast(seen), Seq("content_key"), "left")
+    screened.join(broadcast(confirmedOf(screened, ck)),
+        Seq("content_key"), "left")
       .select(col("doc_id"), col("maybe_seen"),
         coalesce(col("exact_seen"), lit(false)).as("exact_seen"),
         (col("maybe_seen") &&
           !coalesce(col("exact_seen"), lit(false))).as("false_pos"))
   }
+
+  /** Confirm the screen's SUSPECTS against the corpus keys — the
+    * exactness step shaped for scale: `exact_seen` is knowably false
+    * for every definitely-new row (no false negatives), so only the
+    * maybe_seen keys — |true dups| + the sized-for FP sliver of the
+    * increment — need checking, BROADCAST against ONE map pass over
+    * the corpus key column. The corpus never shuffles and is never the
+    * broadcast side (a corpus-sized broadcast is exactly the thing a
+    * 10^8-key audit cannot do). */
+  private def confirmedOf(screened: DataFrame, ck: DataFrame): DataFrame =
+    ck.join(broadcast(
+        screened.where(col("maybe_seen")).select("content_key").distinct()),
+        Seq("content_key"), "left_semi")
+      .distinct().withColumn("exact_seen", lit(true))
 
   /** Observability for a Bloom frame: set-bit count, fill ratio, the
     * standard cardinality estimate n̂ = −(m/k)·ln(1 − fill) (the
@@ -1704,13 +1718,52 @@ object Dedup {
       md5(normText(col("text"))).as("content_key"))
     val screened = shardedBloomScreen(ik,
       shardedBloomBits(ck, shards, mbits, khash), shards, mbits, khash)
-    val seen = ck.distinct().withColumn("exact_seen", lit(true))
-    screened.join(broadcast(seen), Seq("content_key"), "left")
+    screened.join(broadcast(confirmedOf(screened, ck)),
+        Seq("content_key"), "left")
       .select(col("doc_id"), col("maybe_seen"),
         coalesce(col("exact_seen"), lit(false)).as("exact_seen"),
         (col("maybe_seen") &&
           !coalesce(col("exact_seen"), lit(false))).as("false_pos"))
   }
+
+  /** BLOOM-ACCELERATED exact dedup (x101) — the composition the screen
+    * exists for, delivered as one operator: the increment's final
+    * new-vs-duplicate verdict with EXACTLY the anti-join's contract
+    * (the oracle below never mentions the filter — false positives are
+    * weeded by the confirm, false negatives don't exist, so the bloom
+    * is invisible in the OUTPUT) while shaping the PLAN the way a
+    * 100 TB ingest must run: definitely-new rows never touch the
+    * corpus at all, and the maybe_seen suspects confirm broadcast
+    * against one map pass over the corpus key column
+    * ([[confirmedOf]]). The whole increment-vs-corpus anti-join — the
+    * shuffle of 10^11 stored keys per crawl batch — is replaced by a
+    * ~10·n-bit frame read plus a suspect set the size of the true
+    * duplication rate. */
+  def bloomAcceleratedDedup(corpus: DataFrame, increment: DataFrame,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
+    val ck = corpus.select(md5(normText(col("text"))).as("content_key"))
+    val ik = increment.select(col("doc_id"),
+      md5(normText(col("text"))).as("content_key"))
+    val screened = bloomScreen(ik, bloomBits(ck, mbits, khash), mbits, khash)
+    screened.join(broadcast(confirmedOf(screened, ck)),
+        Seq("content_key"), "left")
+      .select(col("doc_id"),
+        (!coalesce(col("exact_seen"), lit(false))).as("is_new"))
+  }
+
+  /** [[bloomAcceleratedDedup]] oracle — the plain exact anti-join
+    * semantics, no bloom anywhere: the operator's contract IS
+    * exactness; the filter only shapes the plan. */
+  def bloomAcceleratedDedupSql(corpusPred: String, incSql: String): String =
+    s"""WITH ck AS (
+       |  SELECT md5(${normTextSql("text")}) AS k
+       |  FROM documents WHERE $corpusPred
+       |), ikraw AS (
+       |$incSql
+       |)
+       |SELECT doc_id,
+       |  (md5(${normTextSql("text")}) NOT IN (SELECT k FROM ck)) AS is_new
+       |FROM ikraw""".stripMargin
 
   /** [[ingestScreenSharded]] oracle — [[ingestScreenSql]] with the
     * shard id carried through build and lookup. */

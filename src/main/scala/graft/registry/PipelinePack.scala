@@ -731,6 +731,22 @@ object PipelinePack extends QueryPack {
         shards = 4, mbits = 1 << 14)
         .orderBy("doc_id")
     }),
+    // the COMPOSITION the screen exists for: the increment's final
+    // new-vs-dup verdict with exactly the anti-join's contract (the
+    // oracle never mentions the filter) while the plan runs the 100 TB
+    // shape — definitely-new rows never touch the corpus; only the
+    // maybe_seen suspects confirm, broadcast against one corpus map
+    // pass
+    "x101_bloom_dedup" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val inc = d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 3 =!= 0 &&
+            col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.bloomAcceleratedDedup(d.where(col("doc_id") % 3 =!= 0), inc)
+        .orderBy("doc_id")
+    }),
     // the SNAPSHOT ingest screen: the deployment handle's own filter
     // (derived from its dh fingerprint frame, sized adaptively from
     // the corpus count) gate-checked end-to-end — half the increment
@@ -1683,6 +1699,13 @@ object PipelinePack extends QueryPack {
     "x1_exact_dedup" -> (Dedup.exactDedupSql + "\nORDER BY doc_id"),
     "x98_bloom_screen" ->
       (Dedup.ingestScreenSql("doc_id % 3 != 0",
+        """  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin) +
+        "\nORDER BY doc_id"),
+    "x101_bloom_dedup" ->
+      (Dedup.bloomAcceleratedDedupSql("doc_id % 3 != 0",
         """  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
           |  UNION ALL
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents

@@ -1857,6 +1857,33 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         shards = 4, mbits = 1 << 14).count() <= 4L * (1 << 14) / 32)
   }
 
+  test("bloom-accelerated dedup: exactly the anti-join's verdicts, corpus never shuffled or broadcast") {
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val inc = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.orderBy("doc_id").limit(40)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val accel = Dedup.bloomAcceleratedDedup(corpus, inc)
+    // the CONTRACT: bloom-invisible — identical to the plain exact
+    // anti-join on every row, FPs weeded, planted dups caught
+    val ckeys = corpus.select(md5(TextOps.normText(col("text"))).as("k"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val want = inc.select(col("doc_id"),
+        md5(TextOps.normText(col("text"))).as("k")).collect()
+      .map(r => r.getLong(0) -> !ckeys.contains(r.getString(1))).toMap
+    val got = accel.collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === want, "accelerated dedup diverges from the exact anti-join")
+    assert(got.values.count(_ == false) >= 40, "planted dups missed; vacuous")
+    // the PLAN: every join broadcasts the SMALL side (bloom frame or
+    // suspect keys) — a SortMergeJoin here would mean the corpus or
+    // the increment got shuffled for the confirm, the cost the
+    // composition exists to avoid
+    val plan = accel.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"accelerated dedup shuffle-joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("bloom geometry: adaptive sizing is next-pow2 of 10 bits/key; screen never joins the corpus") {
     assert(Dedup.adaptiveBloomBits(0) == 1024)
     assert(Dedup.adaptiveBloomBits(100) == 1024)
