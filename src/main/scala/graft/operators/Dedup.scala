@@ -1521,9 +1521,25 @@ object Dedup {
     // one flat frame holds ~10^8 keys at 10 bits/key; beyond that,
     // shard the filter by a key prefix (each shard its own frame,
     // screened by an equi-join on the shard id) — same answer, no
-    // single bit array to outgrow
+    // single bit array to outgrow ([[adaptiveBloomGeometry]] derives
+    // both knobs at once)
     require(want <= (1L << 30), s"bloom over $n keys needs sharding")
     (java.lang.Long.highestOneBit(want - 1) << 1).toInt
+  }
+
+  /** The full geometry for `n` keys: the shard count that keeps each
+    * shard's array within [[adaptiveBloomBits]]' range (1 until ~10^8
+    * keys — where sharded ≡ flat row-for-row, spec-pinned), then the
+    * per-shard bits for the per-shard share. Callers that size from a
+    * count instead of picking constants ([[graft.serve.Retrieval
+    * .screenIngest]]) never hit the flat form's refusal. */
+  def adaptiveBloomGeometry(n: Long): (Int, Int) = {
+    val want = math.max(1L << 10, 10L * math.max(n, 1L))
+    var shards = (1L + (want - 1) / (1L << 30)).toInt
+    // the ceiling share can land ≤10 bits past the flat range at the
+    // boundary — bump until every shard's want fits (≤2 iterations)
+    while (10L * ((n + shards - 1) / shards) > (1L << 30)) shards += 1
+    (shards, adaptiveBloomBits((n + shards - 1) / shards))
   }
 
   /** Position of hash `i` of a content key in an `mbits`-bit Bloom

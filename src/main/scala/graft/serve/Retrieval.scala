@@ -148,8 +148,9 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * [[Retrieval.rebuild]], so it is ALWAYS the live corpus, deletes
     * included; deriving rather than persisting is what keeps a filter
     * that cannot un-set bits correct under deletes) and materialized on
-    * the handle: ≤ mbits/32 rows pinned, sized by [[graft.operators
-    * .Dedup.adaptiveBloomBits]] from the corpus count. One thin-column
+    * the handle: ≤ shards·mbits/32 rows pinned, geometry derived by
+    * [[graft.operators.Dedup.adaptiveBloomGeometry]] from the corpus
+    * count (one flat shard until ~10^8 docs). One thin-column
     * aggregate per handle, then every [[screenIngest]] call is
     * corpus-free. localCheckpoint, NOT cache(): a cached plan is keyed
     * by its canonicalized form, so after a [[Retrieval.rebuild]] the
@@ -157,16 +158,22 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * old handle's pre-rebuild cache entry and serve a stale filter —
     * the checkpoint's frozen lineage is keyed by RDD identity and
     * cannot alias across handles. */
-  private lazy val ingestBloom: (DataFrame, Int) = {
+  private lazy val ingestBloom: (DataFrame, Int, Int) = {
     require(new java.io.File(s"$dir/dh").isDirectory,
       s"$dir has no dh fingerprint frame (predates incremental " +
         "rebuild); publish once with build() to upgrade — serves not " +
         "reading it remain available meanwhile")
     val keys = serve.read.schema(Retrieval.DhSchema).parquet(s"$dir/dh")
       .select(col("dh").as("content_key"))
-    val mbits = graft.operators.Dedup.adaptiveBloomBits(keys.count())
+    // geometry fully derived from the count ([[graft.operators.Dedup
+    // .adaptiveBloomGeometry]]): shards stay 1 until ~10^8 docs —
+    // where the sharded form is row-identical to the flat one — and
+    // grow past it, so the handle never hits the flat form's refusal
+    val (shards, mbits) =
+      graft.operators.Dedup.adaptiveBloomGeometry(keys.count())
     (graft.operators.Dedup.materialize(
-      graft.operators.Dedup.bloomBits(keys, mbits), None), mbits)
+      graft.operators.Dedup.shardedBloomBits(keys, shards, mbits), None),
+      shards, mbits)
   }
 
   /** Ingest pre-screen ([[graft.operators.Dedup.ingestScreen]]'s
@@ -180,10 +187,10 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * against the cached broadcast-size bloom frame; the corpus is
     * never read. */
   def screenIngest(docs: DataFrame): DataFrame = {
-    val (bloom, mbits) = ingestBloom
-    graft.operators.Dedup.bloomScreen(
+    val (bloom, shards, mbits) = ingestBloom
+    graft.operators.Dedup.shardedBloomScreen(
       docs.select(col("doc_id"), md5(col("text")).as("content_key")),
-      bloom, mbits)
+      bloom, shards, mbits)
       .select("doc_id", "content_key", "maybe_seen")
   }
 

@@ -1891,6 +1891,18 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(Dedup.adaptiveBloomBits(1L << 20) == (1 << 24)) // 10*2^20 -> 2^24
     assertThrows[IllegalArgumentException](
       Dedup.adaptiveBloomBits(1L << 31)) // needs sharding, says so
+    // the full geometry: one flat shard up to the flat form's range,
+    // then shard counts that keep every per-shard array inside it
+    assert(Dedup.adaptiveBloomGeometry(500) == ((1, 8192)))
+    assert(Dedup.adaptiveBloomGeometry(1L << 26) == ((1, 1 << 30)))
+    for (n <- Seq(1L << 31, (1L << 31) - 1, 3L * (1L << 30), 1L << 37)) {
+      val (s9, m9) = Dedup.adaptiveBloomGeometry(n)
+      val perShard = (n + s9 - 1) / s9
+      assert(s9 > 1 && 10L * perShard <= (1L << 30),
+        s"n=$n: shard share past the flat range: ($s9, $m9)")
+      assert(m9 >= 32 && (m9 & (m9 - 1)) == 0 && m9 >= 10L * perShard / 2,
+        s"n=$n: bad per-shard bits: ($s9, $m9)")
+    }
     // the scale claim made of the plan: the screen's only join input
     // besides the increment is the bloom frame (bounded by mbits/32
     // rows) — the corpus reaches the plan ONLY through the one
