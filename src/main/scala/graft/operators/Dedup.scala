@@ -1548,7 +1548,11 @@ object Dedup {
     * DuckDB filter is bit-identical. Non-negative by construction (the
     * 32-bit value needs no pmod). */
   private def bloomPos(key: Column, i: Int, mbits: Int): Column =
-    conv(substring(md5(concat_ws(":", lit(i.toString), key)), 1, 8), 16, 10)
+    // concat, NOT concat_ws: a NULL key must hash to NULL positions
+    // (matching the oracle's '||', which null-propagates) — concat_ws
+    // silently DROPS the null and would hash every null-text doc to
+    // the phantom positions of "0:".."k-1:"
+    conv(substring(md5(concat(lit(s"$i:"), key)), 1, 8), 16, 10)
       .cast("long") % mbits
 
   private def bloomPosSql(key: String, i: String, mbits: Int): String =
@@ -1587,8 +1591,9 @@ object Dedup {
     * and DETERMINISTIC (same positions both engines — the gate
     * hash-checks them, not just the guarantee). Plan: khash lookup
     * rows per increment doc, equi-joined to the ≤ mbits/32-row bloom
-    * frame (broadcast at any practical size), then a partial-combining
-    * bool_and — the increment never joins the corpus. */
+    * frame (broadcast-hinted while provably small; planner-decided
+    * past that), then a partial-combining bool_and — the increment
+    * never joins the corpus. */
   def bloomScreen(increment: DataFrame, bloom: DataFrame,
       mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame =
     increment.select(col("doc_id"), col("content_key"),
@@ -1597,7 +1602,13 @@ object Dedup {
       .select(col("doc_id"), col("content_key"),
         expr("pos DIV 32").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("mask"))
-      .join(broadcast(bloom), Seq("word"), "left")
+      // broadcast only while the frame is provably small (≤2^23 bits =
+      // ≤256k word rows, ~4 MB): mbits legally reaches 2^30 (~33M word
+      // rows) where a FORCED broadcast is the wrong plan — past the
+      // cap the planner decides, the sharded-form rule applied to the
+      // flat path too
+      .join(if (mbits <= (1 << 23)) broadcast(bloom) else bloom,
+        Seq("word"), "left")
       .groupBy("doc_id", "content_key")
       .agg(expr("bool_and(coalesce(bits, CAST(0 AS BIGINT)) & mask <> 0)")
         .as("maybe_seen"))
@@ -1614,18 +1625,31 @@ object Dedup {
     * In production the exact twin is the SPOT-CHECK run at audit
     * cadence; the screen itself never touches the corpus. */
   def ingestScreen(corpus: DataFrame, increment: DataFrame,
-      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame =
+    screenJoinConfirmed(corpus, increment)((ik, ck) =>
+      bloomScreen(ik, bloomBits(ck, mbits, khash), mbits, khash))
+      .select(auditColumns: _*)
+
+  /** The ONE keying + screen + suspects-confirm skeleton behind
+    * [[ingestScreen]], [[ingestScreenSharded]], and
+    * [[bloomAcceleratedDedup]] — the three differ only in which screen
+    * runs and which columns project out, so the null-key handling and
+    * the confirm shape live in exactly one place. */
+  private def screenJoinConfirmed(corpus: DataFrame, increment: DataFrame)(
+      screen: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ck = corpus.select(md5(normText(col("text"))).as("content_key"))
     val ik = increment.select(col("doc_id"),
       md5(normText(col("text"))).as("content_key"))
-    val screened = bloomScreen(ik, bloomBits(ck, mbits, khash), mbits, khash)
+    val screened = screen(ik, ck)
     screened.join(broadcast(confirmedOf(screened, ck)),
-        Seq("content_key"), "left")
-      .select(col("doc_id"), col("maybe_seen"),
-        coalesce(col("exact_seen"), lit(false)).as("exact_seen"),
-        (col("maybe_seen") &&
-          !coalesce(col("exact_seen"), lit(false))).as("false_pos"))
+      Seq("content_key"), "left")
   }
+
+  private def auditColumns: Seq[Column] = Seq(
+    col("doc_id"), col("maybe_seen"),
+    coalesce(col("exact_seen"), lit(false)).as("exact_seen"),
+    (col("maybe_seen") &&
+      !coalesce(col("exact_seen"), lit(false))).as("false_pos"))
 
   /** Confirm the screen's SUSPECTS against the corpus keys — the
     * exactness step shaped for scale: `exact_seen` is knowably false
@@ -1651,23 +1675,39 @@ object Dedup {
       fillRatio: Double, estimatedKeys: Long, impliedFpRate: Double)
 
   /** Compute [[BloomStats]] from a stored `(word, bits)` frame — one
-    * bounded aggregate (≤ mbits/32 rows; `bit_count` per word, summed).
-    * A filter past HALF full is past re-indexing time: FP = fill^k
-    * compounds fast beyond it (0.5^5 ≈ 3%, 0.7^5 ≈ 17%), and bits
-    * cannot be un-set, so the fix is a fresh, larger (or sharded)
+    * bounded aggregate (≤ shards·mbits/32 rows; `bit_count` per word,
+    * summed). A filter past HALF full is past re-indexing time: FP =
+    * fill^k compounds fast beyond it (0.5^5 ≈ 3%, 0.7^5 ≈ 17%), and
+    * bits cannot be un-set, so the fix is a fresh, larger (or sharded)
     * artifact — the [[graft.serve.Retrieval]] cell-drift rule on the
-    * dedup axis. */
+    * dedup axis.
+    *
+    * `shards` scales the denominator for a [[shardedBloomBits]] frame
+    * (total capacity is shards·mbits); a frame that carries a `shard`
+    * column is CHECKED against the declared count — summing a 4-shard
+    * frame against one shard's capacity would overstate fill ~4× and
+    * fire the half-full rule spuriously. */
   def bloomStats(bloom: DataFrame, mbits: Int = BloomMBits,
-      khash: Int = BloomHashes): BloomStats = {
+      khash: Int = BloomHashes, shards: Int = 1): BloomStats = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    if (bloom.columns.contains("shard")) {
+      val hi = bloom.agg(max("shard")).collect()(0)
+      require(hi.isNullAt(0) || hi.getLong(0) < shards,
+        s"frame holds shard ids up to ${hi.get(0)} but stats were asked " +
+          s"for $shards shard(s) — fill would overstate and the " +
+          "half-full rule would fire spuriously")
+    } else require(shards == 1,
+      s"shards=$shards declared but the frame has no shard column")
     val set = bloom.agg(sum(expr("bit_count(bits)"))).collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)
     }
-    val fill = set.toDouble / mbits
+    val capacity = shards.toLong * mbits
+    val fill = set.toDouble / capacity
     val est =
       if (set == 0L) 0L
       else if (fill >= 1.0) Long.MaxValue
-      else math.round(-(mbits.toDouble / khash) * math.log1p(-fill))
+      else math.round(-(capacity.toDouble / khash) * math.log1p(-fill))
     BloomStats(mbits, khash, set, fill, est, math.pow(fill, khash))
   }
 
@@ -1675,7 +1715,7 @@ object Dedup {
     * distinct namespace ("s:key") so shard routing is independent of
     * every bit position. */
   private def bloomShard(key: Column, shards: Int): Column =
-    conv(substring(md5(concat_ws(":", lit("s"), key)), 1, 8), 16, 10)
+    conv(substring(md5(concat(lit("s:"), key)), 1, 8), 16, 10)
       .cast("long") % shards
 
   private def bloomShardSql(key: String, shards: Int): String =
@@ -1728,19 +1768,11 @@ object Dedup {
     * (maybe_seen / exact_seen / false_pos), the filter sharded. */
   def ingestScreenSharded(corpus: DataFrame, increment: DataFrame,
       shards: Int, mbits: Int = BloomMBits,
-      khash: Int = BloomHashes): DataFrame = {
-    val ck = corpus.select(md5(normText(col("text"))).as("content_key"))
-    val ik = increment.select(col("doc_id"),
-      md5(normText(col("text"))).as("content_key"))
-    val screened = shardedBloomScreen(ik,
-      shardedBloomBits(ck, shards, mbits, khash), shards, mbits, khash)
-    screened.join(broadcast(confirmedOf(screened, ck)),
-        Seq("content_key"), "left")
-      .select(col("doc_id"), col("maybe_seen"),
-        coalesce(col("exact_seen"), lit(false)).as("exact_seen"),
-        (col("maybe_seen") &&
-          !coalesce(col("exact_seen"), lit(false))).as("false_pos"))
-  }
+      khash: Int = BloomHashes): DataFrame =
+    screenJoinConfirmed(corpus, increment)((ik, ck) =>
+      shardedBloomScreen(ik, shardedBloomBits(ck, shards, mbits, khash),
+        shards, mbits, khash))
+      .select(auditColumns: _*)
 
   /** BLOOM-ACCELERATED exact dedup (x101) — the composition the screen
     * exists for, delivered as one operator: the increment's final
@@ -1756,16 +1788,11 @@ object Dedup {
     * ~10·n-bit frame read plus a suspect set the size of the true
     * duplication rate. */
   def bloomAcceleratedDedup(corpus: DataFrame, increment: DataFrame,
-      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
-    val ck = corpus.select(md5(normText(col("text"))).as("content_key"))
-    val ik = increment.select(col("doc_id"),
-      md5(normText(col("text"))).as("content_key"))
-    val screened = bloomScreen(ik, bloomBits(ck, mbits, khash), mbits, khash)
-    screened.join(broadcast(confirmedOf(screened, ck)),
-        Seq("content_key"), "left")
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame =
+    screenJoinConfirmed(corpus, increment)((ik, ck) =>
+      bloomScreen(ik, bloomBits(ck, mbits, khash), mbits, khash))
       .select(col("doc_id"),
         (!coalesce(col("exact_seen"), lit(false))).as("is_new"))
-  }
 
   /** [[bloomAcceleratedDedup]] oracle — the plain exact anti-join
     * semantics, no bloom anywhere: the operator's contract IS

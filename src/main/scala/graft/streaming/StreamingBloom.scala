@@ -146,15 +146,43 @@ class StreamingBloom(artifactDir: String, outDir: String,
     val v = verdicts(spark).getOrElse(
       throw new IllegalStateException(
         s"$outDir holds no verdicts; nothing to rebuild from"))
-    require(!new java.io.File(s"$newArtifactDir/bloom").isDirectory,
+    def hasSlices(root: String): Boolean = {
+      val fs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
+      fs.exists(_.getName.startsWith("gbatch="))
+    }
+    require(!hasSlices(s"$newArtifactDir/bloom"),
       s"$newArtifactDir already holds bloom slices — rebuild targets a " +
         "fresh artifact dir (the pinned-geometry fresh-dir convention)")
+    require(!hasSlices(newOutDir),
+      s"$newOutDir already holds verdict slices — the new generation's " +
+        "batch ids restart at 0 and would overwrite them, corrupting the " +
+        "very history a future rebuild folds from; give it a fresh " +
+        "verdict dir too")
     val next = new StreamingBloom(newArtifactDir, newOutDir,
       newMbits, newKhash)
-    Dedup.bloomBits(v.where(col("accepted")).select("content_key"),
-        newMbits, newKhash)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(s"$newArtifactDir/bloom/gbatch=-1")
+    val accepted = v.where(col("accepted"))
+    // 1) the accepted keys ride forward as an inherited VERDICT slice,
+    //    not just as bits: bits are one-way, so without this a SECOND
+    //    rebuild (gen-2 → gen-3) would fold only gen-2's verdicts and
+    //    silently drop gen-1's keys — a false-negative factory.
+    //    Overwrite = retry-safe.
+    accepted.select(col("doc_id"), col("content_key"),
+        lit(false).as("maybe_seen"), lit(true).as("accepted"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$newOutDir/gbatch=-1")
+    // 2) the inherited BITS stage into a dot-dir and move into place
+    //    LAST, atomically — the bloom slice is the commit point the
+    //    fresh-dir guard reads, so a crash anywhere earlier leaves a
+    //    retryable target (rerun overwrites the verdict slice and
+    //    re-stages), never a half-inherited live artifact
+    val stage = new java.io.File(newArtifactDir,
+      s".init-${System.nanoTime()}")
+    Dedup.bloomBits(accepted.select("content_key"), newMbits, newKhash)
+      .write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    val target = java.nio.file.Paths.get(newArtifactDir, "bloom",
+      "gbatch=-1")
+    java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.move(stage.toPath, target,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     next
   }
 

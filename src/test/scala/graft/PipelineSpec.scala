@@ -1825,6 +1825,14 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     // empty frame: zero everything, no throw
     val zero = Dedup.bloomStats(Dedup.bloomBits(keys.limit(0)))
     assert(zero.setBits == 0L && zero.estimatedKeys == 0L)
+    // sharded frame: capacity scales by the DECLARED shard count, and
+    // an undeclared one refuses instead of overstating fill ~shards×
+    // (which would fire the half-full rule spuriously)
+    val sh = Dedup.shardedBloomBits(keys, shards = 4)
+    val st4 = Dedup.bloomStats(sh, shards = 4)
+    assert(math.abs(st4.estimatedKeys - n) <= math.max(0.1 * n, 3),
+      s"sharded estimate ${st4.estimatedKeys} vs $n")
+    assertThrows[IllegalArgumentException](Dedup.bloomStats(sh))
   }
 
   test("sharded bloom: shards=1 is the flat filter exactly; sharded verdicts keep the guarantee") {

@@ -1640,21 +1640,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // the verdicts alone (the filter holds no keys; the verdicts do).
     // The inherited fold lands at gbatch=-1, so the new stream's batch
     // 0 already screens against the full history.
+    val outDirN = tmp("sbloom-outN").toString
     val next = sb.rebuildInto(spark, tmp("sbloom-art2").toString,
-      tmp("sbloom-outN").toString, newMbits = Dedup.BloomMBits * 2)
+      outDirN, newMbits = Dedup.BloomMBits * 2)
     val (bst2, resize2) = next.stats(spark).get
     assert(bst2.mbits == Dedup.BloomMBits * 2 && !resize2)
     assert(math.abs(bst2.estimatedKeys - nAccepted) <=
       math.max(0.1 * nAccepted, 3),
       s"rebuilt estimate ${bst2.estimatedKeys} vs $nAccepted")
     next.screenBatch(docsAll.where(col("doc_id") < 30), 0L)
-    val reVerd = next.verdicts(spark).get.collect()
+    val reVerd = spark.read.parquet(outDirN)
+      .where(col("gbatch") === 0).collect()
     assert(reVerd.length == 30 && reVerd.forall(_.getBoolean(2)),
       "rebuilt filter lost accepted history (batch 0 cannot see gbatch=-1)")
-    // a live target refuses — re-screening into existing slices would
-    // double-count their history
+    // gen-2 → gen-3: the inherited VERDICT slice (not just the bits,
+    // which are one-way) must carry gen-1's accepted keys through a
+    // SECOND rebuild — dropping them here would re-accept a re-crawl
+    // of gen-1 content as new
+    val out3 = tmp("sbloom-out3").toString
+    val next3 = next.rebuildInto(spark, tmp("sbloom-art3").toString, out3)
+    next3.screenBatch(docsAll.where(col("doc_id") < 30), 0L)
+    val gen3 = spark.read.parquet(out3)
+      .where(col("gbatch") === 0).collect()
+    assert(gen3.length == 30 && gen3.forall(_.getBoolean(2)),
+      "second rebuild dropped gen-1 accepted history")
+    // live targets refuse — re-screening into existing slices would
+    // double-count (artifact) or overwrite (verdict) their history
     val e2 = intercept[IllegalArgumentException](
       sb.rebuildInto(spark, artDir, tmp("sbloom-outX").toString))
     assert(e2.getMessage.contains("fresh artifact dir"))
+    val e3 = intercept[IllegalArgumentException](
+      sb.rebuildInto(spark, tmp("sbloom-artY").toString, outDirN))
+    assert(e3.getMessage.contains("fresh verdict dir"))
   }
 }
