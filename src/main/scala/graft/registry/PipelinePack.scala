@@ -670,10 +670,6 @@ object PipelinePack extends QueryPack {
       retrievalFor(s, dir).searchBpeChunks(Bm25Queries, 5,
         refine = Some(VectorOps.RefineShortlist))
         .orderBy("query_id", "rn")),
-    // filtered AND refined at the BPE meter — the tenant-scoped
-    // model-context RAG query, completing the chunk-serve matrix
-    // (x86/x89 are its whitespace twins): allowed ids restrict both
-    // halves before their ranks, composing with the partition prune
     // the STREAMED twin of x92: the same production BPE chunk query
     // served from a stream-accumulated sliced artifact (three
     // micro-batches + compaction) under the snapshot's fixed constants
@@ -685,6 +681,10 @@ object PipelinePack extends QueryPack {
           refine = Some(VectorOps.RefineShortlist))
         .getOrElse(sys.error("streamed BPE artifact empty"))
         .orderBy("query_id", "rn")),
+    // filtered AND refined at the BPE meter — the tenant-scoped
+    // model-context RAG query, completing the chunk-serve matrix
+    // (x86/x89 are its whitespace twins): allowed ids restrict both
+    // halves before their ranks, composing with the partition prune
     "x93_bpe_chunk_filtered" -> ((s, dir) =>
       retrievalFor(s, dir).searchBpeChunksFiltered(Bm25Queries,
         Tables.documents(s, dir).select("doc_id")

@@ -570,50 +570,68 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       recallFloor: Double = 0.0,
       servePointFloor: Option[Double] = None): Retrieval.MaintenanceReport = {
     def frameDir(f: String) = new java.io.File(s"$dir/$f").isDirectory
-    // when serve-point selection is requested the meter runs the FULL
-    // (nprobe × refine) grid once — the shipped-point numbers read off
-    // the same frame, and the cheapest qualifying point comes from it;
-    // otherwise only the shipped grid point is priced (the cadence
-    // default)
-    val (nps, rs) = servePointFloor match {
-      case Some(_) => (VectorOps.CurveNprobes, VectorOps.CurveRefines)
-      case None => (Seq(2), Seq(VectorOps.RefineShortlist))
-    }
-    def meter(bpe: Boolean, families: Seq[String]): DataFrame =
-      measureRecall(queryIds, k, nprobes = nps, refines = rs,
-        bpeWindows = bpe, families = families)
+    // the shipped refine point, floored at k: recallCurveFrom requires
+    // every r >= k, so a k above RefineShortlist degenerates the
+    // shipped point to r = k instead of throwing mid-runbook
+    val rShip = math.max(k, VectorOps.RefineShortlist)
     def shipped(curve: Array[org.apache.spark.sql.Row]): Map[String, Double] =
       curve.filter(r => r.getInt(r.fieldIndex("nprobe")) == 2 &&
-          (r.getInt(r.fieldIndex("r")) == VectorOps.RefineShortlist ||
+          (r.getInt(r.fieldIndex("r")) == rShip ||
             r.getInt(r.fieldIndex("r")) == 0))
         .map(r => r.getString(r.fieldIndex("method")) ->
           r.getDouble(r.fieldIndex("recall"))).toMap
     val compacted = compact(maxFilesPerPartition) // heals asides first
     // meter only the families whose frames this snapshot holds (the
     // per-frame availability rule: a pre-chunk snapshot keeps the heal
-    // + compact steps and its doc meter); the whitespace pass carries
-    // the doc family, the BPE pass is CHUNK-ONLY — the brute doc
-    // baseline computes exactly once per maintain() call
+    // + compact steps and its doc meter), and widen to the full
+    // (nprobe × refine) grid ONLY for the doc family and only under a
+    // floor — the serve-point selector reads doc_refine rows alone, so
+    // grid-metering the chunk windows would price 16 points to consume
+    // 2. Each family's brute baseline computes exactly once either way.
     val hasChunk = frameDir("cindex") && frameDir("cemb")
-    val wsFams = Seq("doc") ++ (if (hasChunk) Seq("chunk") else Nil)
-    val wsCurve = meter(bpe = false, wsFams).collect()
-    val ws = shipped(wsCurve)
+    val (docCurve, chunkCurve) = servePointFloor match {
+      case Some(_) =>
+        // refines below k would throw in the meter; k past the widest
+        // grid value collapses the refine axis to rShip alone
+        val rsW = (VectorOps.CurveRefines.filter(_ >= k) :+ rShip).distinct
+        val dc = measureRecall(queryIds, k,
+          nprobes = VectorOps.CurveNprobes, refines = rsW,
+          bpeWindows = false, families = Seq("doc")).collect()
+        val cc =
+          if (hasChunk) measureRecall(queryIds, k, nprobes = Seq(2),
+            refines = Seq(rShip), bpeWindows = false,
+            families = Seq("chunk")).collect()
+          else Array.empty[org.apache.spark.sql.Row]
+        (dc, cc)
+      case None =>
+        val fams = Seq("doc") ++ (if (hasChunk) Seq("chunk") else Nil)
+        val c = measureRecall(queryIds, k, nprobes = Seq(2),
+          refines = Seq(rShip), bpeWindows = false, families = fams)
+          .collect()
+        (c, c)
+    }
+    val ws = shipped(docCurve) ++ shipped(chunkCurve)
     val bpeChunk =
       if (frameDir("bcindex") && frameDir("bcemb"))
-        Some(shipped(meter(bpe = true, Seq("chunk")).collect())("chunk_refine"))
+        Some(shipped(measureRecall(queryIds, k, nprobes = Seq(2),
+          refines = Seq(rShip), bpeWindows = true,
+          families = Seq("chunk")).collect())("chunk_refine"))
       else None
     val doc = ws("doc_refine")
     val chunk = if (hasChunk) Some(ws("chunk_refine")) else None
+    // the emb count feeds BOTH the serve-point cost model and the
+    // cell-drift check — one metadata count job, not two
+    val liveVectors = emb.count()
     // cheapest grid point meeting the serve floor, from the SAME
     // measured rows (the doc-refine family — the primary serve the
     // shipped defaults are justified against)
     val servePoint = servePointFloor.flatMap { floor =>
       Retrieval.cheapestServePointOf(
-        wsCurve.toSeq.map(r => (r.getString(r.fieldIndex("method")),
+        docCurve.toSeq.map(r => (r.getString(r.fieldIndex("method")),
           r.getInt(r.fieldIndex("nprobe")), r.getInt(r.fieldIndex("r")),
           r.getDouble(r.fieldIndex("recall")))),
         "doc_refine", floor,
-        corpusN = emb.count(), cells = cents.size)
+        corpusN = liveVectors, cells = cents.size)
     }
     // cell-count drift: the trained codebook sized cells ≈ √n for the
     // corpus it was trained on ([[Retrieval.build]]'s adaptive sizing);
@@ -625,10 +643,18 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     // land back on the trained count (tiny corpora at the 16-cell
     // floor) recommend nothing.
     val trainedCells = cents.size
-    val liveVectors = emb.count()
     val recommendedCells = VectorOps.adaptiveCells(liveVectors)
     val k2 = trainedCells.toLong * trainedCells
-    val cellDrift =
+    // an operator-PINNED cell count (build/retrain's explicit `cells`
+    // — a deployment tuned against its own x94 sweep) suppresses the
+    // drift nag: the √n shape is the default the override deliberately
+    // declined, and there is nothing to recommend back. The pin rides
+    // the snapshot (cellspinned.txt, written per publish), so a later
+    // adaptive retrain clears it. Pinned CODEBOOKS still drift-check:
+    // outgrowing them is the scenario retrain exists for.
+    val cellsPinned =
+      new java.io.File(dir, Retrieval.CellsPinnedFile).exists()
+    val cellDrift = !cellsPinned &&
       (liveVectors >= 4L * k2 || 4L * liveVectors <= k2) &&
         recommendedCells != trainedCells
     Retrieval.MaintenanceReport(compacted, doc, chunk, bpeChunk,
@@ -639,7 +665,8 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       trainedCells = trainedCells,
       liveVectors = liveVectors,
       recommendedCells = recommendedCells,
-      cellMigrationRecommended = cellDrift)
+      cellMigrationRecommended = cellDrift,
+      cellsPinned = cellsPinned)
   }
 
   /** BPE-window chunk-DENSE top-k — [[chunkDenseTopK]] over the v6
@@ -789,7 +816,8 @@ object Retrieval {
       trainedCells: Int = 0,
       liveVectors: Long = 0L,
       recommendedCells: Int = 0,
-      cellMigrationRecommended: Boolean = false)
+      cellMigrationRecommended: Boolean = false,
+      cellsPinned: Boolean = false)
 
   /** One measured serve setting and its cost under the serve-read
     * model: `bytesPerQuery` = ADC codes scanned (nprobe/cells of the
@@ -972,6 +1000,16 @@ object Retrieval {
     * [[build]] beside the codebooks, consulted by [[rebuild]] and
     * [[retrain]] before any chunk-frame merge. */
   private val CembSourceFile = "cembsource.txt"
+
+  /** Marker recording that this publish's cell count was OPERATOR-
+    * CHOSEN (explicit `cells`) rather than adaptive —
+    * [[Retrieval!.maintain]] reads it to suppress the cell-drift
+    * recommendation the override deliberately declined. Pinned
+    * codebooks do NOT write it: they pin codes for comparability, and
+    * outgrowing them is the drift the check exists to surface.
+    * Per-publish: an adaptive retrain rewrites the whole snapshot dir
+    * without it, clearing the pin. */
+  private[serve] val CellsPinnedFile = "cellspinned.txt"
   private val CembExternal = "external"
   private val CembDerived = "derived"
 
@@ -1111,6 +1149,17 @@ object Retrieval {
     java.nio.file.Files.writeString(
       staged.toPath.resolve(CembSourceFile),
       if (chunkEmb.isDefined) CembExternal else CembDerived)
+    // cell-count provenance: an explicit count is an operator's
+    // deliberate tuning decision (their own x94 sweep) that
+    // maintain()'s drift check must not nag against. Pinned CODEBOOKS
+    // deliberately do NOT pin: they are a code-comparability choice,
+    // and outgrowing them is exactly the drift the check exists to
+    // surface ([[retrain]]'s scaladoc).
+    if (cells.isDefined) {
+      java.nio.file.Files.writeString(
+        staged.toPath.resolve(CellsPinnedFile), "pinned")
+      ()
+    }
     VectorOps.ivfPqIndex(embeddings, cents, books, residual = true)
       .write.partitionBy("cell").mode(SaveMode.Overwrite)
       .parquet(s"$staged/index")

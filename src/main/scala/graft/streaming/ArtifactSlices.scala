@@ -118,7 +118,11 @@ private[streaming] object SlicedArtifact {
     val f = java.nio.file.Paths.get(root, fileName)
     if (!java.nio.file.Files.exists(f)) {
       java.nio.file.Files.createDirectories(f.getParent)
-      val tmp = f.resolveSibling(s".$fileName.tmp-${System.nanoTime()}")
+      // nanoTime alone can collide across concurrent first-opens (a
+      // shared tmp inode would let the loser rewrite the winner's
+      // already-linked content) — the thread id disambiguates
+      val tmp = f.resolveSibling(s".$fileName.tmp-${System.nanoTime()}" +
+        s"-${Thread.currentThread().getId}")
       java.nio.file.Files.writeString(tmp, digest)
       try java.nio.file.Files.createLink(f, tmp)
       catch {
@@ -139,7 +143,10 @@ private[streaming] object SlicedArtifact {
       s"artifact at $root was written under different $what (stored " +
         s"constants digest $stored, this handle $digest) — reopening " +
         "would mix generations across slices; re-index into a fresh " +
-        "artifact dir to change them")
+        "artifact dir to change them. (A pin written by a PRE-UPGRADE " +
+        "digest scheme reports the same way: after confirming the " +
+        "constants are in fact unchanged, delete the file to re-pin " +
+        "under the current scheme.)")
   }
 
   /** A labeled, shape-prefixed constant group for [[pinConstants]]:

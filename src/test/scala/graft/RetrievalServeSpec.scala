@@ -1204,6 +1204,29 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
         codebooks = Some((cents4, books4)), cells = Some(8))
     }
     assert(ex.getMessage.contains("not both"), s"wrong failure: $ex")
+    // an EXPLICIT cell count is an operator decision: 500 vectors on
+    // an 8-cell snapshot is ≥4× past k²=64, but the pin suppresses the
+    // nag the override deliberately declined (pinned CODEBOOKS — h4
+    // above — still drift-check: outgrowing them is what retrain is
+    // for). An adaptive retrain clears the pin with the snapshot dir.
+    val rep8 = h8.maintain(qids, 3)
+    assert(rep8.cellsPinned && !rep8.cellMigrationRecommended,
+      s"pinned cells nagged: $rep8")
+    val hr8 = Retrieval.retrain(docs, emb, s"$root/snap8")
+    val repr8 = hr8.maintain(qids, 3)
+    assert(hr8.cents.size === 22 && !repr8.cellsPinned)
+  }
+
+  test("maintain with a serve-point floor survives k between the grid refines; chunk meters stay at the shipped point") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mfloor").toString
+    val h = Retrieval.build(docs, emb, s"$root/snap")
+    // k=15 sits between CurveRefines' 10 and 20 — the wide grid must
+    // drop the sub-k refine instead of tripping recallCurveFrom's
+    // r >= k requirement mid-runbook (after compact already ran)
+    val rep = h.maintain((0L until 4L).toSeq, 15,
+      servePointFloor = Some(0.0))
+    assert(rep.servePoint.isDefined, "floor 0.0 must always pick a point")
+    assert(rep.docRefineRecall >= 0.0 && rep.chunkRefineRecall.isDefined)
   }
 
   test("per-frame chunk guard: a snapshot missing only cemb still serves every non-refine chunk query") {
