@@ -117,7 +117,12 @@ class StreamingBloom(artifactDir: String, outDir: String,
     }
   }
 
-  /** All verdicts written so far. */
+  /** All verdicts written so far — including, on a [[rebuildInto]]
+    * target, the inherited `gbatch=-1` slice carrying every PRIOR
+    * generation's accepted keys (maybe_seen = false, accepted = true):
+    * the verdict chain is the filter's only key-level record, so it
+    * must survive resizes end-to-end or a later rebuild would drop
+    * history. */
   def verdicts(spark: SparkSession): Option[DataFrame] = {
     val d = new java.io.File(outDir)
     if (!d.isDirectory) None
