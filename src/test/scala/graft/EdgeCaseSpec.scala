@@ -451,5 +451,21 @@ class EdgeCaseSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](
       Dedup.bloomBits(inc.select(md5(col("text")).as("content_key")),
         khash = 0))
+    // null text: the key is NULL and every position null-propagates
+    // (concat, not concat_ws — a dropped null would hash to phantom
+    // "0:".."k-1:" positions shared by EVERY null doc). The null doc
+    // neither throws, nor pollutes the filter, nor ever reads as an
+    // exact dup of another null doc.
+    val withNull = inc.unionByName(
+      Seq((99L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val r3 = Dedup.ingestScreen(withNull, withNull).collect()
+    assert(r3.length == 6)
+    val nullRow = r3.find(_.getLong(0) == 99L).get
+    assert(nullRow.isNullAt(1) || !nullRow.getBoolean(1),
+      s"null-text doc read as seen: $nullRow")
+    assert(!nullRow.getBoolean(2), "null-text doc confirmed as exact dup")
+    // and the filter over the null-carrying corpus still behaves for
+    // the real docs
+    assert(r3.filter(_.getLong(0) != 99L).forall(_.getBoolean(1)))
   }
 }
