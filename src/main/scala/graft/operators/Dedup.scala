@@ -1692,7 +1692,11 @@ object Dedup {
     require(shards >= 1, s"shards must be >= 1: $shards")
     if (bloom.columns.contains("shard")) {
       val hi = bloom.agg(max("shard")).collect()(0)
-      require(hi.isNullAt(0) || hi.getLong(0) < shards,
+      // getAs[Number]: a partitionBy("shard") round trip infers the
+      // column as INT where the builder writes LONG — both are legal
+      // stored frames and must not ClassCastException the stats call
+      require(hi.isNullAt(0) ||
+          hi.getAs[Number](0).longValue() < shards,
         s"frame holds shard ids up to ${hi.get(0)} but stats were asked " +
           s"for $shards shard(s) — fill would overstate and the " +
           "half-full rule would fire spuriously")
@@ -1796,7 +1800,11 @@ object Dedup {
 
   /** [[bloomAcceleratedDedup]] oracle — the plain exact anti-join
     * semantics, no bloom anywhere: the operator's contract IS
-    * exactness; the filter only shapes the plan. */
+    * exactness; the filter only shapes the plan. NOT EXISTS, never
+    * NOT IN: a null key (null-text doc) in either frame would
+    * null-propagate NOT IN's answer — for a null CORPUS key, for EVERY
+    * increment row — where anti-join semantics (and the operator's
+    * coalesce) say "kept, is_new = true". */
   def bloomAcceleratedDedupSql(corpusPred: String, incSql: String): String =
     s"""WITH ck AS (
        |  SELECT md5(${normTextSql("text")}) AS k
@@ -1805,7 +1813,8 @@ object Dedup {
        |$incSql
        |)
        |SELECT doc_id,
-       |  (md5(${normTextSql("text")}) NOT IN (SELECT k FROM ck)) AS is_new
+       |  NOT EXISTS (SELECT 1 FROM ck
+       |    WHERE ck.k = md5(${normTextSql("text")})) AS is_new
        |FROM ikraw""".stripMargin
 
   /** [[ingestScreenSharded]] oracle — [[ingestScreenSql]] with the
@@ -1843,8 +1852,9 @@ object Dedup {
        |  GROUP BY doc_id, k
        |)
        |SELECT s.doc_id, s.maybe_seen,
-       |  (s.k IN (SELECT k FROM ck)) AS exact_seen,
-       |  (s.maybe_seen AND s.k NOT IN (SELECT k FROM ck)) AS false_pos
+       |  EXISTS (SELECT 1 FROM ck WHERE ck.k = s.k) AS exact_seen,
+       |  (s.maybe_seen AND
+       |    NOT EXISTS (SELECT 1 FROM ck WHERE ck.k = s.k)) AS false_pos
        |FROM screened s""".stripMargin
 
   /** [[adaptiveBloomBits]] in SQL — identical integer arithmetic:
@@ -1931,7 +1941,8 @@ object Dedup {
        |  GROUP BY doc_id, k
        |)
        |SELECT s.doc_id, s.maybe_seen,
-       |  (s.k IN (SELECT k FROM ck)) AS exact_seen,
-       |  (s.maybe_seen AND s.k NOT IN (SELECT k FROM ck)) AS false_pos
+       |  EXISTS (SELECT 1 FROM ck WHERE ck.k = s.k) AS exact_seen,
+       |  (s.maybe_seen AND
+       |    NOT EXISTS (SELECT 1 FROM ck WHERE ck.k = s.k)) AS false_pos
        |FROM screened s""".stripMargin
 }

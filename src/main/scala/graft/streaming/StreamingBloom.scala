@@ -151,14 +151,20 @@ class StreamingBloom(artifactDir: String, outDir: String,
     val v = verdicts(spark).getOrElse(
       throw new IllegalStateException(
         s"$outDir holds no verdicts; nothing to rebuild from"))
-    def hasSlices(root: String): Boolean = {
-      val fs = Option(new java.io.File(root).listFiles()).getOrElse(Array())
-      fs.exists(_.getName.startsWith("gbatch="))
-    }
-    require(!hasSlices(s"$newArtifactDir/bloom"),
+    def slices(root: String): Seq[String] =
+      Option(new java.io.File(root).listFiles()).getOrElse(Array())
+        .map(_.getName).filter(_.startsWith("gbatch=")).toSeq
+    // the bloom slice is the COMMIT point (moved into place last), so
+    // ANY slice there — the inherited -1 included — means a completed
+    // rebuild already lives here and must not be double-counted
+    require(slices(s"$newArtifactDir/bloom").isEmpty,
       s"$newArtifactDir already holds bloom slices — rebuild targets a " +
         "fresh artifact dir (the pinned-geometry fresh-dir convention)")
-    require(!hasSlices(newOutDir),
+    // the verdict guard EXCLUDES gbatch=-1: that slice is the one this
+    // call writes (idempotent overwrite) BEFORE the commit point, so a
+    // crash between the two steps must leave a retryable target, not
+    // one refused on its own debris
+    require(!slices(newOutDir).exists(_ != "gbatch=-1"),
       s"$newOutDir already holds verdict slices — the new generation's " +
         "batch ids restart at 0 and would overwrite them, corrupting the " +
         "very history a future rebuild folds from; give it a fresh " +
@@ -179,8 +185,25 @@ class StreamingBloom(artifactDir: String, outDir: String,
     //    fresh-dir guard reads, so a crash anywhere earlier leaves a
     //    retryable target (rerun overwrites the verdict slice and
     //    re-stages), never a half-inherited live artifact
+    // stage name carries pid + thread id + nanos: nanoTime alone can
+    // collide across concurrent rebuilds (the pinConstants tmp-name
+    // hazard, and here even cross-process), mixing two stagers' output
+    // before the move. Stranded stages from crashed runs are swept
+    // once they age past the compaction grace (never young ones — a
+    // LIVE concurrent stager owns those).
+    Option(new java.io.File(newArtifactDir).listFiles()).getOrElse(Array())
+      .filter(f => f.getName.startsWith(".init-") &&
+        System.currentTimeMillis() - f.lastModified() >
+          SlicedArtifact.CompactionGraceMs)
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(d)
+      }
     val stage = new java.io.File(newArtifactDir,
-      s".init-${System.nanoTime()}")
+      s".init-${ProcessHandle.current().pid()}-" +
+        s"${Thread.currentThread().getId}-${System.nanoTime()}")
     Dedup.bloomBits(accepted.select("content_key"), newMbits, newKhash)
       .write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val target = java.nio.file.Paths.get(newArtifactDir, "bloom",

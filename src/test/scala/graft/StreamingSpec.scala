@@ -1672,5 +1672,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       sb.rebuildInto(spark, tmp("sbloom-artY").toString, outDirN))
     assert(e3.getMessage.contains("fresh verdict dir"))
+    // crash-retry: a rebuild that died between the verdict slice and
+    // the bloom commit leaves gbatch=-1 in the OUT dir only — a rerun
+    // must overwrite its own debris and complete, not refuse on it
+    // (the bloom slice, moved into place LAST, is the commit point)
+    val artR = tmp("sbloom-artR").toString
+    val outR = tmp("sbloom-outR").toString
+    sb.verdicts(spark).get.where(col("accepted"))
+      .select(col("doc_id"), col("content_key"),
+        lit(false).as("maybe_seen"), lit(true).as("accepted"))
+      .write.parquet(s"$outR/gbatch=-1")
+    val retried = sb.rebuildInto(spark, artR, outR)
+    val (bstR, _) = retried.stats(spark).get
+    assert(math.abs(bstR.estimatedKeys - nAccepted) <=
+      math.max(0.1 * nAccepted, 3),
+      s"retried rebuild estimate ${bstR.estimatedKeys} vs $nAccepted")
   }
 }
