@@ -1508,7 +1508,25 @@ object Dedup {
     * scale size bits from the key count instead ([[adaptiveBloomBits]]
     * — ~10 bits/key keeps FP ≈1% at any n). */
   val BloomMBits: Int = 1 << 16
+  /** 5 hashes, deliberately below the FP-optimal k = ln2·(bits/key) ≈ 7
+    * at the sized-for 10 bits/key (FP ≈ 0.94% at k=5 vs ≈ 0.78% at
+    * k=7): every hash is one exploded lookup row per screened
+    * document, so k=5 buys back 2/7 of the screen's row explosion for
+    * under a fifth of a percent of FP — the screen's cost scales with
+    * k, its benefit barely does past 5. */
   val BloomHashes: Int = 5
+
+  /** Broadcast cap for the suspects-confirm joins inside
+    * [[screenJoinConfirmed]]: hint broadcast only while the COUNTED
+    * suspect set stays at or below this many keys (2^20 md5 keys ≈
+    * 50 MB serialized — comfortably inside an executor, never a driver
+    * hazard). The suspect set scales with the increment's TRUE
+    * duplicate count, so a trickle ingest sits far below the cap while
+    * a bulk re-crawl (suspects ≈ 0.5–0.9 × |increment|) sails past it
+    * — there the planner/AQE decides from real sizes, exactly as
+    * [[bloomScreen]]'s 2^23-bit frame cap already does on the screen
+    * join. The corpus is never the broadcast side either way. */
+  val ConfirmBroadcastMaxSuspects: Long = 1L << 20
 
   /** Bits for a ~1% false-positive Bloom filter over `n` keys: the
     * next power of two ≥ 10·n (10 bits/key with [[BloomHashes]] = 5
@@ -1635,13 +1653,30 @@ object Dedup {
     * [[bloomAcceleratedDedup]] — the three differ only in which screen
     * runs and which columns project out, so the null-key handling and
     * the confirm shape live in exactly one place. */
-  private def screenJoinConfirmed(corpus: DataFrame, increment: DataFrame)(
+  private[graft] def screenJoinConfirmed(corpus: DataFrame,
+      increment: DataFrame,
+      broadcastCap: Long = ConfirmBroadcastMaxSuspects)(
       screen: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ck = corpus.select(md5(normText(col("text"))).as("content_key"))
     val ik = increment.select(col("doc_id"),
       md5(normText(col("text"))).as("content_key"))
-    val screened = screen(ik, ck)
-    screened.join(broadcast(confirmedOf(screened, ck)),
+    // `screened` feeds BOTH the confirm filter and the final audit
+    // join, and its lineage carries the corpus bit-array aggregate —
+    // the call's dominant cost; localCheckpoint so it runs exactly
+    // once (the [[graft.serve.Retrieval]] ingestBloom materialize
+    // convention; cache() matches canonicalized plans and can alias
+    // across rebuilt inputs, the bug the x99 spec caught)
+    val screened = screen(ik, ck).localCheckpoint()
+    // hint broadcast only while the suspect set is COUNTED small (one
+    // bounded aggregate over the checkpointed screen output): a bulk
+    // re-crawl's suspects are increment-scale, where a forced
+    // broadcast OOMs the driver — past the cap the planner/AQE decides
+    // from real sizes, and the corpus stays the streamed side
+    val suspects = screened.where(col("maybe_seen"))
+      .select("content_key").distinct()
+    val hint: DataFrame => DataFrame =
+      if (suspects.count() <= broadcastCap) broadcast else identity
+    screened.join(hint(confirmedOf(suspects, ck, hint)),
       Seq("content_key"), "left")
   }
 
@@ -1655,14 +1690,15 @@ object Dedup {
     * exactness step shaped for scale: `exact_seen` is knowably false
     * for every definitely-new row (no false negatives), so only the
     * maybe_seen keys — |true dups| + the sized-for FP sliver of the
-    * increment — need checking, BROADCAST against ONE map pass over
-    * the corpus key column. The corpus never shuffles and is never the
-    * broadcast side (a corpus-sized broadcast is exactly the thing a
+    * increment — need checking against ONE map pass over the corpus
+    * key column. `hint` broadcasts the suspect side only while
+    * [[screenJoinConfirmed]] counted it under the cap; the corpus
+    * never shuffles on a broadcast plan and is NEVER the broadcast
+    * side itself (a corpus-sized broadcast is exactly the thing a
     * 10^8-key audit cannot do). */
-  private def confirmedOf(screened: DataFrame, ck: DataFrame): DataFrame =
-    ck.join(broadcast(
-        screened.where(col("maybe_seen")).select("content_key").distinct()),
-        Seq("content_key"), "left_semi")
+  private def confirmedOf(suspects: DataFrame, ck: DataFrame,
+      hint: DataFrame => DataFrame): DataFrame =
+    ck.join(hint(suspects), Seq("content_key"), "left_semi")
       .distinct().withColumn("exact_seen", lit(true))
 
   /** Observability for a Bloom frame: set-bit count, fill ratio, the

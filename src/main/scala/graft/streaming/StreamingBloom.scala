@@ -190,10 +190,19 @@ class StreamingBloom(artifactDir: String, outDir: String,
     // hazard, and here even cross-process), mixing two stagers' output
     // before the move. Stranded stages from crashed runs are swept
     // once they age past the compaction grace (never young ones — a
-    // LIVE concurrent stager owns those).
+    // LIVE concurrent stager owns those). Age by the NEWEST mtime found
+    // anywhere inside the stage, not the top dir's: Spark writes part
+    // files under _temporary/ and only populates the top dir at job
+    // commit, so a slow concurrent stager's top-level mtime can exceed
+    // the grace while its write is still live — sweeping on it would
+    // delete a live stage mid-write, the exact cross-process mix the
+    // pid+tid name exists to prevent.
+    def newestMtime(f: java.io.File): Long =
+      Option(f.listFiles()).map(_.foldLeft(f.lastModified())(
+        (acc, c) => math.max(acc, newestMtime(c)))).getOrElse(f.lastModified())
     Option(new java.io.File(newArtifactDir).listFiles()).getOrElse(Array())
       .filter(f => f.getName.startsWith(".init-") &&
-        System.currentTimeMillis() - f.lastModified() >
+        System.currentTimeMillis() - newestMtime(f) >
           SlicedArtifact.CompactionGraceMs)
       .foreach { d =>
         def rm(f: java.io.File): Unit = {

@@ -1892,6 +1892,39 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("bloom confirm: broadcast hint is suspect-count-capped, output cap-invariant") {
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val inc = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.orderBy("doc_id").limit(40)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def run(cap: Long) =
+      Dedup.screenJoinConfirmed(corpus, inc, broadcastCap = cap)((ik, ck) =>
+        Dedup.bloomScreen(ik, Dedup.bloomBits(ck)))
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("maybe_seen"),
+          coalesce(col("exact_seen"), lit(false)).as("exact_seen"))
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2)))
+        .toMap
+    val hinted = run(Dedup.ConfirmBroadcastMaxSuspects)
+    val unhinted = run(0L)
+    // the cap is PLAN-only: past-cap verdicts are row-identical
+    assert(verdicts(unhinted) === verdicts(hinted),
+      "confirm verdicts changed with the broadcast cap — the cap must be plan-only")
+    // under the cap the suspect/confirmed sides are hint-forced
+    // broadcasts; past it NO hint is forced — the planner may still
+    // broadcast from real sizes (fine), but the driver-OOM hazard is
+    // the FORCED hint on an increment-scale suspect set, and that is
+    // what must be absent. The screen's own bloom-frame hint sits
+    // behind the localCheckpoint seam, so the analyzed plan here shows
+    // only the confirm hints.
+    assert(hinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "under-cap confirm lost its broadcast hint")
+    assert(!unhinted.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "past-cap confirm still forces a broadcast hint — a bulk " +
+        "re-crawl's suspect set is increment-scale and would OOM the driver")
+  }
+
   test("bloom geometry: adaptive sizing is next-pow2 of 10 bits/key; screen never joins the corpus") {
     assert(Dedup.adaptiveBloomBits(0) == 1024)
     assert(Dedup.adaptiveBloomBits(100) == 1024)
