@@ -585,6 +585,60 @@ object PipelinePack extends QueryPack {
     idx
   }
 
+  /** The GENERATIONAL [[graft.streaming.StreamingBloom]] chain for a
+    * fixture (x102): gen-1 screens two micro-batches at a geometry
+    * sized for batch 0 ALONE — so batch 1 outgrows it, the half-full
+    * scenario `rebuildInto` exists for — then the rebuild folds every
+    * accepted key into a 4× larger gen-2 artifact and the increment
+    * (x98's shape: fresh rows + re-presented corpus content under
+    * shifted ids) screens against the inherited history as gen-2's own
+    * batch 0. Built once per fixture key; the registered query reads
+    * gen-2's batch-0 verdicts, and the oracle replays the whole chain
+    * in SQL ([[graft.streaming.StreamingBloom.generationalScreenSql]])
+    * — gen-1's deterministic false positives shape the very history
+    * gen-2 inherits, so the hash gate covers the rebuild end-to-end. */
+  private def streamedBloomVerdicts(s: SparkSession, dir: String)
+      : DataFrame = {
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    val key = artifactKey(dir, fd.lastModified(), fd.length(),
+      "streambloomgen", Dedup.BloomHashes)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_streambloom_$key")
+    val done = new java.io.File(root, "STREAM_DONE")
+    if (!done.exists())
+      rootLocks.computeIfAbsent(root.toString, _ => new Object).synchronized {
+        if (!done.exists()) {
+          // a half-built chain restarts whole: rebuildInto refuses a
+          // committed gen-2 bloom dir (its crash-safety contract), so
+          // a partial cache entry is cheapest to wipe and redo
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(root); root.mkdirs()
+          val d = Tables.documents(s, dir).select("doc_id", "text")
+          val mbits1 = Dedup.adaptiveBloomBits(
+            d.where(col("doc_id") % 3 === 1).count())
+          val gen1 = new graft.streaming.StreamingBloom(
+            s"$root/gen1", s"$root/gen1v", mbits1)
+          gen1.screenBatch(d.where(col("doc_id") % 3 === 1), 0)
+          gen1.screenBatch(d.where(col("doc_id") % 3 === 2), 1)
+          val gen2 = gen1.rebuildInto(s, s"$root/gen2", s"$root/gen2v",
+            newMbits = 4 * mbits1)
+          gen2.screenBatch(
+            d.where(col("doc_id") % 3 === 0)
+              .unionByName(d.where(col("doc_id") % 3 =!= 0 &&
+                  col("doc_id") % 7 === 1)
+                .select((col("doc_id") + 1000000L).as("doc_id"),
+                  col("text"))),
+            0)
+          done.createNewFile()
+          ()
+        }
+      }
+    s.read.parquet(s"$root/gen2v").where(col("gbatch") === 0)
+      .select("doc_id", "maybe_seen", "accepted")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the deployment surface end-to-end: one handle over the published
     // snapshot artifacts (cell-partitioned residual IVFADC index +
@@ -753,6 +807,14 @@ object PipelinePack extends QueryPack {
     // re-presents indexed content verbatim (must all flag), half is
     // salted never-indexed text (passes at the sized-for FP rate, and
     // the FPs are deterministic, so they hash-check too)
+    // the STREAMED generational chain, gated (x102): two gen-1
+    // micro-batches at a batch-0-sized geometry, rebuildInto a 4×
+    // gen-2, the increment screened against the inherited history as
+    // gen-2's batch 0 — the x96 promotion convention applied to the
+    // bloom rebuild (the spec pins the frames; this prices and
+    // hash-checks the chain's verdicts against a full SQL replay)
+    "x102_bloom_rebuild_screen" -> ((s, dir) =>
+      streamedBloomVerdicts(s, dir).orderBy("doc_id")),
     "x99_snapshot_screen" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select("doc_id", "text")
       val inc = d.where(col("doc_id") % 2 === 0).unionByName(
@@ -1718,6 +1780,14 @@ object PipelinePack extends QueryPack {
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
           |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin,
         shards = 4, mbits = 1 << 14) +
+        "\nORDER BY doc_id"),
+    "x102_bloom_rebuild_screen" ->
+      (graft.streaming.StreamingBloom.generationalScreenSql(
+        "doc_id % 3 = 1", "doc_id % 3 = 2",
+        """  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin) +
         "\nORDER BY doc_id"),
     "x99_snapshot_screen" ->
       (Dedup.snapshotScreenSql(

@@ -239,3 +239,84 @@ class StreamingBloom(artifactDir: String, outDir: String,
       (st, st.fillRatio > 0.5)
     }
 }
+
+object StreamingBloom {
+
+  /** Oracle for the GENERATIONAL rebuild chain (x102): gen-1 screens
+    * two micro-batches at a geometry sized for batch 0 alone (so
+    * batch 1 outgrows it — the half-full rule's scenario), then
+    * [[StreamingBloom.rebuildInto]] folds every accepted key into a 4×
+    * larger gen-2 artifact, and the increment screens against gen-2's
+    * inherited history as its own batch 0. The whole chain replays in
+    * pure SQL because every step is deterministic (md5 positions, no
+    * RNG): the within-batch greedy accepts, gen-1's false positives —
+    * which REJECT genuinely-new keys and so shape the very history
+    * gen-2 inherits — and the increment's final verdicts all
+    * hash-check exactly. mbits derives from the batch-0 count in SQL
+    * ([[graft.operators.Dedup.adaptiveBloomBitsSql]] — the x99
+    * convention), so one oracle string is exact at every fixture
+    * scale. `b0Pred`/`b1Pred` select gen-1's two batches from
+    * `documents`; `incSql` selects the increment's `(doc_id, text)`. */
+  def generationalScreenSql(b0Pred: String, b1Pred: String,
+      incSql: String, khash: Int = Dedup.BloomHashes): String = {
+    def pos(mb: String) =
+      s"('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || k), 1, 8))" +
+        s"::BIGINT % (SELECT m FROM $mb)"
+    def bloomOf(keysRel: String, mb: String) =
+      s"""SELECT pos // 32 AS word,
+         |    bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+         |  FROM (SELECT ${pos(mb)} AS pos
+         |        FROM $keysRel, range(0, $khash) r(i))
+         |  GROUP BY word""".stripMargin
+    def screenOf(docsRel: String, bloomRel: String, mb: String) =
+      s"""SELECT doc_id, k,
+         |    bool_and((coalesce(b.bits, 0) & mask) <> 0) AS maybe_seen
+         |  FROM (
+         |    SELECT doc_id, k, pos // 32 AS word,
+         |      1::BIGINT << CAST(pos % 32 AS INT) AS mask
+         |    FROM (SELECT doc_id, k, ${pos(mb)} AS pos
+         |          FROM $docsRel, range(0, $khash) r(i))
+         |  ) lk LEFT JOIN $bloomRel b USING (word)
+         |  GROUP BY doc_id, k""".stripMargin
+    val key = s"md5(${TextOps.normTextSql("text")})"
+    s"""WITH mb1 AS (
+       |  SELECT ${Dedup.adaptiveBloomBitsSql(
+             s"SELECT count(*) FROM documents WHERE $b0Pred")} AS m
+       |), mb2 AS (
+       |  SELECT 4 * m AS m FROM mb1
+       |), b0 AS (
+       |  SELECT doc_id, $key AS k FROM documents WHERE $b0Pred
+       |), b0v AS (
+       |  SELECT doc_id, k,
+       |    (row_number() OVER (PARTITION BY k ORDER BY doc_id) = 1) AS accepted
+       |  FROM b0
+       |), bl1 AS (
+       |  ${bloomOf("(SELECT k FROM b0v WHERE accepted)", "mb1")}
+       |), b1 AS (
+       |  SELECT doc_id, $key AS k FROM documents WHERE $b1Pred
+       |), b1s AS (
+       |  ${screenOf("b1", "bl1", "mb1")}
+       |), b1v AS (
+       |  SELECT doc_id, k, maybe_seen,
+       |    ((NOT maybe_seen) AND
+       |      row_number() OVER (PARTITION BY k ORDER BY doc_id) = 1) AS accepted
+       |  FROM b1s
+       |), hist AS (
+       |  SELECT k FROM b0v WHERE accepted
+       |  UNION ALL
+       |  SELECT k FROM b1v WHERE accepted
+       |), bl2 AS (
+       |  ${bloomOf("hist", "mb2")}
+       |), ikraw AS (
+       |$incSql
+       |), ik AS (
+       |  SELECT doc_id, $key AS k FROM ikraw
+       |), i2s AS (
+       |  ${screenOf("ik", "bl2", "mb2")}
+       |)
+       |SELECT doc_id, maybe_seen,
+       |  ((NOT maybe_seen) AND
+       |    row_number() OVER (PARTITION BY k ORDER BY doc_id) = 1) AS accepted
+       |FROM i2s""".stripMargin
+  }
+}
