@@ -143,37 +143,50 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * serves on a pre-v6 snapshot never touch it. */
   lazy val bpeRules: Seq[(String, String)] = Retrieval.readRules(dir)
 
-  /** The snapshot's ingest Bloom filter, derived lazily from the `dh`
-    * fingerprint frame (each doc's `md5(text)` — maintained by every
-    * [[Retrieval.rebuild]], so it is ALWAYS the live corpus, deletes
-    * included; deriving rather than persisting is what keeps a filter
-    * that cannot un-set bits correct under deletes) and materialized on
-    * the handle: ≤ shards·mbits/32 rows pinned, geometry derived by
-    * [[graft.operators.Dedup.adaptiveBloomGeometry]] from the corpus
-    * count (one flat shard until ~10^8 docs). One thin-column
-    * aggregate per handle, then every [[screenIngest]] call is
-    * corpus-free. localCheckpoint, NOT cache(): a cached plan is keyed
-    * by its canonicalized form, so after a [[Retrieval.rebuild]] the
-    * NEW handle's identical-looking dh scan would silently alias the
-    * old handle's pre-rebuild cache entry and serve a stale filter —
-    * the checkpoint's frozen lineage is keyed by RDD identity and
-    * cannot alias across handles. */
+  /** The snapshot's ingest Bloom filter. PERSISTED PER PUBLISH since
+    * v6: [[Retrieval.build]] stages a `bloomdh` frame next to `dh` and
+    * [[Retrieval.rebuild]] REGENERATES it — exactly when deletes
+    * happen, which is what keeps a filter that cannot un-set bits
+    * delete-correct without a per-handle corpus pass — so handle load
+    * is O(frame) (≤ shards·mbits/32 rows + a geometry sidecar), never
+    * O(corpus). A snapshot that predates the persisted frame (or a
+    * reader landing inside a regenerate swap) falls back to deriving
+    * from the `dh` fingerprint frame — one corpus-thin aggregate,
+    * verdict-identical because both paths share the
+    * [[graft.operators.Dedup.adaptiveBloomGeometry]] recipe.
+    * materialize = localCheckpoint, NOT cache(): a cached plan is
+    * keyed by its canonicalized form, so after a rebuild the NEW
+    * handle's identical-looking scan would silently alias the old
+    * handle's pre-rebuild cache entry and serve a stale filter — the
+    * checkpoint's frozen lineage is keyed by RDD identity and cannot
+    * alias across handles. */
   private lazy val ingestBloom: (DataFrame, Int, Int) = {
-    require(new java.io.File(s"$dir/dh").isDirectory,
-      s"$dir has no dh fingerprint frame (predates incremental " +
-        "rebuild); publish once with build() to upgrade — serves not " +
-        "reading it remain available meanwhile")
-    val keys = serve.read.schema(Retrieval.DhSchema).parquet(s"$dir/dh")
-      .select(col("dh").as("content_key"))
-    // geometry fully derived from the count ([[graft.operators.Dedup
-    // .adaptiveBloomGeometry]]): shards stay 1 until ~10^8 docs —
-    // where the sharded form is row-identical to the flat one — and
-    // grow past it, so the handle never hits the flat form's refusal
-    val (shards, mbits) =
-      graft.operators.Dedup.adaptiveBloomGeometry(keys.count())
-    (graft.operators.Dedup.materialize(
-      graft.operators.Dedup.shardedBloomBits(keys, shards, mbits), None),
-      shards, mbits)
+    val geom = new java.io.File(s"$dir/bloomdh/_bloomgeom")
+    if (geom.isFile) {
+      val parts = new String(
+        java.nio.file.Files.readAllBytes(geom.toPath), "UTF-8")
+        .trim.split(" ")
+      (graft.operators.Dedup.materialize(
+        serve.read.schema(Retrieval.BloomDhSchema)
+          .parquet(s"$dir/bloomdh"), None),
+        parts(0).toInt, parts(1).toInt)
+    } else {
+      require(new java.io.File(s"$dir/dh").isDirectory,
+        s"$dir has no dh fingerprint frame (predates incremental " +
+          "rebuild); publish once with build() to upgrade — serves not " +
+          "reading it remain available meanwhile")
+      val keys = serve.read.schema(Retrieval.DhSchema).parquet(s"$dir/dh")
+        .select(col("dh").as("content_key"))
+      // geometry fully derived from the count: shards stay 1 until
+      // ~10^8 docs — where the sharded form is row-identical to the
+      // flat one — and grow past it, so the handle never hits the flat
+      // form's refusal
+      val (shards, mbits) =
+        graft.operators.Dedup.adaptiveBloomGeometry(keys.count())
+      (graft.operators.Dedup.materialize(
+        graft.operators.Dedup.shardedBloomBits(keys, shards, mbits), None),
+        shards, mbits)
+    }
   }
 
   /** Ingest pre-screen ([[graft.operators.Dedup.ingestScreen]]'s
@@ -886,6 +899,7 @@ object Retrieval {
   private[graft] val CembSchema =
     "doc_id BIGINT, chunk_id BIGINT, embedding ARRAY<FLOAT>, pb INT"
   private[graft] val DhSchema = "doc_id BIGINT, dh STRING, pb INT"
+  private[graft] val BloomDhSchema = "shard BIGINT, word BIGINT, bits BIGINT"
   private[graft] val VhSchema = "vec_id BIGINT, vh BIGINT, pb INT"
 
   /** Shuffle width of the serve session — serve exchanges move
@@ -1239,6 +1253,16 @@ object Retrieval {
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/dh")
     vhOf(embeddings).withColumn("pb", pb("vec_id"))
       .write.partitionBy("pb").mode(SaveMode.Overwrite).parquet(s"$staged/vh")
+    // the ingest filter, persisted with the publish: one bounded
+    // aggregate over the just-written dh (thin read-back) at BUILD
+    // time, so handle load is O(frame) instead of a per-session
+    // corpus-∝ derivation; [[rebuild]] regenerates it — exactly when
+    // deletes happen — keeping the cannot-un-set-bits structure
+    // delete-correct
+    writeIngestBloom(
+      spark.read.schema(DhSchema).parquet(s"$staged/dh")
+        .select(col("dh").as("content_key")),
+      s"$staged/bloomdh")
     publish(staged, dir)
     load(spark, dir)
   }
@@ -1551,6 +1575,17 @@ object Retrieval {
         newDh.join(touchedDoc, Seq("doc_id"), "left_semi"), touchedDocPb,
         DhSchema)
 
+    // the persisted ingest filter regenerates on EVERY rebuild from
+    // the merged dh: the merge above is where deletes land, and bits
+    // cannot be un-set, so regeneration (never an OR-merge) is what
+    // keeps [[Retrieval!.screenIngest]] delete-correct. Unconditional
+    // — even on an empty delta — so it also heals a prior crash
+    // between the dh merge and this swap, or upgrades a
+    // pre-persistence snapshot in place. One corpus-thin aggregate per
+    // scheduled rebuild, the price the per-session derivation used to
+    // pay on every handle load.
+    regenerateIngestBloom(spark, dir)
+
     load(spark, dir)
   }
 
@@ -1577,6 +1612,53 @@ object Retrieval {
       .unionByName(fresh)
       .withColumn("pb", pb(idCol))
     replacePartitions(frameDir, "pb", merged, affected.map(_.toString))
+  }
+
+  /** Write the `(shard, word, bits)` ingest filter over `keys` to
+    * `outDir`: geometry from [[graft.operators.Dedup
+    * .adaptiveBloomGeometry]] on the key count, recorded in an
+    * underscore-prefixed sidecar INSIDE the frame dir (parquet readers
+    * skip underscore files) so frame and geometry commit together
+    * under any rename of the dir. */
+  private def writeIngestBloom(keys: DataFrame, outDir: String): Unit = {
+    val (shards, mbits) =
+      graft.operators.Dedup.adaptiveBloomGeometry(keys.count())
+    graft.operators.Dedup.shardedBloomBits(keys, shards, mbits)
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outDir, "_bloomgeom"),
+      s"$shards $mbits".getBytes("UTF-8"))
+    ()
+  }
+
+  /** Regenerate the persisted ingest filter of a LIVE snapshot from
+    * its current dh frame: stage under a dot-name (pid+nanos — the
+    * rebuildInto stage convention), then swap by two atomic moves (old
+    * aside, new in) and reclaim the aside. A reader landing between
+    * the moves finds no `bloomdh` and falls back to deriving from dh —
+    * verdict-identical by the shared geometry recipe — so the swap
+    * needs no lock; a reader that loaded the OLD frame already
+    * materialized it (localCheckpoint at handle init), so reclaiming
+    * the aside cannot fail its reads. */
+  private def regenerateIngestBloom(spark: SparkSession,
+      dir: String): Unit = {
+    val stage = new java.io.File(dir,
+      s".bloomdh-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    writeIngestBloom(
+      spark.read.schema(DhSchema).parquet(s"$dir/dh")
+        .select(col("dh").as("content_key")),
+      stage.toString)
+    val live = java.nio.file.Paths.get(dir, "bloomdh")
+    val aside = new java.io.File(dir, s".bloomdh-aside-${System.nanoTime()}")
+    if (java.nio.file.Files.isDirectory(live))
+      java.nio.file.Files.move(live, aside.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    java.nio.file.Files.move(stage.toPath, live,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(aside)
   }
 
   /** The merge-swapped frames of a snapshot and their partition
@@ -1670,6 +1752,11 @@ object Retrieval {
         f.getName.startsWith(s"$frame.merge-")).foreach(rm)
       asideEntries(new java.io.File(s"$dir/$frame")).foreach(e => rm(e._1))
     }
+    // ingest-filter stage/aside debris from a crashed
+    // [[regenerateIngestBloom]] — single-writer context, so any
+    // dot-bloomdh dir here is a dead stager's, never a live one
+    rootFiles.filter(f => f.isDirectory &&
+      f.getName.startsWith(".bloomdh-")).foreach(rm)
   }
 
   /** Swap exactly the `partCol=<v>` directories of a partitioned frame

@@ -150,6 +150,45 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       "surviving content lost from the rebuilt filter")
   }
 
+  test("screenIngest: filter persisted per publish — handle load reads no dh; fallback and rebuild upgrade agree") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bloomdh")
+      .toString
+    val live = s"$root/snap"
+    val docs0 = docs.where(col("doc_id") < 300)
+    val emb0 = emb.where(col("vec_id") < 300)
+    val built = Retrieval.build(docs0, emb0, live)
+    assert(new java.io.File(s"$live/bloomdh/_bloomgeom").isFile,
+      "build did not persist the ingest filter")
+    val probe = docs0.limit(30)
+    def verdicts(h: Retrieval) = h.screenIngest(probe).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val persisted = verdicts(built)
+    // the persisted path reads NO dh: with the fingerprint frame moved
+    // aside the handle still screens — handle load is O(frame), the
+    // per-session corpus-∝ derivation is gone
+    val dhDir = new java.io.File(s"$live/dh")
+    val dhAside = new java.io.File(root, "dh_aside")
+    assert(dhDir.renameTo(dhAside))
+    try assert(verdicts(Retrieval.load(spark, live)) === persisted,
+      "persisted-filter verdicts diverge (or dh was read)")
+    finally assert(dhAside.renameTo(dhDir))
+    // pre-persistence snapshots: with bloomdh gone the handle falls
+    // back to deriving from dh — verdict-identical (shared geometry)
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$live/bloomdh"))
+    assert(verdicts(Retrieval.load(spark, live)) === persisted,
+      "derive-from-dh fallback diverges from the persisted filter")
+    // and a rebuild upgrades the old snapshot in place — regeneration
+    // is unconditional, so the persisted frame is back even though
+    // this delta is empty
+    Retrieval.rebuild(docs0, emb0, live)
+    assert(new java.io.File(s"$live/bloomdh/_bloomgeom").isFile,
+      "rebuild did not regenerate the persisted ingest filter")
+    assert(verdicts(Retrieval.load(spark, live)) === persisted)
+  }
+
   test("incremental rebuild: same serve as a fixed-codebook full build, delta-only writes") {
     val root = java.nio.file.Files.createTempDirectory("graft-rebuild").toString
     val live = s"$root/snap"
