@@ -581,7 +581,13 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   def maintain(queryIds: Seq[Long], k: Int = 5,
       maxFilesPerPartition: Int = 1,
       recallFloor: Double = 0.0,
-      servePointFloor: Option[Double] = None): Retrieval.MaintenanceReport = {
+      servePointFloor: Option[Double] = None,
+      servePointFamilies: Seq[String] = Seq("doc"))
+      : Retrieval.MaintenanceReport = {
+    require(servePointFamilies.nonEmpty &&
+        servePointFamilies.forall(Set("doc", "chunk", "bpe")),
+      s"servePointFamilies must be drawn from doc/chunk/bpe: " +
+        servePointFamilies.mkString(","))
     def frameDir(f: String) = new java.io.File(s"$dir/$f").isDirectory
     // the shipped refine point, floored at k: recallCurveFrom requires
     // every r >= k, so a k above RefineShortlist degenerates the
@@ -597,55 +603,73 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     // meter only the families whose frames this snapshot holds (the
     // per-frame availability rule: a pre-chunk snapshot keeps the heal
     // + compact steps and its doc meter), and widen to the full
-    // (nprobe × refine) grid ONLY for the doc family and only under a
-    // floor — the serve-point selector reads doc_refine rows alone, so
-    // grid-metering the chunk windows would price 16 points to consume
-    // 2. Each family's brute baseline computes exactly once either way.
+    // (nprobe × refine) grid ONLY for the families `servePointFamilies`
+    // selects and only under a floor — a family metered at the shipped
+    // point alone contributes 1–2 rows, so grid-metering one nobody
+    // selects from would price 16 points to consume 2. Each family's
+    // brute baseline computes exactly once either way.
     val hasChunk = frameDir("cindex") && frameDir("cemb")
-    val (docCurve, chunkCurve) = servePointFloor match {
-      case Some(_) =>
-        // refines below k would throw in the meter; k past the widest
-        // grid value collapses the refine axis to rShip alone
-        val rsW = (VectorOps.CurveRefines.filter(_ >= k) :+ rShip).distinct
-        val dc = measureRecall(queryIds, k,
-          nprobes = VectorOps.CurveNprobes, refines = rsW,
-          bpeWindows = false, families = Seq("doc")).collect()
+    val hasBpe = frameDir("bcindex") && frameDir("bcemb")
+    val grid = servePointFloor.isDefined
+    val docGrid = grid && servePointFamilies.contains("doc")
+    val chunkGrid = grid && servePointFamilies.contains("chunk") && hasChunk
+    val bpeGrid = grid && servePointFamilies.contains("bpe") && hasBpe
+    // refines below k would throw in the meter; k past the widest
+    // grid value collapses the refine axis to rShip alone
+    def rsWide = (VectorOps.CurveRefines.filter(_ >= k) :+ rShip).distinct
+    def meter(wide: Boolean, bpe: Boolean, fams: Seq[String]) =
+      measureRecall(queryIds, k,
+        nprobes = if (wide) VectorOps.CurveNprobes else Seq(2),
+        refines = if (wide) rsWide else Seq(rShip),
+        bpeWindows = bpe, families = fams).collect()
+    val (docCurve, chunkCurve) =
+      if (docGrid || chunkGrid) {
+        val dc = meter(docGrid, bpe = false, Seq("doc"))
         val cc =
-          if (hasChunk) measureRecall(queryIds, k, nprobes = Seq(2),
-            refines = Seq(rShip), bpeWindows = false,
-            families = Seq("chunk")).collect()
+          if (hasChunk) meter(chunkGrid, bpe = false, Seq("chunk"))
           else Array.empty[org.apache.spark.sql.Row]
         (dc, cc)
-      case None =>
+      } else {
         val fams = Seq("doc") ++ (if (hasChunk) Seq("chunk") else Nil)
-        val c = measureRecall(queryIds, k, nprobes = Seq(2),
-          refines = Seq(rShip), bpeWindows = false, families = fams)
-          .collect()
+        val c = meter(wide = false, bpe = false, fams)
         (c, c)
-    }
+      }
     val ws = shipped(docCurve) ++ shipped(chunkCurve)
+    val bpeCurve =
+      if (hasBpe) meter(bpeGrid, bpe = true, Seq("chunk"))
+      else Array.empty[org.apache.spark.sql.Row]
     val bpeChunk =
-      if (frameDir("bcindex") && frameDir("bcemb"))
-        Some(shipped(measureRecall(queryIds, k, nprobes = Seq(2),
-          refines = Seq(rShip), bpeWindows = true,
-          families = Seq("chunk")).collect())("chunk_refine"))
-      else None
+      if (hasBpe) Some(shipped(bpeCurve)("chunk_refine")) else None
     val doc = ws("doc_refine")
     val chunk = if (hasChunk) Some(ws("chunk_refine")) else None
     // the emb count feeds BOTH the serve-point cost model and the
     // cell-drift check — one metadata count job, not two
     val liveVectors = emb.count()
-    // cheapest grid point meeting the serve floor, from the SAME
-    // measured rows (the doc-refine family — the primary serve the
-    // shipped defaults are justified against)
-    val servePoint = servePointFloor.flatMap { floor =>
-      Retrieval.cheapestServePointOf(
-        docCurve.toSeq.map(r => (r.getString(r.fieldIndex("method")),
-          r.getInt(r.fieldIndex("nprobe")), r.getInt(r.fieldIndex("r")),
-          r.getDouble(r.fieldIndex("recall")))),
-        "doc_refine", floor,
-        corpusN = liveVectors, cells = cents.size)
-    }
+    def rowsOf(curve: Array[org.apache.spark.sql.Row]) =
+      curve.toSeq.map(r => (r.getString(r.fieldIndex("method")),
+        r.getInt(r.fieldIndex("nprobe")), r.getInt(r.fieldIndex("r")),
+        r.getDouble(r.fieldIndex("recall"))))
+    // cheapest grid point meeting the serve floor per SELECTED family,
+    // from the same measured rows. The cost model's scan term is the
+    // probed fraction of the family's OWN index rows — chunk/BPE
+    // serves scan chunk codes, not doc vectors, so their corpusN is
+    // the (metadata-cheap) count of the family's index frame.
+    def pointOf(curve: Array[org.apache.spark.sql.Row], n: Long) =
+      servePointFloor.flatMap(floor =>
+        Retrieval.cheapestServePointOf(rowsOf(curve), "doc_refine", floor,
+          corpusN = n, cells = cents.size))
+    def chunkPointOf(curve: Array[org.apache.spark.sql.Row], frame: String) =
+      servePointFloor.flatMap(floor =>
+        Retrieval.cheapestServePointOf(rowsOf(curve), "chunk_refine", floor,
+          corpusN = spark.read.schema(Retrieval.IndexSchema)
+            .parquet(s"$dir/$frame").count(),
+          cells = cents.size))
+    val servePoint =
+      if (docGrid) pointOf(docCurve, liveVectors) else None
+    val chunkServePoint =
+      if (chunkGrid) chunkPointOf(chunkCurve, "cindex") else None
+    val bpeServePoint =
+      if (bpeGrid) chunkPointOf(bpeCurve, "bcindex") else None
     // cell-count drift: the trained codebook sized cells ≈ √n for the
     // corpus it was trained on ([[Retrieval.build]]'s adaptive sizing);
     // when the LIVE count drifts ≥4× from that trained k² the cell
@@ -675,6 +699,8 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       retrainRecommended = doc < recallFloor ||
         chunk.exists(_ < recallFloor) || bpeChunk.exists(_ < recallFloor),
       servePoint = servePoint,
+      chunkServePoint = chunkServePoint,
+      bpeServePoint = bpeServePoint,
       trainedCells = trainedCells,
       liveVectors = liveVectors,
       recommendedCells = recommendedCells,
@@ -821,6 +847,13 @@ object Retrieval {
       recallFloor: Double,
       retrainRecommended: Boolean,
       servePoint: Option[ServePoint] = None,
+      // per-family serve points (maintain(servePointFamilies = ...)):
+      // the chunk and BPE-window serves — the RAG paths a deployment
+      // actually tunes — selected from their OWN measured grids under
+      // their own index-row cost scale; None when the family was not
+      // selected or its frames are absent
+      chunkServePoint: Option[ServePoint] = None,
+      bpeServePoint: Option[ServePoint] = None,
       // cell-count drift (the x94 k ≈ √n shape): the snapshot's trained
       // cell count, the live corpus count, what [[VectorOps
       // .adaptiveCells]] would size for it, and whether the ≥4×-from-k²

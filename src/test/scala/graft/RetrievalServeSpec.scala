@@ -1074,6 +1074,54 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(rep3.chunkRefineRecall === rep.chunkRefineRecall)
   }
 
+  test("maintain: per-family serve points — chunk and BPE select from their own grids at their own cost scale") {
+    val root = java.nio.file.Files.createTempDirectory("graft-mfam").toString
+    val d = docs.where(col("doc_id") < 80)
+    val e = emb.where(col("vec_id") < 80)
+    val h = Retrieval.build(d, e, s"$root/snap")
+    val qids = (0L until 8L).toSeq
+    // floor = the families' own shipped-point recall, so the shipped
+    // point qualifies by construction and a pick must exist
+    val base = h.maintain(qids, 3)
+    val floor = math.min(base.chunkRefineRecall.get,
+      base.bpeChunkRefineRecall.get)
+    val rep = h.maintain(qids, 3, servePointFloor = Some(floor),
+      servePointFamilies = Seq("chunk", "bpe"))
+    // doc was not selected: metered at the shipped point only, no pick
+    assert(rep.servePoint.isEmpty,
+      "doc pick appeared though doc was not in servePointFamilies")
+    assert(rep.docRefineRecall === base.docRefineRecall)
+    val cs = rep.chunkServePoint.getOrElse(fail("no chunk serve point"))
+    val bs = rep.bpeServePoint.getOrElse(fail("no BPE serve point"))
+    assert(cs.method == "chunk_refine" && cs.recall >= floor)
+    assert(bs.method == "chunk_refine" && bs.recall >= floor)
+    // each family prices against ITS OWN index rows (chunk serves scan
+    // chunk codes, not doc vectors) and must cost no more than the
+    // shipped point, which qualifies at this floor
+    val rShip = math.max(3, VectorOps.RefineShortlist)
+    val nChunk = spark.read.parquet(s"$root/snap/cindex").count()
+    val nBpe = spark.read.parquet(s"$root/snap/bcindex").count()
+    assert(cs.bytesPerQuery <=
+      graft.serve.Retrieval.servePointCost(2, rShip, nChunk,
+        h.cents.size) + 1e-9)
+    assert(bs.bytesPerQuery <=
+      graft.serve.Retrieval.servePointCost(2, rShip, nBpe,
+        h.cents.size) + 1e-9)
+    // and each agrees with the standalone selector over an
+    // independently measured full grid of its own family
+    val indC = Retrieval.cheapestServePoint(
+      h.measureRecall(qids, 3, families = Seq("chunk")),
+      "chunk_refine", floor, nChunk, h.cents.size)
+    val indB = Retrieval.cheapestServePoint(
+      h.measureRecall(qids, 3, bpeWindows = true,
+        families = Seq("chunk")),
+      "chunk_refine", floor, nBpe, h.cents.size)
+    assert(indC === rep.chunkServePoint,
+      "chunk serve point diverges from the standalone selector")
+    assert(indB === rep.bpeServePoint,
+      "BPE serve point diverges from the standalone selector")
+  }
+
   test("cheapestServePointOf: corpus-scale cost picks the documented shipped point at floor 0.6") {
     // the measured sf0.1 x91 doc-refine column at nprobe=2
     // (0.352/0.500/0.628 for r=10/20/40 — PipelinePack's x91 note);
