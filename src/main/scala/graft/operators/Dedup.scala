@@ -1652,7 +1652,16 @@ object Dedup {
     * [[ingestScreen]], [[ingestScreenSharded]], and
     * [[bloomAcceleratedDedup]] — the three differ only in which screen
     * runs and which columns project out, so the null-key handling and
-    * the confirm shape live in exactly one place. */
+    * the confirm shape live in exactly one place.
+    *
+    * EAGER at construction, deliberately: the screen output
+    * materializes (localCheckpoint) and the suspect count runs as jobs
+    * when the frame is BUILT, not at its first action — the price of
+    * running the corpus bit-array aggregate exactly once and of
+    * knowing the suspect count before choosing the confirm plan. These
+    * are terminal audit operators (their output is the verdict set,
+    * not a relation to compose over), so no caller filter needs to
+    * push below the checkpointed seam. */
   private[graft] def screenJoinConfirmed(corpus: DataFrame,
       increment: DataFrame,
       broadcastCap: Long = ConfirmBroadcastMaxSuspects)(

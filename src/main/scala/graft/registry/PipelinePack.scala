@@ -801,12 +801,6 @@ object PipelinePack extends QueryPack {
       Dedup.bloomAcceleratedDedup(d.where(col("doc_id") % 3 =!= 0), inc)
         .orderBy("doc_id")
     }),
-    // the SNAPSHOT ingest screen: the deployment handle's own filter
-    // (derived from its dh fingerprint frame, sized adaptively from
-    // the corpus count) gate-checked end-to-end — half the increment
-    // re-presents indexed content verbatim (must all flag), half is
-    // salted never-indexed text (passes at the sized-for FP rate, and
-    // the FPs are deterministic, so they hash-check too)
     // the STREAMED generational chain, gated (x102): two gen-1
     // micro-batches at a batch-0-sized geometry, rebuildInto a 4×
     // gen-2, the increment screened against the inherited history as
@@ -815,6 +809,14 @@ object PipelinePack extends QueryPack {
     // hash-checks the chain's verdicts against a full SQL replay)
     "x102_bloom_rebuild_screen" -> ((s, dir) =>
       streamedBloomVerdicts(s, dir).orderBy("doc_id")),
+    // the SNAPSHOT ingest screen: the deployment handle's own filter
+    // (persisted per publish next to the dh fingerprint frame, sized
+    // adaptively from the corpus count; pre-persistence snapshots
+    // derive it from dh — verdict-identical) gate-checked end-to-end —
+    // half the increment re-presents indexed content verbatim (must
+    // all flag), half is salted never-indexed text (passes at the
+    // sized-for FP rate, and the FPs are deterministic, so they
+    // hash-check too)
     "x99_snapshot_screen" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select("doc_id", "text")
       val inc = d.where(col("doc_id") % 2 === 0).unionByName(

@@ -160,17 +160,8 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * handle's pre-rebuild cache entry and serve a stale filter — the
     * checkpoint's frozen lineage is keyed by RDD identity and cannot
     * alias across handles. */
-  private lazy val ingestBloom: (DataFrame, Int, Int) = {
-    val geom = new java.io.File(s"$dir/bloomdh/_bloomgeom")
-    if (geom.isFile) {
-      val parts = new String(
-        java.nio.file.Files.readAllBytes(geom.toPath), "UTF-8")
-        .trim.split(" ")
-      (graft.operators.Dedup.materialize(
-        serve.read.schema(Retrieval.BloomDhSchema)
-          .parquet(s"$dir/bloomdh"), None),
-        parts(0).toInt, parts(1).toInt)
-    } else {
+  private lazy val ingestBloom: (DataFrame, Int, Int) =
+    persistedIngestBloom.getOrElse {
       require(new java.io.File(s"$dir/dh").isDirectory,
         s"$dir has no dh fingerprint frame (predates incremental " +
           "rebuild); publish once with build() to upgrade — serves not " +
@@ -187,7 +178,35 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
         graft.operators.Dedup.shardedBloomBits(keys, shards, mbits), None),
         shards, mbits)
     }
-  }
+
+  /** The persisted-path load, None on ANY doubt: the geometry sidecar
+    * is read BEFORE and re-read AFTER the frame materializes — a
+    * concurrent [[Retrieval.regenerateIngestBloom]] swap between the
+    * two leaves different bytes (or none), and serving old-geometry
+    * positions against a new bit array would break the
+    * no-false-negative guarantee silently. Any mismatch or read
+    * failure (the swap's vanished-dir window) falls back to the dh
+    * derivation, which is verdict-identical — so doubting is always
+    * correct, never just safe. */
+  private def persistedIngestBloom: Option[(DataFrame, Int, Int)] = try {
+    val geom = java.nio.file.Paths.get(dir, "bloomdh", "_bloomgeom")
+    def sidecar = new String(
+      java.nio.file.Files.readAllBytes(geom), "UTF-8").trim
+    if (!java.nio.file.Files.isRegularFile(geom)) None
+    else {
+      val before = sidecar
+      // eager materialize: the frame's bytes are fully read here,
+      // bracketed by the two sidecar reads
+      val frame = graft.operators.Dedup.materialize(
+        serve.read.schema(Retrieval.BloomDhSchema)
+          .parquet(s"$dir/bloomdh"), None)
+      if (sidecar != before) None
+      else {
+        val parts = before.split(" ")
+        Some((frame, parts(0).toInt, parts(1).toInt))
+      }
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Ingest pre-screen ([[graft.operators.Dedup.ingestScreen]]'s
     * snapshot serve): which of `docs` were definitely never in THIS
@@ -1390,6 +1409,14 @@ object Retrieval {
     val spark = docs.sparkSession
     val prior = load(spark, dir)
     sweepMergeDebris(dir) // single-writer context: reclaim crashed-merge debris
+    // retire the persisted ingest filter FIRST: the merges below will
+    // change dh, and a bloomdh that disagrees with dh serves false
+    // negatives — the guarantee's one mortal sin. With the frame gone,
+    // every reader falls back to the dh derivation (correct against
+    // whatever merge state it sees — the pre-persistence envelope)
+    // until [[regenerateIngestBloom]] republishes at the end; a crash
+    // anywhere between leaves the fallback, never a stale filter.
+    retireIngestBloom(dir)
     require(new java.io.File(s"$dir/dh").isDirectory &&
         new java.io.File(s"$dir/vh").isDirectory,
       s"$dir predates incremental rebuild (no dh/vh fingerprint " +
@@ -1664,15 +1691,33 @@ object Retrieval {
     ()
   }
 
+  /** Retire the persisted ingest filter of a LIVE snapshot — called at
+    * the START of every [[Retrieval.rebuild]] so that whenever a
+    * `bloomdh` frame exists it agrees with `dh`; readers during the
+    * gap take the derive-from-dh fallback ([[Retrieval!.screenIngest]]
+    * stays available and correct throughout). Atomic move aside, then
+    * reclaim — a reader that loaded the old frame already materialized
+    * it (localCheckpoint at handle init), so the reclaim cannot fail
+    * its reads. */
+  private def retireIngestBloom(dir: String): Unit = {
+    val live = java.nio.file.Paths.get(dir, "bloomdh")
+    if (java.nio.file.Files.isDirectory(live)) {
+      val aside = new java.io.File(dir,
+        s".bloomdh-retired-${System.nanoTime()}")
+      java.nio.file.Files.move(live, aside.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      rm(aside)
+    }
+  }
+
   /** Regenerate the persisted ingest filter of a LIVE snapshot from
     * its current dh frame: stage under a dot-name (pid+nanos — the
     * rebuildInto stage convention), then swap by two atomic moves (old
     * aside, new in) and reclaim the aside. A reader landing between
     * the moves finds no `bloomdh` and falls back to deriving from dh —
     * verdict-identical by the shared geometry recipe — so the swap
-    * needs no lock; a reader that loaded the OLD frame already
-    * materialized it (localCheckpoint at handle init), so reclaiming
-    * the aside cannot fail its reads. */
+    * needs no lock; one racing the swap itself is caught by the
+    * bracketed sidecar read on the load path and falls back too. */
   private def regenerateIngestBloom(spark: SparkSession,
       dir: String): Unit = {
     val stage = new java.io.File(dir,
@@ -1688,9 +1733,6 @@ object Retrieval {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     java.nio.file.Files.move(stage.toPath, live,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
     rm(aside)
   }
 

@@ -182,10 +182,29 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       "derive-from-dh fallback diverges from the persisted filter")
     // and a rebuild upgrades the old snapshot in place — regeneration
     // is unconditional, so the persisted frame is back even though
-    // this delta is empty
-    Retrieval.rebuild(docs0, emb0, live)
+    // this delta is empty. DURING the rebuild the filter is RETIRED
+    // (whenever bloomdh exists it agrees with dh — a mid-merge reader
+    // takes the fallback, never a stale frame): probe from the
+    // crash-injection seam.
+    var retiredDuring = false
+    Retrieval.rebuild(docs0, emb0, live, afterDenseMerge = () =>
+      retiredDuring = !new java.io.File(s"$live/bloomdh").exists())
+    assert(retiredDuring,
+      "bloomdh live mid-rebuild — a stale-filter window exists")
     assert(new java.io.File(s"$live/bloomdh/_bloomgeom").isFile,
       "rebuild did not regenerate the persisted ingest filter")
+    assert(verdicts(Retrieval.load(spark, live)) === persisted)
+    // a crash inside the window leaves the fallback (correct verdicts,
+    // no filter), and the rerun converges and republishes
+    intercept[RuntimeException] {
+      Retrieval.rebuild(docs0, emb0, live,
+        afterDenseMerge = () => throw new RuntimeException("boom"))
+    }
+    assert(!new java.io.File(s"$live/bloomdh").exists(),
+      "crashed rebuild left a filter it can no longer vouch for")
+    assert(verdicts(Retrieval.load(spark, live)) === persisted)
+    Retrieval.rebuild(docs0, emb0, live)
+    assert(new java.io.File(s"$live/bloomdh/_bloomgeom").isFile)
     assert(verdicts(Retrieval.load(spark, live)) === persisted)
   }
 
