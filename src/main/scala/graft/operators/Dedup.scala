@@ -1680,9 +1680,11 @@ object Dedup {
     // bounded aggregate over the checkpointed screen output): a bulk
     // re-crawl's suspects are increment-scale, where a forced
     // broadcast OOMs the driver — past the cap the planner/AQE decides
-    // from real sizes, and the corpus stays the streamed side
-    val suspects = screened.where(col("maybe_seen"))
-      .select("content_key").distinct()
+    // from real sizes, and the corpus stays the streamed side. The
+    // distinct materializes too (it feeds both the count and the
+    // confirm join — one shuffle, not two).
+    val suspects = materialize(screened.where(col("maybe_seen"))
+      .select("content_key").distinct(), None)
     val hint: DataFrame => DataFrame =
       if (suspects.count() <= broadcastCap) broadcast else identity
     screened.join(hint(confirmedOf(suspects, ck, hint)),
