@@ -1825,6 +1825,169 @@ object Dedup {
         shards, mbits, khash))
       .select(auditColumns: _*)
 
+  // --- Counting Bloom: the DELETE-capable filter (x103) --------------------
+
+  /** The COUNTING Bloom frame over a `content_key` column: one
+    * `(pos, cnt)` row per OCCUPIED position — cnt is how many inserted
+    * keys hash there, so removing a key is a per-position DECREMENT
+    * ([[countingBloomRemove]]) and membership is "every position's
+    * count is still positive". The structure for the one thing the bit
+    * filter cannot do: the bit frame's scaladoc says deletes are
+    * structurally impossible (clearing bits erases other keys'
+    * evidence) and the snapshot filter regenerates per rebuild —
+    * correct, but a full corpus aggregate per publish. A delete-HEAVY
+    * corpus (rolling-window retention, right-to-be-forgotten queues)
+    * instead pays O(|delta|·khash) decrements per change against this
+    * frame. The trade is size: ≤ mbits `(pos, cnt)` rows (~10·n rows,
+    * two BIGINTs each) versus the bit frame's mbits BITS — ~128× the
+    * metadata, still orders of magnitude under the corpus keys it
+    * replaces. Same md5 position recipe, so counts — and therefore
+    * even the false-positive set — replay exactly in the oracle.
+    * Counts are exact BIGINTs, never saturating 4-bit counters: the
+    * classic packed layout silently loses decrement ability at
+    * saturation, the failure mode an exact column makes impossible.
+    * Duplicate corpus keys count per OCCURRENCE — removing one copy
+    * leaves the other covered, the multiset semantics a per-doc delete
+    * feed needs. */
+  def countingBloomBits(keys: DataFrame, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): DataFrame = {
+    require(mbits >= 32 && (mbits & (mbits - 1)) == 0,
+      s"mbits must be a power of two >= 32: $mbits")
+    require(khash >= 1 && khash <= 16, s"khash out of range: $khash")
+    keys.select(explode(array((0 until khash).map(i =>
+        bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
+      // a null key (null text) hashes to null positions, which carry
+      // no evidence: no screen lookup can equi-join them. Dropping
+      // them (rather than keeping a pos=null row, the bit frame's
+      // choice) keeps build and remove symmetric — full_outer on pos
+      // never matches null to null, so a null-key doc in both the
+      // corpus and the delete feed would otherwise leave a phantom
+      // negative row and trip the corruption refusal spuriously. A
+      // null-key increment doc screens maybe_seen = false in BOTH
+      // engines (coalesce(cnt,0) > 0 over null joins).
+      .where(col("pos").isNotNull)
+      .groupBy("pos").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Remove `deletedKeys` (one row per removed DOC, keyed like the
+    * build) from a counting frame: decrement their positions, drop
+    * rows at zero. FAILS LOUDLY if any position would go negative —
+    * that means a key was removed that was never inserted (or removed
+    * twice), after which the no-false-negative guarantee is silently
+    * void for every key sharing the over-decremented position; a
+    * corrupt filter must refuse, not serve. The check is one bounded
+    * aggregate over the merged frame (≤ mbits rows). */
+  def countingBloomRemove(counts: DataFrame, deletedKeys: DataFrame,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
+    val dec = countingBloomBits(deletedKeys, mbits, khash)
+      .withColumnRenamed("cnt", "dec")
+    val merged = materialize(
+      counts.join(dec, Seq("pos"), "full_outer")
+        .select(col("pos"),
+          (coalesce(col("cnt"), lit(0L)) - coalesce(col("dec"), lit(0L)))
+            .as("cnt")), None)
+    val negative = merged.where(col("cnt") < 0).count()
+    require(negative == 0L,
+      s"$negative position(s) would go negative — a removed key was " +
+        "never inserted (or was removed twice); the filter would " +
+        "silently lose its no-false-negative guarantee, so it refuses")
+    merged.where(col("cnt") > 0)
+  }
+
+  /** [[bloomScreen]] against a counting frame: khash lookup rows per
+    * doc, equi-joined on the position (hinted broadcast while the
+    * frame is provably small — ≤ 2^20 occupied rows ≈ the bit cap's
+    * data volume; planner-decided past that), `maybe_seen` = every
+    * position still has a positive count. No false negatives for any
+    * key still in the corpus, by the decrement discipline
+    * [[countingBloomRemove]] enforces. */
+  def countingBloomScreen(increment: DataFrame, counts: DataFrame,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame =
+    increment.select(col("doc_id"), col("content_key"),
+        explode(array((0 until khash).map(i =>
+          bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
+      .join(if (mbits <= (1 << 23)) broadcast(counts) else counts,
+        Seq("pos"), "left")
+      .groupBy("doc_id", "content_key")
+      .agg(expr("bool_and(coalesce(cnt, CAST(0 AS BIGINT)) > 0)")
+        .as("maybe_seen"))
+
+  /** The DELETE-CORRECT ingest screen (x103): [[ingestScreen]]'s
+    * question against a corpus that has since DROPPED documents,
+    * answered without rebuilding anything — build the counting frame
+    * over the original corpus, decrement the deleted docs' keys,
+    * screen the increment, and audit against the SURVIVING corpus
+    * (the exact twin, so the gate hash-checks that deleted content
+    * screens as never-seen — the very bits a one-way filter would have
+    * frozen — alongside the usual no-false-negative and exact-FP-set
+    * checks). */
+  def ingestScreenCounting(corpus: DataFrame, deleted: DataFrame,
+      increment: DataFrame, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): DataFrame = {
+    def keysOf(df: DataFrame) =
+      df.select(md5(normText(col("text"))).as("content_key"))
+    val counts = countingBloomRemove(
+      countingBloomBits(keysOf(corpus), mbits, khash),
+      keysOf(deleted), mbits, khash)
+    // the audit joins against the SURVIVING keys: corpus minus the
+    // deleted DOCS (id-level, so a shared text deleted once but still
+    // held by another doc stays "seen" — matching the multiset counts)
+    val surviving = corpus.join(deleted.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    screenJoinConfirmed(surviving, increment)((ik, _) =>
+      countingBloomScreen(ik, counts, mbits, khash))
+      .select(auditColumns: _*)
+  }
+
+  /** [[ingestScreenCounting]] oracle — the counting frame, the
+    * decrements, the zero-drop, and the surviving-corpus audit all
+    * replayed in SQL. `corpusPred` selects the original corpus,
+    * `deletedPred` the dropped docs WITHIN it, `incSql` the
+    * increment's `(doc_id, text)`. */
+  def ingestScreenCountingSql(corpusPred: String, deletedPred: String,
+      incSql: String, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): String =
+    s"""WITH ck AS (
+       |  SELECT md5(${normTextSql("text")}) AS k
+       |  FROM documents WHERE $corpusPred
+       |), dk AS (
+       |  SELECT md5(${normTextSql("text")}) AS k
+       |  FROM documents WHERE ($corpusPred) AND ($deletedPred)
+       |), built AS (
+       |  SELECT pos, count(*) AS cnt FROM (
+       |    SELECT ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM ck, range(0, $khash) r(i)
+       |  ) WHERE pos IS NOT NULL GROUP BY pos
+       |), dec AS (
+       |  SELECT pos, count(*) AS dec FROM (
+       |    SELECT ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM dk, range(0, $khash) r(i)
+       |  ) WHERE pos IS NOT NULL GROUP BY pos
+       |), counts AS (
+       |  SELECT pos, coalesce(b.cnt, 0) - coalesce(d.dec, 0) AS cnt
+       |  FROM built b FULL OUTER JOIN dec d USING (pos)
+       |  WHERE coalesce(b.cnt, 0) - coalesce(d.dec, 0) > 0
+       |), sk AS (
+       |  SELECT md5(${normTextSql("text")}) AS k
+       |  FROM documents WHERE ($corpusPred) AND NOT ($deletedPred)
+       |), ikraw AS (
+       |$incSql
+       |), ik AS (
+       |  SELECT doc_id, md5(${normTextSql("text")}) AS k FROM ikraw
+       |), screened AS (
+       |  SELECT doc_id, k, bool_and(coalesce(c.cnt, 0) > 0) AS maybe_seen
+       |  FROM (
+       |    SELECT doc_id, k, ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM ik, range(0, $khash) r(i)
+       |  ) lk LEFT JOIN counts c USING (pos)
+       |  GROUP BY doc_id, k
+       |)
+       |SELECT s.doc_id, s.maybe_seen,
+       |  EXISTS (SELECT 1 FROM sk WHERE sk.k = s.k) AS exact_seen,
+       |  (s.maybe_seen AND
+       |    NOT EXISTS (SELECT 1 FROM sk WHERE sk.k = s.k)) AS false_pos
+       |FROM screened s""".stripMargin
+
   /** BLOOM-ACCELERATED exact dedup (x101) — the composition the screen
     * exists for, delivered as one operator: the increment's final
     * new-vs-duplicate verdict with EXACTLY the anti-join's contract

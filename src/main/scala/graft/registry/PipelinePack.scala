@@ -801,6 +801,25 @@ object PipelinePack extends QueryPack {
       Dedup.bloomAcceleratedDedup(d.where(col("doc_id") % 3 =!= 0), inc)
         .orderBy("doc_id")
     }),
+    // the DELETE-CORRECT counting twin (x103): the corpus DROPS a
+    // fifth of its docs and the filter follows by per-position
+    // decrements — never a rebuild — so re-presented content from the
+    // deleted docs screens as never-seen (the exact twin audits
+    // against the SURVIVING corpus) while surviving re-presents keep
+    // flagging; the counting frame, the decrements, the zero-drop, and
+    // the deterministic FP set all replay in the oracle
+    "x103_counting_screen" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.where(col("doc_id") % 3 =!= 0)
+      val inc = d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 3 =!= 0 &&
+            col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.ingestScreenCounting(corpus,
+        corpus.where(col("doc_id") % 5 === 1), inc)
+        .orderBy("doc_id")
+    }),
     // the STREAMED generational chain, gated (x102): two gen-1
     // micro-batches at a batch-0-sized geometry, rebuildInto a 4×
     // gen-2, the increment screened against the inherited history as
@@ -1782,6 +1801,13 @@ object PipelinePack extends QueryPack {
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
           |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin,
         shards = 4, mbits = 1 << 14) +
+        "\nORDER BY doc_id"),
+    "x103_counting_screen" ->
+      (Dedup.ingestScreenCountingSql("doc_id % 3 != 0", "doc_id % 5 = 1",
+        """  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin) +
         "\nORDER BY doc_id"),
     "x102_bloom_rebuild_screen" ->
       (graft.streaming.StreamingBloom.generationalScreenSql(

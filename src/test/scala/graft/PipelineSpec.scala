@@ -1925,6 +1925,72 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
         "re-crawl's suspect set is increment-scale and would OOM the driver")
   }
 
+  test("counting bloom: no-delete twin of the bit filter, O(delta) deletes, corruption refusal, null-key symmetry") {
+    import spark.implicits._
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(md5(TextOps.normText(col("text"))).as("content_key"))
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val ck = keysOf(corpus)
+    val inc = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.orderBy("doc_id").limit(40)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val ik = inc.select(col("doc_id"),
+      md5(TextOps.normText(col("text"))).as("content_key"))
+    // with NOTHING deleted the counting screen is the bit screen,
+    // row-for-row: cnt > 0 at a position ⇔ its bit is set
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(sorted(Dedup.countingBloomScreen(ik, Dedup.countingBloomBits(ck)))
+        === sorted(Dedup.bloomScreen(ik, Dedup.bloomBits(ck))),
+      "counting screen with no deletes diverges from the bit screen")
+    // delete a UNIQUE-text doc: its content stops flagging — the very
+    // verdict the one-way bit filter can only reach by rebuilding —
+    // while a surviving doc's re-presented content keeps flagging
+    val uniq = corpus.groupBy(md5(TextOps.normText(col("text"))).as("k"))
+      .agg(count(lit(1)).as("c"), min("doc_id").as("doc_id"))
+      .where(col("c") === 1).orderBy("doc_id")
+      .select("doc_id").limit(1).collect()(0).getLong(0)
+    val afterDel = Dedup.countingBloomRemove(
+      Dedup.countingBloomBits(ck),
+      keysOf(corpus.where(col("doc_id") === uniq)))
+    val gone = Dedup.countingBloomScreen(
+      corpus.where(col("doc_id") === uniq)
+        .select(col("doc_id"), md5(TextOps.normText(col("text")))
+          .as("content_key")), afterDel).collect()
+    assert(gone.length == 1 && !gone(0).getBoolean(2),
+      "deleted unique content still flags — decrements did not land")
+    val kept = Dedup.countingBloomScreen(
+      corpus.where(col("doc_id") =!= uniq).limit(50)
+        .select(col("doc_id"), md5(TextOps.normText(col("text")))
+          .as("content_key")), afterDel).collect()
+    assert(kept.nonEmpty && kept.forall(_.getBoolean(2)),
+      "surviving content lost a set position — a shared position was " +
+        "over-decremented")
+    // removing a key that was never inserted must REFUSE (the filter
+    // would silently void its guarantee for every key sharing a
+    // position), and a double delete is the same corruption
+    val alien = Seq("never inserted text").toDF("text")
+    assertThrows[IllegalArgumentException](
+      Dedup.countingBloomRemove(Dedup.countingBloomBits(ck),
+        keysOf(alien)).collect())
+    // null keys are position-less on BOTH the build and delete sides:
+    // deleting a null-text doc present in the corpus neither refuses
+    // nor disturbs any count, and a null-text increment doc screens
+    // maybe_seen = false
+    val withNull = corpus.select("doc_id", "text").unionByName(
+      Seq((999999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nullDel = Dedup.countingBloomRemove(
+      Dedup.countingBloomBits(keysOf(withNull)),
+      keysOf(withNull.where(col("doc_id") === 999999L)))
+    assert(nullDel.where(col("pos").isNull).count() === 0)
+    val nv = Dedup.countingBloomScreen(
+      Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+        .select(col("doc_id"), md5(TextOps.normText(col("text")))
+          .as("content_key")), nullDel).collect()
+    assert(nv.length == 1 && !nv(0).getBoolean(2))
+  }
+
   test("bloom geometry: adaptive sizing is next-pow2 of 10 bits/key; screen never joins the corpus") {
     assert(Dedup.adaptiveBloomBits(0) == 1024)
     assert(Dedup.adaptiveBloomBits(100) == 1024)
