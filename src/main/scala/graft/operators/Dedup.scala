@@ -1589,7 +1589,11 @@ object Dedup {
     * increment against the full key set; this frame is 10·n BITS
     * (~2 GB per 10^9 keys as parquet rows), equi-joined or broadcast.
     * Deterministic (md5 positions, no RNG), so two builds of the same
-    * corpus are row-identical and the oracle can replay it in SQL. */
+    * corpus are row-identical and the oracle can replay it in SQL.
+    * Bits are one-way — corpus DELETES need a rebuild (or the
+    * [[graft.serve.Retrieval]] per-publish regeneration); a
+    * delete-heavy corpus uses [[countingBloomBits]] instead, which
+    * trades ~128× the metadata for O(delta) decrements. */
   def bloomBits(keys: DataFrame, mbits: Int = BloomMBits,
       khash: Int = BloomHashes): DataFrame = {
     require(mbits >= 32 && (mbits & (mbits - 1)) == 0,
@@ -1906,7 +1910,11 @@ object Dedup {
     increment.select(col("doc_id"), col("content_key"),
         explode(array((0 until khash).map(i =>
           bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
-      .join(if (mbits <= (1 << 23)) broadcast(counts) else counts,
+      // the counting frame is a ROW PER POSITION (16 bytes each), not
+      // per 32-bit word — the bit screen's 2^23-bit cap here would be
+      // 128× its broadcast volume, so the hint stops at 2^20 positions
+      // (~16 MB); past that the planner decides
+      .join(if (mbits <= (1 << 20)) broadcast(counts) else counts,
         Seq("pos"), "left")
       .groupBy("doc_id", "content_key")
       .agg(expr("bool_and(coalesce(cnt, CAST(0 AS BIGINT)) > 0)")

@@ -37,7 +37,11 @@ import org.apache.spark.sql.streaming.Trigger
   * delete — clearing a key's bits would erase other keys' evidence, so
   * removing corpus content is a re-screen into a fresh artifact, and
   * the pinned geometry guard below enforces the fresh-dir convention
-  * exactly as the codebook pins do for the vector stores.
+  * exactly as the codebook pins do for the vector stores. (A
+  * delete-heavy BATCH corpus has the counting alternative —
+  * [[graft.operators.Dedup.countingBloomBits]], O(delta) decrements at
+  * ~128× the metadata; the streamed artifact keeps the bit form
+  * because its OR-fold is what makes slice replay idempotent.)
   *
   * Semantics: a `maybe_seen` false positive rejects a genuinely new
   * doc at the sized-for rate — the deterministic trade an ingest
