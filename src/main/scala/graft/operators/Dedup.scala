@@ -1528,6 +1528,17 @@ object Dedup {
     * join. The corpus is never the broadcast side either way. */
   val ConfirmBroadcastMaxSuspects: Long = 1L << 20
 
+  /** THE content key of the exact-dedup/bloom family — md5 of the
+    * normalized text — in exactly one place: the screens' verdicts,
+    * the counting frame's positions, and the confirm joins must all
+    * key identically or they silently desync (a counting frame built
+    * under a different normalization would false-negative every
+    * screen). */
+  private def contentKeyColumn: Column =
+    md5(normText(col("text"))).as("content_key")
+  private def contentKeyOf(df: DataFrame): DataFrame =
+    df.select(contentKeyColumn)
+
   /** Bits for a ~1% false-positive Bloom filter over `n` keys: the
     * next power of two ≥ 10·n (10 bits/key with [[BloomHashes]] = 5
     * hashes gives FP ≈ 0.9%), floored at 2^10. Powers of two keep the
@@ -1670,9 +1681,9 @@ object Dedup {
       increment: DataFrame,
       broadcastCap: Long = ConfirmBroadcastMaxSuspects)(
       screen: (DataFrame, DataFrame) => DataFrame): DataFrame = {
-    val ck = corpus.select(md5(normText(col("text"))).as("content_key"))
+    val ck = contentKeyOf(corpus)
     val ik = increment.select(col("doc_id"),
-      md5(normText(col("text"))).as("content_key"))
+      contentKeyColumn)
     // `screened` feeds BOTH the confirm filter and the final audit
     // join, and its lineage carries the corpus bit-array aggregate —
     // the call's dominant cost; localCheckpoint so it runs exactly
@@ -1876,11 +1887,16 @@ object Dedup {
   /** Remove `deletedKeys` (one row per removed DOC, keyed like the
     * build) from a counting frame: decrement their positions, drop
     * rows at zero. FAILS LOUDLY if any position would go negative —
-    * that means a key was removed that was never inserted (or removed
-    * twice), after which the no-false-negative guarantee is silently
-    * void for every key sharing the over-decremented position; a
-    * corrupt filter must refuse, not serve. The check is one bounded
-    * aggregate over the merged frame (≤ mbits rows). */
+    * a key removed that was never inserted, or removed twice — one
+    * bounded aggregate over the merged frame (≤ mbits rows). The
+    * refusal is BEST-EFFORT, not a guarantee: an alien key whose
+    * khash positions ALL collide with occupied ones (probability ≈
+    * fill^khash per alien key — the FP rate's order) decrements
+    * without going negative and silently voids the no-false-negative
+    * guarantee for the colliding keys. The real integrity contract is
+    * the CALLER's: feed only keys previously inserted, exactly once
+    * per removal — [[ingestScreenCounting]] enforces it structurally
+    * by semi-joining the delete feed against the corpus ids. */
   def countingBloomRemove(counts: DataFrame, deletedKeys: DataFrame,
       mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
     val dec = countingBloomBits(deletedKeys, mbits, khash)
@@ -1932,11 +1948,19 @@ object Dedup {
   def ingestScreenCounting(corpus: DataFrame, deleted: DataFrame,
       increment: DataFrame, mbits: Int = BloomMBits,
       khash: Int = BloomHashes): DataFrame = {
-    def keysOf(df: DataFrame) =
-      df.select(md5(normText(col("text"))).as("content_key"))
+    // decrement only the deleted docs PROVABLY IN the corpus (id-level
+    // semi-join): a delete-feed row whose doc_id was never indexed but
+    // whose text duplicates a surviving doc would otherwise decrement
+    // a live key to zero WITHOUT any position going negative — a
+    // silent false negative the refusal cannot catch. Constraining the
+    // feed to the corpus makes the decrements exactly the complement
+    // of the surviving anti-join below, so counts and audit can never
+    // disagree.
+    val inCorpus = corpus.join(deleted.select("doc_id"),
+      Seq("doc_id"), "left_semi")
     val counts = countingBloomRemove(
-      countingBloomBits(keysOf(corpus), mbits, khash),
-      keysOf(deleted), mbits, khash)
+      countingBloomBits(contentKeyOf(corpus), mbits, khash),
+      contentKeyOf(inCorpus), mbits, khash)
     // the audit joins against the SURVIVING keys: corpus minus the
     // deleted DOCS (id-level, so a shared text deleted once but still
     // held by another doc stays "seen" — matching the multiset counts)

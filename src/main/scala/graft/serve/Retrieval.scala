@@ -1412,9 +1412,10 @@ object Retrieval {
     // retire the persisted ingest filter FIRST: the merges below will
     // change dh, and a bloomdh that disagrees with dh serves false
     // negatives — the guarantee's one mortal sin. With the frame gone,
-    // every reader falls back to the dh derivation (correct against
-    // whatever merge state it sees — the pre-persistence envelope)
-    // until [[regenerateIngestBloom]] republishes at the end; a crash
+    // every reader falls back to the dh derivation — subject to the
+    // rebuild's own mid-merge read contract, like every other frame
+    // read racing this single-writer maintenance — until
+    // [[regenerateIngestBloom]] republishes at the end; a crash
     // anywhere between leaves the fallback, never a stale filter.
     retireIngestBloom(dir)
     require(new java.io.File(s"$dir/dh").isDirectory &&
@@ -1693,12 +1694,19 @@ object Retrieval {
 
   /** Retire the persisted ingest filter of a LIVE snapshot — called at
     * the START of every [[Retrieval.rebuild]] so that whenever a
-    * `bloomdh` frame exists it agrees with `dh`; readers during the
-    * gap take the derive-from-dh fallback ([[Retrieval!.screenIngest]]
-    * stays available and correct throughout). Atomic move aside, then
-    * reclaim — a reader that loaded the old frame already materialized
-    * it (localCheckpoint at handle init), so the reclaim cannot fail
-    * its reads. */
+    * `bloomdh` frame exists it agrees with `dh`. Readers during the
+    * gap take the derive-from-dh fallback, which carries the in-place
+    * rebuild's OWN read contract: rebuild is single-writer
+    * maintenance, and a reader racing it sees dh through the same
+    * per-partition swap windows as every other frame read mid-rebuild
+    * (mixed-generation rows, or a listing error in a swap's
+    * rename gap) — no worse than the pre-persistence design, which
+    * derived from dh on every load. A deployment that must never
+    * expose those windows publishes blue/green via [[Retrieval.build]]
+    * instead. Atomic move aside, then reclaim — a handle that already
+    * EVALUATED its lazy filter holds a localCheckpoint, so the reclaim
+    * cannot fail its reads (a handle that has not yet evaluated it
+    * simply derives). */
   private def retireIngestBloom(dir: String): Unit = {
     val live = java.nio.file.Paths.get(dir, "bloomdh")
     if (java.nio.file.Files.isDirectory(live)) {

@@ -1974,6 +1974,19 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](
       Dedup.countingBloomRemove(Dedup.countingBloomBits(ck),
         keysOf(alien)).collect())
+    // a delete-feed row whose doc_id was NEVER INDEXED but whose text
+    // duplicates a surviving doc must not decrement (the operator
+    // semi-joins the feed against corpus ids): without it, a live key
+    // drops to zero with no position going negative — a silent false
+    // negative the refusal cannot catch
+    val shared = corpus.orderBy("doc_id").limit(1)
+    val alienDel = shared
+      .select((col("doc_id") + 5000000L).as("doc_id"), col("text"))
+    val audited = Dedup.ingestScreenCounting(corpus, alienDel,
+      shared.select(col("doc_id"), col("text"))).collect()
+    assert(audited.length == 1 && audited(0).getBoolean(1) &&
+        audited(0).getBoolean(2),
+      "an out-of-corpus delete row decremented a live key")
     // null keys are position-less on BOTH the build and delete sides:
     // deleting a null-text doc present in the corpus neither refuses
     // nor disturbs any count, and a null-text increment doc screens
