@@ -1,7 +1,7 @@
 package graft
 
 import java.sql.Timestamp
-import graft.operators.{Dedup, IndexerOps}
+import graft.operators.{Dedup, IndexerOps, TextOps}
 import graft.sources.Tables._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -387,5 +387,31 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
           sorted.forall(_._3 <= w) &&
           rebuilt == toks(id)
       } && chunks.keySet == toks.keySet
+    }
+
+  property("counting bloom: remove(build(M), D) equals build(M minus D) for any multiset") =
+    Prop.forAll(
+      for {
+        n <- Gen.choose(1, 30)
+        // texts drawn from 10 values — heavy duplication, so D deletes
+        // OCCURRENCES of keys that usually survive elsewhere (the
+        // multiset semantics), under a tiny geometry (1024 bits) where
+        // positions collide constantly (the adversarial case for
+        // per-position count arithmetic)
+        texts <- Gen.listOfN(n, Gen.choose(0, 9).map(k => s"doc text $k"))
+        mask <- Gen.listOfN(n, Gen.prob(0.4))
+      } yield (texts, mask)
+    ) { case (texts, mask) =>
+      val mbits = 1 << 10
+      def keys(ts: List[String]) = ts.toDF("text")
+        .select(md5(TextOps.normText(col("text"))).as("content_key"))
+      def counts(df: DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val deleted = texts.zip(mask).filter(_._2).map(_._1)
+      val survivors = texts.zip(mask).filterNot(_._2).map(_._1)
+      counts(Dedup.countingBloomRemove(
+          Dedup.countingBloomBits(keys(texts), mbits),
+          keys(deleted), mbits)) ==
+        counts(Dedup.countingBloomBits(keys(survivors), mbits))
     }
 }
