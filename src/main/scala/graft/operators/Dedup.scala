@@ -1658,9 +1658,43 @@ object Dedup {
     * In production the exact twin is the SPOT-CHECK run at audit
     * cadence; the screen itself never touches the corpus. */
   def ingestScreen(corpus: DataFrame, increment: DataFrame,
-      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame =
-    screenJoinConfirmed(corpus, increment)((ik, ck) =>
+      mbits: Int = BloomMBits, khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame =
+    screenJoinConfirmed(corpus, increment,
+      checkpointDir = checkpointDir)((ik, ck) =>
       bloomScreen(ik, bloomBits(ck, mbits, khash), mbits, khash))
+      .select(auditColumns: _*)
+
+  /** The corpus's Bloom frame as a REUSABLE materialized artifact —
+    * the `...From` convention ([[nearDupPairsFrom]]) applied to the
+    * ingest screen: a steady trickle-ingest loop screening every batch
+    * builds this ONCE per corpus generation and hands it to
+    * [[ingestScreenFrom]] per batch, so the corpus bit-array aggregate
+    * — the screen's only corpus-scale job — runs once across any
+    * number of screens (spec-pinned by an accumulator on the corpus
+    * scan). Keys with [[ingestScreen]]'s content key, so the two are
+    * verdict-identical at equal geometry. */
+  def bloomFrameOf(corpus: DataFrame, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame =
+    materialize(bloomBits(contentKeyOf(corpus), mbits, khash),
+      checkpointDir)
+
+  /** [[ingestScreen]] against a PREBUILT corpus Bloom frame
+    * ([[bloomFrameOf]]) — identical output contract and confirm plan;
+    * the only difference is which side pays the corpus aggregate: here
+    * the caller paid it once up front, so each screen's jobs are the
+    * delta-scale screen + suspect count + one map pass over the corpus
+    * KEYS for the confirm (thin column, no aggregate). The frame's
+    * geometry must be the one passed here — same-corpus, same-recipe,
+    * the [[countingBloomBits]] pin discipline. */
+  def ingestScreenFrom(corpus: DataFrame, bloom: DataFrame,
+      increment: DataFrame, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame =
+    screenJoinConfirmed(corpus, increment,
+      checkpointDir = checkpointDir)((ik, _) =>
+      bloomScreen(ik, bloom, mbits, khash))
       .select(auditColumns: _*)
 
   /** The ONE keying + screen + suspects-confirm skeleton behind
@@ -1670,27 +1704,40 @@ object Dedup {
     * the confirm shape live in exactly one place.
     *
     * EAGER at construction, deliberately: the screen output
-    * materializes (localCheckpoint) and the suspect count runs as jobs
+    * materializes ([[materialize]]) and the suspect count runs as jobs
     * when the frame is BUILT, not at its first action — the price of
     * running the corpus bit-array aggregate exactly once and of
     * knowing the suspect count before choosing the confirm plan. These
     * are terminal audit operators (their output is the verdict set,
     * not a relation to compose over), so no caller filter needs to
-    * push below the checkpointed seam. */
+    * push below the checkpointed seam. The eagerness costs a FIXED
+    * ~0.3 s per call at sf0.1 (one materialize job + one suspect-count
+    * aggregate — the whole x98 steady-state delta from r17's 0.24 s to
+    * r18's 0.50 s), and the variable part is delta-proportional, never
+    * corpus-proportional — a repeated trickle-ingest loop amortizes
+    * the CORPUS aggregate away entirely via [[ingestScreenFrom]].
+    *
+    * `checkpointDir` opts the two materialized seams into RELIABLE
+    * checkpoints (the eager-build family's fault-tolerance escape
+    * hatch, [[materialize]]): default localCheckpoint state is
+    * executor-local, so on a real cluster an executor loss kills the
+    * frame unrecoverably — a long-lived audit frame passes a
+    * checkpoint dir exactly as the star-contraction family does. */
   private[graft] def screenJoinConfirmed(corpus: DataFrame,
       increment: DataFrame,
-      broadcastCap: Long = ConfirmBroadcastMaxSuspects)(
+      broadcastCap: Long = ConfirmBroadcastMaxSuspects,
+      checkpointDir: Option[String] = None)(
       screen: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val ck = contentKeyOf(corpus)
     val ik = increment.select(col("doc_id"),
       contentKeyColumn)
     // `screened` feeds BOTH the confirm filter and the final audit
     // join, and its lineage carries the corpus bit-array aggregate —
-    // the call's dominant cost; localCheckpoint so it runs exactly
+    // the call's dominant cost; materialize so it runs exactly
     // once (the [[graft.serve.Retrieval]] ingestBloom materialize
     // convention; cache() matches canonicalized plans and can alias
     // across rebuilt inputs, the bug the x99 spec caught)
-    val screened = screen(ik, ck).localCheckpoint()
+    val screened = materialize(screen(ik, ck), checkpointDir)
     // hint broadcast only while the suspect set is COUNTED small (one
     // bounded aggregate over the checkpointed screen output): a bulk
     // re-crawl's suspects are increment-scale, where a forced
@@ -1699,7 +1746,7 @@ object Dedup {
     // distinct materializes too (it feeds both the count and the
     // confirm join — one shuffle, not two).
     val suspects = materialize(screened.where(col("maybe_seen"))
-      .select("content_key").distinct(), None)
+      .select("content_key").distinct(), checkpointDir)
     val hint: DataFrame => DataFrame =
       if (suspects.count() <= broadcastCap) broadcast else identity
     screened.join(hint(confirmedOf(suspects, ck, hint)),
@@ -1834,8 +1881,10 @@ object Dedup {
     * (maybe_seen / exact_seen / false_pos), the filter sharded. */
   def ingestScreenSharded(corpus: DataFrame, increment: DataFrame,
       shards: Int, mbits: Int = BloomMBits,
-      khash: Int = BloomHashes): DataFrame =
-    screenJoinConfirmed(corpus, increment)((ik, ck) =>
+      khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame =
+    screenJoinConfirmed(corpus, increment,
+      checkpointDir = checkpointDir)((ik, ck) =>
       shardedBloomScreen(ik, shardedBloomBits(ck, shards, mbits, khash),
         shards, mbits, khash))
       .select(auditColumns: _*)
@@ -1863,7 +1912,21 @@ object Dedup {
     * saturation, the failure mode an exact column makes impossible.
     * Duplicate corpus keys count per OCCURRENCE — removing one copy
     * leaves the other covered, the multiset semantics a per-doc delete
-    * feed needs. */
+    * feed needs.
+    *
+    * The frame carries its geometry AS COLUMN METADATA on `cnt`
+    * (StreamingBloom's pinned-geometry guard, in-frame form — survives
+    * select/materialize and a parquet round trip): a remove or screen
+    * called at a DIFFERENT geometry relocates every key's positions
+    * and usually — but only usually — trips the negative refusal; when
+    * every colliding decrement lands on an occupied position it passes
+    * silently and voids the no-false-negative guarantee, so
+    * [[countingBloomRemove]]/[[countingBloomScreen]] validate the pin
+    * and refuse the mismatch up front. One flat frame holds ~10^8 keys
+    * (mbits ≤ 2^30 at 10 bits/key); past that, the sharded twins
+    * ([[shardedCountingBloomBits]] — `(shard, pos)` keying exactly as
+    * [[shardedBloomBits]]) scale out with no single geometry to
+    * outgrow, sized by [[adaptiveCountingGeometry]]. */
   def countingBloomBits(keys: DataFrame, mbits: Int = BloomMBits,
       khash: Int = BloomHashes): DataFrame = {
     require(mbits >= 32 && (mbits & (mbits - 1)) == 0,
@@ -1882,7 +1945,46 @@ object Dedup {
       // engines (coalesce(cnt,0) > 0 over null joins).
       .where(col("pos").isNotNull)
       .groupBy("pos").agg(count(lit(1)).as("cnt"))
+      .select(col("pos"),
+        col("cnt").as("cnt", countingGeomMetadata(1, mbits, khash)))
   }
+
+  // --- counting-frame geometry pin ----------------------------------------
+
+  private val GeomShardsKey = "graft.counting.shards"
+  private val GeomMbitsKey = "graft.counting.mbits"
+  private val GeomKhashKey = "graft.counting.khash"
+
+  private def countingGeomMetadata(shards: Int, mbits: Int,
+      khash: Int): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(GeomShardsKey, shards.toLong)
+      .putLong(GeomMbitsKey, mbits.toLong)
+      .putLong(GeomKhashKey, khash.toLong)
+      .build()
+
+  /** Validate a counting frame's pinned geometry against the caller's
+    * knobs — refuse a mismatch LOUDLY instead of letting colliding
+    * decrements pass the negative check silently. A frame whose `cnt`
+    * column carries no pin (built by something other than the builders
+    * here) is accepted as-is: the caller owns the geometry contract
+    * then, exactly the pre-pin behavior. */
+  private def requireCountingGeometry(counts: DataFrame, shards: Int,
+      mbits: Int, khash: Int, op: String): Unit =
+    counts.schema.fields.find(_.name == "cnt").map(_.metadata)
+      .filter(_.contains(GeomMbitsKey)).foreach { m =>
+        val fs =
+          if (m.contains(GeomShardsKey)) m.getLong(GeomShardsKey) else 1L
+        require(fs == shards && m.getLong(GeomMbitsKey) == mbits &&
+            m.getLong(GeomKhashKey) == khash,
+          s"$op called at geometry (shards=$shards, mbits=$mbits, " +
+            s"khash=$khash) but the counting frame is pinned to " +
+            s"(shards=$fs, mbits=${m.getLong(GeomMbitsKey)}, " +
+            s"khash=${m.getLong(GeomKhashKey)}) — a mismatched " +
+            "geometry relocates every key's positions; colliding " +
+            "decrements can stay non-negative and silently void the " +
+            "no-false-negative guarantee, so the frame refuses")
+      }
 
   /** Remove `deletedKeys` (one row per removed DOC, keyed like the
     * build) from a counting frame: decrement their positions, drop
@@ -1898,20 +2000,44 @@ object Dedup {
     * per removal — [[ingestScreenCounting]] enforces it structurally
     * by semi-joining the delete feed against the corpus ids. */
   def countingBloomRemove(counts: DataFrame, deletedKeys: DataFrame,
-      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
+      mbits: Int = BloomMBits, khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame = {
+    requireCountingGeometry(counts, 1, mbits, khash, "countingBloomRemove")
     val dec = countingBloomBits(deletedKeys, mbits, khash)
       .withColumnRenamed("cnt", "dec")
     val merged = materialize(
       counts.join(dec, Seq("pos"), "full_outer")
         .select(col("pos"),
           (coalesce(col("cnt"), lit(0L)) - coalesce(col("dec"), lit(0L)))
-            .as("cnt")), None)
+            .as("cnt", countingGeomMetadata(1, mbits, khash))),
+      checkpointDir)
     val negative = merged.where(col("cnt") < 0).count()
     require(negative == 0L,
       s"$negative position(s) would go negative — a removed key was " +
         "never inserted (or was removed twice); the filter would " +
         "silently lose its no-false-negative guarantee, so it refuses")
     merged.where(col("cnt") > 0)
+  }
+
+  /** INSERT `addedKeys` into a counting frame — the other half of the
+    * O(delta) maintenance loop ([[countingBloomRemove]]'s inverse): a
+    * per-position increment over the merged frame, no refusal needed
+    * (adding evidence can never void the guarantee). With add and
+    * remove, a delete-heavy deployment's filter follows its corpus
+    * through any churn without EVER re-aggregating it — exactly the
+    * publish path [[graft.serve.Retrieval]] wires for counting-backed
+    * snapshots. Same geometry pin discipline; lazy (no refusal
+    * aggregate to run), so callers chain it freely. */
+  def countingBloomAdd(counts: DataFrame, addedKeys: DataFrame,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
+    requireCountingGeometry(counts, 1, mbits, khash, "countingBloomAdd")
+    val inc = countingBloomBits(addedKeys, mbits, khash)
+      .withColumnRenamed("cnt", "inc")
+    counts.join(inc, Seq("pos"), "full_outer")
+      .select(col("pos"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("inc"), lit(0L)))
+          .as("cnt", countingGeomMetadata(1, mbits, khash)))
+      .where(col("cnt") > 0)
   }
 
   /** [[bloomScreen]] against a counting frame: khash lookup rows per
@@ -1922,7 +2048,8 @@ object Dedup {
     * key still in the corpus, by the decrement discipline
     * [[countingBloomRemove]] enforces. */
   def countingBloomScreen(increment: DataFrame, counts: DataFrame,
-      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame =
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
+    requireCountingGeometry(counts, 1, mbits, khash, "countingBloomScreen")
     increment.select(col("doc_id"), col("content_key"),
         explode(array((0 until khash).map(i =>
           bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
@@ -1935,6 +2062,7 @@ object Dedup {
       .groupBy("doc_id", "content_key")
       .agg(expr("bool_and(coalesce(cnt, CAST(0 AS BIGINT)) > 0)")
         .as("maybe_seen"))
+  }
 
   /** The DELETE-CORRECT ingest screen (x103): [[ingestScreen]]'s
     * question against a corpus that has since DROPPED documents,
@@ -1947,7 +2075,8 @@ object Dedup {
     * checks). */
   def ingestScreenCounting(corpus: DataFrame, deleted: DataFrame,
       increment: DataFrame, mbits: Int = BloomMBits,
-      khash: Int = BloomHashes): DataFrame = {
+      khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame = {
     // decrement only the deleted docs PROVABLY IN the corpus (id-level
     // semi-join): a delete-feed row whose doc_id was never indexed but
     // whose text duplicates a surviving doc would otherwise decrement
@@ -1960,14 +2089,146 @@ object Dedup {
       Seq("doc_id"), "left_semi")
     val counts = countingBloomRemove(
       countingBloomBits(contentKeyOf(corpus), mbits, khash),
-      contentKeyOf(inCorpus), mbits, khash)
+      contentKeyOf(inCorpus), mbits, khash, checkpointDir)
     // the audit joins against the SURVIVING keys: corpus minus the
     // deleted DOCS (id-level, so a shared text deleted once but still
     // held by another doc stays "seen" — matching the multiset counts)
     val surviving = corpus.join(deleted.select("doc_id"),
       Seq("doc_id"), "left_anti")
-    screenJoinConfirmed(surviving, increment)((ik, _) =>
+    screenJoinConfirmed(surviving, increment,
+      checkpointDir = checkpointDir)((ik, _) =>
       countingBloomScreen(ik, counts, mbits, khash))
+      .select(auditColumns: _*)
+  }
+
+  // --- sharded counting Bloom: the scale path past 2^30 positions ----------
+
+  /** The geometry for a counting filter over `n` keys: identical
+    * derivation to [[adaptiveBloomGeometry]] (10 bits-worth of
+    * POSITIONS per key, per-shard space a power of two ≤ 2^30, shard
+    * count grown until every shard's share fits) — positions are
+    * `(shard, pos)` ROWS here, not array bits, so nothing physical
+    * forces the 2^30 per-shard cap, but sharing the bit family's
+    * recipe keeps the two filters swappable artifact-for-artifact and
+    * their shard routing identical. One flat shard until ~10^8 keys
+    * (where sharded ≡ flat row-for-row, spec-pinned), then shards grow
+    * with the corpus — the counting family's answer to
+    * [[adaptiveBloomBits]]'s "needs sharding" refusal. */
+  def adaptiveCountingGeometry(n: Long): (Int, Int) =
+    adaptiveBloomGeometry(n)
+
+  /** [[countingBloomBits]]'s sharded twin — `(shard, pos, cnt)`, each
+    * key routed to `hash(key) mod shards` ([[shardedBloomBits]]'s
+    * routing hash, distinct namespace from every position hash) and
+    * counted within its shard's OWN mbits-position space. Total
+    * capacity is shards·mbits positions with no single frame to
+    * outgrow; shards rebuild independently (re-count ONE shard's keys,
+    * not the corpus); the screen join gains the shard id — an
+    * equi-join the planner broadcasts when the frame fits and shuffles
+    * when it doesn't. Same one map-side-combining aggregate, same
+    * exact-BIGINT multiset counts, same geometry pin (now including
+    * the shard count). */
+  def shardedCountingBloomBits(keys: DataFrame, shards: Int,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    require(mbits >= 32 && (mbits & (mbits - 1)) == 0,
+      s"mbits must be a power of two >= 32: $mbits")
+    require(khash >= 1 && khash <= 16, s"khash out of range: $khash")
+    keys.select(bloomShard(col("content_key"), shards).as("shard"),
+        explode(array((0 until khash).map(i =>
+          bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
+      // null keys: position-less on every side, the flat form's rule
+      .where(col("pos").isNotNull)
+      .groupBy("shard", "pos").agg(count(lit(1)).as("cnt"))
+      .select(col("shard"), col("pos"),
+        col("cnt").as("cnt", countingGeomMetadata(shards, mbits, khash)))
+  }
+
+  /** [[countingBloomRemove]]'s sharded twin: per-`(shard, pos)`
+    * decrements, the same loud negative-count refusal, the same
+    * geometry pin validation — a frame built at one (shards, mbits,
+    * khash) refuses removal at any other. */
+  def shardedCountingBloomRemove(counts: DataFrame,
+      deletedKeys: DataFrame, shards: Int, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame = {
+    requireCountingGeometry(counts, shards, mbits, khash,
+      "shardedCountingBloomRemove")
+    val dec = shardedCountingBloomBits(deletedKeys, shards, mbits, khash)
+      .withColumnRenamed("cnt", "dec")
+    val merged = materialize(
+      counts.join(dec, Seq("shard", "pos"), "full_outer")
+        .select(col("shard"), col("pos"),
+          (coalesce(col("cnt"), lit(0L)) - coalesce(col("dec"), lit(0L)))
+            .as("cnt", countingGeomMetadata(shards, mbits, khash))),
+      checkpointDir)
+    val negative = merged.where(col("cnt") < 0).count()
+    require(negative == 0L,
+      s"$negative position(s) would go negative — a removed key was " +
+        "never inserted (or was removed twice); the filter would " +
+        "silently lose its no-false-negative guarantee, so it refuses")
+    merged.where(col("cnt") > 0)
+  }
+
+  /** [[countingBloomAdd]]'s sharded twin — lazy per-`(shard, pos)`
+    * increments, no refusal (added evidence cannot void the
+    * guarantee). */
+  def shardedCountingBloomAdd(counts: DataFrame, addedKeys: DataFrame,
+      shards: Int, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): DataFrame = {
+    requireCountingGeometry(counts, shards, mbits, khash,
+      "shardedCountingBloomAdd")
+    val inc = shardedCountingBloomBits(addedKeys, shards, mbits, khash)
+      .withColumnRenamed("cnt", "inc")
+    counts.join(inc, Seq("shard", "pos"), "full_outer")
+      .select(col("shard"), col("pos"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("inc"), lit(0L)))
+          .as("cnt", countingGeomMetadata(shards, mbits, khash)))
+      .where(col("cnt") > 0)
+  }
+
+  /** [[countingBloomScreen]]'s sharded twin: khash lookup rows per
+    * doc routed to the key's shard, equi-joined on `(shard, pos)`. No
+    * broadcast hint on purpose ([[shardedBloomScreen]]'s rule — the
+    * sharded form exists for frames past broadcast size; the planner
+    * still broadcasts small ones on its own). */
+  def shardedCountingBloomScreen(increment: DataFrame,
+      counts: DataFrame, shards: Int, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): DataFrame = {
+    requireCountingGeometry(counts, shards, mbits, khash,
+      "shardedCountingBloomScreen")
+    increment.select(col("doc_id"), col("content_key"),
+        bloomShard(col("content_key"), shards).as("shard"),
+        explode(array((0 until khash).map(i =>
+          bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
+      .join(counts, Seq("shard", "pos"), "left")
+      .groupBy("doc_id", "content_key")
+      .agg(expr("bool_and(coalesce(cnt, CAST(0 AS BIGINT)) > 0)")
+        .as("maybe_seen"))
+  }
+
+  /** [[ingestScreenCounting]]'s sharded twin (x104) — same output and
+    * audit contract (delete-correct verdicts against the SURVIVING
+    * corpus, deterministic FP set, the in-corpus delete-feed
+    * constraint), the filter keyed `(shard, pos)` so a delete-heavy
+    * corpus past ~10^8 keys — the flat form's hard ceiling — sizes out
+    * by [[adaptiveCountingGeometry]] instead of refusing. */
+  def ingestScreenCountingSharded(corpus: DataFrame, deleted: DataFrame,
+      increment: DataFrame, shards: Int, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // the same two id-level joins as the flat form: decrement only
+    // deletes PROVABLY IN the corpus; audit against the survivors
+    val inCorpus = corpus.join(deleted.select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val counts = shardedCountingBloomRemove(
+      shardedCountingBloomBits(contentKeyOf(corpus), shards, mbits, khash),
+      contentKeyOf(inCorpus), shards, mbits, khash, checkpointDir)
+    val surviving = corpus.join(deleted.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    screenJoinConfirmed(surviving, increment,
+      checkpointDir = checkpointDir)((ik, _) =>
+      shardedCountingBloomScreen(ik, counts, shards, mbits, khash))
       .select(auditColumns: _*)
   }
 
@@ -2020,6 +2281,57 @@ object Dedup {
        |    NOT EXISTS (SELECT 1 FROM sk WHERE sk.k = s.k)) AS false_pos
        |FROM screened s""".stripMargin
 
+  /** [[ingestScreenCountingSharded]] oracle — [[ingestScreenCountingSql]]
+    * with the shard id carried through build, decrement, zero-drop and
+    * lookup. */
+  def ingestScreenCountingShardedSql(corpusPred: String,
+      deletedPred: String, incSql: String, shards: Int,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): String =
+    s"""WITH ck AS (
+       |  SELECT md5(${normTextSql("text")}) AS k
+       |  FROM documents WHERE $corpusPred
+       |), dk AS (
+       |  SELECT md5(${normTextSql("text")}) AS k
+       |  FROM documents WHERE ($corpusPred) AND ($deletedPred)
+       |), built AS (
+       |  SELECT shard, pos, count(*) AS cnt FROM (
+       |    SELECT ${bloomShardSql("k", shards)} AS shard,
+       |      ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM ck, range(0, $khash) r(i)
+       |  ) WHERE pos IS NOT NULL GROUP BY shard, pos
+       |), dec AS (
+       |  SELECT shard, pos, count(*) AS dec FROM (
+       |    SELECT ${bloomShardSql("k", shards)} AS shard,
+       |      ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM dk, range(0, $khash) r(i)
+       |  ) WHERE pos IS NOT NULL GROUP BY shard, pos
+       |), counts AS (
+       |  SELECT shard, pos,
+       |    coalesce(b.cnt, 0) - coalesce(d.dec, 0) AS cnt
+       |  FROM built b FULL OUTER JOIN dec d USING (shard, pos)
+       |  WHERE coalesce(b.cnt, 0) - coalesce(d.dec, 0) > 0
+       |), sk AS (
+       |  SELECT md5(${normTextSql("text")}) AS k
+       |  FROM documents WHERE ($corpusPred) AND NOT ($deletedPred)
+       |), ikraw AS (
+       |$incSql
+       |), ik AS (
+       |  SELECT doc_id, md5(${normTextSql("text")}) AS k FROM ikraw
+       |), screened AS (
+       |  SELECT doc_id, k, bool_and(coalesce(c.cnt, 0) > 0) AS maybe_seen
+       |  FROM (
+       |    SELECT doc_id, k, ${bloomShardSql("k", shards)} AS shard,
+       |      ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM ik, range(0, $khash) r(i)
+       |  ) lk LEFT JOIN counts c USING (shard, pos)
+       |  GROUP BY doc_id, k
+       |)
+       |SELECT s.doc_id, s.maybe_seen,
+       |  EXISTS (SELECT 1 FROM sk WHERE sk.k = s.k) AS exact_seen,
+       |  (s.maybe_seen AND
+       |    NOT EXISTS (SELECT 1 FROM sk WHERE sk.k = s.k)) AS false_pos
+       |FROM screened s""".stripMargin
+
   /** BLOOM-ACCELERATED exact dedup (x101) — the composition the screen
     * exists for, delivered as one operator: the increment's final
     * new-vs-duplicate verdict with EXACTLY the anti-join's contract
@@ -2034,8 +2346,10 @@ object Dedup {
     * ~10·n-bit frame read plus a suspect set the size of the true
     * duplication rate. */
   def bloomAcceleratedDedup(corpus: DataFrame, increment: DataFrame,
-      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame =
-    screenJoinConfirmed(corpus, increment)((ik, ck) =>
+      mbits: Int = BloomMBits, khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame =
+    screenJoinConfirmed(corpus, increment,
+      checkpointDir = checkpointDir)((ik, ck) =>
       bloomScreen(ik, bloomBits(ck, mbits, khash), mbits, khash))
       .select(col("doc_id"),
         (!coalesce(col("exact_seen"), lit(false))).as("is_new"))

@@ -820,6 +820,25 @@ object PipelinePack extends QueryPack {
         corpus.where(col("doc_id") % 5 === 1), inc)
         .orderBy("doc_id")
     }),
+    // the sharded counting twin (x104) — the delete-capable filter's
+    // scale path past the flat form's ~10^8-key ceiling: same
+    // delete-correct verdicts and deterministic FP set, the frame
+    // keyed (shard, pos) so no single position space ever outgrows
+    // (adaptiveCountingGeometry sizes both knobs from the corpus
+    // count; shards=1 is row-identical to the flat form, spec-pinned)
+    "x104_counting_sharded_screen" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val corpus = d.where(col("doc_id") % 3 =!= 0)
+      val inc = d.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .unionByName(d.where(col("doc_id") % 3 =!= 0 &&
+            col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.ingestScreenCountingSharded(corpus,
+        corpus.where(col("doc_id") % 5 === 1), inc,
+        shards = 4, mbits = 1 << 14)
+        .orderBy("doc_id")
+    }),
     // the STREAMED generational chain, gated (x102): two gen-1
     // micro-batches at a batch-0-sized geometry, rebuildInto a 4×
     // gen-2, the increment screened against the inherited history as
@@ -1808,6 +1827,15 @@ object PipelinePack extends QueryPack {
           |  UNION ALL
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
           |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin) +
+        "\nORDER BY doc_id"),
+    "x104_counting_sharded_screen" ->
+      (Dedup.ingestScreenCountingShardedSql("doc_id % 3 != 0",
+        "doc_id % 5 = 1",
+        """  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin,
+        shards = 4, mbits = 1 << 14) +
         "\nORDER BY doc_id"),
     "x102_bloom_rebuild_screen" ->
       (graft.streaming.StreamingBloom.generationalScreenSql(

@@ -2004,6 +2004,134 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
     assert(nv.length == 1 && !nv(0).getBoolean(2))
   }
 
+  test("sharded counting bloom: shards=1 ≡ flat row-for-row; full x104 shape row-identical; geometry fits any corpus count") {
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(md5(TextOps.normText(col("text"))).as("content_key"))
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val ck = keysOf(corpus)
+    // shards=1 build ≡ flat build (the routing hash mod 1 is 0, the
+    // position space identical) — the equivalence that makes the
+    // sharded form a pure scale-out of the flat one
+    val flat = Dedup.countingBloomBits(ck)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = Dedup.shardedCountingBloomBits(ck, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(one.forall(_._1 == 0L), "shards=1 routed a key off shard 0")
+    assert(one.map(t => (t._2, t._3)).toSet === flat,
+      "shards=1 counting frame diverges from the flat frame")
+    // the full delete-correct screen at shards=1 is ROW-identical to
+    // the flat x103 operator (same positions, same decrements, same
+    // audit) — the pin that the sharded twin changes only the keying
+    val deleted = corpus.where(col("doc_id") % 5 === 1)
+    val inc = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.orderBy("doc_id").limit(40)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getBoolean(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(rows(Dedup.ingestScreenCountingSharded(corpus, deleted, inc, 1))
+        === rows(Dedup.ingestScreenCounting(corpus, deleted, inc)),
+      "shards=1 sharded counting screen diverges from the flat operator")
+    // at shards>1 the FP set may legitimately differ (different
+    // position spaces) but the exact audit and the no-false-negative
+    // guarantee must hold unchanged
+    val sharded = rows(Dedup.ingestScreenCountingSharded(
+      corpus, deleted, inc, 4, mbits = 1 << 14))
+    val flatRows = rows(Dedup.ingestScreenCounting(corpus, deleted, inc))
+    assert(sharded.map(t => (t._1, t._3)) === flatRows.map(t => (t._1, t._3)),
+      "sharded exact_seen diverges — the audit must be bloom-invisible")
+    assert(sharded.forall(t => !t._3 || t._2),
+      "sharded counting screen produced a false negative")
+    // the geometry twin: flat until the flat range's edge, sharded
+    // past it — no corpus count is ever refused
+    assert(Dedup.adaptiveCountingGeometry(500) == ((1, 8192)))
+    val (s9, m9) = Dedup.adaptiveCountingGeometry(1L << 31)
+    assert(s9 > 1 && (m9 & (m9 - 1)) == 0,
+      s"counting geometry past 2^30 positions must shard: ($s9, $m9)")
+  }
+
+  test("counting bloom geometry pin: remove/screen/add refuse a frame built at different knobs; pin survives parquet") {
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(md5(TextOps.normText(col("text"))).as("content_key"))
+    val ck = keysOf(docs.where(col("doc_id") % 3 =!= 0)).limit(50)
+    val frame = Dedup.countingBloomBits(ck, mbits = 1 << 16)
+    val ik = docs.limit(5).select(col("doc_id"),
+      md5(TextOps.normText(col("text"))).as("content_key"))
+    // a mismatched geometry can pass the negative refusal silently
+    // (all colliding decrements staying >= 0) — the pin must refuse
+    // UP FRONT, before any count arithmetic runs
+    assertThrows[IllegalArgumentException](
+      Dedup.countingBloomRemove(frame, ck.limit(1), mbits = 1 << 14))
+    assertThrows[IllegalArgumentException](
+      Dedup.countingBloomScreen(ik, frame, mbits = 1 << 14))
+    assertThrows[IllegalArgumentException](
+      Dedup.countingBloomAdd(frame, ck.limit(1), khash = 3))
+    // sharded: the shard count is part of the geometry
+    val sh = Dedup.shardedCountingBloomBits(ck, 4, mbits = 1 << 14)
+    assertThrows[IllegalArgumentException](
+      Dedup.shardedCountingBloomRemove(sh, ck.limit(1), 2, mbits = 1 << 14))
+    assertThrows[IllegalArgumentException](
+      Dedup.shardedCountingBloomScreen(ik, sh, 4, mbits = 1 << 12))
+    // the pin rides the frame through persistence (column metadata in
+    // the parquet footer): a stored filter reloaded months later still
+    // refuses the wrong knobs and accepts the right ones
+    val out = java.nio.file.Files
+      .createTempDirectory("graft-cbgeom").toString + "/frame"
+    frame.write.parquet(out)
+    val loaded = spark.read.parquet(out)
+    assertThrows[IllegalArgumentException](
+      Dedup.countingBloomRemove(loaded, ck.limit(1), mbits = 1 << 14))
+    // right geometry: remove of an inserted key succeeds (and the pin
+    // survives the remove itself — its OUTPUT refuses mismatches too)
+    val removed = Dedup.countingBloomRemove(loaded, ck.limit(1),
+      mbits = 1 << 16)
+    assertThrows[IllegalArgumentException](
+      Dedup.countingBloomScreen(ik, removed, mbits = 1 << 14))
+    assert(Dedup.countingBloomScreen(ik, removed, mbits = 1 << 16)
+      .count() == 5)
+    // add ∘ remove round-trips the frame exactly (the O(delta)
+    // maintenance loop's algebra at frame level)
+    def tuples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tuples(Dedup.countingBloomAdd(removed, ck.limit(1),
+        mbits = 1 << 16)) === tuples(loaded),
+      "add(remove(F, D), D) must round-trip the frame")
+  }
+
+  test("ingestScreenFrom: verdict-identical to ingestScreen; the corpus aggregate runs ONCE across two screens") {
+    import spark.implicits._
+    // the corpus reaches the bit-array aggregate ONLY through this
+    // accumulator-counting wrapper; the screens get the plain frame,
+    // so the accumulator pins exactly "did a screen re-run the corpus
+    // aggregate" (task retries could inflate it in theory — local mode
+    // runs each partition once)
+    val scans = spark.sparkContext.longAccumulator("corpus-agg-scans")
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), col("text"))
+    val counted = corpus.as[(Long, String)]
+      .mapPartitions { it => scans.add(1L); it }.toDF("doc_id", "text")
+    val frame = Dedup.bloomFrameOf(counted) // eager: the one corpus pass
+    val afterBuild = scans.value
+    assert(afterBuild > 0, "bloomFrameOf must materialize eagerly")
+    val inc1 = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val inc2 = inc1.unionByName(corpus.orderBy("doc_id").limit(30)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val r1 = Dedup.ingestScreenFrom(corpus, frame, inc1)
+    val r2 = Dedup.ingestScreenFrom(corpus, frame, inc2)
+    r1.collect(); r2.collect()
+    assert(scans.value === afterBuild,
+      "a screen re-ran the corpus bit-array aggregate — the From " +
+        "variant exists so repeated ingests reuse it")
+    // verdict-identical to the self-building operator at equal geometry
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getBoolean(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    assert(rows(r2) === rows(Dedup.ingestScreen(corpus, inc2)),
+      "ingestScreenFrom diverges from ingestScreen on the same frame")
+  }
+
   test("bloom geometry: adaptive sizing is next-pow2 of 10 bits/key; screen never joins the corpus") {
     assert(Dedup.adaptiveBloomBits(0) == 1024)
     assert(Dedup.adaptiveBloomBits(100) == 1024)

@@ -414,4 +414,32 @@ object SyncAlgebraProps extends Properties("SyncAlgebra") {
           keys(deleted), mbits)) ==
         counts(Dedup.countingBloomBits(keys(survivors), mbits))
     }
+
+  property("sharded counting bloom: remove(build(M), D) equals build(M minus D) at shards=4") =
+    Prop.forAll(
+      for {
+        n <- Gen.choose(1, 30)
+        // same adversarial shape as the flat property — heavy key
+        // duplication under a tiny collision-prone per-shard space —
+        // re-run over the (shard, pos) keying so the sharded algebra
+        // carries the same multiset guarantee the flat form proved
+        texts <- Gen.listOfN(n, Gen.choose(0, 9).map(k => s"doc text $k"))
+        mask <- Gen.listOfN(n, Gen.prob(0.4))
+      } yield (texts, mask)
+    ) { case (texts, mask) =>
+      val mbits = 1 << 10
+      val shards = 4
+      def keys(ts: List[String]) = ts.toDF("text")
+        .select(md5(TextOps.normText(col("text"))).as("content_key"))
+      def counts(df: DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      val deleted = texts.zip(mask).filter(_._2).map(_._1)
+      val survivors = texts.zip(mask).filterNot(_._2).map(_._1)
+      counts(Dedup.shardedCountingBloomRemove(
+          Dedup.shardedCountingBloomBits(keys(texts), shards, mbits),
+          keys(deleted), shards, mbits)) ==
+        counts(Dedup.shardedCountingBloomBits(keys(survivors), shards,
+          mbits))
+    }
 }
