@@ -2429,14 +2429,27 @@ object Dedup {
     * same oracle string is correct at every fixture scale. `incSql`
     * selects the increment's `(doc_id, text)`. */
   def snapshotScreenSql(incSql: String,
-      khash: Int = BloomHashes): String = {
+      khash: Int = BloomHashes, corpusPred: String = "TRUE"): String = {
     def pos(key: String) =
       s"('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || $key), 1, 8))::BIGINT" +
         s" % (SELECT m FROM mb)"
+    // `corpusPred` selects the snapshot's LIVE corpus (x105 rebuilds
+    // with a fifth of the docs dropped). Geometry derives from the
+    // SURVIVING count in every case: the engine keeps its pinned
+    // geometry only while adaptiveBloomGeometry(newCount) still equals
+    // it (the O(delta) staging guard) and regenerates at the fresh
+    // derivation otherwise — both branches land on
+    // adaptive(survivingCount). The replay stays the flat BIT filter
+    // even against a counting-backed snapshot: with the decrements
+    // in (counts built over the surviving multiset), cnt > 0 occupies
+    // exactly the positions the bit filter of the survivors sets — the
+    // cross-flavor equivalence that makes the counting serve
+    // bit-oracle-checkable.
     s"""WITH mb AS (
-       |  SELECT ${adaptiveBloomBitsSql("SELECT count(*) FROM documents")} AS m
+       |  SELECT ${adaptiveBloomBitsSql(
+      s"SELECT count(*) FROM documents WHERE $corpusPred")} AS m
        |), ck AS (
-       |  SELECT md5(text) AS k FROM documents
+       |  SELECT md5(text) AS k FROM documents WHERE $corpusPred
        |), bloom AS (
        |  SELECT pos // 32 AS word, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
        |  FROM (SELECT ${pos("k")} AS pos FROM ck, range(0, $khash) r(i))

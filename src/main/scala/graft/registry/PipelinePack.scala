@@ -391,6 +391,46 @@ object PipelinePack extends QueryPack {
         r)
     }
   }
+  /** The COUNTING-backed snapshot handle (x105): the x99 snapshot
+    * recipe with the delete-capable ingest filter
+    * ([[graft.serve.Retrieval.build]]'s `countingIngestFilter`), then
+    * an in-place rebuild DROPS every `doc_id % 5 = 1` so the persisted
+    * filter follows its corpus by O(delta) decrements — the
+    * delete-heavy deployment shape, gated end to end. Codebooks reuse
+    * the x99 snapshot's (the filter is a flavor, not a geometry — no
+    * second training pass); the rebuild re-runs per call
+    * (idempotent — the steady-state empty delta exercises the staged
+    * O(delta) path at zero cost), so a crashed first build converges
+    * on the next run. NOT handle-memoized: the dir mutates (x70's
+    * rule). */
+  private def countingRetrievalFor(s: SparkSession,
+      dir: String): graft.serve.Retrieval = {
+    val fe = new java.io.File(s"$dir/embeddings.parquet")
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    val key = artifactKey(dir, fe.lastModified(), fe.length(),
+      fd.lastModified(), fd.length(), "retrieval_counting", 5,
+      graft.serve.Retrieval.LayoutVersion,
+      "cells-adaptive", VectorOps.KMeansIters, VectorOps.PqSubspaces,
+      VectorOps.PqSubCentroids, VectorOps.PqIters, VectorOps.KMeansGrid,
+      VectorOps.Dim)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_cntdel_$key")
+    if (!new java.io.File(root, "codebook.txt").exists()) {
+      val base = retrievalFor(s, dir)
+      graft.serve.Retrieval.build(
+        Tables.documents(s, dir).select("doc_id", "text"),
+        Tables.embeddings(s, dir).select("vec_id", "embedding"),
+        root.toString, codebooks = Some((base.cents, base.books)),
+        countingIngestFilter = true)
+    }
+    graft.serve.Retrieval.rebuild(
+      Tables.documents(s, dir).select("doc_id", "text")
+        .where(col("doc_id") % 5 =!= 1),
+      Tables.embeddings(s, dir).select("vec_id", "embedding")
+        .where(col("vec_id") % 5 =!= 1),
+      root.toString)
+  }
+
   private val liveHandles = new java.util.concurrent.ConcurrentHashMap[
     (String, org.apache.spark.SparkContext), graft.serve.Retrieval]()
 
@@ -862,6 +902,26 @@ object PipelinePack extends QueryPack {
           concat(col("text"), lit(" fresh "),
             col("doc_id").cast("string")).as("text")))
       retrievalFor(s, dir).screenIngest(inc).orderBy("doc_id")
+    }),
+    // the COUNTING-backed snapshot serve after a delete rebuild
+    // (x105): the publish chose the delete-capable filter, a rebuild
+    // dropped a fifth of the corpus, and the persisted filter followed
+    // by O(delta) decrements — never a regeneration at stable
+    // geometry. The increment re-presents EVERY original doc (deleted
+    // unique texts must screen never-seen — the frozen-bits verdict a
+    // one-way filter can't reach without a full rebuild) plus salted
+    // fresh rows (the deterministic FP set). The oracle replays the
+    // BIT filter of the surviving corpus: after decrements, cnt > 0
+    // occupies exactly the positions the survivors' bit filter sets —
+    // the cross-flavor equivalence is itself the gate.
+    "x105_counting_snapshot_screen" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val inc = d.unionByName(
+        d.where(col("doc_id") % 2 === 1).select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("text"), lit(" fresh "),
+            col("doc_id").cast("string")).as("text")))
+      countingRetrievalFor(s, dir).screenIngest(inc).orderBy("doc_id")
     }),
     "x2_minhash_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(Tables.documents(s, dir), PairJaccard)
@@ -1851,6 +1911,15 @@ object PipelinePack extends QueryPack {
           |  UNION ALL
           |  SELECT doc_id, text || ' fresh ' || CAST(doc_id AS VARCHAR) AS text
           |  FROM documents WHERE doc_id % 2 = 1""".stripMargin) +
+        "\nORDER BY doc_id"),
+    "x105_counting_snapshot_screen" ->
+      (Dedup.snapshotScreenSql(
+        """  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id,
+          |    text || ' fresh ' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 2 = 1""".stripMargin,
+        corpusPred = "doc_id % 5 != 1") +
         "\nORDER BY doc_id"),
     "x2_minhash_pairs" ->
       (Dedup.nearDupPairsSql(PairJaccard) + "\nORDER BY doc_a, doc_b"),

@@ -143,15 +143,108 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * serves on a pre-v6 snapshot never touch it. */
   lazy val bpeRules: Seq[(String, String)] = Retrieval.readRules(dir)
 
-  /** The snapshot's ingest Bloom filter. PERSISTED PER PUBLISH since
-    * v6: [[Retrieval.build]] stages a `bloomdh` frame next to `dh` and
-    * [[Retrieval.rebuild]] REGENERATES it — exactly when deletes
-    * happen, which is what keeps a filter that cannot un-set bits
-    * delete-correct without a per-handle corpus pass — so handle load
-    * is O(frame) (≤ shards·mbits/32 rows + a geometry sidecar), never
-    * O(corpus). A snapshot that predates the persisted frame (or a
-    * reader landing inside a regenerate swap) falls back to deriving
-    * from the `dh` fingerprint frame — one corpus-thin aggregate,
+  /** The snapshot's ACCEPTED serve points by family (`doc`/`chunk`/
+    * `bpe`) — `(nprobe, r)` pairs persisted by [[acceptServePoints]]
+    * as the `servepoints.txt` sidecar (the `cellspinned.txt`
+    * convention: the pin rides the snapshot). Empty when nothing is
+    * pinned. Every serve entry whose knobs are left at their sentinel
+    * defaults resolves through this map, so a deployment tunes ONCE —
+    * `maintain(servePointFloor=...)` → [[acceptServePoints]] — and
+    * every subsequent default serve runs at the measured cheapest
+    * point instead of the shipped constants; explicit knob arguments
+    * always win. Lazy per handle (the [[bpeRules]] convention): a pin
+    * accepted through THIS handle is visible to handles loaded after
+    * it. A full [[Retrieval.build]]/[[Retrieval.retrain]] republishes
+    * the whole snapshot directory and therefore CLEARS the pin (new
+    * codebooks void the old measurement); the in-place
+    * [[Retrieval.rebuild]] keeps codebooks and keeps the pin —
+    * re-meter at maintenance cadence and re-accept when recall
+    * drifts. */
+  lazy val pinnedServePoints: Map[String, (Int, Int)] =
+    Retrieval.readServePoints(dir)
+
+  /** Persist `report`'s selected serve points as this snapshot's
+    * serving defaults — the missing half of the maintain loop (picks
+    * used to die in the report): write `family nprobe r` lines to the
+    * sidecar via a tmp-file atomic move, one entry per family the
+    * report carries a pick for. Returns the families pinned. Refuses
+    * a report with NO picks: either maintain ran without
+    * `servePointFloor`, a selected family's frames were absent
+    * ([[Retrieval.MaintenanceReport.servePointFramesAbsent]]), or no
+    * measured point reached the floor — all three need an operator
+    * decision, not a silent no-op. */
+  def acceptServePoints(report: Retrieval.MaintenanceReport): Seq[String] = {
+    val entries = Seq(
+      "doc" -> report.servePoint,
+      "chunk" -> report.chunkServePoint,
+      "bpe" -> report.bpeServePoint).collect { case (f, Some(p)) => (f, p) }
+    require(entries.nonEmpty,
+      "the report carries no selected serve points — run " +
+        "maintain(servePointFloor = Some(...), servePointFamilies = ...) " +
+        "first; if a selected family still returned None, check " +
+        "servePointFramesAbsent (frames missing) or the floor's " +
+        "attainability on the measured curve")
+    val body = entries.map { case (f, p) => s"$f ${p.nprobe} ${p.r}" }
+      .mkString("", "\n", "\n")
+    val tmp = java.nio.file.Paths.get(dir,
+      s".servepoints-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(dir, Retrieval.ServePointsFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    entries.map(_._1)
+  }
+
+  /** Resolve a serve entry's `nprobe`: the sentinel default takes the
+    * family's pinned point when one is accepted, else the shipped
+    * constant; an explicit argument always wins. */
+  private def pinNprobe(family: String, nprobe: Int): Int =
+    if (nprobe != Retrieval.PinnedKnob) nprobe
+    else pinnedServePoints.get(family).map(_._1).getOrElse(2)
+
+  /** [[pinNprobe]] for the doc serves' mandatory refine knob. The
+    * pinned r is FLOORED at the serve's k (maintain's own rShip
+    * convention): the pin was measured at maintenance k, and a serve
+    * asking for more rows than that must widen the shortlist, not
+    * throw — the widened cost is the honest price of out-serving the
+    * measurement. */
+  private def pinRefine(family: String, refine: Int, k: Int): Int =
+    if (refine != Retrieval.PinnedKnob) refine
+    else pinnedServePoints.get(family).map(p => math.max(k, p._2))
+      .getOrElse(VectorOps.RefineShortlist)
+
+  /** [[pinRefine]] for the chunk serves' OPTIONAL refine knob: the
+    * sentinel resolves to the pinned r floored at k (a pinned r ≤ 0 —
+    * a measured no-refine point — stays None), no pin resolves to the
+    * shipped no-refine default. */
+  private def pinRefineOpt(family: String, refine: Option[Int],
+      k: Int): Option[Int] =
+    refine match {
+      case Some(Retrieval.PinnedKnob) =>
+        pinnedServePoints.get(family).map(_._2).filter(_ > 0)
+          .map(math.max(k, _))
+      case other => other
+    }
+
+  /** The snapshot's ingest filter. PERSISTED PER PUBLISH since v6:
+    * [[Retrieval.build]] stages a `bloomdh` frame next to `dh` in one
+    * of two FLAVORS (the `ingestfilter.txt` marker, publish-atomic) —
+    *
+    *  - `bit` (default): the sharded Bloom bit array; deletes cannot
+    *    un-set bits, so [[Retrieval.rebuild]] REGENERATES it from the
+    *    merged dh — one corpus-thin aggregate per scheduled rebuild;
+    *  - `counting` ([[Retrieval.build]]'s `countingIngestFilter`): the
+    *    sharded counting frame ([[graft.operators.Dedup
+    *    .shardedCountingBloomBits]]); rebuild applies O(delta)
+    *    DECREMENTS/increments from its own fingerprint diff instead of
+    *    re-aggregating — the right flavor for high-frequency small
+    *    delete batches, at ~128× the (still metadata-small) frame.
+    *
+    * Handle load is O(frame) either way, never O(corpus). A snapshot
+    * that predates the persisted frame (or a reader landing inside a
+    * regenerate swap) falls back to deriving from the `dh` fingerprint
+    * frame AT THE MARKER'S FLAVOR — one corpus-thin aggregate,
     * verdict-identical because both paths share the
     * [[graft.operators.Dedup.adaptiveBloomGeometry]] recipe.
     * materialize = localCheckpoint, NOT cache(): a cached plan is
@@ -160,7 +253,7 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * handle's pre-rebuild cache entry and serve a stale filter — the
     * checkpoint's frozen lineage is keyed by RDD identity and cannot
     * alias across handles. */
-  private lazy val ingestBloom: (DataFrame, Int, Int) =
+  private lazy val ingestBloom: Retrieval.IngestFilter =
     persistedIngestBloom.getOrElse {
       require(new java.io.File(s"$dir/dh").isDirectory,
         s"$dir has no dh fingerprint frame (predates incremental " +
@@ -174,9 +267,12 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       // form's refusal
       val (shards, mbits) =
         graft.operators.Dedup.adaptiveBloomGeometry(keys.count())
-      (graft.operators.Dedup.materialize(
-        graft.operators.Dedup.shardedBloomBits(keys, shards, mbits), None),
-        shards, mbits)
+      val counting = Retrieval.ingestFilterFlavorOf(dir) == "counting"
+      Retrieval.IngestFilter(graft.operators.Dedup.materialize(
+        if (counting)
+          graft.operators.Dedup.shardedCountingBloomBits(keys, shards, mbits)
+        else graft.operators.Dedup.shardedBloomBits(keys, shards, mbits),
+        None), shards, mbits, counting)
     }
 
   /** The persisted-path load, None on ANY doubt: the geometry sidecar
@@ -188,22 +284,31 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * failure (the swap's vanished-dir window) falls back to the dh
     * derivation, which is verdict-identical — so doubting is always
     * correct, never just safe. */
-  private def persistedIngestBloom: Option[(DataFrame, Int, Int)] = try {
+  private def persistedIngestBloom: Option[Retrieval.IngestFilter] = try {
     val geom = java.nio.file.Paths.get(dir, "bloomdh", "_bloomgeom")
     def sidecar = new String(
       java.nio.file.Files.readAllBytes(geom), "UTF-8").trim
     if (!java.nio.file.Files.isRegularFile(geom)) None
     else {
       val before = sidecar
+      val counting = before.startsWith("counting ")
       // eager materialize: the frame's bytes are fully read here,
-      // bracketed by the two sidecar reads
+      // bracketed by the two sidecar reads. The counting frame reads
+      // WITHOUT an explicit schema so its geometry-pin column metadata
+      // (parquet footer) survives into the screen's validation — the
+      // frame is metadata-small, so the footer inference the serve
+      // accessors avoid costs nothing here.
       val frame = graft.operators.Dedup.materialize(
-        serve.read.schema(Retrieval.BloomDhSchema)
+        if (counting) serve.read.parquet(s"$dir/bloomdh")
+          .select("shard", "pos", "cnt")
+        else serve.read.schema(Retrieval.BloomDhSchema)
           .parquet(s"$dir/bloomdh"), None)
       if (sidecar != before) None
       else {
-        val parts = before.split(" ")
-        Some((frame, parts(0).toInt, parts(1).toInt))
+        val parts = if (counting) before.split(" ").drop(1)
+          else before.split(" ")
+        Some(Retrieval.IngestFilter(frame, parts(0).toInt,
+          parts(1).toInt, counting))
       }
     }
   } catch { case scala.util.control.NonFatal(_) => None }
@@ -219,10 +324,13 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * against the cached broadcast-size bloom frame; the corpus is
     * never read. */
   def screenIngest(docs: DataFrame): DataFrame = {
-    val (bloom, shards, mbits) = ingestBloom
-    graft.operators.Dedup.shardedBloomScreen(
-      docs.select(col("doc_id"), md5(col("text")).as("content_key")),
-      bloom, shards, mbits)
+    val f = ingestBloom
+    val keys = docs.select(col("doc_id"), md5(col("text")).as("content_key"))
+    (if (f.counting)
+      graft.operators.Dedup.shardedCountingBloomScreen(keys, f.frame,
+        f.shards, f.mbits)
+    else graft.operators.Dedup.shardedBloomScreen(keys, f.frame,
+      f.shards, f.mbits))
       .select("doc_id", "content_key", "maybe_seen")
   }
 
@@ -235,12 +343,15 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * widening buys little recall per doubling of scan cost, r=40
     * because the refine shortlist is the strong knob at bounded float
     * reads. */
-  def denseTopK(queryIds: Seq[Long], k: Int, nprobe: Int = 2,
-      refine: Int = VectorOps.RefineShortlist): DataFrame = {
-    val probe = VectorOps.probePlanOf(emb, queryIds, cents, nprobe)
+  def denseTopK(queryIds: Seq[Long], k: Int,
+      nprobe: Int = Retrieval.PinnedKnob,
+      refine: Int = Retrieval.PinnedKnob): DataFrame = {
+    val np = pinNprobe("doc", nprobe)
+    val r = pinRefine("doc", refine, k)
+    val probe = VectorOps.probePlanOf(emb, queryIds, cents, np)
     VectorOps.ivfPqRefineTopK(
       index.where(col("cell").isin(probe.cells: _*)),
-      emb, queryIds, k, refine, nprobe,
+      emb, queryIds, k, r, np,
       cents, books, residual = true, probes = Some(probe.frame))
   }
 
@@ -254,7 +365,7 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * shared-id hybrid layout). */
   def search(queries: Seq[(Long, Seq[String])], k: Int,
       policy: HybridOps.Fusion = HybridOps.Rrf,
-      nprobe: Int = 2): DataFrame = {
+      nprobe: Int = Retrieval.PinnedKnob): DataFrame = {
     def dense = denseTopK(queries.map(_._1), k, nprobe)
       .withColumnRenamed("vec_id", "doc_id")
     policy match {
@@ -281,11 +392,13 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * [[VectorOps.multiVectorTopK]] is the labeled exact baseline this
     * path's recall is measured against — `chunk_ivfpq` in
     * [[VectorOps.annRecall]]). */
-  def chunkDenseTopK(queryIds: Seq[Long], k: Int, nprobe: Int = 2,
-      refine: Option[Int] = None): DataFrame = {
-    val probe = VectorOps.probePlanOf(emb, queryIds, cents, nprobe)
+  def chunkDenseTopK(queryIds: Seq[Long], k: Int,
+      nprobe: Int = Retrieval.PinnedKnob,
+      refine: Option[Int] = Retrieval.PinnedRefine): DataFrame = {
+    val np = pinNprobe("chunk", nprobe)
+    val probe = VectorOps.probePlanOf(emb, queryIds, cents, np)
     val pruned = cindex.where(col("cell").isin(probe.cells: _*))
-    refine match {
+    pinRefineOpt("chunk", refine, k) match {
       // two-stage serve: ADC shortlist of r chunks, exact rerank
       // against the stored full-precision chunk column (layout v5's
       // cemb — the external-model frame when the snapshot was built
@@ -294,12 +407,13 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       // sf0.1): chunk recall@5 at nprobe=2 is 0.136 plain ADC vs
       // 0.216/0.336/0.444 refined at r=10/20/40 — refine is the
       // strong knob, at r·|q| bounded float reads. The default stays
-      // None (no cemb reads) for cost; a RAG deployment passes
-      // Some(VectorOps.RefineShortlist).
+      // None (no cemb reads) for cost unless the snapshot pins a
+      // measured point ([[pinnedServePoints]]); a RAG deployment
+      // passes Some(VectorOps.RefineShortlist) or accepts a pin.
       case Some(r) => VectorOps.chunkIvfPqRefineTopK(pruned, cemb, emb,
-        queryIds, k, r, nprobe, cents, books, probes = Some(probe.frame))
+        queryIds, k, r, np, cents, books, probes = Some(probe.frame))
       case None => VectorOps.chunkIvfPqTopKFromIndex(pruned, emb,
-        queryIds, k, nprobe, cents, books, probes = Some(probe.frame))
+        queryIds, k, np, cents, books, probes = Some(probe.frame))
     }
   }
 
@@ -318,7 +432,8 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * attribution join k-row lists. */
   def searchChunks(queries: Seq[(Long, Seq[String])], k: Int,
       policy: HybridOps.Fusion = HybridOps.Rrf,
-      nprobe: Int = 2, refine: Option[Int] = None): DataFrame = {
+      nprobe: Int = Retrieval.PinnedKnob,
+      refine: Option[Int] = Retrieval.PinnedRefine): DataFrame = {
     def dense = chunkDenseTopK(queries.map(_._1), k, nprobe, refine)
     // attribution rides each fusion join itself — each half's subtree
     // (posting prune + chunk scoring; pruned ADC + MaxSim) executes
@@ -383,10 +498,11 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   def searchChunksFiltered(queries: Seq[(Long, Seq[String])],
       allowed: DataFrame, k: Int,
       policy: HybridOps.Fusion = HybridOps.Rrf,
-      nprobe: Int = 2, refine: Option[Int] = None): DataFrame = {
+      nprobe: Int = Retrieval.PinnedKnob,
+      refine: Option[Int] = Retrieval.PinnedRefine): DataFrame = {
     def lex = TextOps.bm25ChunkTopKFrom(ctf, cdl, queries, k, Some(allowed))
     def dense = chunkDenseTopKAllowed(queries.map(_._1), allowed, k,
-      nprobe, refine)
+      pinNprobe("chunk", nprobe), pinRefineOpt("chunk", refine, k))
     policy match {
       case HybridOps.LexicalOnly => lex
       case HybridOps.DenseOnly => dense
@@ -633,6 +749,15 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     val docGrid = grid && servePointFamilies.contains("doc")
     val chunkGrid = grid && servePointFamilies.contains("chunk") && hasChunk
     val bpeGrid = grid && servePointFamilies.contains("bpe") && hasBpe
+    // a family the caller explicitly selected but this snapshot cannot
+    // meter (frames absent) is REPORTED, not silently skipped — its
+    // serve point would come back None either way, and without the
+    // marker that None is indistinguishable from an unattainable floor
+    val framesAbsent = servePointFamilies.distinct.filter {
+      case "chunk" => !hasChunk
+      case "bpe" => !hasBpe
+      case _ => false
+    }
     // refines below k would throw in the meter; k past the widest
     // grid value collapses the refine axis to rShip alone
     def rsWide = (VectorOps.CurveRefines.filter(_ >= k) :+ rShip).distinct
@@ -720,6 +845,7 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       servePoint = servePoint,
       chunkServePoint = chunkServePoint,
       bpeServePoint = bpeServePoint,
+      servePointFramesAbsent = framesAbsent,
       trainedCells = trainedCells,
       liveVectors = liveVectors,
       recommendedCells = recommendedCells,
@@ -732,15 +858,17 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * chunk unit swapped to the snapshot's model-context-true windows;
     * `refine` reranks the shortlist against the stored `bcemb/`
     * floats. */
-  def bpeChunkDenseTopK(queryIds: Seq[Long], k: Int, nprobe: Int = 2,
-      refine: Option[Int] = None): DataFrame = {
-    val probe = VectorOps.probePlanOf(emb, queryIds, cents, nprobe)
+  def bpeChunkDenseTopK(queryIds: Seq[Long], k: Int,
+      nprobe: Int = Retrieval.PinnedKnob,
+      refine: Option[Int] = Retrieval.PinnedRefine): DataFrame = {
+    val np = pinNprobe("bpe", nprobe)
+    val probe = VectorOps.probePlanOf(emb, queryIds, cents, np)
     val pruned = bcindex.where(col("cell").isin(probe.cells: _*))
-    refine match {
+    pinRefineOpt("bpe", refine, k) match {
       case Some(r) => VectorOps.chunkIvfPqRefineTopK(pruned, bcemb, emb,
-        queryIds, k, r, nprobe, cents, books, probes = Some(probe.frame))
+        queryIds, k, r, np, cents, books, probes = Some(probe.frame))
       case None => VectorOps.chunkIvfPqTopKFromIndex(pruned, emb,
-        queryIds, k, nprobe, cents, books, probes = Some(probe.frame))
+        queryIds, k, np, cents, books, probes = Some(probe.frame))
     }
   }
 
@@ -757,7 +885,8 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * serve's job. */
   def searchBpeChunks(queries: Seq[(Long, Seq[String])], k: Int,
       policy: HybridOps.Fusion = HybridOps.Rrf,
-      nprobe: Int = 2, refine: Option[Int] = None): DataFrame = {
+      nprobe: Int = Retrieval.PinnedKnob,
+      refine: Option[Int] = Retrieval.PinnedRefine): DataFrame = {
     val bq = queries.map { case (id, ts) =>
       id -> TextOps.bpeEncodeTerms(ts, bpeRules)
     }
@@ -783,23 +912,26 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   def searchBpeChunksFiltered(queries: Seq[(Long, Seq[String])],
       allowed: DataFrame, k: Int,
       policy: HybridOps.Fusion = HybridOps.Rrf,
-      nprobe: Int = 2, refine: Option[Int] = None): DataFrame = {
+      nprobe: Int = Retrieval.PinnedKnob,
+      refine: Option[Int] = Retrieval.PinnedRefine): DataFrame = {
+    val np = pinNprobe("bpe", nprobe)
+    val rr = pinRefineOpt("bpe", refine, k)
     val bq = queries.map { case (id, ts) =>
       id -> TextOps.bpeEncodeTerms(ts, bpeRules)
     }
     def lex = TextOps.bm25ChunkTopKFrom(bctf, bcdl, bq, k, Some(allowed))
     def dense = {
       val qids = queries.map(_._1)
-      val probe = VectorOps.probePlanOf(emb, qids, cents, nprobe)
+      val probe = VectorOps.probePlanOf(emb, qids, cents, np)
       val pruned = bcindex.where(col("cell").isin(probe.cells: _*))
         .join(broadcast(allowed.toDF("a_id")),
           expr(s"vec_id DIV ${VectorOps.ChunkStride}") === col("a_id"),
           "left_semi")
-      refine match {
+      rr match {
         case Some(r) => VectorOps.chunkIvfPqRefineTopK(pruned, bcemb, emb,
-          qids, k, r, nprobe, cents, books, probes = Some(probe.frame))
+          qids, k, r, np, cents, books, probes = Some(probe.frame))
         case None => VectorOps.chunkIvfPqTopKFromIndex(pruned, emb, qids,
-          k, nprobe, cents, books, probes = Some(probe.frame))
+          k, np, cents, books, probes = Some(probe.frame))
       }
     }
     policy match {
@@ -815,14 +947,16 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * own rule ([[HybridOps.tokenizeQueries]]), so querying can never
     * disagree with indexing on token boundaries. */
   def searchText(queries: Seq[(Long, String)], k: Int,
-      policy: HybridOps.Fusion = HybridOps.Rrf, nprobe: Int = 2): DataFrame =
+      policy: HybridOps.Fusion = HybridOps.Rrf,
+      nprobe: Int = Retrieval.PinnedKnob): DataFrame =
     search(HybridOps.tokenizeQueries(queries), k, policy, nprobe)
 
   /** [[searchChunks]] over raw query strings — the same tokenizer
     * symmetry as [[searchText]], for the chunk-level serve. */
   def searchTextChunks(queries: Seq[(Long, String)], k: Int,
-      policy: HybridOps.Fusion = HybridOps.Rrf, nprobe: Int = 2,
-      refine: Option[Int] = None): DataFrame =
+      policy: HybridOps.Fusion = HybridOps.Rrf,
+      nprobe: Int = Retrieval.PinnedKnob,
+      refine: Option[Int] = Retrieval.PinnedRefine): DataFrame =
     searchChunks(HybridOps.tokenizeQueries(queries), k, policy, nprobe,
       refine)
 
@@ -833,9 +967,11 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * partition-pruned read instead of replacing it. */
   def searchFiltered(queries: Seq[(Long, Seq[String])], allowed: DataFrame,
       k: Int, policy: HybridOps.Fusion = HybridOps.Rrf,
-      nprobe: Int = 2, refine: Int = VectorOps.RefineShortlist): DataFrame = {
+      nprobe: Int = Retrieval.PinnedKnob,
+      refine: Int = Retrieval.PinnedKnob): DataFrame = {
     def lex = TextOps.bm25TopKFrom(tf, dl, queries, k, Some(allowed))
-    def dense = denseTopKAllowed(queries.map(_._1), allowed, k, nprobe, refine)
+    def dense = denseTopKAllowed(queries.map(_._1), allowed, k,
+      pinNprobe("doc", nprobe), pinRefine("doc", refine, k))
     policy match {
       case HybridOps.LexicalOnly => lex
       case HybridOps.DenseOnly => dense
@@ -882,7 +1018,45 @@ object Retrieval {
       liveVectors: Long = 0L,
       recommendedCells: Int = 0,
       cellMigrationRecommended: Boolean = false,
-      cellsPinned: Boolean = false)
+      cellsPinned: Boolean = false,
+      // families the caller EXPLICITLY selected in servePointFamilies
+      // whose frames this snapshot does not hold — so a None in that
+      // family's serve point is unambiguous (frames absent, not "no
+      // measured point reached the floor"); a maintain run tuning a
+      // family it cannot meter is a runbook mistake the report must
+      // surface, never silently skip
+      servePointFramesAbsent: Seq[String] = Nil)
+
+  /** Sentinel default for every serve entry's `nprobe`/`refine` knob:
+    * "resolve to the snapshot's accepted serve point
+    * ([[Retrieval!.pinnedServePoints pinnedServePoints]]) when one is
+    * pinned for the family, else the shipped constant". Any explicit
+    * non-sentinel argument wins unconditionally. */
+  val PinnedKnob: Int = -1
+
+  /** [[PinnedKnob]] for the chunk serves' `Option[Int]` refine knob. */
+  val PinnedRefine: Option[Int] = Some(PinnedKnob)
+
+  private[serve] val ServePointsFile = "servepoints.txt"
+
+  /** Parse a snapshot's accepted serve points — empty when the sidecar
+    * is absent; LOUD on a malformed line (the file exists only if an
+    * accept wrote it, so damage is corruption, not legacy). */
+  private[serve] def readServePoints(dir: String): Map[String, (Int, Int)] = {
+    val p = java.nio.file.Paths.get(dir, ServePointsFile)
+    if (!java.nio.file.Files.isRegularFile(p)) Map.empty
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .split("\n").map(_.trim).filter(_.nonEmpty).map { ln =>
+        val parts = ln.split("\\s+")
+        require(parts.length == 3 &&
+            Set("doc", "chunk", "bpe")(parts(0)) &&
+            parts.drop(1).forall(_.matches("-?\\d+")),
+          s"malformed serve-point line in $dir/$ServePointsFile: '$ln' " +
+            "— expected 'family nprobe r'; delete the sidecar to fall " +
+            "back to shipped defaults")
+        parts(0) -> ((parts(1).toInt, parts(2).toInt))
+      }.toMap
+  }
 
   /** One measured serve setting and its cost under the serve-read
     * model: `bytesPerQuery` = ADC codes scanned (nprobe/cells of the
@@ -952,6 +1126,32 @@ object Retrieval {
     "doc_id BIGINT, chunk_id BIGINT, embedding ARRAY<FLOAT>, pb INT"
   private[graft] val DhSchema = "doc_id BIGINT, dh STRING, pb INT"
   private[graft] val BloomDhSchema = "shard BIGINT, word BIGINT, bits BIGINT"
+
+  /** A loaded ingest filter: the persisted (or derived) frame, its
+    * geometry, and its flavor — `counting = false` is the bit array
+    * (`(shard, word, bits)`), `true` the delete-capable counting frame
+    * (`(shard, pos, cnt)`). */
+  private[serve] final case class IngestFilter(frame: DataFrame,
+      shards: Int, mbits: Int, counting: Boolean)
+
+  /** Root marker recording the snapshot's ingest-filter flavor —
+    * written per publish so crash-recovery regeneration and the
+    * derive-from-dh fallback rebuild the SAME flavor the snapshot was
+    * published with (a flavor flip would change the deterministic
+    * false-positive set under a reader's feet). Absent = `bit`
+    * (pre-marker snapshots are all bit-backed). */
+  private[graft] val IngestFilterFile = "ingestfilter.txt"
+
+  private[graft] def ingestFilterFlavorOf(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, IngestFilterFile)
+    if (!java.nio.file.Files.isRegularFile(p)) "bit"
+    else {
+      val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim
+      require(s == "bit" || s == "counting",
+        s"unknown ingest-filter flavor '$s' in $dir/$IngestFilterFile")
+      s
+    }
+  }
   private[graft] val VhSchema = "vec_id BIGINT, vh BIGINT, pb INT"
 
   /** Shuffle width of the serve session — serve exchanges move
@@ -1193,7 +1393,8 @@ object Retrieval {
       codebooks: Option[(Seq[Seq[Double]], Seq[Seq[Seq[Double]]])] = None,
       chunkEmb: Option[DataFrame] = None,
       bpeRules: Option[Seq[(String, String)]] = None,
-      cells: Option[Int] = None): Retrieval = {
+      cells: Option[Int] = None,
+      countingIngestFilter: Boolean = false): Retrieval = {
     val spark = docs.sparkSession
     require(cells.isEmpty || codebooks.isEmpty,
       "cells sizes the codebook this build TRAINS; with codebooks " +
@@ -1308,13 +1509,19 @@ object Retrieval {
     // the ingest filter, persisted with the publish: one bounded
     // aggregate over the just-written dh (thin read-back) at BUILD
     // time, so handle load is O(frame) instead of a per-session
-    // corpus-∝ derivation; [[rebuild]] regenerates it — exactly when
-    // deletes happen — keeping the cannot-un-set-bits structure
-    // delete-correct
+    // corpus-∝ derivation. Flavor per `countingIngestFilter`: bit
+    // (default — [[rebuild]] regenerates it per publish, keeping the
+    // cannot-un-set-bits structure delete-correct) or counting
+    // (rebuild maintains it by O(delta) decrements — the delete-heavy
+    // deployment's choice); the marker makes the flavor durable for
+    // crash-recovery regeneration and the derive fallback.
     writeIngestBloom(
       spark.read.schema(DhSchema).parquet(s"$staged/dh")
         .select(col("dh").as("content_key")),
-      s"$staged/bloomdh")
+      s"$staged/bloomdh", countingIngestFilter)
+    java.nio.file.Files.write(
+      staged.toPath.resolve(IngestFilterFile),
+      (if (countingIngestFilter) "counting" else "bit").getBytes("UTF-8"))
     publish(staged, dir)
     load(spark, dir)
   }
@@ -1348,7 +1555,8 @@ object Retrieval {
   def retrain(docs: DataFrame, embeddings: DataFrame, dir: String,
       checkpointDir: Option[String] = None,
       chunkEmb: Option[DataFrame] = None,
-      cells: Option[Int] = None): Retrieval = {
+      cells: Option[Int] = None,
+      countingIngestFilter: Option[Boolean] = None): Retrieval = {
     require(
       new java.io.File(dir, "codebook.txt").exists() || {
         recoverAside(dir) // a crashed prior swap still counts as live
@@ -1372,9 +1580,14 @@ object Retrieval {
         "engine parity derivation")
     // cells re-derive from the corpus AS IT IS NOW by default (the
     // [[build]] adaptive sizing) — a retrain after corpus growth IS
-    // the cell migration maintain()'s drift check recommends
+    // the cell migration maintain()'s drift check recommends. The
+    // ingest-filter flavor INHERITS from the live snapshot unless the
+    // caller overrides — a retrain must not silently flip a
+    // delete-heavy deployment's counting filter back to bit.
     build(docs, embeddings, dir, checkpointDir, chunkEmb = chunkEmb,
-      cells = cells)
+      cells = cells,
+      countingIngestFilter = countingIngestFilter
+        .getOrElse(ingestFilterFlavorOf(dir) == "counting"))
   }
 
   /** Incremental snapshot refresh — the fixed-codebook insight applied
@@ -1409,15 +1622,21 @@ object Retrieval {
     val spark = docs.sparkSession
     val prior = load(spark, dir)
     sweepMergeDebris(dir) // single-writer context: reclaim crashed-merge debris
-    // retire the persisted ingest filter FIRST: the merges below will
-    // change dh, and a bloomdh that disagrees with dh serves false
-    // negatives — the guarantee's one mortal sin. With the frame gone,
-    // every reader falls back to the dh derivation — subject to the
-    // rebuild's own mid-merge read contract, like every other frame
-    // read racing this single-writer maintenance — until
+    // BIT flavor: retire the persisted ingest filter FIRST — the
+    // merges below will change dh, and a bloomdh that disagrees with
+    // dh serves false negatives, the guarantee's one mortal sin. With
+    // the frame gone, every reader falls back to the dh derivation —
+    // subject to the rebuild's own mid-merge read contract, like every
+    // other frame read racing this single-writer maintenance — until
     // [[regenerateIngestBloom]] republishes at the end; a crash
     // anywhere between leaves the fallback, never a stale filter.
-    retireIngestBloom(dir)
+    // COUNTING flavor: the live frame must survive until the O(delta)
+    // update stages from it (the lexical section below — dh itself is
+    // untouched until the fingerprints-LAST merge, so the frame agrees
+    // with dh the whole way); it retires there, immediately after
+    // staging.
+    val countingFilter = ingestFilterFlavorOf(dir) == "counting"
+    if (!countingFilter) retireIngestBloom(dir)
     require(new java.io.File(s"$dir/dh").isDirectory &&
         new java.io.File(s"$dir/vh").isDirectory,
       s"$dir predates incremental rebuild (no dh/vh fingerprint " +
@@ -1508,6 +1727,30 @@ object Retrieval {
     val touchedDoc = graft.operators.Dedup.materialize(
       changedDoc.unionByName(deletedDoc), checkpointDir)
     val touchedDocPb = affectedPbsOf(touchedDoc, "doc_id")
+
+    // ---- counting ingest filter: stage the O(delta) update NOW, from
+    // the pre-merge stable state (live frame + stored dh) — removed
+    // keys are the touched docs' OLD fingerprints, added keys their
+    // NEW ones; counts(old) − removed + added ≡ counts(merged dh) by
+    // the counting algebra. Then retire the live frame (readers take
+    // the dh-derivation fallback, at counting flavor via the marker);
+    // the staged result installs only AFTER the dh merge lands. None
+    // (missing/bit frame, geometry drift) falls back to full counting
+    // regeneration at the end.
+    val stagedCountingFilter: Option[java.io.File] =
+      if (!countingFilter) None
+      else {
+        val removed = oldDh
+          .join(touchedDoc, oldDh("o_id") === touchedDoc("doc_id"),
+            "left_semi")
+          .select(col("o_dh").as("content_key"))
+        val added = newDh.join(touchedDoc, Seq("doc_id"), "left_semi")
+          .select(col("dh").as("content_key"))
+        val r = stageCountingIngestUpdate(spark, dir, removed, added,
+          newDh.count(), checkpointDir)
+        retireIngestBloom(dir)
+        r
+      }
     if (touchedDocPb.nonEmpty) {
       val changedDocs = docs.join(touchedDoc, Seq("doc_id"), "left_semi")
       val (tfNew, dlNew) = TextOps.bm25Stats(changedDocs, checkpointDir)
@@ -1636,16 +1879,23 @@ object Retrieval {
         newDh.join(touchedDoc, Seq("doc_id"), "left_semi"), touchedDocPb,
         DhSchema)
 
-    // the persisted ingest filter regenerates on EVERY rebuild from
-    // the merged dh: the merge above is where deletes land, and bits
-    // cannot be un-set, so regeneration (never an OR-merge) is what
-    // keeps [[Retrieval!.screenIngest]] delete-correct. Unconditional
-    // — even on an empty delta — so it also heals a prior crash
-    // between the dh merge and this swap, or upgrades a
-    // pre-persistence snapshot in place. One corpus-thin aggregate per
-    // scheduled rebuild, the price the per-session derivation used to
-    // pay on every handle load.
-    regenerateIngestBloom(spark, dir)
+    // the persisted ingest filter recommits on EVERY rebuild. BIT
+    // flavor: full regeneration from the merged dh — the merge above
+    // is where deletes land, and bits cannot be un-set, so
+    // regeneration (never an OR-merge) is what keeps
+    // [[Retrieval!.screenIngest]] delete-correct; unconditional — even
+    // on an empty delta — so it also heals a prior crash between the
+    // dh merge and this swap, or upgrades a pre-persistence snapshot
+    // in place. COUNTING flavor: install the O(delta)-updated frame
+    // staged before the merges (a small delete delta never
+    // re-aggregates the corpus); when staging declined (crash
+    // recovery, geometry drift, flavor upgrade) regenerate at counting
+    // flavor instead — same cost class as the bit path's every-rebuild
+    // regeneration, paid only on those events.
+    stagedCountingFilter match {
+      case Some(stage) => installIngestBloom(dir, stage)
+      case None => regenerateIngestBloom(spark, dir, countingFilter)
+    }
 
     load(spark, dir)
   }
@@ -1675,20 +1925,30 @@ object Retrieval {
     replacePartitions(frameDir, "pb", merged, affected.map(_.toString))
   }
 
-  /** Write the `(shard, word, bits)` ingest filter over `keys` to
-    * `outDir`: geometry from [[graft.operators.Dedup
-    * .adaptiveBloomGeometry]] on the key count, recorded in an
+  /** Write the ingest filter over `keys` to `outDir` — bit flavor
+    * `(shard, word, bits)` or counting flavor `(shard, pos, cnt)`:
+    * geometry from [[graft.operators.Dedup.adaptiveBloomGeometry]] on
+    * the key count, recorded (with the flavor) in an
     * underscore-prefixed sidecar INSIDE the frame dir (parquet readers
     * skip underscore files) so frame and geometry commit together
     * under any rename of the dir. */
-  private def writeIngestBloom(keys: DataFrame, outDir: String): Unit = {
+  private def writeIngestBloom(keys: DataFrame, outDir: String,
+      counting: Boolean = false): Unit = {
     val (shards, mbits) =
       graft.operators.Dedup.adaptiveBloomGeometry(keys.count())
-    graft.operators.Dedup.shardedBloomBits(keys, shards, mbits)
+    (if (counting)
+      graft.operators.Dedup.shardedCountingBloomBits(keys, shards, mbits)
+    else graft.operators.Dedup.shardedBloomBits(keys, shards, mbits))
       .write.mode(SaveMode.Overwrite).parquet(outDir)
+    writeBloomGeom(outDir, shards, mbits, counting)
+  }
+
+  private def writeBloomGeom(outDir: String, shards: Int, mbits: Int,
+      counting: Boolean): Unit = {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outDir, "_bloomgeom"),
-      s"$shards $mbits".getBytes("UTF-8"))
+      ((if (counting) "counting " else "") + s"$shards $mbits")
+        .getBytes("UTF-8"))
     ()
   }
 
@@ -1727,13 +1987,23 @@ object Retrieval {
     * needs no lock; one racing the swap itself is caught by the
     * bracketed sidecar read on the load path and falls back too. */
   private def regenerateIngestBloom(spark: SparkSession,
-      dir: String): Unit = {
+      dir: String, counting: Boolean = false): Unit = {
     val stage = new java.io.File(dir,
       s".bloomdh-${ProcessHandle.current().pid()}-${System.nanoTime()}")
     writeIngestBloom(
       spark.read.schema(DhSchema).parquet(s"$dir/dh")
         .select(col("dh").as("content_key")),
-      stage.toString)
+      stage.toString, counting)
+    installIngestBloom(dir, stage)
+  }
+
+  /** Swap a fully-staged ingest-filter dir into place: old aside, new
+    * in, reclaim — the two-atomic-moves tail shared by regeneration
+    * and the counting O(delta) update. A reader landing between the
+    * moves finds no `bloomdh` and falls back to deriving from dh at
+    * the marker's flavor; one racing the swap itself is caught by the
+    * bracketed sidecar read on the load path. */
+  private def installIngestBloom(dir: String, stage: java.io.File): Unit = {
     val live = java.nio.file.Paths.get(dir, "bloomdh")
     val aside = new java.io.File(dir, s".bloomdh-aside-${System.nanoTime()}")
     if (java.nio.file.Files.isDirectory(live))
@@ -1742,6 +2012,70 @@ object Retrieval {
     java.nio.file.Files.move(stage.toPath, live,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     rm(aside)
+  }
+
+  /** Stage the COUNTING ingest filter's O(delta) update for a rebuild:
+    * read the LIVE counting frame, apply the fingerprint diff's
+    * removed/added keys as per-position decrements/increments
+    * ([[graft.operators.Dedup.shardedCountingBloomRemove]]/`Add` — the
+    * negative-count refusal fires loudly on a corrupted frame; delete
+    * `bloomdh` and rerun to fall back to full regeneration), and write
+    * the result to a dot-named stage dir for [[installIngestBloom]]
+    * AFTER the dh merge lands. The frame and the stored dh are both
+    * pre-merge stable at staging time, so the algebra gives EXACTLY
+    * the filter of the post-merge corpus: counts(old) − removed +
+    * added = counts(new dh), per (shard, pos) — spec-pinned against a
+    * from-scratch build. The ONLY inputs are the live frame and the
+    * delta key frames (the job-count contract: a small delete delta
+    * never re-runs the corpus-wide counting aggregate); `newKeyCount`
+    * (one thin count over the new fingerprint column, the same class
+    * of job as the diff that produced the deltas) guards geometry
+    * drift — a corpus grown or shrunk past its pinned
+    * [[graft.operators.Dedup.adaptiveBloomGeometry]] point returns
+    * None and the caller regenerates at fresh geometry instead
+    * (keeping the sized-for FP rate honest). None also when the live
+    * frame or its sidecar is missing or bit-flavored (crash recovery /
+    * flavor upgrade). */
+  private[graft] def stageCountingIngestUpdate(spark: SparkSession,
+      dir: String, removedKeys: DataFrame, addedKeys: DataFrame,
+      newKeyCount: Long,
+      checkpointDir: Option[String] = None): Option[java.io.File] = try {
+    val geomPath = java.nio.file.Paths.get(dir, "bloomdh", "_bloomgeom")
+    if (!java.nio.file.Files.isRegularFile(geomPath)) None
+    else {
+      val sidecar = new String(
+        java.nio.file.Files.readAllBytes(geomPath), "UTF-8").trim
+      val parts = sidecar.split(" ")
+      if (parts(0) != "counting") None
+      else {
+        val (shards, mbits) = (parts(1).toInt, parts(2).toInt)
+        if (graft.operators.Dedup.adaptiveBloomGeometry(
+            math.max(newKeyCount, 1L)) != ((shards, mbits))) None
+        else {
+          // no explicit schema: the geometry-pin column metadata in
+          // the footer must survive into Remove/Add's validation
+          val frame = spark.read.parquet(s"$dir/bloomdh")
+            .select("shard", "pos", "cnt")
+          val updated = graft.operators.Dedup.shardedCountingBloomAdd(
+            graft.operators.Dedup.shardedCountingBloomRemove(frame,
+              removedKeys, shards, mbits, checkpointDir = checkpointDir),
+            addedKeys, shards, mbits)
+          val stage = new java.io.File(dir,
+            s".bloomdh-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+          updated.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          writeBloomGeom(stage.toString, shards, mbits, counting = true)
+          Some(stage)
+        }
+      }
+    }
+  } catch {
+    // the Remove refusal and the geometry-pin refusal
+    // (IllegalArgumentException) are NOT caught — a corrupted frame
+    // must fail loudly, never silently regenerate over the evidence
+    case e: IllegalArgumentException => throw e
+    // an unreadable frame/sidecar (crashed prior swap) is a recovery
+    // case, not an error: the caller regenerates from the merged dh
+    case scala.util.control.NonFatal(_) => None
   }
 
   /** The merge-swapped frames of a snapshot and their partition
@@ -1840,6 +2174,10 @@ object Retrieval {
     // dot-bloomdh dir here is a dead stager's, never a live one
     rootFiles.filter(f => f.isDirectory &&
       f.getName.startsWith(".bloomdh-")).foreach(rm)
+    // serve-point tmp files from a crashed [[acceptServePoints]] (the
+    // atomic move never ran — the live sidecar, if any, is intact)
+    rootFiles.filter(f => f.isFile &&
+      f.getName.startsWith(".servepoints-")).foreach(rm)
   }
 
   /** Swap exactly the `partCol=<v>` directories of a partitioned frame

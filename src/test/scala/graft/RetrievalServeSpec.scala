@@ -208,6 +208,156 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(verdicts(Retrieval.load(spark, live)) === persisted)
   }
 
+  test("screenIngest: counting-backed snapshot — persisted-filter contract holds, rebuild maintains deletes O(delta)") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cntdh")
+      .toString
+    val live = s"$root/snap"
+    val docs0 = docs.where(col("doc_id") < 300)
+    val emb0 = emb.where(col("vec_id") < 300)
+    val built = Retrieval.build(docs0, emb0, live,
+      countingIngestFilter = true)
+    def sidecar() = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(live, "bloomdh", "_bloomgeom")), "UTF-8").trim
+    assert(sidecar().startsWith("counting "),
+      "counting build did not persist a counting-flavored filter")
+    assert(Retrieval.ingestFilterFlavorOf(live) == "counting")
+    val probe = docs0.limit(30)
+    def verdicts(h: Retrieval) = h.screenIngest(probe).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val persisted = verdicts(built)
+    assert(persisted.nonEmpty && persisted.values.forall(identity),
+      "indexed content must flag on its own counting filter")
+    // the persisted-filter contract, re-run at counting flavor: the
+    // loaded handle reads NO dh
+    val dhDir = new java.io.File(s"$live/dh")
+    val dhAside = new java.io.File(root, "dh_aside")
+    assert(dhDir.renameTo(dhAside))
+    try assert(verdicts(Retrieval.load(spark, live)) === persisted,
+      "counting persisted-filter verdicts diverge (or dh was read)")
+    finally assert(dhAside.renameTo(dhDir))
+    // the derive-from-dh fallback rebuilds the COUNTING flavor (the
+    // marker survives the frame's loss) — verdict-identical
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$live/bloomdh"))
+    assert(verdicts(Retrieval.load(spark, live)) === persisted,
+      "counting derive fallback diverges from the persisted filter")
+    // empty-delta rebuild with the frame missing: staging declines and
+    // the counting REGENERATION heals the persisted frame in place
+    Retrieval.rebuild(docs0, emb0, live)
+    assert(sidecar().startsWith("counting "),
+      "rebuild regenerated the wrong flavor")
+    assert(verdicts(Retrieval.load(spark, live)) === persisted)
+    // delete rebuild: a unique-text doc drops and the filter follows
+    // by O(delta) decrements — its content screens never-seen, the
+    // verdict the one-way bit filter can only reach by regeneration
+    val uniq = docs0.groupBy(md5(col("text")).as("k"))
+      .agg(count(lit(1)).as("c"), min("doc_id").as("doc_id"))
+      .where(col("c") === 1).orderBy("doc_id")
+      .select("doc_id").limit(1).collect()(0).getLong(0)
+    val rebuilt = Retrieval.rebuild(
+      docs0.where(col("doc_id") =!= uniq), emb0, live)
+    val gone = rebuilt.screenIngest(docs0.where(col("doc_id") === uniq))
+      .collect()
+    assert(gone.length == 1 && !gone(0).getBoolean(2),
+      "deleted content still flagged — decrements did not land")
+    val kept = rebuilt.screenIngest(
+      docs0.where(col("doc_id") =!= uniq).limit(50)).collect()
+    assert(kept.nonEmpty && kept.forall(_.getBoolean(2)),
+      "surviving content lost a position — over-decremented")
+    // the maintained frame IS the from-scratch counting filter of the
+    // surviving corpus, row for row (the snapshot-level algebra pin)
+    val parts = sidecar().split(" ")
+    val (s9, m9) = (parts(1).toInt, parts(2).toInt)
+    def tuples(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val stored = spark.read.parquet(s"$live/bloomdh")
+      .select("shard", "pos", "cnt")
+    val fresh = graft.operators.Dedup.shardedCountingBloomBits(
+      spark.read.schema(graft.serve.Retrieval.DhSchema)
+        .parquet(s"$live/dh").select(col("dh").as("content_key")),
+      s9, m9)
+    assert(tuples(stored) === tuples(fresh),
+      "O(delta)-maintained frame diverges from the from-scratch filter")
+    // retrain INHERITS the counting flavor (no silent flip back to bit)
+    Retrieval.retrain(docs0.where(col("doc_id") =!= uniq), emb0, live)
+    assert(Retrieval.ingestFilterFlavorOf(live) == "counting",
+      "retrain silently flipped the ingest-filter flavor")
+  }
+
+  test("counting ingest update: stages from the live frame + delta keys alone — the corpus is never re-read") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-cntupd")
+      .toString
+    val live = s"$root/snap"
+    val docs0 = docs.where(col("doc_id") < 200)
+    val emb0 = emb.where(col("vec_id") < 200)
+    Retrieval.build(docs0, emb0, live, countingIngestFilter = true)
+    val dh0 = spark.read.schema(graft.serve.Retrieval.DhSchema)
+      .parquet(s"$live/dh").select("doc_id", "dh")
+    val delIds = dh0.orderBy("doc_id").limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    // frozen BEFORE dh goes aside (multiset: exactly these occurrences)
+    val removed = dh0.where(col("doc_id").isin(delIds: _*))
+      .select(col("dh").as("content_key")).localCheckpoint(true)
+    val added = Seq("fresh doc a", "fresh doc b").toDF("text")
+      .select(md5(col("text")).as("content_key")).localCheckpoint(true)
+    val n = dh0.count() - 3 + 2
+    // the job-count contract, made structural: with the ENTIRE dh
+    // frame unreadable, the staging must still succeed — its only
+    // inputs are the live counting frame and the delta key frames, so
+    // a small delete delta cannot re-aggregate the corpus (there is
+    // nothing to aggregate FROM); a bounded job count rules out
+    // corpus-proportional work creeping in via the frame side
+    val dhDir = new java.io.File(s"$live/dh")
+    val aside = new java.io.File(root, "dh_aside")
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    assert(dhDir.renameTo(aside))
+    spark.sparkContext.addSparkListener(l)
+    val staged =
+      try graft.serve.Retrieval.stageCountingIngestUpdate(spark, live,
+        removed, added, n)
+      finally {
+        spark.sparkContext.removeSparkListener(l)
+        assert(aside.renameTo(dhDir))
+      }
+    val stage = staged.getOrElse(
+      fail("geometry-stable O(delta) update declined"))
+    assert(jobs <= 12,
+      s"delta update ran $jobs jobs — corpus-proportional work crept in")
+    // the staged frame equals the from-scratch filter of the post-
+    // delta key multiset, at the pinned geometry
+    val sc = new String(java.nio.file.Files.readAllBytes(
+      stage.toPath.resolve("_bloomgeom")), "UTF-8").trim.split(" ")
+    assert(sc(0) == "counting")
+    def tuples(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val survivors = dh0.where(!col("doc_id").isin(delIds: _*))
+      .select(col("dh").as("content_key"))
+      .unionByName(added)
+    assert(tuples(spark.read.parquet(stage.toString)
+        .select("shard", "pos", "cnt")) ===
+      tuples(graft.operators.Dedup.shardedCountingBloomBits(survivors,
+        sc(1).toInt, sc(2).toInt)),
+      "staged O(delta) frame diverges from the from-scratch filter")
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(stage)
+    // geometry drift declines: a new key count far past the pinned
+    // power-of-two returns None, telling the caller to regenerate at
+    // fresh geometry instead of over-filling the pinned one
+    assert(graft.serve.Retrieval.stageCountingIngestUpdate(spark, live,
+      removed, added, n * 1000).isEmpty,
+      "an outgrown geometry must decline the O(delta) update")
+  }
+
   test("incremental rebuild: same serve as a fixed-codebook full build, delta-only writes") {
     val root = java.nio.file.Files.createTempDirectory("graft-rebuild").toString
     val live = s"$root/snap"
@@ -1139,6 +1289,112 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       "chunk serve point diverges from the standalone selector")
     assert(indB === rep.bpeServePoint,
       "BPE serve point diverges from the standalone selector")
+  }
+
+  test("serve points: accepted picks persist as a sidecar, become the serving defaults, and explicit args still win") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spin").toString
+    val d = docs.where(col("doc_id") < 80)
+    val e = emb.where(col("vec_id") < 80)
+    val dir = s"$root/snap"
+    val h = Retrieval.build(d, e, dir)
+    val qids = (0L until 8L).toSeq
+    // a report with no picks must refuse, not silently no-op
+    assertThrows[IllegalArgumentException](
+      h.acceptServePoints(h.maintain(qids, 3)))
+    // the REAL loop: maintain selects, accept persists, a reloaded
+    // handle reads the pin back verbatim
+    val base = h.maintain(qids, 3)
+    val floor = Seq(base.docRefineRecall, base.chunkRefineRecall.get,
+      base.bpeChunkRefineRecall.get).min
+    val rep = h.maintain(qids, 3, servePointFloor = Some(floor),
+      servePointFamilies = Seq("doc", "chunk", "bpe"))
+    val pinned = h.acceptServePoints(rep)
+    assert(pinned.toSet === Set("doc", "chunk", "bpe"))
+    val h2 = Retrieval.load(spark, dir)
+    assert(h2.pinnedServePoints === Map(
+      "doc" -> ((rep.servePoint.get.nprobe, rep.servePoint.get.r)),
+      "chunk" -> ((rep.chunkServePoint.get.nprobe,
+        rep.chunkServePoint.get.r)),
+      "bpe" -> ((rep.bpeServePoint.get.nprobe, rep.bpeServePoint.get.r))))
+    // overwrite with a pick DELIBERATELY off the shipped constants so
+    // "applied" is distinguishable in the physical plan (nprobe=1
+    // probes one cell per query where the shipped default probes two;
+    // r=3 refines a 3-row shortlist, not 40)
+    h2.acceptServePoints(Retrieval.MaintenanceReport(Nil, 0.0, None,
+      None, 0.0, retrainRecommended = false,
+      servePoint = Some(Retrieval.ServePoint("doc_refine", 1, 3, 1.0, 0.0)),
+      chunkServePoint =
+        Some(Retrieval.ServePoint("chunk_refine", 1, 8, 1.0, 0.0)),
+      bpeServePoint =
+        Some(Retrieval.ServePoint("chunk_refine", 1, 8, 1.0, 0.0))))
+    val hp = Retrieval.load(spark, dir)
+    // job-level: the default serve's probed-cell partition filter IS
+    // the pinned nprobe's (one cell for one query), not the shipped
+    // two — and the default results equal the explicit-knob serve
+    def cellList(df: DataFrame): Seq[String] = {
+      // a single-cell probe optimizes IN (x) to = x — match both
+      val plan = df.queryExecution.executedPlan.toString
+      "cell#\\d+L? IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
+        .map(_.group(1).split(",").map(_.trim).toSeq)
+        .orElse("\\(cell#\\d+L? = (-?\\d+)\\)".r.findFirstMatchIn(plan)
+          .map(m => Seq(m.group(1))))
+        .getOrElse(fail("no probed-cell filter in the plan"))
+    }
+    val q1 = Seq(qids.head)
+    val defaultServe = hp.denseTopK(q1, 3)
+    assert(cellList(defaultServe) === cellList(hp.denseTopK(q1, 3, 1, 3)),
+      "default serve's probed cells are not the pinned point's")
+    assert(cellList(defaultServe).size === 1 &&
+        cellList(hp.denseTopK(q1, 3, 2, 40)).size === 2,
+      "pinned nprobe=1 must probe one cell where shipped probes two")
+    assert(rows(defaultServe) === rows(hp.denseTopK(q1, 3, 1, 3)))
+    assert(rows(hp.search(Seq(qids.head -> Seq("spark", "join")), 5))
+        === rows(hp.search(Seq(qids.head -> Seq("spark", "join")), 5,
+          nprobe = 1)))
+    // chunk + BPE defaults resolve their pinned (nprobe, refine) —
+    // the pinned r>0 turns the refine ON (the plan reads cemb/bcemb)
+    val cq = Seq(qids.head -> Seq("spark", "join"))
+    assert(rows(hp.searchChunks(cq, 5))
+        === rows(hp.searchChunks(cq, 5, nprobe = 1, refine = Some(8))))
+    assert(rows(hp.searchBpeChunks(cq, 5))
+        === rows(hp.searchBpeChunks(cq, 5, nprobe = 1, refine = Some(8))))
+    // explicit args beat the pin everywhere
+    assert(rows(hp.denseTopK(q1, 3, 2, 40))
+        === rows(h.denseTopK(q1, 3, 2, 40)))
+    // a full build republishes the snapshot directory and CLEARS the
+    // pin (new codebooks void the old measurement); rebuild keeps it
+    Retrieval.rebuild(d, e, dir)
+    assert(Retrieval.load(spark, dir).pinnedServePoints.nonEmpty,
+      "in-place rebuild must keep the accepted pin")
+    Retrieval.build(d, e, dir)
+    assert(Retrieval.load(spark, dir).pinnedServePoints.isEmpty,
+      "full build must clear the accepted pin")
+  }
+
+  test("maintain: a selected family with absent frames is reported, never silently skipped") {
+    val root = java.nio.file.Files.createTempDirectory("graft-sabs").toString
+    val d = docs.where(col("doc_id") < 60)
+    val e = emb.where(col("vec_id") < 60)
+    val dir = s"$root/snap"
+    val h = Retrieval.build(d, e, dir)
+    // simulate a pre-v6 snapshot: drop the BPE frames
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(dir, "bcindex"))
+    rm(new java.io.File(dir, "bcemb"))
+    val qids = (0L until 6L).toSeq
+    val rep = Retrieval.load(spark, dir).maintain(qids, 3,
+      servePointFloor = Some(0.0),
+      servePointFamilies = Seq("doc", "bpe"))
+    assert(rep.servePoint.isDefined, "doc pick must still select")
+    assert(rep.bpeServePoint.isEmpty)
+    assert(rep.servePointFramesAbsent === Seq("bpe"),
+      "the explicitly selected bpe family's absent frames must be " +
+        "reported so its None is unambiguous")
+    // an attainable-floor run with all frames present reports nothing
+    assert(rep.servePointFramesAbsent.intersect(Seq("doc")).isEmpty)
   }
 
   test("cheapestServePointOf: corpus-scale cost picks the documented shipped point at floor 0.6") {
