@@ -1877,6 +1877,26 @@ object Dedup {
       .agg(expr("bool_and(coalesce(bits, CAST(0 AS BIGINT)) & mask <> 0)")
         .as("maybe_seen"))
 
+  /** [[bloomFrameOf]]'s sharded twin — the reusable corpus artifact
+    * for [[ingestScreenShardedFrom]]. */
+  def shardedBloomFrameOf(corpus: DataFrame, shards: Int,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame =
+    materialize(shardedBloomBits(contentKeyOf(corpus), shards, mbits,
+      khash), checkpointDir)
+
+  /** [[ingestScreenFrom]]'s sharded twin — screen any number of
+    * increments against one prebuilt [[shardedBloomFrameOf]] artifact;
+    * the corpus aggregate never re-runs per screen. */
+  def ingestScreenShardedFrom(corpus: DataFrame, bloom: DataFrame,
+      increment: DataFrame, shards: Int, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame =
+    screenJoinConfirmed(corpus, increment,
+      checkpointDir = checkpointDir)((ik, _) =>
+      shardedBloomScreen(ik, bloom, shards, mbits, khash))
+      .select(auditColumns: _*)
+
   /** [[ingestScreen]]'s sharded twin (x100) — same output contract
     * (maybe_seen / exact_seen / false_pos), the filter sharded. */
   def ingestScreenSharded(corpus: DataFrame, increment: DataFrame,
@@ -2206,6 +2226,64 @@ object Dedup {
       .agg(expr("bool_and(coalesce(cnt, CAST(0 AS BIGINT)) > 0)")
         .as("maybe_seen"))
   }
+
+  /** [[bloomStats]] for a counting frame (flat or sharded) — the
+    * delete-heavy deployment's filter-health report, same
+    * [[BloomStats]] shape with tighter semantics: `setBits` counts
+    * OCCUPIED positions (rows with cnt > 0), fill is
+    * occupied/capacity, and `estimatedKeys` is EXACT, not an estimate
+    * — Σcnt = khash·(live keys) by construction (every non-null key
+    * contributes exactly khash position-increments, survive or
+    * collide), so the division recovers the live multiset size with
+    * no fill-curve inversion. `impliedFpRate` stays fill^khash (a
+    * screen false-positives when all khash probes land occupied).
+    * The half-full resize rule applies unchanged — and resizing
+    * relocates every position, so the migration is a fresh build at
+    * [[adaptiveCountingGeometry]] of the live count (which this
+    * report hands you exactly). One bounded aggregate over ≤
+    * shards·mbits rows; validates the in-frame geometry pin. */
+  def countingBloomStats(counts: DataFrame, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes, shards: Int = 1): BloomStats = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    requireCountingGeometry(counts, shards, mbits, khash,
+      "countingBloomStats")
+    val row = counts.where(col("cnt") > 0)
+      .agg(count(lit(1)).as("occ"), sum("cnt").as("tot")).collect()(0)
+    val occ = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val tot = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val capacity = shards.toLong * mbits
+    val fill = occ.toDouble / capacity
+    BloomStats(mbits, khash, occ, fill,
+      math.round(tot.toDouble / khash), math.pow(fill, khash))
+  }
+
+  /** [[ingestScreenFrom]]'s counting twin: audit an increment against
+    * a PREBUILT (and possibly delta-maintained) counting frame — the
+    * trickle-ingest loop for a delete-heavy corpus builds the frame
+    * once ([[countingBloomBits]]), follows its corpus with
+    * [[countingBloomRemove]]/[[countingBloomAdd]], and screens every
+    * batch here without ever re-aggregating. `surviving` is the
+    * CURRENT corpus (the exact-audit side — it must be the multiset
+    * the maintained counts describe, or the audit and the screen
+    * disagree by construction). */
+  def ingestScreenCountingFrom(surviving: DataFrame, counts: DataFrame,
+      increment: DataFrame, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame =
+    screenJoinConfirmed(surviving, increment,
+      checkpointDir = checkpointDir)((ik, _) =>
+      countingBloomScreen(ik, counts, mbits, khash))
+      .select(auditColumns: _*)
+
+  /** [[ingestScreenCountingFrom]]'s sharded twin. */
+  def ingestScreenCountingShardedFrom(surviving: DataFrame,
+      counts: DataFrame, increment: DataFrame, shards: Int,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes,
+      checkpointDir: Option[String] = None): DataFrame =
+    screenJoinConfirmed(surviving, increment,
+      checkpointDir = checkpointDir)((ik, _) =>
+      shardedCountingBloomScreen(ik, counts, shards, mbits, khash))
+      .select(auditColumns: _*)
 
   /** [[ingestScreenCounting]]'s sharded twin (x104) — same output and
     * audit contract (delete-correct verdicts against the SURVIVING

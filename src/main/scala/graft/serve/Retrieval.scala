@@ -337,12 +337,14 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
   /** Dense top-k from the stored index: driver probe ranking → the
     * probed-cell filter prunes the partitioned index read → residual
     * ADC on survivors → exact rerank of the `refine` shortlist against
-    * the float column (bounded lookups, not a scan). Defaults are the
-    * x91-curve-justified pair ([[VectorOps.RefineShortlist]]'s
+    * the float column (bounded lookups, not a scan). The sentinel
+    * defaults resolve to the snapshot's ACCEPTED serve point when one
+    * is pinned ([[pinnedServePoints]]) and otherwise to the
+    * x91-curve-justified shipped pair ([[VectorOps.RefineShortlist]]'s
     * scaladoc has the measured numbers): nprobe=2 because probe
     * widening buys little recall per doubling of scan cost, r=40
     * because the refine shortlist is the strong knob at bounded float
-    * reads. */
+    * reads. Explicit arguments always win over the pin. */
   def denseTopK(queryIds: Seq[Long], k: Int,
       nprobe: Int = Retrieval.PinnedKnob,
       refine: Int = Retrieval.PinnedKnob): DataFrame = {
@@ -2027,15 +2029,26 @@ object Retrieval {
     * added = counts(new dh), per (shard, pos) — spec-pinned against a
     * from-scratch build. The ONLY inputs are the live frame and the
     * delta key frames (the job-count contract: a small delete delta
-    * never re-runs the corpus-wide counting aggregate); `newKeyCount`
+    * never re-runs the corpus-wide counting aggregate — no dh scan,
+    * no khash-way corpus explode). Cost shape, stated honestly: the
+    * decrement/increment AGGREGATES are delta-∝; the staged result is
+    * a frame-∝ parquet rewrite (≤ khash·live-keys `(shard, pos, cnt)`
+    * rows — the artifact itself, still orders under the corpus it
+    * describes, and swapped whole for the same atomicity the
+    * regeneration path gets); `newKeyCount`
     * (one thin count over the new fingerprint column, the same class
     * of job as the diff that produced the deltas) guards geometry
     * drift — a corpus grown or shrunk past its pinned
     * [[graft.operators.Dedup.adaptiveBloomGeometry]] point returns
     * None and the caller regenerates at fresh geometry instead
-    * (keeping the sized-for FP rate honest). None also when the live
-    * frame or its sidecar is missing or bit-flavored (crash recovery /
-    * flavor upgrade). */
+    * (keeping the sized-for FP rate honest). The drift rule is exact
+    * equality with the fresh derivation — deliberately, so the
+    * resulting geometry ALWAYS equals adaptive(newCount) and the x105
+    * oracle can derive it from the surviving count alone; a corpus
+    * hovering at a power-of-two boundary may regenerate on alternate
+    * rebuilds, which at worst costs what the bit flavor pays on EVERY
+    * rebuild. None also when the live frame or its sidecar is missing
+    * or bit-flavored (crash recovery / flavor upgrade). */
   private[graft] def stageCountingIngestUpdate(spark: SparkSession,
       dir: String, removedKeys: DataFrame, addedKeys: DataFrame,
       newKeyCount: Long,

@@ -2132,6 +2132,79 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       "ingestScreenFrom diverges from ingestScreen on the same frame")
   }
 
+  test("From twins: sharded and counting screens against prebuilt frames equal the self-building operators") {
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(md5(TextOps.normText(col("text"))).as("content_key"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        r.getBoolean(2), r.getBoolean(3))).sortBy(_._1).toSeq
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+      .select("doc_id", "text")
+    val deleted = corpus.where(col("doc_id") % 5 === 1)
+    val inc = docs.where(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+      .unionByName(corpus.orderBy("doc_id").limit(40)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // sharded bit
+    val shFrame = Dedup.shardedBloomFrameOf(corpus, 4, 1 << 14)
+    assert(rows(Dedup.ingestScreenShardedFrom(corpus, shFrame, inc,
+        4, 1 << 14))
+      === rows(Dedup.ingestScreenSharded(corpus, inc, 4, 1 << 14)),
+      "sharded From twin diverges")
+    // counting: the maintained-frame loop — build once, remove the
+    // in-corpus deletes, screen against the SURVIVING corpus
+    val inCorpus = corpus.join(deleted.select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val surviving = corpus.join(deleted.select("doc_id"),
+      Seq("doc_id"), "left_anti")
+    val counts = Dedup.countingBloomRemove(
+      Dedup.countingBloomBits(keysOf(corpus)), keysOf(inCorpus))
+    assert(rows(Dedup.ingestScreenCountingFrom(surviving, counts, inc))
+      === rows(Dedup.ingestScreenCounting(corpus, deleted, inc)),
+      "counting From twin diverges")
+    val shCounts = Dedup.shardedCountingBloomRemove(
+      Dedup.shardedCountingBloomBits(keysOf(corpus), 4, 1 << 14),
+      keysOf(inCorpus), 4, 1 << 14)
+    assert(rows(Dedup.ingestScreenCountingShardedFrom(surviving,
+        shCounts, inc, 4, 1 << 14))
+      === rows(Dedup.ingestScreenCountingSharded(corpus, deleted, inc,
+        4, 1 << 14)),
+      "sharded counting From twin diverges")
+  }
+
+  test("countingBloomStats: exact live-key count, occupied fill, and the delete loop's resize signal") {
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(md5(TextOps.normText(col("text"))).as("content_key"))
+    val corpus = docs.where(col("doc_id") % 3 =!= 0)
+    val ck = keysOf(corpus)
+    val n = ck.where(col("content_key").isNotNull).count()
+    val frame = Dedup.countingBloomBits(ck)
+    val st = Dedup.countingBloomStats(frame)
+    // Σcnt = khash·n exactly — the counting report's key count is the
+    // live multiset size, not a fill-curve estimate
+    assert(st.estimatedKeys === n,
+      s"counting key count ${st.estimatedKeys} != exact $n")
+    assert(st.setBits === frame.where(col("cnt") > 0).count())
+    assert(st.fillRatio === st.setBits.toDouble / Dedup.BloomMBits)
+    assert(st.impliedFpRate === math.pow(st.fillRatio, Dedup.BloomHashes))
+    // the O(delta) loop moves the report exactly: removing d docs'
+    // keys drops the live count by d (multiset — every occurrence
+    // counts), occupied never grows
+    val del = corpus.orderBy("doc_id").limit(7)
+    val after = Dedup.countingBloomStats(
+      Dedup.countingBloomRemove(frame, keysOf(del)))
+    assert(after.estimatedKeys === n - 7)
+    assert(after.setBits <= st.setBits)
+    // sharded twin: same exact count at shards·mbits capacity, and
+    // the geometry pin refuses a mis-declared shard count
+    val sh = Dedup.shardedCountingBloomBits(ck, 4, 1 << 14)
+    val shSt = Dedup.countingBloomStats(sh, 1 << 14, shards = 4)
+    assert(shSt.estimatedKeys === n)
+    assert(shSt.fillRatio === shSt.setBits.toDouble / (4L * (1 << 14)))
+    assertThrows[IllegalArgumentException](
+      Dedup.countingBloomStats(sh, 1 << 14, shards = 2))
+  }
+
   test("bloom geometry: adaptive sizing is next-pow2 of 10 bits/key; screen never joins the corpus") {
     assert(Dedup.adaptiveBloomBits(0) == 1024)
     assert(Dedup.adaptiveBloomBits(100) == 1024)
