@@ -679,6 +679,63 @@ object PipelinePack extends QueryPack {
       .select("doc_id", "maybe_seen", "accepted")
   }
 
+  /** The streamed DELETE/RE-ACCEPT chain (x106) — [[graft.streaming
+    * .StreamingCountingBloom]]'s three-batch fixture: batch 0 inserts,
+    * batch 1 mixed (fresh inserts + exact-validated deletes of batch-0
+    * content, one deliberately invalid), batch 2 re-presenting deleted
+    * content (which must screen never-seen and be RE-ACCEPTED — the
+    * verdict the bit stream structurally cannot produce), surviving
+    * content, and salted fresh rows. Built once per fixture key under
+    * the STREAM_DONE convention (half-built chains wipe and redo). */
+  private def streamedCountingVerdicts(s: SparkSession, dir: String)
+      : DataFrame = {
+    val fd = new java.io.File(s"$dir/documents.parquet")
+    val key = artifactKey(dir, fd.lastModified(), fd.length(),
+      "streamcntbloom", Dedup.BloomHashes)
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_streamcnt_$key")
+    val done = new java.io.File(root, "STREAM_DONE")
+    if (!done.exists())
+      rootLocks.computeIfAbsent(root.toString, _ => new Object).synchronized {
+        if (!done.exists()) {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(root); root.mkdirs()
+          val d = Tables.documents(s, dir).select("doc_id", "text")
+          def ins(df: DataFrame) = df.withColumn("op", lit("insert"))
+          def del(df: DataFrame) = df.withColumn("op", lit("delete"))
+          val mbits = Dedup.adaptiveBloomBits(
+            d.where(col("doc_id") % 3 === 1).count())
+          val scb = new graft.streaming.StreamingCountingBloom(
+            s"$root/art", s"$root/v", mbits)
+          scb.screenBatch(ins(d.where(col("doc_id") % 3 === 1)), 0)
+          scb.screenBatch(
+            ins(d.where(col("doc_id") % 3 === 2)).unionByName(
+              del(d.where(col("doc_id") % 3 === 1 &&
+                col("doc_id") % 5 === 1)).unionByName(
+                del(d.where(col("doc_id") % 3 === 0 &&
+                  col("doc_id") % 7 === 2)))), 1)
+          scb.screenBatch(ins(
+            d.where(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 1)
+              .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+              .unionByName(d.where(col("doc_id") % 3 === 1 &&
+                  col("doc_id") % 5 =!= 1 && col("doc_id") % 4 === 0)
+                .select((col("doc_id") + 2000000L).as("doc_id"),
+                  col("text")))
+              .unionByName(d.where(col("doc_id") % 3 === 0 &&
+                  col("doc_id") % 4 === 1)
+                .select((col("doc_id") + 3000000L).as("doc_id"),
+                  concat(col("text"), lit(" fresh "),
+                    col("doc_id").cast("string")).as("text")))), 2)
+          done.createNewFile()
+          ()
+        }
+      }
+    s.read.parquet(s"$root/v").where(col("gbatch") === 2)
+      .select("doc_id", "maybe_seen", "applied")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // the deployment surface end-to-end: one handle over the published
     // snapshot artifacts (cell-partitioned residual IVFADC index +
@@ -887,6 +944,15 @@ object PipelinePack extends QueryPack {
     // hash-checks the chain's verdicts against a full SQL replay)
     "x102_bloom_rebuild_screen" -> ((s, dir) =>
       streamedBloomVerdicts(s, dir).orderBy("doc_id")),
+    // the streamed DELETE/RE-ACCEPT chain (x106): the counting
+    // filter's SUM-fold makes per-batch delta slices replay-idempotent
+    // where the bit stream's OR-fold cannot un-set — deletes validate
+    // exactly against the key-delta record, deleted content's
+    // positions fold back to zero, and its re-presentation is
+    // RE-ACCEPTED; the full three-batch chain (greedy accepts,
+    // deterministic FPs, the invalid delete) replays in SQL
+    "x106_streamed_counting_screen" -> ((s, dir) =>
+      streamedCountingVerdicts(s, dir).orderBy("doc_id")),
     // the SNAPSHOT ingest screen: the deployment handle's own filter
     // (persisted per publish next to the dh fingerprint frame, sized
     // adaptively from the corpus count; pre-persistence snapshots
@@ -1904,6 +1970,21 @@ object PipelinePack extends QueryPack {
           |  UNION ALL
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
           |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin) +
+        "\nORDER BY doc_id"),
+    "x106_streamed_counting_screen" ->
+      (graft.streaming.StreamingCountingBloom.deleteChainScreenSql(
+        "doc_id % 3 = 1", "doc_id % 3 = 2",
+        "doc_id % 3 = 1 AND doc_id % 5 = 1",
+        "doc_id % 3 = 0 AND doc_id % 7 = 2",
+        """  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 3 = 1 AND doc_id % 5 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 3 = 1 AND doc_id % 5 != 1 AND doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000 AS doc_id,
+          |    text || ' fresh ' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 = 1""".stripMargin) +
         "\nORDER BY doc_id"),
     "x99_snapshot_screen" ->
       (Dedup.snapshotScreenSql(

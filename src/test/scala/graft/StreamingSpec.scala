@@ -1688,4 +1688,169 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       math.max(0.1 * nAccepted, 3),
       s"retried rebuild estimate ${bstR.estimatedKeys} vs $nAccepted")
   }
+
+  test("streaming counting bloom: deletes fold out, deleted content re-accepts, state equals the live set's frame") {
+    import graft.operators.{Dedup, TextOps}
+    import spark.implicits._
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    def keysOf(df: DataFrame) =
+      df.select(md5(TextOps.normText(col("text"))).as("content_key"))
+    def ins(df: DataFrame) = df.withColumn("op", lit("insert"))
+    def del(df: DataFrame) = df.withColumn("op", lit("delete"))
+    val artDir = tmp("scnt-art").toString
+    val outDir = tmp("scnt-out").toString
+    val scb = new graft.streaming.StreamingCountingBloom(artDir, outDir)
+    val b0 = docsAll.where(col("doc_id") % 3 === 1)
+    scb.screenBatch(ins(b0), 0)
+    // a UNIQUE-text accepted doc to delete (shared texts legitimately
+    // stay live through their other copy)
+    val uniq = b0.groupBy(md5(TextOps.normText(col("text"))).as("k"))
+      .agg(count(lit(1)).as("c"), min("doc_id").as("doc_id"))
+      .where(col("c") === 1).orderBy("doc_id")
+      .select("doc_id").limit(1).collect()(0).getLong(0)
+    val uniqDoc = b0.where(col("doc_id") === uniq)
+    // batch 1: delete it, plus an INVALID delete (never-inserted doc)
+    val invalid = docsAll.where(col("doc_id") % 3 === 0)
+      .orderBy("doc_id").limit(1)
+    scb.screenBatch(del(uniqDoc).unionByName(del(invalid)), 1)
+    val verdicts1 = scb.verdicts(spark).get
+    val d1 = verdicts1.where(col("op") === "delete")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(d1(uniq), "valid delete of accepted content not applied")
+    val invId = invalid.collect()(0).getLong(0)
+    assert(!d1(invId),
+      "delete of never-inserted content applied — a blind decrement " +
+        "voids the no-false-negative guarantee")
+    // the deleted content re-presents and is RE-ACCEPTED — the verdict
+    // the OR-fold bit stream structurally cannot produce; surviving
+    // content keeps flagging
+    val rePresent = uniqDoc
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val survive = b0.where(col("doc_id") =!= uniq).orderBy("doc_id")
+      .limit(20)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    scb.screenBatch(ins(rePresent.unionByName(survive)), 2)
+    val b2 = scb.verdicts(spark).get.where(col("doc_id") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4)))
+    val re = b2.filter(_._1 < 2000000L)
+    assert(re.length == 1 && !re(0)._2 && re(0)._3,
+      s"deleted content not re-accepted: ${re.toSeq}")
+    val sv = b2.filter(_._1 >= 2000000L)
+    assert(sv.nonEmpty && sv.forall(_._2),
+      "surviving content lost a position — over-decremented")
+    // the folded state IS the live key set's counting frame, exactly
+    // (multiplicity <= 1 by the accept policy)
+    def tuples(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val live = scb.liveKeys(spark).get
+    assert(tuples(scb.countingState(spark).get) ===
+      tuples(Dedup.countingBloomBits(live)),
+      "streamed counting state diverges from the live set's frame")
+    // stats: EXACT live count (the counting family's no-inversion
+    // claim holds streamed), and the fold-negative refusal fires on a
+    // poisoned slice
+    val (st, resize) = scb.stats(spark).get
+    assert(st.estimatedKeys === live.count(), s"inexact: $st")
+    assert(!resize)
+    // same-batch insert+delete of ONE key: the delete needs the key
+    // live BEFORE the batch, the insert needs it absent — here the key
+    // is live (a surviving b0 doc), so the delete applies and the
+    // insert is rejected; net: the key dies, then re-accepts in the
+    // NEXT batch
+    val both = b0.where(col("doc_id") =!= uniq)
+      .groupBy(md5(TextOps.normText(col("text"))).as("k"))
+      .agg(count(lit(1)).as("c"), min("doc_id").as("doc_id"))
+      .where(col("c") === 1).orderBy("doc_id")
+      .select("doc_id").limit(1).collect()(0).getLong(0)
+    val bothDoc = b0.where(col("doc_id") === both)
+    scb.screenBatch(
+      ins(bothDoc.select((col("doc_id") + 3000000L).as("doc_id"),
+        col("text"))).unionByName(del(bothDoc)), 3)
+    val b3 = spark.read.parquet(outDir).where(col("gbatch") === 3)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getBoolean(4)))
+      .toSet
+    assert(b3 === Set((both, "delete", true),
+        (both + 3000000L, "insert", false)),
+      s"same-batch insert+delete resolved wrong: $b3")
+    scb.screenBatch(ins(bothDoc.select(
+      (col("doc_id") + 4000000L).as("doc_id"), col("text"))), 4)
+    val b4 = scb.verdicts(spark).get
+      .where(col("doc_id") === both + 4000000L).collect()
+    assert(b4.length == 1 && b4(0).getBoolean(4),
+      "key deleted in batch 3 not re-accepted in batch 4")
+    // geometry pin: reopening under different knobs refuses
+    val e = intercept[IllegalArgumentException](
+      new graft.streaming.StreamingCountingBloom(artDir,
+        tmp("scnt-out2").toString, mbits = Dedup.BloomMBits * 2))
+    assert(e.getMessage.contains("counting bloom geometry"))
+    // resize: fold the LIVE keys (deletes already left the record)
+    // into doubled geometry; the new gen screens the full history and
+    // deletes of inherited content still apply
+    val next = scb.rebuildInto(spark, tmp("scnt-art2").toString,
+      tmp("scnt-outN").toString, newMbits = Dedup.BloomMBits * 2)
+    assert(tuples(next.countingState(spark).get) ===
+      tuples(Dedup.countingBloomBits(live,
+        mbits = Dedup.BloomMBits * 2)),
+      "rebuilt counting state diverges from the live set at new geometry")
+    val keep = b0.where(col("doc_id") =!= uniq &&
+        col("doc_id") =!= both).orderBy("doc_id").limit(5)
+    next.screenBatch(ins(keep.select(
+      (col("doc_id") + 5000000L).as("doc_id"), col("text"))), 0)
+    val g2 = next.verdicts(spark).get
+      .where(col("doc_id") >= 5000000L).collect()
+    assert(g2.nonEmpty && g2.forall(_.getBoolean(3)),
+      "rebuilt filter lost live history (batch 0 cannot see gbatch=-1)")
+    // live targets refuse (the fresh-dir convention)
+    val e2 = intercept[IllegalArgumentException](
+      scb.rebuildInto(spark, artDir, tmp("scnt-outX").toString))
+    assert(e2.getMessage.contains("fresh artifact dir"))
+    // corruption refusal: a hand-poisoned slice folding a position
+    // negative fails stats LOUDLY (the guarantee is void, not degraded)
+    Seq((0L, -99L)).toDF("pos", "cnt").write
+      .parquet(s"$artDir/counts/gbatch=99")
+    assertThrows[IllegalArgumentException](scb.stats(spark))
+  }
+
+  test("streaming counting bloom: AvailableNow run, checkpoint restart reprocesses nothing, slices stay idempotent") {
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    // slice 0: inserts; slice 1: fresh inserts + deletes of slice-0
+    // content — the mixed-op feed as a file stream
+    val s0 = docsAll.where(col("doc_id") < 200)
+      .withColumn("op", lit("insert"))
+    val s1 = docsAll.where(col("doc_id") >= 200 && col("doc_id") < 400)
+      .withColumn("op", lit("insert"))
+      .unionByName(docsAll.where(col("doc_id") < 40)
+        .withColumn("op", lit("delete")))
+    val src = tmp("scntav-src")
+    Seq(s0, s1).zipWithIndex.foreach { case (s, i) =>
+      val stage = tmp(s"scntav-slice$i")
+      s.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, src.resolve(f"slice_$i%03d.parquet"))
+    }
+    val scb = new graft.streaming.StreamingCountingBloom(
+      tmp("scntav-art").toString, tmp("scntav-out").toString)
+    val schema = spark.read.parquet(src.toString).schema
+    def stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src.toString)
+    val ckpt = tmp("scntav-ckpt").toString
+    val ran = scb.screenAvailable(spark, stream, ckpt)
+    assert(ran >= 2, s"expected one batch per slice, got $ran")
+    val before = scb.verdicts(spark).get.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    // deletes landed: the folded state is the live set's frame, and
+    // the deleted keys are out of it
+    val live = scb.liveKeys(spark).get
+    def tuples(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tuples(scb.countingState(spark).get) ===
+      tuples(graft.operators.Dedup.countingBloomBits(live)))
+    // restart on the same checkpoint: nothing reprocesses, verdicts
+    // and state are byte-stable (the latest-wins slice idempotence)
+    val ran2 = scb.screenAvailable(spark, stream, ckpt)
+    assert(ran2 == 0, s"restart reprocessed $ran2 batches")
+    assert(scb.verdicts(spark).get.orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq === before)
+  }
 }
