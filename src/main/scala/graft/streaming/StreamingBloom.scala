@@ -38,10 +38,12 @@ import org.apache.spark.sql.streaming.Trigger
   * removing corpus content is a re-screen into a fresh artifact, and
   * the pinned geometry guard below enforces the fresh-dir convention
   * exactly as the codebook pins do for the vector stores. (A
-  * delete-heavy BATCH corpus has the counting alternative —
-  * [[graft.operators.Dedup.countingBloomBits]], O(delta) decrements at
-  * ~128× the metadata; the streamed artifact keeps the bit form
-  * because its OR-fold is what makes slice replay idempotent.)
+  * delete-heavy corpus has the counting alternative —
+  * [[graft.operators.Dedup.countingBloomBits]] in batch, and since
+  * x106 [[StreamingCountingBloom]] online: its SUM-fold keeps slice
+  * replay idempotent AND folds deletes out, at ~128× the metadata.
+  * The bit form here stays the right default for append-only streams
+  * — smaller state, and the OR-fold needs no delete discipline.)
   *
   * Semantics: a `maybe_seen` false positive rejects a genuinely new
   * doc at the sized-for rate — the deterministic trade an ingest
