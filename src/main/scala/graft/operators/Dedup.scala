@@ -1983,6 +1983,23 @@ object Dedup {
       .putLong(GeomKhashKey, khash.toLong)
       .build()
 
+  /** The `(shards, mbits, khash)` geometry pin a counting frame's
+    * `cnt` column carries, when it carries one — None for a pin-less
+    * frame (built by something other than the builders here). Lets a
+    * LOAD path cross-check a persisted frame against its external
+    * geometry record ([[graft.serve.Retrieval]]'s `_bloomgeom`
+    * sidecar) and take its documented fallback on disagreement,
+    * instead of deferring the mismatch to
+    * [[requireCountingGeometry]]'s refusal at first screen. */
+  def countingGeometryPinOf(counts: DataFrame): Option[(Int, Int, Int)] =
+    counts.schema.fields.find(_.name == "cnt").map(_.metadata)
+      .filter(_.contains(GeomMbitsKey)).map { m =>
+        val fs =
+          if (m.contains(GeomShardsKey)) m.getLong(GeomShardsKey) else 1L
+        (fs.toInt, m.getLong(GeomMbitsKey).toInt,
+          m.getLong(GeomKhashKey).toInt)
+      }
+
   /** Validate a counting frame's pinned geometry against the caller's
     * knobs — refuse a mismatch LOUDLY instead of letting colliding
     * decrements pass the negative check silently. A frame whose `cnt`
@@ -2226,6 +2243,121 @@ object Dedup {
       .agg(expr("bool_and(coalesce(cnt, CAST(0 AS BIGINT)) > 0)")
         .as("maybe_seen"))
   }
+
+  /** MULTIPLICITY estimate from a counting frame — the screen upgraded
+    * from "seen before?" to "seen how many times?" at zero extra state:
+    * the frame's per-position counts are exactly a CountMin sketch's
+    * counters (Cormode & Muthukrishnan 2005) restricted to the filter's
+    * khash rows, so `min` over a key's khash positions is an UPPER
+    * BOUND on how many corpus occurrences carry that content —
+    * `est_seen ≥ true multiplicity` always (every occurrence
+    * incremented all khash positions; collisions only inflate), with
+    * equality except under the sized-for collision rate. est 0 is the
+    * screen's `maybe_seen = false` guarantee; est ≥ 1 is its `true`.
+    * Directly useful for crawl-frequency weighting: an ingest batch
+    * learns per doc how often its content was already crawled without
+    * ever joining the corpus — khash lookup rows per doc against the
+    * fixed-size frame, one partial-combining `min` per doc. Same
+    * deterministic positions, so even the overcounts replay in the
+    * oracle. Null keys carry no positions and estimate 0 (no evidence
+    * can join them — the build-side null rule's read twin). */
+  def countingBloomMultiplicity(increment: DataFrame, counts: DataFrame,
+      mbits: Int = BloomMBits, khash: Int = BloomHashes): DataFrame = {
+    requireCountingGeometry(counts, 1, mbits, khash,
+      "countingBloomMultiplicity")
+    increment.select(col("doc_id"), col("content_key"),
+        explode(array((0 until khash).map(i =>
+          bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
+      .join(counts, Seq("pos"), "left")
+      .groupBy("doc_id", "content_key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_seen"))
+  }
+
+  /** [[countingBloomMultiplicity]]'s sharded twin: lookups routed to
+    * the key's shard, the `(shard, pos)` equi-join, the same min-fold
+    * — shards=1 is estimate-identical to the flat form (the sharded
+    * family's standing pin). */
+  def shardedCountingBloomMultiplicity(increment: DataFrame,
+      counts: DataFrame, shards: Int, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): DataFrame = {
+    requireCountingGeometry(counts, shards, mbits, khash,
+      "shardedCountingBloomMultiplicity")
+    increment.select(col("doc_id"), col("content_key"),
+        bloomShard(col("content_key"), shards).as("shard"),
+        explode(array((0 until khash).map(i =>
+          bloomPos(col("content_key"), i, mbits)): _*)).as("pos"))
+      .join(counts, Seq("shard", "pos"), "left")
+      .groupBy("doc_id", "content_key")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_seen"))
+  }
+
+  /** The MULTIPLICITY SCREEN (x107): per increment doc, how many times
+    * its content occurs in the corpus — estimated from the counting
+    * frame alone ([[shardedCountingBloomMultiplicity]]'s min-fold,
+    * never a corpus join) next to the exact truth (the audit twin, the
+    * [[ingestScreen]] convention: computed here so the gate checks the
+    * ≥-bound AND the exact overcount set — deterministic positions
+    * make even the collisions reproducible). Output per increment doc:
+    * `est_seen` (the CountMin-style upper bound), `true_seen` (exact
+    * corpus multiplicity of the key), `overcount` (est − true, ≥ 0
+    * always). In production the exact twin is the audit-cadence
+    * spot-check; the estimate itself reads only the fixed-size
+    * frame. */
+  def multiplicityScreen(corpus: DataFrame, increment: DataFrame,
+      shards: Int = 1, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): DataFrame = {
+    val ck = contentKeyOf(corpus)
+    val counts = shardedCountingBloomBits(ck, shards, mbits, khash)
+    val est = shardedCountingBloomMultiplicity(
+      increment.select(col("doc_id"), contentKeyColumn), counts, shards,
+      mbits, khash)
+    val truth = ck.groupBy("content_key")
+      .agg(count(lit(1)).as("true_seen"))
+    est.join(truth, Seq("content_key"), "left")
+      .select(col("doc_id"), col("est_seen"),
+        coalesce(col("true_seen"), lit(0L)).as("true_seen"),
+        (col("est_seen") - coalesce(col("true_seen"), lit(0L)))
+          .as("overcount"))
+  }
+
+  /** [[multiplicityScreen]] oracle — frame build, min-fold estimate,
+    * and exact-truth join replayed in SQL. `corpusPred` selects the
+    * corpus from `documents` (self-unions welcome via `corpusSql`
+    * instead), `incSql` the increment's `(doc_id, text)`. */
+  def multiplicityScreenSql(corpusSql: String, incSql: String,
+      shards: Int = 1, mbits: Int = BloomMBits,
+      khash: Int = BloomHashes): String =
+    s"""WITH craw AS (
+       |$corpusSql
+       |), ck AS (
+       |  SELECT md5(${normTextSql("text")}) AS k FROM craw
+       |), counts AS (
+       |  SELECT shard, pos, count(*) AS cnt FROM (
+       |    SELECT ${bloomShardSql("k", shards)} AS shard,
+       |      ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM ck, range(0, $khash) r(i)
+       |  ) WHERE pos IS NOT NULL GROUP BY shard, pos
+       |), ikraw AS (
+       |$incSql
+       |), ik AS (
+       |  SELECT doc_id, md5(${normTextSql("text")}) AS k FROM ikraw
+       |), est AS (
+       |  SELECT doc_id, k,
+       |    min(coalesce(c.cnt, CAST(0 AS BIGINT))) AS est_seen
+       |  FROM (
+       |    SELECT doc_id, k, ${bloomShardSql("k", shards)} AS shard,
+       |      ${bloomPosSql("k", "i", mbits)} AS pos
+       |    FROM ik, range(0, $khash) r(i)
+       |  ) lk LEFT JOIN counts c USING (shard, pos)
+       |  GROUP BY doc_id, k
+       |), tru AS (
+       |  SELECT k, count(*) AS true_seen FROM ck GROUP BY k
+       |)
+       |SELECT e.doc_id, e.est_seen,
+       |  coalesce(t.true_seen, CAST(0 AS BIGINT)) AS true_seen,
+       |  e.est_seen - coalesce(t.true_seen, CAST(0 AS BIGINT))
+       |    AS overcount
+       |FROM est e LEFT JOIN tru t ON e.k = t.k""".stripMargin
 
   /** [[bloomStats]] for a counting frame (flat or sharded) — the
     * delete-heavy deployment's filter-health report, same

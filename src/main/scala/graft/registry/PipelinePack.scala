@@ -415,20 +415,26 @@ object PipelinePack extends QueryPack {
       VectorOps.Dim)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_cntdel_$key")
-    if (!new java.io.File(root, "codebook.txt").exists()) {
-      val base = retrievalFor(s, dir)
-      graft.serve.Retrieval.build(
-        Tables.documents(s, dir).select("doc_id", "text"),
-        Tables.embeddings(s, dir).select("vec_id", "embedding"),
-        root.toString, codebooks = Some((base.cents, base.books)),
-        countingIngestFilter = true)
+    // serialize the check-then-build AND the per-call rebuild: rebuild
+    // is single-writer maintenance (the x70/x96/x102/x106 mutating-
+    // fixture rule), so concurrent x105 invocations in one JVM must
+    // not run overlapping rebuilds on the same snapshot dir
+    rootLocks.computeIfAbsent(root.toString, _ => new Object).synchronized {
+      if (!new java.io.File(root, "codebook.txt").exists()) {
+        val base = retrievalFor(s, dir)
+        graft.serve.Retrieval.build(
+          Tables.documents(s, dir).select("doc_id", "text"),
+          Tables.embeddings(s, dir).select("vec_id", "embedding"),
+          root.toString, codebooks = Some((base.cents, base.books)),
+          countingIngestFilter = true)
+      }
+      graft.serve.Retrieval.rebuild(
+        Tables.documents(s, dir).select("doc_id", "text")
+          .where(col("doc_id") % 5 =!= 1),
+        Tables.embeddings(s, dir).select("vec_id", "embedding")
+          .where(col("vec_id") % 5 =!= 1),
+        root.toString)
     }
-    graft.serve.Retrieval.rebuild(
-      Tables.documents(s, dir).select("doc_id", "text")
-        .where(col("doc_id") % 5 =!= 1),
-      Tables.embeddings(s, dir).select("vec_id", "embedding")
-        .where(col("vec_id") % 5 =!= 1),
-      root.toString)
   }
 
   private val liveHandles = new java.util.concurrent.ConcurrentHashMap[
@@ -916,6 +922,27 @@ object PipelinePack extends QueryPack {
       Dedup.ingestScreenCounting(corpus,
         corpus.where(col("doc_id") % 5 === 1), inc)
         .orderBy("doc_id")
+    }),
+    // the MULTIPLICITY screen (x107): the counting frame re-read as a
+    // CountMin sketch — per increment doc, min over its khash
+    // positions' counts upper-bounds how often its content occurs in
+    // the corpus (crawl-frequency weighting without a corpus join);
+    // the corpus self-union plants true multiplicities of 1/2/3, the
+    // exact-truth twin audits the ≥-bound, and the deterministic
+    // positions make even the overcounts hash-check
+    "x107_counting_multiplicity" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.where(col("doc_id") % 4 === 2)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(d.where(col("doc_id") % 8 === 2)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val inc = d.where(col("doc_id") % 3 === 0).unionByName(
+        d.where(col("doc_id") % 3 === 1).select(col("doc_id"),
+          concat(col("text"), lit(" fresh "),
+            col("doc_id").cast("string")).as("text")))
+      Dedup.multiplicityScreen(corpus, inc, shards = 4,
+        mbits = 1 << 14).orderBy("doc_id")
     }),
     // the sharded counting twin (x104) — the delete-capable filter's
     // scale path past the flat form's ~10^8-key ceiling: same
@@ -1953,6 +1980,22 @@ object PipelinePack extends QueryPack {
           |  UNION ALL
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
           |  WHERE doc_id % 3 != 0 AND doc_id % 7 = 1""".stripMargin) +
+        "\nORDER BY doc_id"),
+    "x107_counting_multiplicity" ->
+      (Dedup.multiplicityScreenSql(
+        """  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 4 = 2
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 8 = 2""".stripMargin,
+        """  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id, text || ' fresh ' || CAST(doc_id AS VARCHAR)
+          |    AS text
+          |  FROM documents WHERE doc_id % 3 = 1""".stripMargin,
+        shards = 4, mbits = 1 << 14) +
         "\nORDER BY doc_id"),
     "x104_counting_sharded_screen" ->
       (Dedup.ingestScreenCountingShardedSql("doc_id % 3 != 0",

@@ -167,9 +167,14 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     * serving defaults — the missing half of the maintain loop (picks
     * used to die in the report): write `family nprobe r` lines to the
     * sidecar via a tmp-file atomic move, one entry per family the
-    * report carries a pick for. Returns the families pinned. Refuses
-    * a report with NO picks: either maintain ran without
-    * `servePointFloor`, a selected family's frames were absent
+    * report carries a pick for. The report's entries MERGE OVER any
+    * already-accepted pins (a partial re-meter — e.g.
+    * `servePointFamilies = Seq("doc")` — refreshes its own family and
+    * leaves the others' earlier pins serving, instead of silently
+    * reverting them to shipped defaults with the sidecar rewrite).
+    * Returns the families pinned BY THIS CALL. Refuses a report with
+    * NO picks: either maintain ran without `servePointFloor`, a
+    * selected family's frames were absent
     * ([[Retrieval.MaintenanceReport.servePointFramesAbsent]]), or no
     * measured point reached the floor — all three need an operator
     * decision, not a silent no-op. */
@@ -184,7 +189,13 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
         "first; if a selected family still returned None, check " +
         "servePointFramesAbsent (frames missing) or the floor's " +
         "attainability on the measured curve")
-    val body = entries.map { case (f, p) => s"$f ${p.nprobe} ${p.r}" }
+    // merge over the pins already on disk (NOT this handle's lazy
+    // cache, which may predate another handle's accept): a partial
+    // re-meter must never drop a family it didn't measure
+    val merged = Retrieval.readServePoints(dir) ++
+      entries.map { case (f, p) => f -> ((p.nprobe, p.r)) }.toMap
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (f, (np, r)) => s"$f $np $r" }
       .mkString("", "\n", "\n")
     val tmp = java.nio.file.Paths.get(dir,
       s".servepoints-${ProcessHandle.current().pid()}-${System.nanoTime()}")
@@ -198,10 +209,12 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
 
   /** Resolve a serve entry's `nprobe`: the sentinel default takes the
     * family's pinned point when one is accepted, else the shipped
-    * constant; an explicit argument always wins. */
+    * constant [[Retrieval.ShippedNprobe]]; an explicit argument always
+    * wins. */
   private def pinNprobe(family: String, nprobe: Int): Int =
     if (nprobe != Retrieval.PinnedKnob) nprobe
-    else pinnedServePoints.get(family).map(_._1).getOrElse(2)
+    else pinnedServePoints.get(family).map(_._1)
+      .getOrElse(Retrieval.ShippedNprobe)
 
   /** [[pinNprobe]] for the doc serves' mandatory refine knob. The
     * pinned r is FLOORED at the serve's k (maintain's own rShip
@@ -307,8 +320,20 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       else {
         val parts = if (counting) before.split(" ").drop(1)
           else before.split(" ")
-        Some(Retrieval.IngestFilter(frame, parts(0).toInt,
-          parts(1).toInt, counting))
+        val (shards, mbits) = (parts(0).toInt, parts(1).toInt)
+        // counting flavor: the frame's own in-frame geometry pin
+        // (column metadata on cnt) must AGREE with the sidecar — a
+        // partially corrupted frame (pin ≠ sidecar) is a doubt like
+        // any other on this path, so it falls back to the
+        // verdict-identical dh derivation instead of surfacing as the
+        // pin refusal at the first screenIngest
+        val pinAgrees = !counting ||
+          graft.operators.Dedup.countingGeometryPinOf(frame).forall {
+            case (ps, pm, pk) => ps == shards && pm == mbits &&
+              pk == graft.operators.Dedup.BloomHashes
+          }
+        if (!pinAgrees) None
+        else Some(Retrieval.IngestFilter(frame, shards, mbits, counting))
       }
     }
   } catch { case scala.util.control.NonFatal(_) => None }
@@ -731,7 +756,8 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     // shipped point to r = k instead of throwing mid-runbook
     val rShip = math.max(k, VectorOps.RefineShortlist)
     def shipped(curve: Array[org.apache.spark.sql.Row]): Map[String, Double] =
-      curve.filter(r => r.getInt(r.fieldIndex("nprobe")) == 2 &&
+      curve.filter(r =>
+        r.getInt(r.fieldIndex("nprobe")) == Retrieval.ShippedNprobe &&
           (r.getInt(r.fieldIndex("r")) == rShip ||
             r.getInt(r.fieldIndex("r")) == 0))
         .map(r => r.getString(r.fieldIndex("method")) ->
@@ -765,7 +791,9 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     def rsWide = (VectorOps.CurveRefines.filter(_ >= k) :+ rShip).distinct
     def meter(wide: Boolean, bpe: Boolean, fams: Seq[String]) =
       measureRecall(queryIds, k,
-        nprobes = if (wide) VectorOps.CurveNprobes else Seq(2),
+        nprobes =
+          if (wide) VectorOps.CurveNprobes
+          else Seq(Retrieval.ShippedNprobe),
         refines = if (wide) rsWide else Seq(rShip),
         bpeWindows = bpe, families = fams).collect()
     val (docCurve, chunkCurve) =
@@ -840,6 +868,25 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
     val cellDrift = !cellsPinned &&
       (liveVectors >= 4L * k2 || 4L * liveVectors <= k2) &&
         recommendedCells != trainedCells
+    // counting ingest-filter health (the delete-heavy deployment's
+    // "time to resize" nag, surfaced where its operator already looks
+    // instead of a hand-run countingBloomStats against the raw
+    // bloomdh): fill, implied FP rate, the EXACT live count
+    // (Σcnt = khash·live), the half-full resize recommendation, and
+    // the geometry a resize should target
+    // ([[graft.operators.Dedup.adaptiveCountingGeometry]] of the live
+    // count). Bit-backed snapshots carry None — the bit filter
+    // regenerates per rebuild at adaptive geometry, so it can never
+    // silently outgrow itself the way the delta-maintained counting
+    // frame can. One bounded aggregate over the ≤ shards·mbits-row
+    // frame, at maintenance cadence.
+    val ingestStats: Option[graft.operators.Dedup.BloomStats] =
+      if (Retrieval.ingestFilterFlavorOf(dir) != "counting") None
+      else {
+        val f = ingestBloom
+        Some(graft.operators.Dedup.countingBloomStats(f.frame, f.mbits,
+          graft.operators.Dedup.BloomHashes, f.shards))
+      }
     Retrieval.MaintenanceReport(compacted, doc, chunk, bpeChunk,
       recallFloor,
       retrainRecommended = doc < recallFloor ||
@@ -852,7 +899,14 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       liveVectors = liveVectors,
       recommendedCells = recommendedCells,
       cellMigrationRecommended = cellDrift,
-      cellsPinned = cellsPinned)
+      cellsPinned = cellsPinned,
+      ingestFilterStats = ingestStats,
+      ingestFilterResizeRecommended =
+        ingestStats.exists(_.fillRatio > 0.5),
+      ingestFilterRecommendedGeometry = ingestStats
+        .filter(_.fillRatio > 0.5)
+        .map(s => graft.operators.Dedup.adaptiveCountingGeometry(
+          s.estimatedKeys)))
   }
 
   /** BPE-window chunk-DENSE top-k — [[chunkDenseTopK]] over the v6
@@ -1027,7 +1081,22 @@ object Retrieval {
       // measured point reached the floor"); a maintain run tuning a
       // family it cannot meter is a runbook mistake the report must
       // surface, never silently skip
-      servePointFramesAbsent: Seq[String] = Nil)
+      servePointFramesAbsent: Seq[String] = Nil,
+      // COUNTING ingest-filter health ([[graft.operators.Dedup
+      // .countingBloomStats]] over the snapshot's filter): present
+      // only on counting-backed snapshots — the delta-maintained
+      // flavor is the one that can silently outgrow its pinned
+      // geometry (fill → FP rate fill^khash, degrading with no error
+      // anywhere), so ITS operator gets the resize nag here; the bit
+      // flavor re-derives adaptive geometry every rebuild and carries
+      // None. `estimatedKeys` inside is EXACT for counting frames
+      // (Σcnt = khash·live). Past half fill the resize flag trips and
+      // the recommended geometry is adaptiveCountingGeometry of that
+      // exact live count — the migration is a counting-flavored
+      // rebuild/regeneration at it
+      ingestFilterStats: Option[graft.operators.Dedup.BloomStats] = None,
+      ingestFilterResizeRecommended: Boolean = false,
+      ingestFilterRecommendedGeometry: Option[(Int, Int)] = None)
 
   /** Sentinel default for every serve entry's `nprobe`/`refine` knob:
     * "resolve to the snapshot's accepted serve point
@@ -1035,6 +1104,13 @@ object Retrieval {
     * pinned for the family, else the shipped constant". Any explicit
     * non-sentinel argument wins unconditionally. */
   val PinnedKnob: Int = -1
+
+  /** The SHIPPED nprobe default — what a sentinel knob resolves to
+    * when no serve point is pinned, and the point
+    * [[Retrieval!.maintain maintain]] meters as "shipped" on its
+    * curves. One constant for both so pinned-sentinel resolution and
+    * the maintenance meter can never silently diverge. */
+  val ShippedNprobe: Int = 2
 
   /** [[PinnedKnob]] for the chunk serves' `Option[Int]` refine knob. */
   val PinnedRefine: Option[Int] = Some(PinnedKnob)

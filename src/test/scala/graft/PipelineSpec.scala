@@ -2051,6 +2051,49 @@ class PipelineSpec extends AnyFunSuite with SparkSpec {
       s"counting geometry past 2^30 positions must shard: ($s9, $m9)")
   }
 
+  test("counting bloom multiplicity: min-over-positions upper-bounds exact corpus multiplicity; shards=1 ≡ flat") {
+    def keysOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        md5(TextOps.normText(col("text"))).as("content_key"))
+    val d = docs.select("doc_id", "text")
+    // plant known multiplicities: every text ≥1, %4=2 texts +1, %8=2 +1
+    val corpus = d.unionByName(d.where(col("doc_id") % 4 === 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .unionByName(d.where(col("doc_id") % 8 === 2)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val inc = d.where(col("doc_id") % 3 === 0).unionByName(
+      d.where(col("doc_id") % 3 === 1).select(col("doc_id"),
+        concat(col("text"), lit(" fresh "),
+          col("doc_id").cast("string")).as("text")))
+    val out = Dedup.multiplicityScreen(corpus, inc, shards = 4,
+      mbits = 1 << 14).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // the CountMin bound: est ≥ true for EVERY doc, overcount = est−true
+    assert(out.forall(t => t._2 >= t._3 && t._4 == t._2 - t._3),
+      "min-over-positions must upper-bound the exact multiplicity")
+    // the planted multiplicities are recovered exactly wherever no
+    // collision inflates (collisions are the sized-for rate, so most
+    // rows are exact) — and every indexed doc estimates ≥ 1
+    val seen = out.filter(_._3 > 0)
+    assert(seen.nonEmpty && seen.forall(_._2 >= 1L))
+    assert(out.count(t => t._4 == 0L) > out.length / 2,
+      "overcounts should be the exception at the sized-for rate")
+    // multiplicity 3 rows exist (the %8=2 doubles ride the %4=2 ones)
+    assert(out.exists(_._3 == 3L), "planted multiplicity-3 rows missing")
+    // shards=1 ≡ flat, estimate-for-estimate (the sharded-family pin)
+    val ck = corpus.select(md5(TextOps.normText(col("text")))
+      .as("content_key"))
+    val ik = keysOf(inc)
+    def ests(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(ests(Dedup.shardedCountingBloomMultiplicity(ik,
+        Dedup.shardedCountingBloomBits(ck, 1), 1))
+      === ests(Dedup.countingBloomMultiplicity(ik,
+        Dedup.countingBloomBits(ck))),
+      "shards=1 sharded multiplicity diverges from the flat form")
+  }
+
   test("counting bloom geometry pin: remove/screen/add refuse a frame built at different knobs; pin survives parquet") {
     def keysOf(df: org.apache.spark.sql.DataFrame) =
       df.select(md5(TextOps.normText(col("text"))).as("content_key"))

@@ -1371,6 +1371,110 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       "full build must clear the accepted pin")
   }
 
+  test("serve points: a partial re-meter's accept merges over earlier pins instead of dropping them") {
+    val root = java.nio.file.Files.createTempDirectory("graft-spmrg").toString
+    val d = docs.where(col("doc_id") < 60)
+    val e = emb.where(col("vec_id") < 60)
+    val dir = s"$root/snap"
+    val h = Retrieval.build(d, e, dir)
+    def rep(doc: Option[(Int, Int)], chunk: Option[(Int, Int)],
+        bpe: Option[(Int, Int)]) =
+      Retrieval.MaintenanceReport(Nil, 0.0, None, None, 0.0,
+        retrainRecommended = false,
+        servePoint = doc.map { case (np, r) =>
+          Retrieval.ServePoint("doc_refine", np, r, 1.0, 0.0) },
+        chunkServePoint = chunk.map { case (np, r) =>
+          Retrieval.ServePoint("chunk_refine", np, r, 1.0, 0.0) },
+        bpeServePoint = bpe.map { case (np, r) =>
+          Retrieval.ServePoint("chunk_refine", np, r, 1.0, 0.0) })
+    // full accept pins all three families
+    h.acceptServePoints(rep(Some((1, 3)), Some((1, 8)), Some((2, 9))))
+    // a PARTIAL re-meter (doc only) must refresh doc and keep the
+    // chunk/bpe pins serving — not silently revert them to shipped
+    assert(Retrieval.load(spark, dir)
+      .acceptServePoints(rep(Some((3, 7)), None, None)) === Seq("doc"))
+    assert(Retrieval.load(spark, dir).pinnedServePoints === Map(
+      "doc" -> ((3, 7)), "chunk" -> ((1, 8)), "bpe" -> ((2, 9))),
+      "partial accept dropped previously accepted families' pins")
+  }
+
+  test("screenIngest: a counting frame whose in-frame pin disagrees with the sidecar falls back to the dh derivation") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cntpin")
+      .toString
+    val live = s"$root/snap"
+    val d = docs.where(col("doc_id") < 150)
+    val e = emb.where(col("vec_id") < 150)
+    Retrieval.build(d, e, live, countingIngestFilter = true)
+    val probe = d.limit(25)
+    def verdicts() = Retrieval.load(spark, live).screenIngest(probe)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val healthy = verdicts()
+    assert(healthy.nonEmpty && healthy.values.forall(identity))
+    // corrupt the FRAME's pin only (sidecar untouched): rewrite the
+    // cnt column under a different pinned geometry — the load path
+    // must treat pin ≠ sidecar as a doubt and derive from dh, never
+    // surface the geometry refusal at the first screen
+    val frame = spark.read.parquet(s"$live/bloomdh")
+      .select(col("shard").cast("long").as("shard"), col("pos"),
+        col("cnt")).collect()
+    val sidecarBytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(live, "bloomdh", "_bloomgeom"))
+    def rmr(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
+    }
+    rmr(new java.io.File(s"$live/bloomdh"))
+    import spark.implicits._
+    val badPin = graft.operators.Dedup.shardedCountingBloomBits(
+      Seq("z").toDF("text").select(md5(col("text")).as("content_key")),
+      shards = 1, mbits = 64)
+      .schema.fields.find(_.name == "cnt").get.metadata
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(frame.toSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("shard",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("pos",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType, nullable = true, badPin))))
+      .write.parquet(s"$live/bloomdh")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(live, "bloomdh", "_bloomgeom"), sidecarBytes)
+    assert(verdicts() === healthy,
+      "pin-mismatched frame must fall back to the verdict-identical " +
+        "dh derivation, not throw or serve wrong-geometry positions")
+  }
+
+  test("maintain: counting-backed snapshot surfaces ingest-filter health; bit-backed carries none") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cnthl").toString
+    val d = docs.where(col("doc_id") < 80)
+    val e = emb.where(col("vec_id") < 80)
+    val qids = (0L until 6L).toSeq
+    val hc = Retrieval.build(d, e, s"$root/cnt", countingIngestFilter = true)
+    val repC = hc.maintain(qids, 3)
+    val st = repC.ingestFilterStats.getOrElse(
+      fail("counting-backed maintain must carry filter health"))
+    // the exact-live-count contract: Σcnt = khash·n recovers the key
+    // multiset size with no estimation — here the corpus row count
+    // (every fixture text non-null)
+    assert(st.estimatedKeys === d.count(),
+      "counting stats' live count must be EXACT")
+    assert(st.fillRatio > 0.0 && st.fillRatio < 1.0)
+    assert(repC.ingestFilterResizeRecommended === (st.fillRatio > 0.5))
+    // adaptive geometry sizes 10 bits/key, so a fresh build sits well
+    // under the half-full resize trigger — and no recommendation rides
+    assert(!repC.ingestFilterResizeRecommended &&
+      repC.ingestFilterRecommendedGeometry.isEmpty)
+    // bit flavor: regenerated at adaptive geometry per rebuild — no
+    // silent-outgrowth hazard, no health block
+    val hb = Retrieval.build(d, e, s"$root/bit")
+    val repB = hb.maintain(qids, 3)
+    assert(repB.ingestFilterStats.isEmpty &&
+      !repB.ingestFilterResizeRecommended &&
+      repB.ingestFilterRecommendedGeometry.isEmpty,
+      "bit-backed maintain must not fabricate counting health")
+  }
+
   test("maintain: a selected family with absent frames is reported, never silently skipped") {
     val root = java.nio.file.Files.createTempDirectory("graft-sabs").toString
     val d = docs.where(col("doc_id") < 60)
