@@ -1,7 +1,7 @@
 package graft.serve
 
 import graft.operators.{HybridOps, TextOps, VectorOps}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-handle retrieval over a corpus snapshot — the serve surface a
@@ -310,10 +310,15 @@ final class Retrieval private[serve] (spark: SparkSession, dir: String,
       // WITHOUT an explicit schema so its geometry-pin column metadata
       // (parquet footer) survives into the screen's validation — the
       // frame is metadata-small, so the footer inference the serve
-      // accessors avoid costs nothing here.
+      // accessors avoid costs nothing here. `shard` casts back to
+      // long: the partitioned delta-IO layout surfaces it as an
+      // inferred INT partition column (legacy unpartitioned frames
+      // carry it as the written long — the cast is a no-op there);
+      // the layout-only `cb` column is dropped by the select.
       val frame = graft.operators.Dedup.materialize(
         if (counting) serve.read.parquet(s"$dir/bloomdh")
-          .select("shard", "pos", "cnt")
+          .select(col("shard").cast("long").as("shard"), col("pos"),
+            col("cnt"))
         else serve.read.schema(Retrieval.BloomDhSchema)
           .parquet(s"$dir/bloomdh"), None)
       if (sidecar != before) None
@@ -1815,7 +1820,7 @@ object Retrieval {
     // the staged result installs only AFTER the dh merge lands. None
     // (missing/bit frame, geometry drift) falls back to full counting
     // regeneration at the end.
-    val stagedCountingFilter: Option[java.io.File] =
+    val stagedCountingFilter: Option[StagedCountingUpdate] =
       if (!countingFilter) None
       else {
         val removed = oldDh
@@ -1824,11 +1829,19 @@ object Retrieval {
           .select(col("o_dh").as("content_key"))
         val added = newDh.join(touchedDoc, Seq("doc_id"), "left_semi")
           .select(col("dh").as("content_key"))
-        val r = stageCountingIngestUpdate(spark, dir, removed, added,
+        stageCountingIngestUpdate(spark, dir, removed, added,
           newDh.count(), checkpointDir)
-        retireIngestBloom(dir)
-        r
       }
+    // retire the live frame now that staging (which read from it) is
+    // done: KEPT aside when a delta splice will ride its untouched
+    // partitions back in, deleted otherwise — either way readers
+    // derive from dh (at counting flavor via the marker) until the
+    // post-merge install/regeneration
+    val pendingCounting: Option[java.io.File] =
+      if (!countingFilter) None
+      else if (stagedCountingFilter.exists(_.touched.isDefined))
+        Some(retireIngestBloomPending(dir))
+      else { retireIngestBloom(dir); None }
     if (touchedDocPb.nonEmpty) {
       val changedDocs = docs.join(touchedDoc, Seq("doc_id"), "left_semi")
       val (tfNew, dlNew) = TextOps.bm25Stats(changedDocs, checkpointDir)
@@ -1966,12 +1979,19 @@ object Retrieval {
     // dh merge and this swap, or upgrades a pre-persistence snapshot
     // in place. COUNTING flavor: install the O(delta)-updated frame
     // staged before the merges (a small delete delta never
-    // re-aggregates the corpus); when staging declined (crash
-    // recovery, geometry drift, flavor upgrade) regenerate at counting
-    // flavor instead — same cost class as the bit path's every-rebuild
-    // regeneration, paid only on those events.
+    // re-aggregates the corpus) — spliced per touched `(shard, cb)`
+    // partition over the retired-live frame when the layout allows
+    // (untouched partitions ride back by rename, byte-stable: IO ∝
+    // delta, not frame), whole-swapped on a legacy-layout upgrade or
+    // a rectangle too wide to win; when staging declined entirely
+    // (crash recovery, geometry drift, flavor upgrade) regenerate at
+    // counting flavor instead — same cost class as the bit path's
+    // every-rebuild regeneration, paid only on those events.
     stagedCountingFilter match {
-      case Some(stage) => installIngestBloom(dir, stage)
+      case Some(StagedCountingUpdate(stage, Some((ts, tc)))) =>
+        installCountingDelta(dir, stage, pendingCounting.get, ts, tc)
+      case Some(StagedCountingUpdate(stage, None)) =>
+        installIngestBloom(dir, stage)
       case None => regenerateIngestBloom(spark, dir, countingFilter)
     }
 
@@ -2003,21 +2023,46 @@ object Retrieval {
     replacePartitions(frameDir, "pb", merged, affected.map(_.toString))
   }
 
+  /** Position-range bucket count for the PARTITIONED counting frame
+    * layout: the counting `bloomdh` writes `partitionBy(shard, cb)`
+    * with `cb = pos mod CountingBuckets`, so an O(delta) rebuild can
+    * splice ONLY the `(shard, cb)` partitions its delta touches and
+    * leave every other partition's files byte-stable — write volume ∝
+    * touched partitions, the [[replacePartitions]] cost shape applied
+    * to the filter frame (a small delete batch used to restage the
+    * WHOLE frame: delta-proportional compute, frame-proportional IO).
+    * 64 buckets per shard keeps partitions near block size at the
+    * sharded scale (a 10^10-key corpus ≈ 94 shards · 64 buckets ≈
+    * 200 MB each) while a khash·|delta|-position trickle delete
+    * touches only its own buckets. The bucket derivation is pure
+    * layout — pos mod a constant — so geometry, screens and the
+    * oracle never see it. */
+  private[graft] val CountingBuckets = 64
+
+  /** `cb` partition column of a counting frame's `pos`. */
+  private def cbOf: Column = pmod(col("pos"), lit(CountingBuckets.toLong))
+
   /** Write the ingest filter over `keys` to `outDir` — bit flavor
-    * `(shard, word, bits)` or counting flavor `(shard, pos, cnt)`:
-    * geometry from [[graft.operators.Dedup.adaptiveBloomGeometry]] on
-    * the key count, recorded (with the flavor) in an
-    * underscore-prefixed sidecar INSIDE the frame dir (parquet readers
-    * skip underscore files) so frame and geometry commit together
-    * under any rename of the dir. */
+    * `(shard, word, bits)` or counting flavor `(shard, pos, cnt)`
+    * written `partitionBy(shard, cb)` (the [[CountingBuckets]]
+    * delta-IO layout): geometry from
+    * [[graft.operators.Dedup.adaptiveBloomGeometry]] on the key
+    * count, recorded (with the flavor) in an underscore-prefixed
+    * sidecar INSIDE the frame dir (parquet readers skip underscore
+    * files) so frame and geometry commit together under any rename of
+    * the dir. */
   private def writeIngestBloom(keys: DataFrame, outDir: String,
       counting: Boolean = false): Unit = {
     val (shards, mbits) =
       graft.operators.Dedup.adaptiveBloomGeometry(keys.count())
-    (if (counting)
+    if (counting)
       graft.operators.Dedup.shardedCountingBloomBits(keys, shards, mbits)
-    else graft.operators.Dedup.shardedBloomBits(keys, shards, mbits))
-      .write.mode(SaveMode.Overwrite).parquet(outDir)
+        .withColumn("cb", cbOf)
+        .write.partitionBy("shard", "cb").mode(SaveMode.Overwrite)
+        .parquet(outDir)
+    else
+      graft.operators.Dedup.shardedBloomBits(keys, shards, mbits)
+        .write.mode(SaveMode.Overwrite).parquet(outDir)
     writeBloomGeom(outDir, shards, mbits, counting)
   }
 
@@ -2075,6 +2120,66 @@ object Retrieval {
     installIngestBloom(dir, stage)
   }
 
+  /** A staged counting-filter update: the stage dir plus the
+    * `(shards, cbs)` partition rectangle it covers — None for a
+    * full-frame restage (legacy-layout upgrade, or a delta too wide
+    * for the splice to win), installed by the whole-dir swap. */
+  private[graft] final case class StagedCountingUpdate(
+      stage: java.io.File, touched: Option[(Seq[Long], Seq[Long])])
+
+  /** [[retireIngestBloom]]'s KEEPING twin for the counting delta
+    * path: move the live frame aside under a dot-name and return it —
+    * its untouched partitions ride back wholesale at install (pure
+    * renames, zero IO). Readers during the gap take the
+    * derive-from-dh fallback exactly as with the deleting retire; a
+    * crash strands the pending dir as `.bloomdh-` debris that
+    * [[sweepMergeDebris]] reclaims on the next rebuild (whose staging
+    * then finds no live frame, declines, and regenerates — the
+    * documented crash recovery). */
+  private def retireIngestBloomPending(dir: String): java.io.File = {
+    val live = java.nio.file.Paths.get(dir, "bloomdh")
+    val pending = new java.io.File(dir,
+      s".bloomdh-pending-${ProcessHandle.current().pid()}-" +
+        s"${System.nanoTime()}")
+    java.nio.file.Files.move(live, pending.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    pending
+  }
+
+  /** Install a DELTA-staged counting update: splice the stage's
+    * `(shard, cb)` partition dirs over the pending (retired-live)
+    * frame's — delete-then-move per pair, a staged pair with no rows
+    * deletes the live one (merged to empty) — refresh the sidecar,
+    * then commit the whole pending dir back as `bloomdh` by ONE
+    * atomic move. Every mutation happens on dot-named dirs no reader
+    * lists; untouched partitions are never rewritten (same files,
+    * same bytes — the byte-stability the splice exists for). A crash
+    * anywhere leaves no live frame (readers derive from dh) and two
+    * `.bloomdh-` debris dirs for the next rebuild's sweep — never a
+    * half-spliced frame served. */
+  private def installCountingDelta(dir: String, stage: java.io.File,
+      pending: java.io.File, touchedShards: Seq[Long],
+      touchedCbs: Seq[Long]): Unit = {
+    for (s <- touchedShards; c <- touchedCbs) {
+      val rel = s"shard=$s/cb=$c"
+      val tgt = new java.io.File(pending, rel)
+      rm(tgt)
+      val src = new java.io.File(stage, rel)
+      if (src.isDirectory) {
+        java.nio.file.Files.createDirectories(tgt.getParentFile.toPath)
+        java.nio.file.Files.move(src.toPath, tgt.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    java.nio.file.Files.move(stage.toPath.resolve("_bloomgeom"),
+      pending.toPath.resolve("_bloomgeom"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    java.nio.file.Files.move(pending.toPath,
+      java.nio.file.Paths.get(dir, "bloomdh"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    rm(stage)
+  }
+
   /** Swap a fully-staged ingest-filter dir into place: old aside, new
     * in, reclaim — the two-atomic-moves tail shared by regeneration
     * and the counting O(delta) update. A reader landing between the
@@ -2098,20 +2203,26 @@ object Retrieval {
     * ([[graft.operators.Dedup.shardedCountingBloomRemove]]/`Add` — the
     * negative-count refusal fires loudly on a corrupted frame; delete
     * `bloomdh` and rerun to fall back to full regeneration), and write
-    * the result to a dot-named stage dir for [[installIngestBloom]]
-    * AFTER the dh merge lands. The frame and the stored dh are both
+    * the result to a dot-named stage dir for install AFTER the dh
+    * merge lands. The frame and the stored dh are both
     * pre-merge stable at staging time, so the algebra gives EXACTLY
     * the filter of the post-merge corpus: counts(old) − removed +
     * added = counts(new dh), per (shard, pos) — spec-pinned against a
     * from-scratch build. The ONLY inputs are the live frame and the
     * delta key frames (the job-count contract: a small delete delta
     * never re-runs the corpus-wide counting aggregate — no dh scan,
-    * no khash-way corpus explode). Cost shape, stated honestly: the
-    * decrement/increment AGGREGATES are delta-∝; the staged result is
-    * a frame-∝ parquet rewrite (≤ khash·live-keys `(shard, pos, cnt)`
-    * rows — the artifact itself, still orders under the corpus it
-    * describes, and swapped whole for the same atomicity the
-    * regeneration path gets); `newKeyCount`
+    * no khash-way corpus explode). Cost shape: the
+    * decrement/increment AGGREGATES are delta-∝, and since the
+    * [[CountingBuckets]] layout so is the IO — the read prunes to the
+    * touched `(shard, cb)` rectangle and the stage carries only those
+    * partitions, spliced over the retired frame's by
+    * [[installCountingDelta]] (untouched partitions ride back
+    * byte-stable; the steady-state EMPTY delta stages zero rows and
+    * the whole install is three renames). A legacy unpartitioned
+    * frame — or a delta rectangle past half the partitions, where a
+    * splice stops winning — restages the full frame under the
+    * partitioned layout (`touched = None`, whole-dir swap), which is
+    * also the in-place layout upgrade; `newKeyCount`
     * (one thin count over the new fingerprint column, the same class
     * of job as the diff that produced the deltas) guards geometry
     * drift — a corpus grown or shrunk past its pinned
@@ -2128,7 +2239,8 @@ object Retrieval {
   private[graft] def stageCountingIngestUpdate(spark: SparkSession,
       dir: String, removedKeys: DataFrame, addedKeys: DataFrame,
       newKeyCount: Long,
-      checkpointDir: Option[String] = None): Option[java.io.File] = try {
+      checkpointDir: Option[String] = None)
+      : Option[StagedCountingUpdate] = try {
     val geomPath = java.nio.file.Paths.get(dir, "bloomdh", "_bloomgeom")
     if (!java.nio.file.Files.isRegularFile(geomPath)) None
     else {
@@ -2141,19 +2253,58 @@ object Retrieval {
         if (graft.operators.Dedup.adaptiveBloomGeometry(
             math.max(newKeyCount, 1L)) != ((shards, mbits))) None
         else {
+          // the delta REGION: distinct (shard, cb) of every removed
+          // and added key's positions — one delta-scale aggregate,
+          // collected bounded (≤ min(khash·|delta|, shards·buckets)
+          // pairs; a bulk delta past the cap reads as "touches
+          // everything" and takes the full-restage path, which is
+          // what it would rewrite anyway)
+          val deltaPairs = graft.operators.Dedup
+            .shardedCountingBloomBits(
+              removedKeys.unionByName(addedKeys), shards, mbits)
+            .select(col("shard"), cbOf.as("cb")).distinct()
+            .limit(shards * CountingBuckets + 1).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val partitioned = Option(
+            new java.io.File(s"$dir/bloomdh").listFiles())
+            .exists(_.exists(_.getName.startsWith("shard=")))
+          val delta = partitioned &&
+            deltaPairs.length <= (shards.toLong * CountingBuckets) / 2
+          val touchedShards = deltaPairs.map(_._1).distinct.toSeq.sorted
+          val touchedCbs = deltaPairs.map(_._2).distinct.toSeq.sorted
           // no explicit schema: the geometry-pin column metadata in
-          // the footer must survive into Remove/Add's validation
-          val frame = spark.read.parquet(s"$dir/bloomdh")
-            .select("shard", "pos", "cnt")
+          // the footer must survive into Remove/Add's validation.
+          // Delta path: read PRUNED to the touched region's
+          // (shard × cb) rectangle — partition pruning keeps the scan
+          // to the files the splice will replace; every delta
+          // position's pair is inside the rectangle, so the counting
+          // algebra over the pruned frame equals the full frame's
+          // restricted to it. Legacy unpartitioned frames (or a
+          // region cap overflow) take the full restage, which also
+          // UPGRADES the layout in place.
+          val raw = spark.read.parquet(s"$dir/bloomdh")
+          // empty delta (the steady-state idempotent rerun): the
+          // rectangle is empty, nothing reads, nothing stages, and
+          // the install is pure renames
+          val region =
+            if (touchedShards.isEmpty) lit(false)
+            else col("shard").isin(touchedShards: _*) &&
+              col("cb").isin(touchedCbs: _*)
+          val frame = (if (delta) raw.where(region) else raw)
+            .select(col("shard").cast("long").as("shard"), col("pos"),
+              col("cnt"))
           val updated = graft.operators.Dedup.shardedCountingBloomAdd(
             graft.operators.Dedup.shardedCountingBloomRemove(frame,
               removedKeys, shards, mbits, checkpointDir = checkpointDir),
             addedKeys, shards, mbits)
           val stage = new java.io.File(dir,
             s".bloomdh-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-          updated.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+          updated.withColumn("cb", cbOf)
+            .write.partitionBy("shard", "cb").mode(SaveMode.Overwrite)
+            .parquet(stage.toString)
           writeBloomGeom(stage.toString, shards, mbits, counting = true)
-          Some(stage)
+          Some(StagedCountingUpdate(stage,
+            if (delta) Some((touchedShards, touchedCbs)) else None))
         }
       }
     }

@@ -273,7 +273,8 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     def tuples(df: DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val stored = spark.read.parquet(s"$live/bloomdh")
-      .select("shard", "pos", "cnt")
+      .select(col("shard").cast("long").as("shard"), col("pos"),
+        col("cnt"))
     val fresh = graft.operators.Dedup.shardedCountingBloomBits(
       spark.read.schema(graft.serve.Retrieval.DhSchema)
         .parquet(s"$live/dh").select(col("dh").as("content_key")),
@@ -327,12 +328,19 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
         spark.sparkContext.removeSparkListener(l)
         assert(aside.renameTo(dhDir))
       }
-    val stage = staged.getOrElse(
+    val upd = staged.getOrElse(
       fail("geometry-stable O(delta) update declined"))
+    val stage = upd.stage
     assert(jobs <= 12,
       s"delta update ran $jobs jobs — corpus-proportional work crept in")
-    // the staged frame equals the from-scratch filter of the post-
-    // delta key multiset, at the pinned geometry
+    // a build-written (partitioned-layout) frame with a small delta
+    // must take the SPLICE path: the stage carries only the delta's
+    // (shard, cb) rectangle, not the frame
+    val (ts, tc) = upd.touched.getOrElse(
+      fail("small delta on the partitioned layout must stage a splice"))
+    // the staged region equals the from-scratch filter of the post-
+    // delta key multiset RESTRICTED to that region, at the pinned
+    // geometry (the install splices it over the untouched rest)
     val sc = new String(java.nio.file.Files.readAllBytes(
       stage.toPath.resolve("_bloomgeom")), "UTF-8").trim.split(" ")
     assert(sc(0) == "counting")
@@ -341,11 +349,14 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     val survivors = dh0.where(!col("doc_id").isin(delIds: _*))
       .select(col("dh").as("content_key"))
       .unionByName(added)
+    val freshRegion = graft.operators.Dedup.shardedCountingBloomBits(
+        survivors, sc(1).toInt, sc(2).toInt)
+      .where(col("shard").isin(ts: _*) &&
+        pmod(col("pos"), lit(64L)).isin(tc: _*))
     assert(tuples(spark.read.parquet(stage.toString)
-        .select("shard", "pos", "cnt")) ===
-      tuples(graft.operators.Dedup.shardedCountingBloomBits(survivors,
-        sc(1).toInt, sc(2).toInt)),
-      "staged O(delta) frame diverges from the from-scratch filter")
+        .select(col("shard").cast("long").as("shard"), col("pos"),
+          col("cnt"))) === tuples(freshRegion),
+      "staged O(delta) region diverges from the from-scratch filter")
     def rmr(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rmr)); f.delete(); ()
     }
@@ -356,6 +367,77 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     assert(graft.serve.Retrieval.stageCountingIngestUpdate(spark, live,
       removed, added, n * 1000).isEmpty,
       "an outgrown geometry must decline the O(delta) update")
+  }
+
+  test("counting delta rebuild: untouched (shard,cb) partitions stay byte-stable; empty delta rewrites nothing") {
+    val root = java.nio.file.Files.createTempDirectory("graft-cntio")
+      .toString
+    val live = s"$root/snap"
+    val docs0 = docs.where(col("doc_id") < 300)
+    val emb0 = emb.where(col("vec_id") < 300)
+    Retrieval.build(docs0, emb0, live, countingIngestFilter = true)
+    // relative path → (length, mtime) of every data file in the frame
+    def fileMap(): Map[String, (Long, Long)] = {
+      val base = java.nio.file.Paths.get(live, "bloomdh")
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      def walk(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(walk))
+        else if (f.getName.startsWith("part-"))
+          out(base.relativize(f.toPath).toString) =
+            (f.length(), f.lastModified())
+      }
+      walk(base.toFile)
+      out.toMap
+    }
+    val before = fileMap()
+    assert(before.nonEmpty && before.keySet.forall(_.startsWith("shard=")),
+      "counting build must write the partitioned (shard, cb) layout")
+    // ---- empty delta: the idempotent steady-state rerun must rewrite
+    // NO partition at all (install is pure renames)
+    Retrieval.rebuild(docs0, emb0, live)
+    assert(fileMap() === before,
+      "an empty delta rewrote counting-frame partitions")
+    // ---- single-doc delete: only the delta's (shard, cb) rectangle
+    // may change; every other partition's files are byte-stable
+    val uniq = docs0.groupBy(md5(col("text")).as("k"))
+      .agg(count(lit(1)).as("c"), min("doc_id").as("doc_id"))
+      .where(col("c") === 1).orderBy("doc_id")
+      .select("doc_id").limit(1).collect()(0).getLong(0)
+    val sc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(live, "bloomdh", "_bloomgeom")), "UTF-8")
+      .trim.split(" ")
+    val (s9, m9) = (sc(1).toInt, sc(2).toInt)
+    // the expected rectangle, derived from the deleted doc's key alone
+    val delKey = docs0.where(col("doc_id") === uniq)
+      .select(md5(graft.operators.TextOps.normText(col("text")))
+        .as("content_key"))
+    val pairs = graft.operators.Dedup
+      .shardedCountingBloomBits(delKey, s9, m9)
+      .select(col("shard"), pmod(col("pos"), lit(64L)).as("cb"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rectDirs = (for (s <- pairs.map(_._1); c <- pairs.map(_._2))
+      yield s"shard=$s/cb=$c").toSet
+    Retrieval.rebuild(docs0.where(col("doc_id") =!= uniq), emb0, live)
+    val after = fileMap()
+    val (touchedB, stableB) = before.partition { case (p, _) =>
+      rectDirs.exists(d => p.startsWith(d + "/")) }
+    assert(touchedB.nonEmpty, "the delete's rectangle must be nonempty")
+    assert(stableB.forall { case (p, v) => after.get(p).contains(v) },
+      "a partition outside the delta's rectangle was rewritten")
+    assert(touchedB.forall { case (p, v) => !after.get(p).contains(v) },
+      "the delta's own partitions were not replaced")
+    // and the spliced frame still IS the from-scratch filter of the
+    // survivors — splice correctness, not just stability
+    def tuples(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tuples(spark.read.parquet(s"$live/bloomdh")
+        .select(col("shard").cast("long").as("shard"), col("pos"),
+          col("cnt"))) ===
+      tuples(graft.operators.Dedup.shardedCountingBloomBits(
+        spark.read.schema(graft.serve.Retrieval.DhSchema)
+          .parquet(s"$live/dh").select(col("dh").as("content_key")),
+        s9, m9)),
+      "spliced frame diverges from the from-scratch filter")
   }
 
   test("incremental rebuild: same serve as a fixed-codebook full build, delta-only writes") {
