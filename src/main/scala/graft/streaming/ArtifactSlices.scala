@@ -176,6 +176,149 @@ private[streaming] object SlicedArtifact {
   val CompactionGraceMs: Long = 10L * 60L * 1000L
 }
 
+/** Pointer-committed compaction for the FOLD-style slice roots — the
+  * [[SlicedArtifact]] generation/pointer protocol applied to the bloom
+  * chains' state dirs, whose resolution is an algebraic FOLD (bit OR,
+  * count SUM, key-delta SUM) instead of latest-slice-wins. A
+  * long-running screen stream accumulates one slice per micro-batch
+  * and every batch's state read folds them ALL — read cost grows
+  * linearly with batch count even though the folded row count doesn't.
+  * [[compact]] folds every slice at or below an absorb watermark into
+  * ONE generation directory and commits it by atomic pointer rename;
+  * [[scoped]] reads resolve base-plus-newer-slices thereafter.
+  *
+  * REPLAY SAFETY is the one extra constraint latest-wins never had:
+  * a SUM cannot exclude an absorbed slice the way latest-wins ignores
+  * a superseded one, so a replayed batch whose own slice was folded in
+  * would double-count itself. The caller must therefore absorb only
+  * batches that can no longer replay — structured streaming commits
+  * batches in order, so everything STRICTLY BELOW the newest written
+  * slice is final (only the newest can be uncommitted) and `upTo =
+  * newestId − 1` is always safe. [[scoped]] REFUSES a replay view at
+  * or below the committed high-water rather than serving it wrong.
+  *
+  * Crash contract (the [[SlicedArtifact]] one): a crash before the
+  * pointer swap leaves the old state fully intact (the unpointed
+  * generation is swept once aged); after the swap, only cleanup is
+  * delayed — absorbed slices are logged to `_STALE` and reclaimed
+  * past the grace window so a reader that resolved just before the
+  * swap never loses files mid-union. Pointer and log are
+  * underscore-named, generations dot-named: parquet partition
+  * discovery over the live `gbatch=` slices skips both. */
+private[streaming] object FoldCompaction {
+
+  private def pointer(root: String) =
+    java.nio.file.Paths.get(root, "_COMPACT")
+  private def staleLog(root: String) =
+    java.nio.file.Paths.get(root, "_STALE")
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+    f.delete(); ()
+  }
+
+  /** Live (un-absorbed) slice ids of a root. */
+  def sliceIds(root: String): Seq[Long] = {
+    val d = new java.io.File(root)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("gbatch="))
+      .map(_.stripPrefix("gbatch=").toLong)
+  }
+
+  /** The pointed generation (absolute dir, high-water id), if any. */
+  def gen(root: String): Option[(String, Long)] =
+    if (!java.nio.file.Files.exists(pointer(root))) None
+    else {
+      val g = java.nio.file.Files.readString(pointer(root)).trim
+      // dot-dir name carries the high-water id: .gen_<hw>_<pid>_<nonce>
+      // (underscore-separated so a NEGATIVE hw — an absorbed inherited
+      // gbatch=-1 slice — parses)
+      Some((s"$root/$g", g.split("_")(1).toLong))
+    }
+
+  /** The root's raw rows for a fold: the pointed generation (when one
+    * exists) unioned with the slices strictly above its high-water —
+    * restricted to strictly below `before` for a replay view. None
+    * before anything was written. The `before ≤ high-water` refusal is
+    * the replay-safety contract made loud: such a view can no longer
+    * be served exactly (its evidence is folded in), and by the
+    * in-order commit rule it can never legitimately be asked for. */
+  def scoped(spark: org.apache.spark.sql.SparkSession, root: String,
+      before: Option[Long]): Option[DataFrame] = {
+    val base = gen(root)
+    val hw = base.map(_._2).getOrElse(Long.MinValue)
+    before.foreach(b => require(b > hw,
+      s"replay view at batch $b is at or below $root's compaction " +
+        s"high-water $hw — compaction must only absorb batches that " +
+        "can no longer replay (absorb ≤ newest − 1)"))
+    val newer = sliceIds(root).filter(i => i > hw && before.forall(i < _))
+    val parts =
+      base.map { case (dir, _) => spark.read.parquet(dir) }.toSeq ++
+      (if (newer.isEmpty) Seq.empty
+      else Seq(spark.read.parquet(root)
+        .where(col("gbatch") > hw &&
+          before.map(b => col("gbatch") < b).getOrElse(lit(true)))
+        .drop("gbatch")))
+    parts.reduceOption(_.unionByName(_))
+  }
+
+  /** Fold every slice at or below `upTo` (plus the current base) into
+    * a fresh pointed generation; returns the new high-water (the old
+    * one when nothing new absorbs). `fold` is the root's algebra —
+    * it must satisfy fold(a ∪ b) = fold(fold(a) ∪ b), the property
+    * that makes base-plus-newer reads exact. */
+  def compact(spark: org.apache.spark.sql.SparkSession, root: String,
+      upTo: Long, fold: DataFrame => DataFrame, numFiles: Int = 1,
+      graceMs: Long = SlicedArtifact.CompactionGraceMs): Long = {
+    val base = gen(root)
+    val hw0 = base.map(_._2).getOrElse(Long.MinValue)
+    val absorb = sliceIds(root).filter(i => i > hw0 && i <= upTo)
+    if (absorb.isEmpty) return hw0
+    val hw = absorb.max
+    val parts =
+      base.map { case (dir, _) => spark.read.parquet(dir) }.toSeq :+
+      spark.read.parquet(root)
+        .where(col("gbatch") > hw0 && col("gbatch") <= upTo)
+        .drop("gbatch")
+    val genName = s".gen_${hw}_${ProcessHandle.current().pid()}_" +
+      s"${System.nanoTime()}"
+    fold(parts.reduce(_.unionByName(_))).coalesce(numFiles)
+      .write.parquet(s"$root/$genName")
+    // commit point: atomic pointer rename
+    val tmp = java.nio.file.Paths.get(root,
+      s"._COMPACT.tmp-${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp, genName)
+    java.nio.file.Files.move(tmp, pointer(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // deferred cleanup, on the STORE's clock (the pointer's mtime —
+    // the SlicedArtifact convention): log what this swap superseded,
+    // sweep what earlier swaps logged once past the grace
+    val now = java.nio.file.Files
+      .getLastModifiedTime(pointer(root)).toMillis
+    val superseded =
+      absorb.map(b => new java.io.File(s"$root/gbatch=$b")) ++
+      base.map { case (dir, _) => new java.io.File(dir) }
+    java.nio.file.Files.writeString(staleLog(root),
+      superseded.map(d => s"$now\t${d.getAbsolutePath}\n").mkString,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    val cutoff = now - graceMs
+    val (due, kept) = java.nio.file.Files.readString(staleLog(root))
+      .split("\n").toSeq.filter(_.nonEmpty)
+      .partition(_.split("\t")(0).toLong <= cutoff)
+    due.foreach(l => rm(new java.io.File(l.split("\t")(1))))
+    val tmp2 = java.nio.file.Paths.get(root,
+      s"._STALE.tmp-${System.nanoTime()}")
+    java.nio.file.Files.writeString(tmp2, kept.map(_ + "\n").mkString)
+    java.nio.file.Files.move(tmp2, staleLog(root),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    hw
+  }
+}
+
 /** The gbatch-sliced artifact layout shared by the streaming retrieval
   * indexes: named per-doc frames under `root/<frame>/gbatch=<id>` plus
   * the `ops` membership frame, resolved latest-slice-wins at read, with

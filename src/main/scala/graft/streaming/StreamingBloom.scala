@@ -51,7 +51,9 @@ import org.apache.spark.sql.streaming.Trigger
   * different cluster reaches the identical verdict; the x98 gate
   * hash-checks even the false-positive set). */
 class StreamingBloom(artifactDir: String, outDir: String,
-    mbits: Int = Dedup.BloomMBits, khash: Int = Dedup.BloomHashes) {
+    mbits: Int = Dedup.BloomMBits, khash: Int = Dedup.BloomHashes,
+    maxLiveSlices: Int = StreamingCountingBloom.MaxLiveSlices,
+    compactionGraceMs: Long = SlicedArtifact.CompactionGraceMs) {
 
   // changed geometry relocates every key's bit positions: reopening an
   // artifact under different (mbits, khash) would OR incompatible
@@ -107,21 +109,26 @@ class StreamingBloom(artifactDir: String, outDir: String,
           mbits, khash)
         .write.mode(SaveMode.Overwrite).parquet(slice(bloomRoot, batchId))
     } finally verdicts.unpersist()
+    // bound the next batches' state reads ([[StreamingCountingBloom]]'s
+    // budget, trivially sound here — the OR-fold is idempotent on top
+    // of associative, but the replay rule is kept identical: never
+    // absorb the newest batch)
+    if (FoldCompaction.sliceIds(bloomRoot).size > maxLiveSlices) {
+      FoldCompaction.compact(batch.sparkSession, bloomRoot, batchId - 1,
+        df => df.groupBy("word").agg(expr("bit_or(bits)").as("bits")),
+        graceMs = compactionGraceMs)
+      ()
+    }
   }
 
   /** The bloom state as ONE `(word, bits)` row per set word: the
-    * OR-fold of every slice (strictly below `before` when given —
-    * the replay view). None before any batch wrote. */
+    * OR-fold of the pointed base plus every live slice (strictly
+    * below `before` when given — the replay view). None before any
+    * batch wrote. */
   def stateBits(spark: SparkSession, before: Option[Long] = None)
-      : Option[DataFrame] = {
-    val d = new java.io.File(bloomRoot)
-    if (!d.isDirectory) None
-    else {
-      val all = spark.read.parquet(bloomRoot)
-      val scoped = before.map(b => all.where(col("gbatch") < b)).getOrElse(all)
-      Some(scoped.groupBy("word").agg(expr("bit_or(bits)").as("bits")))
-    }
-  }
+      : Option[DataFrame] =
+    FoldCompaction.scoped(spark, bloomRoot, before)
+      .map(_.groupBy("word").agg(expr("bit_or(bits)").as("bits")))
 
   /** All verdicts written so far — including, on a [[rebuildInto]]
     * target, the inherited `gbatch=-1` slice carrying every PRIOR

@@ -60,9 +60,22 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Geometry is pinned per artifact ([[SlicedArtifact.pinConstants]],
   * the [[StreamingBloom]] guard): changed (mbits, khash) relocates
-  * every position and would SUM incompatible generations silently. */
+  * every position and would SUM incompatible generations silently.
+  *
+  * State reads are BOUNDED by automatic slice compaction
+  * ([[FoldCompaction]]): once more than `maxLiveSlices` slices
+  * accumulate, everything strictly below the newest batch folds into
+  * one pointer-committed generation — per-batch read cost is then one
+  * base dir plus at most `maxLiveSlices` slices regardless of stream
+  * length, and the newest batch (the only one that can still replay)
+  * is never absorbed, so checkpoint replays keep their exact
+  * pre-batch view. Both state roots (counts and the key-delta record)
+  * compact together; the verdict chain stays append-only (it is the
+  * audit log, read at audit cadence, not per batch). */
 class StreamingCountingBloom(artifactDir: String, outDir: String,
-    mbits: Int = Dedup.BloomMBits, khash: Int = Dedup.BloomHashes) {
+    mbits: Int = Dedup.BloomMBits, khash: Int = Dedup.BloomHashes,
+    maxLiveSlices: Int = StreamingCountingBloom.MaxLiveSlices,
+    compactionGraceMs: Long = SlicedArtifact.CompactionGraceMs) {
 
   SlicedArtifact.pinConstants(artifactDir,
     SlicedArtifact.section("cntbloomgeom", Seq(mbits, khash),
@@ -173,39 +186,44 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
         .where(col("cnt") =!= 0)
         .write.mode(SaveMode.Overwrite).parquet(slice(cntRoot, batchId))
     } finally { verdicts.unpersist(); () }
+    // bound the next batches' state reads: past the live-slice budget,
+    // fold everything strictly below THIS batch (the only one that can
+    // still replay) into the pointed base — both state roots together,
+    // so their high-waters never diverge
+    if (FoldCompaction.sliceIds(cntRoot).size > maxLiveSlices) {
+      FoldCompaction.compact(spark, cntRoot, batchId - 1,
+        df => df.groupBy("pos").agg(sum("cnt").as("cnt"))
+          .where(col("cnt") =!= 0),
+        graceMs = compactionGraceMs)
+      FoldCompaction.compact(spark, keyRoot, batchId - 1,
+        df => df.groupBy("content_key").agg(sum("delta").as("delta"))
+          .where(col("delta") =!= 0),
+        graceMs = compactionGraceMs)
+      ()
+    }
   }
 
-  /** The counting state as `(pos, cnt > 0)` rows: the SUM-fold of
-    * every slice (strictly below `before` when given — the replay
-    * view). None before any batch wrote. Zero rows drop (a deleted
+  /** The counting state as `(pos, cnt > 0)` rows: the SUM-fold of the
+    * pointed base plus every live slice (strictly below `before` when
+    * given — the replay view, which [[FoldCompaction.scoped]] refuses
+    * at or below the compaction high-water rather than serving
+    * wrong). None before any batch wrote. Zero rows drop (a deleted
     * key's positions leave the frame, exactly the batch
     * [[graft.operators.Dedup.countingBloomRemove]] contract). */
   def countingState(spark: SparkSession, before: Option[Long] = None)
-      : Option[DataFrame] = {
-    val d = new java.io.File(cntRoot)
-    if (!d.isDirectory) None
-    else {
-      val all = spark.read.parquet(cntRoot)
-      val scoped = before.map(b => all.where(col("gbatch") < b)).getOrElse(all)
-      Some(scoped.groupBy("pos").agg(sum("cnt").as("cnt"))
+      : Option[DataFrame] =
+    FoldCompaction.scoped(spark, cntRoot, before)
+      .map(_.groupBy("pos").agg(sum("cnt").as("cnt"))
         .where(col("cnt") > 0))
-    }
-  }
 
   /** The LIVE key set (multiplicity ≤ 1 by the accept policy): the
     * key-delta fold, keys whose delta sum is positive. None before
     * any batch wrote. */
   def liveKeys(spark: SparkSession, before: Option[Long] = None)
-      : Option[DataFrame] = {
-    val d = new java.io.File(keyRoot)
-    if (!d.isDirectory) None
-    else {
-      val all = spark.read.parquet(keyRoot)
-      val scoped = before.map(b => all.where(col("gbatch") < b)).getOrElse(all)
-      Some(scoped.groupBy("content_key").agg(sum("delta").as("n"))
+      : Option[DataFrame] =
+    FoldCompaction.scoped(spark, keyRoot, before)
+      .map(_.groupBy("content_key").agg(sum("delta").as("n"))
         .where(col("n") > 0).select("content_key"))
-    }
-  }
 
   /** [[liveKeys]] restricted to `keys` BEFORE the fold (broadcast
     * semi-join under the aggregate): the delete-validation shape —
@@ -213,20 +231,16 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     * carries only the delete keys' rows instead of every key ever
     * accepted. Empty when no batch wrote. */
   private def liveKeysAmong(spark: SparkSession, keys: DataFrame,
-      before: Option[Long], hintBroadcast: Boolean): DataFrame = {
-    val d = new java.io.File(keyRoot)
-    if (!d.isDirectory)
-      keys.select(col("content_key")).limit(0)
-    else {
-      val all = spark.read.parquet(keyRoot)
-      val scoped = before.map(b => all.where(col("gbatch") < b)).getOrElse(all)
-      val k = keys.select("content_key")
-      scoped.join(if (hintBroadcast) broadcast(k) else k,
-          Seq("content_key"), "left_semi")
-        .groupBy("content_key").agg(sum("delta").as("n"))
-        .where(col("n") > 0).select("content_key")
+      before: Option[Long], hintBroadcast: Boolean): DataFrame =
+    FoldCompaction.scoped(spark, keyRoot, before) match {
+      case None => keys.select(col("content_key")).limit(0)
+      case Some(all) =>
+        val k = keys.select("content_key")
+        all.join(if (hintBroadcast) broadcast(k) else k,
+            Seq("content_key"), "left_semi")
+          .groupBy("content_key").agg(sum("delta").as("n"))
+          .where(col("n") > 0).select("content_key")
     }
-  }
 
   /** All verdicts written so far. */
   def verdicts(spark: SparkSession): Option[DataFrame] = {
@@ -243,12 +257,9 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     * hand-edited or cross-geometry artifact) and the screen's
     * guarantee is void — loud, never a warning. None before any batch
     * wrote. */
-  def stats(spark: SparkSession): Option[(Dedup.BloomStats, Boolean)] = {
-    val d = new java.io.File(cntRoot)
-    if (!d.isDirectory) None
-    else {
-      val folded = spark.read.parquet(cntRoot)
-        .groupBy("pos").agg(sum("cnt").as("cnt"))
+  def stats(spark: SparkSession): Option[(Dedup.BloomStats, Boolean)] =
+    FoldCompaction.scoped(spark, cntRoot, None).map { raw =>
+      val folded = raw.groupBy("pos").agg(sum("cnt").as("cnt"))
       val negative = folded.where(col("cnt") < 0).count()
       require(negative == 0L,
         s"$negative position(s) fold negative — a slice decremented " +
@@ -256,9 +267,8 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
           "no-false-negative guarantee is void")
       val st = Dedup.countingBloomStats(folded.where(col("cnt") > 0),
         mbits, khash)
-      Some((st, st.fillRatio > 0.5))
+      (st, st.fillRatio > 0.5)
     }
-  }
 
   /** Resize executor — [[StreamingBloom.rebuildInto]] simplified by
     * the exact key record: fold the LIVE keys from the key-delta
@@ -323,6 +333,13 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
 }
 
 object StreamingCountingBloom {
+
+  /** Default live-slice budget before [[FoldCompaction]] squashes the
+    * state roots: per-batch state reads fold at most this many slices
+    * plus one pointed base, regardless of stream length. 16 keeps the
+    * squash amortized (one fold per 16 batches) while the fold itself
+    * is one bounded aggregate over ≤ mbits + 16·delta rows. */
+  val MaxLiveSlices: Int = 16
 
   /** Oracle for the streamed delete/re-accept chain (x106): three
     * deterministic micro-batches replayed in pure SQL — batch 0

@@ -1811,6 +1811,96 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](scb.stats(spark))
   }
 
+  test("streaming bloom chains: slice compaction bounds per-batch reads; state, verdicts and replay unchanged") {
+    import graft.operators.{Dedup, TextOps}
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    def ins(df: DataFrame) = df.withColumn("op", lit("insert"))
+    def del(df: DataFrame) = df.withColumn("op", lit("delete"))
+    def gbatches(root: String): Seq[String] =
+      Option(new java.io.File(root).listFiles()).getOrElse(Array())
+        .map(_.getName).filter(_.startsWith("gbatch=")).toSeq
+    // ---- counting chain: a compacting instance (budget 3, eager
+    // grace) against an uncompacted twin fed the SAME batches
+    val artA = tmp("cmpA-art").toString
+    val a = new graft.streaming.StreamingCountingBloom(
+      artA, tmp("cmpA-out").toString,
+      maxLiveSlices = 3, compactionGraceMs = 0L)
+    val b = new graft.streaming.StreamingCountingBloom(
+      tmp("cmpB-art").toString, tmp("cmpB-out").toString)
+    val slices = (0 until 8).map(i =>
+      docsAll.where(col("doc_id") % 8 === i))
+    def batchOf(i: Int): DataFrame =
+      if (i < 6) ins(slices(i))
+      // batches 6-7 delete a prefix of earlier-accepted content (by
+      // re-presenting the docs as delete ops; non-live keys record
+      // applied = false harmlessly)
+      else del(slices(i - 6).orderBy("doc_id").limit(15))
+    (0 until 8).foreach { i =>
+      val df = batchOf(i)
+      a.screenBatch(df, i.toLong); b.screenBatch(df, i.toLong)
+    }
+    // the budget held: live slices bounded, a pointed base exists, and
+    // the stale sweep (grace 0) reclaimed the absorbed slice dirs
+    assert(gbatches(s"$artA/counts").size <= 4,
+      s"live counting slices unbounded: ${gbatches(s"$artA/counts")}")
+    assert(gbatches(s"$artA/keys").size <= 4,
+      s"live key slices unbounded: ${gbatches(s"$artA/keys")}")
+    assert(new java.io.File(s"$artA/counts/_COMPACT").isFile,
+      "no pointed compacted generation")
+    // end state, verdicts and stats are EXACTLY the uncompacted twin's
+    def cntTuples(o: Option[DataFrame]) = o.get.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def verd(s: graft.streaming.StreamingCountingBloom) =
+      s.verdicts(spark).get.collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3),
+          r.getBoolean(4))).toSet
+    assert(cntTuples(a.countingState(spark)) ===
+      cntTuples(b.countingState(spark)),
+      "compacted counting state diverges from the uncompacted fold")
+    assert(verd(a) === verd(b), "compaction changed verdicts")
+    assert(a.stats(spark).get === b.stats(spark).get)
+    // live keys fold identically (the rebuild source)
+    def keys(s: graft.streaming.StreamingCountingBloom) =
+      s.liveKeys(spark).get.collect().map(_.getString(0)).toSet
+    assert(keys(a) === keys(b))
+    // checkpoint replay of the NEWEST batch (the only replayable one)
+    // re-screens against exactly its original pre-batch view
+    val before = verd(a)
+    a.screenBatch(batchOf(7), 7L)
+    assert(verd(a) === before, "replay after compaction not idempotent")
+    // a replay view at or below the compaction high-water REFUSES
+    // loudly instead of silently double-counting absorbed evidence
+    val e = intercept[IllegalArgumentException](
+      a.countingState(spark, before = Some(1L)).get.collect())
+    assert(e.getMessage.contains("high-water"))
+    // ---- bit chain: same budget contract over the OR-fold
+    val artC = tmp("cmpC-art").toString
+    val ba = new graft.streaming.StreamingBloom(
+      artC, tmp("cmpC-out").toString,
+      maxLiveSlices = 3, compactionGraceMs = 0L)
+    val bb = new graft.streaming.StreamingBloom(
+      tmp("cmpD-art").toString, tmp("cmpD-out").toString)
+    (0 until 6).foreach { i =>
+      ba.screenBatch(slices(i), i.toLong)
+      bb.screenBatch(slices(i), i.toLong)
+    }
+    assert(gbatches(s"$artC/bloom").size <= 4,
+      s"live bloom slices unbounded: ${gbatches(s"$artC/bloom")}")
+    def bits(s: graft.streaming.StreamingBloom) =
+      s.stateBits(spark).get.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bits(ba) === bits(bb),
+      "compacted bloom state diverges from the uncompacted fold")
+    def bverd(s: graft.streaming.StreamingBloom) =
+      s.verdicts(spark).get.collect()
+        .map(r => (r.getLong(0), r.getBoolean(2), r.getBoolean(3))).toSet
+    assert(bverd(ba) === bverd(bb))
+    val bBefore = bverd(ba)
+    ba.screenBatch(slices(5), 5L)
+    assert(bverd(ba) === bBefore,
+      "bit-chain replay after compaction not idempotent")
+  }
+
   test("streaming counting bloom: AvailableNow run, checkpoint restart reprocesses nothing, slices stay idempotent") {
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
     // slice 0: inserts; slice 1: fresh inserts + deletes of slice-0
