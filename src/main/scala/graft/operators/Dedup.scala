@@ -2000,6 +2000,19 @@ object Dedup {
           m.getLong(GeomKhashKey).toInt)
       }
 
+  /** Wrap a FLAT folded counting state `(pos, cnt)` — a
+    * [[graft.streaming.StreamingCountingBloom]] chain's
+    * `countingState`, whose aggregate stripped the pin — as the
+    * sharded frame at shards=1 with the geometry pin attached: the
+    * shape [[graft.serve.Retrieval]] persists and screens against.
+    * The CALLER asserts the state was built at exactly `(mbits,
+    * khash)` — that is what attaching the pin means. */
+  def adoptedCountingFrame(flatCounts: DataFrame, mbits: Int,
+      khash: Int = BloomHashes): DataFrame =
+    flatCounts.select(lit(0L).as("shard"), col("pos"),
+      col("cnt").cast("long")
+        .as("cnt", countingGeomMetadata(1, mbits, khash)))
+
   /** Validate a counting frame's pinned geometry against the caller's
     * knobs — refuse a mismatch LOUDLY instead of letting colliding
     * decrements pass the negative check silently. A frame whose `cnt`

@@ -1217,6 +1217,16 @@ object Retrieval {
   private[serve] final case class IngestFilter(frame: DataFrame,
       shards: Int, mbits: Int, counting: Boolean)
 
+  /** A streamed chain's folded counting state offered to
+    * [[Retrieval.build]] for ingest-filter ADOPTION: the flat
+    * `(pos, cnt)` frame ([[graft.streaming.StreamingCountingBloom
+    * .countingState]] of an `exactKeys = true` chain) plus the
+    * geometry it was folded at — the state aggregate strips the
+    * in-frame pin, so the caller re-asserts it here and the build
+    * validates it against the corpus before persisting. */
+  final case class AdoptedCountingState(counts: DataFrame, mbits: Int,
+      khash: Int = graft.operators.Dedup.BloomHashes)
+
   /** Root marker recording the snapshot's ingest-filter flavor —
     * written per publish so crash-recovery regeneration and the
     * derive-from-dh fallback rebuild the SAME flavor the snapshot was
@@ -1477,11 +1487,16 @@ object Retrieval {
       chunkEmb: Option[DataFrame] = None,
       bpeRules: Option[Seq[(String, String)]] = None,
       cells: Option[Int] = None,
-      countingIngestFilter: Boolean = false): Retrieval = {
+      countingIngestFilter: Boolean = false,
+      adoptCountingState: Option[Retrieval.AdoptedCountingState] = None)
+      : Retrieval = {
     val spark = docs.sparkSession
     require(cells.isEmpty || codebooks.isEmpty,
       "cells sizes the codebook this build TRAINS; with codebooks " +
         "pinned their row count is the cell count — pass one, not both")
+    require(adoptCountingState.isEmpty || countingIngestFilter,
+      "adoptCountingState adopts a streamed chain's folded state AS " +
+        "the counting ingest filter — pass countingIngestFilter = true")
     val staged = new java.io.File(s"$dir.tmp-${System.nanoTime()}")
     val (cents, books) = codebooks.getOrElse {
       val kc = cells.getOrElse(VectorOps.adaptiveCells(embeddings.count()))
@@ -1598,10 +1613,18 @@ object Retrieval {
     // (rebuild maintains it by O(delta) decrements — the delete-heavy
     // deployment's choice); the marker makes the flavor durable for
     // crash-recovery regeneration and the derive fallback.
-    writeIngestBloom(
-      spark.read.schema(DhSchema).parquet(s"$staged/dh")
-        .select(col("dh").as("content_key")),
-      s"$staged/bloomdh", countingIngestFilter)
+    adoptCountingState match {
+      case Some(adopted) =>
+        adoptIngestBloom(adopted,
+          spark.read.schema(DhSchema).parquet(s"$staged/dh")
+            .select(col("dh").as("content_key")),
+          s"$staged/bloomdh")
+      case None =>
+        writeIngestBloom(
+          spark.read.schema(DhSchema).parquet(s"$staged/dh")
+            .select(col("dh").as("content_key")),
+          s"$staged/bloomdh", countingIngestFilter)
+    }
     java.nio.file.Files.write(
       staged.toPath.resolve(IngestFilterFile),
       (if (countingIngestFilter) "counting" else "bit").getBytes("UTF-8"))
@@ -2064,6 +2087,72 @@ object Retrieval {
       graft.operators.Dedup.shardedBloomBits(keys, shards, mbits)
         .write.mode(SaveMode.Overwrite).parquet(outDir)
     writeBloomGeom(outDir, shards, mbits, counting)
+  }
+
+  /** ADOPT a streamed crawl's folded counting state as the staged
+    * snapshot's ingest filter — the publish-from-chain unification: a
+    * live [[graft.streaming.StreamingCountingBloom]] crawl (run with
+    * `exactKeys = true`, the snapshot's `md5(text)` fingerprint
+    * recipe) already holds EXACTLY the filter its accepted corpus
+    * needs, so publishing that corpus re-aggregating the keys it just
+    * folded is wasted corpus-scale work. Validated, never trusted:
+    *
+    *  - geometry must be the corpus's own
+    *    [[graft.operators.Dedup.adaptiveBloomGeometry]] point (flat —
+    *    a corpus past the flat range refuses toward a from-corpus
+    *    build) and the chain's khash the serve default, or the
+    *    persisted frame and the dh-derivation fallback would stop
+    *    being verdict-identical — the load path's one invariant;
+    *  - Σcnt must equal khash · (non-null corpus keys): every key the
+    *    corpus holds folded exactly once ([[graft.operators.Dedup
+    *    .countingBloomStats]]' exactness identity run as an
+    *    adopt-time audit — one bounded aggregate, and the reason a
+    *    state that drifted from its corpus refuses instead of
+    *    silently serving wrong multiplicities).
+    *
+    * The corpus fed here must be the chain's LIVE set (accepted
+    * inserts minus applied deletes — unique texts by the accept
+    * policy, so the multiset the filter describes IS the key set);
+    * the Σcnt identity catches any disagreement. */
+  private def adoptIngestBloom(adopted: Retrieval.AdoptedCountingState,
+      keys: DataFrame, outDir: String): Unit = {
+    val n = keys.count()
+    val (shards, mbits) = graft.operators.Dedup.adaptiveBloomGeometry(n)
+    require(shards == 1,
+      s"ingest-filter adoption serves the flat chain state; a corpus " +
+        s"needing $shards shards builds its filter from the corpus " +
+        "(or shards the chain first)")
+    require(adopted.khash == graft.operators.Dedup.BloomHashes,
+      s"adopted chain khash ${adopted.khash} != the serve default " +
+        s"${graft.operators.Dedup.BloomHashes} — screens would probe " +
+        "the wrong position count")
+    require(adopted.mbits == mbits,
+      s"adopted chain geometry mbits=${adopted.mbits} != the corpus's " +
+        s"adaptive $mbits — rebuildInto the chain at the adaptive " +
+        "geometry first, or the persisted filter and the dh fallback " +
+        "would answer differently")
+    val keyed = n - keys.where(col("content_key").isNull).count()
+    val row = adopted.counts
+      .agg(sum("cnt").as("tot"),
+        sum(when(col("cnt") <= 0, 1L).otherwise(0L)).as("bad"))
+      .collect()(0)
+    val tot = if (row.isNullAt(0)) 0L else row.getLong(0)
+    val bad = if (row.isNullAt(1)) 0L else row.getLong(1)
+    require(bad == 0L,
+      s"adopted state carries $bad non-positive count row(s) — not a " +
+        "folded live state")
+    require(tot == adopted.khash.toLong * keyed,
+      s"adopted state sums to $tot counts but the corpus's " +
+        s"$keyed keys need ${adopted.khash.toLong * keyed} " +
+        "(Σcnt = khash·live) — the chain and the published corpus " +
+        "disagree; publish the chain's live set, or build from the " +
+        "corpus")
+    graft.operators.Dedup
+      .adoptedCountingFrame(adopted.counts, mbits, adopted.khash)
+      .withColumn("cb", cbOf)
+      .write.partitionBy("shard", "cb").mode(SaveMode.Overwrite)
+      .parquet(outDir)
+    writeBloomGeom(outDir, 1, mbits, counting = true)
   }
 
   private def writeBloomGeom(outDir: String, shards: Int, mbits: Int,

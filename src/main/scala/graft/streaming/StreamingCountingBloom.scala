@@ -75,12 +75,24 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingCountingBloom(artifactDir: String, outDir: String,
     mbits: Int = Dedup.BloomMBits, khash: Int = Dedup.BloomHashes,
     maxLiveSlices: Int = StreamingCountingBloom.MaxLiveSlices,
-    compactionGraceMs: Long = SlicedArtifact.CompactionGraceMs) {
+    compactionGraceMs: Long = SlicedArtifact.CompactionGraceMs,
+    exactKeys: Boolean = false) {
 
+  // `exactKeys` switches the content key from the dedup recipe
+  // (md5 of NORMALIZED text) to the snapshot fingerprint (md5 of the
+  // text EXACT, [[graft.serve.Retrieval]]'s dh) — the keying a crawl
+  // runs at when its folded state will be ADOPTED as a published
+  // snapshot's ingest filter (the two recipes answer different
+  // questions; an adopted filter must answer the snapshot's). The pin
+  // gains a part only in exact mode, so default artifacts keep their
+  // pre-upgrade digests while a cross-keying reopen refuses.
   SlicedArtifact.pinConstants(artifactDir,
     SlicedArtifact.section("cntbloomgeom", Seq(mbits, khash),
-      Iterator.empty),
+      if (exactKeys) Iterator("exactKeys") else Iterator.empty),
     "counting bloom geometry (mbits, khash)")
+
+  private def keyOf(text: org.apache.spark.sql.Column) =
+    if (exactKeys) md5(text) else md5(TextOps.normText(text))
 
   private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
   private def cntRoot = s"$artifactDir/counts"
@@ -112,7 +124,7 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
   private[graft] def screenBatch(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val keyed = batch.select(col("doc_id"), col("op"),
-      md5(TextOps.normText(col("text"))).as("content_key"))
+      keyOf(col("text")).as("content_key"))
     val ins = keyed.where(col("op") === "insert")
       .select("doc_id", "content_key")
     val del = keyed.where(col("op") === "delete")
@@ -293,7 +305,7 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
       s"$newOutDir already holds verdict slices — give the new " +
         "generation a fresh verdict dir too")
     val next = new StreamingCountingBloom(newArtifactDir, newOutDir,
-      newMbits, newKhash)
+      newMbits, newKhash, exactKeys = exactKeys)
     // inherited key record first (idempotent overwrite), counting
     // slice LAST via staged atomic move — the commit point the
     // fresh-dir guard reads

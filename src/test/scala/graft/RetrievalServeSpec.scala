@@ -440,6 +440,88 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
       "spliced frame diverges from the from-scratch filter")
   }
 
+  test("publish-from-chain: an exact-key crawl's folded counting state adopts ≡ build-from-corpus; drift refuses") {
+    import graft.operators.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-adopt")
+      .toString
+    // ≤ 90 docs keeps adaptiveBloomGeometry stably at (1, 1024) for
+    // any live-count outcome of the crawl, so the chain's fixed
+    // geometry IS the corpus's adaptive point
+    val docs0 = docs.where(col("doc_id") < 90)
+    val mb = 1024
+    val chain = new graft.streaming.StreamingCountingBloom(
+      s"$root/art", s"$root/chain-out", mbits = mb, exactKeys = true)
+    def ins(df: DataFrame) = df.withColumn("op", lit("insert"))
+    def del(df: DataFrame) = df.withColumn("op", lit("delete"))
+    chain.screenBatch(ins(docs0.where(col("doc_id") % 3 =!= 2)), 0)
+    // batch 1: the rest arrives; two batch-0 unique-text docs retire
+    val b0 = docs0.where(col("doc_id") % 3 =!= 2)
+    val uniq = b0.groupBy(md5(col("text")).as("k"))
+      .agg(count(lit(1)).as("c"), min("doc_id").as("doc_id"))
+      .where(col("c") === 1).orderBy("doc_id")
+      .select("doc_id").limit(2).collect().map(_.getLong(0)).toSeq
+    chain.screenBatch(
+      ins(docs0.where(col("doc_id") % 3 === 2))
+        .unionByName(del(b0.where(col("doc_id").isin(uniq: _*)))), 1)
+    // the published corpus IS the crawl's live set: accepted inserts
+    // whose key was not later deleted
+    val v = chain.verdicts(spark).get
+    val liveIds = v.where(col("op") === "insert" && col("applied"))
+      .join(v.where(col("op") === "delete" && col("applied"))
+        .select("content_key"), Seq("content_key"), "left_anti")
+      .select("doc_id")
+    val corpusDocs = docs0.join(liveIds, Seq("doc_id")).localCheckpoint(true)
+    val embC = emb.join(liveIds.select(col("doc_id").as("vec_id")),
+      Seq("vec_id")).localCheckpoint(true)
+    assert(Dedup.adaptiveBloomGeometry(corpusDocs.count()) === ((1, mb)))
+    val state = chain.countingState(spark).get.localCheckpoint(true)
+    // codebooks pinned from a full-fixture base: the crawl's live set
+    // may drop low vec_ids the PQ seed wants, and training is not what
+    // this spec exercises
+    val base = Retrieval.build(docs0,
+      emb.where(col("vec_id") < 90), s"$root/base")
+    val books = Some((base.cents, base.books))
+    val adoptedH = Retrieval.build(corpusDocs, embC, s"$root/adopted",
+      codebooks = books, countingIngestFilter = true,
+      adoptCountingState =
+        Some(Retrieval.AdoptedCountingState(state, mb)))
+    val builtH = Retrieval.build(corpusDocs, embC, s"$root/built",
+      codebooks = books, countingIngestFilter = true)
+    // the adopted filter IS the from-corpus filter, row for row — the
+    // crawl's state becomes the published index's filter with no
+    // corpus re-aggregation
+    def tuples(dir: String) = spark.read.parquet(s"$dir/bloomdh")
+      .select(col("shard").cast("long").as("shard"), col("pos"),
+        col("cnt")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(tuples(s"$root/adopted") === tuples(s"$root/built"),
+      "adopted chain state diverges from the from-corpus filter")
+    // and serves verdict-identically (re-presented + salted probe)
+    val probe = docs0.select("doc_id", "text").unionByName(
+      docs0.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" fresh "),
+          col("doc_id").cast("string")).as("text")))
+    def verd(h: Retrieval) = h.screenIngest(probe).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(verd(adoptedH) === verd(builtH))
+    // wrong chain geometry refuses (the dh fallback would answer
+    // differently); a corpus that drifted from the chain's live set
+    // refuses on the Σcnt = khash·live identity
+    assertThrows[IllegalArgumentException](
+      Retrieval.build(corpusDocs, embC, s"$root/badgeom",
+        codebooks = books, countingIngestFilter = true,
+        adoptCountingState =
+          Some(Retrieval.AdoptedCountingState(state, mb * 2))))
+    val firstLive = liveIds.orderBy("doc_id").limit(1)
+      .collect()(0).getLong(0)
+    assertThrows[IllegalArgumentException](
+      Retrieval.build(corpusDocs.where(col("doc_id") =!= firstLive),
+        embC, s"$root/drift", codebooks = books,
+        countingIngestFilter = true,
+        adoptCountingState =
+          Some(Retrieval.AdoptedCountingState(state, mb))))
+  }
+
   test("incremental rebuild: same serve as a fixed-codebook full build, delta-only writes") {
     val root = java.nio.file.Files.createTempDirectory("graft-rebuild").toString
     val live = s"$root/snap"
