@@ -2357,10 +2357,18 @@ object Retrieval {
           val partitioned = Option(
             new java.io.File(s"$dir/bloomdh").listFiles())
             .exists(_.exists(_.getName.startsWith("shard=")))
-          val delta = partitioned &&
-            deltaPairs.length <= (shards.toLong * CountingBuckets) / 2
           val touchedShards = deltaPairs.map(_._1).distinct.toSeq.sorted
           val touchedCbs = deltaPairs.map(_._2).distinct.toSeq.sorted
+          // the splice-vs-restage cap meters the RECTANGLE the prune
+          // and install actually operate on (shards × cbs — a
+          // superset of the exact pairs), not the pair count: a
+          // many-shard delta whose pairs cross-multiply to most of
+          // the frame would read, restage and rename-splice near all
+          // partitions while "pairs ≤ half" still claimed a delta —
+          // worse than the whole-dir swap it was meant to beat
+          val delta = partitioned &&
+            touchedShards.size.toLong * touchedCbs.size <=
+              (shards.toLong * CountingBuckets) / 2
           // no explicit schema: the geometry-pin column metadata in
           // the footer must survive into Remove/Add's validation.
           // Delta path: read PRUNED to the touched region's

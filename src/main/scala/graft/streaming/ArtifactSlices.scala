@@ -198,13 +198,24 @@ private[streaming] object SlicedArtifact {
   * or below the committed high-water rather than serving it wrong.
   *
   * Crash contract (the [[SlicedArtifact]] one): a crash before the
-  * pointer swap leaves the old state fully intact (the unpointed
-  * generation is swept once aged); after the swap, only cleanup is
-  * delayed — absorbed slices are logged to `_STALE` and reclaimed
-  * past the grace window so a reader that resolved just before the
-  * swap never loses files mid-union. Pointer and log are
-  * underscore-named, generations dot-named: parquet partition
-  * discovery over the live `gbatch=` slices skips both. */
+  * pointer swap leaves the old state fully intact; after the swap,
+  * only cleanup is delayed — garbage is derived STRUCTURALLY at each
+  * compaction (everything at or below the pointed high-water, plus
+  * every unpointed generation) and reclaimed past a `_STALE` grace
+  * window, so a crash in ANY prior window (orphan generation, or
+  * swap-landed-but-log-append-lost) heals on the next compaction and
+  * a reader that resolved just before a swap never loses files
+  * mid-union. Pointer and log are underscore-named, generations
+  * dot-named: parquet partition discovery over the live `gbatch=`
+  * slices skips both.
+  *
+  * DELIBERATELY a sibling of — not shared with —
+  * [[SlicedArtifact]]'s pointer/stale machinery: that store resolves
+  * latest-wins over named frames and appends (re-stamping) to its
+  * log, this one resolves an algebraic fold over one root and
+  * path-dedupes its log so healed entries keep their original grace
+  * clock. A fix to either protocol should be checked against the
+  * other. */
 private[streaming] object FoldCompaction {
 
   private def pointer(root: String) =
@@ -217,13 +228,25 @@ private[streaming] object FoldCompaction {
     f.delete(); ()
   }
 
-  /** Live (un-absorbed) slice ids of a root. */
+  /** ALL slice ids with a dir on disk — including absorbed ones whose
+    * deferred reclaim has not run yet. */
   def sliceIds(root: String): Seq[Long] = {
     val d = new java.io.File(root)
     if (!d.isDirectory) Seq.empty
     else d.listFiles().toSeq.filter(_.isDirectory)
       .map(_.getName).filter(_.startsWith("gbatch="))
       .map(_.stripPrefix("gbatch=").toLong)
+  }
+
+  /** UN-ABSORBED slice count — ids strictly above the pointed
+    * high-water. THE compaction-trigger meter: counting raw dirs
+    * ([[sliceIds]]) would keep re-triggering for the whole grace
+    * window after a compaction (absorbed dirs linger until the
+    * deferred sweep), degenerating the once-per-budget fold into a
+    * full-state rewrite EVERY batch. */
+  def liveSliceCount(root: String): Int = {
+    val hw = gen(root).map(_._2).getOrElse(Long.MinValue)
+    sliceIds(root).count(_ > hw)
   }
 
   /** The pointed generation (absolute dir, high-water id), if any. */
@@ -293,21 +316,35 @@ private[streaming] object FoldCompaction {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // deferred cleanup, on the STORE's clock (the pointer's mtime —
-    // the SlicedArtifact convention): log what this swap superseded,
-    // sweep what earlier swaps logged once past the grace
+    // the SlicedArtifact convention). Garbage is derived
+    // STRUCTURALLY, not just from what this call absorbed: everything
+    // at or below the pointed high-water plus every unpointed
+    // generation is superseded BY DEFINITION, so a crash in a prior
+    // compaction's window — after its generation write but before its
+    // pointer swap (orphan gen), or after the swap but before its log
+    // append (unlogged absorbed slices) — heals on the next
+    // compaction instead of leaking full-state copies forever. The
+    // log dedupes by path so healed entries aren't re-stamped (which
+    // would reset their grace clock every compaction).
     val now = java.nio.file.Files
       .getLastModifiedTime(pointer(root)).toMillis
+    val priorLog =
+      if (!java.nio.file.Files.exists(staleLog(root))) Seq.empty[String]
+      else java.nio.file.Files.readString(staleLog(root))
+        .split("\n").toSeq.filter(_.nonEmpty)
+    val logged = priorLog.map(_.split("\t")(1)).toSet
     val superseded =
-      absorb.map(b => new java.io.File(s"$root/gbatch=$b")) ++
-      base.map { case (dir, _) => new java.io.File(dir) }
-    java.nio.file.Files.writeString(staleLog(root),
-      superseded.map(d => s"$now\t${d.getAbsolutePath}\n").mkString,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
+      (sliceIds(root).filter(_ <= hw)
+        .map(b => new java.io.File(s"$root/gbatch=$b")) ++
+      Option(new java.io.File(root).listFiles())
+        .getOrElse(Array.empty[java.io.File]).toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith(".gen_") &&
+          f.getName != genName))
+        .filterNot(d => logged.contains(d.getAbsolutePath))
+    val entries = priorLog ++
+      superseded.map(d => s"$now\t${d.getAbsolutePath}")
     val cutoff = now - graceMs
-    val (due, kept) = java.nio.file.Files.readString(staleLog(root))
-      .split("\n").toSeq.filter(_.nonEmpty)
-      .partition(_.split("\t")(0).toLong <= cutoff)
+    val (due, kept) = entries.partition(_.split("\t")(0).toLong <= cutoff)
     due.foreach(l => rm(new java.io.File(l.split("\t")(1))))
     val tmp2 = java.nio.file.Paths.get(root,
       s"._STALE.tmp-${System.nanoTime()}")

@@ -53,7 +53,8 @@ import org.apache.spark.sql.streaming.Trigger
 class StreamingBloom(artifactDir: String, outDir: String,
     mbits: Int = Dedup.BloomMBits, khash: Int = Dedup.BloomHashes,
     maxLiveSlices: Int = StreamingCountingBloom.MaxLiveSlices,
-    compactionGraceMs: Long = SlicedArtifact.CompactionGraceMs) {
+    compactionGraceMs: Long = SlicedArtifact.CompactionGraceMs,
+    compactionNumFiles: Int = 1) {
 
   // changed geometry relocates every key's bit positions: reopening an
   // artifact under different (mbits, khash) would OR incompatible
@@ -112,11 +113,12 @@ class StreamingBloom(artifactDir: String, outDir: String,
     // bound the next batches' state reads ([[StreamingCountingBloom]]'s
     // budget, trivially sound here — the OR-fold is idempotent on top
     // of associative, but the replay rule is kept identical: never
-    // absorb the newest batch)
-    if (FoldCompaction.sliceIds(bloomRoot).size > maxLiveSlices) {
+    // absorb the newest batch). Trigger meters UN-ABSORBED slices
+    // only; `compactionNumFiles` sizes the folded base at scale.
+    if (FoldCompaction.liveSliceCount(bloomRoot) > maxLiveSlices) {
       FoldCompaction.compact(batch.sparkSession, bloomRoot, batchId - 1,
         df => df.groupBy("word").agg(expr("bit_or(bits)").as("bits")),
-        graceMs = compactionGraceMs)
+        numFiles = compactionNumFiles, graceMs = compactionGraceMs)
       ()
     }
   }

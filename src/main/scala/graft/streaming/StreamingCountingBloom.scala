@@ -76,7 +76,8 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     mbits: Int = Dedup.BloomMBits, khash: Int = Dedup.BloomHashes,
     maxLiveSlices: Int = StreamingCountingBloom.MaxLiveSlices,
     compactionGraceMs: Long = SlicedArtifact.CompactionGraceMs,
-    exactKeys: Boolean = false) {
+    exactKeys: Boolean = false,
+    compactionNumFiles: Int = 1) {
 
   // `exactKeys` switches the content key from the dedup recipe
   // (md5 of NORMALIZED text) to the snapshot fingerprint (md5 of the
@@ -201,16 +202,23 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     // bound the next batches' state reads: past the live-slice budget,
     // fold everything strictly below THIS batch (the only one that can
     // still replay) into the pointed base — both state roots together,
-    // so their high-waters never diverge
-    if (FoldCompaction.sliceIds(cntRoot).size > maxLiveSlices) {
+    // so their high-waters never diverge. The trigger meters
+    // UN-ABSORBED slices only ([[FoldCompaction.liveSliceCount]]):
+    // absorbed dirs linger under the reclaim grace and counting them
+    // would re-trigger a full-state fold EVERY batch for the whole
+    // window. `compactionNumFiles` sizes the folded base — 1 suits a
+    // test artifact; a corpus-scale chain (a near-ceiling flat frame
+    // is ~10^8 rows) passes a count that keeps files near the block
+    // size, the [[SlicedArtifact]] compact convention.
+    if (FoldCompaction.liveSliceCount(cntRoot) > maxLiveSlices) {
       FoldCompaction.compact(spark, cntRoot, batchId - 1,
         df => df.groupBy("pos").agg(sum("cnt").as("cnt"))
           .where(col("cnt") =!= 0),
-        graceMs = compactionGraceMs)
+        numFiles = compactionNumFiles, graceMs = compactionGraceMs)
       FoldCompaction.compact(spark, keyRoot, batchId - 1,
         df => df.groupBy("content_key").agg(sum("delta").as("delta"))
           .where(col("delta") =!= 0),
-        graceMs = compactionGraceMs)
+        numFiles = compactionNumFiles, graceMs = compactionGraceMs)
       ()
     }
   }

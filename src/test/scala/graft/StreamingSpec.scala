@@ -1827,6 +1827,11 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       maxLiveSlices = 3, compactionGraceMs = 0L)
     val b = new graft.streaming.StreamingCountingBloom(
       tmp("cmpB-art").toString, tmp("cmpB-out").toString)
+    // a stranded orphan generation (crash between a prior compaction's
+    // write and its pointer swap) must be healed by the structural
+    // garbage sweep, not leak forever
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(artA, "counts", ".gen_0_0_0"))
     val slices = (0 until 8).map(i =>
       docsAll.where(col("doc_id") % 8 === i))
     def batchOf(i: Int): DataFrame =
@@ -1847,6 +1852,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"live key slices unbounded: ${gbatches(s"$artA/keys")}")
     assert(new java.io.File(s"$artA/counts/_COMPACT").isFile,
       "no pointed compacted generation")
+    assert(!new java.io.File(s"$artA/counts/.gen_0_0_0").exists(),
+      "orphan (never-pointed) generation was not healed")
     // end state, verdicts and stats are EXACTLY the uncompacted twin's
     def cntTuples(o: Option[DataFrame]) = o.get.collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -1863,6 +1870,21 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     def keys(s: graft.streaming.StreamingCountingBloom) =
       s.liveKeys(spark).get.collect().map(_.getString(0)).toSet
     assert(keys(a) === keys(b))
+    // ---- trigger meters UN-ABSORBED slices: with the DEFAULT grace
+    // (absorbed dirs linger on disk) a budget-3 chain over 8 batches
+    // must compact at its budget cadence (twice), not every batch —
+    // counting raw dirs would fold the full state per batch
+    val artE = tmp("cmpE-art").toString
+    val e2 = new graft.streaming.StreamingCountingBloom(
+      artE, tmp("cmpE-out").toString, maxLiveSlices = 3)
+    (0 until 8).foreach(i => e2.screenBatch(batchOf(i), i.toLong))
+    val gens = Option(new java.io.File(s"$artE/counts").listFiles())
+      .getOrElse(Array()).count(_.getName.startsWith(".gen_"))
+    assert(gens <= 2,
+      s"$gens generations for 8 batches at budget 3 — the trigger is " +
+        "re-firing on absorbed-but-unswept slice dirs")
+    assert(cntTuples(e2.countingState(spark)) ===
+      cntTuples(b.countingState(spark)))
     // checkpoint replay of the NEWEST batch (the only replayable one)
     // re-screens against exactly its original pre-batch view
     val before = verd(a)
