@@ -1831,7 +1831,7 @@ object Dedup {
     conv(substring(md5(concat(lit("s:"), key)), 1, 8), 16, 10)
       .cast("long") % shards
 
-  private def bloomShardSql(key: String, shards: Int): String =
+  private[graft] def bloomShardSql(key: String, shards: Int): String =
     s"('0x' || substr(md5('s:' || $key), 1, 8))::BIGINT % $shards"
 
   /** The SHARDED Bloom frame `(shard, word, bits)` — the scale path

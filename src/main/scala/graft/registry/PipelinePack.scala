@@ -693,11 +693,11 @@ object PipelinePack extends QueryPack {
     * verdict the bit stream structurally cannot produce), surviving
     * content, and salted fresh rows. Built once per fixture key under
     * the STREAM_DONE convention (half-built chains wipe and redo). */
-  private def streamedCountingVerdicts(s: SparkSession, dir: String)
-      : DataFrame = {
+  private def streamedCountingVerdicts(s: SparkSession, dir: String,
+      shards: Int = 1): DataFrame = {
     val fd = new java.io.File(s"$dir/documents.parquet")
     val key = artifactKey(dir, fd.lastModified(), fd.length(),
-      "streamcntbloom", Dedup.BloomHashes)
+      "streamcntbloom", Dedup.BloomHashes, shards)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_streamcnt_$key")
     val done = new java.io.File(root, "STREAM_DONE")
@@ -714,7 +714,7 @@ object PipelinePack extends QueryPack {
           val mbits = Dedup.adaptiveBloomBits(
             d.where(col("doc_id") % 3 === 1).count())
           val scb = new graft.streaming.StreamingCountingBloom(
-            s"$root/art", s"$root/v", mbits)
+            s"$root/art", s"$root/v", mbits, shards = shards)
           scb.screenBatch(ins(d.where(col("doc_id") % 3 === 1)), 0)
           scb.screenBatch(
             ins(d.where(col("doc_id") % 3 === 2)).unionByName(
@@ -980,6 +980,14 @@ object PipelinePack extends QueryPack {
     // deterministic FPs, the invalid delete) replays in SQL
     "x106_streamed_counting_screen" -> ((s, dir) =>
       streamedCountingVerdicts(s, dir).orderBy("doc_id")),
+    // the streamed chain's SCALE path (x108): the x106 delete/
+    // re-accept contract with the filter keyed (shard, pos) — the
+    // batch family's past-2^30-positions sharding (x104) now held
+    // online, slice deltas and the screen equi-join carrying the
+    // shard id; shards=1 is spec-pinned byte-identical to the flat
+    // chain, and the full sharded chain replays in SQL
+    "x108_streamed_counting_sharded" -> ((s, dir) =>
+      streamedCountingVerdicts(s, dir, shards = 4).orderBy("doc_id")),
     // the SNAPSHOT ingest screen: the deployment handle's own filter
     // (persisted per publish next to the dh fingerprint frame, sized
     // adaptively from the corpus count; pre-persistence snapshots
@@ -2028,6 +2036,22 @@ object PipelinePack extends QueryPack {
           |  SELECT doc_id + 3000000 AS doc_id,
           |    text || ' fresh ' || CAST(doc_id AS VARCHAR) AS text
           |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 = 1""".stripMargin) +
+        "\nORDER BY doc_id"),
+    "x108_streamed_counting_sharded" ->
+      (graft.streaming.StreamingCountingBloom.deleteChainScreenSql(
+        "doc_id % 3 = 1", "doc_id % 3 = 2",
+        "doc_id % 3 = 1 AND doc_id % 5 = 1",
+        "doc_id % 3 = 0 AND doc_id % 7 = 2",
+        """  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 3 = 1 AND doc_id % 5 = 1
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+          |  WHERE doc_id % 3 = 1 AND doc_id % 5 != 1 AND doc_id % 4 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000 AS doc_id,
+          |    text || ' fresh ' || CAST(doc_id AS VARCHAR) AS text
+          |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 4 = 1""".stripMargin,
+        shards = 4) +
         "\nORDER BY doc_id"),
     "x99_snapshot_screen" ->
       (Dedup.snapshotScreenSql(

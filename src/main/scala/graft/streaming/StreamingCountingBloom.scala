@@ -77,23 +77,45 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     maxLiveSlices: Int = StreamingCountingBloom.MaxLiveSlices,
     compactionGraceMs: Long = SlicedArtifact.CompactionGraceMs,
     exactKeys: Boolean = false,
-    compactionNumFiles: Int = 1) {
+    compactionNumFiles: Int = 1,
+    shards: Int = 1) {
+
+  require(shards >= 1, s"shards must be >= 1: $shards")
 
   // `exactKeys` switches the content key from the dedup recipe
   // (md5 of NORMALIZED text) to the snapshot fingerprint (md5 of the
   // text EXACT, [[graft.serve.Retrieval]]'s dh) — the keying a crawl
   // runs at when its folded state will be ADOPTED as a published
   // snapshot's ingest filter (the two recipes answer different
-  // questions; an adopted filter must answer the snapshot's). The pin
-  // gains a part only in exact mode, so default artifacts keep their
-  // pre-upgrade digests while a cross-keying reopen refuses.
+  // questions; an adopted filter must answer the snapshot's).
+  // `shards > 1` is the SCALE path past the flat frame's ~10^8-key
+  // ceiling — the batch family's `(shard, pos)` keying
+  // ([[graft.operators.Dedup.shardedCountingBloomBits]]) applied to
+  // the slice deltas, each shard counting in its own mbits space, the
+  // screen an equi-join on `(shard, pos)`. Shards = 1 IS the flat
+  // chain, byte-for-byte (the sharded-family standing pin). Both
+  // extras enter the constants digest only when non-default, so
+  // existing artifacts keep their pre-upgrade digests while a
+  // cross-mode reopen refuses (a changed shard count relocates every
+  // key's shard routing and would SUM incompatible generations).
   SlicedArtifact.pinConstants(artifactDir,
     SlicedArtifact.section("cntbloomgeom", Seq(mbits, khash),
-      if (exactKeys) Iterator("exactKeys") else Iterator.empty),
+      (if (exactKeys) Iterator("exactKeys") else Iterator.empty) ++
+        (if (shards > 1) Iterator(s"shards=$shards") else Iterator.empty)),
     "counting bloom geometry (mbits, khash)")
 
   private def keyOf(text: org.apache.spark.sql.Column) =
     if (exactKeys) md5(text) else md5(TextOps.normText(text))
+
+  // the slice/state position key: `(shard, pos)` sharded, `pos` flat —
+  // one list so every fold, join and group below stays a single code
+  // path across both geometries
+  private def posCols: Seq[String] =
+    if (shards > 1) Seq("shard", "pos") else Seq("pos")
+
+  private def bitsOf(keys: DataFrame): DataFrame =
+    if (shards > 1) Dedup.shardedCountingBloomBits(keys, shards, mbits, khash)
+    else Dedup.countingBloomBits(keys, mbits, khash)
 
   private def slice(root: String, batchId: Long) = s"$root/gbatch=$batchId"
   private def cntRoot = s"$artifactDir/counts"
@@ -133,6 +155,8 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     val w = Window.partitionBy("content_key").orderBy("doc_id")
     // inserts: probabilistic screen against the pre-batch filter state
     val screened = countingState(spark, before = Some(batchId)) match {
+      case Some(counts) if shards > 1 =>
+        Dedup.shardedCountingBloomScreen(ins, counts, shards, mbits, khash)
       case Some(counts) =>
         Dedup.countingBloomScreen(ins, counts, mbits, khash)
       case None => ins.select(col("doc_id"), col("content_key"),
@@ -185,17 +209,17 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
       // deletes), one full-outer over two delta-scale frames; rows may
       // be negative HERE — the fold across slices never is, by the
       // delete discipline above
-      val inc = Dedup.countingBloomBits(
+      val inc = bitsOf(
         verdicts.where(col("applied") && col("op") === "insert")
-          .select("content_key"), mbits, khash)
-      val dec = Dedup.countingBloomBits(
+          .select("content_key"))
+      val dec = bitsOf(
         verdicts.where(col("applied") && col("op") === "delete")
-          .select("content_key"), mbits, khash)
+          .select("content_key"))
         .withColumnRenamed("cnt", "dec")
-      inc.join(dec, Seq("pos"), "full_outer")
-        .select(col("pos"),
+      inc.join(dec, posCols, "full_outer")
+        .select(posCols.map(col) :+
           (coalesce(col("cnt"), lit(0L)) - coalesce(col("dec"), lit(0L)))
-            .as("cnt"))
+            .as("cnt"): _*)
         .where(col("cnt") =!= 0)
         .write.mode(SaveMode.Overwrite).parquet(slice(cntRoot, batchId))
     } finally { verdicts.unpersist(); () }
@@ -212,7 +236,7 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     // size, the [[SlicedArtifact]] compact convention.
     if (FoldCompaction.liveSliceCount(cntRoot) > maxLiveSlices) {
       FoldCompaction.compact(spark, cntRoot, batchId - 1,
-        df => df.groupBy("pos").agg(sum("cnt").as("cnt"))
+        df => df.groupBy(posCols.map(col): _*).agg(sum("cnt").as("cnt"))
           .where(col("cnt") =!= 0),
         numFiles = compactionNumFiles, graceMs = compactionGraceMs)
       FoldCompaction.compact(spark, keyRoot, batchId - 1,
@@ -233,7 +257,7 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
   def countingState(spark: SparkSession, before: Option[Long] = None)
       : Option[DataFrame] =
     FoldCompaction.scoped(spark, cntRoot, before)
-      .map(_.groupBy("pos").agg(sum("cnt").as("cnt"))
+      .map(_.groupBy(posCols.map(col): _*).agg(sum("cnt").as("cnt"))
         .where(col("cnt") > 0))
 
   /** The LIVE key set (multiplicity ≤ 1 by the accept policy): the
@@ -279,14 +303,15 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     * wrote. */
   def stats(spark: SparkSession): Option[(Dedup.BloomStats, Boolean)] =
     FoldCompaction.scoped(spark, cntRoot, None).map { raw =>
-      val folded = raw.groupBy("pos").agg(sum("cnt").as("cnt"))
+      val folded = raw.groupBy(posCols.map(col): _*)
+        .agg(sum("cnt").as("cnt"))
       val negative = folded.where(col("cnt") < 0).count()
       require(negative == 0L,
         s"$negative position(s) fold negative — a slice decremented " +
           "evidence it never added; the artifact is corrupt and the " +
           "no-false-negative guarantee is void")
       val st = Dedup.countingBloomStats(folded.where(col("cnt") > 0),
-        mbits, khash)
+        mbits, khash, shards)
       (st, st.fillRatio > 0.5)
     }
 
@@ -295,10 +320,18 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     * history into a fresh artifact at the new geometry (one inherited
     * `gbatch=-1` key slice, all deltas +1, plus the matching counting
     * slice — staged and moved into place last, the commit point).
-    * The corpus is never read; deletes already left the record. */
+    * The corpus is never read; deletes already left the record.
+    * `newShards > 1` is THE scale migration: a flat chain outgrowing
+    * its position space ([[stats]]' half-full flag at mbits near
+    * 2^30) folds its live keys into a SHARDED generation
+    * ([[graft.operators.Dedup.adaptiveCountingGeometry]] sizes both
+    * knobs from the exact live count this artifact's own stats
+    * report) — the r18 batch-family ceiling fix, now reachable
+    * online. */
   def rebuildInto(spark: SparkSession, newArtifactDir: String,
       newOutDir: String, newMbits: Int = Dedup.BloomMBits,
-      newKhash: Int = Dedup.BloomHashes): StreamingCountingBloom = {
+      newKhash: Int = Dedup.BloomHashes,
+      newShards: Int = 1): StreamingCountingBloom = {
     val live = liveKeys(spark).getOrElse(
       throw new IllegalStateException(
         s"$artifactDir holds no key slices; nothing to rebuild from"))
@@ -313,7 +346,7 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
       s"$newOutDir already holds verdict slices — give the new " +
         "generation a fresh verdict dir too")
     val next = new StreamingCountingBloom(newArtifactDir, newOutDir,
-      newMbits, newKhash, exactKeys = exactKeys)
+      newMbits, newKhash, exactKeys = exactKeys, shards = newShards)
     // inherited key record first (idempotent overwrite), counting
     // slice LAST via staged atomic move — the commit point the
     // fresh-dir guard reads
@@ -341,7 +374,9 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     val stage = new java.io.File(newArtifactDir,
       s".init-${ProcessHandle.current().pid()}-" +
         s"${Thread.currentThread().getId}-${System.nanoTime()}")
-    Dedup.countingBloomBits(live, newMbits, newKhash)
+    (if (newShards > 1)
+      Dedup.shardedCountingBloomBits(live, newShards, newMbits, newKhash)
+    else Dedup.countingBloomBits(live, newMbits, newKhash))
       .write.mode(SaveMode.Overwrite).parquet(stage.toString)
     val target = java.nio.file.Paths.get(newArtifactDir, "counts",
       "gbatch=-1")
@@ -381,20 +416,39 @@ object StreamingCountingBloom {
     * batch 2's `(doc_id, text)`. Output: batch 2's insert verdicts. */
   def deleteChainScreenSql(b0Pred: String, b1InsPred: String,
       delPred: String, invalidPred: String, incSql: String,
-      khash: Int = Dedup.BloomHashes): String = {
+      khash: Int = Dedup.BloomHashes, shards: Int = 1): String = {
+    // shards > 1 carries the shard id through build, fold and lookup
+    // (the x104 oracle's keying applied to the chain); shards = 1
+    // generates the historical flat string byte-for-byte
+    val sh = shards > 1
     def pos = s"('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || k), " +
       s"1, 8))::BIGINT % (SELECT m FROM mb)"
+    def shardCol = Dedup.bloomShardSql("k", shards)
     def countsOf(keysRel: String) =
-      s"""SELECT pos, count(*) AS cnt
-         |  FROM (SELECT $pos AS pos FROM $keysRel, range(0, $khash) r(i))
-         |  WHERE pos IS NOT NULL GROUP BY pos""".stripMargin
+      if (sh)
+        s"""SELECT shard, pos, count(*) AS cnt
+           |  FROM (SELECT $shardCol AS shard, $pos AS pos
+           |        FROM $keysRel, range(0, $khash) r(i))
+           |  WHERE pos IS NOT NULL GROUP BY shard, pos""".stripMargin
+      else
+        s"""SELECT pos, count(*) AS cnt
+           |  FROM (SELECT $pos AS pos FROM $keysRel, range(0, $khash) r(i))
+           |  WHERE pos IS NOT NULL GROUP BY pos""".stripMargin
     def screenOf(docsRel: String, countsRel: String) =
-      s"""SELECT doc_id, k,
-         |    bool_and(coalesce(c.cnt, 0) > 0) AS maybe_seen
-         |  FROM (SELECT doc_id, k, $pos AS pos
-         |        FROM $docsRel, range(0, $khash) r(i)) lk
-         |  LEFT JOIN $countsRel c USING (pos)
-         |  GROUP BY doc_id, k""".stripMargin
+      if (sh)
+        s"""SELECT doc_id, k,
+           |    bool_and(coalesce(c.cnt, 0) > 0) AS maybe_seen
+           |  FROM (SELECT doc_id, k, $shardCol AS shard, $pos AS pos
+           |        FROM $docsRel, range(0, $khash) r(i)) lk
+           |  LEFT JOIN $countsRel c USING (shard, pos)
+           |  GROUP BY doc_id, k""".stripMargin
+      else
+        s"""SELECT doc_id, k,
+           |    bool_and(coalesce(c.cnt, 0) > 0) AS maybe_seen
+           |  FROM (SELECT doc_id, k, $pos AS pos
+           |        FROM $docsRel, range(0, $khash) r(i)) lk
+           |  LEFT JOIN $countsRel c USING (pos)
+           |  GROUP BY doc_id, k""".stripMargin
     val key = s"md5(${TextOps.normTextSql("text")})"
     s"""WITH mb AS (
        |  SELECT ${Dedup.adaptiveBloomBitsSql(

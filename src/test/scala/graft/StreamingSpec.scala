@@ -1811,6 +1811,88 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assertThrows[IllegalArgumentException](scb.stats(spark))
   }
 
+  test("sharded streamed counting bloom: delete/re-accept holds at (shard,pos); flat chain migrates into shards online") {
+    import graft.operators.{Dedup, TextOps}
+    val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
+    def ins(df: DataFrame) = df.withColumn("op", lit("insert"))
+    def del(df: DataFrame) = df.withColumn("op", lit("delete"))
+    val mb = 1 << 14
+    val artS = tmp("sscnt-art").toString
+    val scb = new graft.streaming.StreamingCountingBloom(
+      artS, tmp("sscnt-out").toString, mbits = mb, shards = 4)
+    val b0 = docsAll.where(col("doc_id") % 3 === 1)
+    scb.screenBatch(ins(b0), 0)
+    val uniq = b0.groupBy(md5(TextOps.normText(col("text"))).as("k"))
+      .agg(count(lit(1)).as("c"), min("doc_id").as("doc_id"))
+      .where(col("c") === 1).orderBy("doc_id")
+      .select("doc_id").limit(1).collect()(0).getLong(0)
+    scb.screenBatch(del(b0.where(col("doc_id") === uniq)), 1)
+    // deleted content re-accepts; survivors keep flagging — the x106
+    // contract, positions now keyed (shard, pos)
+    val uniqDoc = b0.where(col("doc_id") === uniq)
+    scb.screenBatch(ins(
+      uniqDoc.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+        .unionByName(b0.where(col("doc_id") =!= uniq).orderBy("doc_id")
+          .limit(20).select((col("doc_id") + 2000000L).as("doc_id"),
+            col("text")))), 2)
+    val v2 = scb.verdicts(spark).get.where(col("doc_id") >= 1000000L)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4)))
+    val re = v2.filter(_._1 < 2000000L)
+    assert(re.length == 1 && !re(0)._2 && re(0)._3,
+      "sharded chain did not re-accept deleted content")
+    assert(v2.filter(_._1 >= 2000000L).forall(_._2),
+      "sharded chain lost a surviving position")
+    // folded state ≡ the live set's SHARDED frame, row for row
+    def triples(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val live = scb.liveKeys(spark).get
+    assert(triples(scb.countingState(spark).get) ===
+      triples(Dedup.shardedCountingBloomBits(live, 4, mb)),
+      "sharded streamed state diverges from the live set's frame")
+    // stats stay EXACT at shards (Σcnt = khash·live over all shards)
+    val (st, _) = scb.stats(spark).get
+    assert(st.estimatedKeys === live.count())
+    // reopening at a different shard count refuses (relocated routing
+    // would SUM incompatible generations) — and so does a FLAT reopen
+    // of a sharded artifact (the asymmetric digest part)
+    val e = intercept[IllegalArgumentException](
+      new graft.streaming.StreamingCountingBloom(
+        artS, tmp("sscnt-out2").toString, mbits = mb, shards = 2))
+    assert(e.getMessage.contains("counting bloom geometry"))
+    val e1 = intercept[IllegalArgumentException](
+      new graft.streaming.StreamingCountingBloom(
+        artS, tmp("sscnt-out3").toString, mbits = mb))
+    assert(e1.getMessage.contains("counting bloom geometry"))
+    // ---- the SCALE MIGRATION: a FLAT chain outgrowing its position
+    // space folds its live keys into a sharded generation online —
+    // the batch family's ceiling fix, reachable from a running stream
+    val flat = new graft.streaming.StreamingCountingBloom(
+      tmp("sscntF-art").toString, tmp("sscntF-out").toString, mbits = mb)
+    flat.screenBatch(ins(b0), 0)
+    flat.screenBatch(del(b0.where(col("doc_id") === uniq)), 1)
+    val migrated = flat.rebuildInto(spark, tmp("sscntM-art").toString,
+      tmp("sscntM-out").toString, newMbits = mb, newShards = 4)
+    val flatLive = flat.liveKeys(spark).get
+    assert(triples(migrated.countingState(spark).get) ===
+      triples(Dedup.shardedCountingBloomBits(flatLive, 4, mb)),
+      "flat→sharded migration diverges from the live set's sharded frame")
+    // the migrated generation screens its inherited history (batch 0
+    // sees gbatch=-1) and re-accepts the pre-migration delete
+    migrated.screenBatch(ins(
+      b0.where(col("doc_id") =!= uniq).orderBy("doc_id").limit(10)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text"))
+        .unionByName(uniqDoc.select((col("doc_id") + 4000000L)
+          .as("doc_id"), col("text")))), 0)
+    val g2 = migrated.verdicts(spark).get
+      .where(col("doc_id") >= 3000000L).collect()
+      .map(r => (r.getLong(0), r.getBoolean(3), r.getBoolean(4)))
+    assert(g2.filter(_._1 < 4000000L).forall(_._2),
+      "migrated sharded filter lost inherited live history")
+    val reM = g2.filter(_._1 >= 4000000L)
+    assert(reM.length == 1 && !reM(0)._2 && reM(0)._3,
+      "migrated sharded filter resurrected a pre-migration delete")
+  }
+
   test("streaming bloom chains: slice compaction bounds per-batch reads; state, verdicts and replay unchanged") {
     import graft.operators.{Dedup, TextOps}
     val docsAll = Tables.documents(spark, sf).select("doc_id", "text")
