@@ -696,8 +696,14 @@ object PipelinePack extends QueryPack {
   private def streamedCountingVerdicts(s: SparkSession, dir: String,
       shards: Int = 1): DataFrame = {
     val fd = new java.io.File(s"$dir/documents.parquet")
-    val key = artifactKey(dir, fd.lastModified(), fd.length(),
-      "streamcntbloom", Dedup.BloomHashes, shards)
+    // shards enters the key only when non-default (the pinConstants
+    // digest rule): x106's pre-existing shards=1 fixture keeps its
+    // cached artifact instead of orphaning it under a new key
+    val key =
+      if (shards > 1) artifactKey(dir, fd.lastModified(), fd.length(),
+        "streamcntbloom", Dedup.BloomHashes, shards)
+      else artifactKey(dir, fd.lastModified(), fd.length(),
+        "streamcntbloom", Dedup.BloomHashes)
     val root = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_streamcnt_$key")
     val done = new java.io.File(root, "STREAM_DONE")

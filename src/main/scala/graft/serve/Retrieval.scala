@@ -2122,6 +2122,15 @@ object Retrieval {
       s"ingest-filter adoption serves the flat chain state; a corpus " +
         s"needing $shards shards builds its filter from the corpus " +
         "(or shards the chain first)")
+    // a SHARDED chain's state carries a shard column — relabeling it
+    // shard=0 would union all shards' position spaces into duplicate
+    // (0, pos) rows, and the Σcnt audit cannot catch it (the sum is
+    // shard-invariant); the frame shape is the only tell, so refuse
+    // on it
+    require(!adopted.counts.columns.contains("shard"),
+      "adopted state carries a shard column (a sharded chain's " +
+        "fold) — adoption serves the FLAT chain state; rebuildInto " +
+        "a flat generation first")
     require(adopted.khash == graft.operators.Dedup.BloomHashes,
       s"adopted chain khash ${adopted.khash} != the serve default " +
         s"${graft.operators.Dedup.BloomHashes} — screens would probe " +

@@ -184,8 +184,12 @@ class StreamingBloom(artifactDir: String, outDir: String,
         "batch ids restart at 0 and would overwrite them, corrupting the " +
         "very history a future rebuild folds from; give it a fresh " +
         "verdict dir too")
+    // inherit the operating knobs (the StreamingCountingBloom
+    // migration rule): a resize must not revert compaction sizing or
+    // cadence to defaults
     val next = new StreamingBloom(newArtifactDir, newOutDir,
-      newMbits, newKhash)
+      newMbits, newKhash, maxLiveSlices, compactionGraceMs,
+      compactionNumFiles)
     val accepted = v.where(col("accepted"))
     // 1) the accepted keys ride forward as an inherited VERDICT slice,
     //    not just as bits: bits are one-way, so without this a SECOND

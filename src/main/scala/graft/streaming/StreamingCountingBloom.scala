@@ -345,8 +345,14 @@ class StreamingCountingBloom(artifactDir: String, outDir: String,
     require(!slices(newOutDir).exists(_ != "gbatch=-1"),
       s"$newOutDir already holds verdict slices — give the new " +
         "generation a fresh verdict dir too")
+    // the new generation inherits EVERY operating knob, not just the
+    // keying: a migration run precisely because the chain reached
+    // scale must not silently revert compaction sizing (numFiles) or
+    // cadence to test-shaped defaults
     val next = new StreamingCountingBloom(newArtifactDir, newOutDir,
-      newMbits, newKhash, exactKeys = exactKeys, shards = newShards)
+      newMbits, newKhash, maxLiveSlices, compactionGraceMs,
+      exactKeys = exactKeys, compactionNumFiles = compactionNumFiles,
+      shards = newShards)
     // inherited key record first (idempotent overwrite), counting
     // slice LAST via staged atomic move — the commit point the
     // fresh-dir guard reads

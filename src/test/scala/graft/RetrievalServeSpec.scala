@@ -520,6 +520,18 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
         countingIngestFilter = true,
         adoptCountingState =
           Some(Retrieval.AdoptedCountingState(state, mb))))
+    // a SHARDED chain's state refuses: relabeling its (shard, pos)
+    // rows as shard=0 would union all shards' position spaces —
+    // duplicate rows the Σcnt audit cannot see (the sum is
+    // shard-invariant)
+    val shardedState = state.select(
+      (col("pos") % 4).as("shard"), col("pos"), col("cnt"))
+    val eSh = intercept[IllegalArgumentException](
+      Retrieval.build(corpusDocs, embC, s"$root/shdrift",
+        codebooks = books, countingIngestFilter = true,
+        adoptCountingState =
+          Some(Retrieval.AdoptedCountingState(shardedState, mb))))
+    assert(eSh.getMessage.contains("shard column"))
   }
 
   test("incremental rebuild: same serve as a fixed-codebook full build, delta-only writes") {

@@ -1866,11 +1866,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     // ---- the SCALE MIGRATION: a FLAT chain outgrowing its position
     // space folds its live keys into a sharded generation online —
     // the batch family's ceiling fix, reachable from a running stream
+    // non-default operating knobs (budget 3, eager grace): the
+    // migration must INHERIT them, pinned below by the migrated
+    // generation compacting at the inherited cadence
     val flat = new graft.streaming.StreamingCountingBloom(
-      tmp("sscntF-art").toString, tmp("sscntF-out").toString, mbits = mb)
+      tmp("sscntF-art").toString, tmp("sscntF-out").toString, mbits = mb,
+      maxLiveSlices = 3, compactionGraceMs = 0L)
     flat.screenBatch(ins(b0), 0)
     flat.screenBatch(del(b0.where(col("doc_id") === uniq)), 1)
-    val migrated = flat.rebuildInto(spark, tmp("sscntM-art").toString,
+    val artM = tmp("sscntM-art").toString
+    val migrated = flat.rebuildInto(spark, artM,
       tmp("sscntM-out").toString, newMbits = mb, newShards = 4)
     val flatLive = flat.liveKeys(spark).get
     assert(triples(migrated.countingState(spark).get) ===
@@ -1891,6 +1896,18 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val reM = g2.filter(_._1 >= 4000000L)
     assert(reM.length == 1 && !reM(0)._2 && reM(0)._3,
       "migrated sharded filter resurrected a pre-migration delete")
+    // knob inheritance, observable: the migrated chain compacts at the
+    // INHERITED budget-3 cadence (default 16 would never trigger at
+    // this batch count)
+    (1 to 5).foreach(i => migrated.screenBatch(ins(
+      b0.where(col("doc_id") % 5 === i % 5).orderBy("doc_id").limit(5)
+        .select((col("doc_id") + (5000000L * i)).as("doc_id"),
+          col("text"))), i.toLong))
+    assert(new java.io.File(s"$artM/counts/_COMPACT").isFile,
+      "migrated chain lost its inherited compaction knobs")
+    val (stM, _) = migrated.stats(spark).get
+    assert(stM.estimatedKeys === migrated.liveKeys(spark).get.count(),
+      "post-compaction sharded stats lost exactness")
   }
 
   test("streaming bloom chains: slice compaction bounds per-batch reads; state, verdicts and replay unchanged") {
