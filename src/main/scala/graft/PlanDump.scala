@@ -1,0 +1,47 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Optimization-round measurement tool (spark_optimization_guide §1.1/§7.2):
+  * dumps `.explain("formatted")` for registered queries to files so plan
+  * shapes (Exchange count, join strategy, PushedFilters/ReadSchema,
+  * WholeStageCodegen spans) can be diffed before/after a change without
+  * re-running the bench. Not part of the driver contract; never timed.
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> [name,name,...]
+  * (no third arg = every registered query).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      else None
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.NanoWatermarkPushdown.install(spark)
+    graft.functions.VectorFunctions.register(spark)
+    new java.io.File(outDir).mkdirs()
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          // queryExecution.explainString is what .explain(mode) prints
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.writeString(Paths.get(s"$outDir/$name.txt"), txt)
+          println(s"[plandump] $name ok")
+        } catch { case e: Throwable =>
+          System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+        }
+      }
+    spark.stop()
+  }
+}

@@ -590,15 +590,30 @@ object Dedup {
       val next = materialize(
         starContraction(starContraction(edges, large = true), large = false),
         checkpointDir)
-      // edge-set equality, not a checksum: a false "converged" would
-      // silently mislabel clusters. Both sides are distinct (star ends
-      // in .distinct()) and checkpointed, so equality ⟺ empty symmetric
-      // difference — ONE full-outer join + ONE action per round, vs the
-      // former count()+except() pair (2 actions + a distinct-shuffle of
-      // both edge sets each round)
-      converged = next.withColumn("_n", lit(1))
-        .join(edges.withColumn("_e", lit(1)), Seq("u", "v"), "full")
-        .where(col("_n").isNull || col("_e").isNull)
+      // STRUCTURAL fixpoint test, not edge-set equality (optimization
+      // guide §1.2/§2.4 — and still exact, not a checksum: a false
+      // "converged" would silently mislabel clusters). Every edge this
+      // loop ever holds is downward-oriented (u > v: the seed is
+      // greatest→least, and both star halves emit (x, m) with
+      // m = a local minimum < x, [[starContraction]]), so an edge set
+      // is a union of min-rooted stars ⟺ each u appears EXACTLY once
+      // and never also as a root v — and min-rooted star sets are
+      // precisely the alternation's fixpoints (contracting a star
+      // reproduces it; anything else keeps moving). The old criterion
+      // (next == edges via full-outer join) detected the fixpoint one
+      // round LATE — it needed a whole extra double-contraction to
+      // produce the identical set it could compare — and paid a
+      // two-sided shuffle join per round; this is one map-combined
+      // aggregate over `next` alone (node → (times-a-child,
+      // times-a-root), any violation ⇒ not yet stars), converging one
+      // full round earlier with the same labels (the exit frame is the
+      // same fixpoint set; DedupSpec pins ≡ on chains, cliques, hubs,
+      // and the incremental path).
+      converged = next.select(explode(array(
+          struct(col("u").as("n"), lit(1).as("cu"), lit(0).as("cv")),
+          struct(col("v").as("n"), lit(0).as("cu"), lit(1).as("cv")))).as("p"))
+        .groupBy(col("p.n")).agg(sum("p.cu").as("cu"), sum("p.cv").as("cv"))
+        .where(col("cu") > 1 || (col("cu") > 0 && col("cv") > 0))
         .isEmpty
       edges = next
       rounds += 1

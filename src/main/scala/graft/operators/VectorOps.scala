@@ -2881,60 +2881,82 @@ object VectorOps {
     val cEx = chunkSide.map(_._2)
 
     // grid points: window arithmetic over the two frames, each
-    // mirroring its serve path's exact ordering rules
-    def docAdcTopK(np: Int): DataFrame = {
-      val w = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
-      dBoth.get.where(col("prn") <= np)
+    // mirroring its serve path's exact ordering rules. ONE branch per
+    // METHOD, not per grid point (optimization guide §2.4/§7.2): each
+    // candidate row explodes into the grid memberships it survives
+    // (`prn <= np`; `rs <= r`) and a single window ranks per
+    // (query_id, np[, r]) partition — identical subsets, identical
+    // (orderBy, row_number) tie-breaking, so rows are provably the
+    // per-point windows' — where the per-point form planned
+    // |nprobes|·(1+|refines|) window branches PER FAMILY over the same
+    // checkpointed frame (32 window exchanges at the default grid, and
+    // it compounds ×|sweep| in x94/x95/x97 — before/after numbers in
+    // OPTIMIZATION_r20.md). Candidate rows multiply into ≈2× (nested np
+    // subsets) + a k·|refines|-bounded shortlist — grid-membership
+    // metadata per §2.3's "shuffle keys, not payloads", far cheaper
+    // than the removed per-branch passes.
+    val npCol = explode(array(nprobes.map(lit): _*)).as("np")
+    val rCol = explode(array(refines.map(lit): _*)).as("r")
+    def docAdcAll: DataFrame = {
+      val w = Window.partitionBy("query_id", "np")
+        .orderBy(desc("adc"), asc("vec_id"))
+      dBoth.get.select(col("*"), npCol).where(col("prn") <= col("np"))
         .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
         .select(lit("doc_adc").as("method"), lit("doc").as("fam"),
-          lit(np).as("nprobe"), lit(0).as("r"),
+          col("np").as("nprobe"), lit(0).as("r"),
           col("query_id"), col("vec_id").as("id"))
     }
-    def docRefineTopK(np: Int, r: Int): DataFrame = {
-      val wS = Window.partitionBy("query_id").orderBy(desc("adc"), asc("vec_id"))
-      val wK = Window.partitionBy("query_id").orderBy(desc("exact"), asc("vec_id"))
-      dBoth.get.where(col("prn") <= np)
-        .withColumn("rs", row_number().over(wS)).where(col("rs") <= r)
+    def docRefineAll: DataFrame = {
+      val wS = Window.partitionBy("query_id", "np")
+        .orderBy(desc("adc"), asc("vec_id"))
+      val wK = Window.partitionBy("query_id", "np", "r")
+        .orderBy(desc("exact"), asc("vec_id"))
+      dBoth.get.select(col("*"), npCol).where(col("prn") <= col("np"))
+        .withColumn("rs", row_number().over(wS))
+        .where(col("rs") <= refines.max)
+        .select(col("*"), rCol).where(col("rs") <= col("r"))
         .where(!isnan(col("exact")))
         .withColumn("rn", row_number().over(wK)).where(col("rn") <= k)
         .select(lit("doc_refine").as("method"), lit("doc").as("fam"),
-          lit(np).as("nprobe"), lit(r).as("r"),
+          col("np").as("nprobe"), col("r"),
           col("query_id"), col("vec_id").as("id"))
     }
-    def chunkAdcTopK(np: Int): DataFrame = {
-      val wB = Window.partitionBy("query_id", "doc_id")
+    def chunkAdcAll: DataFrame = {
+      val wB = Window.partitionBy("query_id", "np", "doc_id")
         .orderBy(desc("adc"), asc("chunk_id"))
-      val wK = Window.partitionBy("query_id").orderBy(desc("adc"), asc("doc_id"))
-      cBoth.get.where(col("prn") <= np)
+      val wK = Window.partitionBy("query_id", "np")
+        .orderBy(desc("adc"), asc("doc_id"))
+      cBoth.get.select(col("*"), npCol).where(col("prn") <= col("np"))
         .withColumn("rc", row_number().over(wB)).where(col("rc") === 1)
         .withColumn("rn", row_number().over(wK)).where(col("rn") <= k)
         .select(lit("chunk_adc").as("method"), lit("chunk").as("fam"),
-          lit(np).as("nprobe"), lit(0).as("r"),
+          col("np").as("nprobe"), lit(0).as("r"),
           col("query_id"), col("doc_id").as("id"))
     }
-    def chunkRefineTopK(np: Int, r: Int): DataFrame = {
-      val wS = Window.partitionBy("query_id")
+    def chunkRefineAll: DataFrame = {
+      val wS = Window.partitionBy("query_id", "np")
         .orderBy(desc("adc"), asc("doc_id"), asc("chunk_id"))
-      val wB = Window.partitionBy("query_id", "doc_id")
+      val wB = Window.partitionBy("query_id", "np", "r", "doc_id")
         .orderBy(desc("exact"), asc("chunk_id"))
-      val wK = Window.partitionBy("query_id").orderBy(desc("exact"), asc("doc_id"))
-      cBoth.get.where(col("prn") <= np)
-        .withColumn("rs", row_number().over(wS)).where(col("rs") <= r)
+      val wK = Window.partitionBy("query_id", "np", "r")
+        .orderBy(desc("exact"), asc("doc_id"))
+      cBoth.get.select(col("*"), npCol).where(col("prn") <= col("np"))
+        .withColumn("rs", row_number().over(wS))
+        .where(col("rs") <= refines.max)
+        .select(col("*"), rCol).where(col("rs") <= col("r"))
         .where(!isnan(col("exact")))
         .withColumn("rc", row_number().over(wB)).where(col("rc") === 1)
         .withColumn("rn", row_number().over(wK)).where(col("rn") <= k)
         .select(lit("chunk_refine").as("method"), lit("chunk").as("fam"),
-          lit(np).as("nprobe"), lit(r).as("r"),
+          col("np").as("nprobe"), col("r"),
           col("query_id"), col("doc_id").as("id"))
     }
     val combos = curveGrid(nprobes, refines)
       .filter { case (_, fam, _, _) => families.contains(fam) }
-    val approx = combos.map {
-      case ("doc_adc", _, np, _) => docAdcTopK(np)
-      case ("doc_refine", _, np, r) => docRefineTopK(np, r)
-      case ("chunk_adc", _, np, _) => chunkAdcTopK(np)
-      case (_, _, np, r) => chunkRefineTopK(np, r)
-    }.reduce(_ unionByName _)
+    val approx = (
+      (if (wantDoc) Seq(docAdcAll, docRefineAll) else Nil) ++
+        (if (wantChunk) Seq(chunkAdcAll, chunkRefineAll) else Nil))
+      .reduce(_ unionByName _)
 
     // score: hits against each family's exact set, aggregated over the
     // sample; the literal grid guarantees a row per grid point even if
