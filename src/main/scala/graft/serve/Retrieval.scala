@@ -1728,21 +1728,27 @@ object Retrieval {
     val spark = docs.sparkSession
     val prior = load(spark, dir)
     sweepMergeDebris(dir) // single-writer context: reclaim crashed-merge debris
-    // BIT flavor: retire the persisted ingest filter FIRST — the
-    // merges below will change dh, and a bloomdh that disagrees with
-    // dh serves false negatives, the guarantee's one mortal sin. With
-    // the frame gone, every reader falls back to the dh derivation —
-    // subject to the rebuild's own mid-merge read contract, like every
-    // other frame read racing this single-writer maintenance — until
-    // [[regenerateIngestBloom]] republishes at the end; a crash
-    // anywhere between leaves the fallback, never a stale filter.
-    // COUNTING flavor: the live frame must survive until the O(delta)
-    // update stages from it (the lexical section below — dh itself is
-    // untouched until the fingerprints-LAST merge, so the frame agrees
-    // with dh the whole way); it retires there, immediately after
-    // staging.
+    // BIT flavor: retire the persisted ingest filter BEFORE the doc
+    // merges run — the dh merge would otherwise leave a bloomdh that
+    // disagrees with dh, which serves false negatives, the guarantee's
+    // one mortal sin. The retire happens after the lexical diff below,
+    // and ONLY when that diff is nonempty (`bloomdh` depends on dh
+    // alone — the dense merges never touch it, and an empty-delta
+    // rebuild leaves dh byte-identical, so the live frame stays
+    // consistent and the steady-state idempotent rerun keeps it
+    // instead of paying a corpus-scale regeneration per call —
+    // optimization guide §1.2 "don't compute things you throw away").
+    // With the frame gone, every reader falls back to the dh
+    // derivation — subject to the rebuild's own mid-merge read
+    // contract, like every other frame read racing this single-writer
+    // maintenance — until [[regenerateIngestBloom]] republishes at the
+    // end; a crash anywhere between leaves the fallback, never a stale
+    // filter. COUNTING flavor: the live frame must survive until the
+    // O(delta) update stages from it (the lexical section below — dh
+    // itself is untouched until the fingerprints-LAST merge, so the
+    // frame agrees with dh the whole way); it retires there,
+    // immediately after staging.
     val countingFilter = ingestFilterFlavorOf(dir) == "counting"
-    if (!countingFilter) retireIngestBloom(dir)
     require(new java.io.File(s"$dir/dh").isDirectory &&
         new java.io.File(s"$dir/vh").isDirectory,
       s"$dir predates incremental rebuild (no dh/vh fingerprint " +
@@ -1760,6 +1766,33 @@ object Retrieval {
     // rules, or window boundaries would silently move corpus-wide
     val rules = readRules(dir)
 
+    // ---- lexical delta FIRST: docs whose content fingerprint moved.
+    // Computed before any merge because the bit-flavor retire decision
+    // feeds on it — an empty lexical delta keeps the live filter frame
+    // (see the entry comment); a nonempty one retires it here, before
+    // the dense merges, preserving the invariant that whenever
+    // `bloomdh` exists it agrees with dh.
+    val newDh = dhOf(docs)
+    val oldDh = spark.read.schema(DhSchema).parquet(s"$dir/dh")
+      .select(col("doc_id").as("o_id"), col("dh").as("o_dh"))
+    val cmpD = newDh.join(oldDh, col("doc_id") === col("o_id"), "full_outer")
+    // materialized for the same four-consumer reason as touchedVec
+    // below; changed ∪ deleted spelled as ONE filter + coalesce over
+    // the diff join, not a union of two branch selects — a union plans
+    // the corpus-wide fingerprint join (and the corpus hash scan
+    // feeding it) once PER BRANCH (optimization guide §2.4; rows
+    // identical: branch 1 was "id present and new-or-moved", branch 2
+    // "id absent", disjoint filters over the same join)
+    val touchedDoc = graft.operators.Dedup.materialize(
+      cmpD.where(col("doc_id").isNull || col("o_id").isNull ||
+          col("dh") =!= col("o_dh"))
+        .select(coalesce(col("doc_id"), col("o_id")).as("doc_id")),
+      checkpointDir)
+    val touchedDocPb = affectedPbsOf(touchedDoc, "doc_id")
+    // BIT flavor: dh will change — retire the live filter frame before
+    // any merge runs (an empty lexical delta keeps it)
+    if (!countingFilter && touchedDocPb.nonEmpty) retireIngestBloom(dir)
+
     // ---- dense delta: ids whose vector is new or changed / deleted,
     // detected on the thin stored fingerprints — the float column is
     // never scanned for the diff
@@ -1768,18 +1801,22 @@ object Retrieval {
     val oldVh = spark.read.schema(VhSchema).parquet(s"$dir/vh")
       .select(col("vec_id").as("o_id"), col("vh").as("o_vh"))
     val cmpE = newVh.join(oldVh, col("vec_id") === col("o_id"), "full_outer")
-    val changedVec = cmpE
-      .where(col("vec_id").isNotNull &&
-        (col("o_id").isNull || col("vh") =!= col("o_vh")))
-      .select("vec_id")
-    val deletedVec = cmpE.where(col("vec_id").isNull)
-      .select(col("o_id").as("vec_id"))
+    // changed ∪ deleted spelled as ONE filter + coalesce over the diff
+    // join, not a union of two branch selects: a union plans the
+    // corpus-wide fingerprint join (and the corpus hash scan feeding
+    // it) once PER BRANCH — the single-pass form halves the diff cost
+    // (optimization guide §2.4; rows identical: branch 1 was
+    // "vec_id present and new-or-moved", branch 2 "vec_id absent",
+    // disjoint filters over the same join)
     // materialized ([[graft.operators.Dedup.materialize]]): the diff
     // join feeds FIVE downstream actions (bucket collect, cell collect,
     // index write, emb + vh merges) — left lazy, each would re-run the
     // corpus-wide fingerprint diff
     val touchedVec = graft.operators.Dedup.materialize(
-      changedVec.unionByName(deletedVec), checkpointDir)
+      cmpE.where(col("vec_id").isNull || col("o_id").isNull ||
+          col("vh") =!= col("o_vh"))
+        .select(coalesce(col("vec_id"), col("o_id")).as("vec_id")),
+      checkpointDir)
     val changedEmb = newE.join(touchedVec, Seq("vec_id"), "left_semi")
 
     // ONE bounded job answers "which buckets, and was there a delta at
@@ -1817,22 +1854,6 @@ object Retrieval {
       // re-detects the full delta (the merge-before-fingerprint rule).
     }
     afterDenseMerge()
-
-    // ---- lexical delta: docs whose content fingerprint moved ----
-    val newDh = dhOf(docs)
-    val oldDh = spark.read.schema(DhSchema).parquet(s"$dir/dh")
-      .select(col("doc_id").as("o_id"), col("dh").as("o_dh"))
-    val cmpD = newDh.join(oldDh, col("doc_id") === col("o_id"), "full_outer")
-    val changedDoc = cmpD
-      .where(col("doc_id").isNotNull &&
-        (col("o_id").isNull || col("dh") =!= col("o_dh")))
-      .select("doc_id")
-    val deletedDoc = cmpD.where(col("doc_id").isNull)
-      .select(col("o_id").as("doc_id"))
-    // materialized for the same four-consumer reason as touchedVec
-    val touchedDoc = graft.operators.Dedup.materialize(
-      changedDoc.unionByName(deletedDoc), checkpointDir)
-    val touchedDocPb = affectedPbsOf(touchedDoc, "doc_id")
 
     // ---- counting ingest filter: stage the O(delta) update NOW, from
     // the pre-merge stable state (live frame + stored dh) — removed
@@ -1993,14 +2014,20 @@ object Retrieval {
         newDh.join(touchedDoc, Seq("doc_id"), "left_semi"), touchedDocPb,
         DhSchema)
 
-    // the persisted ingest filter recommits on EVERY rebuild. BIT
-    // flavor: full regeneration from the merged dh — the merge above
-    // is where deletes land, and bits cannot be un-set, so
+    // the persisted ingest filter recommits on every dh-CHANGING
+    // rebuild. BIT flavor: full regeneration from the merged dh — the
+    // merge above is where deletes land, and bits cannot be un-set, so
     // regeneration (never an OR-merge) is what keeps
-    // [[Retrieval!.screenIngest]] delete-correct; unconditional — even
-    // on an empty delta — so it also heals a prior crash between the
-    // dh merge and this swap, or upgrades a pre-persistence snapshot
-    // in place. COUNTING flavor: install the O(delta)-updated frame
+    // [[Retrieval!.screenIngest]] delete-correct. On an EMPTY lexical
+    // delta the live frame was never retired and still agrees with the
+    // byte-identical dh, so the steady-state idempotent rerun skips
+    // the corpus-scale regeneration outright — UNLESS no live
+    // bit-flavor frame exists, which is exactly the prior-crash
+    // (retired, dh merged, swap never landed) and
+    // pre-persistence-snapshot cases the unconditional regeneration
+    // used to heal; those still regenerate here, at the same cost as
+    // before, paid only on those events. COUNTING flavor: install the
+    // O(delta)-updated frame
     // staged before the merges (a small delete delta never
     // re-aggregates the corpus) — spliced per touched `(shard, cb)`
     // partition over the retired-live frame when the layout allows
@@ -2015,7 +2042,10 @@ object Retrieval {
         installCountingDelta(dir, stage, pendingCounting.get, ts, tc)
       case Some(StagedCountingUpdate(stage, None)) =>
         installIngestBloom(dir, stage)
-      case None => regenerateIngestBloom(spark, dir, countingFilter)
+      case None =>
+        if (countingFilter || touchedDocPb.nonEmpty ||
+            !liveBitFrameExists(dir))
+          regenerateIngestBloom(spark, dir, countingFilter)
     }
 
     load(spark, dir)
@@ -2173,9 +2203,9 @@ object Retrieval {
     ()
   }
 
-  /** Retire the persisted ingest filter of a LIVE snapshot — called at
-    * the START of every [[Retrieval.rebuild]] so that whenever a
-    * `bloomdh` frame exists it agrees with `dh`. Readers during the
+  /** Retire the persisted ingest filter of a LIVE snapshot — called by
+    * [[Retrieval.rebuild]] before any dh-changing merge lands, so that
+    * whenever a `bloomdh` frame exists it agrees with `dh`. Readers during the
     * gap take the derive-from-dh fallback, which carries the in-place
     * rebuild's OWN read contract: rebuild is single-writer
     * maintenance, and a reader racing it sees dh through the same
@@ -2188,6 +2218,20 @@ object Retrieval {
     * EVALUATED its lazy filter holds a localCheckpoint, so the reclaim
     * cannot fail its reads (a handle that has not yet evaluated it
     * simply derives). */
+  /** Whether a live, bit-flavored `bloomdh` frame with a readable
+    * geometry sidecar is present — [[rebuild]]'s empty-delta skip
+    * guard: present ⟹ the frame agrees with the unchanged dh (frames
+    * only ever commit consistent with dh, and any dh change retires
+    * first), absent/unreadable/counting ⟹ regenerate (the prior-crash
+    * and layout-upgrade healing paths). */
+  private def liveBitFrameExists(dir: String): Boolean = try {
+    val geom = java.nio.file.Paths.get(dir, "bloomdh", "_bloomgeom")
+    java.nio.file.Files.isRegularFile(geom) && {
+      val s = new String(java.nio.file.Files.readAllBytes(geom), "UTF-8")
+      !s.trim.startsWith("counting")
+    }
+  } catch { case scala.util.control.NonFatal(_) => false }
+
   private def retireIngestBloom(dir: String): Unit = {
     val live = java.nio.file.Paths.get(dir, "bloomdh")
     if (java.nio.file.Files.isDirectory(live)) {

@@ -180,32 +180,70 @@ class RetrievalServeSpec extends AnyFunSuite with SparkSpec {
     rmr(new java.io.File(s"$live/bloomdh"))
     assert(verdicts(Retrieval.load(spark, live)) === persisted,
       "derive-from-dh fallback diverges from the persisted filter")
-    // and a rebuild upgrades the old snapshot in place — regeneration
-    // is unconditional, so the persisted frame is back even though
-    // this delta is empty. DURING the rebuild the filter is RETIRED
-    // (whenever bloomdh exists it agrees with dh — a mid-merge reader
-    // takes the fallback, never a stale frame): probe from the
-    // crash-injection seam.
-    var retiredDuring = false
-    Retrieval.rebuild(docs0, emb0, live, afterDenseMerge = () =>
-      retiredDuring = !new java.io.File(s"$live/bloomdh").exists())
-    assert(retiredDuring,
-      "bloomdh live mid-rebuild — a stale-filter window exists")
+    // and a rebuild upgrades the old snapshot in place — with no live
+    // frame, the empty-delta rebuild regenerates (the heal path), so
+    // the persisted frame is back even though this delta is empty
+    Retrieval.rebuild(docs0, emb0, live)
     assert(new java.io.File(s"$live/bloomdh/_bloomgeom").isFile,
       "rebuild did not regenerate the persisted ingest filter")
     assert(verdicts(Retrieval.load(spark, live)) === persisted)
-    // a crash inside the window leaves the fallback (correct verdicts,
-    // no filter), and the rerun converges and republishes
+    // STEADY STATE: an empty-delta rebuild with a live, agreeing frame
+    // keeps it byte-stable — no retire, no corpus-scale regeneration
+    // (the idempotent-rerun cost contract; the frame still agrees with
+    // the byte-identical dh). A mid-rebuild reader therefore always
+    // sees either this valid frame or (on a dh-changing rebuild, below)
+    // no frame at all — never a stale one.
+    def frameFiles() = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+            .toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$live/bloomdh"))
+        .map(f => (f.getPath, f.length(), f.lastModified())).sortBy(_._1)
+    }
+    val before = frameFiles()
+    var liveDuring = false
+    Retrieval.rebuild(docs0, emb0, live, afterDenseMerge = () =>
+      liveDuring = new java.io.File(s"$live/bloomdh").exists())
+    assert(liveDuring,
+      "empty-delta rebuild retired a filter that still agrees with dh")
+    assert(frameFiles() === before,
+      "empty-delta rebuild rewrote the bit filter frame")
+    assert(verdicts(Retrieval.load(spark, live)) === persisted)
+    // a crash mid-rebuild on an EMPTY delta leaves the still-valid
+    // frame serving (dh never changed, so it never stopped agreeing)
     intercept[RuntimeException] {
       Retrieval.rebuild(docs0, emb0, live,
         afterDenseMerge = () => throw new RuntimeException("boom"))
     }
+    assert(frameFiles() === before,
+      "crashed empty-delta rebuild disturbed a valid filter")
+    assert(verdicts(Retrieval.load(spark, live)) === persisted)
+    // a dh-CHANGING rebuild retires the frame BEFORE any merge
+    // (whenever bloomdh exists it agrees with dh — a mid-merge reader
+    // takes the fallback, never a stale frame): probe from the
+    // crash-injection seam, then crash there — the fallback serves and
+    // the rerun converges and republishes
+    val docs1 = docs0.where(col("doc_id") =!= 7L)
+    val emb1 = emb0.where(col("vec_id") =!= 7L)
+    var retiredDuring = false
+    intercept[RuntimeException] {
+      Retrieval.rebuild(docs1, emb1, live, afterDenseMerge = () => {
+        retiredDuring = !new java.io.File(s"$live/bloomdh").exists()
+        throw new RuntimeException("boom")
+      })
+    }
+    assert(retiredDuring,
+      "bloomdh live mid-rebuild — a stale-filter window exists")
     assert(!new java.io.File(s"$live/bloomdh").exists(),
-      "crashed rebuild left a filter it can no longer vouch for")
-    assert(verdicts(Retrieval.load(spark, live)) === persisted)
-    Retrieval.rebuild(docs0, emb0, live)
-    assert(new java.io.File(s"$live/bloomdh/_bloomgeom").isFile)
-    assert(verdicts(Retrieval.load(spark, live)) === persisted)
+      "crashed dh-changing rebuild left a filter it can no longer vouch for")
+    val converged = Retrieval.rebuild(docs1, emb1, live)
+    assert(new java.io.File(s"$live/bloomdh/_bloomgeom").isFile,
+      "dh-changing rebuild did not regenerate the persisted filter")
+    // and the regenerated filter serves the REBUILT corpus's verdicts
+    val reProbe = verdicts(converged)
+    assert(reProbe === verdicts(Retrieval.load(spark, live)))
   }
 
   test("screenIngest: counting-backed snapshot — persisted-filter contract holds, rebuild maintains deletes O(delta)") {
