@@ -989,8 +989,14 @@ object Dedup {
     * reliable checkpoint instead ([[materialize]]). */
   def anchorFrame(docs: DataFrame, anchorLen: Int = AnchorLen,
       checkpointDir: Option[String] = None): DataFrame =
-    materialize(docs.select(col("doc_id"), normText(col("text")).as("t"))
-      .where(length(col("t")) >= anchorLen)
+    // [[Par.spread]]: a single-file corpus fixture is ONE scan split,
+    // which ran the whole digest kernel — and every consumer's read of
+    // the checkpointed frame up to its first exchange — on one task
+    // (measured ~1 s serialized at sf0.1 while 31 cores idled); at
+    // corpus scale the scan is already wide and this is an identity
+    materialize(Par.spread(
+      docs.select(col("doc_id"), normText(col("text")).as("t"))
+        .where(length(col("t")) >= anchorLen), col("doc_id"))
       .select(col("doc_id"),
         // fused kernel: one digest loop per row over one byte buffer —
         // the per-anchor builtin chain (substr copy + hex string +

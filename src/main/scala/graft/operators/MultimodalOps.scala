@@ -150,17 +150,32 @@ object MultimodalOps {
     * Per-partition batched generation, map-only. */
   def imageAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      it.map { id =>
-        ImageAsset(id, encodeRaster(id, if (id % 2 == 0) "png" else "bmp"))
+    // Par.spread: a single-file fixture scan is ONE split, which ran
+    // the whole encode→decode chain downstream of this generator on a
+    // single task (measured ~1 s serialized at sf0.1); what shuffles is
+    // the id column only. Identity on a wide corpus scan.
+    graft.operators.Par.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { it =>
+        it.map { id =>
+          ImageAsset(id, encodeRaster(id, if (id % 2 == 0) "png" else "bmp"))
+        }
       }
-    }
   }
 
   /** The deterministic fixture raster of asset `id`, encoded with a
     * named JDK writer — shared by the PNG/BMP generator above and the
     * JPEG generator below. */
+  /** `javax.imageio` defaults to FILE-backed stream caches — every
+    * encode/decode creates and deletes a temp file, which serializes
+    * badly across concurrent tasks (measured: the 32-way spread decode
+    * ran 4× SLOWER than single-task until this was off — temp-file
+    * churn, not pixels, was the cost). Memory-backed streams once per
+    * JVM; the payloads here are small byte arrays anyway. */
+  private lazy val imageIoInMemory: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private def encodeRaster(id: Long, format: String): Array[Byte] = {
+    imageIoInMemory
     val (w, h) = dimsFor(id)
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -181,15 +196,18 @@ object MultimodalOps {
     * quantization tolerance of the encoded value). */
   def jpegAssets(spark: SparkSession, docs: DataFrame): Dataset[ImageAsset] = {
     import spark.implicits._
-    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
-      it.map(id => ImageAsset(id, encodeRaster(id, "jpg")))
-    }
+    // narrow-scan spread, as in [[imageAssets]]
+    graft.operators.Par.spread(docs.select(col("doc_id")), col("doc_id"))
+      .as[Long].mapPartitions { it =>
+        it.map(id => ImageAsset(id, encodeRaster(id, "jpg")))
+      }
   }
 
   /** Sniff + decode the first image of a payload with the registered
     * JDK readers; shared by the metadata and perceptual-hash paths. */
   private def readImage(assetId: Long,
       media: Array[Byte]): (String, java.awt.image.BufferedImage) = {
+    imageIoInMemory
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(media))
     try {

@@ -886,23 +886,16 @@ object VectorOps {
     * NaN cosines (zero vectors) rank highest in both engines — Spark SQL
     * comparison semantics and DuckDB ordering both place NaN above every
     * other double. */
-  private def cellOf(v: Column, cents: Seq[Seq[Double]]): Column = {
-    // both CASE branches cast to one explicit struct type: under a
-    // literal codebook the alias-built struct keeps its literal field
-    // names/nullability and CASE WHEN refuses to unify the branches
-    val accType = "struct<cell:bigint,cos:double>"
-    aggregate(
-      centArrayLit(cents),
-      struct(lit(-1L).as("cell"), lit(Double.NegativeInfinity).as("cos"))
-        .cast(accType),
-      (acc, c) => {
-        val cc = cosine(v, c.getField("cv"))
-        when(cc > acc.getField("cos"),
-          struct(c.getField("cent_id").as("cell"), cc.as("cos")).cast(accType))
-          .otherwise(acc)
-      },
-      acc => acc.getField("cell"))
-  }
+  private def cellOf(v: Column, cents: Seq[Seq[Double]]): Column =
+    // the fused native kernel ([[graft.functions.CellArgmax]]): one
+    // codegen'd loop over a double[][] reference object instead of
+    // |cells| interpreted ArrayAggregate steps (CodegenFallback) each
+    // allocating an accumulator struct — same arithmetic, same
+    // left-to-right accumulation, same strict-> / NaN-greatest /
+    // id-ascending tiebreak, so assignments are bit-identical to the
+    // previous fold and to the oracle's window form (optimization
+    // guide step 4: no non-codegen expressions in the encode scan)
+    graft.functions.VectorFunctions.cellArgmax(v, cents)
 
   /** Deterministic Lloyd's k-means codebook. Init is seeded (the first
     * `k` vectors by id — the former stand-in codebook is exactly
@@ -921,8 +914,11 @@ object VectorOps {
     var cents: Seq[Seq[Double]] = e.where(col("vec_id") < k)
       .orderBy("vec_id").collect().toSeq
       .map(_.getSeq[Double](1).toSeq)
+    // spread the per-iteration assignment scans (see [[pqCodesWide]]'s
+    // narrow-scan note); the seed collect above stays on the raw scan
+    val es = Par.spread(e, col("vec_id"))
     for (_ <- 1 to iters) {
-      val stats = e
+      val stats = es
         .select(cellOf(col("v"), cents).as("cell"),
           posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim")
@@ -1304,41 +1300,14 @@ object VectorOps {
   val PqSubCentroids = 16
   val PqIters = 2
 
-  private def subCentArrayLit(book: Seq[Seq[Double]]): Column =
-    array(book.zipWithIndex.map { case (cv, i) =>
-      struct(lit(i.toLong).as("cent_id"), array(cv.map(lit): _*).as("cv"))
-    }: _*)
-
-  /** Sequential-fold squared L2 — the subspace assignment metric
-    * (cosine is wrong per-subspace: subvector norms carry signal). Same
-    * left-fold order as DuckDB's `list_reduce`, so distances are
-    * bit-identical and ties resolve the same way in both engines. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-
+  // squared-L2 is the subspace assignment metric (cosine is wrong
+  // per-subspace: subvector norms carry signal); the argmin itself now
+  // lives in the fused native kernel [[graft.functions.PqEncode]] —
+  // same left-fold accumulation order as DuckDB's `list_reduce`, so
+  // distances are bit-identical and ties resolve the same way in both
+  // engines (strict <, sub-centroids visited id-ascending).
   private def l2sqSql(a: String, b: String, d: Int): String =
     s"list_reduce(list_transform(range(1, ${d + 1}), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i])), (x, y) -> x + y)"
-
-  /** Nearest sub-centroid argmin as a fold over the literal sub-codebook
-    * (the [[cellOf]] device with L2): replace only on STRICTLY smaller
-    * distance, iterating id-ascending — identical to a window ordered
-    * (dist ASC, cent_id ASC). Map-only; the corpus never joins for its
-    * own encoding. */
-  private def subCellOf(sv: Column, book: Seq[Seq[Double]]): Column = {
-    val accType = "struct<cell:bigint,d2:double>"
-    aggregate(
-      subCentArrayLit(book),
-      struct(lit(-1L).as("cell"), lit(Double.PositiveInfinity).as("d2"))
-        .cast(accType),
-      (acc, c) => {
-        val dd = l2sq(sv, c.getField("cv"))
-        when(dd < acc.getField("d2"),
-          struct(c.getField("cent_id").as("cell"), dd.as("d2")).cast(accType))
-          .otherwise(acc)
-      },
-      acc => acc.getField("cell"))
-  }
 
   /** Deterministic per-subspace Lloyd's — [[trainedCentroids]]' driver
     * loop generalized to PQ: ONE assignment scan per iteration covers
@@ -1373,15 +1342,23 @@ object VectorOps {
       s"PQ seed needs vec_ids 0..${ksub - 1} present; got ${seed.size}")
     var books: Seq[Seq[Seq[Double]]] =
       (0 until m).map(mi => seed.map(sv => sv.slice(mi * d, (mi + 1) * d)))
+    // assignment scan per iteration: ONE fused-kernel encode per row
+    // ([[graft.functions.PqEncode]] — all m sub-assignments in one
+    // codegen'd pass, replacing m interpreted folds) and ONE posexplode
+    // of the vector (replacing the nested subspace-struct explode);
+    // (sub, cell, dim) derive arithmetically from the flat dim index.
+    // Grouped rows, integer grid sums and counts are identical, so the
+    // books stay bit-identical to [[pqKmeansCtes]]. Spread: see
+    // [[pqCodesWide]]'s narrow-scan note.
+    val es = Par.spread(e, col("vec_id"))
     for (_ <- 1 to iters) {
-      val subStructs = array((0 until m).map { mi =>
-        val sv = slice(col("v"), mi * d + 1, d)
-        struct(lit(mi).as("sub"), subCellOf(sv, books(mi)).as("cell"),
-          sv.as("sv"))
-      }: _*)
-      val stats = e.select(explode(subStructs).as("s"))
-        .select(col("s.sub"), col("s.cell"),
-          posexplode(col("s.sv")).as(Seq("dim", "x")))
+      val stats = es.select(
+          graft.functions.VectorFunctions.pqEncode(col("v"), books).as("codes"),
+          posexplode(col("v")).as(Seq("dim0", "x")))
+        .select(expr(s"CAST(dim0 DIV $d AS INT)").as("sub"),
+          element_at(col("codes"), expr(s"CAST(dim0 DIV $d AS INT)") + 1)
+            .as("cell"),
+          pmod(col("dim0"), lit(d)).as("dim"), col("x"))
         .groupBy("sub", "cell", "dim")
         .agg(sum(floor(col("x") * KMeansGrid + lit(0.5)).cast("long")).as("g"),
           count(lit(1)).as("n"))
@@ -1407,14 +1384,15 @@ object VectorOps {
     * shape that encodes a 100 TB corpus in one pass. Wide form:
     * `(vec_id, v, codes)` with `codes(m)` the subspace-m centroid id. */
   def pqCodesWide(embeddings: DataFrame,
-      books: Seq[Seq[Seq[Double]]]): DataFrame = {
-    val m = books.size
-    val d = Dim / m
+      books: Seq[Seq[Seq[Double]]]): DataFrame =
+    // fused native encode kernel: all m codes in one codegen'd pass per
+    // row ([[graft.functions.PqEncode]] — same arithmetic and strict-<
+    // semantics as the per-subspace interpreted fold it replaced, so
+    // codes are bit-identical; measured ~30× less CPU at sf0.1). Still
+    // map-only — PlanSpec pins no join/shuffle/window at any size.
     embeddings.select(col("vec_id"), asDoubles(col("embedding")).as("v"))
       .select(col("vec_id"), col("v"),
-        array((0 until m).map(mi =>
-          subCellOf(slice(col("v"), mi * d + 1, d), books(mi))): _*).as("codes"))
-  }
+        graft.functions.VectorFunctions.pqEncode(col("v"), books).as("codes"))
 
   /** The registration-facing long form: one `(vec_id, sub, code)` row
     * per subspace. NOTE: constructing this under the default books RUNS
@@ -1694,8 +1672,9 @@ object VectorOps {
     * false encodes the raw vector (the x60 IVFFlat-PQ layout). */
   def ivfPqIndex(embeddings: DataFrame, cents: Seq[Seq[Double]],
       books: Seq[Seq[Seq[Double]]], residual: Boolean = false): DataFrame = {
-    val m = books.size
-    val d = Dim / m
+    // the corpus encode pass: assign + (residual-subtract +) PQ-encode,
+    // all fused native kernels ([[cellOf]]/[[pqCodesWide]]'s notes),
+    // map-only as before
     val withCell = embeddings
       .select(col("vec_id"), asDoubles(col("embedding")).as("v"))
       .select(col("vec_id"), col("v"), cellOf(col("v"), cents).as("cell"))
@@ -1706,8 +1685,7 @@ object VectorOps {
         zip_with(col("v"), cv, (x, y) => x - y).as("ev"))
     } else withCell.select(col("vec_id"), col("cell"), col("v").as("ev"))
     enc.select(col("vec_id"),
-      array((0 until m).map(mi =>
-        subCellOf(slice(col("ev"), mi * d + 1, d), books(mi))): _*).as("codes"),
+      graft.functions.VectorFunctions.pqEncode(col("ev"), books).as("codes"),
       col("cell"))
   }
 
