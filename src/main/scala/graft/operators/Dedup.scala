@@ -530,9 +530,19 @@ object Dedup {
     val emitted =
       if (large) g.where(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-      else g.where(col("v") < col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .union(g.select(col("u"), col("m").as("v")))
+      else
+        // small-star emits (u, m) for every row plus (v, m) where
+        // v < u — as ONE conditional explode, not a two-branch union:
+        // a union re-plans (and re-executes) the whole sym⋈mins join
+        // once per branch (optimization guide §2.4 — the same
+        // two-branch defect the rebuild diff had); rows are the same
+        // multiset, and the trailing distinct is unchanged
+        g.select(explode(when(col("v") < col("u"),
+            array(struct(col("v").as("u"), col("m").as("v")),
+              struct(col("u").as("u"), col("m").as("v"))))
+          .otherwise(array(struct(col("u").as("u"), col("m").as("v")))))
+          .as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v"))
     emitted.where(col("u") =!= col("v")).distinct()
   }
 

@@ -948,11 +948,19 @@ object TextOps {
         case Some(best) =>
           val (l, rr, cnt) =
             (best.getString(0), best.getString(1), best.getLong(2))
-          st = Dedup.materialize(st.select(col("w"),
+          // checkpoint every 4th round, not every round: the training
+          // loop is inherently sequential (one bounded argmax job per
+          // rule), and a per-round checkpoint doubled its job count —
+          // a ≤4-deep chain of literal `replace`s over the vocab frame
+          // is cheap to carry and values are unchanged (the argmax of
+          // round r reads the same state either way); the cadence only
+          // bounds lineage depth (optimization guide §1.2)
+          val next = st.select(col("w"),
             replace(col("s"),
               concat(sep, lit(l), sep, sep, lit(rr), sep),
-              concat(sep, lit(l + rr), sep)).as("s")),
-            checkpointDir)
+              concat(sep, lit(l + rr), sep)).as("s"))
+          st = if (r % 4 == 0) Dedup.materialize(next, checkpointDir)
+            else next
           rules += ((r, l, rr, l + rr, cnt))
       }
     }

@@ -1269,7 +1269,7 @@ object Retrieval {
     * once per created session, not once per handle. */
   private val serveSessions = new java.util.concurrent.ConcurrentHashMap[
     org.apache.spark.SparkContext, SparkSession]()
-  private[serve] def serveSessionFor(spark: SparkSession): SparkSession = {
+  private[graft] def serveSessionFor(spark: SparkSession): SparkSession = {
     // evict sessions of stopped contexts on the way in — a context-
     // cycling JVM must not pin dead SparkContext object graphs forever
     // (the PipelinePack.cachedHandle convention)

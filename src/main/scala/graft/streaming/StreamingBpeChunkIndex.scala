@@ -142,8 +142,16 @@ class StreamingBpeChunkIndex(artifactDir: String,
   def searchBpeChunks(spark: SparkSession,
       queries: Seq[(Long, Seq[String])], k: Int,
       policy: HybridOps.Fusion = HybridOps.Rrf,
-      nprobe: Int = 2, refine: Option[Int] = None): Option[DataFrame] =
-    slices.resolved(spark).map { m =>
+      nprobe: Int = 2, refine: Option[Int] = None): Option[DataFrame] = {
+    // serve in the shared narrow serve session, exactly like the
+    // snapshot handle ([[graft.serve.Retrieval.serveSessionFor]]): a
+    // streamed serve's working set is the same bounded shortlist, so
+    // the batch session's AQE stage-jobs and wide exchanges were pure
+    // scheduling overhead here too (the measured 2× serve-latency
+    // device; plan results unchanged — conf affects execution staging
+    // only). ONE resolution under that session serves both halves.
+    val serve = graft.serve.Retrieval.serveSessionFor(spark)
+    slices.resolved(serve).map { m =>
       val bq = queries.map { case (id, ts) =>
         id -> TextOps.bpeEncodeTerms(ts, rules)
       }
@@ -173,4 +181,5 @@ class StreamingBpeChunkIndex(artifactDir: String,
           HybridOps.weightedFuseChunked(lex, dense, k, w)
       }
     }
+  }
 }
