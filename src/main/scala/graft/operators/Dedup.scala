@@ -1470,8 +1470,12 @@ object Dedup {
     * normalized chars produce no fingerprints (both engines). */
   def winnowFingerprints(docs: DataFrame, k: Int = WinnowK,
       w: Int = WinnowW): DataFrame =
-    docs.select(col("doc_id"), normText(col("text")).as("t"))
-      .where(length(col("t")) >= k)
+    // narrow-scan spread before the per-char digest kernel — the
+    // [[shingleFrame]] device ([[Par.spread]]): a single-file corpus
+    // fixture is one split, which ran the whole hash+winnow chain on
+    // one task; identity on a wide corpus scan
+    Par.spread(docs.select(col("doc_id"), normText(col("text")).as("t"))
+      .where(length(col("t")) >= k), col("doc_id"))
       .select(col("doc_id"),
         graft.functions.TextKernels.anchorHashes(col("t"), k).as("hs"))
       // fused O(n) deque kernel; ≡ the builtin
