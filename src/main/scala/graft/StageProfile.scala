@@ -28,6 +28,8 @@ object StageProfile {
     var submitted = 0L
     var completed = 0L
     var spillB = 0L
+    var deserMs = 0L
+    var deserCpuMs = 0L
   }
 
   def main(args: Array[String]): Unit = {
@@ -53,7 +55,16 @@ object StageProfile {
       override def onStageSubmitted(e: SparkListenerStageSubmitted): Unit =
         if (collecting) synchronized {
           val r = stages.getOrElseUpdate(e.stageInfo.stageId, new Rec)
-          r.name = e.stageInfo.name
+          // first graft-package frame of the submission call stack — far
+          // more telling than the callSite shortForm for broadcast jobs
+          val g = e.stageInfo.details.linesIterator
+            .find(l => l.contains("graft.") && !l.contains("StageProfile"))
+            .map(_.trim).getOrElse("")
+          val scopes = e.stageInfo.rddInfos
+            .flatMap(_.scope).map(_.name)
+            .distinct.mkString(">")
+          r.name = e.stageInfo.name + " | " + g.take(60) +
+            " | " + scopes.take(400)
           r.submitted = System.currentTimeMillis()
         }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit =
@@ -74,6 +85,8 @@ object StageProfile {
             r.shufWriteB += m.shuffleWriteMetrics.bytesWritten
             r.inputB += m.inputMetrics.bytesRead
             r.spillB += m.memoryBytesSpilled
+            r.deserMs += m.executorDeserializeTime
+            r.deserCpuMs += m.executorDeserializeCpuTime / 1000000L
           }
         }
     }
@@ -102,7 +115,7 @@ object StageProfile {
           r.completed - r.submitted else -1L
         println(f"$id%7d $wall%8d ${r.runMs}%8d ${r.cpuMs}%8d ${r.gcMs}%6d " +
           f"${r.tasks}%5d ${r.inputB / 1e6}%8.1f ${r.shufReadB / 1e6}%8.1f " +
-          f"${r.shufWriteB / 1e6}%8.1f ${r.spillB / 1e6}%8.1f  ${r.name.take(90)}")
+          f"${r.shufWriteB / 1e6}%8.1f ${r.deserMs}%7d ${r.deserCpuMs}%7d  ${r.name.take(330)}")
       }
       val totRun = snap.map(_._2.runMs).sum
       val totCpu = snap.map(_._2.cpuMs).sum
