@@ -56,3 +56,52 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   "-XX:+UseParallelGC",
 )
+
+// ---- test-suite parallelization (round 21) -------------------------------
+// The suite ran ~30 min single-JVM-sequential — past the verification
+// harness budget (VERIFY_r20 tests_ok=false: the run was cut mid-suite
+// with zero failures). Suites are independent except for two couplings,
+// so run them as ISOLATED forked JVMs in parallel:
+//  - each group gets its own JVM and SparkSession (suites mutate session
+//    conf — codegen factoryMode, broadcast thresholds, nanosAsLong — so
+//    sharing one session across concurrent suites would race);
+//  - IndexerOpsSpec + PlanSpec stay in ONE group: both iterate the full
+//    SparkEntry registry at sf0.001, whose snapshot artifacts memoize
+//    under java.io.tmpdir behind JVM-level locks — two cold JVMs racing
+//    the same artifact key would corrupt the build; sequential-in-one-JVM
+//    keeps today's build-once-reuse semantics;
+//  - RetrievalServeSpec (15.3 min alone, the wall-clock long pole) is
+//    split into three same-coverage classes (A=the original name/B/C).
+// Test JVMs get 8g (a single suite's working set), not the bench's 24g.
+Test / javaOptions := jdk17AddOpens ++ Seq(
+  "-Dspark.ui.enabled=false",
+  "-Dspark.sql.session.timeZone=UTC",
+  "-Xmx8g",
+  "-XX:+UseParallelGC",
+)
+Test / testGrouping := {
+  val groupOf: String => String = {
+    case "graft.RetrievalServeSpec"  => "serveA"
+    case "graft.RetrievalServeSpecB" => "serveB"
+    case "graft.RetrievalServeSpecC" => "serveC"
+    case "graft.StreamingSpec"       => "streaming"
+    case "graft.StreamingSpecB"      => "streamingB"
+    case "graft.PipelineSpec"        => "pipeline"
+    case "graft.SyncPipelineSpec"    => "sync"
+    case "graft.IndexerOpsSpec"      => "registry"
+    case "graft.PlanSpec"            => "registry"
+    case _                           => "misc"
+  }
+  val opts = (Test / forkOptions).value
+  (Test / definedTests).value.groupBy(t => groupOf(t.name)).map {
+    case (name, tests) =>
+      Tests.Group(name, tests, Tests.SubProcess(opts))
+  }.toSeq
+}
+// allow the forked groups to actually run concurrently (sbt's default
+// caps forked test groups at 1); 8 ≈ the balance point where the four
+// ~5-min groups overlap fully on a 32-core box without stampeding
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 8),
+  Tags.limitAll(12),
+)

@@ -12,6 +12,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session setup the extensions class provides in production
     graft.plans.NanoWatermarkPushdown.install(spark)
+    graft.plans.RankTowerFusion.install(spark)
     graft.functions.VectorFunctions.register(spark)
     // JVM/codegen/IO warmup outside the timed loop: one full untimed pass
     // over EVERY query. A single warmup query is not enough — whole-stage

@@ -26,6 +26,7 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.NanoWatermarkPushdown.install(spark)
+    graft.plans.RankTowerFusion.install(spark)
     graft.functions.VectorFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.toSeq.sortBy(_._1)

@@ -46,6 +46,7 @@ object StageProfile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.NanoWatermarkPushdown.install(spark)
+    graft.plans.RankTowerFusion.install(spark)
     graft.functions.VectorFunctions.register(spark)
     spark.range(1 << 20).selectExpr("sum(id)").collect()
 

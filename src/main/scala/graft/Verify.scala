@@ -16,6 +16,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     // session setup the extensions class provides in production
     graft.plans.NanoWatermarkPushdown.install(spark)
+    graft.plans.RankTowerFusion.install(spark)
     graft.functions.VectorFunctions.register(spark)
     new java.io.File(outDir).mkdirs()
     // optional focus set for local iteration (comma-separated names);

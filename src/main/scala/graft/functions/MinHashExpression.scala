@@ -8,6 +8,31 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputT
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Allocation-free md5 plumbing shared by the digest kernels
+  * ([[MinHashSignaturesExpr]], [[graft.functions.SimHashExpr]],
+  * [[graft.functions.AnchorHashesExpr]]) — optimization guide step 4
+  * (per-task work): at millions of shingles per task, the per-call
+  * `s.getBytes` copy (UTF8String elements of an UnsafeArrayData are
+  * slices of a shared buffer, so getBytes always copies) and the
+  * 16-byte array `digest()` returns are pure GC churn. Bit-identical
+  * output: `update(base, offset, len)` hashes exactly the same bytes,
+  * and `digest(out, 0, 16)` writes the same digest (and resets, like
+  * the allocating form). */
+private[functions] object Md5Kernel {
+  def digestInto(md: MessageDigest, s: UTF8String, out: Array[Byte]): Unit = {
+    s.getBaseObject match {
+      case b: Array[Byte] =>
+        md.update(b, (s.getBaseOffset - Platform.BYTE_ARRAY_OFFSET).toInt,
+          s.numBytes)
+      case _ => md.update(s.getBytes) // off-heap-backed string: rare, copy
+    }
+    md.digest(out, 0, 16)
+    ()
+  }
+}
 
 /** Fused MinHash signature kernel: one pass over a document's shingle
   * array computing all `a.length` permutation minima —
@@ -51,6 +76,23 @@ case class MinHashSignaturesExpr(child: Expression, a: Seq[Long], b: Seq[Long], 
   @transient private lazy val aArr: Array[Long] = a.toArray
   @transient private lazy val bArr: Array[Long] = b.toArray
 
+  /** `p == 2³¹−1` in every production instantiation ([[graft.operators
+    * .Dedup.P]]) — a Mersenne prime, whose reduction is two shift-add
+    * folds instead of a 64-bit division (`2³¹ ≡ 1 (mod p)`, so
+    * `x = hi·2³¹ + lo ≡ hi + lo`). The inner loop runs k=16 reductions
+    * per shingle, and hardware division was its dominant cost
+    * (guide step 4: per-task work). EXACT for all x in [0, 2⁶²]: the
+    * first fold leaves ≤ 2³²+2³¹, the second ≤ p+2, the conditional
+    * subtract finishes — pinned against `%` in VectorExpressionsSpec
+    * and by every oracle-gated signature consumer. */
+  private val mersenne = p == 0x7fffffffL
+  @inline private def modP(x: Long): Long =
+    if (mersenne) {
+      var r = (x & 0x7fffffffL) + (x >>> 31)
+      r = (r & 0x7fffffffL) + (r >>> 31)
+      if (r >= 0x7fffffffL) r - 0x7fffffffL else r
+    } else x % p
+
   /** One row's signatures; shared by interpreted eval and codegen. */
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
@@ -58,20 +100,19 @@ case class MinHashSignaturesExpr(child: Expression, a: Seq[Long], b: Seq[Long], 
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val md = MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16)
     var seen = false
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
         seen = true
-        val s = arr.getUTF8String(i)
-        md.reset()
-        val d = md.digest(s.getBytes)
+        Md5Kernel.digestInto(md, arr.getUTF8String(i), d)
         // first 8 hex chars of md5 = first 4 bytes, big-endian unsigned
-        val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+        val h = modP((((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)))
         var j = 0
         while (j < k) {
-          val v = (h * aArr(j) + bArr(j)) % p
+          val v = modP(h * aArr(j) + bArr(j))
           if (v < mins(j)) mins(j) = v
           j += 1
         }

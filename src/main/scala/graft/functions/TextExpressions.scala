@@ -183,11 +183,13 @@ case class SimHashExpr(child: Expression, bits: Int)
     val n = arr.numElements()
     val counts = new Array[Int](bits)
     val md = java.security.MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        md.reset()
-        val d = md.digest(arr.getUTF8String(i).getBytes)
+        // zero-copy + digest-into-buffer ([[Md5Kernel]]): same bytes,
+        // same digest, no per-shingle allocation
+        Md5Kernel.digestInto(md, arr.getUTF8String(i), d)
         val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
           ((d(2) & 0xffL) << 8) | (d(3) & 0xffL))
         var b = 0
@@ -274,14 +276,14 @@ case class AnchorHashesExpr(child: Expression, anchorLen: Int)
     }
     starts(nChars) = bytes.length
     val md = java.security.MessageDigest.getInstance("MD5")
+    val d = new Array[Byte](16) // digest-into-buffer: no per-anchor alloc
     val out = new Array[Long](n)
     var p = 0
     while (p < n) {
       val from = starts(p)
       val until = starts(p + anchorLen)
-      md.reset()
       md.update(bytes, from, until - from)
-      val d = md.digest()
+      md.digest(d, 0, 16) // writes the digest and resets, like digest()
       out(p) = ((((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
         ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
         ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |

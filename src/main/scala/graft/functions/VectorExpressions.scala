@@ -391,5 +391,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => graft.plans.NanoWatermarkPushdown)
+    ext.injectPlannerStrategy(_ => graft.plans.RankTowerFusion)
   }
 }

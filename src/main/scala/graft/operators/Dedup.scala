@@ -597,9 +597,23 @@ object Dedup {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = materialize(
-        starContraction(starContraction(edges, large = true), large = false),
-        checkpointDir)
+      // LAZY local checkpoint (guide §1.2 — one driver round-trip per
+      // round, not two): the convergence aggregate below is the FIRST
+      // action over the checkpoint-marked frame, so the SAME job
+      // computes the round's edge set, persists its partitions
+      // (localCheckpoint materializes as a computation side effect and
+      // truncates lineage when the job completes; the full aggregate
+      // leaves no partition uncomputed), and tests the fixpoint. The
+      // eager two-job shape survives only on the RELIABLE path, where
+      // a lazy checkpoint would recompute the whole frame again at
+      // write time. Values are identical either way — checkpointing
+      // only stages execution (CheckpointSpec pins it).
+      val contracted =
+        starContraction(starContraction(edges, large = true), large = false)
+      val next = checkpointDir match {
+        case None => contracted.localCheckpoint(false)
+        case Some(_) => materialize(contracted, checkpointDir)
+      }
       // STRUCTURAL fixpoint test, not edge-set equality (optimization
       // guide §1.2/§2.4 — and still exact, not a checksum: a false
       // "converged" would silently mislabel clusters). Every edge this

@@ -1276,8 +1276,15 @@ object PipelinePack extends QueryPack {
       val docs = Tables.documents(s, dir)
       def anchors(par: Int) = snapshotArtifact(dir, "documents.parquet",
         s"anchors_$par.parquet", Dedup.AnchorLen, par)(
+        // compact at WRITE, not at kernel (guide §6 / r20 what's-wrong
+        // #4): anchorFrame localCheckpoints at full spread width, so the
+        // digest kernel has already run wide when this coalesce merges
+        // the checkpointed blocks into one publish file — the timed x39
+        // read then lists 1 file per corpus half instead of 32 (a 100 TB
+        // publish sizes files by bytes instead — ~128 MB targets — but
+        // never by the kernel's task count)
         p => Dedup.anchorFrame(docs.where(col("doc_id") % 2 === par))
-          .write.mode("overwrite").parquet(p))
+          .coalesce(1).write.mode("overwrite").parquet(p))
       Dedup.crossSubstringDups(
         s.read.parquet(anchors(0)), s.read.parquet(anchors(1)))
         .orderBy("doc_a", "doc_b", "a_start", "b_start")

@@ -1285,6 +1285,10 @@ object Retrieval {
       // a few MB, not a corpus scan
       s.conf.set("spark.sql.files.minPartitionNum", "1")
       graft.functions.VectorFunctions.register(s)
+      // the serve towers are exactly the shape RankTowerFusion plans
+      // through one exchange (and its co-partition relaxation lets the
+      // fusion join reuse the towers' hash(query_id) partitioning)
+      graft.plans.RankTowerFusion.install(s)
       s
     })
   }

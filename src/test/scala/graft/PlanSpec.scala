@@ -456,4 +456,46 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan.contains("Exchange rangepartitioning"),
       s"global sort crept into the sample:\n$plan")
   }
+
+  test("rank tower (best-per-(q,d) then top-k-per-q) fuses to ONE subset-keyed exchange") {
+    import org.apache.spark.sql.functions._
+    // isolated child session: the strategy is a serve/batch-session
+    // install; the shared test session keeps default planning so the
+    // other pinned plans stay order-independent
+    val s = spark.newSession()
+    graft.plans.RankTowerFusion.install(s)
+    val df = s.range(200).select(
+      (col("id") % 4).as("query_id"), (col("id") % 25).as("doc_id"),
+      col("id").as("chunk_id"),
+      ((col("id") * 37) % 101).cast("double").as("score"))
+    def tower(d: org.apache.spark.sql.DataFrame) = {
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id", "doc_id")
+        .orderBy(desc("score"), asc("chunk_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))
+      d.withColumn("rc", row_number().over(wBest)).where(col("rc") === 1)
+        .drop("rc")
+        .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+    }
+    val plan = formatted(tower(df))
+    // exactly one shuffle, keyed by the OUTER partition spec alone,
+    // with the inner rank's map-side Partial group-limit BELOW it
+    val shuffles = "Exchange \\(\\d+\\)".r.findAllIn(plan).length
+    assert(shuffles == 1, s"tower should shuffle exactly once:\n$plan")
+    assert("hashpartitioning\\(query_id#\\d+L?, \\d+\\)".r
+      .findFirstIn(plan).nonEmpty,
+      s"tower exchange must key on query_id only:\n$plan")
+    assert(plan.contains(", 1, Partial"),
+      s"map-side rank prune lost below the fused exchange:\n$plan")
+    // fused results ≡ default-planned results (same session-less data,
+    // planned on the shared session without the strategy)
+    val dfPlain = spark.range(200).select(
+      (col("id") % 4).as("query_id"), (col("id") % 25).as("doc_id"),
+      col("id").as("chunk_id"),
+      ((col("id") * 37) % 101).cast("double").as("score"))
+    val got = tower(df).orderBy("query_id", "rn").collect().map(_.toSeq)
+    val want = tower(dfPlain).orderBy("query_id", "rn").collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
 }

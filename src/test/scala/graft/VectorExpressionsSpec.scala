@@ -161,4 +161,34 @@ class VectorExpressionsSpec extends AnyFunSuite with SparkSpec {
       spark.sql("SELECT graft_winnow(array(1L), cast(rand()*2 AS INT))").collect()
     }
   }
+
+  test("minhash Mersenne reduction and zero-copy md5 are bit-identical to the builtin chain") {
+    // the r21 kernel micro-optimizations (Mersenne fold for % (2³¹−1),
+    // digest-into-buffer, zero-copy UTF8String update) must not move a
+    // single signature bit: recompute each doc's signatures through the
+    // builtin md5/conv/% chain and compare EXACTLY. The frame round-trips
+    // through UnsafeArrayData, so string elements are buffer slices and
+    // the zero-copy path is actually exercised.
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(400)
+    val sh = Dedup.shingleFrame(docs)
+    val native = Dedup.minHashSignaturesFrom(sh)
+    val h32 = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long") % Dedup.P
+    val builtin = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), h32.as("h"))
+      .groupBy("doc_id")
+      .agg(min((col("h") * Dedup.perms.head._1 + Dedup.perms.head._2)
+          % Dedup.P).as("s0"),
+        Dedup.perms.zipWithIndex.tail.map { case ((a, b), i) =>
+          min((col("h") * a + b) % Dedup.P).as(s"s$i")
+        }: _*)
+    val joined = native.as("n").join(builtin.as("b"), "doc_id")
+    val mismatched = joined.where(
+      (0 until Dedup.NumHashes).map(i =>
+        col(s"n.s$i") =!= col(s"b.s$i")).reduce(_ || _)).count()
+    assert(mismatched === 0)
+    // docs whose shingle set is empty/null are absent from the builtin
+    // aggregate; the kernel must agree row-for-row on the rest
+    assert(joined.count() === builtin.count())
+  }
 }
