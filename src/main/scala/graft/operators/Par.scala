@@ -29,4 +29,39 @@ object Par {
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions * 2 > p) df else df.repartition(p, key)
   }
+
+  /** Run independent driver-side constructions concurrently
+    * (optimization guide §2.6 "overlap independent jobs"): Spark's
+    * scheduler happily runs jobs submitted from several threads at
+    * once — actions are only sequential because driver code calls them
+    * sequentially — so eager per-branch work (bounded collects,
+    * localCheckpoint materializations) overlaps instead of
+    * serializing, and each job's task tail back-fills the executors
+    * the others free. Used by the recall-curve sweeps, whose knob
+    * points are independent by construction (each reads its own
+    * artifacts and checkpoints its own frames). A small fixed pool —
+    * 2–3 jobs in flight is enough to fill the tail without fighting
+    * for executors (§2.6); results return in input order and
+    * exceptions propagate unwrapped, so failure behavior matches the
+    * sequential form. */
+  def concurrently[A](tasks: Seq[() => A]): Seq[A] =
+    if (tasks.lengthCompare(2) < 0) tasks.map(_())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(tasks.length, 3))
+      try {
+        val fs = tasks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            override def call(): A = t()
+          })
+        }
+        fs.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally { pool.shutdown(); () }
+    }
 }

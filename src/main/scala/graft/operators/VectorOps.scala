@@ -2813,8 +2813,13 @@ object VectorOps {
     val wantDoc = families.contains("doc")
     val wantChunk = families.contains("chunk")
 
+    // the two families' candidate frames are independent eager
+    // materializations (one localCheckpoint job each) — build them
+    // CONCURRENTLY (guide §2.6 via [[Dedup]]/[[Par.concurrently]]) so
+    // the chunk side's jobs back-fill the doc side's task tail instead
+    // of waiting out a driver round-trip
     // doc family: ADC + attached exact cosine per probed candidate
-    val dBoth = if (!wantDoc) None else Some {
+    def buildDoc(): DataFrame = {
       val dAdc = docIndex.where(col("cell").isin(probedCells: _*))
         .join(broadcast(probe), Seq("cell"))
         .where(col("vec_id") =!= col("query_id"))
@@ -2827,13 +2832,8 @@ object VectorOps {
             round(cosine(col("qv2"), col("v")), 6).as("exact")),
         checkpointDir)
     }
-    // the exact baselines are codebook-INDEPENDENT — a multi-codebook
-    // sweep ([[codebookCurve]]) computes each once and passes it in
-    val dEx = if (!wantDoc) None else Some(docExact.getOrElse(
-      cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id")))
-
     // chunk family: the composite-key index's ADC + exact per candidate
-    val chunkSide = if (!wantChunk) None else Some {
+    def buildChunk(): (DataFrame, DataFrame) = {
       val cEmb = chunkEmb
       val cAdc = chunkIndex.where(col("cell").isin(probedCells: _*))
         .join(broadcast(probe), Seq("cell"))
@@ -2855,6 +2855,15 @@ object VectorOps {
           .select("query_id", "doc_id"))
       (cBoth, cEx)
     }
+    val built = Par.concurrently(Seq[() => Any](
+      () => if (wantDoc) Some(buildDoc()) else None,
+      () => if (wantChunk) Some(buildChunk()) else None))
+    val dBoth = built(0).asInstanceOf[Option[DataFrame]]
+    val chunkSide = built(1).asInstanceOf[Option[(DataFrame, DataFrame)]]
+    // the exact baselines are codebook-INDEPENDENT — a multi-codebook
+    // sweep ([[codebookCurve]]) computes each once and passes it in
+    val dEx = if (!wantDoc) None else Some(docExact.getOrElse(
+      cosineTopK(embeddings, queryIds, k).select("query_id", "vec_id")))
     val cBoth = chunkSide.map(_._1)
     val cEx = chunkSide.map(_._2)
 
@@ -3007,7 +3016,11 @@ object VectorOps {
       val cs = trainedCentroids(embeddings, kc)
       (cs, pqResidualCodebooks(embeddings, cs))
     }
-    cells.map { kc =>
+    // knob points are independent (own artifacts, own checkpoints) —
+    // construct them CONCURRENTLY (guide §2.6): each point's eager
+    // candidate materializations overlap instead of serializing on the
+    // driver, and the union below reads the checkpointed frames
+    Par.concurrently(cells.map { kc => () =>
       val (cents, books) = train(kc)
       // `indexesFor` is the per-(fixture, cells) ARTIFACT seam (the
       // x60 convention): a cached caller serves the sweep's codes from
@@ -3019,7 +3032,7 @@ object VectorOps {
         cents, books, queryIds, k, nprobes, refines, checkpointDir,
         docExact = Some(dEx), chunkExact = Some(cEx))
         .select(lit(kc).as("cells"), col("*"))
-    }.reduce(_ unionByName _)
+    }).reduce(_ unionByName _)
   }
 
   /** [[codebookCurve]] oracle: one full [[recallCurveSql]] train →
@@ -3100,7 +3113,9 @@ object VectorOps {
     val train = trainedFor.getOrElse { m: Int =>
       pqResidualCodebooks(embeddings, cents, m)
     }
-    ms.map { m =>
+    // independent knob points construct concurrently (guide §2.6 —
+    // the codebookCurve rationale)
+    Par.concurrently(ms.map { m => () =>
       val books = train(m)
       // `indexesFor` is the per-(fixture, m) ARTIFACT seam (the x94
       // convention): a cached caller serves the sweep's codes from
@@ -3112,7 +3127,7 @@ object VectorOps {
         cents, books, queryIds, k, nprobes, refines, checkpointDir,
         docExact = Some(dEx), chunkExact = Some(cEx))
         .select(lit(m).as("m"), col("*"))
-    }.reduce(_ unionByName _)
+    }).reduce(_ unionByName _)
   }
 
   /** [[pqSubspacesCurve]] oracle — the [[codebookCurveSql]] pattern on
@@ -3194,7 +3209,9 @@ object VectorOps {
     val train = trainedFor.getOrElse { ks: Int =>
       pqResidualCodebooks(embeddings, cents, ksub = ks)
     }
-    ksubs.map { ks =>
+    // independent knob points construct concurrently (guide §2.6 —
+    // the codebookCurve rationale)
+    Par.concurrently(ksubs.map { ks => () =>
       val books = train(ks)
       // `indexesFor` is the per-(fixture, ksub) ARTIFACT seam (the
       // x94/x95 convention): a cached caller serves the sweep's codes
@@ -3206,7 +3223,7 @@ object VectorOps {
         cents, books, queryIds, k, nprobes, refines, checkpointDir,
         docExact = Some(dEx), chunkExact = Some(cEx))
         .select(lit(ks).as("ksub"), col("*"))
-    }.reduce(_ unionByName _)
+    }).reduce(_ unionByName _)
   }
 
   /** [[pqKsubCurve]] oracle — the [[pqSubspacesCurveSql]] pattern on
