@@ -1787,15 +1787,14 @@ object Retrieval {
     // feeding it) once PER BRANCH (optimization guide §2.4; rows
     // identical: branch 1 was "id present and new-or-moved", branch 2
     // "id absent", disjoint filters over the same join)
-    val touchedDoc = graft.operators.Dedup.materialize(
-      cmpD.where(col("doc_id").isNull || col("o_id").isNull ||
-          col("dh") =!= col("o_dh"))
-        .select(coalesce(col("doc_id"), col("o_id")).as("doc_id")),
-      checkpointDir)
-    val touchedDocPb = affectedPbsOf(touchedDoc, "doc_id")
-    // BIT flavor: dh will change — retire the live filter frame before
-    // any merge runs (an empty lexical delta keeps it)
-    if (!countingFilter && touchedDocPb.nonEmpty) retireIngestBloom(dir)
+    def buildTouchedDoc(): (DataFrame, Seq[Int]) = {
+      val td = graft.operators.Dedup.materialize(
+        cmpD.where(col("doc_id").isNull || col("o_id").isNull ||
+            col("dh") =!= col("o_dh"))
+          .select(coalesce(col("doc_id"), col("o_id")).as("doc_id")),
+        checkpointDir)
+      (td, affectedPbsOf(td, "doc_id"))
+    }
 
     // ---- dense delta: ids whose vector is new or changed / deleted,
     // detected on the thin stored fingerprints — the float column is
@@ -1816,18 +1815,36 @@ object Retrieval {
     // join feeds FIVE downstream actions (bucket collect, cell collect,
     // index write, emb + vh merges) — left lazy, each would re-run the
     // corpus-wide fingerprint diff
-    val touchedVec = graft.operators.Dedup.materialize(
-      cmpE.where(col("vec_id").isNull || col("o_id").isNull ||
-          col("vh") =!= col("o_vh"))
-        .select(coalesce(col("vec_id"), col("o_id")).as("vec_id")),
-      checkpointDir)
+    def buildTouchedVec(): (DataFrame, Seq[Int]) = {
+      val tv = graft.operators.Dedup.materialize(
+        cmpE.where(col("vec_id").isNull || col("o_id").isNull ||
+            col("vh") =!= col("o_vh"))
+          .select(coalesce(col("vec_id"), col("o_id")).as("vec_id")),
+        checkpointDir)
+      (tv, affectedPbsOf(tv, "vec_id"))
+    }
+    // the two corpus fingerprint diffs are independent PURE
+    // computations (each: one hash scan + full-outer diff join +
+    // checkpoint + a bounded bucket collect) and dominate the
+    // steady-state empty-delta rerun — overlap them (guide §2.6).
+    // Every side effect keeps its exact prior order: the bit-flavor
+    // retire below still runs after BOTH diffs and before any merge,
+    // and the dense merge block follows it unchanged, so the crash
+    // windows RetrievalServeSpec pins are byte-for-byte the same.
+    val built = graft.operators.Par.concurrently(
+      Seq(buildTouchedDoc _, buildTouchedVec _))
+    val (touchedDoc, touchedDocPb) = built(0)
+    val (touchedVec, touchedVecPb) = built(1)
+    // BIT flavor: dh will change — retire the live filter frame before
+    // any merge runs (an empty lexical delta keeps it)
+    if (!countingFilter && touchedDocPb.nonEmpty) retireIngestBloom(dir)
     val changedEmb = newE.join(touchedVec, Seq("vec_id"), "left_semi")
 
-    // ONE bounded job answers "which buckets, and was there a delta at
-    // all": an empty result short-circuits the whole dense side (the
-    // steady-state no-op refresh costs exactly the two fingerprint
-    // diffs plus the serve — the production idempotent-rerun path)
-    val touchedVecPb = affectedPbsOf(touchedVec, "vec_id")
+    // ONE bounded job answered "which buckets, and was there a delta at
+    // all" (inside the overlapped diff): an empty result short-circuits
+    // the whole dense side (the steady-state no-op refresh costs
+    // exactly the two fingerprint diffs plus the serve — the production
+    // idempotent-rerun path)
     if (touchedVecPb.nonEmpty) {
       // index cells the delta touches: the OLD cells of every touched
       // id (an updated vector may have moved cells) plus the NEW
